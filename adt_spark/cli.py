@@ -1,0 +1,82 @@
+"""CLI — the reference's three subcommands re-expressed over Spark
+(crates/cli/src/main.rs, arg surface crates/cli/src/cli.rs):
+
+- ``view <uri> [-f fmt] [-q sql] [-l limit] [-p cols]``
+  (main.rs:46-75): register the location as table ``tbl``, run the
+  query with an appended LIMIT, pretty-print.  Defaults mirror the
+  reference: query ``select * from tbl`` (cli.rs:61), limit 50
+  (cli.rs:63); default format is parquet here (the reference defaults
+  to delta, cli.rs:59 — parquet is the format this container can
+  actually read, and ``-f delta`` behaves identically on a cluster
+  with delta-spark).
+- ``schema <uri> [-f fmt] [-p cols]`` (main.rs:76-102): register,
+  then DESCRIBE (reference uses SHOW COLUMNS via information_schema).
+- ``execute <file.sql>`` (main.rs:103-137): run a SQL script with the
+  reference's comment/terminator semantics (adt_spark.script).
+
+Usage: ``python -m adt_spark.cli view /path/data.parquet -f parquet``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="adt-spark", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    view = sub.add_parser("view", help="preview a table (reference: adt view)")
+    view.add_argument("uri")
+    view.add_argument("-f", "--format", default="parquet")
+    view.add_argument("-q", "--query", default="select * from tbl")
+    view.add_argument("-l", "--limit", type=int, default=50)
+    view.add_argument("-p", "--partition-cols", default=None,
+                      help="comma-separated partition columns")
+
+    schema = sub.add_parser("schema", help="show a table's schema")
+    schema.add_argument("uri")
+    schema.add_argument("-f", "--format", default="parquet")
+    schema.add_argument("-p", "--partition-cols", default=None)
+
+    execute = sub.add_parser("execute", help="run a .sql script")
+    execute.add_argument("file")
+    return parser
+
+
+def main(argv: list[str] | None = None, ctx=None) -> int:
+    args = _build_parser().parse_args(argv)
+    owns_ctx = ctx is None
+    if owns_ctx:
+        from adt_spark import ADTContext
+
+        ctx = ADTContext(app_name=f"adt-spark-{args.command}")
+    try:
+        if args.command == "view":
+            _register(ctx, args)
+            # reference appends LIMIT to the user query (main.rs:72)
+            ctx.sql(f"{args.query} limit {args.limit}").show(args.limit, truncate=False)
+        elif args.command == "schema":
+            _register(ctx, args)
+            ctx.sql("describe tbl").show(1000, truncate=False)
+        elif args.command == "execute":
+            from adt_spark.script import split_statements
+
+            with open(args.file) as fh:
+                for stmt in split_statements(fh):
+                    df = ctx.sql(stmt)
+                    df.show(50, truncate=False)
+    finally:
+        if owns_ctx:
+            ctx.spark.stop()
+    return 0
+
+
+def _register(ctx, args) -> None:
+    parts = args.partition_cols.split(",") if args.partition_cols else None
+    ctx.register_table("tbl", args.uri, args.format, partition_cols=parts)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""DataFusion / PostgreSQL function-name shims for Spark SQL.
+
+The reference exposes DataFusion 48's full scalar-function registry
+(reference: crates/core/src/context.rs:32-33 ``with_default_features``;
+inventory in SURVEY.md §2.B).  Spark 4 has native equivalents for
+almost everything; the residue is closed two ways:
+
+1. **SQL UDFs** here (``CREATE TEMPORARY FUNCTION … RETURN <expr>``)
+   — these are Catalyst expressions, JVM-side and codegen-eligible,
+   NOT Python UDFs, so they cost nothing at 100 TB scale.
+2. **Name rewrites** in :mod:`adt_spark.dialect.translate` for pure
+   renames (``approx_distinct`` → ``approx_count_distinct`` …).
+
+SQL UDFs require concrete parameter types, so array shims are
+registered for ``ARRAY<STRING>`` (the dominant case in the corpus);
+generic use goes through the equivalent builtin compositions noted in
+each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name → (signature, body).  Each body is a single Catalyst expression.
+_SQL_UDFS: dict[str, tuple[str, str]] = {
+    # DataFusion strpos(str, substr) — 1-based, 0 when absent (= instr).
+    "strpos": ("(s STRING, sub STRING) RETURNS INT", "instr(s, sub)"),
+    # DataFusion date_bin(stride, source, origin) — SURVEY.md gap G7.
+    # Seconds-stride variant; floor() keeps pre-origin timestamps in
+    # the correct (earlier) bin, matching DataFusion.
+    "date_bin_seconds": (
+        "(stride BIGINT, ts TIMESTAMP, origin TIMESTAMP) RETURNS TIMESTAMP",
+        "timestamp_micros(unix_micros(origin) + cast(floor((unix_micros(ts) - unix_micros(origin)) / (stride * 1000000)) AS BIGINT) * stride * 1000000)",
+    ),
+    # DataFusion iszero(x).
+    "iszero": ("(x DOUBLE) RETURNS BOOLEAN", "x = 0.0d"),
+    # DataFusion array_empty(arr).
+    "array_empty": ("(arr ARRAY<STRING>) RETURNS BOOLEAN", "cardinality(arr) = 0"),
+    # DataFusion array_has_all(arr, needles) — every needle present.
+    "array_has_all": (
+        "(arr ARRAY<STRING>, needles ARRAY<STRING>) RETURNS BOOLEAN",
+        "forall(needles, x -> array_contains(arr, x))",
+    ),
+    # DataFusion array_pop_front / array_pop_back — SURVEY.md gap G8.
+    "array_pop_front": (
+        "(arr ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "slice(arr, 2, greatest(cardinality(arr) - 1, 0))",
+    ),
+    "array_pop_back": (
+        "(arr ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "slice(arr, 1, greatest(cardinality(arr) - 1, 0))",
+    ),
+    # DataFusion array_resize(arr, size, fill).
+    "array_resize": (
+        "(arr ARRAY<STRING>, size INT, fill STRING) RETURNS ARRAY<STRING>",
+        "CASE WHEN size <= cardinality(arr) THEN slice(arr, 1, size) "
+        "ELSE concat(arr, array_repeat(fill, size - cardinality(arr))) END",
+    ),
+    # DataFusion array_dims / array_ndims (1-D arrays).
+    "array_dims": ("(arr ARRAY<STRING>) RETURNS ARRAY<INT>", "array(cardinality(arr))"),
+    "array_ndims": ("(arr ARRAY<STRING>) RETURNS INT", "1"),
+    # DataFusion to_unixtime(ts) → epoch seconds (fractional).
+    "to_unixtime": ("(ts TIMESTAMP) RETURNS DOUBLE", "unix_micros(ts) / 1000000.0d"),
+    # DataFusion nullif-adjacent nvl2 exists natively; digest(s, 'sha256')
+    # family maps to sha2 — register the 2-arg digest for convenience.
+    "digest": ("(s STRING, algo STRING) RETURNS STRING",
+               "CASE algo WHEN 'md5' THEN md5(s) WHEN 'sha224' THEN sha2(s, 224) "
+               "WHEN 'sha256' THEN sha2(s, 256) WHEN 'sha384' THEN sha2(s, 384) "
+               "WHEN 'sha512' THEN sha2(s, 512) END"),
+}
+
+
+def register_dialect_functions(spark: SparkSession) -> None:
+    """Register every shim as a session-scoped SQL function."""
+    for name, (signature, body) in _SQL_UDFS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}")

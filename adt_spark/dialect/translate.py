@@ -1,0 +1,115 @@
+"""Textual SQL rewrites for PostgreSQL-dialect constructs Spark SQL
+does not parse (reference dialect: crates/core/src/context.rs:29).
+
+Deliberately light: Spark 4 natively parses almost the whole surface
+(``::`` casts, ``ILIKE``, ``IS DISTINCT FROM``, lateral joins …), so
+only the PostgreSQL regex-match operators need translation.  The
+rewrites are token-aware enough to skip string literals so a ``~``
+inside a literal is untouched.
+"""
+
+from __future__ import annotations
+
+import re
+
+# expr ~ 'pat'   → expr RLIKE 'pat'
+# expr !~ 'pat'  → NOT (expr RLIKE 'pat')
+# expr ~* 'pat'  → expr RLIKE '(?i)pat'     (case-insensitive)
+_TILDE = re.compile(r"[ \t]*(?P<neg>!)?~(?P<ci>\*)?[ \t]*")
+
+
+def _split_on_literals(sql: str) -> list[tuple[str, bool]]:
+    """Split SQL into (chunk, is_string_literal) segments."""
+    parts: list[tuple[str, bool]] = []
+    buf: list[str] = []
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            if in_str and i + 1 < len(sql) and sql[i + 1] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            buf.append(ch)
+            parts.append(("".join(buf), in_str))
+            buf = []
+            in_str = not in_str
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if buf:
+        parts.append(("".join(buf), in_str))
+    return parts
+
+
+def _rewrite_regex_ops(sql: str) -> str:
+    segments = _split_on_literals(sql)
+    out: list[str] = []
+    for idx, (chunk, is_lit) in enumerate(segments):
+        if is_lit:
+            out.append(chunk)
+            continue
+        # Only rewrite a tilde directly followed (next segment) by a
+        # string literal — the PostgreSQL regex-match shape.
+        def repl(m: re.Match[str]) -> str:
+            op = " NOT RLIKE " if m.group("neg") else " RLIKE "
+            if m.group("ci"):
+                # mark for (?i) injection into the following literal
+                return op + "\x00CI\x00"
+            return op
+
+        rewritten = _TILDE.sub(repl, chunk)
+        if "\x00CI\x00" in rewritten and idx + 1 < len(segments):
+            nxt, nxt_lit = segments[idx + 1]
+            # the opening quote sits at the end of THIS chunk; the
+            # literal segment holds the body + closing quote.
+            if nxt_lit:
+                segments[idx + 1] = ("(?i)" + nxt, nxt_lit)
+            rewritten = rewritten.replace("\x00CI\x00", "")
+        out.append(rewritten)
+    return "".join(out)
+
+
+# Pure function renames: DataFusion/Postgres name → Spark builtin with
+# identical argument order and semantics (SURVEY.md §2.B mapping table).
+_NAME_REWRITES = {
+    "approx_distinct": "approx_count_distinct",
+    "arrow_typeof": "typeof",
+    "array_has": "array_contains",
+    "array_has_any": "arrays_overlap",
+    "array_to_string": "array_join",
+    "string_to_array": "split",
+    "make_array": "array",
+    "array_element": "element_at",
+    "array_length": "cardinality",
+    "regexp_match": "regexp_extract_all",
+    "today": "current_date",
+    "random": "rand",
+    "power": "pow",
+}
+_NAME_RE = re.compile(
+    r"\b(" + "|".join(sorted(_NAME_REWRITES, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_names(sql: str) -> str:
+    segments = _split_on_literals(sql)
+    out = []
+    for chunk, is_lit in segments:
+        if is_lit:
+            out.append(chunk)
+        else:
+            out.append(_NAME_RE.sub(lambda m: _NAME_REWRITES[m.group(1).lower()] + "(", chunk))
+    return "".join(out)
+
+
+def translate_sql(sql: str) -> str:
+    """Translate a PostgreSQL/DataFusion-flavored statement to Spark SQL."""
+    if "~" in sql:
+        sql = _rewrite_regex_ops(sql)
+    if _NAME_RE.search(sql):
+        sql = _rewrite_names(sql)
+    return sql

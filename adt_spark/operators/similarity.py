@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``
+column): brute-force cosine top-k as the exactness baseline, and an
+LSH sign-bucketed variant as the 100 TB scale path.
+
+Vector arithmetic is zip_with + left-to-right aggregate folds over
+doubles — JVM-side, codegen-eligible, and accumulation-order-identical
+to DuckDB's list_sum, so cosine values match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from adt_spark.queries import register, tables
+
+_DIM = 64
+_TOP_K = 10
+_N_QUERIES = 5  # query set: vec_id < 5
+# Sign-LSH: 8 deterministic pseudo-hyperplanes from dimension picks.
+_N_PLANES = 8
+
+
+def _vec_double(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL_T = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _norm_sql(tbl: str) -> str:
+    return (
+        "sqrt("
+        + _DOT_SQL_T.format(dim=_DIM, a=f"{tbl}.embedding", b=f"{tbl}.embedding")
+        + ")"
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                 / ({_norm_sql('q')} * {_norm_sql('e')}) AS cosine
+        FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "ann"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus.
+
+    The query side ({_N_QUERIES} vectors) broadcasts → corpus scan
+    stays partition-parallel with zero shuffle for scoring; the only
+    shuffle is the per-query top-k window over (queries × corpus)
+    scores, bounded by row_number pushdown (WindowGroupLimit keeps
+    per-partition heaps of k).  This is the pattern that survives a
+    1000-executor corpus: scoring cost is linear and perfectly
+    partitioned, top-k state is k rows per query per partition.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    v = _vec_double()
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        v.alias("v_n"),
+        F.sqrt(_dot(v, v)).alias("norm_n"),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        v.alias("v_q"),
+        F.sqrt(_dot(v, v)).alias("norm_q"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n")),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def _plane_sign_expr(vec, p: int):
+    """Deterministic pseudo-hyperplane p: sign of a ±1-weighted sum of
+    dimensions, weights from md5 of (plane, dim) — no RNG, identical
+    in SQL.  sign >= 0 → bit 1."""
+    weighted = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(1), F.lit(_DIM)),
+            lambda x, i: F.when(
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.concat(F.lit(f"p{p}d"), i.cast("string"))), 1, 1),
+                )
+                % 2
+                == 1,
+                x,
+            ).otherwise(-x),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(weighted >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def _plane_sign_sql(tbl: str, p: int) -> str:
+    return (
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {_DIM}), "
+        f"i -> CASE WHEN instr('0123456789abcdef', "
+        f"substr(md5('p{p}d' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 1 "
+        f"THEN CAST({tbl}.embedding[i] AS DOUBLE) "
+        f"ELSE -CAST({tbl}.embedding[i] AS DOUBLE) END)) >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def _bucket_sql(tbl: str) -> str:
+    return " || ".join(f"CAST({_plane_sign_sql(tbl, p)} AS VARCHAR)" for p in range(_N_PLANES))
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {_DOT_SQL_T.format(dim=_DIM, a='x.embedding', b='y.embedding')}
+             / ({_norm_sql('x')} * {_norm_sql('y')}) AS cosine
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_DOT_SQL_T.format(dim=_DIM, a='x.embedding', b='y.embedding')}
+             / ({_norm_sql('x')} * {_norm_sql('y')}) >= 0.4
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed similarity: 8 deterministic hyperplane signs
+    → 8-bit bucket key → equi-join within buckets → exact cosine gate.
+
+    The scale path for all-pairs similarity: candidate pairs are
+    bucket-local (expected bucket size n/256), the join shuffles on
+    the bucket key, and the exact cosine verifies candidates — the
+    same candidate-generation/verification split as MinHash-LSH.
+    Hyperplane weights derive from md5(plane, dim) parity — fully
+    deterministic and portable to the DuckDB oracle.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    v = _vec_double()
+    bucket = F.concat_ws(
+        "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]
+    )
+    b = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+        bucket.alias("bucket"),
+    )
+    x = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
+        F.col("norm").alias("norm_a"), "bucket",
+    )
+    y = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"),
+        F.col("norm").alias("norm_b"), "bucket",
+    )
+    return (
+        x.join(y, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n,
+           CAST(round(avg(CAST(embedding[1] AS DOUBLE)), 10) AS DOUBLE) AS dim1_mean_r10
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label counts + first-dimension mean (rounded to 10 dp: the
+    mean over doubles is summation-order-dependent across engines, so
+    the comparable surface is the rounded value; counts stay exact).
+    Representative of centroid computation (k-means/IVF training):
+    one partial+final aggregation, no shuffle of raw vectors.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at(_vec_double(), 1)), 10).alias("dim1_mean_r10"),
+    )

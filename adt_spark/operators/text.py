@@ -1,0 +1,207 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north-star; beyond the
+reference's own operators, which have no text processing at all).
+
+Every operator is pure Catalyst expressions (split / transform /
+filter / aggregate higher-order functions) — no Python UDFs — so the
+hot path stays inside whole-stage codegen and scales linearly with
+partitions.  Each has an exact DuckDB oracle: the computations are
+integer counts, md5 hex strings, and double ratios derived from
+integers, all bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adt_spark.queries import register, tables
+
+# Shared stopword profile (tiny, deterministic; used by quality + langid).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, char counts, type/token stats.
+
+    Pure projection — no shuffle at all; at 100 TB this is a single
+    embarrassingly-parallel scan.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL}))
+                 AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_uniq AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(length(text) AS DOUBLE) / n_tokens AS chars_per_token,
+           CAST(CASE WHEN n_tokens >= 20
+                      AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.3
+                     THEN 1 ELSE 0 END AS INT) AS passes_quality
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, lexical diversity, length
+    heuristics + a boolean quality gate (the classic pre-training
+    filter shape, cf. Gopher/C4 rules).  Shuffle-free projection.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _toks()
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    distinct_ratio = n_uniq.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+        F.when((n_tokens >= 20) & (distinct_ratio > 0.3), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_quality"),
+    )
+
+
+# Language marker profiles: deterministic n-gram-style heuristic.
+# (The driver's synthetic corpus is English-vocabulary; what matters
+# for the correctness gate is that the heuristic is deterministic and
+# engine-independent, and for the design that it is shuffle-free.)
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in markers)
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id,
+               {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
+               {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es,
+               {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
+               {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS lang_pred,
+           CAST(s_en AS INT) AS s_en
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker profiles (n-gram-heuristic
+    family).  Ties resolve by fixed priority en>es>fr>de — a total,
+    engine-independent order.  Shuffle-free."""
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _toks()
+    def marker_count(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] == 0) & (scores["es"] == 0) & (scores["fr"] == 0) & (scores["de"] == 0),
+            "und",
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        scores["en"].cast("int").alias("s_en"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                              i -> md5(substr(text, CAST(i AS INT), 8))),
+               'min') AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over all character 8-grams
+    (rolling-window winnowing, collapsed to the global minimum).
+
+    Implemented as transform(sequence) + array_min — a single
+    codegen'd projection per row, NO explode and NO shuffle; the
+    rolling window never materializes as rows.  md5-hex strings
+    compare identically across engines.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
+    )
+    return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))

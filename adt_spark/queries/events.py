@@ -1,0 +1,197 @@
+"""Event-table corpus: time bucketing, JSON extraction, sessionization,
+top-k per key — the semi-structured/temporal slice of the surface.
+
+The reference's JSON functions were declared-but-unregistered
+(SURVEY.md §2.A "latent surface", crates/core/Cargo.toml:23); Spark's
+native ``get_json_object`` / ``from_json`` make this a superset.
+``date_bin`` (SURVEY.md gap G7) is closed by the
+``date_bin_seconds`` SQL UDF in adt_spark.dialect.functions.
+
+Scale notes: every query here groups or windows on
+(user_id | event_type | time bucket) — high-cardinality or bounded
+keys that hash-partition evenly; sessionization uses a window over
+user_id so state is distributed per user, the Structured-Streaming
+analog being session_window (adt_spark.streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adt_spark.queries import register, tables
+
+_VAL = "CAST(value AS DECIMAL(12,2))"
+
+
+@register(
+    "q_events_hourly_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+           count(*) AS n_events,
+           CAST(sum({_VAL}) AS DOUBLE) AS total_value,
+           CAST(sum({_VAL}) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "datetime", "agg"),
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type rollup — the canonical time-bucketed aggregate.
+
+    date_trunc is a pure projection (no UDF), so the whole plan is
+    scan → partial agg → one shuffle on (hour, type) → final agg.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    total = F.sum(F.col("value").cast(T.DecimalType(12, 2)))
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            total.cast("double").alias("total_value"),
+            (total.cast("double") / F.count("*")).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q_events_date_bin",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts, TIMESTAMP '2024-01-01') AS TIMESTAMP)
+             AS bucket,
+           count(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("events", "datetime"),
+)
+def q_events_date_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute bins via the date_bin shim (DataFusion date_bin —
+    SURVEY.md gap G7; DuckDB oracle uses time_bucket)."""
+    ev = tables(spark, sf_dir)["events"]
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT date_bin_seconds(900, CAST(ts AS TIMESTAMP), TIMESTAMP '2024-01-01') AS bucket,
+               count(*) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "q_events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END)
+             AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (Spark-native
+    get_json_object; the reference never registered its JSON package —
+    SURVEY.md §2.A latent surface — so this is a superset)."""
+    ev = tables(spark, sf_dir)["events"]
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+    )
+
+
+@register(
+    "q_events_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP))
+                         - epoch_ms(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    tags=("events", "window", "sessionize"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag() gap detection + per-user session
+    count (30-minute inactivity gap).
+
+    The window partitions on user_id — at 100 TB this distributes
+    per-user state across executors; the streaming analog is
+    session_window in adt_spark.streaming.  Tie order pinned with
+    (ts, event_id).
+    """
+    ev = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.unix_millis(F.lag("ts").over(w).cast("timestamp"))
+    cur_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    is_new = F.when(prev_ms.isNull() | ((cur_ms - prev_ms) > 1800000), 1).otherwise(0)
+    return (
+        ev.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_events_topk_users",
+    oracle=f"""
+    WITH totals AS (
+        SELECT event_type, user_id, sum({_VAL}) AS total
+        FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+        SELECT event_type, user_id, total,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY total DESC, user_id) AS rn
+        FROM totals
+    )
+    SELECT event_type, user_id, CAST(total AS DOUBLE) AS total_value,
+           CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("events", "window", "topk"),
+)
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by spend per event type: aggregate → window top-k.
+
+    Two-phase shape: partial+final agg on (type, user) first shrinks
+    the input, then the rank window runs over the small aggregate —
+    never a window over raw events.  Decimal totals make the ordering
+    exact; user_id breaks ties.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(T.DecimalType(12, 2))).alias("total")
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("total").desc(), F.col("user_id"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("total").cast("double").alias("total_value"),
+            "rn",
+        )
+    )

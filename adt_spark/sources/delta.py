@@ -1,0 +1,54 @@
+"""Delta Lake source — the reference's core custom component
+(crates/providers/src/deltatable.rs: snapshot read, log replay,
+partition typing, deletion vectors, pushdowns; SURVEY.md §2.A A4-A11).
+
+On Spark the whole of A4-A11 is library behavior: delta-spark reads
+snapshots, prunes partitions and files from the log (stronger than
+the reference, which skips log-level pruning — SURVEY.md §4.1 note),
+honors deletion vectors, and maps every Delta type 1:1 onto
+``pyspark.sql.types`` (SURVEY.md §1.2 table).  Zero custom scan code
+is the correct port.
+
+This container ships without the delta-spark jars, so the reader is
+gated: it raises a clear error locally and works unchanged on any
+cluster with ``io.delta:delta-spark`` on the classpath (plus
+``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Session confs required for Delta on a real cluster.
+DELTA_SESSION_CONF = {
+    "spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension",
+    "spark.sql.catalog.spark_catalog": "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+}
+
+
+class DeltaUnavailableError(RuntimeError):
+    pass
+
+
+def delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, location: str, version: int | None = None) -> DataFrame:
+    """Snapshot read of a Delta table (reference deltatable.rs:99-384;
+    snapshot-per-scan semantics deltatable.rs:293-296 are delta-spark's
+    default).  ``version`` maps to time travel (``versionAsOf``)."""
+    if not delta_available(spark):
+        raise DeltaUnavailableError(
+            "delta-spark jars are not on the classpath in this container; "
+            "run with --packages io.delta:delta-spark_2.13:<version> and "
+            f"session confs {DELTA_SESSION_CONF}"
+        )
+    reader = spark.read.format("delta")
+    if version is not None:
+        reader = reader.option("versionAsOf", str(version))
+    return reader.load(location)

@@ -1,0 +1,117 @@
+"""Table registration over files — the Spark analog of the reference's
+listing-table factory and Delta provider.
+
+Reference behavior being re-expressed (SURVEY.md §2.A):
+
+- A1/A18: format factories for PARQUET / CSV / JSON / NDJSON / AVRO /
+  ARROW (crates/core/src/context.rs:37-42, names
+  crates/cli/src/cli.rs:6-34) — here a format registry mapping to
+  ``spark.read`` configurations.
+- A2: hive-partitioned directory handling (listing.rs:67-120) —
+  Spark partition discovery is native; explicit partition columns are
+  validated against the discovered layout.
+- A3: file-extension override (listing.rs:66,161-165) — compressed
+  extensions (``.json.gz``) resolve via Spark codec auto-detection.
+- A4-A11: Delta (deltatable.rs) — delegated to delta-spark when its
+  jars are on the classpath, else a clear ImportError-style gate
+  (the container ships without them; SURVEY.md §7 M2).
+- URL tables (context.rs:55): ``path_sql_name`` renders the
+  ``fmt.`/path``` Spark syntax used by the CLI.
+
+Schema inference at registration mirrors listing.rs:128 (CSV/JSON
+infer on registration; parquet/delta schemas are self-describing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: format name (reference cli.rs:6-12 + context.rs:37-42) → reader conf
+_FORMATS = {
+    "parquet": {"format": "parquet", "options": {}},
+    "csv": {"format": "csv", "options": {"header": "true", "inferSchema": "true"}},
+    "json": {"format": "json", "options": {"multiLine": "true"}},
+    "ndjson": {"format": "json", "options": {}},
+    "avro": {"format": "avro", "options": {}},  # needs spark-avro package
+    "arrow": {"format": "arrow", "options": {}},  # via adt_spark.sources.arrow_ipc
+    "delta": {"format": "delta", "options": {}},  # needs delta-spark
+    "deltatable": {"format": "delta", "options": {}},  # reference alias (cli.rs:8)
+}
+
+
+class UnsupportedFormatError(ValueError):
+    pass
+
+
+def ensure_scheme(location: str) -> str:
+    """Path → URL normalization (reference: crates/core/src/utils.rs:3-16
+    ``ensure_scheme``): bare paths become file:// URLs, schemes pass
+    through; directories keep a trailing slash (deltatable.rs:620-630
+    tests this for table locations)."""
+    if "://" in location:
+        return location
+    absolute = os.path.abspath(location)
+    if os.path.isdir(absolute) and not absolute.endswith("/"):
+        absolute += "/"
+    return "file://" + absolute
+
+
+def register_table(
+    spark: SparkSession,
+    name: str,
+    location: str,
+    fmt: str = "parquet",
+    partition_cols: list[str] | None = None,
+    schema: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """``CREATE EXTERNAL TABLE name STORED AS fmt [PARTITIONED BY …]
+    LOCATION loc`` (reference DDL templating: crates/cli/src/main.rs:54-67,
+    factory: listing.rs:50-158) → registered temp view + DataFrame.
+
+    Partition columns: for a hive-layout directory Spark discovers
+    them natively (typed via partitionColumnTypeInference, appended
+    after data columns — the same contract as listing.rs:84-108 /
+    deltatable.rs:136-152).  Declaring ``partition_cols`` validates
+    they were actually discovered, mirroring the factory's
+    ``validate_partitions`` (listing.rs:118-120).
+    """
+    key = fmt.lower()
+    if key not in _FORMATS:
+        raise UnsupportedFormatError(
+            f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}"
+        )
+    conf = _FORMATS[key]
+    if key == "arrow":
+        from adt_spark.sources.arrow_ipc import read_arrow_ipc
+
+        df = read_arrow_ipc(spark, location)
+    elif conf["format"] == "delta":
+        from adt_spark.sources.delta import read_delta
+
+        df = read_delta(spark, location)
+    else:
+        reader = spark.read.format(conf["format"])
+        for k, v in {**conf["options"], **(options or {})}.items():
+            reader = reader.option(k, v)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(location)
+    if partition_cols:
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"declared partition columns {missing} not present in "
+                f"discovered schema {df.columns} (reference: listing.rs:118-120)"
+            )
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def path_sql_name(location: str, fmt: str = "parquet") -> str:
+    """URL-table sugar (reference context.rs:55 enable_url_table):
+    Spark's ``SELECT * FROM parquet.`/path``` form."""
+    fmt_name = _FORMATS.get(fmt.lower(), {"format": fmt})["format"]
+    return f"{fmt_name}.`{location}`"

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measurement protocol (BASELINE.md notes): warm session — JVM startup
+and first-query codegen warmup are excluded (the reference's
+comparable cost, DataFusion context build, is trivial); each query is
+executed to completion via a count-style action that forces every
+operator but avoids driver-side materialization cost skewing the
+number.  Value = geometric mean of per-query wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_window_running_revenue",
+    "q_events_hourly_rollup",
+    "q_events_sessionize",
+    "q_events_topk_users",
+    "q_cte_top_nations",
+    "q_rollup_region_nation",
+    "q_set_operations",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from adt_spark import ADTContext
+    from adt_spark.queries import load_all
+
+    ctx = ADTContext(app_name="adt-spark-bench")
+    spark = ctx.spark
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in sorted(registry) if n.startswith(("dedup_", "ann_", "text_")) and n in registry
+    ]
+
+    # Warmup: exercise scan + shuffle + codegen paths once, untimed.
+    registry["q01_pricing_summary"].spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = registry[name].spark_fn
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full execution of every operator in the plan.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    geomean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
+    out = {
+        "metric": "geomean_sec_per_query",
+        "value": round(geomean, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Dialect layer tests: PostgreSQL operator rewrites + the SQL-UDF
+shims for DataFusion function names (SURVEY.md §2.B gaps)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from adt_spark.dialect.translate import translate_sql
+
+
+def test_tilde_rewrite():
+    assert translate_sql("select x ~ 'ab+' from t") == "select x RLIKE 'ab+' from t"
+
+
+def test_tilde_case_insensitive():
+    assert translate_sql("select x ~* 'ab' from t") == "select x RLIKE '(?i)ab' from t"
+
+
+def test_tilde_inside_literal_untouched():
+    assert translate_sql("select '~tilde~' from t") == "select '~tilde~' from t"
+
+
+def test_name_rewrites():
+    assert (
+        translate_sql("select approx_distinct(x), arrow_typeof(y) from t")
+        == "select approx_count_distinct(x), typeof(y) from t"
+    )
+    # array_has_all is a registered UDF, not a rename — must NOT match
+    assert "array_has_all(" in translate_sql("select array_has_all(a, b) from t")
+    assert translate_sql("select array_has(a, 'x') from t") == (
+        "select array_contains(a, 'x') from t"
+    )
+
+
+def test_rewrite_skips_literals():
+    sql = "select 'array_has(' from t"
+    assert translate_sql(sql) == sql
+
+
+@pytest.mark.parametrize(
+    ("expr", "expected"),
+    [
+        ("strpos('hello', 'll')", 3),
+        ("iszero(0.0)", True),
+        ("iszero(1.5)", False),
+        ("array_empty(array())", True),
+        ("array_has_all(array('a','b','c'), array('a','c'))", True),
+        ("array_has_all(array('a'), array('a','z'))", False),
+        ("array_pop_front(array('a','b','c'))", ["b", "c"]),
+        ("array_pop_back(array('a','b','c'))", ["a", "b"]),
+        ("array_resize(array('a','b'), 4, 'z')", ["a", "b", "z", "z"]),
+        ("array_resize(array('a','b','c'), 2, 'z')", ["a", "b"]),
+        ("array_dims(array('a','b'))", [2]),
+        ("array_ndims(array('a'))", 1),
+        ("to_unixtime(timestamp '1970-01-01 00:00:01.5')", 1.5),
+        ("digest('abc', 'md5')", "900150983cd24fb0d6963f7d28e17f72"),
+    ],
+)
+def test_sql_udf_shims(spark, expr, expected):
+    assert spark.sql(f"select {expr} as v").first().v == expected
+
+
+def test_date_bin_seconds(spark):
+    got = spark.sql(
+        "select date_bin_seconds(900, timestamp '2024-01-01 00:20:00', "
+        "timestamp '2024-01-01') as v"
+    ).first().v
+    assert got == datetime.datetime(2024, 1, 1, 0, 15)
+    # pre-origin timestamps bin to the earlier boundary (floor), as in
+    # DataFusion's date_bin.
+    got = spark.sql(
+        "select date_bin_seconds(900, timestamp '2023-12-31 23:59:00', "
+        "timestamp '2024-01-01') as v"
+    ).first().v
+    assert got == datetime.datetime(2023, 12, 31, 23, 45)

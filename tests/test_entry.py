@@ -1,0 +1,27 @@
+"""Driver-contract smoke tests for __spark_entry__."""
+
+from __future__ import annotations
+
+import importlib
+
+
+def _entry_mod():
+    return importlib.import_module("__spark_entry__")
+
+
+def test_entry_returns_rows(spark):
+    df = _entry_mod().entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_queries_and_oracles_aligned(spark):
+    mod = _entry_mod()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is an intentional rows-only check
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {"streaming_events_windowed"}, rows_only
