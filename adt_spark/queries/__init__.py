@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         events,
         relational,
         scalar_funcs,
+        tpch_extra,
     )
     from adt_spark.operators import (  # noqa: F401
         dedup,

@@ -25,9 +25,19 @@ import time
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
+    "q04_order_priority",
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
     "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q22_idle_customers",
     "q_window_running_revenue",
     "q_events_hourly_rollup",
     "q_events_sessionize",
