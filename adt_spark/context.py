@@ -148,9 +148,17 @@ class ADTContext:
 
         URL-table sugar (reference context.rs:55 ``enable_url_table``)
         is native Spark syntax: ``SELECT * FROM parquet.`/path```.
+
+        DataFusion's ``COPY … TO`` sink statement (SURVEY.md §2.B
+        sinks; not Spark SQL syntax) is intercepted and executed via
+        the parallel DataFrame write path (sources/sinks.py); INSERT
+        INTO and CTAS parse natively.
         """
         from adt_spark.dialect.translate import translate_sql
+        from adt_spark.sources.sinks import execute_copy, is_copy_statement
 
+        if is_copy_statement(query):
+            return execute_copy(self.spark, query, self.sql)
         return self.spark.sql(translate_sql(query))
 
     # -- table registration (reference: listing.rs / deltatable.rs) ------

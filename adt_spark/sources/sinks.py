@@ -1,0 +1,161 @@
+"""Write path — the sink surface the reference exposes through
+DataFusion 48's unrestricted SQL entry point (SURVEY.md §2.B "Sinks":
+``COPY (SELECT…) TO 'file' [options]``, ``INSERT INTO`` external
+tables, ``CREATE TABLE AS SELECT``; enabling evidence
+crates/core/src/context.rs:94 ``SQLOptions::new()`` permits DML/DDL,
+raw SQL pass-through crates/cli/src/main.rs:116).
+
+Spark SQL natively parses INSERT INTO and CTAS; the one construct it
+does not parse is DataFusion's ``COPY`` statement, handled here:
+
+    COPY (SELECT …) TO 'path' [STORED AS fmt] [PARTITIONED BY (c,…)]
+                              [OPTIONS (k v, …)]
+    COPY table_name TO 'path' …
+
+Differences from the reference, by design (Spark execution model):
+
+- The target is a **directory of part files**, not a single file —
+  every executor writes its partition in parallel (the only write
+  shape that scales to 100 TB; a single-file sink would serialize the
+  job through one task).  Readers (`spark.read.<fmt>(path)`) treat
+  the directory transparently.
+- ``PARTITIONED BY`` produces a hive layout (`col=value/` dirs) via
+  ``DataFrameWriter.partitionBy`` — the write-side analog of the
+  partition discovery in listing.rs:67-120.
+
+Like DataFusion's COPY, the statement returns a single row with the
+count of rows written.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: sink format name → (spark write format, default options)
+_WRITE_FORMATS = {
+    "parquet": ("parquet", {}),
+    "csv": ("csv", {"header": "true"}),
+    "json": ("json", {}),
+    "ndjson": ("json", {}),
+}
+
+_COPY_HEAD = re.compile(r"^\s*COPY\b", re.IGNORECASE)
+_COPY_TAIL = re.compile(
+    r"\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+STORED\s+AS\s+(?P<fmt>\w+))?"
+    r"(?:\s+PARTITIONED\s+BY\s+\((?P<parts>[^)]*)\))?"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def is_copy_statement(sql: str) -> bool:
+    return bool(_COPY_HEAD.match(sql))
+
+
+def _split_source(sql: str) -> tuple[str, str]:
+    """Split ``COPY <source> TO …`` into (source, tail).  The source is
+    either a balanced-paren ``(query)`` or a bare table name."""
+    m = _COPY_HEAD.match(sql)
+    rest = sql[m.end():].lstrip()
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return rest[1:i], rest[i + 1:]
+        raise ValueError("unbalanced parentheses in COPY source query")
+    # bare table name: first whitespace-delimited token
+    token = rest.split(None, 1)
+    if len(token) != 2:
+        raise ValueError(f"malformed COPY statement: {sql!r}")
+    return f"SELECT * FROM {token[0]}", " " + token[1]
+
+
+def parse_copy(sql: str) -> dict:
+    """Parse a COPY statement into {query, path, fmt, partition_by,
+    options}.  Format resolution mirrors DataFusion: explicit
+    ``STORED AS`` wins, else the path extension, else parquet."""
+    source, tail = _split_source(sql)
+    m = _COPY_TAIL.match(tail)
+    if not m:
+        raise ValueError(f"malformed COPY statement tail: {tail!r}")
+    path = m.group("path")
+    fmt = (m.group("fmt") or "").lower()
+    if not fmt:
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path.rsplit("/", 1)[-1] else ""
+        fmt = ext if ext in _WRITE_FORMATS else "parquet"
+    if fmt not in _WRITE_FORMATS:
+        raise ValueError(
+            f"unsupported COPY format {fmt!r}; expected one of {sorted(_WRITE_FORMATS)}"
+        )
+    parts = [c.strip() for c in (m.group("parts") or "").split(",") if c.strip()]
+    options: dict[str, str] = {}
+    for pair in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", m.group("opts") or ""):
+        pair = pair.strip()
+        if not pair:
+            continue
+        kv = pair.split(None, 1)
+        if len(kv) != 2:
+            raise ValueError(f"malformed COPY option {pair!r} (expected: key 'value')")
+        options[kv[0].strip("'\"")] = kv[1].strip().strip("'\"")
+    return {
+        "query": source.strip(),
+        "path": path,
+        "fmt": fmt,
+        "partition_by": parts,
+        "options": options,
+    }
+
+
+def write_dataframe(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """``DataFrameWriter`` wrapper used by COPY and available directly.
+
+    Parallel, partition-per-task writes; ``partitionBy`` emits a hive
+    layout readable by the listing side (sources/registry.py).
+    """
+    spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
+    writer = df.write.format(spark_fmt).mode(mode)
+    for k, v in {**defaults, **(options or {})}.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def execute_copy(spark: SparkSession, sql: str, run_query) -> DataFrame:
+    """Execute a COPY statement; returns a 1-row ``count`` DataFrame
+    (DataFusion's COPY result shape).  ``run_query`` is the dialect-
+    translating SQL runner (ADTContext.sql) so the inner query gets
+    the same treatment as any other statement.
+    """
+    spec = parse_copy(sql)
+    df = run_query(spec["query"])
+    # Count via the write itself, not a separate action: cache the
+    # input once so the count does not re-run the (possibly expensive)
+    # query plan twice.
+    df = df.cache()
+    try:
+        n = df.count()
+        write_dataframe(
+            df,
+            spec["path"],
+            spec["fmt"],
+            partition_by=spec["partition_by"],
+            options=spec["options"],
+        )
+    finally:
+        df.unpersist()
+    return spark.createDataFrame([(n,)], "count bigint")
