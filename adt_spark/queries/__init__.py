@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scalar_funcs,
         tpch_extra,
+        tpch_rest,
     )
     from adt_spark.operators import (  # noqa: F401
         dedup,

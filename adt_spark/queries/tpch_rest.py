@@ -1,0 +1,397 @@
+"""The remaining classic TPC-H query shapes (Q2, Q11, Q12, Q13, Q16,
+Q20, Q21) adapted to the driver's trimmed schema.
+
+The schema has no ``partsupp`` table, so Q2/Q11/Q16/Q20 — which in
+spec-TPC-H revolve around partsupp — are re-anchored on the
+(l_partkey, l_suppkey) relationship materialized in ``lineitem``:
+"supply cost" becomes the observed min unit price, "stock value"
+becomes shipped discounted value, "available quantity" becomes
+shipped quantity.  What matters for engine parity is the *plan
+shape* (correlated scalar-min subquery, HAVING vs global-total scalar
+subquery, count-distinct with NOT IN, nested-agg IN chain, double
+EXISTS/NOT-EXISTS decorrelation) — those are preserved exactly.
+
+Reference surface: all reached through the raw-SQL pass-through
+(``crates/cli/src/main.rs:116`` → ``crates/core/src/context.rs:93-105``,
+DataFusion 48 default features ``context.rs:32-33``); subquery
+decorrelation is DataFusion's optimizer, mapped here to Catalyst's
+``RewriteCorrelatedScalarSubquery`` / ``RewritePredicateSubquery``.
+
+Scale posture (100 TB): every per-part / per-order aggregate is a
+single ``groupBy`` (partial+final HashAggregate, one shuffle of
+pre-aggregated data); dimension sides (part, supplier, nation) are
+broadcast; global scalars (totals/averages) are 1-row broadcast cross
+joins, never ``collect()``-ed to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adt_spark.queries import register, tables
+from adt_spark.queries.relational import _D_DISC_PRICE, _disc_price, _money
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           unit_cost AS supplycost
+    FROM part
+    JOIN cost ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "agg", "topk"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (no partsupp → supply cost = observed min unit price
+    per (part, supplier) from lineitem).  The correlated min subquery
+    is decorrelated by hand the way Catalyst/DataFusion both do it:
+    aggregate min per part, then equi-join back on
+    (partkey, min_cost).  ``min`` over doubles is order-independent,
+    so the equality join key is bit-stable across engines.
+
+    Scale: the per-(part,supplier) aggregate is the only big shuffle;
+    supplier/nation/region are broadcast; the min-per-part aggregate
+    reuses the same partkey partitioning.
+    """
+    t = tables(spark, sf_dir)
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    eur_cost = cost.join(
+        F.broadcast(eur_supp.select("s_suppkey", "s_acctbal", "s_name", "n_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = eur_cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_min_cost"))
+    parts = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        eur_cost.join(min_cost,
+                      (eur_cost.l_partkey == min_cost.l_partkey)
+                      & (F.col("unit_cost") == F.col("_min_cost")))
+        .drop(min_cost.l_partkey)
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                F.col("unit_cost").alias("supplycost"))
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, sum({_D_DISC_PRICE}) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, partkey
+    """,
+    tags=("join", "subquery", "agg", "having"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (no partsupp → "stock value" = discounted revenue per
+    part shipped by suppliers of three nations).  HAVING-vs-global-
+    total: the scalar total is a second aggregate over the same
+    grouped result, broadcast back as a 1-row cross join — the
+    grouped DataFrame is reused so Spark computes the base aggregate
+    once per branch off the same shuffle.  Sums are exact DECIMAL;
+    both sides of the threshold comparison are cast to DOUBLE at the
+    boundary so the gate is bit-identical across engines.
+    """
+    t = tables(spark, sf_dir)
+    nat = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("v"))
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.001)).alias("_thr"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("_thr"))
+        .select(F.col("l_partkey").alias("partkey"),
+                F.col("v").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (no shipmode/receiptdate → group by return flag over
+    a ship-year window).  Conditional aggregation: the CASE folds into
+    the partial aggregate, so the orderkey shuffle carries one row per
+    (flag) per map task, not raw lines.  The year filter is pushed to
+    the lineitem parquet scan.
+    """
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"].select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (no comment column → the excluded-orders predicate is
+    an order-priority filter inside the join condition, preserving the
+    outer-join-with-filtered-right shape).  Double aggregation: count
+    per customer, then histogram of counts.  The second aggregate's
+    input is one row per customer — tiny — so its shuffle is
+    negligible; AQE coalesces it.
+    """
+    t = tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        t["customer"].select("c_custkey")
+        .join(orders.select("o_custkey", "o_orderkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 3)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("join", "anti", "distinct", "agg"),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct-supplier counts per part attribute, with a
+    NOT IN complaint-supplier exclusion (→ left-anti join; note NOT IN
+    null semantics don't bite because s_suppkey is non-null).  The
+    count(DISTINCT) runs as Spark's two-phase distinct-aggregate
+    (partial distinct on (grp, suppkey), then count) — no row
+    explosion on the shuffle.
+    """
+    t = tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 3)
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"].select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT shipped.l_suppkey FROM shipped
+        JOIN tot ON shipped.l_partkey = tot.l_partkey
+        WHERE shipped.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          AND CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE))
+    ORDER BY s_name
+    """,
+    tags=("join", "semi", "subquery", "agg"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (no partsupp availqty → a supplier "has excess stock"
+    of a part if they shipped >30% of that part's 1997 volume).  The
+    nested-agg chain (per-(part,supp) qty → per-part total → threshold
+    → IN → IN) is the spec shape.  The per-part total reuses the
+    partkey-partitioned output of the first aggregate — no extra
+    shuffle — and the part-name IN-list is a broadcast semi join.
+    Quantity sums are exact DECIMAL; the 30% gate compares doubles
+    derived from exact sums.
+    """
+    t = tables(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_money("l_quantity")).alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    blue = t["part"].filter(F.col("p_name").like("blue%")).select("p_partkey")
+    dominant = (
+        shipped.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(tot, "l_partkey")
+        .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double"))
+        .select("l_suppkey")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    tags=("join", "semi", "anti", "subquery", "agg", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (late = shipped >60 days after order date).  The
+    EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    aggregate instead of two self-joins of the fact table: per order
+    compute (#distinct suppliers, #distinct late suppliers, the sole
+    late supplier); a late line then qualifies iff the order has ≥2
+    suppliers and exactly 1 late supplier — necessarily the line's
+    own.  One shuffle of lineitem on orderkey, reused by both the
+    aggregate and the qualifying-line join; at 100 TB this halves the
+    fact-table traffic vs the naive l2/l3 self-joins.
+    """
+    t = tables(spark, sf_dir)
+    fin = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    li = (
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("_late",
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    qualifying = (
+        li.filter(F.col("_late"))
+        .join(per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)),
+              "l_orderkey")
+        .filter(F.col("l_suppkey") == F.col("_late_supp"))
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_2")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
