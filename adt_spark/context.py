@@ -174,6 +174,27 @@ class ADTContext:
         register_sf_tables(self.spark, sf_dir)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a compute-heavy input to full cluster
+    parallelism when its scan produced too few partitions.
+
+    Why: per-row-heavy operators (shingling, per-char hashing, vector
+    math) are compute-bound, not scan-bound; if the source is a single
+    file with one row group (the driver's testdata layout — Spark
+    cannot split inside a parquet row group), the whole computation
+    would serialize on one task.  The exchange moves only the raw
+    input bytes — orders of magnitude cheaper than the derived work.
+
+    At 100 TB the scan already arrives in thousands of splits, the
+    partition count meets the target, and this is a no-op — so the
+    helper is safe to leave in the scale path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every driver table under ``sf_dir`` as a temp view and
     return the DataFrames keyed by table name.

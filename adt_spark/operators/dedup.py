@@ -46,21 +46,23 @@ _SHINGLE_SQL = """
 """
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """doc_id → exploded distinct word-3-gram shingles.
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """doc_id → distinct word-3-gram shingle array (cached).
 
     The 3-gram array is built by transform(sequence) in one
-    projection and **materialized via cache() before the explode**.
-    Without a hard barrier Catalyst collapses the projection into
-    Generate and re-evaluates the whole transform+array_distinct per
-    OUTPUT row — quadratic in doc length (measured 95s vs 0.9s at
-    sf0.1; a repartition exchange does NOT help because column
-    pruning defers the array expression above the exchange).  The
-    cache is MEMORY_AND_DISK, ≈ corpus-sized, so at cluster scale it
-    spills rather than OOMs; every downstream consumer (signatures,
-    sizes, verification) re-reads the materialized arrays instead of
-    re-shingling.
+    projection and **materialized via cache()**.  Without a hard
+    barrier Catalyst collapses the projection into downstream
+    Generate/aggregate expressions and re-evaluates the whole
+    transform+array_distinct per consuming expression — quadratic in
+    doc length (measured 95s vs 0.9s at sf0.1).  The cache is
+    MEMORY_AND_DISK, ≈ corpus-sized, so at cluster scale it spills
+    rather than OOMs; every downstream consumer (signatures, sizes,
+    verification) re-reads the materialized arrays instead of
+    re-shingling.  ``spread`` fans the shingling itself out to all
+    cores (single-row-group inputs otherwise serialize it).
     """
+    from adt_spark.context import spread
+
     toks = F.split(F.col("text"), " ")
     arr = F.when(
         F.size(toks) >= 3,
@@ -76,8 +78,13 @@ def _shingles(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pre = docs.select("doc_id", arr.alias("shingle_arr")).cache()
-    return pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
+    return spread(docs).select("doc_id", arr.alias("shingle_arr")).cache()
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """doc_id → exploded distinct word-3-gram shingles (inverted-index
+    form, for operators that genuinely need shingle-keyed joins)."""
+    return _shingle_arrays(docs).select("doc_id", F.explode("shingle_arr").alias("shingle"))
 
 
 # ---------------------------------------------------------------------------
@@ -146,8 +153,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic so the 0.8 gate is engine-independent.
     """
     docs = tables(spark, sf_dir)["documents"]
-    sh = _shingles(docs)  # array DF cached inside _shingles
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pre = _shingle_arrays(docs)
+    sh = pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
+    # Doc sizes straight off the cached arrays — no groupBy shuffle
+    # (shingles are distinct per doc, so array length = shingle count).
+    sizes = pre.select("doc_id", F.size("shingle_arr").alias("n"))
     # Hot-shingle cap as a broadcast anti-join: the >cap list is tiny,
     # so this costs one aggregation instead of a window sort over the
     # whole index, and the anti-join is a broadcast (no shuffle).
@@ -178,28 +188,84 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERSENNE_P = 2147483647  # 2^31 - 1
+
+
+def _perm_consts(k: int) -> tuple[int, int]:
+    """Affine-permutation constants (a_k, b_k) for seed k, derived
+    from md5 in Python at plan-build time — deterministic, no RNG,
+    and identical literals baked into the Spark plan and the DuckDB
+    oracle.  a_k < 2^28 and d < 2^32 keep a·d + b < 2^63 (no int64
+    overflow in either engine)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a{k}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"mh-b{k}".encode()).hexdigest()[:7], 16)
+    return a, b
+
+
 def _minhash_sig_cols():
-    """One min-aggregate per seed: sig_k = min(md5('k|' || shingle)).
+    """Signature k = array_min of an affine permutation of the
+    per-shingle 32-bit hashes: (a_k · d + b_k) mod (2^31 − 1).
 
-    Computing all signatures in a single groupBy means the shingle
-    explosion is scanned once — no per-seed re-shuffle; lexicographic
-    min over md5 hex is a valid uniform min-hash and is identical in
-    DuckDB (ASCII compare).
+    The expensive digest runs ONCE per shingle (the ``dhash_arr``
+    column); the 12 signatures are pure int64 arithmetic folds over
+    it — this replaced 12 md5-per-shingle folds that dominated the
+    operator (6.6 s → ms at sf0.1).  Computed per document row on the
+    cached arrays: NO explode, NO shuffle, embarrassingly parallel.
+    min over an affine permutation of a uniform hash is the standard
+    universal-hash MinHash construction (Broder; cf. MMDS ch. 3).
     """
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"sig{k}")
-        for k in range(_N_HASHES)
-    ]
+    def perm(a: int, b: int):
+        # PySpark derives lambda arity from the signature, so the
+        # constants must be captured by closure, not default args.
+        return lambda d: (F.lit(a) * d + F.lit(b)) % F.lit(_MERSENNE_P)
+
+    cols = []
+    for k in range(_N_HASHES):
+        a, b = _perm_consts(k)
+        cols.append(
+            F.array_min(F.transform(F.col("dhash_arr"), perm(a, b))).alias(f"sig{k}")
+        )
+    return cols
 
 
+def _dhash_arrays(pre: DataFrame) -> DataFrame:
+    """doc_id → array of 32-bit integer shingle hashes (cached).
+
+    d = int(first 8 hex chars of md5(shingle)) — one digest per
+    shingle, shared by all 12 permutations.  hex→int is ``conv`` in
+    Spark and an 8-term digit fold in the DuckDB oracle; both exact.
+    """
+    return pre.select(
+        "doc_id",
+        F.transform(
+            F.col("shingle_arr"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+        ).alias("dhash_arr"),
+    ).cache()
+
+
+# 8-hex-digit → bigint fold over md5(shingle), exact in both engines.
+_D_DHASH = " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (7 - i)}"
+    for i in range(8)
+)
 _SIG_SQL = ",\n           ".join(
-    f"min(md5('{k}|' || shingle)) AS sig{k}" for k in range(_N_HASHES)
+    "min(({a} * d + {b}) % {p}) AS sig{k}".format(
+        a=_perm_consts(k)[0], b=_perm_consts(k)[1], p=_MERSENNE_P, k=k
+    )
+    for k in range(_N_HASHES)
 )
 _BAND_KEYS_SQL = ",\n           ".join(
     "md5('b%d|' || %s) AS band%d"
     % (
         b,
-        " || ".join(f"sig{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+        " || '|' || ".join(
+            f"CAST(sig{b * _ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(_ROWS_PER_BAND)
+        ),
         b,
     )
     for b in range(_N_BANDS)
@@ -213,10 +279,13 @@ _BAND_UNION_SQL = "\n        UNION ALL\n".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLE_SQL}),
+    dsh AS (
+        SELECT doc_id, {_D_DHASH} AS d FROM sh
+    ),
     sigs AS (
         SELECT doc_id,
            {_SIG_SQL}
-        FROM sh GROUP BY doc_id
+        FROM dsh GROUP BY doc_id
     ),
     bands AS (
         SELECT doc_id,
@@ -255,27 +324,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path for near-dup: candidate generation joins
     on band buckets (tiny, uniform md5 keys), so the pair count is
     ~ true-positive pairs + banding false positives — independent of
-    corpus size, unlike the full inverted-index join.  The verify
-    step re-joins only candidate pairs against the shingle index.
+    corpus size, unlike the full inverted-index join.
 
-    Everything is one DataFrame DAG: signatures are 12 min-aggregates
-    in ONE groupBy (single shuffle), bands are projections, the
-    bucket join shuffles on band_key.  Deterministic: md5-seeded
+    Shuffle census (the whole point at 100 TB): signatures are
+    per-row array folds over the cached shingle arrays (zero
+    shuffles), the band-bucket join is the one fact-sized shuffle,
+    and verification joins the *candidate pairs* (tiny — broadcast)
+    back to the arrays and computes exact Jaccard with
+    ``array_intersect`` — the shingle inverted index is never
+    materialized, let alone shuffled.  Deterministic: md5-seeded
     hashes, no RNG.
     """
     docs = tables(spark, sf_dir)["documents"]
-    sh = _shingles(docs)  # array DF cached inside _shingles
-    sigs = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    pre = _shingle_arrays(docs)
+    dhash = _dhash_arrays(pre)
+    sigs = dhash.filter(F.size("dhash_arr") > 0).select("doc_id", *_minhash_sig_cols())
     band_cols = [
         F.md5(
-            F.concat(
-                F.lit(f"b{b}|"),
-                *[F.col(f"sig{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)],
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[
+                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
             )
         ).alias(f"band{b}")
         for b in range(_N_BANDS)
     ]
-    bands = sigs.select("doc_id", *band_cols)
+    # Cache the band keys (4 hex strings per doc — tiny): the bucket
+    # self-join and the broadcast pre-jobs would otherwise re-evaluate
+    # the 12 signature folds once per plan appearance.
+    bands = sigs.select("doc_id", *band_cols).cache()
     exploded = bands.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])).alias("band_key"),
@@ -287,22 +367,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    verified = (
-        cands.join(x, ["doc_a"])
-        .join(y, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    # Verification: broadcast the (tiny) candidate-pair set against
+    # the cached arrays; exact common-shingle count = intersection
+    # size (arrays are distinct), exact integer arithmetic → the 0.8
+    # gate is engine-independent.
+    pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("shingle_arr").alias("arr_a"))
+    pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("shingle_arr").alias("arr_b"))
+    with_a = pa.join(F.broadcast(cands), ["doc_a"])
+    both = pb.join(F.broadcast(with_a), ["doc_b"])
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    na, nb = F.size("arr_a"), F.size("arr_b")
+    jac = c.cast("double") / (na + nb - c)
     return (
-        verified.join(sa, ["doc_a"])
-        .join(sb, ["doc_b"])
-        .withColumn("jaccard", jac)
+        both.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -362,11 +439,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checked output.  Hex-digit decoding uses
     instr('0123456789abcdef', d) — portable to DuckDB.
     """
+    from adt_spark.context import spread
+
     docs = tables(spark, sf_dir)["documents"]
     # Hash each token ONCE in a materialized projection (cache barrier,
-    # same rationale as _shingles): without it CollapseProject inlines
-    # md5 into all 32 aggregate expressions → 32 digests per token.
-    pre = docs.select(
+    # same rationale as _shingle_arrays): without it CollapseProject
+    # inlines md5 into all 32 aggregate expressions → 32 digests per
+    # token.  spread() fans the hashing out to all cores.
+    pre = spread(docs).select(
         "doc_id",
         F.transform(F.split(F.col("text"), " "), lambda t: F.md5(t)).alias("hashes"),
     ).cache()

@@ -108,8 +108,14 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic fake codec in SQL (md5-derived dimensions), proving
     the UDF path computes exactly what it claims.
     """
+    from adt_spark.context import spread
+
     docs = tables(spark, sf_dir)["documents"]
-    with_blob = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+    # spread: a single-split scan would hand ALL blobs to one Python
+    # worker; decode is the per-row-heavy step, so fan out first.
+    with_blob = spread(docs).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -72,7 +72,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor corpus: scoring cost is linear and perfectly
     partitioned, top-k state is k rows per query per partition.
     """
-    emb = tables(spark, sf_dir)["embeddings"]
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
     v = _vec_double()
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -99,24 +101,31 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_weights(p: int) -> list[int]:
+    """±1 weight vector for pseudo-hyperplane p, derived from md5 of
+    (plane, dim) — no RNG.  Evaluated once in Python at plan-build
+    time (hashlib md5 ≡ SQL md5 on the same ASCII input) and inlined
+    as a literal array, instead of re-hashing 8×64 constants per ROW
+    at execution (which dominated this operator's runtime)."""
+    import hashlib
+
+    weights = []
+    for i in range(1, _DIM + 1):
+        digit = hashlib.md5(f"p{p}d{i}".encode()).hexdigest()[0]
+        # instr('0123456789abcdef', d) % 2 == 1  ⇔  int(d, 16) even
+        weights.append(1 if int(digit, 16) % 2 == 0 else -1)
+    return weights
+
+
 def _plane_sign_expr(vec, p: int):
-    """Deterministic pseudo-hyperplane p: sign of a ±1-weighted sum of
-    dimensions, weights from md5 of (plane, dim) — no RNG, identical
-    in SQL.  sign >= 0 → bit 1."""
+    """Deterministic pseudo-hyperplane p: sign of the ±1-weighted sum
+    of dimensions.  The fold multiplies by nothing — it keeps the
+    exact when(w=1, x, -x) arithmetic of the SQL oracle, so the sum
+    and therefore the sign bit are bit-identical.  sign >= 0 → bit 1.
+    """
+    w_lit = F.array(*[F.lit(w) for w in _plane_weights(p)])
     weighted = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(1), F.lit(_DIM)),
-            lambda x, i: F.when(
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.md5(F.concat(F.lit(f"p{p}d"), i.cast("string"))), 1, 1),
-                )
-                % 2
-                == 1,
-                x,
-            ).otherwise(-x),
-        ),
+        F.zip_with(vec, w_lit, lambda x, w: F.when(w == 1, x).otherwise(-x)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -164,7 +173,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hyperplane weights derive from md5(plane, dim) parity — fully
     deterministic and portable to the DuckDB oracle.
     """
-    emb = tables(spark, sf_dir)["embeddings"]
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
     v = _vec_double()
     bucket = F.concat_ws(
         "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]

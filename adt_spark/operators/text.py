@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from adt_spark.context import spread
 from adt_spark.queries import register, tables
 
 # Shared stopword profile (tiny, deterministic; used by quality + langid).
@@ -48,7 +49,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure projection — no shuffle at all; at 100 TB this is a single
     embarrassingly-parallel scan.
     """
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     toks = _toks()
     return docs.select(
         "doc_id",
@@ -89,7 +90,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics + a boolean quality gate (the classic pre-training
     filter shape, cf. Gopher/C4 rules).  Shuffle-free projection.
     """
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     toks = _toks()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -150,7 +151,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-marker profiles (n-gram-heuristic
     family).  Ties resolve by fixed priority en>es>fr>de — a total,
     engine-independent order.  Shuffle-free."""
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     toks = _toks()
     def marker_count(markers: tuple[str, ...]):
         return F.size(F.filter(toks, lambda x: x.isin(*markers)))
@@ -199,7 +200,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling window never materializes as rows.  md5-hex strings
     compare identically across engines.
     """
-    docs = tables(spark, sf_dir)["documents"]
+    docs = spread(tables(spark, sf_dir)["documents"])
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
         lambda i: F.md5(F.col("text").substr(i, F.lit(8))),

@@ -71,6 +71,11 @@ def main() -> None:
 
     # Warmup: exercise scan + shuffle + codegen paths once, untimed.
     registry["q01_pricing_summary"].spark_fn(spark, sf_dir).count()
+    # Spin up the Python worker pool (reused by later mapInPandas ops):
+    # worker fork/startup is session overhead, not operator cost.
+    spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def run_once(name: str) -> float:
         start = time.perf_counter()
