@@ -49,7 +49,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure projection — no shuffle at all; at 100 TB this is a single
     embarrassingly-parallel scan.
     """
-    docs = spread(tables(spark, sf_dir)["documents"])
+    docs = tables(spark, sf_dir)["documents"]
     toks = _toks()
     return docs.select(
         "doc_id",
@@ -90,7 +90,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristics + a boolean quality gate (the classic pre-training
     filter shape, cf. Gopher/C4 rules).  Shuffle-free projection.
     """
-    docs = spread(tables(spark, sf_dir)["documents"])
+    docs = tables(spark, sf_dir)["documents"]
     toks = _toks()
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -151,7 +151,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via stopword-marker profiles (n-gram-heuristic
     family).  Ties resolve by fixed priority en>es>fr>de — a total,
     engine-independent order.  Shuffle-free."""
-    docs = spread(tables(spark, sf_dir)["documents"])
+    docs = tables(spark, sf_dir)["documents"]
     toks = _toks()
     def marker_count(markers: tuple[str, ...]):
         return F.size(F.filter(toks, lambda x: x.isin(*markers)))
@@ -200,6 +200,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling window never materializes as rows.  md5-hex strings
     compare identically across engines.
     """
+    # spread: ~one md5 per character → compute-bound; the exchange
+    # is cheap relative to the hashing (2.9s → 0.95s at sf0.1).
+    # The other text ops are scan-bound: an exchange would cost more
+    # than it parallelizes (measured regressions), so they stay on
+    # the scan partitioning.
     docs = spread(tables(spark, sf_dir)["documents"])
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
