@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
         events,
         relational,
         scalar_funcs,
+        scalar_funcs2,
         tpch_extra,
         tpch_rest,
     )
