@@ -40,15 +40,24 @@ def delta_available(spark: SparkSession) -> bool:
 
 def read_delta(spark: SparkSession, location: str, version: int | None = None) -> DataFrame:
     """Snapshot read of a Delta table (reference deltatable.rs:99-384;
-    snapshot-per-scan semantics deltatable.rs:293-296 are delta-spark's
-    default).  ``version`` maps to time travel (``versionAsOf``)."""
-    if not delta_available(spark):
-        raise DeltaUnavailableError(
-            "delta-spark jars are not on the classpath in this container; "
-            "run with --packages io.delta:delta-spark_2.13:<version> and "
-            f"session confs {DELTA_SESSION_CONF}"
-        )
-    reader = spark.read.format("delta")
-    if version is not None:
-        reader = reader.option("versionAsOf", str(version))
-    return reader.load(location)
+    snapshot-per-scan semantics deltatable.rs:293-296).  ``version``
+    maps to time travel (``versionAsOf``).
+
+    Two paths, mirroring the reference's two Delta providers
+    (feature-gated ``adt-delta`` kernel provider vs the default
+    deltalake-crate provider, SURVEY.md §2.A A4/A5):
+
+    1. **delta-spark** when its jars are on the classpath — full
+       feature surface (column mapping, log-level data skipping).
+    2. **native log-replay reader** (``delta_native``) otherwise —
+       pure PySpark over the public Delta protocol: checkpoint +
+       commit replay, typed partition values, deletion vectors.
+    """
+    if delta_available(spark):
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load(location)
+    from adt_spark.sources.delta_native import read_delta_native
+
+    return read_delta_native(spark, location, version)

@@ -1,0 +1,248 @@
+"""Native Delta reader tests — hand-crafted transaction logs (the
+container has no delta-spark to write real tables; the log format is
+the public Delta protocol, so building commits by hand is exactly
+what the spec describes).
+
+Covers the reference's Delta surface (SURVEY.md §2.A A4-A11):
+snapshot read, log replay with add/remove, partition-value typing,
+time travel, checkpoint replay, deletion vectors (inline + file),
+and protocol gating.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid as uuidlib
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import types as T
+
+from adt_spark.sources._roaring import (
+    decode_bitmap_array,
+    decode_dv,
+    encode_bitmap_array,
+    encode_inline_dv,
+    z85_decode,
+    z85_encode,
+)
+from adt_spark.sources.delta_native import (
+    DeltaProtocolError,
+    read_delta_native,
+    replay_snapshot,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("p", T.IntegerType()),
+    ]
+)
+
+
+def _write_data(table, rel_path, ids, vals):
+    path = os.path.join(table, rel_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(
+        pa.table({"id": pa.array(ids, pa.int64()), "val": pa.array(vals, pa.string())}),
+        path,
+    )
+
+
+def _commit(table, version, actions):
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(partition_cols=("p",)):
+    return {
+        "metaData": {
+            "id": "test-table",
+            "format": {"provider": "parquet"},
+            "schemaString": json.dumps(SCHEMA.jsonValue()),
+            "partitionColumns": list(partition_cols),
+        }
+    }
+
+
+def _protocol(reader=1, features=None):
+    p = {"minReaderVersion": reader, "minWriterVersion": 2}
+    if features is not None:
+        p["readerFeatures"] = features
+    return {"protocol": p}
+
+
+def _add(path, pvals, dv=None):
+    a = {"path": path, "partitionValues": pvals, "dataChange": True, "size": 1}
+    if dv is not None:
+        a["deletionVector"] = dv
+    return {"add": a}
+
+
+@pytest.fixture()
+def table(tmp_path):
+    t = str(tmp_path / "dtab")
+    _write_data(t, "p=1/f1.parquet", [1, 2, 3], ["a", "b", "c"])
+    _write_data(t, "p=2/f2.parquet", [4, 5], ["d", "e"])
+    _commit(t, 0, [_protocol(), _meta(),
+                   _add("p=1/f1.parquet", {"p": "1"}),
+                   _add("p=2/f2.parquet", {"p": "2"})])
+    return t
+
+
+def test_snapshot_read(spark, table):
+    df = read_delta_native(spark, table)
+    # partition column typed + appended after data columns
+    # (reference deltatable.rs:136-152 field order)
+    assert df.columns == ["id", "val", "p"]
+    assert dict(df.dtypes)["p"] == "int"
+    rows = {(r.id, r.val, r.p) for r in df.collect()}
+    assert rows == {(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "d", 2), (5, "e", 2)}
+
+
+def test_log_replay_remove_and_time_travel(spark, table):
+    _write_data(table, "p=2/f3.parquet", [6], ["f"])
+    _commit(table, 1, [{"remove": {"path": "p=2/f2.parquet", "dataChange": True}},
+                       _add("p=2/f3.parquet", {"p": "2"})])
+    now = {r.id for r in read_delta_native(spark, table).collect()}
+    assert now == {1, 2, 3, 6}
+    v0 = {r.id for r in read_delta_native(spark, table, version=0).collect()}
+    assert v0 == {1, 2, 3, 4, 5}
+    with pytest.raises(ValueError, match="log ends at"):
+        read_delta_native(spark, table, version=9)
+
+
+def test_null_partition_value(spark, tmp_path):
+    t = str(tmp_path / "dnull")
+    _write_data(t, "f.parquet", [1], ["x"])
+    _commit(t, 0, [_protocol(), _meta(),
+                   _add("f.parquet", {"p": "__HIVE_DEFAULT_PARTITION__"})])
+    row = read_delta_native(spark, t).collect()[0]
+    assert row.p is None and row.id == 1
+
+
+def test_checkpoint_replay(spark, table):
+    # Write checkpoint at version 1 (complete snapshot: meta + adds),
+    # delete the JSON commits it subsumes, add a commit after it.
+    _write_data(table, "p=2/f3.parquet", [6], ["f"])
+    _commit(table, 1, [{"remove": {"path": "p=2/f2.parquet", "dataChange": True}},
+                       _add("p=2/f3.parquet", {"p": "2"})])
+    log = os.path.join(table, "_delta_log")
+    cp_rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"schemaString": json.dumps(SCHEMA.jsonValue()),
+                      "partitionColumns": ["p"]},
+         "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "p=1/f1.parquet", "partitionValues": {"p": "1"}}},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "p=2/f3.parquet", "partitionValues": {"p": "2"}}},
+    ]
+    cp_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string()))])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", pa.struct([("p", pa.string())]))])),
+    ])
+    pq.write_table(
+        pa.Table.from_pylist(cp_rows, schema=cp_schema),
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"),
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    _write_data(table, "p=1/f4.parquet", [7], ["g"])
+    _commit(table, 2, [_add("p=1/f4.parquet", {"p": "1"})])
+
+    snap = replay_snapshot(spark, table)
+    assert snap.version == 2
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {1, 2, 3, 6, 7}
+
+
+def test_deletion_vector_inline(spark, table):
+    # Delete rows 0 and 2 of f1 (ids 1 and 3).
+    dv = encode_inline_dv([0, 2])
+    _commit(table, 1, [{"remove": {"path": "p=1/f1.parquet", "dataChange": True}},
+                       _add("p=1/f1.parquet", {"p": "1"}, dv=dv)])
+    _commit(table, 2, [_protocol(reader=3, features=["deletionVectors"])])
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {2, 4, 5}
+
+
+def test_deletion_vector_file_storage(spark, table):
+    # File-based DV ("u"): 1-byte version, then [size|data|crc32] at
+    # the descriptor offset (PROTOCOL.md DV file framing).
+    data = encode_bitmap_array([1])  # delete row 1 of f1 (id 2)
+    uid = uuidlib.uuid4()
+    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
+    )
+    with open(os.path.join(table, f"deletion_vector_{uid}.bin"), "wb") as fh:
+        fh.write(blob)
+    dv = {
+        "storageType": "u",
+        "pathOrInlineDv": z85_encode(uid.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": 1,
+    }
+    _commit(table, 1, [{"remove": {"path": "p=1/f1.parquet", "dataChange": True}},
+                       _add("p=1/f1.parquet", {"p": "1"}, dv=dv)])
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {1, 3, 4, 5}
+
+
+def test_protocol_gate(spark, tmp_path):
+    t = str(tmp_path / "dgate")
+    _write_data(t, "f.parquet", [1], ["x"])
+    _commit(t, 0, [_protocol(reader=3, features=["columnMapping"]), _meta(()),
+                   _add("f.parquet", {})])
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        read_delta_native(spark, t)
+
+
+def test_register_table_routes_delta(spark, table):
+    from adt_spark.sources.registry import register_table
+
+    df = register_table(spark, "dtab_native", table, fmt="delta")
+    assert spark.sql("SELECT count(*) AS n FROM dtab_native").collect()[0].n == df.count()
+
+
+# --- roaring codec unit tests --------------------------------------------
+
+
+def test_roaring_roundtrip_small():
+    vals = [0, 1, 5, 65535, 65536, 1 << 20, (1 << 32) + 7]
+    assert decode_bitmap_array(encode_bitmap_array(vals)) == sorted(vals)
+
+
+def test_roaring_roundtrip_bitmap_container():
+    vals = list(range(0, 10000))  # >4096 in one container → bitmap form
+    assert decode_bitmap_array(encode_bitmap_array(vals)) == vals
+
+
+def test_roaring_empty():
+    assert decode_bitmap_array(encode_bitmap_array([])) == []
+
+
+def test_z85_roundtrip():
+    data = bytes(range(16))
+    assert z85_decode(z85_encode(data)) == data
+
+
+def test_decode_inline_dv_descriptor(tmp_path):
+    dv = encode_inline_dv([3, 9, 1000])
+    assert decode_dv(dv, str(tmp_path)) == [3, 9, 1000]
