@@ -229,3 +229,109 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg(F.element_at(_vec_double(), 1)), 10).alias("dim1_mean_r10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-scale candidate-generation path
+# ---------------------------------------------------------------------------
+
+_N_CELLS = 16
+_N_PROBE = 4
+
+_IVF_ORACLE = f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        WHERE vec_id < {_N_CELLS}
+    ),
+    scored_cells AS (
+        SELECT e.vec_id, c.cell, e.embedding,
+               {_DOT_SQL_T.format(dim=_DIM, a='e.embedding', b='c.cv')}
+                 / ({_norm_sql('e')} *
+                    sqrt({_DOT_SQL_T.format(dim=_DIM, a='c.cv', b='c.cv')})) AS ccos
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell, embedding FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cell) AS rn
+            FROM scored_cells) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell, embedding AS qv FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY ccos DESC, cell) AS rn
+            FROM scored_cells WHERE vec_id < {_N_QUERIES})
+        WHERE rn <= {_N_PROBE}
+    ),
+    cand AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {_DOT_SQL_T.format(dim=_DIM, a='q.qv', b='a.embedding')}
+                 / (sqrt({_DOT_SQL_T.format(dim=_DIM, a='q.qv', b='q.qv')})
+                    * sqrt({_DOT_SQL_T.format(dim=_DIM, a='a.embedding', b='a.embedding')}))
+                 AS cosine
+        FROM qprobe q JOIN assign a ON q.cell = a.cell
+                                   AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM cand)
+    WHERE rn <= {_TOP_K}
+"""
+
+
+@register("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (the first
+    {_N_CELLS} vectors as cells — k-means init without the iterations,
+    so the oracle is SQL-expressible) partitions the corpus into
+    inverted lists; queries probe their {_N_PROBE} nearest cells and
+    re-rank candidates by exact cosine.
+
+    The 100 TB story: assignment is one broadcast pass over the corpus
+    (centroids are tiny), the inverted lists are an equi-partitioned
+    table keyed by cell — the probe join shuffles only on cell id, and
+    per-query work is bounded by the probed lists' size instead of the
+    corpus.  Swap the quantizer for trained k-means centroids at
+    deployment; the plan shape is identical.
+
+    Determinism: cosine folds are ascending-k (bit-identical to the
+    oracle's list_sum); cell assignment and top-k tie-break on
+    (score DESC, id ASC) — a total order.
+    """
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+    v = _vec_double()
+    base = emb.select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"))
+    cents = base.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored_cells = base.join(F.broadcast(cents)).withColumn(
+        "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell", "v", "norm")
+    qprobe = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cell",
+                F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    )
+    cand = (
+        assign.alias("a")
+        .join(F.broadcast(qprobe).alias("q"),
+              (F.col("a.cell") == F.col("q.cell"))
+              & (F.col("a.vec_id") != F.col("q.query_id")))
+        .withColumn("cosine",
+                    _dot(F.col("q.qv"), F.col("a.v"))
+                    / (F.col("q.qnorm") * F.col("a.norm")))
+        .select("query_id", F.col("a.vec_id").alias("neighbor_id"), "cosine")
+    )
+    w_k = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
