@@ -96,3 +96,116 @@ def streaming_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events directory with µs timestamps."""
+    events_path = os.path.join(sf_dir, "events.parquet")
+    path = events_path if os.path.isdir(events_path) else os.path.join(
+        os.path.dirname(events_path),
+        os.path.basename(events_path).split(".")[0] + ".*",
+    )
+    return (
+        spark.readStream.schema(streaming_events_schema())
+        .format("parquet")
+        .load(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+
+
+def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register("streaming_events_sliding", oracle=None, tags=("streaming",))
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rolling metrics: 2-hour windows every 30 minutes
+    per event_type, 2-hour watermark.  Each event lands in 4
+    overlapping windows — the rolling-quality-metric shape of a
+    training-data ingest monitor.  State is (window × type)-keyed and
+    watermark-bounded.  (Rows-only check: triggers aren't
+    SQL-expressible; test_streaming.py pins stream ≡ batch window().)
+    """
+    tables(spark, sf_dir)
+    out = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    return _drain_to_memory(out, spark, "complete")
+
+
+@register("streaming_events_session_window", oracle=None, tags=("streaming",))
+def streaming_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: per-user sessions closed by 30 minutes
+    of inactivity (F.session_window + watermark) — merge-able session
+    state distributed by user_id.  (Rows-only; test_streaming.py pins
+    it to the batch session_window equivalent.)"""
+    tables(spark, sf_dir)
+    out = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _drain_to_memory(out, spark, "complete")
+
+
+@register("streaming_user_totals_stateful", oracle=None, tags=("streaming", "stateful"))
+def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (event count, value sum, last seen) accumulator —
+    the arbitrary-state API a pipeline needs when windows can't
+    express the logic (e.g. cross-session counters, dedup-by-key
+    with TTL).
+
+    State is one small tuple per user_id, hash-distributed; Arrow
+    batches stream per group.  The emitted totals equal the batch
+    groupBy (test_streaming.py asserts it), proving the state
+    transition function is exact.
+    """
+    import pandas as pd  # noqa: F401
+
+    tables(spark, sf_dir)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, last_seen timestamp"
+    state_schema = "n long, total double, last timestamp"
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            m = pdf["ts"].max()
+            last = m if last is None or m > last else last
+        state.update((n, total, last))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n],
+             "total_value": [total], "last_seen": [last]}
+        )
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _drain_to_memory(out, spark, "update")

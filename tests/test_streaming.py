@@ -34,3 +34,64 @@ def test_stream_matches_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    stream_df = load_all()["streaming_events_sliding"].spark_fn(spark, sf_dir)
+    got = {(r.window_start, r.event_type): r.n_events for r in stream_df.collect()}
+
+    ev = tables(spark, sf_dir)["events"]
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    stream_df = load_all()["streaming_events_session_window"].spark_fn(spark, sf_dir)
+    got = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in stream_df.collect()
+    }
+    ev = tables(spark, sf_dir)["events"]
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    want = {
+        (r.session_start, r.session_end, r.user_id): r.n_events
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    stream_df = load_all()["streaming_user_totals_stateful"].spark_fn(spark, sf_dir)
+    # Update mode emits one row per user per micro-batch; the final
+    # state is the row with the max count per user.
+    import collections
+
+    got = {}
+    for r in stream_df.collect():
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, round(r.total_value, 6))
+
+    ev = tables(spark, sf_dir)["events"]
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, _) in want.items():
+        assert got[uid][0] == n
