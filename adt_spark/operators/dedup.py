@@ -570,3 +570,122 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return scan_side.mapInPandas(scan, schema="vec_a long, vec_b long, cosine double")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+_PAIRS_SQL = f"""
+    sh AS ({_SHINGLE_SQL}),
+    filtered AS (
+        SELECT doc_id, shingle FROM sh
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_POSTING}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM filtered a JOIN filtered b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+    )
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(min(label) AS BIGINT) AS component_id,
+           node = min(label) AS is_keeper
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    Jaccard-pair graph (``dedup_ngram_jaccard`` edges), keeping the
+    min doc_id of each component as the canonical document.
+
+    This is the dedup *finisher* a training-data pipeline needs:
+    pairwise near-dup output alone over-deletes (A~B, B~C but A≁C —
+    dropping both B and C loses a distinct document) — grouping into
+    components and keeping one doc per component is the standard
+    resolution (cf. the MinHash dedup pipelines in web-scale corpus
+    papers).
+
+    Scale design — iterative min-label propagation, the Spark-native
+    connected-components pattern (≈ GraphFrames/Pregel CC,
+    "large-star" simplified to undirected min-propagation):
+
+    - Each round is one equi-join (edges ⋈ labels on src) + one
+      partial+final min-aggregation — all hash-shuffled on node id,
+      no driver-side graph.
+    - Rounds are bounded by component *diameter*, not corpus size;
+      near-dup components are short chains, so convergence is a few
+      rounds even at 100 TB.
+    - ``localCheckpoint(eager=True)`` truncates lineage each round so
+      plan size stays O(1) in rounds (on a cluster, substitute a
+      reliable ``checkpoint()`` dir — same call shape).
+    - The edge set (near-dup pairs only) is orders of magnitude
+      smaller than the corpus and is cached for re-join each round.
+
+    The DuckDB oracle computes the identical fixpoint declaratively
+    with a recursive CTE (UNION-distinct label reachability) — same
+    components, different engine strategy.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(20):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    )

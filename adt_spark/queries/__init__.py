@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scalar_funcs,
         scalar_funcs2,
+        temporal,
         tpch_extra,
         tpch_rest,
     )

@@ -72,6 +72,8 @@ def _list_log(location: str) -> tuple[list[tuple[int, str]], list[tuple[int, str
     """(sorted commit files, sorted checkpoint files) as (version, path)."""
     d = _log_dir(location)
     commits, checkpoints = [], []
+    if not os.path.isdir(d):
+        return commits, checkpoints
     for name in os.listdir(d):
         if m := _COMMIT_RE.match(name):
             commits.append((int(m.group(1)), os.path.join(d, name)))

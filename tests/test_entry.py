@@ -24,4 +24,9 @@ def test_queries_and_oracles_aligned(spark):
     assert set(oracles) <= set(qs)
     # every oracle-less query is an intentional rows-only check
     rows_only = set(qs) - set(oracles)
-    assert rows_only <= {"streaming_events_windowed"}, rows_only
+    assert rows_only <= {
+        "streaming_events_windowed",
+        "streaming_events_sliding",
+        "streaming_events_session_window",
+        "streaming_user_totals_stateful",
+    }, rows_only

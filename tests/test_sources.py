@@ -115,7 +115,9 @@ def test_unknown_format_raises(spark):
 
 
 def test_delta_gated(spark):
-    with pytest.raises(DeltaUnavailableError):
+    # Without delta-spark jars the native log-replay reader handles the
+    # read; a location with no _delta_log is a clear, typed error.
+    with pytest.raises((DeltaUnavailableError, FileNotFoundError), match="Delta"):
         read_delta(spark, "/nowhere")
 
 
