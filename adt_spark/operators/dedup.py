@@ -641,14 +641,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Each round is one equi-join (edges ⋈ labels on src) + one
       partial+final min-aggregation — all hash-shuffled on node id,
       no driver-side graph.
+    - **Only the edge-touched subgraph iterates.**  Singleton docs
+      (no near-dup pair — the overwhelming majority of any corpus)
+      never enter the loop; they rejoin at the end as their own
+      component.  The iterated label table is O(|dup pairs|), not
+      O(corpus), which is what makes iteration affordable at 100 TB.
     - Rounds are bounded by component *diameter*, not corpus size;
       near-dup components are short chains, so convergence is a few
       rounds even at 100 TB.
+    - Convergence check is a one-row checksum: labels only ever
+      decrease under min-propagation, so ``sum(label)`` is strictly
+      monotone until the fixpoint — comparing successive sums replaces
+      a per-round join+count with a scalar aggregate.
     - ``localCheckpoint(eager=True)`` truncates lineage each round so
       plan size stays O(1) in rounds (on a cluster, substitute a
       reliable ``checkpoint()`` dir — same call shape).
-    - The edge set (near-dup pairs only) is orders of magnitude
-      smaller than the corpus and is cached for re-join each round.
 
     The DuckDB oracle computes the identical fixpoint declaratively
     with a recursive CTE (UNION-distinct label reachability) — same
@@ -659,33 +666,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .localCheckpoint(eager=True)  # materialize pair generation ONCE
     )
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    # Symmetric edges → src covers every edge-touched node.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(20):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("label")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        F.col("label").alias("component_id"),
-        (F.col("node") == F.col("label")).alias("is_keeper"),
+        prev_sum = cur_sum
+    # Singletons (no edges) are their own component.
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("component_id"),
+            (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_keeper"
+            ),
+        )
     )

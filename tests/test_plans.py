@@ -77,6 +77,9 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "dedup_ngram_jaccard",
         "ann_lsh_bucketed",
         "q02_min_cost_supplier",
+        "q_asof_join_latest_click",
+        "q_range_join_purchase_error",
+        "q_stratified_sample",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
