@@ -141,10 +141,15 @@ class ADTContext:
         register_dialect_functions(self.spark)
 
     # -- SQL entry point (reference: context.rs:93-105) ------------------
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, args: dict | list | None = None) -> DataFrame:
         """Run one SQL statement.  The reference verifies the plan with
         permissive ``SQLOptions`` (DDL/DML allowed) — ``spark.sql`` is
         equally unrestricted, so this is a direct mapping.
+
+        ``args`` maps DataFusion's prepared-statement parameter surface
+        (SURVEY.md §2.B "Prepared statements / parameters"): named
+        (``:name`` with a dict) or positional (``?`` with a list)
+        parameters, bound server-side by ``spark.sql``.
 
         URL-table sugar (reference context.rs:55 ``enable_url_table``)
         is native Spark syntax: ``SELECT * FROM parquet.`/path```.
@@ -159,7 +164,10 @@ class ADTContext:
 
         if is_copy_statement(query):
             return execute_copy(self.spark, query, self.sql)
-        return self.spark.sql(translate_sql(query))
+        translated = translate_sql(query)
+        if args is not None:
+            return self.spark.sql(translated, args=args)
+        return self.spark.sql(translated)
 
     # -- table registration (reference: listing.rs / deltatable.rs) ------
     def register_table(self, name: str, location: str, fmt: str = "parquet", **options) -> DataFrame:

@@ -132,3 +132,70 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_blob.mapInPandas(
         decode_batches, schema="doc_id long, width int, height int, n_frames int"
     )
+
+
+_FRAME_STRIDE = 2
+
+
+def sample_frames(blob: bytes, media_type: str, stride: int) -> list[dict]:
+    """Frame sampling: decode → take every ``stride``-th frame →
+    per-frame content hash.  The real codec (ffmpeg frame extraction)
+    slots in exactly here; the deterministic fake derives per-frame
+    bytes from (blob, frame_idx) so the expansion shape, ordering and
+    addressing are fully testable in-container.
+    """
+    meta = decode_media(blob, media_type)
+    out = []
+    for idx in range(0, meta["n_frames"], stride):
+        frame_bytes = blob + f"-frame-{idx}".encode()
+        out.append({"frame_idx": idx, "frame_md5": hashlib.md5(frame_bytes).hexdigest()})
+    return out
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, text,
+               instr('0123456789abcdef', substr(md5(text), 5, 1)) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.i AS INT) AS frame_idx,
+           md5(text || '-frame-' || CAST(u.i AS VARCHAR)) AS frame_md5
+    FROM m, unnest(generate_series(0, n_frames - 1, {_FRAME_STRIDE})) AS u(i)
+    """,
+    tags=("multimodal", "udf", "frames"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: each media blob expands to its sampled
+    frames (every 2nd frame), each content-addressed — the
+    row-expanding mapInPandas shape every video pipeline needs
+    (decode → N frames per input row → per-frame features).
+
+    Scale: expansion happens inside the Arrow batch iterator, so
+    memory is bounded by batch size × stride fraction regardless of
+    corpus size; downstream per-frame dedup reuses the hash-groupBy
+    shape on frame_md5.  (Fake codec, real plumbing — see
+    ``decode_media``.)
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    with_blob = spread(docs).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for fr in sample_frames(blob, "fake/deterministic", _FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(fr["frame_idx"])
+                    hashes.append(fr["frame_md5"])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return with_blob.mapInPandas(
+        expand, schema="doc_id long, frame_idx int, frame_md5 string"
+    )

@@ -335,3 +335,60 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(
+                   list_aggregate(embedding, 'max'),
+                   -list_aggregate(embedding, 'min')
+               ) AS max_abs
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(max_abs AS DOUBLE) AS scale,
+           array_to_string(
+               list_transform(
+                   embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / CAST(max_abs AS DOUBLE) + 0.5) AS INT)
+               ), ','
+           ) AS q8_csv
+    FROM s
+    """,
+    tags=("embedding", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    feature-store compaction step (4 bytes → 1 byte per dim) before
+    ANN index build or training-data export.
+
+    Per-vector max-abs scaling, quantized as floor(x·127/s + 0.5) —
+    floor of a double is bit-deterministic in every engine, unlike
+    round()'s half-tie conventions.  Pure projection over array
+    columns: zero shuffles, whole-stage codegen'd, scan-parallel.
+    The int8 vector is emitted as a CSV string (corpus convention:
+    scalar comparison surfaces only — array cells stringify
+    differently across Arrow/non-Arrow pandas paths).
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    xd = lambda c: c.cast("double")  # noqa: E731
+    max_abs = F.greatest(
+        F.array_max(F.col("embedding")), -F.array_min(F.col("embedding"))
+    )
+    s = emb.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    return s.select(
+        "vec_id",
+        xd(F.col("max_abs")).alias("scale"),
+        F.array_join(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(
+                    xd(x) * F.lit(127.0) / xd(F.col("max_abs")) + F.lit(0.5)
+                ).cast("int"),
+            ),
+            ",",
+        ).alias("q8_csv"),
+    )

@@ -211,3 +211,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
     )
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenizer approximation: letter runs, digit runs,
+# and non-alnum-non-space runs are separate pieces.  Identical RE2 /
+# Java regex semantics on this corpus (ASCII).
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_count",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS pieces
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(pieces) AS INT) AS n_pieces,
+           CAST(list_sum(list_transform(pieces, x -> floor((length(x) + 3) / 4)))
+                AS BIGINT) AS n_bpe_est
+    FROM p
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: pre-tokenize with the GPT-2-style run
+    regex, then estimate BPE tokens as ceil(piece_len / 4) per piece
+    (the ~4-chars-per-token heuristic used for budget estimates).
+
+    Pure projection (regexp_extract_all + aggregate fold) — zero
+    shuffles, scan-partition parallel; the regex and the integer
+    arithmetic are engine-portable, so the estimate is deterministic
+    everywhere.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    est = F.aggregate(
+        F.transform(pieces, lambda x: F.floor((F.length(x) + 3) / 4)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        est.alias("n_bpe_est"),
+    )

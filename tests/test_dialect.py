@@ -75,3 +75,21 @@ def test_date_bin_seconds(spark):
         "timestamp '2024-01-01') as v"
     ).first().v
     assert got == datetime.datetime(2023, 12, 31, 23, 45)
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """ADTContext.sql binds named and positional parameters
+    (DataFusion prepared-statement surface, SURVEY §2.B)."""
+    from adt_spark.context import ADTContext
+
+    ctx = ADTContext.__new__(ADTContext)  # reuse the session fixture
+    ctx.spark = spark
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
+    named = ctx.sql(
+        "select r_name from region where r_regionkey = :k", args={"k": 2}
+    ).collect()
+    positional = ctx.sql(
+        "select r_name from region where r_regionkey = ?", args=[2]
+    ).collect()
+    assert [r.r_name for r in named] == [r.r_name for r in positional]
+    assert len(named) == 1
