@@ -72,6 +72,55 @@ def _rewrite_regex_ops(sql: str) -> str:
     return "".join(out)
 
 
+# expr SIMILAR TO 'pat' → expr RLIKE '^(?:pat')$' with SQL wildcards
+# (% → .*, _ → .) converted; full-string anchoring per the standard.
+_SIMILAR = re.compile(r"[ \t]*\b(?P<neg>NOT\s+)?SIMILAR\s+TO[ \t]*", re.IGNORECASE)
+_ST_MARK = "\x00ST\x00"
+
+
+def _convert_similar_pattern(body: str) -> str:
+    """SQL-regex body → Java-regex body: translate unescaped SQL
+    wildcards, preserve the POSIX-ish regex syntax SIMILAR TO shares
+    with Java regex (classes, alternation, quantifiers)."""
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(body[i : i + 2])
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_similar_to(sql: str) -> str:
+    segments = _split_on_literals(sql)
+    out: list[str] = []
+    for idx, (chunk, is_lit) in enumerate(segments):
+        if is_lit:
+            out.append(chunk)
+            continue
+        rewritten = _SIMILAR.sub(
+            lambda m: (" NOT RLIKE " if m.group("neg") else " RLIKE ") + _ST_MARK, chunk
+        )
+        if _ST_MARK in rewritten and idx + 1 < len(segments):
+            nxt, nxt_lit = segments[idx + 1]
+            if nxt_lit:
+                # literal segment = body + closing quote
+                body, quote = nxt[:-1], nxt[-1]
+                segments[idx + 1] = ("^(?:" + _convert_similar_pattern(body) + ")$" + quote, nxt_lit)
+            rewritten = rewritten.replace(_ST_MARK, "")
+        out.append(rewritten)
+    return "".join(out)
+
+
 # Pure function renames: DataFusion/Postgres name → Spark builtin with
 # identical argument order and semantics (SURVEY.md §2.B mapping table).
 _NAME_REWRITES = {
@@ -110,6 +159,8 @@ def translate_sql(sql: str) -> str:
     """Translate a PostgreSQL/DataFusion-flavored statement to Spark SQL."""
     if "~" in sql:
         sql = _rewrite_regex_ops(sql)
+    if _SIMILAR.search(sql):
+        sql = _rewrite_similar_to(sql)
     if _NAME_RE.search(sql):
         sql = _rewrite_names(sql)
     return sql

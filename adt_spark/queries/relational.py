@@ -37,10 +37,20 @@ from adt_spark.queries import register, tables
 # engines then emit bit-identical doubles (see queries/__init__ rules).
 MONEY = T.DecimalType(12, 2)
 RATE = T.DecimalType(4, 2)
+# Quantity fits (8,2): per-row qty <= 50, and the sum buffer (8+10,2)
+# stays within Spark's long-backed Decimal (precision <= 18) -- ~2x
+# faster accumulation than BigDecimal -- while still holding 1e12-row
+# group sums (5e13 << 1e16).  Money stays (12,2): its 100 TB group
+# sums genuinely need the (22,2) BigDecimal buffer.
+QTY = T.DecimalType(8, 2)
 
 
 def _money(c: str):
     return F.col(c).cast(MONEY)
+
+
+def _qty(c: str = "l_quantity"):
+    return F.col(c).cast(QTY)
 
 
 def _rate(c: str):
@@ -101,7 +111,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
-            _money("l_quantity").alias("q"),
+            _qty().alias("q"),
             _money("l_extendedprice").alias("p"),
             _rate("l_discount").alias("d"),
             _rate("l_tax").alias("t"),

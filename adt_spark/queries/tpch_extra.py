@@ -27,6 +27,7 @@ from adt_spark.queries.relational import (
     _D_EP,
     _disc_price,
     _money,
+    _qty,
 )
 
 
@@ -351,7 +352,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum(_money("l_quantity")).alias("_qty_dec"))
+        .agg(F.sum(_qty("l_quantity")).alias("_qty_dec"))
         .filter(F.col("_qty_dec") > 160)
     )
     return (

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adt_spark.queries import register, tables
-from adt_spark.queries.relational import _D_DISC_PRICE, _disc_price, _money
+from adt_spark.queries.relational import _qty, _D_DISC_PRICE, _disc_price, _money
 
 
 @register(
@@ -310,7 +310,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
                 & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date")))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_money("l_quantity")).alias("qty"))
+        .agg(F.sum(_qty("l_quantity")).alias("qty"))
     )
     tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     blue = t["part"].filter(F.col("p_name").like("blue%")).select("p_partkey")

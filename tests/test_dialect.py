@@ -93,3 +93,36 @@ def test_parameterized_sql(spark, sf_dir):
     ).collect()
     assert [r.r_name for r in named] == [r.r_name for r in positional]
     assert len(named) == 1
+
+
+def test_similar_to_translation():
+    from adt_spark.dialect.translate import translate_sql
+
+    assert (
+        translate_sql("select * from t where c SIMILAR TO 'ab%'")
+        == "select * from t where c RLIKE '^(?:ab.*)$'"
+    )
+    assert (
+        translate_sql("select * from t where c NOT SIMILAR TO 'a_c'")
+        == "select * from t where c NOT RLIKE '^(?:a.c)$'"
+    )
+    # regex syntax shared with Java regex passes through; escaped
+    # wildcards stay literal
+    assert (
+        translate_sql(r"select c SIMILAR TO '(a|b)+\%' from t")
+        == r"select c RLIKE '^(?:(a|b)+\%)$' from t"
+    )
+    # a SIMILAR TO inside a string literal is untouched
+    assert (
+        translate_sql("select 'x SIMILAR TO y' from t")
+        == "select 'x SIMILAR TO y' from t"
+    )
+
+
+def test_similar_to_executes(spark):
+    got = spark.sql(
+        __import__("adt_spark.dialect.translate", fromlist=["translate_sql"]).translate_sql(
+            "select r_name from (select 'EUROPE' as r_name) where r_name SIMILAR TO 'EUR%'"
+        )
+    ).collect()
+    assert [r.r_name for r in got] == ["EUROPE"]
