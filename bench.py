@@ -45,6 +45,10 @@ HEADLINE = [
     "q_cte_top_nations",
     "q_rollup_region_nation",
     "q_set_operations",
+    "q_asof_join_latest_click",
+    "q_range_join_purchase_error",
+    "q_stratified_sample",
+    "q_deterministic_shuffle",
 ]
 
 
@@ -59,12 +63,14 @@ def main() -> None:
     spark = ctx.spark
     registry = load_all()
     names = [n for n in HEADLINE if n in registry] + [
-        n for n in sorted(registry) if n.startswith(("dedup_", "ann_", "text_")) and n in registry
+        n
+        for n in sorted(registry)
+        if n.startswith(("dedup_", "ann_", "text_", "emb_", "mm_")) and n in registry
     ]
 
     # Python-touching operators (mapInPandas) run last so any Python
     # worker startup/IO cannot pollute the JVM-only measurements.
-    python_ops = {"dedup_embedding_cosine", "mm_decode_features"}
+    python_ops = {"dedup_embedding_cosine", "mm_decode_features", "mm_frame_sample"}
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
     ]
