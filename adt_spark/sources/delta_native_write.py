@@ -1,0 +1,213 @@
+"""Native Delta Lake writer — pure PySpark over the public Delta
+transaction-log protocol (delta.io PROTOCOL.md), the sink-side
+complement of ``delta_native.py``'s reader.
+
+The reference's write surface is DataFusion's unrestricted SQL entry
+point + the deltalake crate's table factory (SURVEY.md §2.A A5,
+§2.B "Sinks"); this module re-expresses it Spark-first:
+
+- **Data files** are written by a normal distributed
+  ``df.write.parquet`` into a staging directory — every executor
+  writes its partition in parallel (the only shape that scales) —
+  then moved into the table root (or ``col=value/`` partition dirs)
+  under fresh UUID names.
+- **The commit** is a single driver-side ``_delta_log/N.json`` write:
+  ``commitInfo`` + (on create/overwrite) ``protocol`` + ``metaData``
+  + one ``add`` per data file (path, partitionValues, size,
+  numRecords stats), with ``remove`` actions for every prior file on
+  overwrite.  Delta's ``schemaString`` IS Spark's ``StructType``
+  JSON, so the schema round-trips with zero mapping code
+  (SURVEY.md §1.2).
+- **Atomicity**: the commit file is written to a temp name and
+  ``os.rename``d — atomic on a local/posix store.  On S3 a real
+  deployment needs a conditional-put/commit-coordinator (same caveat
+  as delta-rs standalone writers); the log format written here is
+  byte-compatible either way.
+
+Read-back path: ``delta_native.read_delta_native`` (or delta-spark /
+any Delta reader — only protocol v1 features are emitted:
+minReaderVersion=1, minWriterVersion=2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+
+from adt_spark.sources.delta_native import _list_log, replay_snapshot
+
+
+class DeltaWriteError(RuntimeError):
+    pass
+
+
+def _log_path(location: str, version: int) -> str:
+    return os.path.join(location, "_delta_log", f"{version:020d}.json")
+
+
+def _atomic_write(path: str, lines: list[dict]) -> None:
+    """Write a commit atomically: temp file + rename, refusing to
+    clobber an existing version (single-writer local semantics)."""
+    if os.path.exists(path):
+        raise DeltaWriteError(f"concurrent commit: {path} already exists")
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        for action in lines:
+            f.write(json.dumps(action, separators=(",", ":")) + "\n")
+    os.rename(tmp, path)
+
+
+def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[str, dict]]:
+    """(relative staged path, partitionValues) for every part file."""
+    out: list[tuple[str, dict]] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    # hive-encoded nulls arrive as __HIVE_DEFAULT_PARTITION__
+                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            missing = [c for c in partition_by if c not in pvals]
+            if missing:
+                raise DeltaWriteError(f"staged file {name} missing partition dirs {missing}")
+            out.append((os.path.join(root, name), pvals))
+    return out
+
+
+def write_delta_native(
+    df: DataFrame,
+    location: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Write ``df`` to a Delta table at ``location``; returns the
+    committed version.  ``mode``: ``append`` (create if absent) or
+    ``overwrite`` (replace data, keep history).
+    """
+    if mode not in ("append", "overwrite"):
+        raise DeltaWriteError(f"unsupported mode {mode!r}")
+    partition_by = list(partition_by or [])
+    os.makedirs(os.path.join(location, "_delta_log"), exist_ok=True)
+
+    commits, checkpoints = _list_log(location)
+    exists = bool(commits or checkpoints)
+    if exists:
+        snap = replay_snapshot(df.sparkSession, location)
+        version = snap.version + 1
+        if snap.partition_columns != partition_by:
+            raise DeltaWriteError(
+                f"partition mismatch: table has {snap.partition_columns}, "
+                f"write requested {partition_by}"
+            )
+        if [f.name for f in snap.schema.fields] != df.schema.fieldNames():
+            raise DeltaWriteError(
+                f"schema mismatch: table has {snap.schema.fieldNames()}, "
+                f"dataframe has {df.schema.fieldNames()}"
+            )
+    else:
+        snap = None
+        version = 0
+
+    # 1. distributed parquet write into a staging dir
+    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    # 2. move part files to their final UUID names, collect add actions
+    adds: list[dict] = []
+    try:
+        for staged, pvals in _collect_staged_files(staging, partition_by):
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                # empty task output — committing it would only bloat
+                # the log and every future scan's file list
+                os.remove(staged)
+                continue
+            rel_dir = (
+                "/".join(f"{c}={pvals[c] if pvals[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                         for c in partition_by)
+                if partition_by
+                else ""
+            )
+            final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            final_abs = os.path.join(location, *final_rel.split("/"))
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            os.rename(staged, final_abs)
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(final_abs),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": meta.num_rows}),
+                    }
+                }
+            )
+    finally:
+        # staging now holds only _SUCCESS/CRC leftovers
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        if os.path.isdir(staging):
+            os.rmdir(staging)
+
+    # 3. assemble the commit
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode.upper(), "partitionBy": json.dumps(partition_by)},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    # data columns first, partition columns last (reader appends them,
+    # matching reference deltatable.rs:136-189 field order)
+    if not exists:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": ts,
+                }
+            }
+        )
+    if mode == "overwrite" and snap is not None:
+        for path, (pvals, _dv) in snap.files.items():
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+    actions.extend(adds)
+
+    _atomic_write(_log_path(location, version), actions)
+    return version

@@ -39,6 +39,11 @@ _WRITE_FORMATS = {
     "csv": ("csv", {"header": "true"}),
     "json": ("json", {}),
     "ndjson": ("json", {}),
+    # Delta sink: delta-spark when the jars are present, else the
+    # native protocol writer (delta_native_write) — mirrors the
+    # reader's two-path selection (delta.py).
+    "delta": ("delta", {}),
+    "deltatable": ("delta", {}),
 }
 
 _COPY_HEAD = re.compile(r"^\s*COPY\b", re.IGNORECASE)
@@ -127,6 +132,19 @@ def write_dataframe(
     layout readable by the listing side (sources/registry.py).
     """
     spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
+    if spark_fmt == "delta":
+        from adt_spark.sources.delta import delta_available
+
+        if not delta_available(df.sparkSession):
+            from adt_spark.sources.delta_native_write import write_delta_native
+
+            write_delta_native(
+                df,
+                path,
+                mode="overwrite" if mode == "overwrite" else "append",
+                partition_by=partition_by,
+            )
+            return
     writer = df.write.format(spark_fmt).mode(mode)
     for k, v in {**defaults, **(options or {})}.items():
         writer = writer.option(k, v)

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the pure-Python layers:
+the roaring-bitmap codec, the Z85 codec, the dialect translator's
+literal preservation, and the script statement splitter."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adt_spark.dialect.translate import _split_on_literals, translate_sql
+from adt_spark.script import split_statements
+from adt_spark.sources._roaring import (
+    decode_bitmap_array,
+    encode_bitmap_array,
+    z85_decode,
+    z85_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=1 << 22), unique=True))
+@settings(max_examples=200, deadline=None)
+def test_roaring_roundtrip(positions):
+    """encode → decode is the identity on sorted position sets (covers
+    array and bitmap container encodings across 2^16 chunk borders)."""
+    assert decode_bitmap_array(encode_bitmap_array(sorted(positions))) == sorted(positions)
+
+
+@given(st.binary(min_size=0, max_size=200).filter(lambda b: len(b) % 4 == 0))
+@settings(max_examples=200, deadline=None)
+def test_z85_roundtrip(data):
+    assert z85_decode(z85_encode(data)) == data
+
+
+_sql_fragment = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N", "Zs"), whitelist_characters="_,.()=<>*"),
+    max_size=30,
+)
+
+
+@given(st.lists(st.tuples(_sql_fragment, st.booleans()), max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_split_on_literals_reassembles(chunks):
+    """Splitting any SQL into (chunk, is_literal) segments loses no
+    text: concatenation reproduces the input exactly."""
+    sql = "".join(
+        ("'" + frag.replace("'", "''") + "'") if is_lit else frag
+        for frag, is_lit in chunks
+    )
+    assert "".join(chunk for chunk, _ in _split_on_literals(sql)) == sql
+
+
+@given(_sql_fragment)
+@settings(max_examples=200, deadline=None)
+def test_translate_preserves_literal_bodies(body):
+    """String literals pass through every dialect rewrite untouched —
+    even when they contain rewrite triggers."""
+    lit = "'" + (body + " x ~ y SIMILAR TO z random(").replace("'", "''") + "'"
+    sql = f"select {lit} as v"
+    assert lit in translate_sql(sql)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_characters=";\n\r", blacklist_categories=("Cs",)),
+            max_size=20,
+        ).filter(lambda s: not s.lstrip().startswith("--")),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_recovers_statements(stmts):
+    """Joining statements with ';' terminators and re-splitting yields
+    the same statements (modulo surrounding whitespace), with --
+    comment lines dropped — the reference's main.rs:103-137 contract."""
+    stmts = [s for s in stmts if s.strip()]
+    lines = []
+    for s in stmts:
+        lines.append("-- a comment line")
+        lines.append(s + ";")
+    got = list(split_statements(lines))
+    assert [g.strip() for g in got] == [s.strip() for s in stmts]
