@@ -209,3 +209,35 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _drain_to_memory(out, spark, "update")
+
+
+@register("streaming_enriched_purchases", oracle=None, tags=("streaming", "join"))
+def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static ``customer`` dimension (user_id → customer row) — the
+    canonical "enrich the log with reference data" streaming shape.
+
+    Scale posture: the static side is a broadcast hash join per
+    micro-batch (re-resolved each batch, so dimension updates are
+    picked up); NO streaming state is held at all — this is the
+    cheapest streaming join and the one to prefer over stream-stream
+    whenever one side is slowly-changing reference data.
+
+    Batch-agreement: pinned by tests/test_streaming.py to the same
+    join expressed in batch (driver records rows-only).
+    """
+    customers = tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customers), stream.user_id == customers.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("value").cast(T.DecimalType(12, 2)).cast("double").alias("value"),
+        )
+    )
+    return _drain_to_memory(enriched, spark, "append")

@@ -29,4 +29,5 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_events_sliding",
         "streaming_events_session_window",
         "streaming_user_totals_stateful",
+        "streaming_enriched_purchases",
     }, rows_only

@@ -95,3 +95,24 @@ def test_stateful_totals_match_batch(spark, sf_dir):
     assert set(got) == set(want)
     for uid, (n, _) in want.items():
         assert got[uid][0] == n
+
+
+def test_enriched_purchases_match_batch(spark, sf_dir):
+    """Stream-static join agrees with the identical batch join."""
+    from adt_spark.queries import load_all, tables
+    import pyspark.sql.functions as F
+
+    got = load_all()["streaming_enriched_purchases"].spark_fn(spark, sf_dir)
+    ev = tables(spark, sf_dir)["events"]
+    cust = tables(spark, sf_dir)["customer"]
+    want = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
