@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         sampling,
         similarity,
+        skew,
         text,
     )
     from adt_spark.streaming import events as streaming_events  # noqa: F401

@@ -132,3 +132,29 @@ def test_semi_anti_joins_planned(spark, sf_dir):
     anti = _formatted(_q(spark, sf_dir, "q22_idle_customers"))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join plans as union + window — exactly one exchange
+    on the join key, never a nested-loop or range-fan-out join."""
+    plan = _formatted(_q(spark, sf_dir, "q_asof_join_latest_click"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_exchanges = sum(1 for ln in plan.splitlines() if ln.strip().endswith("Exchange"))
+    assert n_exchanges == 1, f"expected 1 shuffle, found {n_exchanges}"
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The bucketed range join is an equi-join on (user_id, bucket);
+    the non-equi bound is a post-join filter, not a join strategy."""
+    plan = _formatted(_q(spark, sf_dir, "q_range_join_purchase_error"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """The salted aggregation plans two aggregate pairs (shard phase +
+    merge phase), each partial+final."""
+    plan = _formatted(_q(spark, sf_dir, "q_salted_distinct_users"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
