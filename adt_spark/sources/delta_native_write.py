@@ -211,3 +211,104 @@ def write_delta_native(
 
     _atomic_write(_log_path(location, version), actions)
     return version
+
+
+def write_checkpoint(spark, location: str) -> int:
+    """Write a classic single-file parquet checkpoint of the current
+    snapshot (``_delta_log/N.checkpoint.parquet`` + ``_last_checkpoint``),
+    so readers replay O(files-at-N) parquet rows + commits>N instead of
+    the whole JSON history — the reference's kernel reads exactly this
+    layout (deltatable.rs log replay via delta-kernel).
+
+    Built driver-side with pyarrow (row count = live file count;
+    checkpoints for tables with tens of millions of files should be
+    written distributed — same format, Spark writer, v2 spec).
+    Returns the checkpointed version.
+    """
+    import pyarrow as pa
+
+    snap = replay_snapshot(spark, location)
+    n = snap.version
+    proto_rows, meta_rows, add_rows = [], [], []
+    proto_rows.append({"minReaderVersion": 1, "minWriterVersion": 2})
+    meta_rows.append(
+        {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": snap.partition_columns,
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    )
+    for path, (pvals, dv) in snap.files.items():
+        add_rows.append({"path": path, "partitionValues": pvals or {}, "dataChange": False})
+
+    rows = []
+    for p in proto_rows:
+        rows.append({"protocol": p, "metaData": None, "add": None})
+    for m in meta_rows:
+        rows.append({"protocol": None, "metaData": m, "add": None})
+    for a in add_rows:
+        rows.append({"protocol": None, "metaData": None, "add": a})
+
+    schema = pa.schema(
+        [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [pa.field("minReaderVersion", pa.int32()), pa.field("minWriterVersion", pa.int32())]
+                ),
+            ),
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        pa.field("id", pa.string()),
+                        pa.field(
+                            "format",
+                            pa.struct(
+                                [
+                                    pa.field("provider", pa.string()),
+                                    pa.field("options", pa.map_(pa.string(), pa.string())),
+                                ]
+                            ),
+                        ),
+                        pa.field("schemaString", pa.string()),
+                        pa.field("partitionColumns", pa.list_(pa.string())),
+                        pa.field("configuration", pa.map_(pa.string(), pa.string())),
+                        pa.field("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct(
+                    [
+                        pa.field("path", pa.string()),
+                        pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+                        pa.field("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def _mapify(d):
+        return list(d.items()) if isinstance(d, dict) else d
+
+    for r in rows:
+        if r["metaData"]:
+            r["metaData"]["format"]["options"] = _mapify(r["metaData"]["format"]["options"])
+            r["metaData"]["configuration"] = _mapify(r["metaData"]["configuration"])
+        if r["add"]:
+            r["add"]["partitionValues"] = _mapify(r["add"]["partitionValues"])
+
+    table = pa.Table.from_pylist(rows, schema=schema)
+    cp_path = os.path.join(location, "_delta_log", f"{n:020d}.checkpoint.parquet")
+    tmp = cp_path + f".tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp)
+    os.rename(tmp, cp_path)
+    with open(os.path.join(location, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": n, "size": len(rows)}, f)
+    return n

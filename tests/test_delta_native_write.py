@@ -131,3 +131,25 @@ def test_copy_to_delta_sink(spark, sf_dir, tmp_path):
     got = read_delta_native(spark, loc)
     assert got.count() == 5
     assert got.columns == ["r_regionkey", "r_name"]
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    """After a checkpoint, the snapshot replays from the parquet
+    checkpoint alone — JSON commits at or before it are not needed."""
+    from adt_spark.sources.delta_native_write import write_checkpoint
+
+    loc = str(tmp_path / "t7")
+    write_delta_native(spark.range(4).select("id"), loc)
+    write_delta_native(spark.range(4, 6).select("id"), loc, mode="append")
+    v = write_checkpoint(spark, loc)
+    assert v == 1
+    log_dir = os.path.join(loc, "_delta_log")
+    assert f"{1:020d}.checkpoint.parquet" in os.listdir(log_dir)
+    # remove the JSON commits the checkpoint covers
+    for i in (0, 1):
+        os.remove(os.path.join(log_dir, f"{i:020d}.json"))
+    got = read_delta_native(spark, loc)
+    assert got.count() == 6
+    # appends after the checkpoint still apply on top of it
+    write_delta_native(spark.range(6, 9).select("id"), loc, mode="append")
+    assert read_delta_native(spark, loc).count() == 9
