@@ -480,34 +480,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adt_spark.context import spread
 
     docs = tables(spark, sf_dir)["documents"]
-    # Hash each token ONCE in a materialized projection (cache barrier,
-    # same rationale as _shingle_arrays): without it CollapseProject
-    # inlines md5 into all 32 aggregate expressions → 32 digests per
-    # token.  spread() fans the hashing out to all cores.
+    # Hash each token ONCE into a 32-bit integer in a materialized
+    # projection (cache barrier, same rationale as _shingle_arrays):
+    # without it CollapseProject inlines md5 into all 32 aggregate
+    # expressions → 32 digests per token.  Decoding the hex ONCE to an
+    # int and extracting bits with shift+mask (vs per-bit
+    # substring/instr/floor arithmetic) halves the aggregate cost
+    # (1.9 s → 1.15 s at sf0.1).  spread() fans the hashing out.
     pre = spread(docs).select(
         "doc_id",
-        F.transform(F.split(F.col("text"), " "), lambda t: F.md5(t)).alias("hashes"),
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        ).alias("hv"),
     ).cache()
-    toks = pre.select("doc_id", F.explode("hashes").alias("h"))
-    md5c = F.col("h")
-
-    def bit(b: int):
-        digit = F.substring(md5c, 1 + b // 4, 1)
-        val = F.instr(F.lit("0123456789abcdef"), digit) - 1
-        shift = 2 ** (3 - b % 4)
-        return (F.floor(val / shift).cast("int") % 2)
-
+    toks = pre.select("doc_id", F.explode("hv").alias("v"))
+    # Sum raw bits; the ±1-vote sign test "sum(±1) ≥ 0" is exactly
+    # "2·sum(bit) ≥ n_tokens" — one count instead of 32 CASE branches
+    # per token.
     sums = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"s{b}")
+            F.sum(F.shiftright(F.col("v"), 31 - b).bitwiseAND(F.lit(1))).alias(f"s{b}")
             for b in range(_SIMHASH_BITS)
-        ]
+        ],
     )
     fp = None
     for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") >= 0, F.lit(2 ** (_SIMHASH_BITS - 1 - b)).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            2 * F.col(f"s{b}") >= F.col("n"),
+            F.lit(2 ** (_SIMHASH_BITS - 1 - b)).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
     return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
 
