@@ -126,3 +126,15 @@ def test_similar_to_executes(spark):
         )
     ).collect()
     assert [r.r_name for r in got] == ["EUROPE"]
+
+
+def test_explain_surface(spark, sf_dir):
+    """EXPLAIN passes through the dialect layer to Spark's planner
+    (reference: DataFusion EXPLAIN [ANALYZE], SURVEY §2.B)."""
+    from adt_spark.context import ADTContext
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
+    out = ctx.sql("EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1").collect()
+    assert len(out) == 1 and "Physical Plan" in out[0][0]
