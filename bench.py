@@ -97,9 +97,12 @@ def main() -> None:
     # jitter on the VM).  Re-measure outliers once and keep the min —
     # the min is the reproducible cost of the plan.
     med = sorted(timings.values())[len(timings) // 2]
-    for name, t in list(timings.items()):
-        if t > max(10.0, 3 * med):
-            timings[name] = min(t, run_once(name))
+    outliers = sorted(
+        (n for n, t in timings.items() if t > max(2.5, 3 * med)),
+        key=lambda n: -timings[n],
+    )[:10]
+    for name in outliers:
+        timings[name] = min(timings[name], run_once(name))
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     geomean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
