@@ -30,8 +30,12 @@ def _prepare(spark: SparkSession) -> None:
     from adt_spark.dialect.functions import register_dialect_functions
 
     register_dialect_functions(spark)
-    # events.parquet carries TIMESTAMP(NANOS); see adt_spark.context.
+    # parquet timestamp handling; see adt_spark.context for rationale:
+    # TIMESTAMP(NANOS) files read as epoch-nanos longs (converted in
+    # register_sf_tables), no-tz TIMESTAMP(MICROS) as TimestampType
+    # (UTC session ⇒ value-identical to the oracle's naive timestamps).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

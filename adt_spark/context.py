@@ -83,6 +83,11 @@ def build_session(
         # and convert losslessly (sub-µs is zero in the data) in
         # register_sf_tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # no-tz parquet TIMESTAMP(MICROS) reads as TimestampType (not
+        # NTZ): matches the Delta type mapping (SURVEY §1.2 — kernel
+        # Timestamp → µs UTC) and, with the UTC session timezone, is
+        # value-identical to the oracle's naive timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
     from adt_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        quality,
         sampling,
         similarity,
         skew,

@@ -26,12 +26,18 @@ from pyspark.sql import types as T
 from adt_spark.queries import register, tables
 
 
-def streaming_events_schema() -> T.StructType:
-    """events schema for readStream (streams can't infer)."""
+def streaming_events_schema(ts_type: T.DataType | None = None) -> T.StructType:
+    """events schema for readStream (streams can't infer).
+
+    ``ts_type`` is the physical type the batch reader sees for ``ts``
+    — TimestampType for TIMESTAMP(MICROS) files, LongType when the
+    file carries TIMESTAMP(NANOS) (read as epoch-nanos via
+    nanosAsLong).  Defaults to TimestampType.
+    """
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # epoch-nanos (nanosAsLong)
+            T.StructField("ts", ts_type or T.TimestampType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -40,19 +46,36 @@ def streaming_events_schema() -> T.StructType:
     )
 
 
+def _open_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events file/directory, normalizing ``ts``
+    to TimestampType whatever the file's physical timestamp encoding.
+
+    One batch footer read picks the schema (streams can't infer); a
+    nanos-encoded ``ts`` (epoch-long under nanosAsLong) is converted
+    by exact integer DIV — sub-µs is zero in the data.
+    """
+    # FileStreamSource needs a directory/glob, not a bare file path.
+    path = events_path if os.path.isdir(events_path) else os.path.join(
+        os.path.dirname(events_path),
+        os.path.basename(events_path).split(".")[0] + ".*",
+    )
+    ts_type = spark.read.parquet(events_path).schema["ts"].dataType
+    stream = (
+        spark.readStream.schema(streaming_events_schema(ts_type))
+        .format("parquet")
+        .load(path)
+    )
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def windowed_counts_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Unbounded plan: 1-hour tumbling windows per event_type with a
     2-hour watermark for late data."""
-    # FileStreamSource needs a directory/glob, not a bare file path.
-    path = events_dir if os.path.isdir(events_dir) else os.path.join(
-        os.path.dirname(events_dir), os.path.basename(events_dir).split(".")[0] + ".*"
-    )
-    stream = (
-        spark.readStream.schema(streaming_events_schema())
-        .format("parquet")
-        .load(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _open_events_stream(spark, events_dir)
     return (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -100,17 +123,7 @@ def streaming_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events directory with µs timestamps."""
-    events_path = os.path.join(sf_dir, "events.parquet")
-    path = events_path if os.path.isdir(events_path) else os.path.join(
-        os.path.dirname(events_path),
-        os.path.basename(events_path).split(".")[0] + ".*",
-    )
-    return (
-        spark.readStream.schema(streaming_events_schema())
-        .format("parquet")
-        .load(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    return _open_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -209,6 +222,76 @@ def streaming_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return _drain_to_memory(out, spark, "update")
+
+
+@register("streaming_dedup_events", oracle=None, tags=("streaming", "dedup"))
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``:
+    collapse at-least-once delivery / retry storms to one event per
+    (user_id, event_type, minute).  State holds one key per group and
+    the watermark bounds its retention — the always-on analog of the
+    batch ``dedup_exact`` operator, and the first stage of a streaming
+    training-data ingest.
+
+    Output is the surviving key set (which physical row survives a
+    collapse is nondeterministic, so the deterministic surface — and
+    what test_streaming.py pins to batch distinct — is the keys).
+    """
+    tables(spark, sf_dir)
+    out = (
+        _events_stream(spark, sf_dir)
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .withWatermark("minute", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "minute"])
+        .select("user_id", "event_type", "minute")
+    )
+    return _drain_to_memory(out, spark, "append")
+
+
+@register("streaming_interval_join", oracle=None, tags=("streaming", "join"))
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour.  Both sides carry watermarks,
+    and the join condition bounds event-time distance, so Spark can
+    size and expire the two-sided join state — the scale-correct
+    stream-stream shape (unbounded-state joins never survive
+    production).  Batch-agreement is pinned by test_streaming.py
+    against the equivalent batch range join.
+    """
+    tables(spark, sf_dir)
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts").cast("timestamp"))
+         - F.unix_micros(F.col("c_ts").cast("timestamp"))).alias("delta_us"),
+    )
+    return _drain_to_memory(joined, spark, "append")
 
 
 @register("streaming_enriched_purchases", oracle=None, tags=("streaming", "join"))

@@ -97,6 +97,69 @@ def test_stateful_totals_match_batch(spark, sf_dir):
         assert got[uid][0] == n
 
 
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    """Streaming dropDuplicatesWithinWatermark emits exactly the
+    batch-distinct key set (one row per key, no loss)."""
+    got = sorted(
+        map(tuple, load_all()["streaming_dedup_events"].spark_fn(spark, sf_dir).collect())
+    )
+    ev = tables(spark, sf_dir)["events"]
+    want = sorted(
+        map(
+            tuple,
+            ev.select(
+                "user_id",
+                "event_type",
+                F.date_trunc("minute", F.col("ts")).cast("timestamp").alias("minute"),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join emits exactly the batch range-join
+    pairs (watermarks only bound state, never drop in-order file data)."""
+    got = sorted(
+        map(tuple, load_all()["streaming_interval_join"].spark_fn(spark, sf_dir).collect())
+    )
+    ev = tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = sorted(
+        map(
+            tuple,
+            p.join(
+                c,
+                (F.col("p_user") == F.col("c_user"))
+                & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("c_ts") <= F.col("p_ts")),
+            )
+            .select(
+                "purchase_id",
+                "click_id",
+                F.col("p_user").alias("user_id"),
+                (
+                    F.unix_micros(F.col("p_ts").cast("timestamp"))
+                    - F.unix_micros(F.col("c_ts").cast("timestamp"))
+                ).alias("delta_us"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_enriched_purchases_match_batch(spark, sf_dir):
     """Stream-static join agrees with the identical batch join."""
     from adt_spark.queries import load_all, tables
