@@ -67,6 +67,31 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
                "CASE algo WHEN 'md5' THEN md5(s) WHEN 'sha224' THEN sha2(s, 224) "
                "WHEN 'sha256' THEN sha2(s, 256) WHEN 'sha384' THEN sha2(s, 384) "
                "WHEN 'sha512' THEN sha2(s, 512) END"),
+    # DataFusion's standalone sha-width names (crypto_expressions).
+    "sha224": ("(s STRING) RETURNS STRING", "sha2(s, 224)"),
+    "sha256": ("(s STRING) RETURNS STRING", "sha2(s, 256)"),
+    "sha384": ("(s STRING) RETURNS STRING", "sha2(s, 384)"),
+    "sha512": ("(s STRING) RETURNS STRING", "sha2(s, 512)"),
+    # DataFusion gcd/lcm (math_expressions) — Spark has no builtin.
+    # Euclid's algorithm as a bounded fold: 48 iterations exceeds the
+    # worst case for 64-bit inputs (consecutive Fibonacci numbers),
+    # and the loop is a pure Catalyst `aggregate` — codegen-eligible,
+    # no Python.
+    "gcd": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "element_at(aggregate(sequence(1, 48), array(abs(a), abs(b)), "
+        "(acc, i) -> CASE WHEN element_at(acc, 2) = 0 THEN acc "
+        "ELSE array(element_at(acc, 2), element_at(acc, 1) % element_at(acc, 2)) END), 1)",
+    ),
+    "lcm": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "CASE WHEN a = 0 OR b = 0 THEN 0 ELSE abs(a DIV gcd(a, b) * b) END",
+    ),
+    # DataFusion array_any_value(arr) — first non-null element.
+    "array_any_value": (
+        "(arr ARRAY<STRING>) RETURNS STRING",
+        "element_at(filter(arr, x -> x IS NOT NULL), 1)",
+    ),
 }
 
 

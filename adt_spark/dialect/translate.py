@@ -137,6 +137,17 @@ _NAME_REWRITES = {
     "today": "current_date",
     "random": "rand",
     "power": "pow",
+    "starts_with": "startswith",
+    "ends_with": "endswith",
+    "substr_index": "substring_index",
+    "to_timestamp_seconds": "timestamp_seconds",
+    "to_timestamp_millis": "timestamp_millis",
+    "to_timestamp_micros": "timestamp_micros",
+    "array_concat": "concat",
+    "array_reverse": "reverse",
+    # DataFusion generate_series(start, stop[, step]) is
+    # inclusive-of-stop — exactly Spark's sequence().
+    "generate_series": "sequence",
 }
 _NAME_RE = re.compile(
     r"\b(" + "|".join(sorted(_NAME_REWRITES, key=len, reverse=True)) + r")\s*\(",

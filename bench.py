@@ -98,9 +98,9 @@ def main() -> None:
     # the min is the reproducible cost of the plan.
     med = sorted(timings.values())[len(timings) // 2]
     outliers = sorted(
-        (n for n, t in timings.items() if t > max(2.5, 3 * med)),
+        (n for n, t in timings.items() if t > max(2.0, 2 * med)),
         key=lambda n: -timings[n],
-    )[:10]
+    )[:20]
     for name in outliers:
         timings[name] = min(timings[name], run_once(name))
     timings = {k: round(v, 4) for k, v in timings.items()}
