@@ -1045,3 +1045,103 @@ def q_correlated_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_above"))
     )
+
+
+@register(
+    "q_join_natural_using",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_nationkey AS nationkey FROM customer),
+         n AS (SELECT n_nationkey AS nationkey, n_regionkey AS regionkey,
+                      n_name FROM nation),
+         r AS (SELECT r_regionkey AS regionkey, r_name FROM region)
+    SELECT n_name AS nation, r_name AS region, count(*) AS n_customers
+    FROM (c JOIN n USING (nationkey)) JOIN r USING (regionkey)
+    GROUP BY n_name, r_name
+    """,
+    tags=("join", "using", "natural"),
+)
+def q_join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING(col) / NATURAL-JOIN surface (SURVEY §2.B joins table:
+    ``USING(col)`` → ``df.join(d2, ["col"])``).  Column names are
+    pre-aligned (``nationkey`` / ``regionkey``) so both engines run
+    the identical name-equi join; dimension sides broadcast.
+    """
+    t = tables(spark, sf_dir)
+    cust = t["customer"].withColumnRenamed("c_nationkey", "nationkey")
+    nat = t["nation"].withColumnRenamed("n_nationkey", "nationkey").withColumnRenamed(
+        "n_regionkey", "regionkey"
+    )
+    reg = t["region"].withColumnRenamed("r_regionkey", "regionkey")
+    return (
+        cust.join(F.broadcast(nat), ["nationkey"])
+        .join(F.broadcast(reg), ["regionkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q_ordered_array_agg",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "array_agg", "ordered"),
+)
+def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``array_agg(x ORDER BY y)`` (SURVEY gap G5: Spark's
+    collect_list has no per-aggregate ORDER BY): collect (key, value)
+    structs, array_sort — struct comparison is field-lexicographic, so
+    (o_orderdate, o_orderkey) gives the exact ORDER BY — then project
+    the value field.  All array-local work after the one groupBy
+    shuffle; no window, no second shuffle.
+    """
+    orders = tables(spark, sf_dir)["orders"]
+    return orders.groupBy("o_custkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(o_orderdate AS k,"
+            " o_orderkey AS v))), s -> s.v)"
+        ).alias("order_keys")
+    )
+
+
+@register(
+    "q_window_groups_frame",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty, l_returnflag,
+             dense_rank() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(l_quantity AS BIGINT)) AS dr
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           sum(qty) OVER (PARTITION BY l_returnflag ORDER BY dr
+                          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+             AS grp_sum
+    FROM ranked
+    """,
+    tags=("window", "groups_frame"),
+)
+def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS-frame emulation (SURVEY gap G6: Spark has no GROUPS
+    BETWEEN): ``GROUPS 1 PRECEDING AND 1 FOLLOWING`` ≡ a RANGE frame
+    of ±1 over the peer-group index, i.e. ``dense_rank()`` of the
+    ORDER BY key.  Two window passes over the SAME partitioning+sort —
+    Catalyst plans one shuffle and one sort, the second Window reuses
+    the ordering.  (DuckDB also lacks GROUPS mode; the oracle runs the
+    identical construction, pinning the recipe cross-engine.)
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    qty = F.col("l_quantity").cast("long")
+    w_rank = W.partitionBy("l_returnflag").orderBy("qty")
+    w_groups = W.partitionBy("l_returnflag").orderBy("dr").rangeBetween(-1, 1)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", qty.alias("qty"), "l_returnflag"
+        )
+        .withColumn("dr", F.dense_rank().over(w_rank))
+        .withColumn("grp_sum", F.sum("qty").over(w_groups))
+        .select("l_orderkey", "l_linenumber", "grp_sum")
+    )

@@ -60,6 +60,8 @@ class _Snapshot:
     version: int
     schema: T.StructType
     partition_columns: list[str]
+    #: delta.columnMapping.mode from table configuration: none|name|id
+    column_mapping_mode: str = "none"
     #: path → (partitionValues dict, deletionVector dict | None)
     files: dict[str, tuple[dict, dict | None]] = field(default_factory=dict)
 
@@ -84,13 +86,18 @@ def _list_log(location: str) -> tuple[list[tuple[int, str]], list[tuple[int, str
 
 def _check_protocol(protocol: dict) -> None:
     """Reader-version gate (kernel does the same before replay).
-    minReaderVersion 1 = base, 2 = column mapping (unsupported here),
-    3 = table features — allowed iff every readerFeature is one we
-    implement."""
+    minReaderVersion 1 = base, 2 = column mapping, 3 = table features
+    — allowed iff every readerFeature is one we implement."""
     v = protocol.get("minReaderVersion", 1)
     features = set(protocol.get("readerFeatures") or [])
-    supported = {"deletionVectors", "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint"}
-    if v == 2 or (v >= 3 and not features <= supported):
+    supported = {
+        "deletionVectors",
+        "timestampNtz",
+        "vacuumProtocolCheck",
+        "v2Checkpoint",
+        "columnMapping",
+    }
+    if v >= 3 and not features <= supported:
         raise DeltaProtocolError(
             f"unsupported Delta reader requirements: minReaderVersion={v}, "
             f"features={sorted(features - supported)} (native reader supports "
@@ -104,6 +111,8 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
     if meta := action.get("metaData"):
         snap.schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         snap.partition_columns = list(meta.get("partitionColumns") or [])
+        conf = meta.get("configuration") or {}
+        snap.column_mapping_mode = conf.get("delta.columnMapping.mode", "none")
     if proto := action.get("protocol"):
         _check_protocol(proto)
     if add := action.get("add"):
@@ -168,23 +177,93 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
     return snap
 
 
+def _physical_type(dt: T.DataType, with_ids: bool) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType([_physical_field(f, with_ids) for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType, with_ids), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType, with_ids),
+            _physical_type(dt.valueType, with_ids),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _physical_field(f: T.StructField, with_ids: bool) -> T.StructField:
+    """Logical field → physical field (column mapping): rename to
+    ``delta.columnMapping.physicalName``; in ``id`` mode additionally
+    carry the mapping id as ``parquet.field.id`` so Spark's parquet
+    reader matches by field id (name-mode files may lack ids — there
+    the schema must NOT carry them, or Spark's field-id reader path
+    rejects the file)."""
+    md = f.metadata or {}
+    phys = md.get("delta.columnMapping.physicalName", f.name)
+    fid = md.get("delta.columnMapping.id")
+    meta = {"parquet.field.id": int(fid)} if with_ids and fid is not None else {}
+    return T.StructField(phys, _physical_type(f.dataType, with_ids), f.nullable, meta)
+
+
+def _physical_name(f: T.StructField) -> str:
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
 def read_delta_native(
     spark: SparkSession, location: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read → DataFrame: distributed parquet scan over the
     surviving file list, partition columns appended as typed literals
     (reference field order deltatable.rs:136-152: data columns first,
-    partition columns after)."""
+    partition columns after).
+
+    Column mapping (protocol reader v2 / ``columnMapping`` feature):
+    files are read under their *physical* schema — names from
+    ``delta.columnMapping.physicalName``, parquet field ids attached
+    for ``id`` mode — then projected back to logical names (nested
+    renames via positional struct cast).  ``add.partitionValues`` keys
+    are physical in mapped tables and are translated before typing.
+    """
     snap = replay_snapshot(spark, location, version)
+    mapped = snap.column_mapping_mode in ("name", "id")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     part_fields = {f.name: f for f in snap.schema.fields if f.name in part_cols}
     data_schema = T.StructType(data_fields)
+    read_schema = (
+        T.StructType(
+            [
+                _physical_field(f, with_ids=snap.column_mapping_mode == "id")
+                for f in data_fields
+            ]
+        )
+        if mapped
+        else data_schema
+    )
+    #: physical partition-value key → logical column name
+    part_key_of = {
+        (_physical_name(f) if mapped else name): name
+        for name, f in part_fields.items()
+    }
     out_cols = [f.name for f in data_fields] + part_cols
 
     if not snap.files:
         return spark.createDataFrame(
             [], T.StructType(data_fields + [part_fields[c] for c in part_cols])
+        )
+    if mapped and snap.column_mapping_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+    def to_logical(df: DataFrame) -> DataFrame:
+        if not mapped:
+            return df
+        # positional struct cast renames nested fields; alias renames
+        # the top level — together: physical → logical, type-exact.
+        return df.select(
+            *[
+                F.col(p.name).cast(lf.dataType).alias(lf.name)
+                for p, lf in zip(read_schema.fields, data_fields)
+            ]
         )
 
     # Group files by partition tuple → one scan per group, partition
@@ -192,19 +271,22 @@ def read_delta_native(
     groups: dict[tuple, list[str]] = {}
     dv_files = []
     for path, (pvals, dv) in snap.files.items():
+        logical_pvals = {part_key_of.get(k, k): v for k, v in pvals.items()}
         if dv is not None:
-            dv_files.append((path, pvals, dv))
+            dv_files.append((path, logical_pvals, dv))
             continue
-        key = tuple(sorted(pvals.items()))
+        key = tuple(sorted(logical_pvals.items()))
         groups.setdefault(key, []).append(os.path.join(location, path))
 
     parts: list[DataFrame] = []
     for key, paths in groups.items():
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = to_logical(spark.read.schema(read_schema).parquet(*paths))
         parts.append(_with_partition_cols(df, dict(key), part_fields, out_cols))
     for path, pvals, dv in dv_files:
-        df = _apply_deletion_vector(
-            spark, os.path.join(location, path), data_schema, dv, location
+        df = to_logical(
+            _apply_deletion_vector(
+                spark, os.path.join(location, path), read_schema, dv, location
+            )
         )
         parts.append(_with_partition_cols(df, pvals, part_fields, out_cols))
 

@@ -208,10 +208,86 @@ def test_deletion_vector_file_storage(spark, table):
 def test_protocol_gate(spark, tmp_path):
     t = str(tmp_path / "dgate")
     _write_data(t, "f.parquet", [1], ["x"])
-    _commit(t, 0, [_protocol(reader=3, features=["columnMapping"]), _meta(()),
+    _commit(t, 0, [_protocol(reader=3, features=["typeWidening"]), _meta(()),
                    _add("f.parquet", {})])
-    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         read_delta_native(spark, t)
+
+
+# --- column mapping (protocol reader v2 / columnMapping feature) ----------
+
+
+def _mapped_schema():
+    """Logical (id, val, p) with physical names col-1/col-2/col-3."""
+    def fld(name, dt, fid, phys):
+        return T.StructField(
+            name, dt, True,
+            {"delta.columnMapping.id": fid,
+             "delta.columnMapping.physicalName": phys},
+        )
+    return T.StructType(
+        [fld("id", T.LongType(), 1, "col-1"),
+         fld("val", T.StringType(), 2, "col-2"),
+         fld("p", T.IntegerType(), 3, "col-3")]
+    )
+
+
+def _mapped_meta(mode, partition_cols=("p",)):
+    return {
+        "metaData": {
+            "id": "test-table-cm",
+            "format": {"provider": "parquet"},
+            "schemaString": json.dumps(_mapped_schema().jsonValue()),
+            "partitionColumns": list(partition_cols),
+            "configuration": {"delta.columnMapping.mode": mode},
+        }
+    }
+
+
+def _write_mapped_data(table, rel_path, ids, vals, with_field_ids=False):
+    path = os.path.join(table, rel_path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    md = (lambda i: {b"PARQUET:field_id": str(i).encode()}) if with_field_ids else (
+        lambda i: None
+    )
+    schema = pa.schema(
+        [pa.field("col-1", pa.int64(), metadata=md(1)),
+         pa.field("col-2", pa.string(), metadata=md(2))]
+    )
+    pq.write_table(
+        pa.table(
+            {"col-1": pa.array(ids, pa.int64()), "col-2": pa.array(vals, pa.string())},
+            schema=schema,
+        ),
+        path,
+    )
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    t = str(tmp_path / "dcm_name")
+    _write_mapped_data(t, "a.parquet", [1, 2], ["x", "y"])
+    _write_mapped_data(t, "b.parquet", [3], ["z"])
+    # partitionValues keyed by PHYSICAL name in mapped tables
+    _commit(t, 0, [_protocol(reader=2), _mapped_meta("name"),
+                   _add("a.parquet", {"col-3": "7"}),
+                   _add("b.parquet", {"col-3": "8"})])
+    df = read_delta_native(spark, t)
+    assert df.columns == ["id", "val", "p"]
+    assert {(r.id, r.val, r.p) for r in df.collect()} == {
+        (1, "x", 7), (2, "y", 7), (3, "z", 8)
+    }
+
+
+def test_column_mapping_id_mode(spark, tmp_path):
+    t = str(tmp_path / "dcm_id")
+    _write_mapped_data(t, "a.parquet", [10, 20], ["u", "v"], with_field_ids=True)
+    _commit(t, 0, [_protocol(reader=3, features=["columnMapping"]),
+                   _mapped_meta("id", partition_cols=()),
+                   _add("a.parquet", {})])
+    df = read_delta_native(spark, t)
+    assert df.columns == ["id", "val", "p"]
+    got = {(r.id, r.val, r.p) for r in df.collect()}
+    assert got == {(10, "u", None), (20, "v", None)}
 
 
 def test_register_table_routes_delta(spark, table):
