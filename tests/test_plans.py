@@ -158,3 +158,42 @@ def test_salted_agg_two_phase(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_salted_distinct_users"))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """dedup_decontaminate: the eval shingle set must broadcast (the
+    benchmark side is MBs at any corpus scale); the training-shingle
+    scan must not shuffle into the join."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_two_phase_agg(spark, sf_dir):
+    """text_repetition_stats: both aggregation levels must plan
+    partial+final HashAggregate — the (doc_id, token) partial combine
+    is what absorbs within-document repetition before any shuffle."""
+    plan = _formatted(_q(spark, sf_dir, "text_repetition_stats"))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+
+
+def test_groups_frame_single_shuffle_sort(spark, sf_dir):
+    """q_window_groups_frame: both window passes share partitioning
+    and ordering — exactly one exchange over l_returnflag must feed
+    the two Window operators."""
+    plan = _formatted(_q(spark, sf_dir, "q_window_groups_frame"))
+    # exactly one hash exchange in the whole plan (formatted mode
+    # prints each operator's arguments once)
+    assert plan.count("hashpartitioning(") == 1
+    assert "hashpartitioning(l_returnflag" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_ordered_array_agg_no_window(spark, sf_dir):
+    """q_ordered_array_agg: the ORDER BY emulation is array-local
+    after one groupBy shuffle — no Window operator, no extra sort
+    pass over the data."""
+    plan = _formatted(_q(spark, sf_dir, "q_ordered_array_agg"))
+    assert "Window" not in plan
+    assert plan.count("hashpartitioning(o_custkey") <= 1
