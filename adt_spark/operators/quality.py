@@ -142,3 +142,164 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
     )
+
+
+@register(
+    "q_token_pack_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+    tags=("text", "packing", "window"),
+)
+def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed token-budget bins (256 tokens) per source — the deterministic
+    first-fit-by-order approximation of example packing.  bin_id =
+    floor(running-token-count-before / budget), a single window pass.
+
+    Scale posture: the window partitions by source, so state is one
+    running sum per partition; for a source too large for one task,
+    pre-shard the key (source, hash(doc_id) % k) — same plan shape.
+    One shuffle total; no iteration, no driver loop.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.col("cum_before") / 256.0).cast("long").alias("bin_id"),
+        )
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), stats AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN
+               ('the','a','an','and','or','of','to','in','is','on')))
+               AS DOUBLE) / len(toks) AS stop_ratio,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS distinct_ratio
+      FROM tok
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(toks) - {NGRAM - 1}),
+                    i -> array_to_string(toks[i+1:i+{NGRAM}], ' '))) AS shingle
+      FROM tok WHERE len(toks) >= {NGRAM}
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % {EVAL_MOD} = 0) ev USING (shingle)
+      WHERE s.doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           s.stop_ratio, s.distinct_ratio
+    FROM stats s
+    WHERE s.lang = 'en' AND s.doc_id % {EVAL_MOD} <> 0
+      AND s.n_tokens >= 20 AND s.stop_ratio <= 0.30
+      AND s.distinct_ratio >= 0.35
+      AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+    tags=("pipeline", "quality", "decontamination"),
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composed filter chain a
+    training-data pipeline actually ships: language gate → length
+    gate → stopword-ratio gate → repetition (distinct-ratio) gate →
+    benchmark decontamination, emitting the surviving documents with
+    their quality stats.
+
+    The composition stays one pass over the corpus: the quality gates
+    are shuffle-free per-row expressions; the only joins are the
+    broadcast eval-shingle hit list (anti-join) — so the whole
+    pipeline costs one scan + one broadcast anti-join at any corpus
+    size.  Each stage is individually oracle-checked by its own
+    operator (text_quality_score, text_repetition_stats,
+    dedup_decontaminate); this query pins their composition.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    sw = ", ".join(f"'{w}'" for w in
+                   ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on"))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        (
+            F.expr(f"size(filter(toks, x -> x IN ({sw})))").cast("double")
+            / F.size("toks")
+        ).alias("stop_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias(
+            "distinct_ratio"
+        ),
+    )
+    shingled = stats.filter(F.size("toks") >= NGRAM).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {NGRAM}),"
+                f" i -> array_join(slice(toks, i + 1, {NGRAM}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    eval_shingles = (
+        shingled.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    contaminated = (
+        shingled.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_shingles), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        stats.filter(
+            (F.col("lang") == "en")
+            & (F.col("doc_id") % EVAL_MOD != 0)
+            & (F.col("n_tokens") >= 20)
+            & (F.col("stop_ratio") <= 0.30)
+            & (F.col("distinct_ratio") >= 0.35)
+        )
+        .join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "stop_ratio",
+            "distinct_ratio",
+        )
+    )
