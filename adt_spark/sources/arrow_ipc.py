@@ -90,3 +90,50 @@ def read_arrow_ipc_distributed(spark: SparkSession, location: str) -> DataFrame:
                     yield batch.to_pandas()
 
     return paths_df.mapInPandas(decode, schema=schema)
+
+
+def write_arrow_ipc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Arrow IPC file sink — one ``part-N.arrow`` IPC *file-format*
+    file per partition, written executor-side via ``mapInArrow`` (no
+    driver materialization; the write parallelism is the scan/shuffle
+    parallelism, the only sink shape that holds at 100 TB).  On a real
+    cluster ``path`` must be shared storage — the same contract as
+    every Spark file sink.
+
+    The reference registers ARROW only as a *read* factory
+    (crates/core/src/context.rs:42); the writer completes the format
+    matrix so COPY … STORED AS ARROW round-trips.
+    """
+    import shutil
+    from pyspark.sql.functions import lit
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    path = path.removeprefix("file://")
+    if os.path.exists(path):
+        if mode != "overwrite":
+            raise FileExistsError(path)
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    arrow_schema = to_arrow_schema(df.schema)
+
+    def write_partition(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        n = 0
+        try:
+            for batch in batches:
+                if writer is None:
+                    writer = pa.ipc.new_file(
+                        os.path.join(path, f"part-{pid:05d}.arrow"), arrow_schema
+                    )
+                writer.write_batch(batch)
+                n += len(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        yield pa.RecordBatch.from_pydict({"n": pa.array([n], pa.int64())})
+
+    counts = df.mapInArrow(write_partition, schema="n long")
+    counts.write.format("noop").mode("overwrite").save()

@@ -44,6 +44,10 @@ _WRITE_FORMATS = {
     # reader's two-path selection (delta.py).
     "delta": ("delta", {}),
     "deltatable": ("delta", {}),
+    # Arrow IPC: executor-side per-partition writer (arrow_ipc.py) —
+    # the reference registers ARROW read-only; the writer completes
+    # the round-trip.
+    "arrow": ("arrow", {}),
 }
 
 _COPY_HEAD = re.compile(r"^\s*COPY\b", re.IGNORECASE)
@@ -132,6 +136,13 @@ def write_dataframe(
     layout readable by the listing side (sources/registry.py).
     """
     spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
+    if spark_fmt == "arrow":
+        from adt_spark.sources.arrow_ipc import write_arrow_ipc
+
+        if partition_by:
+            raise ValueError("PARTITIONED BY is not supported for ARROW sinks")
+        write_arrow_ipc(df, path, mode=mode)
+        return
     if spark_fmt == "delta":
         from adt_spark.sources.delta import delta_available
 

@@ -110,3 +110,21 @@ def test_ctas_and_insert_into(ctx, spark, sf_dir, tmp_path):
     # data lives at the external location, readable without the catalog
     assert spark.read.parquet(loc).count() == 6
     ctx.sql("DROP TABLE ctas_nations")
+
+
+def test_copy_arrow_ipc_roundtrip(ctx, spark, sf_dir, tmp_path):
+    from adt_spark.sources.arrow_ipc import read_arrow_ipc, read_arrow_ipc_distributed
+
+    ctx.register_table("sink_nation2", os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "nation_arrow")
+    res = ctx.sql(
+        f"COPY (SELECT n_nationkey, n_name FROM sink_nation2) TO '{out}' STORED AS ARROW"
+    )
+    assert res.first()["count"] == 25
+    files = [f for f in os.listdir(out) if f.endswith(".arrow")]
+    assert files, "no IPC part files written"
+    back = read_arrow_ipc(spark, out)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+    dist = read_arrow_ipc_distributed(spark, out)
+    assert dist.count() == 25
