@@ -49,6 +49,8 @@ HEADLINE = [
     "q_range_join_purchase_error",
     "q_stratified_sample",
     "q_deterministic_shuffle",
+    "q_token_pack_bins",
+    "pipeline_clean_corpus",
 ]
 
 

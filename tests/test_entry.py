@@ -30,4 +30,6 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_events_session_window",
         "streaming_user_totals_stateful",
         "streaming_enriched_purchases",
+        "streaming_dedup_events",
+        "streaming_interval_join",
     }, rows_only
