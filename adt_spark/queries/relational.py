@@ -1145,3 +1145,39 @@ def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("grp_sum", F.sum("qty").over(w_groups))
         .select("l_orderkey", "l_linenumber", "grp_sum")
     )
+
+
+@register(
+    "q_lateral_topk_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+    """,
+    tags=("join", "lateral", "topk"),
+)
+def q_lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-group ORDER BY + LIMIT
+    (top-2 customers by balance per nation) — the PostgreSQL-dialect
+    construct, run natively by Spark 4's parser.  Catalyst decorrelates
+    it to the window top-k plan (WindowGroupLimit), so the SQL sugar
+    costs nothing over the explicit ``row_number() <= k`` formulation;
+    the unique-key tiebreak makes the result set deterministic across
+    engines.
+    """
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
