@@ -188,3 +188,37 @@ def execute_copy(spark: SparkSession, sql: str, run_query) -> DataFrame:
     finally:
         df.unpersist()
     return spark.createDataFrame([(n,)], "count bigint")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink — the co-located-join lever at
+    100 TB scale.
+
+    Two tables bucketed by the same key into the same bucket count
+    hash-join WITHOUT a shuffle exchange on either side: the bucket
+    layout *is* the required hash partitioning, so a fact⋈fact join
+    (the only join class that shuffles in this engine; every dimension
+    join broadcasts) degenerates to a per-bucket local join.  With
+    ``sort_cols`` the buckets are also sort-merged without a sort.
+
+    The reference's analog is ``WITH ORDER`` + hive partitioning on
+    the listing factory (listing.rs:127-149 — declared file order so
+    DataFusion can elide sorts); Spark's bucketing is the stronger
+    contract (hash distribution + order), but only through the catalog
+    (``saveAsTable``) — plain ``save(path)`` cannot record bucket
+    metadata, which is why this helper takes a table name.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
