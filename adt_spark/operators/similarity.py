@@ -392,3 +392,114 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("q8_csv"),
     )
+
+
+_KM_K = 4
+_KM_DIM = 64
+
+
+@register(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_KM_K}
+    ), d1 AS (
+      SELECT v.vec_id, c0.cid,
+             list_reduce(list_transform(range({_KM_DIM}),
+               i -> (vec[i+1]-cvec[i+1])*(vec[i+1]-cvec[i+1])), (a,b) -> a+b)
+               AS dist
+      FROM v CROSS JOIN c0
+    ), a1 AS (
+      SELECT vec_id, cid FROM d1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    ), dims AS (
+      SELECT a1.cid, r.i AS pos, CAST(v.vec[r.i+1] AS DECIMAL(38,15)) AS val
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN range({_KM_DIM}) r(i)
+    ), sums AS (
+      SELECT cid, pos, CAST(sum(val) AS DOUBLE) / count(*) AS m
+      FROM dims GROUP BY cid, pos
+    ), c1 AS (
+      SELECT cid, list(m ORDER BY pos) AS cvec FROM sums GROUP BY cid
+    ), d2 AS (
+      SELECT v.vec_id, c1.cid,
+             list_reduce(list_transform(range({_KM_DIM}),
+               i -> (vec[i+1]-cvec[i+1])*(vec[i+1]-cvec[i+1])), (a,b) -> a+b)
+               AS dist
+      FROM v CROSS JOIN c1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM d2
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    """,
+    tags=("embedding", "kmeans", "iterative"),
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd (k-means) iteration over the embedding corpus:
+    deterministic init (centroids = the k lowest vec_ids), assign →
+    recompute means → reassign; output the final assignment.  The
+    building block of embedding-space corpus curation (cluster-balanced
+    sampling, semantic dedup, domain discovery).
+
+    Cross-engine exactness for an *iterative float* algorithm — the
+    hard case the correctness rules exist for:
+
+    - distances fold left-to-right over ``zip_with`` (both engines
+      reduce the 64-term sum in array order — no shuffle-order
+      nondeterminism can enter a per-row fold);
+    - centroid means accumulate in DECIMAL(38,15) (exact, order-free)
+      and divide in DOUBLE — the one cross-row float reduction is
+      decimal, so Spark's shuffle order cannot change the result;
+    - argmin tiebreaks on (dist, cid) via field-lexicographic struct
+      min.
+
+    Scale posture: centroids are k×dim — kilobytes at any corpus
+    size — so they live in the plan as literals (the classic Lloyd's
+    broadcast); assignment is a per-row expression, zero shuffle.  The
+    only shuffles are the (cluster, dim)-keyed mean aggregations —
+    k×dim groups, partial+final.  The driver holds exactly k×dim
+    doubles per round (bounded; documented analog of the reference's
+    zero iterative surface — DataFusion 48 has no iteration at all,
+    SURVEY.md §2.B).
+    """
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
+    )
+
+    def assign(cents: dict[int, list[float]]) -> DataFrame:
+        structs = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "vec",
+                        F.array(*[F.lit(float(x)) for x in cvec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in sorted(cents.items())
+        ]
+        return v.withColumn(
+            "cluster_id", F.array_min(F.array(*structs)).getField("cid")
+        )
+
+    cents = {int(r.vec_id): r.vec for r in v.filter(F.col("vec_id") < _KM_K).collect()}
+    sums = (
+        assign(cents)
+        .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    cents1: dict[int, list[float]] = {}
+    for r in sums.collect():
+        cents1.setdefault(int(r.cluster_id), [0.0] * _KM_DIM)[r.pos] = r.m
+    return assign(cents1).select("vec_id", "cluster_id")
