@@ -197,3 +197,38 @@ def test_ordered_array_agg_no_window(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_ordered_array_agg"))
     assert "Window" not in plan
     assert plan.count("hashpartitioning(o_custkey") <= 1
+
+
+def test_runtime_bloom_filter_available(spark, sf_dir):
+    """Selective fact⋈fact joins get a runtime bloom filter on the
+    probe side (semi-join reduction before the shuffle) — the 100 TB
+    lever for "filtered orders ⋈ lineitem" shapes.  Default size
+    thresholds (10 GB application-side scan) only trip at cluster
+    scale, so the test lowers them to prove the session config keeps
+    the rewrite reachable; at real scale the defaults apply as-is."""
+    import os
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        j = o.filter(F.col("o_orderpriority") == "1-URGENT").join(
+            li, o.o_orderkey == li.l_orderkey
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
