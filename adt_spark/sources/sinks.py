@@ -222,3 +222,44 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    fmt: str = "parquet",
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a directory of many small files
+    into size-targeted output files (~``target_mb`` each).  Returns the
+    output file count.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-batch ingestion at scale (every micro-batch leaves a file per
+    partition; a year later the table has 10⁷ files and planning time
+    dwarfs scan time).  Compaction = read → repartition to
+    ceil(bytes / target) → rewrite.  Sizing uses the *input* byte
+    count from the file listing — metadata only, no data pass — and
+    ``repartition`` (round-robin) rather than ``coalesce`` so output
+    files are uniform even when input files are skewed.
+    """
+    import math
+    import os
+
+    base = src.removeprefix("file://")
+    total = 0
+    for root, _, files in os.walk(base):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src)
+    write_dataframe(df.repartition(n_out), dst, fmt=fmt, mode="overwrite")
+    out_base = dst.removeprefix("file://")
+    return sum(
+        1
+        for root, _, files in os.walk(out_base)
+        for f in files
+        if f.endswith(f".{fmt}") or (fmt == "json" and f.endswith(".json"))
+    )

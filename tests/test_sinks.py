@@ -165,3 +165,22 @@ def test_bucketed_join_eliminates_shuffle(ctx, spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("bkt_orders", "bkt_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_files(ctx, spark, sf_dir, tmp_path):
+    """64 tiny input files compact to 1 size-targeted output file with
+    identical rows — the small-files maintenance op for streaming
+    ingest directories."""
+    from adt_spark.sources.sinks import compact_files
+
+    src = str(tmp_path / "many_small")
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.repartition(64).write.parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 64
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, src, dst, target_mb=128)
+    assert n_out == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
