@@ -322,3 +322,21 @@ def test_z85_roundtrip():
 def test_decode_inline_dv_descriptor(tmp_path):
     dv = encode_inline_dv([3, 9, 1000])
     assert decode_dv(dv, str(tmp_path)) == [3, 9, 1000]
+
+
+def test_partition_pruning_eliminates_file_groups(spark, table):
+    """Filtering on a partition column must eliminate the other
+    partition groups' scans entirely (log-level partition pruning).
+    Partition values enter the plan as per-group literals, so the
+    pushed filter constant-folds to false on non-matching groups and
+    Catalyst drops their FileScans — *stronger* than the reference's
+    native provider, which skips pruning at the log level entirely
+    (SURVEY §4.1: deltatable.rs:321-324 passes no predicate to the
+    kernel scan; pruning there happens only inside parquet)."""
+    from pyspark.sql import functions as F
+
+    df = read_delta_native(spark, table).filter(F.col("p") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "1 AS p#" in plan  # the surviving group's partition literal
+    assert {r.id for r in df.collect()} == {1, 2, 3}
