@@ -303,3 +303,38 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio",
         )
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("text", "vocab", "heavy-hitters"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the top-20 tokens by frequency —
+    vocabulary induction / stop-list discovery for a tokenizer
+    pipeline.
+
+    Exact formulation: explode → partial+final count (map-side combine
+    absorbs per-partition repetition) → ``TakeOrderedAndProject``
+    (per-partition heaps, no global sort), with a token tiebreak so
+    the result set is deterministic across engines.  For extreme
+    cardinalities where even the counted shuffle hurts, Spark 4's
+    ``approx_top_k`` sketch is the drop-in approximate path (kept out
+    of the oracle-checked corpus because its equal-count tie order is
+    engine-internal).
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
