@@ -340,3 +340,15 @@ def test_partition_pruning_eliminates_file_groups(spark, table):
     assert plan.count("FileScan") == 1, plan
     assert "1 AS p#" in plan  # the surviving group's partition literal
     assert {r.id for r in df.collect()} == {1, 2, 3}
+
+
+def test_empty_table_read(spark, tmp_path):
+    """A Delta table whose files were all removed reads as an empty
+    DataFrame with the full declared schema (data + partition cols)."""
+    t = str(tmp_path / "dempty")
+    _write_data(t, "p=1/f1.parquet", [1], ["x"])
+    _commit(t, 0, [_protocol(), _meta(), _add("p=1/f1.parquet", {"p": "1"})])
+    _commit(t, 1, [{"remove": {"path": "p=1/f1.parquet", "dataChange": True}}])
+    df = read_delta_native(spark, t)
+    assert df.columns == ["id", "val", "p"]
+    assert df.count() == 0
