@@ -324,3 +324,46 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(enriched, spark, "append")
+
+
+@register("streaming_delta_ingest", oracle=None, tags=("streaming", "delta", "sink"))
+def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → Delta Lake ingest: the event stream's hourly rollup
+    written to a Delta table per micro-batch via ``foreachBatch`` +
+    the native protocol writer — the lakehouse landing pattern every
+    large pipeline ships (stream in, ACID table out), end-to-end with
+    zero extra jars.
+
+    ``foreachBatch`` is the right sink shape here: the rollup is an
+    aggregation in complete mode, so each batch overwrites the table
+    with an atomic native-writer commit (create → overwrite versions);
+    readers always see a consistent snapshot, never a half-written
+    batch.  Returns the final table contents read back through the
+    native Delta reader (rows-only check; test_streaming.py pins the
+    round-trip against the oracle-checked batch rollup).
+    """
+    import tempfile
+
+    from adt_spark.sources.delta_native import read_delta_native
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    tables(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="stream_delta_")
+    target = os.path.join(out_dir, "hourly_rollup")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # complete mode re-emits the whole rollup each batch → each
+        # commit overwrites (the writer creates the table on first use)
+        write_delta_native(batch_df, target, mode="overwrite")
+
+    q = (
+        windowed_counts_stream(spark, os.path.join(sf_dir, "events.parquet"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_delta_native(spark, target)

@@ -32,4 +32,5 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_enriched_purchases",
         "streaming_dedup_events",
         "streaming_interval_join",
+        "streaming_delta_ingest",
     }, rows_only

@@ -179,3 +179,26 @@ def test_enriched_purchases_match_batch(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_delta_ingest_roundtrip(spark, sf_dir):
+    """The foreachBatch → native-Delta-writer sink lands exactly the
+    batch rollup, read back through the native Delta reader."""
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in load_all()["streaming_delta_ingest"].spark_fn(spark, sf_dir).collect()
+    }
+    ev = tables(spark, sf_dir)["events"]
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(T.DecimalType(12, 2))).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
