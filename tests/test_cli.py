@@ -77,3 +77,28 @@ def test_execute_script(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "| 5" in out.replace("|5", "| 5") or "5" in out
+
+
+def test_view_output_path_export(spark, sf_dir, tmp_path, capsys):
+    """-o exports the FULL query result (no preview LIMIT) through the
+    COPY sink — the reference's declared-but-dead export surface
+    (cli.rs:67-68), completed."""
+    from adt_spark import ADTContext
+
+    out = str(tmp_path / "export_out")
+    rc = main(
+        [
+            "view",
+            os.path.join(sf_dir, "customer.parquet"),
+            "-f", "parquet",
+            "-q", "select c_custkey, c_name from tbl where c_custkey < 100",
+            "-l", "5",
+            "-o", out,
+        ],
+        ctx=ADTContext(spark=spark),
+    )
+    assert rc == 0
+    assert "exported 100 rows" in capsys.readouterr().out
+    back = spark.read.parquet(out)
+    assert back.count() == 100  # full result, not the 5-row preview
+    assert set(back.columns) == {"c_custkey", "c_name"}
