@@ -743,3 +743,74 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component_id
+        FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS quality
+        FROM documents
+    )
+    SELECT comp.doc_id,
+           CAST(comp.component_id AS BIGINT) AS component_id,
+           q.quality,
+           row_number() OVER (PARTITION BY comp.component_id
+                              ORDER BY q.quality DESC, comp.doc_id) = 1
+             AS is_canonical
+    FROM comp JOIN q USING (doc_id)
+    """,
+    tags=("dedup", "components", "canonical"),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the last stage of the
+    near-dup pipeline: within each connected component keep the
+    *highest-quality* document (distinct-token ratio, doc_id
+    tiebreak), not merely the lowest id.  Min-id keepers (the
+    ``dedup_components`` default) systematically prefer whichever
+    duplicate was crawled first; quality-ranked keepers are what
+    corpus pipelines actually ship.
+
+    Plan: the component labels from the iterative min-propagation
+    (one job sequence, see ``dedup_components``), one shuffle-free
+    quality projection, one window over component_id.  Component sizes
+    are small by construction (near-dup clusters), so the window
+    partition key is fine-grained at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "quality"
+        ),
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "component_id", "quality", "is_canonical")
+    )
