@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module and return the full registry."""
     from adt_spark.queries import (  # noqa: F401
         events,
+        formats,
         relational,
         scalar_funcs,
         scalar_funcs2,

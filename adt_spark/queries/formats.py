@@ -1,0 +1,102 @@
+"""Format-matrix queries — the CSV / JSON(NDJSON) read paths exercised
+inside the oracle-checked corpus, not only in unit tests.
+
+The reference's listing factory serves six formats through one code
+path (SURVEY.md §2.A A1/A18, listing.rs:50-158 + context.rs:37-42);
+these queries prove the non-parquet paths produce value-identical
+results: each converts a driver table to the format under test
+(deterministic temp location, overwritten per run), reads it back
+through ``spark.read.<fmt>`` with an explicit schema — schema
+*inference* differences are a documented non-goal (SURVEY §7
+"moderate"); pinned schemas are the production posture anyway — and
+aggregates.  The DuckDB oracle aggregates the original parquet, so a
+hash match proves the format round-trip is lossless.
+
+Scale note: the conversion step is itself a distributed write
+(partition-per-task); the read-back is a normal distributed scan.
+Temp data lands under /tmp keyed by scale factor — bounded by the
+dimension tables used (nation/orders), not the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adt_spark.queries import register, tables
+
+
+def _tmp(sf_dir: str, fmt: str) -> str:
+    key = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), f"adt_fmt_{key}_{fmt}")
+
+
+@register(
+    "q_csv_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("format", "csv"),
+)
+def q_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV path: nation → CSV (header, default comma) → read back with
+    a pinned schema → aggregate.  Hash-matching the parquet-side
+    oracle proves the CSV writer/reader pair round-trips values
+    exactly (incl. the int/string column mix)."""
+    nation = tables(spark, sf_dir)["nation"]
+    path = _tmp(sf_dir, "csv")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+@register(
+    "q_json_roundtrip_agg",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("format", "json", "ndjson"),
+)
+def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON path: orders → line-delimited JSON → read back with a
+    pinned schema → aggregate with the engine's exact decimal money
+    rules.  JSON is the reference's ndjson format (cli.rs:6-12 —
+    DataFusion's JSON is newline-delimited, exactly ``spark.read.json``
+    semantics)."""
+    orders = tables(spark, sf_dir)["orders"]
+    path = _tmp(sf_dir, "json")
+    orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.mode(
+        "overwrite"
+    ).json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(12, 2)))
+        .cast("double")
+        .alias("total"),
+    )
