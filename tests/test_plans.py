@@ -80,6 +80,12 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "q_asof_join_latest_click",
         "q_range_join_purchase_error",
         "q_stratified_sample",
+        "dedup_decontaminate",
+        "pipeline_clean_corpus",
+        "q_lateral_topk_per_nation",
+        "q_join_natural_using",
+        "emb_kmeans_assign",
+        "text_vocab_topk",
     ],
 )
 def test_no_cartesian_products(spark, sf_dir, name):
