@@ -338,3 +338,79 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(20)
     )
+
+
+@register(
+    "q_per_source_cap",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('cap-' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    tags=("sampling", "cap", "curation"),
+)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: keep at most 10 documents per source,
+    chosen by seeded-hash order (uniform, deterministic, engine-
+    independent) — the domain-cap stage that stops a single crawl
+    source from dominating a training mix.
+
+    One window per source partition; Spark's WindowGroupLimit pushes
+    the rank bound into per-partition heaps, so state per task is the
+    cap, not the partition.  Selection by md5 of a seeded key, not by
+    rand(): reproducible across engines and runs.
+    """
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    key = F.md5(F.concat(F.lit("cap-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS h
+      FROM documents
+    )
+    SELECT h AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM n GROUP BY h
+    """,
+    tags=("dedup", "exact", "normalization"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after text normalization (lowercase + strip
+    non-alphanumerics): catches the case/punctuation variants plain
+    byte-level exact dedup misses — the cheap first rung between
+    ``dedup_exact`` and the near-dup operators.
+
+    Same scale shape as dedup_exact: normalize is a per-row JVM
+    expression, then one hash shuffle on the 16-byte digest with
+    map-side combine.  Hashing the *normalized* text keeps the shuffle
+    payload fixed-width regardless of document length.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    norm_hash = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    )
+    return (
+        docs.select("doc_id", norm_hash.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
