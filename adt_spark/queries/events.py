@@ -195,3 +195,83 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+        AND e.ts <= s1.t_signup + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        AND e.ts <= s2.t_click + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click_within_3d', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase_within_3d', CAST(count(*) AS BIGINT) FROM s3
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel: first signup → first click within
+    3 days strictly after it → first purchase within 3 days strictly
+    after that.  The ordered-sequence-over-event-log shape (product
+    funnels, multi-stage pipeline monitors) the reference's pure-SQL
+    surface can express only this way — no MATCH_RECOGNIZE in either
+    engine.
+
+    Scale shape: every stage is keyed by user_id — three aggregations
+    and two joins all sharing one hash partitioning, so Catalyst
+    reuses the exchange across stages; per-stage state is one
+    timestamp per user.  Each stage's input shrinks monotonically
+    (funnel property), so later stages are cheaper, not costlier.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("signup", s1)
+        .unionByName(stage("click_within_3d", s2))
+        .unionByName(stage("purchase_within_3d", s3))
+    )
