@@ -275,3 +275,50 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("click_within_3d", s2))
         .unionByName(stage("purchase_within_3d", s3))
     )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN a.d = f.cohort_day + 7
+                                    THEN f.user_id END) AS BIGINT)
+             AS retained_d7
+    FROM first_seen f LEFT JOIN activity a USING (user_id)
+    GROUP BY f.cohort_day
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-7 retention by first-seen cohort: for each cohort day, how
+    many users were active exactly 7 days later — the standard
+    activity-retention analytic over an event log.
+
+    Scale shape: first-seen and daily-activity both aggregate on
+    user_id (one shared partitioning); the cohort join is user-keyed,
+    and the final rollup groups to cohort days — tiny output.  The
+    distinct-day projection bounds the join input to
+    users × active-days, not raw events.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        first_seen.join(activity, "user_id", "left")
+        .groupBy("cohort_day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(F.col("d") == F.date_add(F.col("cohort_day"), 7), F.col("user_id"))
+            ).alias("retained_d7"),
+        )
+    )
