@@ -39,6 +39,7 @@ import uuid
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from adt_spark.sources.delta_native import _list_log, replay_snapshot
 
@@ -312,3 +313,139 @@ def write_checkpoint(spark, location: str) -> int:
     with open(os.path.join(location, "_delta_log", "_last_checkpoint"), "w") as f:
         json.dump({"version": n, "size": len(rows)}, f)
     return n
+
+
+def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
+    """Copy-on-write ``DELETE FROM <table> WHERE <predicate>`` for the
+    native writer; returns (committed version, rows deleted).
+
+    The scale-correct delete shape: ONE distributed scan with the
+    predicate pushed down finds the files that contain matches; only
+    those files are rewritten (minus matching rows) — untouched files
+    stay referenced as-is, so delete cost tracks match locality, not
+    table size.  The commit pairs each touched file's ``remove`` with
+    its rewritten ``add`` atomically (readers never see a half-delete).
+
+    ``predicate`` is a SQL boolean over the table's DATA columns
+    (partition-column predicates should use log-level pruning + an
+    overwrite instead).  Rows where the predicate is NULL are kept,
+    matching SQL DELETE semantics.  Files carrying deletion vectors
+    are rejected — rewriting them here would silently resurrect
+    DV-deleted rows.
+    """
+    from pyspark.sql import functions as F
+
+    snap = replay_snapshot(spark, location)
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+
+    for path, (_pvals, dv) in snap.files.items():
+        if dv is not None:
+            raise DeltaWriteError(
+                f"delete_where cannot rewrite {path}: it carries a deletion "
+                "vector (use the delta-spark path for DV tables)"
+            )
+
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    if not all_paths:
+        return snap.version, 0
+
+    # 1. one scan, predicate pushed down → files containing matches
+    matches = (
+        spark.read.schema(data_schema)
+        .parquet(*all_paths)
+        .withColumn("_f", F.input_file_name())
+        .filter(F.expr(predicate))
+        .groupBy("_f")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not matches:
+        return snap.version, 0
+    n_deleted = sum(r.n for r in matches)
+    # input_file_name() yields a file: URI — resolve back to the log's
+    # relative path by suffix match (unique: rel paths include the
+    # partition dirs).
+    touched_rel = set()
+    for r in matches:
+        rel = next(p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p))
+        touched_rel.add(rel)
+
+    # 2. rewrite touched files per partition group (keeps pvals exact)
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    adds: list[dict] = []
+    removes: list[dict] = []
+    keep = F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False)
+    groups: dict[tuple, list[str]] = {}
+    for rel in touched_rel:
+        pvals = snap.files[rel][0]
+        groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
+    for key, rels in groups.items():
+        pvals = dict(key)
+        kept = (
+            spark.read.schema(data_schema)
+            .parquet(*[os.path.join(location, r) for r in rels])
+            .filter(keep)
+        )
+        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+        kept.write.mode("overwrite").parquet(staging)
+        try:
+            for staged, _ in _collect_staged_files(staging, []):
+                meta = pq.ParquetFile(staged).metadata
+                if meta.num_rows == 0:
+                    os.remove(staged)
+                    continue
+                rel_dir = "/".join(
+                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for c, v in pvals.items()
+                )
+                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+                final_abs = os.path.join(location, *final_rel.split("/"))
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(staged, final_abs)
+                adds.append(
+                    {
+                        "add": {
+                            "path": final_rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(final_abs),
+                            "modificationTime": ts,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                        }
+                    }
+                )
+        finally:
+            for root, dirs, files in os.walk(staging, topdown=False):
+                for name in files:
+                    os.remove(os.path.join(root, name))
+                for name in dirs:
+                    os.rmdir(os.path.join(root, name))
+            if os.path.isdir(staging):
+                os.rmdir(staging)
+        for rel in rels:
+            removes.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ] + removes + adds
+    _atomic_write(_log_path(location, version), actions)
+    return version, int(n_deleted)

@@ -153,3 +153,59 @@ def test_checkpoint_roundtrip(spark, tmp_path):
     # appends after the checkpoint still apply on top of it
     write_delta_native(spark.range(6, 9).select("id"), loc, mode="append")
     assert read_delta_native(spark, loc).count() == 9
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = str(tmp_path / "ddelete")
+    df = spark.range(100).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS p", "CAST(id AS STRING) AS s"
+    )
+    write_delta_native(df.select("id", "s", "p"), t, mode="append", partition_by=["p"])
+    snap0 = replay_snapshot(spark, t)
+    files0 = dict(snap0.files)
+
+    # delete rows only in partitions p=0 and p=1 (id % 4 < 2 and id < 10)
+    version, n = delete_where(spark, t, "id < 10 AND id % 4 < 2")
+    assert n == 6  # ids 0,1,4,5,8,9
+    assert version == snap0.version + 1
+
+    back = read_delta_native(spark, t)
+    assert back.count() == 94
+    assert back.filter("id < 10 AND p < 2").count() == 0
+    assert back.filter("id >= 10").count() == 90
+
+    # untouched partitions keep their original files
+    snap1 = replay_snapshot(spark, t)
+    untouched0 = {p for p, (pv, _) in files0.items() if pv.get("p") in ("2", "3")}
+    untouched1 = {p for p, (pv, _) in snap1.files.items() if pv.get("p") in ("2", "3")}
+    assert untouched0 == untouched1
+
+    # time travel still sees the pre-delete table
+    assert read_delta_native(spark, t, version=snap0.version).count() == 100
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = str(tmp_path / "ddelete2")
+    write_delta_native(spark.range(10).selectExpr("id"), t, mode="append")
+    v0 = replay_snapshot(spark, t).version
+    version, n = delete_where(spark, t, "id > 1000")
+    assert (version, n) == (v0, 0)
+    assert read_delta_native(spark, t).count() == 10
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = str(tmp_path / "ddelete3")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, s string"
+    )
+    write_delta_native(df, t, mode="append")
+    _, n = delete_where(spark, t, "s = 'a'")
+    assert n == 1
+    # the NULL-predicate row (id=2) must survive, per SQL DELETE
+    assert {r.id for r in read_delta_native(spark, t).collect()} == {2, 3}
