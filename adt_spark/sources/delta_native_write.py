@@ -449,3 +449,50 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     ] + removes + adds
     _atomic_write(_log_path(location, version), actions)
     return version, int(n_deleted)
+
+
+def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
+    """Remove data files no longer referenced by the current snapshot
+    whose ``remove`` tombstones are older than ``retain_hours``
+    (default 7 days — the Delta convention protecting time travel and
+    in-flight readers).  Returns the deleted relative paths.
+
+    The pairing maintenance op for ``delete_where`` / overwrite: both
+    leave the old files on disk (time travel needs them) and only
+    VACUUM reclaims the space.  Driver-side work is log metadata only;
+    at real scale the file deletions themselves would fan out over the
+    object store (here: local unlink).
+
+    Note the same trade the reference's ecosystem makes
+    (delta-kernel/delta-spark VACUUM): vacuuming past a version breaks
+    time travel to it — tombstones younger than the horizon are kept.
+    """
+    cutoff_ms = int((time.time() - retain_hours * 3600.0) * 1000)
+    snap = replay_snapshot(spark, location)
+    live = set(snap.files)
+
+    # collect tombstones from the JSON log (checkpoints drop removes
+    # older than their own horizon; JSON commits are the authority).
+    commits, _ = _list_log(location)
+    tombstones: dict[str, int] = {}
+    for _v, path in commits:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if rm := action.get("remove"):
+                    tombstones[rm["path"]] = rm.get("deletionTimestamp", 0)
+                if add := action.get("add"):
+                    # re-added later → not dead
+                    tombstones.pop(add["path"], None)
+
+    deleted: list[str] = []
+    for rel, ts_ms in tombstones.items():
+        if rel in live or ts_ms >= cutoff_ms:
+            continue
+        abs_path = os.path.join(location, *rel.split("/"))
+        if os.path.exists(abs_path):
+            os.remove(abs_path)
+            deleted.append(rel)
+    return sorted(deleted)

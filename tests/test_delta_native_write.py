@@ -209,3 +209,24 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
     assert n == 1
     # the NULL-predicate row (id=2) must survive, per SQL DELETE
     assert {r.id for r in read_delta_native(spark, t).collect()} == {2, 3}
+
+
+def test_vacuum_removes_only_expired_tombstones(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where, vacuum
+
+    t = str(tmp_path / "dvacuum")
+    df = spark.range(40).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    write_delta_native(df.select("id", "p"), t, mode="append", partition_by=["p"])
+    files0 = set(replay_snapshot(spark, t).files)
+    delete_where(spark, t, "id < 20")  # rewrites both partitions
+
+    # within the retention window: nothing reclaimed, time travel works
+    assert vacuum(spark, t, retain_hours=168) == []
+    assert read_delta_native(spark, t, version=0).count() == 40
+
+    # horizon 0: the replaced files go away; the live snapshot is intact
+    gone = vacuum(spark, t, retain_hours=0)
+    assert set(gone) == files0 - set(replay_snapshot(spark, t).files)
+    for rel in gone:
+        assert not os.path.exists(os.path.join(t, *rel.split("/")))
+    assert read_delta_native(spark, t).count() == 20
