@@ -496,3 +496,141 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
             os.remove(abs_path)
             deleted.append(rel)
     return sorted(deleted)
+
+
+def update_where(
+    spark, location: str, predicate: str, assignments: dict[str, str]
+) -> tuple[int, int]:
+    """Copy-on-write ``UPDATE <table> SET col = expr, … WHERE
+    <predicate>``; returns (committed version, rows updated).
+
+    Same file-granular shape as ``delete_where``: one predicate-pushed
+    scan finds match-bearing files; only those rewrite, with matching
+    rows transformed by the SET expressions and everything else copied
+    through byte-identical.  ``assignments`` maps data-column name →
+    SQL expression (evaluated against the pre-update row, per SQL
+    UPDATE semantics); partition columns cannot be assigned (that is a
+    repartitioning rewrite — express it as read + overwrite).
+    """
+    from pyspark.sql import functions as F
+
+    snap = replay_snapshot(spark, location)
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    data_names = {f.name for f in data_fields}
+    bad = set(assignments) - data_names
+    if bad:
+        raise DeltaWriteError(
+            f"cannot assign {sorted(bad)}: not data columns "
+            f"(partition columns need a repartitioning overwrite)"
+        )
+    for path, (_pvals, dv) in snap.files.items():
+        if dv is not None:
+            raise DeltaWriteError(
+                f"update_where cannot rewrite {path}: it carries a deletion vector"
+            )
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    if not all_paths:
+        return snap.version, 0
+
+    matches = (
+        spark.read.schema(data_schema)
+        .parquet(*all_paths)
+        .withColumn("_f", F.input_file_name())
+        .filter(F.expr(predicate))
+        .groupBy("_f")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not matches:
+        return snap.version, 0
+    n_updated = sum(r.n for r in matches)
+    touched_rel = set()
+    for r in matches:
+        rel = next(p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p))
+        touched_rel.add(rel)
+
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    # SQL UPDATE: every SET expression sees the PRE-update row — build
+    # all new columns first, then substitute.
+    new_cols = [
+        F.when(hit, F.expr(expr)).otherwise(F.col(name)).alias(name)
+        if name in assignments
+        else F.col(name)
+        for name, expr in [(f.name, assignments.get(f.name)) for f in data_fields]
+    ]
+    adds: list[dict] = []
+    removes: list[dict] = []
+    groups: dict[tuple, list[str]] = {}
+    for rel in touched_rel:
+        groups.setdefault(tuple(sorted(snap.files[rel][0].items())), []).append(rel)
+    for key, rels in groups.items():
+        pvals = dict(key)
+        updated = (
+            spark.read.schema(data_schema)
+            .parquet(*[os.path.join(location, r) for r in rels])
+            .select(*new_cols)
+        )
+        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+        updated.write.mode("overwrite").parquet(staging)
+        try:
+            for staged, _ in _collect_staged_files(staging, []):
+                meta = pq.ParquetFile(staged).metadata
+                if meta.num_rows == 0:
+                    os.remove(staged)
+                    continue
+                rel_dir = "/".join(
+                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for c, v in pvals.items()
+                )
+                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+                final_abs = os.path.join(location, *final_rel.split("/"))
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(staged, final_abs)
+                adds.append(
+                    {
+                        "add": {
+                            "path": final_rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(final_abs),
+                            "modificationTime": ts,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                        }
+                    }
+                )
+        finally:
+            for root, dirs, files in os.walk(staging, topdown=False):
+                for name in files:
+                    os.remove(os.path.join(root, name))
+                for name in dirs:
+                    os.rmdir(os.path.join(root, name))
+            if os.path.isdir(staging):
+                os.rmdir(staging)
+        for rel in rels:
+            removes.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ] + removes + adds
+    _atomic_write(_log_path(location, version), actions)
+    return version, int(n_updated)

@@ -230,3 +230,32 @@ def test_vacuum_removes_only_expired_tombstones(spark, tmp_path):
     for rel in gone:
         assert not os.path.exists(os.path.join(t, *rel.split("/")))
     assert read_delta_native(spark, t).count() == 20
+
+
+def test_update_where_pre_update_semantics(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import update_where
+
+    t = str(tmp_path / "dupdate")
+    df = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 200), (3, 30, 300)], "id long, a long, b long"
+    )
+    write_delta_native(df, t, mode="append")
+    # swap a and b where id <= 2 — correctness requires every SET to
+    # see the PRE-update row
+    v, n = update_where(spark, t, "id <= 2", {"a": "b", "b": "a"})
+    assert n == 2
+    rows = {r.id: (r.a, r.b) for r in read_delta_native(spark, t).collect()}
+    assert rows == {1: (100, 10), 2: (200, 20), 3: (30, 300)}
+    # history intact
+    old = {r.id: (r.a, r.b) for r in read_delta_native(spark, t, version=v - 1).collect()}
+    assert old == {1: (10, 100), 2: (20, 200), 3: (30, 300)}
+
+
+def test_update_where_rejects_partition_assignment(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import update_where
+
+    t = str(tmp_path / "dupdate2")
+    df = spark.range(4).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    write_delta_native(df.select("id", "p"), t, mode="append", partition_by=["p"])
+    with pytest.raises(DeltaWriteError, match="partition"):
+        update_where(spark, t, "id = 1", {"p": "3"})
