@@ -634,3 +634,155 @@ def update_where(
     ] + removes + adds
     _atomic_write(_log_path(location, version), actions)
     return version, int(n_updated)
+
+
+def merge_upsert(
+    spark, location: str, source: DataFrame, key_cols: list[str]
+) -> tuple[int, int, int]:
+    """Keyed upsert (the WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED
+    INSERT ALL form of MERGE INTO): source rows replace target rows
+    sharing their key; unmatched source rows insert.  Returns
+    (version, rows_replaced, rows_inserted).
+
+    Copy-on-write, file-granular, ONE atomic commit: a broadcast
+    semi-join of the target scan against the (small) source key set
+    finds the files containing matched keys; only those rewrite, with
+    matched rows anti-joined out; the source lands as new files in the
+    same commit.  At scale the source side of a merge is the small
+    changeset (CDC batch) — broadcasting its keys keeps the target
+    pass shuffle-free, so merge cost is one scan + touched-file
+    rewrite, independent of table size.
+
+    Partitioned targets: source must carry the partition columns; its
+    rows land under their own partition dirs.  DV-bearing files are
+    rejected (as in delete_where).
+    """
+    from pyspark.sql import functions as F
+
+    snap = replay_snapshot(spark, location)
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    if source.schema.fieldNames() != [f.name for f in snap.schema.fields]:
+        raise DeltaWriteError(
+            f"merge source schema {source.schema.fieldNames()} must match "
+            f"table schema {[f.name for f in snap.schema.fields]}"
+        )
+    missing = [k for k in key_cols if k not in source.columns]
+    if missing:
+        raise DeltaWriteError(f"merge key columns missing from source: {missing}")
+    for path, (_pvals, dv) in snap.files.items():
+        if dv is not None:
+            raise DeltaWriteError(
+                f"merge_upsert cannot rewrite {path}: it carries a deletion vector"
+            )
+
+    keys = source.select(*key_cols).distinct()
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    n_source = source.count()
+
+    touched_rel: set[str] = set()
+    n_replaced = 0
+    if all_paths:
+        matches = (
+            spark.read.schema(data_schema)
+            .parquet(*all_paths)
+            .withColumn("_f", F.input_file_name())
+            .join(F.broadcast(keys), key_cols)
+            .groupBy("_f")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        n_replaced = int(sum(r.n for r in matches))
+        for r in matches:
+            rel = next(
+                p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p)
+            )
+            touched_rel.add(rel)
+
+    adds: list[dict] = []
+    removes: list[dict] = []
+
+    def _stage_and_collect(df: DataFrame, pvals: dict, partition_by: list[str]) -> None:
+        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        try:
+            for staged, staged_pvals in _collect_staged_files(staging, partition_by):
+                meta = pq.ParquetFile(staged).metadata
+                if meta.num_rows == 0:
+                    os.remove(staged)
+                    continue
+                eff = staged_pvals if partition_by else pvals
+                rel_dir = "/".join(
+                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+                    for c, v in eff.items()
+                )
+                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+                final_abs = os.path.join(location, *final_rel.split("/"))
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(staged, final_abs)
+                adds.append(
+                    {
+                        "add": {
+                            "path": final_rel,
+                            "partitionValues": eff,
+                            "size": os.path.getsize(final_abs),
+                            "modificationTime": ts,
+                            "dataChange": True,
+                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                        }
+                    }
+                )
+        finally:
+            for root, dirs, files in os.walk(staging, topdown=False):
+                for name in files:
+                    os.remove(os.path.join(root, name))
+                for name in dirs:
+                    os.rmdir(os.path.join(root, name))
+            if os.path.isdir(staging):
+                os.rmdir(staging)
+
+    # 1. rewrite touched files with matched rows removed
+    groups: dict[tuple, list[str]] = {}
+    for rel in touched_rel:
+        groups.setdefault(tuple(sorted(snap.files[rel][0].items())), []).append(rel)
+    for key, rels in groups.items():
+        pvals = dict(key)
+        kept = (
+            spark.read.schema(data_schema)
+            .parquet(*[os.path.join(location, r) for r in rels])
+            .join(F.broadcast(keys), key_cols, "left_anti")
+        )
+        _stage_and_collect(kept, pvals, [])
+        for rel in rels:
+            removes.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+
+    # 2. the full source lands as new files (replacements + inserts)
+    _stage_and_collect(source, {}, part_cols)
+
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {"matchedPredicates": json.dumps(key_cols)},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ] + removes + adds
+    _atomic_write(_log_path(location, version), actions)
+    return version, n_replaced, int(n_source - n_replaced)

@@ -259,3 +259,38 @@ def test_update_where_rejects_partition_assignment(spark, tmp_path):
     write_delta_native(df.select("id", "p"), t, mode="append", partition_by=["p"])
     with pytest.raises(DeltaWriteError, match="partition"):
         update_where(spark, t, "id = 1", {"p": "3"})
+
+
+def test_merge_upsert(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    t = str(tmp_path / "dmerge")
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "id long, s string"
+    )
+    write_delta_native(target, t, mode="append")
+    source = spark.createDataFrame(
+        [(2, "new2"), (4, "new4")], "id long, s string"
+    )
+    v, replaced, inserted = merge_upsert(spark, t, source, ["id"])
+    assert (replaced, inserted) == (1, 1)
+    rows = {r.id: r.s for r in read_delta_native(spark, t).collect()}
+    assert rows == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
+    # pre-merge snapshot intact
+    old = {r.id: r.s for r in read_delta_native(spark, t, version=v - 1).collect()}
+    assert old == {1: "old1", 2: "old2", 3: "old3"}
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    t = str(tmp_path / "dmerge2")
+    target = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1), (3, "c", 0)], "id long, s string, p int"
+    )
+    write_delta_native(target.select("id", "s", "p"), t, mode="append", partition_by=["p"])
+    source = spark.createDataFrame([(3, "C", 0), (9, "Z", 1)], "id long, s string, p int")
+    _, replaced, inserted = merge_upsert(spark, t, source.select("id", "s", "p"), ["id"])
+    assert (replaced, inserted) == (1, 1)
+    rows = {(r.id, r.s, r.p) for r in read_delta_native(spark, t).collect()}
+    assert rows == {(1, "a", 0), (2, "b", 1), (3, "C", 0), (9, "Z", 1)}
