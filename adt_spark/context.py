@@ -165,10 +165,24 @@ class ADTContext:
         INTO and CTAS parse natively.
         """
         from adt_spark.dialect.translate import translate_sql
+        from adt_spark.sources.delta_dml import execute_delta_dml, is_delta_dml
         from adt_spark.sources.sinks import execute_copy, is_copy_statement
 
         if is_copy_statement(query):
             return execute_copy(self.spark, query, self.sql)
+        # DELETE/UPDATE/VACUUM over delta.`/path` tables → the native
+        # copy-on-write writer (jar-free; sources/delta_dml.py).
+        if is_delta_dml(query):
+            return execute_delta_dml(self.spark, query)
+        # delta.`/path` URL tables in queries: native Spark syntax when
+        # the delta-spark jars are present; otherwise substitute temp
+        # views over the native reader (snapshot-per-statement).
+        if "delta." in query.lower():
+            from adt_spark.sources.delta import delta_available
+            from adt_spark.sources.delta_dml import rewrite_delta_url_tables
+
+            if not delta_available(self.spark):
+                query = rewrite_delta_url_tables(self.spark, query)
         translated = translate_sql(query)
         if args is not None:
             return self.spark.sql(translated, args=args)
