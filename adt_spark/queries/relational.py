@@ -1084,7 +1084,8 @@ def q_join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ordered_array_agg",
     oracle="""
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderdate, o_orderkey) AS order_keys
+           array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+             AS order_keys
     FROM orders GROUP BY o_custkey
     """,
     tags=("agg", "array_agg", "ordered"),
@@ -1095,13 +1096,15 @@ def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     structs, array_sort — struct comparison is field-lexicographic, so
     (o_orderdate, o_orderkey) gives the exact ORDER BY — then project
     the value field.  All array-local work after the one groupBy
-    shuffle; no window, no second shuffle.
+    shuffle; no window, no second shuffle.  The output array is
+    serialized with array_join on BOTH sides because the driver's
+    value hasher cannot handle list cells (round-1 driver err).
     """
     orders = tables(spark, sf_dir)["orders"]
     return orders.groupBy("o_custkey").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(o_orderdate AS k,"
-            " o_orderkey AS v))), s -> s.v)"
+            "array_join(transform(array_sort(collect_list(struct(o_orderdate AS k,"
+            " o_orderkey AS v))), s -> cast(s.v AS string)), ',')"
         ).alias("order_keys")
     )
 
@@ -1117,9 +1120,9 @@ def q_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_orderkey, l_linenumber,
-           sum(qty) OVER (PARTITION BY l_returnflag ORDER BY dr
-                          RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
-             AS grp_sum
+           CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY dr
+                               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                AS BIGINT) AS grp_sum
     FROM ranked
     """,
     tags=("window", "groups_frame"),
