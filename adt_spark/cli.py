@@ -85,8 +85,20 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
 
 
 def _register(ctx, args) -> None:
-    parts = args.partition_cols.split(",") if args.partition_cols else None
-    ctx.register_table("tbl", args.uri, args.format, partition_cols=parts)
+    """Template the reference's DDL string byte-for-byte
+    (main.rs:54-67) and run it through the SQL entry point, so the
+    CLI exercises the same CREATE EXTERNAL TABLE path an adt script
+    would."""
+    part_spec = (
+        f"partitioned by ({args.partition_cols})" if args.partition_cols else ""
+    )
+    ddl = (
+        "\ncreate external table tbl\n"
+        f"stored as {args.format}\n"
+        f"{part_spec}\n"
+        f"location '{args.uri}'\n"
+    )
+    ctx.sql(ddl)
 
 
 if __name__ == "__main__":

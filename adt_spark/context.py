@@ -164,10 +164,30 @@ class ADTContext:
         the parallel DataFrame write path (sources/sinks.py); INSERT
         INTO and CTAS parse natively.
         """
+        from adt_spark.dialect.ddl import (
+            execute_create_external_table,
+            is_create_external_table,
+        )
         from adt_spark.dialect.translate import translate_sql
         from adt_spark.sources.delta_dml import execute_delta_dml, is_delta_dml
         from adt_spark.sources.sinks import execute_copy, is_copy_statement
 
+        # The reference's primary DDL — templated by its CLI for every
+        # view/schema invocation (main.rs:54-67) and present in adt
+        # `execute` scripts; Spark can't parse STORED AS + LOCATION
+        # without Hive, so route to the listing-table factory.
+        if is_create_external_table(query):
+            return execute_create_external_table(self.spark, query)
+        # Direct information_schema.* queries (reference context.rs:27
+        # enables them) — snapshot the catalog into temp views and
+        # rewrite the qualified names (dialect/infoschema.py).
+        from adt_spark.dialect.infoschema import (
+            references_information_schema,
+            rewrite_information_schema,
+        )
+
+        if references_information_schema(query):
+            query = rewrite_information_schema(self.spark, query)
         if is_copy_statement(query):
             return execute_copy(self.spark, query, self.sql)
         # DELETE/UPDATE/VACUUM over delta.`/path` tables → the native

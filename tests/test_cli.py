@@ -8,21 +8,13 @@ import os
 from adt_spark.cli import main
 
 
-class _Ctx:
-    """Adapter handing the shared test session to the CLI."""
+def _Ctx(spark):
+    """The real context over the shared test session (the CLI now
+    routes registration through ctx.sql's CREATE EXTERNAL TABLE
+    interception, so the full SQL entry point is required)."""
+    from adt_spark import ADTContext
 
-    def __init__(self, spark):
-        self.spark = spark
-
-    def sql(self, q):
-        from adt_spark.dialect.translate import translate_sql
-
-        return self.spark.sql(translate_sql(q))
-
-    def register_table(self, name, location, fmt="parquet", **kw):
-        from adt_spark.sources import register_table
-
-        return register_table(self.spark, name, location, fmt, **kw)
+    return ADTContext(spark=spark)
 
 
 def test_view_appends_limit(spark, sf_dir, capsys):
@@ -102,3 +94,38 @@ def test_view_output_path_export(spark, sf_dir, tmp_path, capsys):
     back = spark.read.parquet(out)
     assert back.count() == 100  # full result, not the 5-row preview
     assert set(back.columns) == {"c_custkey", "c_name"}
+
+
+def test_information_schema_columns_matches_describe(spark, sf_dir):
+    """Direct information_schema queries — valid in the reference
+    (context.rs:27 enables them; SHOW COLUMNS at main.rs:99 is
+    answered from them) — resolve and agree with DESCRIBE."""
+    from adt_spark import ADTContext
+
+    ctx = ADTContext(spark=spark)
+    ctx.sql(
+        f"create external table info_tbl stored as parquet "
+        f"location '{os.path.join(sf_dir, 'nation.parquet')}'"
+    )
+    rows = ctx.sql(
+        "SELECT column_name, data_type, is_nullable, ordinal_position "
+        "FROM information_schema.columns WHERE table_name = 'info_tbl' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    desc = ctx.sql("describe info_tbl").collect()
+    assert [(r.column_name, r.data_type) for r in rows] == [
+        (d.col_name, d.data_type) for d in desc
+    ]
+    assert [r.ordinal_position for r in rows] == list(range(len(desc)))
+
+    tabs = ctx.sql(
+        "SELECT table_name, table_type FROM information_schema.tables "
+        "WHERE table_name = 'info_tbl'"
+    ).collect()
+    assert tabs and tabs[0].table_type == "VIEW"  # temp view registration
+
+    settings = ctx.sql(
+        "SELECT value FROM information_schema.df_settings "
+        "WHERE name = 'spark.sql.shuffle.partitions'"
+    ).collect()
+    assert settings and settings[0].value is not None

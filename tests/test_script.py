@@ -26,3 +26,93 @@ def test_comment_between_lines():
 
 def test_empty_statements_dropped():
     assert list(split_statements([";", "  ;", ""])) == []
+
+
+# -- CREATE EXTERNAL TABLE DDL (reference main.rs:54-67) ---------------
+
+import os
+
+import pytest
+
+from adt_spark.dialect.ddl import (
+    DECLARED_ORDERS,
+    is_create_external_table,
+    parse_create_external_table,
+)
+from tests.conftest import SF_DIR
+
+
+def test_parse_reference_templated_ddl():
+    # byte-for-byte the CLI's render! template (main.rs:54-67)
+    ddl = """
+            create external table tbl
+            stored as parquet
+
+            location '/data/x.parquet'
+            """
+    assert is_create_external_table(ddl)
+    spec = parse_create_external_table(ddl)
+    assert spec["name"] == "tbl"
+    assert spec["fmt"] == "parquet"
+    assert spec["location"] == "/data/x.parquet"
+    assert spec["partition_cols"] is None
+
+
+def test_parse_partitioned_and_options():
+    spec = parse_create_external_table(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS logs (id BIGINT, msg VARCHAR) "
+        "STORED AS csv WITH HEADER ROW DELIMITER '|' "
+        "PARTITIONED BY (dt) OPTIONS ('nullValue' 'NA') LOCATION '/data/logs/'"
+    )
+    assert spec["if_not_exists"]
+    assert spec["schema"] == "id BIGINT, msg STRING"
+    assert spec["partition_cols"] == ["dt"]
+    assert spec["options"] == {"header": "true", "sep": "|", "nullValue": "NA"}
+
+
+def test_parse_with_order():
+    spec = parse_create_external_table(
+        "CREATE EXTERNAL TABLE t (a INT, b INT) STORED AS parquet "
+        "WITH ORDER (a ASC, b DESC) LOCATION '/data/t/'"
+    )
+    assert spec["order"] == [("a", True), ("b", False)]
+
+
+def test_not_ddl_passthrough():
+    assert not is_create_external_table("SELECT * FROM create_external_table")
+    assert parse_create_external_table("select 1") is None
+
+
+def test_execute_script_with_reference_ddl_end_to_end(spark, tmp_path):
+    """An adt `execute` script: templated DDL + SELECT, end-to-end
+    through ADTContext.sql via the statement splitter."""
+    from adt_spark import ADTContext
+    from adt_spark.script import split_statements
+
+    ctx = ADTContext(spark=spark)
+    script = f"""-- adt script
+create external table ext_nation
+stored as parquet
+location '{os.path.join(SF_DIR, "nation.parquet")}';
+select count(*) as n from ext_nation"""
+    results = [ctx.sql(stmt) for stmt in split_statements(script.splitlines())]
+    assert results[0].count() == 0  # DDL result: empty batch
+    assert results[1].collect()[0]["n"] == 25
+
+
+def test_ddl_with_order_registers_contract(spark):
+    from adt_spark import ADTContext
+
+    ctx = ADTContext(spark=spark)
+    path = os.path.join(SF_DIR, "orders.parquet")
+    ctx.sql(
+        f"create external table ext_orders_sorted stored as parquet "
+        f"with order (o_orderkey asc) location '{path}'"
+    )
+    assert DECLARED_ORDERS["ext_orders_sorted"] == [("o_orderkey", True)]
+    assert spark.table("ext_orders_sorted").count() > 0
+    with pytest.raises(Exception, match="not in schema"):
+        ctx.sql(
+            f"create external table ext_bad stored as parquet "
+            f"with order (nope) location '{path}'"
+        )
