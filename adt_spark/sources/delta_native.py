@@ -64,6 +64,11 @@ class _Snapshot:
     column_mapping_mode: str = "none"
     #: path → (partitionValues dict, deletionVector dict | None)
     files: dict[str, tuple[dict, dict | None]] = field(default_factory=dict)
+    #: last protocol action seen (writer gates need minWriterVersion /
+    #: writerFeatures; the reader gate is enforced during replay)
+    protocol: dict = field(default_factory=dict)
+    #: metaData.configuration (delta.appendOnly, invariants, …)
+    configuration: dict = field(default_factory=dict)
 
 
 def _log_dir(location: str) -> str:
@@ -113,8 +118,10 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         snap.partition_columns = list(meta.get("partitionColumns") or [])
         conf = meta.get("configuration") or {}
         snap.column_mapping_mode = conf.get("delta.columnMapping.mode", "none")
+        snap.configuration = conf
     if proto := action.get("protocol"):
         _check_protocol(proto)
+        snap.protocol = proto
     if add := action.get("add"):
         snap.files[add["path"]] = (
             add.get("partitionValues") or {},
@@ -251,8 +258,15 @@ def read_delta_native(
         return spark.createDataFrame(
             [], T.StructType(data_fields + [part_fields[c] for c in part_cols])
         )
-    if mapped and snap.column_mapping_mode == "id":
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    # id-mode resolution: the column-mapping spec requires files to be
+    # written with BOTH the physical column name and the parquet field
+    # id, so name-matching on physical names resolves identically to
+    # id-matching for spec-compliant tables.  The read schema still
+    # carries ``parquet.field.id`` metadata, so a session that has
+    # ``spark.sql.parquet.fieldId.read.enabled`` on uses authoritative
+    # id matching — but this reader does NOT flip that session-wide
+    # conf itself (it would leak id-matching into every later parquet
+    # read in the session; there is no per-read option for it).
 
     def to_logical(df: DataFrame) -> DataFrame:
         if not mapped:

@@ -48,6 +48,85 @@ class DeltaWriteError(RuntimeError):
     pass
 
 
+#: writer features this writer actually implements the semantics of;
+#: anything else in writerFeatures must abort the write (Delta
+#: protocol: a writer MUST NOT commit to a table whose writer
+#: requirements it does not understand).
+_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "timestampNtz"}
+
+
+def _check_writable(snap, operation: str) -> None:
+    """Writer-protocol gate, mirroring the reader-side DV guard.
+
+    - Column-mapped tables (``delta.columnMapping.mode`` name/id): the
+      DML scans here read parquet under the LOGICAL schema, which on a
+      mapped table resolves every data column to NULL — predicates
+      silently match nothing and appends commit files under logical
+      names that mapped readers return as all-NULL.  Refuse outright.
+    - ``minWriterVersion`` > 2 requires understanding every
+      ``writerFeatures`` entry; unknown features abort.
+    - ``delta.appendOnly=true`` (the minWriterVersion=2 / appendOnly
+      feature contract) forbids DELETE/UPDATE/MERGE/overwrite.
+    - Column invariants (``delta.invariants`` in field metadata) are
+      not enforced by this writer, so tables declaring them abort
+      rather than admit rows a compliant writer would reject.
+    """
+    if snap.column_mapping_mode != "none":
+        raise DeltaWriteError(
+            f"{operation}: table uses column mapping "
+            f"(delta.columnMapping.mode={snap.column_mapping_mode}); the "
+            "native writer only supports direct-name tables — use delta-spark"
+        )
+    proto = snap.protocol or {}
+    v = proto.get("minWriterVersion", 2)
+    features = set(proto.get("writerFeatures") or [])
+    if v >= 7 or features:
+        unsupported = features - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise DeltaWriteError(
+                f"{operation}: table requires writer features "
+                f"{sorted(unsupported)} this writer does not implement"
+            )
+    elif v > 2:
+        raise DeltaWriteError(
+            f"{operation}: table requires minWriterVersion={v} "
+            "(this writer implements version 2 semantics)"
+        )
+    # the appendOnly FEATURE only obliges understanding the conf;
+    # the conf itself is what forbids non-append operations
+    append_only = (
+        str(snap.configuration.get("delta.appendOnly", "false")).lower() == "true"
+    )
+    if append_only and operation != "append":
+        raise DeltaWriteError(
+            f"{operation}: table is delta.appendOnly=true — only appends allowed"
+        )
+    for f in snap.schema.fields:
+        md = f.metadata or {}
+        if md.get("delta.invariants"):
+            raise DeltaWriteError(
+                f"{operation}: column {f.name!r} declares an invariant "
+                "this writer does not enforce"
+            )
+
+
+def _rel_from_uri(uri: str, snap_files) -> str:
+    """Map an ``input_file_name()`` URI back to the log's relative
+    path.  Spark URL-encodes the file URI (space, '%', '#', non-ASCII
+    in partition values), so decode before suffix-matching; relative
+    paths are unique because they include the partition dirs."""
+    from urllib.parse import unquote, urlparse
+
+    decoded = unquote(urlparse(uri).path)
+    for p in snap_files:
+        if decoded.endswith("/" + p) or decoded == p:
+            return p
+    raise DeltaWriteError(
+        f"scanned file {uri!r} (decoded {decoded!r}) does not match any "
+        "file in the Delta snapshot — log and directory out of sync?"
+    )
+
+
 def _log_path(location: str, version: int) -> str:
     return os.path.join(location, "_delta_log", f"{version:020d}.json")
 
@@ -64,8 +143,41 @@ def _atomic_write(path: str, lines: list[dict]) -> None:
     os.rename(tmp, path)
 
 
+#: characters Hive/Spark escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName char set + control chars)
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def _hive_escape(value: str) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in value
+    )
+
+
+def _hive_unescape(value: str) -> str:
+    import re as _re
+
+    return _re.sub("%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value)
+
+
+def _rel_dirname(pvals: dict, order: list[str] | None = None) -> str:
+    """RAW partition values → hive-escaped on-disk/log directory path
+    (Delta spec: ``add.path`` is the escaped file path,
+    ``add.partitionValues`` holds the unescaped values)."""
+    cols = order if order is not None else list(pvals)
+    return "/".join(
+        f"{c}={_hive_escape(pvals[c]) if pvals[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
+        for c in cols
+    )
+
+
 def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[str, dict]]:
-    """(relative staged path, partitionValues) for every part file."""
+    """(relative staged path, RAW partitionValues) for every part file.
+
+    Spark's partitioned write hive-escapes special characters in the
+    directory names (``p=x%25y`` for value ``x%y``); the log's
+    ``partitionValues`` must carry the unescaped value.
+    """
     out: list[tuple[str, dict]] = []
     for root, _dirs, files in os.walk(staging):
         for name in files:
@@ -77,7 +189,9 @@ def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[s
                 for seg in rel_dir.split(os.sep):
                     k, _, v = seg.partition("=")
                     # hive-encoded nulls arrive as __HIVE_DEFAULT_PARTITION__
-                    pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
+                    )
             missing = [c for c in partition_by if c not in pvals]
             if missing:
                 raise DeltaWriteError(f"staged file {name} missing partition dirs {missing}")
@@ -104,6 +218,7 @@ def write_delta_native(
     exists = bool(commits or checkpoints)
     if exists:
         snap = replay_snapshot(df.sparkSession, location)
+        _check_writable(snap, "append" if mode == "append" else "overwrite")
         version = snap.version + 1
         if snap.partition_columns != partition_by:
             raise DeltaWriteError(
@@ -136,12 +251,7 @@ def write_delta_native(
                 # the log and every future scan's file list
                 os.remove(staged)
                 continue
-            rel_dir = (
-                "/".join(f"{c}={pvals[c] if pvals[c] is not None else '__HIVE_DEFAULT_PARTITION__'}"
-                         for c in partition_by)
-                if partition_by
-                else ""
-            )
+            rel_dir = _rel_dirname(pvals, partition_by) if partition_by else ""
             final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
             final_abs = os.path.join(location, *final_rel.split("/"))
             os.makedirs(os.path.dirname(final_abs), exist_ok=True)
@@ -336,6 +446,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
+    _check_writable(snap, "delete")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -367,10 +478,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     # input_file_name() yields a file: URI — resolve back to the log's
     # relative path by suffix match (unique: rel paths include the
     # partition dirs).
-    touched_rel = set()
-    for r in matches:
-        rel = next(p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p))
-        touched_rel.add(rel)
+    touched_rel = {_rel_from_uri(r._f, snap.files) for r in matches}
 
     # 2. rewrite touched files per partition group (keeps pvals exact)
     ts = int(time.time() * 1000)
@@ -397,10 +505,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
                 if meta.num_rows == 0:
                     os.remove(staged)
                     continue
-                rel_dir = "/".join(
-                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
-                    for c, v in pvals.items()
-                )
+                rel_dir = _rel_dirname(pvals)
                 final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
                 final_abs = os.path.join(location, *final_rel.split("/"))
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
@@ -515,6 +620,7 @@ def update_where(
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
+    _check_writable(snap, "update")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -546,21 +652,25 @@ def update_where(
     if not matches:
         return snap.version, 0
     n_updated = sum(r.n for r in matches)
-    touched_rel = set()
-    for r in matches:
-        rel = next(p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p))
-        touched_rel.add(rel)
+    touched_rel = {_rel_from_uri(r._f, snap.files) for r in matches}
 
     ts = int(time.time() * 1000)
     version = snap.version + 1
     hit = F.coalesce(F.expr(predicate), F.lit(False))
     # SQL UPDATE: every SET expression sees the PRE-update row — build
-    # all new columns first, then substitute.
+    # all new columns first, then substitute.  Each assignment is cast
+    # to the column's DECLARED type (as delta-spark/delta-rs do):
+    # without it F.when coerces to the common type, so a widening
+    # assignment would commit parquet whose physical type diverges
+    # from the table's schemaString and break every later snapshot
+    # read.
     new_cols = [
-        F.when(hit, F.expr(expr)).otherwise(F.col(name)).alias(name)
-        if name in assignments
-        else F.col(name)
-        for name, expr in [(f.name, assignments.get(f.name)) for f in data_fields]
+        F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
+        .otherwise(F.col(f.name))
+        .alias(f.name)
+        if f.name in assignments
+        else F.col(f.name)
+        for f in data_fields
     ]
     adds: list[dict] = []
     removes: list[dict] = []
@@ -582,10 +692,7 @@ def update_where(
                 if meta.num_rows == 0:
                     os.remove(staged)
                     continue
-                rel_dir = "/".join(
-                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
-                    for c, v in pvals.items()
-                )
+                rel_dir = _rel_dirname(pvals)
                 final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
                 final_abs = os.path.join(location, *final_rel.split("/"))
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
@@ -660,6 +767,7 @@ def merge_upsert(
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
+    _check_writable(snap, "merge")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -676,6 +784,25 @@ def merge_upsert(
             raise DeltaWriteError(
                 f"merge_upsert cannot rewrite {path}: it carries a deletion vector"
             )
+
+    # Delta's MERGE errors when multiple source rows match one target
+    # row; with a keyed upsert that means duplicate keys in the source
+    # are a caller bug — committing them would leave multiple rows per
+    # key in the table and skew the returned insert count.
+    dup = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise DeltaWriteError(
+            f"merge source has duplicate key "
+            f"{tuple(dup[0][k] for k in key_cols)!r} (Delta MERGE semantics "
+            "forbid multiple source matches per target row); de-duplicate "
+            "the source first"
+        )
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
@@ -696,11 +823,7 @@ def merge_upsert(
             .collect()
         )
         n_replaced = int(sum(r.n for r in matches))
-        for r in matches:
-            rel = next(
-                p for p in snap.files if r._f.endswith("/" + p) or r._f.endswith(p)
-            )
-            touched_rel.add(rel)
+        touched_rel = {_rel_from_uri(r._f, snap.files) for r in matches}
 
     adds: list[dict] = []
     removes: list[dict] = []
@@ -718,10 +841,7 @@ def merge_upsert(
                     os.remove(staged)
                     continue
                 eff = staged_pvals if partition_by else pvals
-                rel_dir = "/".join(
-                    f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
-                    for c, v in eff.items()
-                )
+                rel_dir = _rel_dirname(eff)
                 final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
                 final_abs = os.path.join(location, *final_rel.split("/"))
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)

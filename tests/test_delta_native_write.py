@@ -294,3 +294,149 @@ def test_merge_upsert_partitioned(spark, tmp_path):
     assert (replaced, inserted) == (1, 1)
     rows = {(r.id, r.s, r.p) for r in read_delta_native(spark, t).collect()}
     assert rows == {(1, "a", 0), (2, "b", 1), (3, "C", 0), (9, "Z", 1)}
+
+
+# --- writer-protocol guards (column mapping / features / appendOnly) ------
+
+
+def _append_log_action(loc, version, action):
+    """Append one commit containing a single action (test helper for
+    protocol/metaData mutations the writer itself never emits)."""
+    path = os.path.join(loc, "_delta_log", f"{version:020d}.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(action) + "\n")
+
+
+def test_writer_rejects_column_mapped_table(spark, tmp_path):
+    """ADVICE r1: on a name/id-mapped table every DML scan resolves
+    data columns to NULL under the logical schema — the writer must
+    refuse instead of silently no-opping/corrupting."""
+    from adt_spark.sources.delta_native_write import delete_where, merge_upsert, update_where
+
+    loc = str(tmp_path / "gcm")
+    write_delta_native(spark.range(4).select("id"), loc)
+    snap = replay_snapshot(spark, loc)
+    meta = json.loads(
+        [json.loads(l) for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+         if "metaData" in l][0]["metaData"]["schemaString"]
+    )
+    _append_log_action(loc, 1, {"metaData": {
+        "id": "x", "format": {"provider": "parquet"},
+        "schemaString": json.dumps(meta),
+        "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }})
+    for op in [
+        lambda: delete_where(spark, loc, "id = 1"),
+        lambda: update_where(spark, loc, "id = 1", {"id": "id + 1"}),
+        lambda: merge_upsert(spark, loc, spark.range(2).select("id"), ["id"]),
+        lambda: write_delta_native(spark.range(2).select("id"), loc, mode="append"),
+    ]:
+        with pytest.raises(DeltaWriteError, match="column mapping"):
+            op()
+
+
+def test_writer_rejects_unknown_writer_features(spark, tmp_path):
+    loc = str(tmp_path / "gwf")
+    write_delta_native(spark.range(4).select("id"), loc)
+    _append_log_action(loc, 1, {"protocol": {
+        "minReaderVersion": 1, "minWriterVersion": 7,
+        "writerFeatures": ["appendOnly", "generatedColumns"],
+    }})
+    with pytest.raises(DeltaWriteError, match="generatedColumns"):
+        write_delta_native(spark.range(2).select("id"), loc, mode="append")
+
+
+def test_writer_append_only_table(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where
+
+    loc = str(tmp_path / "gao")
+    write_delta_native(spark.range(4).select("id"), loc)
+    meta = [json.loads(l) for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+            if "metaData" in l][0]["metaData"]
+    meta["configuration"] = {"delta.appendOnly": "true"}
+    _append_log_action(loc, 1, {"metaData": meta})
+    with pytest.raises(DeltaWriteError, match="appendOnly"):
+        delete_where(spark, loc, "id = 1")
+    # appends still allowed
+    v = write_delta_native(spark.range(4, 6).select("id"), loc, mode="append")
+    assert v == 2
+    assert read_delta_native(spark, loc).count() == 6
+
+
+def test_update_where_casts_to_declared_type(spark, tmp_path):
+    """ADVICE r1: a widening SET (int/2 -> double) must be cast back
+    to the declared column type or later snapshot reads break."""
+    from adt_spark.sources.delta_native_write import update_where
+
+    loc = str(tmp_path / "gcast")
+    write_delta_native(spark.range(4).select("id"), loc)
+    update_where(spark, loc, "id >= 2", {"id": "id / 2"})
+    got = read_delta_native(spark, loc)  # would raise on physical-type drift
+    assert got.schema["id"].dataType.simpleString() == "bigint"
+    assert _rows(got) == [(0,), (1,), (1,), (1,)]
+
+
+def test_partition_values_with_url_encoded_chars(spark, tmp_path):
+    """ADVICE r1: partition values containing characters Spark
+    URL-encodes in file URIs (space, '%', '#') must still resolve
+    back to log-relative paths during DML."""
+    from adt_spark.sources.delta_native_write import delete_where
+
+    loc = str(tmp_path / "genc")
+    src = spark.createDataFrame(
+        [(1, "a b"), (2, "x%y"), (3, "c#d"), (4, "a b")], "id long, p string"
+    )
+    write_delta_native(src, loc, partition_by=["p"])
+    v, n = delete_where(spark, loc, "id = 1")
+    assert n == 1
+    got = read_delta_native(spark, loc)
+    assert sorted((r.id, r.p) for r in got.collect()) == [(2, "x%y"), (3, "c#d"), (4, "a b")]
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    loc = str(tmp_path / "gdup")
+    write_delta_native(spark.range(4).select("id"), loc)
+    dup_src = spark.createDataFrame([(1,), (1,), (2,)], "id long")
+    with pytest.raises(DeltaWriteError, match="duplicate key"):
+        merge_upsert(spark, loc, dup_src, ["id"])
+
+
+def test_id_mode_read_leaves_session_conf_untouched(spark, tmp_path):
+    """ADVICE r1: reading an id-mapped table must not flip
+    spark.sql.parquet.fieldId.read.enabled session-wide."""
+    before = spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None)
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from adt_spark.sources.delta_native import _Snapshot  # noqa: F401
+
+    t = str(tmp_path / "gid")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    schema = pa.schema([
+        pa.field("col-1", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+    ])
+    pq_.write_table(pa.table({"col-1": pa.array([7, 8], pa.int64())}, schema=schema),
+                    os.path.join(t, "a.parquet"))
+    import pyspark.sql.types as T
+    logical = T.StructType([T.StructField(
+        "id", T.LongType(), True,
+        {"delta.columnMapping.id": 1, "delta.columnMapping.physicalName": "col-1"},
+    )])
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                                          "readerFeatures": ["columnMapping"],
+                                          "writerFeatures": ["columnMapping"]}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "x", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(logical.jsonValue()),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }}) + "\n")
+        f.write(json.dumps({"add": {"path": "a.parquet", "partitionValues": {},
+                                     "size": 1, "modificationTime": 0,
+                                     "dataChange": True}}) + "\n")
+    got = read_delta_native(spark, t)
+    assert sorted(r.id for r in got.collect()) == [7, 8]
+    assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None) == before
