@@ -238,3 +238,18 @@ def test_runtime_bloom_filter_available(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_embedding_cosine_distributed(spark, sf_dir):
+    """dedup_embedding_cosine (round-1 verdict fix): block-pair
+    self-join — the block-pair table broadcasts onto the corpus, the
+    scoring runs as grouped Arrow (FlatMapGroupsInPandas) after the
+    block-pair shuffle, and the corpus is never driver-materialized
+    (no LocalTableScan of the embedding matrix in the plan)."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_embedding_cosine"))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the corpus enters via a parquet scan on both union branches, not
+    # a driver-built local relation
+    assert plan.count("Scan parquet") >= 2
