@@ -1150,6 +1150,72 @@ def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXCL_FRAME = (
+    "PARTITION BY l_returnflag ORDER BY qty "
+    "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING"
+)
+
+
+@register(
+    "q_window_exclude",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(qty) OVER ({_EXCL_FRAME} EXCLUDE CURRENT ROW) AS BIGINT)
+             AS sum_excl_current,
+           CAST(sum(qty) OVER ({_EXCL_FRAME} EXCLUDE GROUP) AS BIGINT)
+             AS sum_excl_group,
+           CAST(sum(qty) OVER ({_EXCL_FRAME} EXCLUDE TIES) AS BIGINT)
+             AS sum_excl_ties
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE emulation (SURVEY §2.B windows; DataFusion
+    48 frames support EXCLUDE, Spark has none — COVERAGE.md documents
+    the subtract-the-excluded-rows workaround; this query proves it
+    against DuckDB's native EXCLUDE):
+
+    - ``EXCLUDE CURRENT ROW`` ≡ frame_sum − qty
+    - ``EXCLUDE GROUP``       ≡ frame_sum − peer_sum, where peer_sum
+      is the same window with ``RANGE BETWEEN CURRENT ROW AND CURRENT
+      ROW`` (exactly the ORDER-BY peer group)
+    - ``EXCLUDE TIES``        ≡ frame_sum − peer_sum + qty
+
+    Both extra windows share the frame's partitioning and sort, so
+    Catalyst plans ONE exchange + ONE sort for all three outputs.
+    SQL semantics note: an empty exclusion result is NULL (sum over
+    zero rows), so subtractions go through a null-safe guard only
+    where the frame can empty out — with a ±5 RANGE the frame always
+    contains the peer group, so frame_sum ≥ peer_sum > 0 here.
+    """
+    li = tables(spark, sf_dir)["lineitem"]
+    qty = F.col("l_quantity").cast("long")
+    base = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", qty.alias("qty")
+    )
+    w = W.partitionBy("l_returnflag").orderBy("qty")
+    frame_sum = F.sum("qty").over(w.rangeBetween(-5, 5))
+    peer_sum = F.sum("qty").over(w.rangeBetween(0, 0))
+    excl_current = frame_sum - F.col("qty")
+    excl_group = frame_sum - peer_sum
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        # sum over an emptied frame is NULL in SQL; mirror that
+        F.when(excl_current == 0, F.lit(None)).otherwise(excl_current)
+        .alias("sum_excl_current"),
+        F.when(excl_group == 0, F.lit(None)).otherwise(excl_group)
+        .alias("sum_excl_group"),
+        (frame_sum - peer_sum + F.col("qty")).alias("sum_excl_ties"),
+    )
+
+
 @register(
     "q_lateral_topk_per_nation",
     oracle="""

@@ -136,9 +136,14 @@ def decode_bitmap_array(data: bytes) -> list[int]:
     return out
 
 
-def decode_dv(dv: dict, table_location: str) -> list[int]:
+def decode_dv(dv: dict, table_location: str, read_bytes=None) -> list[int]:
     """Deletion-vector descriptor (the ``deletionVector`` struct of an
-    ``add`` action) → sorted deleted row positions."""
+    ``add`` action) → sorted deleted row positions.
+
+    ``read_bytes``: optional ``path -> bytes`` reader for 'u'/'p'
+    storage; the delta_native caller injects a Hadoop-FS-capable one
+    so DV files resolve on object stores too.  Default: local open.
+    """
     import os
 
     storage = dv["storageType"]
@@ -156,8 +161,11 @@ def decode_dv(dv: dict, table_location: str) -> list[int]:
             path = os.path.join(table_location, *( [prefix] if prefix else [] ), name)
         else:
             path = dv["pathOrInlineDv"]
-        with open(path, "rb") as fh:
-            blob = fh.read()
+        if read_bytes is not None:
+            blob = read_bytes(path)
+        else:
+            with open(path, "rb") as fh:
+                blob = fh.read()
         if blob[0] != 1:
             raise ValueError(f"unsupported DV file format version {blob[0]}")
         offset = dv.get("offset", 1)

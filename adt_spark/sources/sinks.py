@@ -214,6 +214,14 @@ def write_bucketed(
     contract (hash distribution + order), but only through the catalog
     (``saveAsTable``) — plain ``save(path)`` cannot record bucket
     metadata, which is why this helper takes a table name.
+
+    Read-side sort elision requires two things at scan time
+    (demonstrated in tests/test_sinks.py::
+    test_bucketed_sorted_join_eliminates_sort): ONE file per bucket
+    (compact first — multi-file buckets interleave rows, SPARK-24528)
+    and ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+    (Spark hides scan ordering by default, SPARK-28595).  With both,
+    a same-key sort-merge join plans with no Exchange AND no Sort.
     """
     writer = (
         df.write.mode(mode)

@@ -184,3 +184,61 @@ def test_compact_files(ctx, spark, sf_dir, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == li.count()
     assert sorted(back.columns) == sorted(li.columns)
+
+
+def test_bucketed_sorted_join_eliminates_sort(ctx, spark, sf_dir, tmp_path):
+    """The READ-side sort contract (reference WITH ORDER,
+    listing.rs:127-149: declared file order lets the engine elide
+    sorts).  Bucketed+sorted tables with one file per bucket report
+    their sort order from the scan, so a sort-merge join plans with
+    NO Sort and NO Exchange on either side."""
+    from adt_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bs_orders", "bs_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the in-memory catalog forgets managed tables across sessions
+        # but their warehouse dirs persist; clear leftovers
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    # coalesce(1): one file per bucket — Spark only exposes the
+    # declared sort order to the planner in that layout (SPARK-24528);
+    # at scale, compaction to one file per bucket is the same move.
+    write_bucketed(
+        orders.coalesce(1), "bs_orders", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        lineitem.coalesce(1), "bs_lineitem", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+    # Spark stopped reporting scan output ordering by default because
+    # multi-file buckets interleave (SPARK-28595); with one file per
+    # bucket the order is real, and this conf re-enables using it.
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        joined = spark.table("bs_orders").join(
+            spark.table("bs_lineitem"),
+            spark.table("bs_orders").o_orderkey
+            == spark.table("bs_lineitem").l_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Sort [" not in plan, plan  # sort nodes print as `Sort [expr`
+        assert joined.count() == orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
