@@ -63,23 +63,135 @@ def mm_binary_content_address(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(blob: bytes, media_type: str) -> dict:
-    """Decode a media blob → features.  REAL decoding requires codec
-    libraries (PIL/ffmpeg/torchaudio) absent from this container —
-    the deterministic fake below derives pseudo-dimensions from the
-    content hash so the pipeline shape is fully testable; swap this
-    function for the real codec at deployment.
+    """Decode a media blob → feature dict.  This is the codec seam
+    every media pipeline stage routes through.
+
+    REAL codecs implemented here, executor-side, zero dependencies:
+
+    - ``image/bmp``  — BITMAPINFOHEADER parse + 24/32-bpp pixel
+      decode (numpy): width, height, mean_luma.
+    - ``image/ppm``  — binary P6 parse: width, height, mean_luma.
+    - ``audio/wav``  — stdlib ``wave`` + numpy PCM16 decode:
+      sample_rate, n_channels, duration_s, rms.
+
+    Anything else tries PIL if deployed alongside it (import-try
+    seam); otherwise NotImplementedError names the missing codec.
+    The ``fake/deterministic`` codec (md5-derived dimensions) remains
+    the oracle-checkable default for the driver tables, which carry
+    no real media bytes.
     """
-    if media_type not in ("fake/deterministic",):
+    if media_type == "fake/deterministic":
+        h = hashlib.md5(blob).hexdigest()
+        return {
+            "width": 1 + int(h[:2], 16),
+            "height": 1 + int(h[2:4], 16),
+            "n_frames": 1 + int(h[4:5], 16),
+        }
+    if media_type == "image/bmp":
+        return _decode_bmp(blob)
+    if media_type == "image/ppm":
+        return _decode_ppm(blob)
+    if media_type == "audio/wav":
+        return _decode_wav(blob)
+    try:  # deployment seam: any PIL-supported format
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(blob))
+        return {"width": img.width, "height": img.height, "n_frames": 1}
+    except ImportError:
         raise NotImplementedError(
-            f"real {media_type!r} decoding needs codec libs (PIL/ffmpeg); "
-            "only the deterministic test codec is available in-container"
+            f"decoding {media_type!r} needs codec libs (PIL/ffmpeg) not in "
+            "this container; in-container codecs: image/bmp, image/ppm, "
+            "audio/wav, fake/deterministic"
+        ) from None
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    """Windows BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp): header
+    fields are little-endian ints at fixed offsets; pixel rows are
+    stored bottom-up, padded to 4-byte boundaries."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing BM magic)")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    width = struct.unpack_from("<i", blob, 18)[0]
+    height = struct.unpack_from("<i", blob, 22)[0]
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    out = {"width": width, "height": abs(height), "n_frames": 1, "bpp": bpp}
+    if compression == 0 and bpp in (24, 32):
+        bytes_pp = bpp // 8
+        stride = (width * bytes_pp + 3) & ~3
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * abs(height), offset=data_offset
+        ).reshape(abs(height), stride)[:, : width * bytes_pp]
+        px = rows.reshape(abs(height), width, bytes_pp)[..., :3]  # BGR
+        out["mean_luma"] = float(
+            (0.114 * px[..., 0] + 0.587 * px[..., 1] + 0.299 * px[..., 2]).mean()
         )
-    h = hashlib.md5(blob).hexdigest()
+    return out
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    """Binary PPM (P6): ASCII header (magic, width, height, maxval)
+    then raw RGB triples."""
+    import numpy as np
+
+    fields: list[bytes] = []
+    pos = 0
+    while len(fields) < 4:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end of line
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(blob[start:pos])
+    if fields[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) stream")
+    width, height = int(fields[1]), int(fields[2])
+    px = np.frombuffer(
+        blob, dtype=np.uint8, count=width * height * 3, offset=pos + 1
+    ).reshape(height, width, 3)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     return {
-        "width": 1 + int(h[:2], 16),
-        "height": 1 + int(h[2:4], 16),
-        "n_frames": 1 + int(h[4:5], 16),
+        "width": width,
+        "height": height,
+        "n_frames": 1,
+        "mean_luma": float(luma.mean()),
     }
+
+
+def _decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE via the stdlib ``wave`` reader + numpy PCM decode."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(blob)) as w:
+        n_channels = w.getnchannels()
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        pcm = w.readframes(n_frames)
+    out = {
+        "n_channels": n_channels,
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "duration_s": n_frames / rate if rate else 0.0,
+    }
+    if width == 2:
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        out["rms"] = float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
+    return out
 
 
 @register(
