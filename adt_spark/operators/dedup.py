@@ -923,3 +923,162 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_canonical", F.row_number().over(w) == 1)
         .select("doc_id", "component_id", "quality", "is_canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated substrings (Lee et al. 2021 style)
+# ---------------------------------------------------------------------------
+
+_SUB_K = 8  # token-window length
+
+
+@register(
+    "dedup_substring_repeats",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(ts, i, i + {_SUB_K - 1}), ' ')) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+           unnest(generate_series(1, greatest(len(ts) - {_SUB_K - 1}, 0))) AS u(i)
+    )
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           CAST(min(doc_id) AS BIGINT) AS first_doc_id
+    FROM g
+    GROUP BY gram
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+    tags=("dedup", "substring", "repeats"),
+)
+def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated substrings: every {k}-token window that
+    occurs in MORE THAN ONE document (the rolling-hash formulation of
+    exact substring dedup — cf. Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", 2021, which uses a suffix
+    array for the same inventory; a distributed engine gets the
+    identical answer from k-gram hashing with one shuffle).
+
+    Plan: one projection builds each doc's rolling window hashes
+    (transform over sequence, JVM-only), one explode, ONE shuffle on
+    the 128-bit gram hash with partial aggregation; count(DISTINCT
+    doc_id) expands in the same aggregation.  Gram hashes are uniform
+    by construction — no skew — and the HAVING filter prunes the
+    (overwhelming) singleton mass before any further consumer.  At
+    100 TB this is the canonical inventory for "memorized span"
+    removal: join the surviving grams back against documents to mask
+    or drop repeated spans.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_SUB_K - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SUB_K))),
+    )
+    return (
+        spread(docs)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH new_docs AS (
+      SELECT * FROM documents WHERE doc_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT * FROM documents WHERE doc_id % 10 <> 0
+    ),
+    sh AS ({_SHINGLE_SQL}),
+    filtered AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_POSTING}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+    )
+    SELECT n.doc_id,
+           EXISTS (SELECT 1 FROM corpus c
+                   WHERE md5(lower(trim(c.text))) = md5(lower(trim(n.text))))
+             AS is_exact_dup,
+           EXISTS (SELECT 1 FROM pairs p
+                   WHERE (p.doc_a = n.doc_id AND p.doc_b % 10 <> 0)
+                      OR (p.doc_b = n.doc_id AND p.doc_a % 10 <> 0))
+             AS is_near_dup
+    FROM new_docs n
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape every production ingest needs:
+    dedup a NEW batch (here: doc_id % 10 == 0, standing in for
+    today's crawl) against the EXISTING corpus without re-deduping
+    the corpus itself.
+
+    - exact: the new batch left-semi-probes the corpus content-hash
+      set (one shuffle on the 128-bit hash; at scale the corpus side
+      is a pre-materialized hash index, so the probe cost tracks the
+      BATCH size, not corpus size).
+    - near: reuses the memoized exact-Jaccard pairs (PPJoin) and
+      keeps pairs that cross the batch/corpus boundary — the batch
+      analog of running LSH candidates against the corpus index and
+      exact-verifying.
+
+    Output: one row per new doc with is_exact_dup / is_near_dup
+    flags; `NOT (is_exact_dup OR is_near_dup)` is the admit set.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    is_new = F.col("doc_id") % 10 == 0
+    new_docs = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+    h = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    corpus_hashes = corpus.select(h(F.col("text")).alias("chash")).distinct()
+    exact = (
+        new_docs.select("doc_id", h(F.col("text")).alias("chash"))
+        .join(corpus_hashes.withColumn("_hit", F.lit(True)), "chash", "left")
+        .select("doc_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("is_exact_dup"))
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cross = (
+        pairs.filter((F.col("doc_a") % 10 == 0) & (F.col("doc_b") % 10 != 0))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pairs.filter((F.col("doc_b") % 10 == 0) & (F.col("doc_a") % 10 != 0))
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        exact.join(cross, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.coalesce(F.col("_near"), F.lit(False)).alias("is_near_dup"),
+        )
+    )

@@ -414,3 +414,80 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LM quality scoring: per-doc mean unigram probability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_prob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos, ts[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+           unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    total AS (SELECT count(*) AS n FROM tok),
+    scored AS (
+      SELECT tok.doc_id, tok.pos,
+             CAST(vocab.freq AS DOUBLE) / (SELECT n FROM total) AS p
+      FROM tok JOIN vocab USING (token)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           list_sum(list_transform(
+               list_sort(list({'pos': pos, 'p': p})), s -> s.p)) / count(*)
+             AS mean_token_prob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "unigram"),
+)
+def text_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-language-model quality score: each doc's mean unigram
+    probability under the corpus's own empirical distribution — the
+    cheap proxy for "is this doc made of normal corpus language?"
+    (outliers on either end are boilerplate or garbage; real pipelines
+    threshold on exactly this kind of LM score before training).
+
+    Two-pass shape that survives 100 TB: pass 1 is one shuffle
+    building the unigram table (vocab is tiny relative to the corpus —
+    heavy-hitter tokens partial-aggregate map-side); pass 2 re-joins
+    tokens to frequencies (broadcast when vocab fits, shuffle-hash
+    otherwise — Catalyst chooses) and folds per-doc in POSITION order.
+
+    Bit-exactness: probabilities are single exact double divisions
+    (int/int); the per-doc sum folds over tokens sorted by position —
+    the same left-to-right double-add order as DuckDB's list_sum over
+    list_sort — so cross-engine values are bit-identical with no
+    transcendentals involved (log scoring would hit libm-vs-StrictMath
+    last-ulp divergence; a monotone transform adds no information to a
+    threshold filter anyway).
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = tok.count()  # scalar: exact int, driver-side is one number
+    scored = tok.join(vocab, "token").select(
+        "doc_id",
+        "pos",
+        (F.col("freq").cast("double") / F.lit(float(total))).alias("p"),
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (fold / F.count(F.lit(1))).alias("mean_token_prob"),
+    )

@@ -257,3 +257,71 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pieces).alias("n_pieces"),
         est.alias("n_bpe_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+#: patterns kept to the regex subset with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+"
+_PII_PHONE = "555-[0-9]+"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+#: deterministic PII injection (the synthetic corpus carries none):
+#: every 3rd doc gets an email + phone + ip derived from doc_id, so
+#: detection has known ground truth on BOTH engines.
+_PII_DIRTY_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact u' || CAST(doc_id AS {str_t})"
+    " || '@example.com or 555-' || CAST(doc_id % 10000 AS {str_t})"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS {str_t}) || '.1' ELSE text END"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, {_PII_DIRTY_SQL.format(str_t='VARCHAR')} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS redacted
+    FROM dirty
+    """,
+    tags=("text", "pii", "redaction"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — a standard pre-training scrub pass
+    (emails / phone-prefix / IPv4 here; the same regexp_replace chain
+    extends to any pattern set with Java∩RE2-portable syntax).
+
+    Pure Catalyst projection: regexp_extract_all counts + a
+    regexp_replace chain, zero shuffles, whole-stage codegen'd — at
+    100 TB this runs at scan speed.  The corpus is synthetic word
+    streams (no real PII), so known PII is injected deterministically
+    from doc_id on both engines, giving the detector exact ground
+    truth: every doc_id % 3 == 0 row must report 1 email, 1 phone,
+    1 ip and a fully masked suffix.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    # patterns go through the Python API (F.lit / literal args), NOT
+    # F.expr SQL strings — Spark SQL string literals process
+    # backslash escapes, which would silently turn '\.' into '.'
+    dirty = F.expr(_PII_DIRTY_SQL.format(str_t="STRING"))  # no backslashes
+    red = dirty
+    for pat, tag in [(_PII_EMAIL, "[EMAIL]"), (_PII_PHONE, "[PHONE]"), (_PII_IP, "[IP]")]:
+        red = F.regexp_replace(red, pat, tag)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        red.alias("redacted"),
+    )
