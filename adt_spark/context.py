@@ -28,6 +28,7 @@ env (``SPARK_GRAFT_CPUS`` locally; a real cluster would size this to
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -178,6 +179,13 @@ class ADTContext:
         # without Hive, so route to the listing-table factory.
         if is_create_external_table(query):
             return execute_create_external_table(self.spark, query)
+        # EXPLAIN ANALYZE (DataFusion surface; Spark's parser has no
+        # ANALYZE form): execute the plan fully JVM-side, then render
+        # the final AQE plan plus per-operator runtime metrics in
+        # DataFusion's (plan_type, plan) output shape.
+        m = re.match(r"^\s*explain\s+analyze\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._explain_analyze(m.group(1))
         # Direct information_schema.* queries (reference context.rs:27
         # enables them) — snapshot the catalog into temp views and
         # rewrite the qualified names (dialect/infoschema.py).
@@ -207,6 +215,52 @@ class ADTContext:
         if args is not None:
             return self.spark.sql(translated, args=args)
         return self.spark.sql(translated)
+
+    def _explain_analyze(self, inner: str) -> DataFrame:
+        """Run ``inner`` to completion and return one row per
+        DataFusion's EXPLAIN ANALYZE shape: (plan_type, plan) where
+        the plan text carries each operator's runtime metrics.
+
+        Execution happens via the physical plan's own RDD (JVM-side
+        row counting — results are produced and discarded exactly like
+        DataFusion's ANALYZE, never serialized to Python), which
+        populates the SQLMetrics on the executed plan instance.
+        """
+        df = self.sql(inner)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan()
+        plan.execute().count()  # full execution, metrics accumulate
+        lines = [plan.toString()]
+        lines.append("")
+        lines.append("Metrics:")
+
+        def walk(node, depth):
+            cls = node.getClass().getSimpleName()
+            # AQE wrappers: children() is the INITIAL plan; the nodes
+            # that actually ran (and carry metric values) hang off the
+            # final physical plan / the stage's wrapped plan.
+            if cls.startswith("AdaptiveSparkPlan"):
+                walk(node.finalPhysicalPlan(), depth)
+                return
+            if cls.endswith("QueryStageExec"):
+                walk(node.plan(), depth)
+                return
+            metrics = node.metrics()
+            it = metrics.iterator()
+            parts = []
+            while it.hasNext():
+                kv = it.next()
+                parts.append(f"{kv._1()}={kv._2().value()}")
+            if parts:
+                lines.append("  " * depth + f"{node.nodeName()}: " + ", ".join(parts))
+            kids = node.children()
+            for i in range(kids.length()):
+                walk(kids.apply(i), depth + 1)
+
+        walk(plan, 0)
+        return self.spark.createDataFrame(
+            [("Plan with Metrics", "\n".join(lines))], "plan_type string, plan string"
+        )
 
     # -- table registration (reference: listing.rs / deltatable.rs) ------
     def register_table(self, name: str, location: str, fmt: str = "parquet", **options) -> DataFrame:

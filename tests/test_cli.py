@@ -129,3 +129,23 @@ def test_information_schema_columns_matches_describe(spark, sf_dir):
         "WHERE name = 'spark.sql.shuffle.partitions'"
     ).collect()
     assert settings and settings[0].value is not None
+
+
+def test_explain_analyze_runs_and_reports_metrics(spark, sf_dir):
+    """EXPLAIN ANALYZE (DataFusion surface, not in Spark's parser):
+    executes the plan and returns (plan_type, plan) with per-operator
+    runtime metrics, AQE-final."""
+    from adt_spark import ADTContext
+
+    ctx = ADTContext(spark=spark)
+    ctx.register_sf_dir(sf_dir)
+    rows = ctx.sql(
+        "EXPLAIN ANALYZE SELECT l_returnflag, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    assert len(rows) == 1 and rows[0].plan_type == "Plan with Metrics"
+    plan = rows[0].plan
+    assert "isFinalPlan=true" in plan          # really executed
+    assert "Metrics:" in plan
+    assert "numOutputRows=" in plan            # runtime metric values
+    assert "HashAggregate" in plan
