@@ -81,3 +81,49 @@ def test_split_statements_recovers_statements(stmts):
         lines.append(s + ";")
     got = list(split_statements(lines))
     assert [g.strip() for g in got] == [s.strip() for s in stmts]
+
+
+# --- CREATE EXTERNAL TABLE parser + hive path escaping --------------------
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True)
+_path = st.from_regex(r"/[A-Za-z0-9_/.\-]{1,40}", fullmatch=True)
+
+
+@given(
+    name=_ident,
+    fmt=st.sampled_from(["parquet", "csv", "json", "ndjson", "arrow", "delta"]),
+    path=_path,
+    parts=st.lists(_ident, max_size=3, unique=True),
+    ine=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_ddl_parser_roundtrips_generated_statements(name, fmt, path, parts, ine):
+    """Any well-formed CREATE EXTERNAL TABLE statement parses back to
+    exactly its components (the reference CLI templates these strings
+    mechanically, so the parser must never misread a field)."""
+    from adt_spark.dialect.ddl import parse_create_external_table
+
+    part_spec = f"partitioned by ({', '.join(parts)})" if parts else ""
+    ddl = (
+        f"create external table {'if not exists ' if ine else ''}{name}\n"
+        f"stored as {fmt}\n{part_spec}\nlocation '{path}'"
+    )
+    spec = parse_create_external_table(ddl)
+    assert spec["name"] == name
+    assert spec["fmt"] == fmt
+    assert spec["location"] == path
+    assert spec["if_not_exists"] == ine
+    assert spec["partition_cols"] == (parts if parts else None)
+
+
+@given(st.text(min_size=0, max_size=60).filter(lambda s: "\x00" not in s))
+@settings(max_examples=300, deadline=None)
+def test_hive_escape_roundtrip(value):
+    """Partition-value hive escaping is invertible and produces names
+    free of path-hostile characters (Delta add.path must match the
+    on-disk dir byte-for-byte; partitionValues carry the raw value)."""
+    from adt_spark.sources.delta_native_write import _hive_escape, _hive_unescape
+
+    escaped = _hive_escape(value)
+    assert _hive_unescape(escaped) == value
+    assert "/" not in escaped and "=" not in escaped and "\n" not in escaped
