@@ -48,58 +48,43 @@ class DeltaWriteError(RuntimeError):
     pass
 
 
-#: writer features this writer actually implements the semantics of;
-#: anything else in writerFeatures must abort the write (Delta
-#: protocol: a writer MUST NOT commit to a table whose writer
-#: requirements it does not understand).
+#: writer features this writer implements unconditionally; features
+#: with conditional support (columnMapping, changeDataFeed,
+#: checkConstraints, generatedColumns) are adjudicated per operation
+#: in _check_writable.  Anything else aborts (Delta protocol: a writer
+#: MUST NOT commit to a table whose writer requirements it does not
+#: understand).
 _SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "timestampNtz"}
 
 
 def _check_writable(snap, operation: str) -> None:
     """Writer-protocol gate, mirroring the reader-side DV guard.
 
-    - Column-mapped tables (``delta.columnMapping.mode`` name/id): the
-      DML scans here read parquet under the LOGICAL schema, which on a
-      mapped table resolves every data column to NULL — predicates
-      silently match nothing and appends commit files under logical
-      names that mapped readers return as all-NULL.  Refuse outright.
-    - ``minWriterVersion`` > 2 requires understanding every
-      ``writerFeatures`` entry; unknown features abort.
-    - ``delta.appendOnly=true`` (the minWriterVersion=2 / appendOnly
-      feature contract) forbids DELETE/UPDATE/MERGE/overwrite.
-    - Column invariants (``delta.invariants`` in field metadata) are
-      not enforced by this writer, so tables declaring them abort
-      rather than admit rows a compliant writer would reject.
+    - Column-mapped tables (``delta.columnMapping.mode`` name/id):
+      append/overwrite are supported — the writer stages files under
+      PHYSICAL column names (+ parquet field ids in id mode).  DML is
+      refused: its predicate scans would need the full
+      physical→logical projection and physical-keyed rewrite, which
+      only delta-spark provides today.
+    - CHECK constraints (``delta.constraints.*`` in table config) and
+      generated columns (``delta.generationExpression`` in field
+      metadata) are not enforced/computed here — tables declaring
+      them abort rather than admit non-compliant rows.
+    - Change data feed: appends/overwrites are legal without
+      ``_change_data`` files (CDC derives from dataChange add/remove
+      of whole files); partial-file DML would require them — refused.
+    - ``delta.appendOnly=true`` forbids non-append operations.
+    - Column invariants abort (not enforced here).
+    - Unknown ``writerFeatures`` / ``minWriterVersion`` > 5 abort.
     """
-    if snap.column_mapping_mode != "none":
+    conf = snap.configuration or {}
+    mapped = snap.column_mapping_mode != "none"
+    if mapped and operation not in ("append", "overwrite"):
         raise DeltaWriteError(
             f"{operation}: table uses column mapping "
             f"(delta.columnMapping.mode={snap.column_mapping_mode}); the "
-            "native writer only supports direct-name tables — use delta-spark"
-        )
-    proto = snap.protocol or {}
-    v = proto.get("minWriterVersion", 2)
-    features = set(proto.get("writerFeatures") or [])
-    if v >= 7 or features:
-        unsupported = features - _SUPPORTED_WRITER_FEATURES
-        if unsupported:
-            raise DeltaWriteError(
-                f"{operation}: table requires writer features "
-                f"{sorted(unsupported)} this writer does not implement"
-            )
-    elif v > 2:
-        raise DeltaWriteError(
-            f"{operation}: table requires minWriterVersion={v} "
-            "(this writer implements version 2 semantics)"
-        )
-    # the appendOnly FEATURE only obliges understanding the conf;
-    # the conf itself is what forbids non-append operations
-    append_only = (
-        str(snap.configuration.get("delta.appendOnly", "false")).lower() == "true"
-    )
-    if append_only and operation != "append":
-        raise DeltaWriteError(
-            f"{operation}: table is delta.appendOnly=true — only appends allowed"
+            "native writer supports append/overwrite on mapped tables "
+            "(physical-name writes) but not DML — use delta-spark"
         )
     for f in snap.schema.fields:
         md = f.metadata or {}
@@ -108,6 +93,46 @@ def _check_writable(snap, operation: str) -> None:
                 f"{operation}: column {f.name!r} declares an invariant "
                 "this writer does not enforce"
             )
+        if md.get("delta.generationExpression"):
+            raise DeltaWriteError(
+                f"{operation}: column {f.name!r} is a generated column "
+                "this writer does not compute"
+            )
+    if any(k.startswith("delta.constraints.") for k in conf):
+        raise DeltaWriteError(
+            f"{operation}: table declares CHECK constraints this writer "
+            "does not enforce"
+        )
+    cdf_on = str(conf.get("delta.enableChangeDataFeed", "false")).lower() == "true"
+    if cdf_on and operation not in ("append", "overwrite"):
+        raise DeltaWriteError(
+            f"{operation}: change data feed requires _change_data files for "
+            "partial-file DML, which this writer does not produce"
+        )
+    proto = snap.protocol or {}
+    v = proto.get("minWriterVersion", 2)
+    features = set(proto.get("writerFeatures") or [])
+    if v >= 7 or features:
+        conditional_ok = {"columnMapping", "changeDataFeed", "checkConstraints",
+                          "generatedColumns"}  # adjudicated above via conf/schema
+        unsupported = features - _SUPPORTED_WRITER_FEATURES - conditional_ok
+        if unsupported:
+            raise DeltaWriteError(
+                f"{operation}: table requires writer features "
+                f"{sorted(unsupported)} this writer does not implement"
+            )
+    elif v > 5:
+        raise DeltaWriteError(
+            f"{operation}: table requires minWriterVersion={v} "
+            "(this writer implements version <= 5 semantics)"
+        )
+    # the appendOnly FEATURE only obliges understanding the conf;
+    # the conf itself is what forbids non-append operations
+    append_only = str(conf.get("delta.appendOnly", "false")).lower() == "true"
+    if append_only and operation != "append":
+        raise DeltaWriteError(
+            f"{operation}: table is delta.appendOnly=true — only appends allowed"
+        )
 
 
 def _rel_from_uri(uri: str, snap_files) -> str:
@@ -233,6 +258,38 @@ def write_delta_native(
     else:
         snap = None
         version = 0
+
+    # Column-mapped tables: stage under PHYSICAL column names (+
+    # parquet field ids for id mode — Spark writes them from the
+    # parquet.field.id schema metadata) and key partition dirs by the
+    # physical name; the log's partitionValues are physical-keyed in
+    # mapped tables, which is exactly what _collect_staged_files will
+    # read back from the directory names.
+    if snap is not None and snap.column_mapping_mode != "none":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        with_ids = snap.column_mapping_mode == "id"
+        phys_of: dict[str, str] = {}
+        cols = []
+        for f in snap.schema.fields:
+            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+                raise DeltaWriteError(
+                    f"append to column-mapped table: nested column {f.name!r} "
+                    "needs nested physical renames — use delta-spark"
+                )
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName", f.name)
+            fid = md.get("delta.columnMapping.id")
+            phys_of[f.name] = phys
+            meta = (
+                {"parquet.field.id": int(fid)}
+                if with_ids and fid is not None
+                else {}
+            )
+            cols.append(F.col(f.name).alias(phys, metadata=meta))
+        df = df.select(*cols)
+        partition_by = [phys_of[c] for c in partition_by]
 
     # 1. distributed parquet write into a staging dir
     staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")

@@ -307,15 +307,15 @@ def _append_log_action(loc, version, action):
         f.write(json.dumps(action) + "\n")
 
 
-def test_writer_rejects_column_mapped_table(spark, tmp_path):
-    """ADVICE r1: on a name/id-mapped table every DML scan resolves
-    data columns to NULL under the logical schema — the writer must
-    refuse instead of silently no-opping/corrupting."""
+def test_writer_rejects_column_mapped_dml(spark, tmp_path):
+    """ADVICE r1: on a name/id-mapped table a DML predicate scan would
+    resolve data columns to NULL under the logical schema — DML must
+    refuse.  (Appends are supported via physical-name staging — see
+    test_column_mapped_append_name_mode.)"""
     from adt_spark.sources.delta_native_write import delete_where, merge_upsert, update_where
 
     loc = str(tmp_path / "gcm")
     write_delta_native(spark.range(4).select("id"), loc)
-    snap = replay_snapshot(spark, loc)
     meta = json.loads(
         [json.loads(l) for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
          if "metaData" in l][0]["metaData"]["schemaString"]
@@ -330,10 +330,13 @@ def test_writer_rejects_column_mapped_table(spark, tmp_path):
         lambda: delete_where(spark, loc, "id = 1"),
         lambda: update_where(spark, loc, "id = 1", {"id": "id + 1"}),
         lambda: merge_upsert(spark, loc, spark.range(2).select("id"), ["id"]),
-        lambda: write_delta_native(spark.range(2).select("id"), loc, mode="append"),
     ]:
         with pytest.raises(DeltaWriteError, match="column mapping"):
             op()
+    # append with physical-name staging (physicalName defaults to the
+    # logical name when the metadata carries none) still works
+    v = write_delta_native(spark.range(4, 6).select("id"), loc, mode="append")
+    assert v == 2
 
 
 def test_writer_rejects_unknown_writer_features(spark, tmp_path):
@@ -341,9 +344,9 @@ def test_writer_rejects_unknown_writer_features(spark, tmp_path):
     write_delta_native(spark.range(4).select("id"), loc)
     _append_log_action(loc, 1, {"protocol": {
         "minReaderVersion": 1, "minWriterVersion": 7,
-        "writerFeatures": ["appendOnly", "generatedColumns"],
+        "writerFeatures": ["appendOnly", "identityColumns"],
     }})
-    with pytest.raises(DeltaWriteError, match="generatedColumns"):
+    with pytest.raises(DeltaWriteError, match="identityColumns"):
         write_delta_native(spark.range(2).select("id"), loc, mode="append")
 
 
@@ -440,3 +443,99 @@ def test_id_mode_read_leaves_session_conf_untouched(spark, tmp_path):
     got = read_delta_native(spark, t)
     assert sorted(r.id for r in got.collect()) == [7, 8]
     assert spark.conf.get("spark.sql.parquet.fieldId.read.enabled", None) == before
+
+
+def _mapped_table(tmp_path, spark, mode, partitioned=True):
+    """A column-mapped table built from raw protocol pieces (same
+    shapes as tests/test_delta_native.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pyspark.sql.types as T
+
+    t = str(tmp_path / f"cmw_{mode}")
+    os.makedirs(os.path.join(t, "_delta_log"))
+
+    def fld(name, dt, fid, phys):
+        return T.StructField(
+            name, dt, True,
+            {"delta.columnMapping.id": fid,
+             "delta.columnMapping.physicalName": phys},
+        )
+    fields = [fld("id", T.LongType(), 1, "col-1"), fld("val", T.StringType(), 2, "col-2")]
+    part_cols = []
+    if partitioned:
+        fields.append(fld("p", T.IntegerType(), 3, "col-3"))
+        part_cols = ["p"]
+    logical = T.StructType(fields)
+    md = (lambda i: {b"PARQUET:field_id": str(i).encode()}) if mode == "id" else (lambda i: None)
+    schema = pa.schema(
+        [pa.field("col-1", pa.int64(), metadata=md(1)),
+         pa.field("col-2", pa.string(), metadata=md(2))]
+    )
+    rel = "col-3=7/a.parquet" if partitioned else "a.parquet"
+    os.makedirs(os.path.dirname(os.path.join(t, rel)), exist_ok=True) if partitioned else None
+    pq_.write_table(
+        pa.table({"col-1": pa.array([1, 2], pa.int64()),
+                  "col-2": pa.array(["x", "y"], pa.string())}, schema=schema),
+        os.path.join(t, rel),
+    )
+    reader_v = 2 if mode == "name" else 3
+    proto = {"minReaderVersion": reader_v, "minWriterVersion": 5}
+    if reader_v == 3:
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["columnMapping"], "writerFeatures": ["columnMapping"]}
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": proto}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cmw", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(logical.jsonValue()),
+            "partitionColumns": part_cols,
+            "configuration": {"delta.columnMapping.mode": mode},
+        }}) + "\n")
+        pv = {"col-3": "7"} if partitioned else {}
+        f.write(json.dumps({"add": {"path": rel, "partitionValues": pv,
+                                     "size": 1, "modificationTime": 0,
+                                     "dataChange": True}}) + "\n")
+    return t
+
+
+def test_column_mapped_append_name_mode(spark, tmp_path):
+    """Appends to a name-mapped table stage files under PHYSICAL
+    column names; mapped readers then see the new rows correctly
+    (round 1 would have committed logical names -> all-NULL reads;
+    the r1 ADVICE guard refused; now the write is done right)."""
+    t = _mapped_table(tmp_path, spark, "name")
+    src = spark.createDataFrame([(3, "z", 8)], "id long, val string, p int")
+    v = write_delta_native(src, t, mode="append", partition_by=["p"])
+    assert v == 1
+    got = read_delta_native(spark, t)
+    assert sorted((r.id, r.val, r.p) for r in got.collect()) == [
+        (1, "x", 7), (2, "y", 7), (3, "z", 8)
+    ]
+    snap = replay_snapshot(spark, t)
+    new_rel = [p for p in snap.files if p != "col-3=7/a.parquet"]
+    assert len(new_rel) == 1 and new_rel[0].startswith("col-3=8/")  # physical dir key
+    assert snap.files[new_rel[0]][0] == {"col-3": "8"}  # physical partitionValues
+
+
+def test_column_mapped_append_id_mode_writes_field_ids(spark, tmp_path):
+    import pyarrow.parquet as pq_
+
+    t = _mapped_table(tmp_path, spark, "id", partitioned=False)
+    src = spark.createDataFrame([(3, "z")], "id long, val string")
+    write_delta_native(src, t, mode="append")
+    got = read_delta_native(spark, t)
+    assert sorted((r.id, r.val) for r in got.collect()) == [(1, "x"), (2, "y"), (3, "z")]
+    snap = replay_snapshot(spark, t)
+    new_rel = [p for p in snap.files if p != "a.parquet"][0]
+    sch = pq_.read_schema(os.path.join(t, new_rel))
+    assert sch.names == ["col-1", "col-2"]  # physical names in the file
+    assert sch.field("col-1").metadata[b"PARQUET:field_id"] == b"1"
+
+
+def test_column_mapped_dml_still_refused(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = _mapped_table(tmp_path, spark, "name")
+    with pytest.raises(DeltaWriteError, match="column mapping"):
+        delete_where(spark, t, "id = 1")
