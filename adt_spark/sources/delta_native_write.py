@@ -61,11 +61,12 @@ def _check_writable(snap, operation: str) -> None:
     """Writer-protocol gate, mirroring the reader-side DV guard.
 
     - Column-mapped tables (``delta.columnMapping.mode`` name/id):
-      append/overwrite are supported — the writer stages files under
-      PHYSICAL column names (+ parquet field ids in id mode).  DML is
-      refused: its predicate scans would need the full
-      physical→logical projection and physical-keyed rewrite, which
-      only delta-spark provides today.
+      append/overwrite AND DML are supported for FLAT schemas — scans
+      read under physical names and project to logical for the
+      predicate; rewrites stage back under physical names (+ parquet
+      field ids in id mode).  Nested mapped schemas are refused by
+      ``_physical_projection`` (recursive renames — delta-spark
+      territory).
     - CHECK constraints (``delta.constraints.*`` in table config) and
       generated columns (``delta.generationExpression`` in field
       metadata) are not enforced/computed here — tables declaring
@@ -78,14 +79,6 @@ def _check_writable(snap, operation: str) -> None:
     - Unknown ``writerFeatures`` / ``minWriterVersion`` > 5 abort.
     """
     conf = snap.configuration or {}
-    mapped = snap.column_mapping_mode != "none"
-    if mapped and operation not in ("append", "overwrite"):
-        raise DeltaWriteError(
-            f"{operation}: table uses column mapping "
-            f"(delta.columnMapping.mode={snap.column_mapping_mode}); the "
-            "native writer supports append/overwrite on mapped tables "
-            "(physical-name writes) but not DML — use delta-spark"
-        )
     for f in snap.schema.fields:
         md = f.metadata or {}
         if md.get("delta.invariants"):
@@ -224,6 +217,72 @@ def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[s
     return out
 
 
+def _physical_projection(snap):
+    """Column-mapping helpers for FLAT schemas (nested mapped tables
+    are refused — their renames need recursive struct casts, which is
+    delta-spark territory):
+
+    - ``phys_of``: logical name → physical name (all columns)
+    - ``data_read_schema``: the DATA columns under physical names
+      (+ ``parquet.field.id`` metadata in id mode)
+    - ``to_logical(df)``: physical-name scan → logical names
+    - ``to_physical(df)``: logical DataFrame → physical names + field
+      id metadata, ready for staging
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    with_ids = snap.column_mapping_mode == "id"
+    part_cols = snap.partition_columns
+    phys_of: dict[str, str] = {}
+    meta_of: dict[str, dict] = {}
+    data_fields_phys: list[T.StructField] = []
+    for f in snap.schema.fields:
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            raise DeltaWriteError(
+                f"column-mapped table: nested column {f.name!r} needs nested "
+                "physical renames — use delta-spark"
+            )
+        md = f.metadata or {}
+        phys = md.get("delta.columnMapping.physicalName", f.name)
+        fid = md.get("delta.columnMapping.id")
+        phys_of[f.name] = phys
+        meta_of[f.name] = (
+            {"parquet.field.id": int(fid)} if with_ids and fid is not None else {}
+        )
+        if f.name not in part_cols:
+            data_fields_phys.append(
+                T.StructField(phys, f.dataType, f.nullable, meta_of[f.name])
+            )
+    logical_data = [f.name for f in snap.schema.fields if f.name not in part_cols]
+
+    def to_logical(df: DataFrame, extra: tuple = ()) -> DataFrame:
+        return df.select(
+            *[F.col(phys_of[name]).alias(name) for name in logical_data],
+            *[F.col(c) for c in extra],
+        )
+
+    def to_physical(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(name).alias(phys_of[name], metadata=meta_of[name])
+                for name in df.columns
+            ]
+        )
+
+    return phys_of, T.StructType(data_fields_phys), to_logical, to_physical
+
+
+def _dml_projection(snap, data_schema):
+    """(read_schema, to_logical, to_physical) for a DML scan — the
+    physical mapping for mapped tables, identity for direct-name
+    tables (the common case keeps its exact round-1 plan)."""
+    if snap.column_mapping_mode == "none":
+        return data_schema, (lambda df, extra=(): df), (lambda df: df)
+    _phys_of, read_schema, to_logical, to_physical = _physical_projection(snap)
+    return read_schema, to_logical, to_physical
+
+
 def write_delta_native(
     df: DataFrame,
     location: str,
@@ -266,29 +325,8 @@ def write_delta_native(
     # mapped tables, which is exactly what _collect_staged_files will
     # read back from the directory names.
     if snap is not None and snap.column_mapping_mode != "none":
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        with_ids = snap.column_mapping_mode == "id"
-        phys_of: dict[str, str] = {}
-        cols = []
-        for f in snap.schema.fields:
-            if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-                raise DeltaWriteError(
-                    f"append to column-mapped table: nested column {f.name!r} "
-                    "needs nested physical renames — use delta-spark"
-                )
-            md = f.metadata or {}
-            phys = md.get("delta.columnMapping.physicalName", f.name)
-            fid = md.get("delta.columnMapping.id")
-            phys_of[f.name] = phys
-            meta = (
-                {"parquet.field.id": int(fid)}
-                if with_ids and fid is not None
-                else {}
-            )
-            cols.append(F.col(f.name).alias(phys, metadata=meta))
-        df = df.select(*cols)
+        phys_of, _schema, _to_logical, to_physical = _physical_projection(snap)
+        df = to_physical(df)
         partition_by = [phys_of[c] for c in partition_by]
 
     # 1. distributed parquet write into a staging dir
@@ -507,6 +545,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
+    read_schema, to_logical, to_physical = _dml_projection(snap, data_schema)
 
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None:
@@ -521,9 +560,12 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
 
     # 1. one scan, predicate pushed down → files containing matches
     matches = (
-        spark.read.schema(data_schema)
-        .parquet(*all_paths)
-        .withColumn("_f", F.input_file_name())
+        to_logical(
+            spark.read.schema(read_schema)
+            .parquet(*all_paths)
+            .withColumn("_f", F.input_file_name()),
+            extra=("_f",),
+        )
         .filter(F.expr(predicate))
         .groupBy("_f")
         .agg(F.count("*").alias("n"))
@@ -549,10 +591,11 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
         groups.setdefault(tuple(sorted(pvals.items())), []).append(rel)
     for key, rels in groups.items():
         pvals = dict(key)
-        kept = (
-            spark.read.schema(data_schema)
-            .parquet(*[os.path.join(location, r) for r in rels])
-            .filter(keep)
+        kept = to_physical(
+            to_logical(
+                spark.read.schema(read_schema)
+                .parquet(*[os.path.join(location, r) for r in rels])
+            ).filter(keep)
         )
         staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
         kept.write.mode("overwrite").parquet(staging)
@@ -681,6 +724,7 @@ def update_where(
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
+    read_schema, to_logical, to_physical = _dml_projection(snap, data_schema)
     data_names = {f.name for f in data_fields}
     bad = set(assignments) - data_names
     if bad:
@@ -698,9 +742,12 @@ def update_where(
         return snap.version, 0
 
     matches = (
-        spark.read.schema(data_schema)
-        .parquet(*all_paths)
-        .withColumn("_f", F.input_file_name())
+        to_logical(
+            spark.read.schema(read_schema)
+            .parquet(*all_paths)
+            .withColumn("_f", F.input_file_name()),
+            extra=("_f",),
+        )
         .filter(F.expr(predicate))
         .groupBy("_f")
         .agg(F.count("*").alias("n"))
@@ -736,10 +783,11 @@ def update_where(
         groups.setdefault(tuple(sorted(snap.files[rel][0].items())), []).append(rel)
     for key, rels in groups.items():
         pvals = dict(key)
-        updated = (
-            spark.read.schema(data_schema)
-            .parquet(*[os.path.join(location, r) for r in rels])
-            .select(*new_cols)
+        updated = to_physical(
+            to_logical(
+                spark.read.schema(read_schema)
+                .parquet(*[os.path.join(location, r) for r in rels])
+            ).select(*new_cols)
         )
         staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
         updated.write.mode("overwrite").parquet(staging)
@@ -828,6 +876,7 @@ def merge_upsert(
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
+    read_schema, to_logical, to_physical = _dml_projection(snap, data_schema)
     if source.schema.fieldNames() != [f.name for f in snap.schema.fields]:
         raise DeltaWriteError(
             f"merge source schema {source.schema.fieldNames()} must match "
@@ -871,9 +920,12 @@ def merge_upsert(
     n_replaced = 0
     if all_paths:
         matches = (
-            spark.read.schema(data_schema)
-            .parquet(*all_paths)
-            .withColumn("_f", F.input_file_name())
+            to_logical(
+                spark.read.schema(read_schema)
+                .parquet(*all_paths)
+                .withColumn("_f", F.input_file_name()),
+                extra=("_f",),
+            )
             .join(F.broadcast(keys), key_cols)
             .groupBy("_f")
             .agg(F.count("*").alias("n"))
@@ -930,10 +982,11 @@ def merge_upsert(
         groups.setdefault(tuple(sorted(snap.files[rel][0].items())), []).append(rel)
     for key, rels in groups.items():
         pvals = dict(key)
-        kept = (
-            spark.read.schema(data_schema)
-            .parquet(*[os.path.join(location, r) for r in rels])
-            .join(F.broadcast(keys), key_cols, "left_anti")
+        kept = to_physical(
+            to_logical(
+                spark.read.schema(read_schema)
+                .parquet(*[os.path.join(location, r) for r in rels])
+            ).join(F.broadcast(keys), key_cols, "left_anti")
         )
         _stage_and_collect(kept, pvals, [])
         for rel in rels:
@@ -948,8 +1001,15 @@ def merge_upsert(
                 }
             )
 
-    # 2. the full source lands as new files (replacements + inserts)
-    _stage_and_collect(source, {}, part_cols)
+    # 2. the full source lands as new files (replacements + inserts);
+    # mapped tables stage under physical names + physical partition dirs
+    if snap.column_mapping_mode != "none":
+        phys_of = _physical_projection(snap)[0]
+        _stage_and_collect(
+            to_physical(source), {}, [phys_of[c] for c in part_cols]
+        )
+    else:
+        _stage_and_collect(source, {}, part_cols)
 
     actions = [
         {

@@ -307,12 +307,12 @@ def _append_log_action(loc, version, action):
         f.write(json.dumps(action) + "\n")
 
 
-def test_writer_rejects_column_mapped_dml(spark, tmp_path):
-    """ADVICE r1: on a name/id-mapped table a DML predicate scan would
-    resolve data columns to NULL under the logical schema — DML must
-    refuse.  (Appends are supported via physical-name staging — see
-    test_column_mapped_append_name_mode.)"""
-    from adt_spark.sources.delta_native_write import delete_where, merge_upsert, update_where
+def test_column_mapped_dml_trivial_mapping(spark, tmp_path):
+    """Mapped-table DML (ADVICE r1 flagged silent corruption; now the
+    scan reads physical names and projects to logical): a table whose
+    mapping mode flips on after data was written under logical names
+    (physicalName defaults to the logical name) must DML correctly."""
+    from adt_spark.sources.delta_native_write import delete_where, update_where
 
     loc = str(tmp_path / "gcm")
     write_delta_native(spark.range(4).select("id"), loc)
@@ -326,17 +326,10 @@ def test_writer_rejects_column_mapped_dml(spark, tmp_path):
         "partitionColumns": [],
         "configuration": {"delta.columnMapping.mode": "name"},
     }})
-    for op in [
-        lambda: delete_where(spark, loc, "id = 1"),
-        lambda: update_where(spark, loc, "id = 1", {"id": "id + 1"}),
-        lambda: merge_upsert(spark, loc, spark.range(2).select("id"), ["id"]),
-    ]:
-        with pytest.raises(DeltaWriteError, match="column mapping"):
-            op()
-    # append with physical-name staging (physicalName defaults to the
-    # logical name when the metadata carries none) still works
-    v = write_delta_native(spark.range(4, 6).select("id"), loc, mode="append")
-    assert v == 2
+    _v, n = delete_where(spark, loc, "id = 3")
+    assert n == 1
+    update_where(spark, loc, "id = 0", {"id": "id + 100"})
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == [1, 2, 100]
 
 
 def test_writer_rejects_unknown_writer_features(spark, tmp_path):
@@ -533,9 +526,33 @@ def test_column_mapped_append_id_mode_writes_field_ids(spark, tmp_path):
     assert sch.field("col-1").metadata[b"PARQUET:field_id"] == b"1"
 
 
-def test_column_mapped_dml_still_refused(spark, tmp_path):
-    from adt_spark.sources.delta_native_write import delete_where
+def test_column_mapped_delete_and_update(spark, tmp_path):
+    """Real physical-name mapped table: DELETE and UPDATE evaluate
+    logical-name predicates over the physical files and stage
+    rewrites back under physical names."""
+    from adt_spark.sources.delta_native_write import delete_where, update_where
 
     t = _mapped_table(tmp_path, spark, "name")
-    with pytest.raises(DeltaWriteError, match="column mapping"):
-        delete_where(spark, t, "id = 1")
+    _v, n = delete_where(spark, t, "id = 1")
+    assert n == 1
+    got = read_delta_native(spark, t)
+    assert sorted((r.id, r.val, r.p) for r in got.collect()) == [(2, "y", 7)]
+    update_where(spark, t, "val = 'y'", {"val": "upper(val)"})
+    got = read_delta_native(spark, t)
+    assert sorted((r.id, r.val, r.p) for r in got.collect()) == [(2, "Y", 7)]
+    snap = replay_snapshot(spark, t)
+    # every surviving file lives under the PHYSICAL partition dir key
+    assert all(p.startswith("col-3=") for p in snap.files)
+
+
+def test_column_mapped_merge_upsert(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    t = _mapped_table(tmp_path, spark, "id", partitioned=False)
+    src = spark.createDataFrame([(2, "Y2"), (9, "new")], "id long, val string")
+    _v, n_replaced, n_inserted = merge_upsert(spark, t, src, ["id"])
+    assert (n_replaced, n_inserted) == (1, 1)
+    got = read_delta_native(spark, t)
+    assert sorted((r.id, r.val) for r in got.collect()) == [
+        (1, "x"), (2, "Y2"), (9, "new")
+    ]
