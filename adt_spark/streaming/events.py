@@ -367,3 +367,56 @@ def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return read_delta_native(spark, target)
+
+
+@register("streaming_docs_dedup_ingest", oracle=None, tags=("streaming", "dedup"))
+def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup — the ingest-time counterpart of
+    the batch ``dedup_incremental`` operator: a stream of arriving
+    documents (here: the doc_id % 10 == 0 slice of the documents
+    table, standing in for today's crawl) is admitted only if its
+    normalized content hash is (a) absent from the EXISTING corpus and
+    (b) not already admitted earlier in the stream.
+
+    Scale posture: the corpus-hash side is a broadcast per micro-batch
+    (at real scale: a hash INDEX table, small relative to the corpus,
+    or a stream-static join against a Delta table that compaction
+    keeps fresh); within-stream dedup is ``dropDuplicates`` keyed on
+    the 128-bit content hash — uniform state, no skew.  Content
+    hashing stays in the JVM.
+
+    Batch-agreement: tests/test_streaming.py pins the admitted hash
+    set to the batch dedup_incremental admit set (driver records
+    rows-only).
+    """
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    static_schema = spark.read.parquet(docs_path).schema
+    chash = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus_hashes = (
+        spark.read.parquet(docs_path)
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(chash.alias("chash"))
+        .distinct()
+    )
+    # FileStreamSource needs a directory/glob, not a bare file path
+    # (same move as _open_events_stream).
+    glob = (
+        docs_path
+        if os.path.isdir(docs_path)
+        else os.path.join(
+            os.path.dirname(docs_path),
+            os.path.basename(docs_path).split(".")[0] + ".*",
+        )
+    )
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(glob)
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    admitted = (
+        stream.withColumn("chash", chash)
+        .join(F.broadcast(corpus_hashes), "chash", "left_anti")
+        .dropDuplicates(["chash"])
+        .select("doc_id", "chash")
+    )
+    return _drain_to_memory(admitted, spark, "append")

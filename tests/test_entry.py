@@ -33,4 +33,5 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_dedup_events",
         "streaming_interval_join",
         "streaming_delta_ingest",
+        "streaming_docs_dedup_ingest",
     }, rows_only

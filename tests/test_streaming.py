@@ -202,3 +202,26 @@ def test_streaming_delta_ingest_roundtrip(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_docs_dedup_matches_batch_admit_set(spark, sf_dir):
+    """streaming_docs_dedup_ingest == the batch admit set: distinct
+    new-batch content hashes not present in the corpus (the streaming
+    counterpart of dedup_incremental's is_exact_dup = false, plus
+    within-stream dedup)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    got = load_all()["streaming_docs_dedup_ingest"].spark_fn(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    chash = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select(chash.alias("chash")).distinct()
+    batch_admit = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(chash.alias("chash"))
+        .distinct()
+        .join(F.broadcast(corpus), "chash", "left_anti")
+    )
+    assert {r.chash for r in got.collect()} == {r.chash for r in batch_admit.collect()}
+    assert got.count() == got.select("chash").distinct().count()  # in-stream dedup held
