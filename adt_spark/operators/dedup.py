@@ -1082,3 +1082,116 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_near"), F.lit(False)).alias("is_near_dup"),
         )
     )
+
+
+@register(
+    "dedup_substring_mask",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.i AS i,
+             md5(array_to_string(list_slice(ts, i, i + {_SUB_K - 1}), ' ')) AS gram
+      FROM t, unnest(generate_series(1, greatest(len(ts) - {_SUB_K - 1}, 0))) AS u(i)
+    ),
+    repeated AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, v.p AS pos
+      FROM g JOIN repeated USING (gram),
+           unnest(generate_series(g.i, g.i + {_SUB_K - 1})) AS v(p)
+    ),
+    toks AS (
+      SELECT doc_id, u.i AS pos, ts[i] AS token
+      FROM t, unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.token
+      FROM toks tk LEFT JOIN covered c
+        ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+      WHERE c.pos IS NULL
+    )
+    SELECT t.doc_id,
+           CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(len(ts) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(k.cleaned, '') AS cleaned
+    FROM t LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(token ORDER BY pos), ' ') AS cleaned
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    tags=("dedup", "substring", "mask"),
+)
+def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span REMOVAL — the consumer of the
+    ``dedup_substring_repeats`` inventory and the operation Lee et
+    al. 2021 actually apply to the corpus: every token covered by any
+    cross-document-repeated {k}-token window is dropped, and the
+    document is re-assembled from the surviving tokens in order.
+
+    Plan: the gram inventory (one shuffle, as in substring_repeats)
+    self-identifies repeated grams; covered positions come from an
+    equi-join of each doc's grams against the repeated set followed by
+    a bounded 8-way position explode; surviving tokens anti-join on
+    (doc, pos) and re-assemble with ONE groupBy (position-sorted
+    struct collect — the ordered-reassembly idiom this corpus uses
+    everywhere).  Every join is keyed on uniform hashes or (doc, pos)
+    — no skew; state per doc tracks doc length, not corpus size.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks_arr = F.split(F.col("text"), " ")
+    base = spread(docs).select(
+        "doc_id", toks_arr.alias("ts"), F.size(toks_arr).alias("n_tokens")
+    ).localCheckpoint(eager=False)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (_SUB_K - 1), F.lit(0))),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.md5(F.concat_ws(" ", F.slice(F.col("ts"), i, _SUB_K))).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.i", "g.gram")
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(repeated, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (_SUB_K - 1))).alias("pos"))
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode(F.col("ts")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
