@@ -253,3 +253,21 @@ def test_embedding_cosine_distributed(spark, sf_dir):
     # the corpus enters via a parquet scan on both union branches, not
     # a driver-built local relation
     assert plan.count("Scan parquet") >= 2
+
+
+def test_substring_ops_no_cartesian(spark, sf_dir):
+    """The substring inventory and mask pipelines must stay equi-join
+    keyed (gram hash, (doc,pos)) — never a cartesian/nested-loop."""
+    for name in ("dedup_substring_repeats", "dedup_substring_mask"):
+        plan = _formatted(_q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_incremental_dedup_hash_probe(spark, sf_dir):
+    """dedup_incremental's exact path is a hash probe (join on the
+    128-bit content hash), and nothing plans a cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_incremental"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "chash" in plan  # the content-hash join key reaches the plan
