@@ -474,11 +474,18 @@ def text_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    total = tok.count()  # scalar: exact int, driver-side is one number
-    scored = tok.join(vocab, "token").select(
-        "doc_id",
-        "pos",
-        (F.col("freq").cast("double") / F.lit(float(total))).alias("p"),
+    # 1-row exact token total, broadcast-cross-joined so the whole
+    # operator stays ONE lazy DAG (no driver-side count job at plan
+    # construction; the row is exact int either way)
+    total = vocab.agg(F.sum("freq").alias("tot"))
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("freq").cast("double") / F.col("tot")).alias("p"),
+        )
     )
     fold = F.aggregate(
         F.transform(
