@@ -498,3 +498,203 @@ def text_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         (fold / F.count(F.lit(1))).alias("mean_token_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality gate (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: Minimal stop-word list for the Gopher "contains >= 2 stop words"
+#: rule (the published rule uses a similar tiny English set).
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "that")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+             AS mean_word_len,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                AS DOUBLE) / len(toks) AS frac_alpha_words,
+           CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS BIGINT)
+             AS n_stopwords,
+           (len(toks) BETWEEN 20 AND 100000
+            AND CAST(len(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+                BETWEEN 3 AND 10
+            AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                     AS DOUBLE) / len(toks) >= 0.80
+            AND len(list_filter(toks, x -> x IN ({_STOP_SQL}))) >= 2)
+             AS gopher_pass
+    FROM t
+    """,
+    tags=("text", "quality", "gopher"),
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021, A1.1): word
+    count bounds, mean word length bounds, alphabetic-word fraction,
+    and minimum stop-word presence, combined into one pass/fail gate —
+    the standard first-stage heuristic filter of LLM pretraining
+    pipelines (word-count bound lowered 50 -> 20 for the driver's short
+    synthetic documents; every other threshold is the published one).
+
+    Scale posture: a pure projection — zero shuffles, zero explodes.
+    Word statistics come from higher-order functions over the split
+    array (JVM codegen), and mean word length is derived arithmetically
+    (total chars minus separators over word count) so no per-token
+    row blow-up ever happens.  At 100 TB this is a single scan whose
+    cost is the decompression bandwidth.
+
+    Bit-exactness: every ratio is one double division of exact integer
+    counts; threshold comparisons on those doubles are then identical
+    across engines.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    t = docs.select("doc_id", "text", F.split("text", " ").alias("toks"))
+    n_words = F.size("toks").cast("long")
+    mean_wl = (F.length("text") - (n_words - 1)).cast("double") / n_words
+    alpha = F.size(
+        F.filter(F.col("toks"), lambda x: x.rlike("[a-z]"))
+    ).cast("double") / n_words
+    stops = F.size(
+        F.filter(F.col("toks"), lambda x: x.isin(*_STOPWORDS))
+    ).cast("long")
+    return t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha.alias("frac_alpha_words"),
+        stops.alias("n_stopwords"),
+        (
+            n_words.between(20, 100000)
+            & mean_wl.between(3, 10)
+            & (alpha >= 0.80)
+            & (stops >= 2)
+        ).alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution diversity (transcendental-free entropy proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), cnt AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           1.0 - CAST(sum(n * n) AS DOUBLE)
+                 / CAST(sum(n) * sum(n) AS DOUBLE) AS char_gini_simpson
+    FROM cnt GROUP BY doc_id
+    """,
+    tags=("text", "quality", "diversity"),
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson diversity of each document's character distribution
+    (1 - sum p_c^2): the transcendental-free entropy proxy.  Degenerate
+    documents (one repeated character / token soup) score near 0;
+    natural text sits high and stable — the same screening signal as
+    Shannon entropy without log(), which the exactness rules ban
+    (libm vs StrictMath last-ulp divergence; queries/__init__.py).
+
+    Shape: explode to characters, two-phase count per (doc_id, char)
+    — map-side combine absorbs within-document repetition before the
+    shuffle — then one integer fold per doc.  sum(n^2) and sum(n) are
+    exact BIGINT aggregates (order-independent), so the final value is
+    ONE double division: bit-identical across engines by construction.
+    Partition size tracks document length, never corpus size.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    from adt_spark.context import spread
+
+    cnt = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("n") * F.col("n")).cast("double")
+            / (F.sum("n") * F.sum("n")).cast("double")
+        ).alias("char_gini_simpson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus document-frequency / rare-token statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_df_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), df AS (
+      SELECT token, count(*) AS doc_freq FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_unique_tokens,
+           CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax_tokens,
+           CAST(sum(CASE WHEN df.doc_freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS hapax_frac,
+           CAST(min(df.doc_freq) AS BIGINT) AS min_doc_freq
+    FROM tok t JOIN df USING (token)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "vocabulary", "df"),
+)
+def text_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-rarity profile: unique-token count, number
+    of corpus-hapax tokens (document frequency = 1), and the hapax
+    fraction.  A high hapax fraction flags OCR noise / gibberish /
+    code-mixed text whose vocabulary the rest of the corpus never
+    uses — a standard lexical-quality signal next to the frequency-
+    based LM score (text_unigram_prob).
+
+    Shape: distinct (doc_id, token) pairs — partial-aggregated map-side
+    — feed both the document-frequency table (one shuffle on token;
+    the vocabulary is tiny relative to the corpus) and a re-join that
+    Catalyst broadcasts when the DF table fits, shuffle-hash-joins
+    otherwise.  Final fold keys on doc_id.  All counts are exact
+    integers; the single ratio is one double division.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    from adt_spark.context import spread
+
+    tok = (
+        spread(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    hapax = F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0))
+    return (
+        tok.join(df_tbl, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique_tokens"),
+            hapax.cast("long").alias("n_hapax_tokens"),
+            (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_frac"),
+            F.min("doc_freq").cast("long").alias("min_doc_freq"),
+        )
+    )

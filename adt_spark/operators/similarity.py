@@ -503,3 +503,56 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in sums.collect():
         cents1.setdefault(int(r.cluster_id), [0.0] * _KM_DIM)[r.pos] = r.m
     return assign(cents1).select("vec_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm statistics (corpus health check for vector columns)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH n AS (
+      SELECT CAST(label AS BIGINT) AS label,
+             {_DOT_SQL_T.format(dim=_DIM, a='embeddings.embedding', b='embeddings.embedding')}
+               AS norm2
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(norm2) AS min_norm2,
+           max(norm2) AS max_norm2
+    FROM n GROUP BY label
+    """,
+    tags=("embeddings", "stats"),
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm-squared range over the embedding corpus — the
+    standard sanity screen before similarity search (zero-norm or
+    exploding-norm vectors break cosine math and flag upstream encoder
+    bugs; per-label ranges localize which class of vectors drifted).
+
+    Shape: norm^2 is a per-row left-to-right fold over the vector (JVM
+    codegen, same accumulation order as DuckDB's list_sum, so doubles
+    are bit-identical); the group-by is one partial+final aggregate on
+    a ~cardinality(label) state — min/max/count are trivially
+    decomposable, so 100 TB of vectors reduce map-side to one row per
+    label per task.  No mean/variance here deliberately: a cross-row
+    double sum is accumulation-order-dependent, which the exactness
+    rules ban from oracle-checked outputs.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    v = _vec_double()
+    norm2 = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), norm2.alias("norm2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+        )
+    )

@@ -60,3 +60,61 @@ def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("shard_users").cast("bigint").alias("n_users"),
         F.sum("shard_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("skew", "join", "salting"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-to-dimension join: events concentrate on a
+    handful of hot user_ids (15 distinct users across the whole event
+    log — the billions-of-rows-per-key shape that sends an entire hot
+    key to one join task).  The explicit mitigation replicates the
+    DIMENSION side S ways and salts the FACT side with a uniform
+    derived key, so each hot user's rows spread across S join tasks:
+
+      fact.salt  = xxhash64(event_id) % S        (uniform per row)
+      dim x S    = explode(sequence(0, S-1))     (tiny side, S copies)
+      join on (user_id = c_custkey AND salt = salt)
+
+    The aggregate after the join is decomposable, so correctness is
+    unchanged (oracle = the plain unsalted join).  At 100 TB the
+    replicated dimension stays broadcast-sized (customers x 8); AQE's
+    skew splitting handles moderate skew automatically — this operator
+    is the explicit pattern for the pathological case AQE cannot split
+    (single-key state larger than an executor).
+
+    Money math per exactness rule 1: values sum as DECIMAL(12,2),
+    cast to double only at the output boundary.
+    """
+    t = tables(spark, sf_dir)
+    ev = t["events"].withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALT)).cast("int")
+    )
+    cust = (
+        t["customer"]
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_N_SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        ev.join(
+            F.broadcast(cust),
+            (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

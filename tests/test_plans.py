@@ -271,3 +271,43 @@ def test_incremental_dedup_hash_probe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "chash" in plan  # the content-hash join key reaches the plan
+
+
+def test_gopher_rules_scan_only(spark, sf_dir):
+    """quality_gopher_rules claims a pure projection: zero shuffles,
+    zero explodes — word stats come from higher-order functions over
+    the split array, never a per-token row blow-up."""
+    plan = _formatted(_q(spark, sf_dir, "quality_gopher_rules"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+
+
+def test_char_diversity_two_phase_agg(spark, sf_dir):
+    """text_char_diversity: the per-(doc,char) count must partial-
+    aggregate map-side before its shuffle (within-doc repetition is
+    absorbed before any data moves)."""
+    plan = _formatted(_q(spark, sf_dir, "text_char_diversity"))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
+def test_salted_join_replicates_dimension(spark, sf_dir):
+    """q_skew_salted_join: the dimension side must replicate (explode)
+    and broadcast; the fact side must NOT shuffle — salting spreads a
+    hot key across tasks without an exchange on the fact."""
+    plan = _formatted(_q(spark, sf_dir, "q_skew_salted_join"))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # the explode(sequence(0, S-1)) replication
+    # The fact side must never shuffle on its join key — the only
+    # hash-partitioning in the plan is the final aggregate's (on
+    # c_mktsegment); a hashpartitioning on user_id would mean the
+    # salting failed to avoid the hot-key exchange.
+    assert "hashpartitioning(user_id" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_norm_stats_no_explode(spark, sf_dir):
+    """emb_norm_stats folds the vector per row (zip_with+aggregate) —
+    no posexplode row blow-up, one partial+final aggregate."""
+    plan = _formatted(_q(spark, sf_dir, "emb_norm_stats"))
+    assert "Generate" not in plan
+    assert plan.count("HashAggregate") >= 2
