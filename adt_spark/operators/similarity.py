@@ -556,3 +556,104 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("norm2").alias("max_norm2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariance / Gram-matrix block (PCA preparation)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point quantization scale for cross-engine-exact covariance
+#: sums.  2^40 (a power of two) multiplies doubles EXACTLY, and
+#: floor() is tie-free — unlike double->DECIMAL(38,15) casts, whose
+#: exact decimal-expansion ties at digit 16 Spark rounds HALF_UP but
+#: DuckDB rounds HALF_EVEN (measured: 2^-16 casts differently).
+_FP_SCALE = float(1 << 40)
+
+
+@register(
+    "emb_covariance",
+    oracle=f"""
+    WITH v AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), p AS (
+      SELECT a.i, b.j
+      FROM generate_series(0, {_DIM - 1}) a(i), generate_series(0, {_DIM - 1}) b(j)
+      WHERE b.j >= a.i
+    ), sums AS (
+      SELECT p.i, p.j,
+             count(*) AS n,
+             sum(CAST(floor(ve[p.i + 1] * ve[p.j + 1] * {_FP_SCALE!r}) AS BIGINT))
+               AS sxy,
+             sum(CAST(floor(ve[p.i + 1] * {_FP_SCALE!r}) AS BIGINT)) AS sx,
+             sum(CAST(floor(ve[p.j + 1] * {_FP_SCALE!r}) AS BIGINT)) AS sy
+      FROM v, p
+      GROUP BY p.i, p.j
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           (CAST(sxy AS DOUBLE) / {_FP_SCALE!r}) / n
+             - ((CAST(sx AS DOUBLE) / {_FP_SCALE!r}) / n)
+               * ((CAST(sy AS DOUBLE) / {_FP_SCALE!r}) / n) AS cov
+    FROM sums
+    """,
+    tags=("embeddings", "covariance", "pca"),
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    input to driver-side PCA (eigendecompose the dim x dim result;
+    dim^2 is metadata-sized no matter how many rows feed it, the same
+    legitimate driver boundary as k-means' k x dim centroids).
+
+    Shape is the classic distributed Gram-matrix outer-product
+    aggregation: each row explodes to its dim*(dim+1)/2 upper-triangle
+    products, and the partial HashAggregate folds them MAP-SIDE into a
+    fixed 2,080-row state per task — so the shuffle moves one matrix
+    per task, never per row, at any corpus size.  (A mapInArrow numpy
+    X^T X per partition would be faster per CPU but float accumulation
+    order would break cross-engine exactness; at 100 TB you'd flip to
+    it and accept tolerance-based verification.)
+
+    Exactness via fixed-point quantization: each product is scaled by
+    2^40 (exact — power-of-two multiply) and floored (tie-free, unlike
+    double->decimal casts whose digit-16 expansion ties Spark rounds
+    HALF_UP but DuckDB HALF_EVEN), making every sum an exact integer;
+    the covariance is then a fixed chain of identical double ops.  The
+    2^-40 (~9e-13) quantization is deliberate and documented — it buys
+    bit-exact cross-engine verification for a statistic whose inputs
+    are float32 (~1e-7 granular) to begin with.
+    """
+    emb = tables(spark, sf_dir)["embeddings"]
+    from adt_spark.context import spread
+
+    v = _vec_double()
+    s = repr(_FP_SCALE)
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {_DIM - 1}), "
+        f"i -> transform(sequence(i, {_DIM - 1}), "
+        f"j -> struct(i AS i, j AS j, "
+        f"floor(ve[i] * ve[j] * {s}) AS xy, "
+        f"floor(ve[i] * {s}) AS x, floor(ve[j] * {s}) AS y))))"
+    )
+    exploded = (
+        spread(emb)
+        .select(v.alias("ve"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xy", "p.x", "p.y")
+    )
+    dec = "decimal(38,0)"  # exact integer sums; no int64 overflow at any n
+    sums = exploded.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xy").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+    )
+    scale = F.lit(_FP_SCALE)
+    return sums.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (
+            (F.col("sxy").cast("double") / scale) / F.col("n")
+            - ((F.col("sx").cast("double") / scale) / F.col("n"))
+            * ((F.col("sy").cast("double") / scale) / F.col("n"))
+        ).alias("cov"),
+    )

@@ -21,6 +21,14 @@ Cross-engine determinism rules (so value-hashes match exactly):
    returns HUGEINT, Spark returns BIGINT — always pin the type).
 5. Column names are identical on both sides (the driver sorts columns
    by name before hashing).
+6. Never cast arbitrary DOUBLEs to a fractional DECIMAL: a binary
+   fraction's decimal expansion can terminate with an exact '5' one
+   digit past the target scale (e.g. 2^-16 at scale 15), and Spark
+   rounds such ties HALF_UP while DuckDB rounds HALF_EVEN — measured
+   divergence.  Money columns generated with 2 decimals are safe at
+   DECIMAL(_,2); derived float products are NOT.  For exact sums over
+   derived doubles use tie-free fixed-point: floor(x * 2^k) (power-of-
+   two multiply is exact, floor never ties) — see emb_covariance.
 """
 
 from __future__ import annotations

@@ -50,6 +50,7 @@ HEADLINE = [
     "q_stratified_sample",
     "q_deterministic_shuffle",
     "q_token_pack_bins",
+    "q_skew_salted_join",
     "pipeline_clean_corpus",
 ]
 
@@ -67,7 +68,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry] + [
         n
         for n in sorted(registry)
-        if n.startswith(("dedup_", "ann_", "text_", "emb_", "mm_")) and n in registry
+        if n.startswith(("dedup_", "ann_", "text_", "emb_", "mm_", "quality_"))
+        and n in registry
     ]
 
     # Python-touching operators (mapInPandas) run last so any Python

@@ -311,3 +311,13 @@ def test_emb_norm_stats_no_explode(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "emb_norm_stats"))
     assert "Generate" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_covariance_partial_final_agg(spark, sf_dir):
+    """emb_covariance: the outer-product explode must fold map-side
+    (partial+final HashAggregate) so the shuffle moves one dim^2
+    matrix per task, never per row."""
+    plan = _formatted(_q(spark, sf_dir, "emb_covariance"))
+    assert "Generate" in plan  # the per-row upper-triangle explode
+    assert "partial_sum" in plan  # map-side combine of the matrix state
+    assert plan.count("HashAggregate") >= 2
