@@ -657,3 +657,126 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             * ((F.col("sy").cast("double") / scale) / F.col("n"))
         ).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal component via fixed-step power iteration
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 12
+
+
+def _oracle_cov_ctes() -> str:
+    """The emb_covariance pipeline as oracle CTEs (`tri` = upper
+    triangle), shared by the covariance and PCA oracles."""
+    return f"""
+    v0 AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ), p AS (
+      SELECT a.i, b.j
+      FROM generate_series(0, {_DIM - 1}) a(i), generate_series(0, {_DIM - 1}) b(j)
+      WHERE b.j >= a.i
+    ), sums AS (
+      SELECT p.i, p.j, count(*) AS n,
+             sum(CAST(floor(ve[p.i + 1] * ve[p.j + 1] * {_FP_SCALE!r}) AS BIGINT))
+               AS sxy,
+             sum(CAST(floor(ve[p.i + 1] * {_FP_SCALE!r}) AS BIGINT)) AS sx,
+             sum(CAST(floor(ve[p.j + 1] * {_FP_SCALE!r}) AS BIGINT)) AS sy
+      FROM v0, p GROUP BY p.i, p.j
+    ), tri AS (
+      SELECT i, j, (CAST(sxy AS DOUBLE) / {_FP_SCALE!r}) / n
+             - ((CAST(sx AS DOUBLE) / {_FP_SCALE!r}) / n)
+               * ((CAST(sy AS DOUBLE) / {_FP_SCALE!r}) / n) AS cov
+      FROM sums
+    )"""
+
+
+@register(
+    "emb_pca_power1",
+    oracle=f"""
+    WITH RECURSIVE {_oracle_cov_ctes()},
+    full_m AS (
+      SELECT i, j, cov FROM tri
+      UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j
+    ), rows_m AS (
+      SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i
+    ), mat AS (
+      SELECT list(r ORDER BY i) AS mm FROM rows_m
+    ), pw(k, v) AS (
+      SELECT 0, list_transform(generate_series(1, {_DIM}),
+                               x -> CAST(0.125 AS DOUBLE))
+      UNION ALL
+      SELECT pw.k + 1,
+             list_transform(generate_series(1, {_DIM}),
+               i -> list_sum(list_transform(generate_series(1, {_DIM}),
+                    j -> mat.mm[i][j] * pw.v[j])))
+      FROM pw, mat WHERE pw.k < {_PI_ITERS}
+    ), vf AS (
+      SELECT list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM pw WHERE k = {_PI_ITERS}
+    )
+    SELECT e.vec_id,
+           list_sum(list_transform(generate_series(1, {_DIM}),
+             j -> CAST(e.embedding[j] AS DOUBLE) * vf.v[j])) AS pc1
+    FROM embeddings e, vf
+    """,
+    tags=("embeddings", "pca", "iterative"),
+)
+def emb_pca_power1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection of every embedding onto the corpus's top principal
+    component, computed by 12 fixed power-iteration steps —
+    an ITERATIVE algorithm verified value-hash-exact against a DuckDB
+    recursive-CTE oracle (like emb_kmeans_assign, proving iterative
+    numerics can be engineered cross-engine-exact, not just rows-only).
+
+    Distribution boundary: the dim x dim covariance is aggregated
+    distributed (emb_covariance's outer-product shape), then its 2,080
+    cells — metadata-sized at ANY corpus size — collect to the driver,
+    where the 12 matvec steps run in pure Python floats (CPython floats
+    ARE IEEE doubles; left-to-right sums match DuckDB's in-order
+    list_sum; sqrt is IEEE correctly-rounded, so the whole iteration is
+    deterministic — unlike log/exp, which rule 6's family of gotchas
+    bans).  The final component broadcasts back as 64 literals and the
+    projection is a per-row zip_with fold: one distributed pass in, one
+    distributed pass out, driver work O(dim^2) only.
+
+    No per-step normalization: matvec is linear, so scaling commutes;
+    normalizing once at the end is bit-identical on both sides and
+    keeps the recursion one expression.  (12 steps of a ~0.016-norm
+    matrix reach ~1e-43 — far above double underflow at 1e-308.)
+
+    Sign convention: determined by the all-0.125 start vector (both
+    engines), so the hash matches without a sign fixup.
+    """
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    mm = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in cov_rows:
+        mm[r.i][r.j] = r.cov
+        mm[r.j][r.i] = r.cov
+    v = [0.125] * _DIM
+    for _ in range(_PI_ITERS):
+        w = []
+        for i in range(_DIM):
+            s = 0.0
+            for j in range(_DIM):
+                s = s + mm[i][j] * v[j]
+            w.append(s)
+        v = w
+    import math
+
+    n2 = 0.0
+    for y in v:
+        n2 = n2 + y * y
+    nrm = math.sqrt(n2)
+    vf = [x / nrm for x in v]
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    comp = F.array(*[F.lit(x) for x in vf])
+    pc1 = F.aggregate(
+        F.zip_with(_vec_double(), comp, lambda x, c: x * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", pc1.alias("pc1"))

@@ -321,3 +321,13 @@ def test_covariance_partial_final_agg(spark, sf_dir):
     assert "Generate" in plan  # the per-row upper-triangle explode
     assert "partial_sum" in plan  # map-side combine of the matrix state
     assert plan.count("HashAggregate") >= 2
+
+
+def test_pca_projection_zero_shuffle(spark, sf_dir):
+    """emb_pca_power1's distributed output pass is a pure scan +
+    projection (the component is 64 broadcast literals): no exchange,
+    no explode, no Python in the row path."""
+    plan = _formatted(_q(spark, sf_dir, "emb_pca_power1"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
