@@ -69,6 +69,11 @@ class _Snapshot:
     protocol: dict = field(default_factory=dict)
     #: metaData.configuration (delta.appendOnly, invariants, …)
     configuration: dict = field(default_factory=dict)
+    #: path → per-file statistics JSON (numRecords/minValues/maxValues/
+    #: nullCount) when the writer recorded them — fuels log-level file
+    #: skipping (the reference's kernel hands these to its scan
+    #: callback, which discards them: deltatable.rs:435)
+    file_stats: dict[str, str] = field(default_factory=dict)
 
 
 def _is_url(location: str) -> bool:
@@ -187,8 +192,11 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
             add.get("partitionValues") or {},
             add.get("deletionVector"),
         )
+        if stats := add.get("stats"):
+            snap.file_stats[add["path"]] = stats
     if rm := action.get("remove"):
         snap.files.pop(rm["path"], None)
+        snap.file_stats.pop(rm["path"], None)
 
 
 def replay_snapshot(spark: SparkSession, location: str, version: int | None = None) -> _Snapshot:
@@ -221,7 +229,7 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
             add_cols = cp.select("add.*").columns
             sel = ["add.path", "add.partitionValues"] + (
                 ["add.deletionVector"] if "deletionVector" in add_cols else []
-            )
+            ) + (["add.stats"] if "stats" in add_cols else [])
             for row in cp.filter(F.col("add").isNotNull()).select(*sel).collect():
                 _apply_action(snap, {"add": row.asDict(recursive=True)})
         snap.version = cp_version
@@ -275,13 +283,74 @@ def _physical_name(f: T.StructField) -> str:
     return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
 
 
+#: Comparison operators supported by log-level file skipping.
+_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _file_may_match(
+    stats_json: str | None, constraints: list[tuple[str, str, object]]
+) -> bool:
+    """Conservative min/max file-skipping oracle: False ONLY when the
+    file's statistics prove no row can satisfy every constraint
+    (conjunctive ``(col, op, value)`` terms).  Missing stats, missing
+    columns, or cross-type comparisons keep the file — skipping must
+    never lose rows.
+
+    Mirrors Delta data skipping (delta.io PROTOCOL.md per-file stats;
+    the same [min,max]-interval logic delta-spark's
+    DataSkippingReader applies), which the reference drops on the
+    floor (deltatable.rs:435 discards kernel-provided stats).
+    """
+    if not stats_json:
+        return True
+    try:
+        stats = json.loads(stats_json)
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    n_records = stats.get("numRecords")
+    for col, op, value in constraints:
+        if op not in _SKIP_OPS:
+            continue
+        # an all-null column can satisfy no comparison predicate
+        if n_records is not None and nulls.get(col) == n_records and n_records > 0:
+            return False
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "=" and (value < lo or value > hi):
+                return False
+            if op == "<" and not (lo < value):
+                return False
+            if op == "<=" and not (lo <= value):
+                return False
+            if op == ">" and not (hi > value):
+                return False
+            if op == ">=" and not (hi >= value):
+                return False
+        except TypeError:
+            continue  # cross-type comparison: keep the file
+    return True
+
+
 def read_delta_native(
-    spark: SparkSession, location: str, version: int | None = None
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    skip_where: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Snapshot read → DataFrame: distributed parquet scan over the
     surviving file list, partition columns appended as typed literals
     (reference field order deltatable.rs:136-152: data columns first,
     partition columns after).
+
+    ``skip_where`` (conjunctive ``(col, op, value)`` terms, ops
+    ``= < <= > >=``) prunes the file list against per-file min/max
+    statistics from the log BEFORE any scan is planned — pruning only
+    (the caller still applies the real filter); see _file_may_match.
 
     Column mapping (protocol reader v2 / ``columnMapping`` feature):
     files are read under their *physical* schema — names from
@@ -339,11 +408,23 @@ def read_delta_native(
             ]
         )
 
+    # Log-level file skipping: drop files whose recorded [min,max]
+    # statistics prove the (conjunctive) skip_where constraints can't
+    # match.  PRUNING ONLY — the caller still applies the real filter;
+    # skipping guarantees a superset of matching rows.  Stats keys are
+    # physical in column-mapped tables, so constraints translate first.
+    skip = list(skip_where or [])
+    if skip and mapped:
+        phys_of = {f.name: _physical_name(f) for f in snap.schema.fields}
+        skip = [(phys_of.get(c, c), op, v) for c, op, v in skip]
+
     # Group files by partition tuple → one scan per group, partition
     # values as typed literal columns (never re-read from data files).
     groups: dict[tuple, list[str]] = {}
     dv_files = []
     for path, (pvals, dv) in snap.files.items():
+        if skip and not _file_may_match(snap.file_stats.get(path), skip):
+            continue
         logical_pvals = {part_key_of.get(k, k): v for k, v in pvals.items()}
         if dv is not None:
             dv_files.append((path, logical_pvals, dv))
@@ -363,6 +444,10 @@ def read_delta_native(
         )
         parts.append(_with_partition_cols(df, pvals, part_fields, out_cols))
 
+    if not parts:  # every file skipped by statistics
+        return spark.createDataFrame(
+            [], T.StructType(data_fields + [part_fields[c] for c in part_cols])
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -48,6 +48,80 @@ class DeltaWriteError(RuntimeError):
     pass
 
 
+def _json_stat(v):
+    """A parquet-footer statistics value as a JSON-encodable Delta
+    stats scalar (Delta PROTOCOL.md per-file statistics): dates and
+    timestamps serialize ISO (ISO order == value order, so the
+    reader's skipping comparisons stay correct); bytes are dropped
+    (Delta omits binary stats)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep="T", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(meta) -> str:
+    """Full Delta per-file statistics JSON from a parquet footer:
+    numRecords + per-column minValues/maxValues/nullCount aggregated
+    across row groups.  The reference records no stats at all (its
+    kernel scan callback receives and discards them,
+    deltatable.rs:435); writing them enables the reader's log-level
+    file skipping — at 100 TB the difference between opening every
+    file and opening the few whose [min,max] intersect the predicate.
+
+    Footer-only work: no data pages are read, and the writer already
+    opens the footer for numRecords.  Truncated/partial statistics
+    (has_min_max False) simply omit the column — skipping is
+    conservative on missing stats.
+    """
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    bad: set[str] = set()  # a row group without stats poisons the column
+    for rg in range(meta.num_row_groups):
+        row = meta.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: Delta nests stats; skip here
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+    for name in bad:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
+    stats: dict[str, object] = {"numRecords": meta.num_rows}
+    if mins:
+        stats["minValues"] = mins
+        stats["maxValues"] = maxs
+    if nulls:
+        stats["nullCount"] = nulls
+    return json.dumps(stats)
+
+
 #: writer features this writer implements unconditionally; features
 #: with conditional support (columnMapping, changeDataFeed,
 #: checkConstraints, generatedColumns) are adjudicated per operation
@@ -359,7 +433,7 @@ def write_delta_native(
                         "size": os.path.getsize(final_abs),
                         "modificationTime": int(time.time() * 1000),
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": meta.num_rows}),
+                        "stats": _file_stats(meta),
                     }
                 }
             )
@@ -618,7 +692,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
                             "size": os.path.getsize(final_abs),
                             "modificationTime": ts,
                             "dataChange": True,
-                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                            "stats": _file_stats(meta),
                         }
                     }
                 )
@@ -810,7 +884,7 @@ def update_where(
                             "size": os.path.getsize(final_abs),
                             "modificationTime": ts,
                             "dataChange": True,
-                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                            "stats": _file_stats(meta),
                         }
                     }
                 )
@@ -963,7 +1037,7 @@ def merge_upsert(
                             "size": os.path.getsize(final_abs),
                             "modificationTime": ts,
                             "dataChange": True,
-                            "stats": json.dumps({"numRecords": meta.num_rows}),
+                            "stats": _file_stats(meta),
                         }
                     }
                 )

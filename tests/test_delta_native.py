@@ -365,3 +365,115 @@ def test_read_via_file_scheme_url(spark, table):
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
     snap_url = replay_snapshot(spark, url, None)
     assert set(snap_url.files) == set(replay_snapshot(spark, table, None).files)
+
+
+# ---------------------------------------------------------------------------
+# Log-level file skipping (per-file min/max statistics)
+# ---------------------------------------------------------------------------
+
+
+def test_file_may_match_oracle():
+    """Pure skipping-oracle truth table: skip ONLY on proof."""
+    from adt_spark.sources.delta_native import _file_may_match
+
+    st = (
+        '{"numRecords": 10, "minValues": {"id": 100, "s": "b"},'
+        ' "maxValues": {"id": 200, "s": "m"}, "nullCount": {"id": 0, "v": 10}}'
+    )
+    assert _file_may_match(st, [("id", "=", 150)])
+    assert not _file_may_match(st, [("id", "=", 99)])
+    assert not _file_may_match(st, [("id", "=", 201)])
+    assert _file_may_match(st, [("id", "<", 101)])
+    assert not _file_may_match(st, [("id", "<", 100)])
+    assert _file_may_match(st, [("id", "<=", 100)])
+    assert not _file_may_match(st, [("id", "<=", 99)])
+    assert _file_may_match(st, [("id", ">", 199)])
+    assert not _file_may_match(st, [("id", ">", 200)])
+    assert _file_may_match(st, [("id", ">=", 200)])
+    assert not _file_may_match(st, [("id", ">=", 201)])
+    # strings compare lexicographically
+    assert _file_may_match(st, [("s", "=", "cat")])
+    assert not _file_may_match(st, [("s", "=", "zebra")])
+    # conjunction: one impossible term kills the file
+    assert not _file_may_match(st, [("id", "=", 150), ("s", "=", "zebra")])
+    # all-null column can satisfy no comparison
+    assert not _file_may_match(st, [("v", "=", 1)])
+    # conservative: missing stats / missing column / cross-type / bad op
+    assert _file_may_match(None, [("id", "=", 1)])
+    assert _file_may_match("not json", [("id", "=", 1)])
+    assert _file_may_match(st, [("other", "=", 1)])
+    assert _file_may_match(st, [("id", "=", "abc")])
+    assert _file_may_match(st, [("id", "!=", 150)])
+
+
+def test_writer_records_minmax_stats(spark, tmp_path):
+    """The native writer's add actions carry full Delta statistics
+    (numRecords + minValues/maxValues/nullCount from parquet footers;
+    the reference records none — deltatable.rs:435 discards them)."""
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "dstats")
+    write_delta_native(spark.range(100, 200).select("id"), loc)
+    snap = replay_snapshot(spark, loc)
+    assert snap.file_stats, "no stats recorded"
+    all_stats = [json.loads(s) for s in snap.file_stats.values()]
+    assert all("minValues" in s and "maxValues" in s for s in all_stats)
+    assert min(s["minValues"]["id"] for s in all_stats) == 100
+    assert max(s["maxValues"]["id"] for s in all_stats) == 199
+
+
+def test_file_skipping_prunes_scans(spark, tmp_path):
+    """Disjoint-range appends + a range predicate: the pruned read
+    plans strictly fewer file scans, and (pruning-only contract) the
+    post-filter rows equal the unpruned filtered rows."""
+    from pyspark.sql import functions as F
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "dskip")
+    write_delta_native(spark.range(0, 10).repartition(1).select("id"), loc)
+    write_delta_native(
+        spark.range(100, 110).repartition(1).select("id"), loc, mode="append"
+    )
+    write_delta_native(
+        spark.range(200, 210).repartition(1).select("id"), loc, mode="append"
+    )
+
+    full = read_delta_native(spark, loc)
+    pruned = read_delta_native(spark, loc, skip_where=[("id", ">=", 150)])
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_full == 3 and n_pruned == 1, (n_full, n_pruned)
+    assert sorted(
+        r.id for r in pruned.filter(F.col("id") >= 150).collect()
+    ) == sorted(r.id for r in full.filter(F.col("id") >= 150).collect())
+
+
+def test_file_skipping_conservative_without_stats(spark, tmp_path):
+    """Hand-written log with add actions lacking stats: skip_where
+    must keep every file (no proof, no pruning)."""
+    t = str(tmp_path / "dnostats")
+    _write_data(t, "f1.parquet", [1, 2], ["a", "b"])
+    _write_data(t, "f2.parquet", [3, 4], ["c", "d"])
+    _commit(
+        t,
+        0,
+        [
+            _protocol(),
+            _meta(partition_cols=[]),
+            _add("f1.parquet", {}),
+            _add("f2.parquet", {}),
+        ],
+    )
+    df = read_delta_native(spark, t, skip_where=[("id", ">", 100)])
+    assert len(df.inputFiles()) == 2
+
+
+def test_file_skipping_all_files_empty_schema(spark, tmp_path):
+    """Every file pruned -> empty DataFrame with the declared schema."""
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "dskipall")
+    write_delta_native(spark.range(0, 10).repartition(1).select("id"), loc)
+    df = read_delta_native(spark, loc, skip_where=[("id", ">", 1000)])
+    assert df.columns == ["id"]
+    assert df.count() == 0
