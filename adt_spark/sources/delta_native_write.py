@@ -171,7 +171,8 @@ def _check_writable(snap, operation: str) -> None:
             "does not enforce"
         )
     cdf_on = str(conf.get("delta.enableChangeDataFeed", "false")).lower() == "true"
-    if cdf_on and operation not in ("append", "overwrite"):
+    # optimize is dataChange=false (no CDC rows result from it)
+    if cdf_on and operation not in ("append", "overwrite", "optimize"):
         raise DeltaWriteError(
             f"{operation}: change data feed requires _change_data files for "
             "partial-file DML, which this writer does not produce"
@@ -357,6 +358,60 @@ def _dml_projection(snap, data_schema):
     return read_schema, to_logical, to_physical
 
 
+def _stage_and_collect(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str],
+    data_change: bool = True,
+) -> list[dict]:
+    """Distributed parquet write into a staging dir, then move every
+    part file to its final UUID name and return the add actions (with
+    full per-file statistics).  Shared by write_delta_native and
+    optimize_zorder."""
+    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    adds: list[dict] = []
+    try:
+        for staged, pvals in _collect_staged_files(staging, partition_by):
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                # empty task output — committing it would only bloat
+                # the log and every future scan's file list
+                os.remove(staged)
+                continue
+            rel_dir = _rel_dirname(pvals, partition_by) if partition_by else ""
+            final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            final_abs = os.path.join(location, *final_rel.split("/"))
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            os.rename(staged, final_abs)
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(final_abs),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": data_change,
+                        "stats": _file_stats(meta),
+                    }
+                }
+            )
+    finally:
+        # staging now holds only _SUCCESS/CRC leftovers
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        if os.path.isdir(staging):
+            os.rmdir(staging)
+    return adds
+
+
 def write_delta_native(
     df: DataFrame,
     location: str,
@@ -403,49 +458,7 @@ def write_delta_native(
         df = to_physical(df)
         partition_by = [phys_of[c] for c in partition_by]
 
-    # 1. distributed parquet write into a staging dir
-    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    # 2. move part files to their final UUID names, collect add actions
-    adds: list[dict] = []
-    try:
-        for staged, pvals in _collect_staged_files(staging, partition_by):
-            meta = pq.ParquetFile(staged).metadata
-            if meta.num_rows == 0:
-                # empty task output — committing it would only bloat
-                # the log and every future scan's file list
-                os.remove(staged)
-                continue
-            rel_dir = _rel_dirname(pvals, partition_by) if partition_by else ""
-            final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-            final_abs = os.path.join(location, *final_rel.split("/"))
-            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-            os.rename(staged, final_abs)
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(final_abs),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                        "stats": _file_stats(meta),
-                    }
-                }
-            )
-    finally:
-        # staging now holds only _SUCCESS/CRC leftovers
-        for root, dirs, files in os.walk(staging, topdown=False):
-            for name in files:
-                os.remove(os.path.join(root, name))
-            for name in dirs:
-                os.rmdir(os.path.join(root, name))
-        if os.path.isdir(staging):
-            os.rmdir(staging)
+    adds = _stage_and_collect(df, location, partition_by)
 
     # 3. assemble the commit
     ts = int(time.time() * 1000)
@@ -522,7 +535,16 @@ def write_checkpoint(spark, location: str) -> int:
         }
     )
     for path, (pvals, dv) in snap.files.items():
-        add_rows.append({"path": path, "partitionValues": pvals or {}, "dataChange": False})
+        add_rows.append(
+            {
+                "path": path,
+                "partitionValues": pvals or {},
+                "dataChange": False,
+                # carry per-file statistics through the checkpoint so
+                # file skipping survives log truncation
+                "stats": snap.file_stats.get(path),
+            }
+        )
 
     rows = []
     for p in proto_rows:
@@ -568,6 +590,7 @@ def write_checkpoint(spark, location: str) -> int:
                         pa.field("path", pa.string()),
                         pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
                         pa.field("dataChange", pa.bool_()),
+                        pa.field("stats", pa.string()),
                     ]
                 ),
             ),
@@ -1097,3 +1120,143 @@ def merge_upsert(
     ] + removes + adds
     _atomic_write(_log_path(location, version), actions)
     return version, n_replaced, int(n_source - n_replaced)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY — multi-dimensional clustering for data skipping
+# ---------------------------------------------------------------------------
+
+
+def _zvalue_expr(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column: each clustering column is linearly
+    scaled to ``bits`` bits against its table-wide [min,max] (one
+    metadata-sized agg job), then the bit planes are interleaved so
+    that z-contiguous row blocks are localized in EVERY clustering
+    dimension at once — the property that makes per-file [min,max]
+    statistics selective on all of them.
+
+    Rank-free linear scaling keeps the computation one scan + pure
+    JVM bit arithmetic (a rank-based scaling, as delta-spark's
+    OPTIMIZE uses for skewed data, needs a global sort or sketch —
+    the linear variant is the right default for roughly uniform
+    columns and never affects correctness, only clustering quality).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+    r = df.agg(*aggs).collect()[0]
+
+    top = (1 << bits) - 1
+    keys = []
+    for c in cols:
+        mn, mx = r[f"mn_{c}"], r[f"mx_{c}"]
+        if mn is None or mx is None or not mx > mn:
+            keys.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(float(mx) - float(mn))
+            * F.lit(float(top))
+        )
+        keys.append(
+            F.least(F.greatest(F.coalesce(F.floor(scaled), F.lit(0)), F.lit(0)), F.lit(top))
+        )
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for k, key in enumerate(keys):
+            bit = F.shiftright(key.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + k))
+    return z
+
+
+def optimize_zorder(
+    spark, location: str, cols: list[str], target_files: int = 8
+) -> int:
+    """``OPTIMIZE <table> ZORDER BY (cols…)``: rewrite the table's
+    data clustered along the Z-order (Morton) curve of ``cols`` so the
+    per-file [min,max] statistics become selective in every listed
+    dimension — the multi-dimensional complement of the reader's
+    ``skip_where`` file skipping.  Returns the committed version.
+
+    Beyond the reference (whose provider neither records nor consumes
+    statistics, deltatable.rs:435); matches the public Delta feature
+    (delta.io OPTIMIZE ZORDER; delta-rs z-order) over the same
+    transaction-log protocol: one commit whose remove+add actions all
+    carry ``dataChange: false`` — readers see identical rows, only the
+    physical clustering changed (time travel and CDF semantics
+    preserved).
+
+    Scale shape: one metadata agg (per-column min/max), one
+    distributed ``repartitionByRange`` shuffle on the z-key (range
+    partitioning ⇒ each output file covers a contiguous z interval ⇒
+    localized in every dimension), one distributed write.  Deletion
+    vectors are materialized away by the rewrite (the snapshot read
+    applies them), exactly like Delta's OPTIMIZE purges DVs.
+    """
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources.delta_native import read_delta_native
+
+    snap = replay_snapshot(spark, location)
+    _check_writable(snap, "optimize")
+    if snap.column_mapping_mode != "none":
+        raise DeltaWriteError(
+            "optimize_zorder on column-mapped tables is not supported "
+            "(physical-name staging for a full rewrite — use delta-spark)"
+        )
+    missing = [c for c in cols if c not in snap.schema.fieldNames()]
+    if missing:
+        raise DeltaWriteError(f"zorder columns not in table schema: {missing}")
+    in_parts = [c for c in cols if c in snap.partition_columns]
+    if in_parts:
+        raise DeltaWriteError(
+            f"zorder columns {in_parts} are partition columns — partition "
+            "pruning already covers them; zorder the data columns instead"
+        )
+    if not snap.files:
+        return snap.version  # nothing to rewrite
+
+    df = read_delta_native(spark, location)
+    zcol = "__zorder"
+    df = (
+        df.withColumn(zcol, _zvalue_expr(df, list(cols)))
+        .repartitionByRange(target_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .drop(zcol)
+    )
+    adds = _stage_and_collect(df, location, list(snap.partition_columns), data_change=False)
+
+    version = snap.version + 1
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zOrderBy": json.dumps(list(cols)),
+                    "targetFiles": target_files,
+                },
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    for path, (pvals, _dv) in snap.files.items():
+        actions.append(
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": ts,
+                    "dataChange": False,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+    actions.extend(adds)
+    _atomic_write(_log_path(location, version), actions)
+    return version

@@ -556,3 +556,89 @@ def test_column_mapped_merge_upsert(spark, tmp_path):
     assert sorted((r.id, r.val) for r in got.collect()) == [
         (1, "x"), (2, "Y2"), (9, "new")
     ]
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_zorder_clusters_both_dims(spark, tmp_path):
+    """Z-ordering on (x, y) makes file skipping selective in BOTH
+    dimensions at once: after OPTIMIZE, a range predicate on either
+    column prunes most files; rows are unchanged (dataChange=false
+    rewrite), and history/time travel survive."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources.delta_native_write import optimize_zorder
+
+    loc = str(tmp_path / "dzorder")
+    # x uniform, y independent-uniform: row-id order clusters NEITHER
+    df = (
+        spark.range(0, 4000)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            F.pmod(F.xxhash64("id"), F.lit(64)).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(8)
+    )
+    write_delta_native(df, loc)
+    before = read_delta_native(spark, loc)
+    n_before = len(before.inputFiles())
+    assert n_before >= 4
+
+    v = optimize_zorder(spark, loc, ["x", "y"], target_files=8)
+    after = read_delta_native(spark, loc)
+    assert after.count() == 4000
+    # identical rows, only physical layout changed
+    assert before.select("x", "y", "payload").exceptAll(
+        after.select("x", "y", "payload")
+    ).count() == 0
+
+    pruned_x = read_delta_native(spark, loc, skip_where=[("x", "<", 8)])
+    pruned_y = read_delta_native(spark, loc, skip_where=[("y", "<", 8)])
+    n_after = len(after.inputFiles())
+    assert n_after >= 4
+    assert len(pruned_x.inputFiles()) < n_after
+    assert len(pruned_y.inputFiles()) < n_after
+    # pruning-only contract: filtered rows identical to the full scan's
+    assert sorted(
+        (r.x, r.y, r.payload) for r in pruned_x.filter(F.col("x") < 8).collect()
+    ) == sorted((r.x, r.y, r.payload) for r in after.filter(F.col("x") < 8).collect())
+    # time travel to the pre-OPTIMIZE version still sees the old layout
+    assert read_delta_native(spark, loc, version=v - 1).count() == 4000
+
+
+def test_optimize_zorder_guards(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import optimize_zorder
+
+    loc = str(tmp_path / "dzguard")
+    from pyspark.sql import functions as F
+
+    write_delta_native(
+        spark.range(10).select((F.col("id") % 2).alias("p"), F.col("id").alias("v")),
+        loc,
+        partition_by=["p"],
+    )
+    with pytest.raises(DeltaWriteError, match="partition columns"):
+        optimize_zorder(spark, loc, ["p"])
+    with pytest.raises(DeltaWriteError, match="not in table schema"):
+        optimize_zorder(spark, loc, ["nope"])
+
+
+def test_checkpoint_preserves_file_stats(spark, tmp_path):
+    """Per-file statistics survive checkpointing, so file skipping
+    keeps working after the JSON log is superseded."""
+    from adt_spark.sources.delta_native_write import write_checkpoint
+
+    loc = str(tmp_path / "dckstats")
+    write_delta_native(spark.range(0, 10).repartition(1).select("id"), loc)
+    write_delta_native(
+        spark.range(100, 110).repartition(1).select("id"), loc, mode="append"
+    )
+    write_checkpoint(spark, loc)
+    snap = replay_snapshot(spark, loc)
+    assert len(snap.file_stats) == 2
+    pruned = read_delta_native(spark, loc, skip_where=[("id", ">=", 50)])
+    assert len(pruned.inputFiles()) == 1
