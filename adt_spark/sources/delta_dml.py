@@ -10,6 +10,7 @@ delta-spark present parse natively in Spark SQL):
     DELETE FROM delta.`/path` WHERE <predicate>
     UPDATE delta.`/path` SET col = expr [, ...] WHERE <predicate>
     VACUUM delta.`/path` [RETAIN <n> HOURS]
+    OPTIMIZE delta.`/path` [ZORDER BY (col, ...)]
 
 Each returns a 1-row metrics DataFrame (affected-row / file counts),
 matching the shape Spark's own DML commands report.
@@ -30,6 +31,11 @@ _UPDATE = re.compile(
     r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+delta\.`(?P<path>[^`]+)`"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+delta\.`(?P<path>[^`]+)`"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
@@ -38,7 +44,12 @@ _VACUUM = re.compile(
 
 
 def is_delta_dml(sql: str) -> bool:
-    return bool(_DELETE.match(sql) or _UPDATE.match(sql) or _VACUUM.match(sql))
+    return bool(
+        _DELETE.match(sql)
+        or _UPDATE.match(sql)
+        or _VACUUM.match(sql)
+        or _OPTIMIZE.match(sql)
+    )
 
 
 def _split_assignments(sets: str) -> dict[str, str]:
@@ -117,6 +128,21 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             [(n, version)], "num_affected_rows bigint, version bigint"
         )
+    if m := _OPTIMIZE.match(sql):
+        from adt_spark.sources.delta_native_write import (
+            optimize_compact,
+            optimize_zorder,
+        )
+
+        path = m.group("path")
+        if cols := m.group("cols"):
+            zcols = [c.strip().strip("`") for c in cols.split(",")]
+            version = optimize_zorder(spark, path, zcols)
+            return spark.createDataFrame(
+                [(version, ",".join(zcols))], "version bigint, zorder_by string"
+            )
+        version = optimize_compact(spark, path)
+        return spark.createDataFrame([(version,)], "version bigint")
     if m := _VACUUM.match(sql):
         hours = float(m.group("hours")) if m.group("hours") else 168.0
         deleted = vacuum(spark, m.group("path"), retain_hours=hours)

@@ -74,6 +74,8 @@ class _Snapshot:
     #: skipping (the reference's kernel hands these to its scan
     #: callback, which discards them: deltatable.rs:435)
     file_stats: dict[str, str] = field(default_factory=dict)
+    #: path → add.size bytes (compaction sizing; 0 when unrecorded)
+    file_sizes: dict[str, int] = field(default_factory=dict)
 
 
 def _is_url(location: str) -> bool:
@@ -194,9 +196,12 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
         )
         if stats := add.get("stats"):
             snap.file_stats[add["path"]] = stats
+        if size := add.get("size"):
+            snap.file_sizes[add["path"]] = int(size)
     if rm := action.get("remove"):
         snap.files.pop(rm["path"], None)
         snap.file_stats.pop(rm["path"], None)
+        snap.file_sizes.pop(rm["path"], None)
 
 
 def replay_snapshot(spark: SparkSession, location: str, version: int | None = None) -> _Snapshot:
@@ -229,7 +234,9 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
             add_cols = cp.select("add.*").columns
             sel = ["add.path", "add.partitionValues"] + (
                 ["add.deletionVector"] if "deletionVector" in add_cols else []
-            ) + (["add.stats"] if "stats" in add_cols else [])
+            ) + (["add.stats"] if "stats" in add_cols else []) + (
+                ["add.size"] if "size" in add_cols else []
+            )
             for row in cp.filter(F.col("add").isNotNull()).select(*sel).collect():
                 _apply_action(snap, {"add": row.asDict(recursive=True)})
         snap.version = cp_version

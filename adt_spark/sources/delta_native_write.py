@@ -543,6 +543,7 @@ def write_checkpoint(spark, location: str) -> int:
                 # carry per-file statistics through the checkpoint so
                 # file skipping survives log truncation
                 "stats": snap.file_stats.get(path),
+                "size": snap.file_sizes.get(path),
             }
         )
 
@@ -591,6 +592,7 @@ def write_checkpoint(spark, location: str) -> int:
                         pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
+                        pa.field("size", pa.int64()),
                     ]
                 ),
             ),
@@ -1229,8 +1231,22 @@ def optimize_zorder(
         .sortWithinPartitions(zcol)
         .drop(zcol)
     )
-    adds = _stage_and_collect(df, location, list(snap.partition_columns), data_change=False)
+    return _optimize_commit(
+        spark,
+        location,
+        snap,
+        df,
+        {"zOrderBy": json.dumps(list(cols)), "targetFiles": target_files},
+    )
 
+
+def _optimize_commit(spark, location: str, snap, df: DataFrame, params: dict) -> int:
+    """Shared OPTIMIZE commit: stage the rewritten data, then one
+    atomic remove-all + add-all commit with ``dataChange: false`` on
+    both sides (rows identical; only physical layout changed)."""
+    adds = _stage_and_collect(
+        df, location, list(snap.partition_columns), data_change=False
+    )
     version = snap.version + 1
     ts = int(time.time() * 1000)
     actions: list[dict] = [
@@ -1238,10 +1254,7 @@ def optimize_zorder(
             "commitInfo": {
                 "timestamp": ts,
                 "operation": "OPTIMIZE",
-                "operationParameters": {
-                    "zOrderBy": json.dumps(list(cols)),
-                    "targetFiles": target_files,
-                },
+                "operationParameters": params,
                 "engineInfo": "adt-spark native delta writer",
             }
         }
@@ -1260,3 +1273,32 @@ def optimize_zorder(
     actions.extend(adds)
     _atomic_write(_log_path(location, version), actions)
     return version
+
+
+def optimize_compact(spark, location: str, target_mb: int = 128) -> int:
+    """``OPTIMIZE <table>`` (no ZORDER): small-files compaction —
+    rewrite the snapshot into ~``target_mb``-sized files, sized from
+    the log's recorded add.size bytes (metadata only; no data read
+    before the single rewrite pass).  Same dataChange=false commit
+    contract as optimize_zorder; DVs are materialized away.
+
+    The scale rationale: streaming ingest and frequent small appends
+    accumulate thousands of KB-sized files whose per-file overhead
+    (open + footer + task schedule) dominates scans; compaction
+    restores scan bandwidth and shrinks the replayed log.
+    """
+    from adt_spark.sources.delta_native import read_delta_native
+
+    snap = replay_snapshot(spark, location)
+    _check_writable(snap, "optimize")
+    if snap.column_mapping_mode != "none":
+        raise DeltaWriteError(
+            "optimize_compact on column-mapped tables is not supported "
+            "(physical-name staging for a full rewrite — use delta-spark)"
+        )
+    if not snap.files:
+        return snap.version
+    total = sum(snap.file_sizes.get(p, 0) for p in snap.files)
+    n_out = max(1, -(-total // (target_mb << 20)))  # ceil; 1 if sizes unrecorded
+    df = read_delta_native(spark, location).repartition(n_out)
+    return _optimize_commit(spark, location, snap, df, {"targetFiles": n_out})

@@ -71,3 +71,36 @@ def test_sql_delta_url_table_read(ctx, spark, dtab):
     # snapshot-per-statement: a delete is visible to the next query
     ctx.sql(f"DELETE FROM delta.`{dtab}` WHERE id = 0")
     assert ctx.sql(f"SELECT count(*) AS n FROM delta.`{dtab}`").first().n == 19
+
+
+def test_sql_optimize_zorder_and_compact(spark, tmp_path):
+    """OPTIMIZE delta.`path` [ZORDER BY (...)] routes through the SQL
+    dispatch: z-order commits a new version with clustering; bare
+    OPTIMIZE compacts the file count."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources.delta_native import read_delta_native
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "dsqlopt")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 32).alias("x"),
+        F.pmod(F.xxhash64("id"), F.lit(32)).alias("y"),
+    ).repartition(6)
+    write_delta_native(df, loc)
+
+    from adt_spark.sources.delta_dml import execute_delta_dml, is_delta_dml
+
+    zsql = f"OPTIMIZE delta.`{loc}` ZORDER BY (x, y)"
+    assert is_delta_dml(zsql)
+    out = execute_delta_dml(spark, zsql).collect()[0]
+    assert out.version == 1 and out.zorder_by == "x,y"
+    assert read_delta_native(spark, loc).count() == 2000
+
+    csql = f"OPTIMIZE delta.`{loc}`"
+    assert is_delta_dml(csql)
+    out2 = execute_delta_dml(spark, csql).collect()[0]
+    assert out2.version == 2
+    after = read_delta_native(spark, loc)
+    assert after.count() == 2000
+    assert len(after.inputFiles()) <= 6
