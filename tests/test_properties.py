@@ -127,3 +127,47 @@ def test_hive_escape_roundtrip(value):
     escaped = _hive_escape(value)
     assert _hive_unescape(escaped) == value
     assert "/" not in escaped and "=" not in escaped and "\n" not in escaped
+
+
+_ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+_vals = st.integers(min_value=-1000, max_value=1000)
+
+
+def _op_holds(op: str, x: int, v: int) -> bool:
+    return {
+        "=": x == v,
+        "<": x < v,
+        "<=": x <= v,
+        ">": x > v,
+        ">=": x >= v,
+    }[op]
+
+
+@given(
+    rows=st.lists(_vals, min_size=1, max_size=30),
+    constraints=st.lists(st.tuples(st.just("c"), _ops, _vals), min_size=1, max_size=4),
+)
+@settings(max_examples=300, deadline=None)
+def test_file_skipping_never_loses_rows(rows, constraints):
+    """Soundness property of the Delta skipping oracle: whenever ANY
+    row in a file satisfies every constraint, _file_may_match must
+    keep the file.  (Completeness — skipping as much as possible — is
+    an optimization; soundness is correctness.)"""
+    import json
+
+    from adt_spark.sources.delta_native import _file_may_match
+
+    stats = json.dumps(
+        {
+            "numRecords": len(rows),
+            "minValues": {"c": min(rows)},
+            "maxValues": {"c": max(rows)},
+            "nullCount": {"c": 0},
+        }
+    )
+    any_match = any(
+        all(_op_holds(op, x, v) for _col, op, v in constraints) for x in rows
+    )
+    kept = _file_may_match(stats, constraints)
+    if any_match:
+        assert kept, (rows, constraints)
