@@ -477,3 +477,78 @@ def test_file_skipping_all_files_empty_schema(spark, tmp_path):
     df = read_delta_native(spark, loc, skip_where=[("id", ">", 1000)])
     assert df.columns == ["id"]
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (table_changes)
+# ---------------------------------------------------------------------------
+
+
+def test_table_changes_across_dml(spark, tmp_path):
+    """CDF derivation over append → DELETE → UPDATE: inserts carry the
+    appended rows; copy-on-write DML surfaces as remove+add file pairs
+    (delete of the old file's rows, insert of the rewritten rows) —
+    the Delta spec's derived-CDC rule; OPTIMIZE (dataChange=false) is
+    invisible."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources.delta_native import table_changes
+    from adt_spark.sources.delta_native_write import (
+        delete_where,
+        optimize_compact,
+        write_delta_native,
+    )
+
+    loc = str(tmp_path / "dcdf")
+    write_delta_native(spark.range(0, 10).repartition(1).select("id"), loc)   # v0
+    write_delta_native(
+        spark.range(10, 15).repartition(1).select("id"), loc, mode="append"   # v1
+    )
+    delete_where(spark, loc, "id >= 12")                                      # v2
+    optimize_compact(spark, loc)                                              # v3
+
+    # v1 alone: pure insert of 5 rows
+    ch1 = table_changes(spark, loc, 1, 1)
+    assert ch1.columns == ["id", "_change_type", "_commit_version"]
+    rows1 = [(r.id, r._change_type) for r in ch1.collect()]
+    assert sorted(rows1) == [(i, "insert") for i in range(10, 15)]
+
+    # v2: delete_where rewrote the v1 file — 5 deletes + 2 re-inserts
+    ch2 = table_changes(spark, loc, 2, 2)
+    by_type = {
+        t: sorted(r.id for r in rs)
+        for t, rs in [
+            ("insert", ch2.filter(F.col("_change_type") == "insert").collect()),
+            ("delete", ch2.filter(F.col("_change_type") == "delete").collect()),
+        ]
+    }
+    assert by_type["delete"] == list(range(10, 15))
+    assert by_type["insert"] == [10, 11]
+
+    # v3 (OPTIMIZE) contributes nothing
+    assert table_changes(spark, loc, 3, 3).count() == 0
+
+    # net effect of the whole range == current snapshot
+    all_ch = table_changes(spark, loc, 0)
+    net = (
+        all_ch.groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(-1)).alias("n")
+        )
+        .filter(F.col("n") > 0)
+    )
+    assert sorted(r.id for r in net.collect()) == sorted(
+        r.id for r in read_delta_native(spark, loc).collect()
+    )
+
+
+def test_table_changes_guards(spark, tmp_path):
+    from adt_spark.sources.delta_native import table_changes
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "dcdfg")
+    write_delta_native(spark.range(3).select("id"), loc)
+    with pytest.raises(ValueError, match="beyond log end"):
+        table_changes(spark, loc, 0, 5)
+    with pytest.raises(FileNotFoundError):
+        table_changes(spark, str(tmp_path / "nolog"), 0)
