@@ -650,7 +650,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("side", F.lit("b"))
     both = left.unionByName(right).select("i", "j", "side", "vec_id", "embedding")
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = key
         a_pdf = pdf[pdf["side"] == "a"]
         b_pdf = a_pdf if i == j else pdf[pdf["side"] == "b"]
@@ -1193,5 +1193,72 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup report: component-size distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node, min(label) AS component_id FROM reach GROUP BY node
+    ),
+    csize AS (
+        SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN sz > 1 THEN (sz - 1) * count(*) ELSE 0 END AS BIGINT)
+             AS n_removable
+    FROM csize GROUP BY sz
+    """,
+    tags=("dedup", "components", "report"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup *report*: near-dup cluster-size distribution — how
+    many singletons, how many pairs, how big the largest boilerplate
+    cluster is, and how many documents deduplication would remove
+    (size−1 per cluster).  This is the number a pipeline owner reads
+    before committing to a dedup pass, and the monitoring signal that
+    catches a broken shingle hash (sudden giant cluster) at a glance.
+
+    Cost: the memoized component labels (shared with
+    dedup_components/dedup_canonical_pick — the iterative CC runs once
+    per session) plus two tiny aggregations: count per component
+    (state = number of components), then count per size (state =
+    number of distinct sizes).  Both partial+final; nothing scales
+    with corpus size beyond the label table itself.
+    """
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.when(F.col("sz") > 1, (F.col("sz") - 1) * F.col("n_clusters"))
+            .otherwise(0)
+            .cast("long")
+            .alias("n_removable"),
         )
     )
