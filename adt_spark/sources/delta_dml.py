@@ -83,7 +83,11 @@ def _split_assignments(sets: str) -> dict[str, str]:
     return out
 
 
-_DELTA_URL = re.compile(r"\bdelta\.`(?P<path>[^`]+)`", re.IGNORECASE)
+_DELTA_URL = re.compile(
+    r"\bdelta\.`(?P<path>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?",
+    re.IGNORECASE,
+)
 
 
 def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
@@ -95,6 +99,10 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
     skip this rewrite.  Views are snapshot-per-statement: re-resolved
     on every call, matching the reference's snapshot-per-scan
     (deltatable.rs:293-296).
+
+    Time travel: ``delta.`/path` VERSION AS OF n`` (delta-spark's SQL
+    spelling) replays the log only to version n — each (path, version)
+    binds its own view.
     """
     import hashlib
 
@@ -102,8 +110,10 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
 
     def sub(m: re.Match[str]) -> str:
         path = m.group("path")
-        name = "delta_url_" + hashlib.md5(path.encode()).hexdigest()[:10]
-        read_delta_native(spark, path).createOrReplaceTempView(name)
+        version = int(m.group("version")) if m.group("version") else None
+        key = f"{path}@{version if version is not None else 'latest'}"
+        name = "delta_url_" + hashlib.md5(key.encode()).hexdigest()[:10]
+        read_delta_native(spark, path, version=version).createOrReplaceTempView(name)
         return name
 
     return _DELTA_URL.sub(sub, sql)

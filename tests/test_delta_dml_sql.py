@@ -104,3 +104,22 @@ def test_sql_optimize_zorder_and_compact(spark, tmp_path):
     after = read_delta_native(spark, loc)
     assert after.count() == 2000
     assert len(after.inputFiles()) <= 6
+
+
+def test_sql_version_as_of(ctx, spark, tmp_path):
+    """delta.`path` VERSION AS OF n time travel in the SQL path: the
+    pinned version reads the historical snapshot while the bare URL
+    reads the current one — both in the same statement."""
+    t = str(tmp_path / "dtt")
+    write_delta_native(spark.range(0, 5).select("id"), t)                 # v0
+    write_delta_native(spark.range(5, 9).select("id"), t, mode="append")  # v1
+
+    assert ctx.sql(
+        f"SELECT count(*) AS n FROM delta.`{t}` VERSION AS OF 0"
+    ).first().n == 5
+    assert ctx.sql(f"SELECT count(*) AS n FROM delta.`{t}`").first().n == 9
+    both = ctx.sql(
+        f"SELECT (SELECT count(*) FROM delta.`{t}` VERSION AS OF 0) AS old, "
+        f"(SELECT count(*) FROM delta.`{t}`) AS new"
+    ).first()
+    assert (both.old, both.new) == (5, 9)
