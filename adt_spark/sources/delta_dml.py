@@ -108,15 +108,65 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
 
     from adt_spark.sources.delta_native import read_delta_native
 
+    # Automatic file skipping: when the statement references exactly
+    # ONE delta URL table and its WHERE clause is a strict conjunction
+    # of simple comparisons, feed those terms to the reader's
+    # statistics pruner.  Anything the whitelist grammar does not
+    # recognize keeps skip_where empty — pruning is an optimization
+    # and misparsing toward "no pruning" is always sound (the real
+    # WHERE still applies to the returned rows).
+    skip = _conjunctive_terms(sql) if len(_DELTA_URL.findall(sql)) == 1 else None
+
     def sub(m: re.Match[str]) -> str:
         path = m.group("path")
         version = int(m.group("version")) if m.group("version") else None
-        key = f"{path}@{version if version is not None else 'latest'}"
+        key = f"{path}@{version if version is not None else 'latest'}:{skip!r}"
         name = "delta_url_" + hashlib.md5(key.encode()).hexdigest()[:10]
-        read_delta_native(spark, path, version=version).createOrReplaceTempView(name)
+        read_delta_native(
+            spark, path, version=version, skip_where=skip
+        ).createOrReplaceTempView(name)
         return name
 
     return _DELTA_URL.sub(sub, sql)
+
+
+#: whitelist grammar for skip-safe WHERE clauses: col op literal,
+#: AND-joined only.  ORs, functions, subqueries, NOT, BETWEEN — all
+#: fall outside and disable pruning (never correctness).
+_TERM = r"`?(?P<col>[A-Za-z_][A-Za-z_0-9]*)`?\s*(?P<op>=|<=|>=|<|>)\s*(?P<lit>-?\d+(?:\.\d+)?|'[^']*')"
+_TERM_RE = re.compile(_TERM)
+
+
+def _conjunctive_terms(sql: str) -> list[tuple[str, str, object]] | None:
+    """Extract (col, op, value) skip terms from a WHERE clause that is
+    PROVABLY a pure conjunction of simple comparisons; None otherwise."""
+    m = re.search(r"\bWHERE\b(?P<rest>.*)$", sql, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    clause = re.split(
+        r"\b(?:GROUP\s+BY|ORDER\s+BY|LIMIT|HAVING|WINDOW|UNION|INTERSECT|EXCEPT)\b",
+        m.group("rest"),
+        maxsplit=1,
+        flags=re.IGNORECASE,
+    )[0].strip().rstrip(";").strip()
+    if not clause:
+        return None
+    parts = re.split(r"\s+AND\s+", clause, flags=re.IGNORECASE)
+    terms: list[tuple[str, str, object]] = []
+    for part in parts:
+        t = _TERM_RE.fullmatch(part.strip())
+        if not t:
+            return None  # anything unrecognized disables pruning
+        lit = t.group("lit")
+        value: object
+        if lit.startswith("'"):
+            value = lit[1:-1]
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        terms.append((t.group("col"), t.group("op"), value))
+    return terms or None
 
 
 def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
