@@ -698,3 +698,73 @@ def text_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_freq").cast("long").alias("min_doc_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage (OOV rate)
+# ---------------------------------------------------------------------------
+
+#: vocabulary size for the coverage check (top-K corpus tokens stand
+#: in for a trained tokenizer's vocab; the synthetic corpus has ~40
+#: distinct tokens, so 25 leaves a real OOV tail)
+_VOCAB_K = 25
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS n FROM tok GROUP BY token
+        ORDER BY n DESC, token LIMIT {_VOCAB_K}
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "vocab", "oov"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: the fraction of
+    token occurrences outside the corpus top-{_VOCAB_K} vocabulary —
+    the signal that tells you whether a tokenizer (or a candidate
+    vocab size) fits a data source before committing a training run,
+    and per-document the screen for out-of-domain/gibberish text.
+
+    Shape: one token-count shuffle builds the top-K vocabulary
+    (partial+final + TakeOrderedAndProject, as text_vocab_topk); the
+    vocabulary — K rows at ANY corpus size — broadcasts into a left
+    join against the token stream, and the per-doc fold keys on
+    doc_id.  Exact integer counts; one double division.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+    )

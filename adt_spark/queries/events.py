@@ -322,3 +322,77 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retained_d7"),
         )
     )
+
+
+@register(
+    "q_events_anomaly",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id, event_type, CAST({_VAL} AS DOUBLE) AS v,
+             {_VAL} AS vdec
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(vdec) AS DOUBLE) AS s1,
+             CAST(sum(vdec * vdec) AS DOUBLE) AS s2
+      FROM d GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             s1 / n AS mean,
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+      FROM stats
+    )
+    SELECT d.event_id, d.event_type, d.v AS value,
+           (d.v - m.mean) / m.std AS zscore
+    FROM d JOIN m USING (event_type)
+    WHERE abs(d.v - m.mean) > 3.0 * m.std
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outlier detection over event values — the
+    monitoring primitive (fraud spikes, instrumentation bugs) built
+    the scale-correct way: per-type moments from ONE partial+final
+    aggregate (exact decimal sums — sum and sum-of-squares are
+    decomposable, so map-side combine does almost all the work), the
+    tiny per-type stats table broadcast back against the event
+    stream, and the outlier filter evaluated scan-side.  Two passes
+    over events, zero wide shuffles of the fact table.
+
+    Exactness: moments are DECIMAL sums of 2-decimal money values
+    (rule 1 — exact, order-independent); mean/variance/z-score are
+    then a fixed chain of identical double ops, sqrt being IEEE
+    correctly-rounded (rule 6 family allows sqrt, bans log/exp);
+    variance clamps at 0 against catastrophic cancellation on both
+    sides identically.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    vdec = F.col("value").cast(T.DecimalType(12, 2))
+    d = ev.select(
+        "event_id", "event_type",
+        vdec.cast("double").alias("v"), vdec.alias("vdec"),
+    )
+    stats = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vdec").cast("double").alias("s1"),
+        F.sum(F.col("vdec") * F.col("vdec")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias(
+            "std"
+        ),
+    )
+    return (
+        d.join(F.broadcast(m), "event_type")
+        .filter(F.abs(F.col("v") - F.col("mean")) > 3.0 * F.col("std"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").alias("value"),
+            ((F.col("v") - F.col("mean")) / F.col("std")).alias("zscore"),
+        )
+    )
