@@ -48,6 +48,10 @@ _WRITE_FORMATS = {
     # the reference registers ARROW read-only; the writer completes
     # the round-trip.
     "arrow": ("arrow", {}),
+    # Avro: spark-avro when jars are present, else the native
+    # container writer (avro_native.py) — the format the reference
+    # registers but cannot execute (no avro crate compiled).
+    "avro": ("avro_native", {}),
 }
 
 _COPY_HEAD = re.compile(r"^\s*COPY\b", re.IGNORECASE)
@@ -143,6 +147,17 @@ def write_dataframe(
             raise ValueError("PARTITIONED BY is not supported for ARROW sinks")
         write_arrow_ipc(df, path, mode=mode)
         return
+    if spark_fmt == "avro_native":
+        if partition_by:
+            raise ValueError("PARTITIONED BY is not supported for AVRO sinks")
+        try:  # spark-avro when present (JVM, vectorized)
+            df.write.format("avro").mode(mode).save(path)
+            return
+        except Exception:
+            from adt_spark.sources.avro_native import write_avro_native
+
+            write_avro_native(df, path, mode=mode)
+            return
     if spark_fmt == "delta":
         from adt_spark.sources.delta import delta_available
 
