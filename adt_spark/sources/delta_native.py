@@ -48,7 +48,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+#: classic single-file checkpoint: N.checkpoint.parquet
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+#: multi-part classic checkpoint: N.checkpoint.part.parts.parquet
+_CHECKPOINT_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+#: v2 (UUID-named) checkpoint: N.checkpoint.<uuid>.{parquet|json}
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.[0-9a-fA-F][0-9a-fA-F-]*\.(parquet|json)$"
+)
 
 
 class DeltaProtocolError(RuntimeError):
@@ -148,11 +157,22 @@ def _list_log(
         if not os.path.isdir(d):
             return commits, checkpoints
         entries = [(name, os.path.join(d, name)) for name in os.listdir(d)]
+    multi: dict[tuple[int, int], dict[int, str]] = {}
     for name, path in entries:
         if m := _COMMIT_RE.match(name):
             commits.append((int(m.group(1)), path))
         elif m := _CHECKPOINT_RE.match(name):
-            checkpoints.append((int(m.group(1)), path))
+            checkpoints.append((int(m.group(1)), "classic", (path,)))
+        elif m := _CHECKPOINT_MULTI_RE.match(name):
+            v, part, parts = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multi.setdefault((v, parts), {})[part] = path
+        elif m := _CHECKPOINT_V2_RE.match(name):
+            checkpoints.append((int(m.group(1)), "v2-" + m.group(2), (path,)))
+    for (v, parts), found in multi.items():
+        if len(found) == parts:  # incomplete part sets are unusable
+            checkpoints.append(
+                (v, "classic", tuple(found[i] for i in sorted(found)))
+            )
     return sorted(commits), sorted(checkpoints)
 
 
@@ -219,27 +239,35 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
     snap = _Snapshot(version=-1, schema=T.StructType([]), partition_columns=[])
 
     if usable_cp:
-        cp_version, cp_path = usable_cp[-1]
-        cp = spark.read.parquet(cp_path)
-        cols = set(cp.columns)
-        # Actions in a checkpoint are struct columns; at most one of
-        # metaData/protocol per checkpoint, many add rows.
-        for name in ("protocol", "metaData"):
-            if name in cols:
-                for row in cp.filter(F.col(name).isNotNull()).select(name).collect():
-                    _apply_action(snap, {name: row[0].asDict(recursive=True)})
-        if "add" in cols:
-            # Older checkpoints lack the deletionVector field — select
-            # only what exists.
-            add_cols = cp.select("add.*").columns
-            sel = ["add.path", "add.partitionValues"] + (
-                ["add.deletionVector"] if "deletionVector" in add_cols else []
-            ) + (["add.stats"] if "stats" in add_cols else []) + (
-                ["add.size"] if "size" in add_cols else []
-            )
-            for row in cp.filter(F.col("add").isNotNull()).select(*sel).collect():
-                _apply_action(snap, {"add": row.asDict(recursive=True)})
+        cp_version, kind, cp_paths = usable_cp[-1]
+        if kind == "v2-json":
+            # v2 JSON checkpoint: the same line-per-action form as a
+            # commit, plus checkpointMetadata/sidecar actions.
+            for line in _read_file(spark, cp_paths[0]).splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if sc := action.get("sidecar"):
+                    _apply_sidecar(spark, snap, location, sc["path"])
+                else:
+                    _apply_action(snap, action)
+        else:  # classic (single- or multi-part) and v2-parquet
+            cp = spark.read.parquet(*cp_paths)
+            _apply_checkpoint_df(spark, snap, cp, location)
         snap.version = cp_version
+
+    # Completeness guard: with no usable checkpoint, replay is only
+    # correct if the JSON chain starts at version 0 (log cleanup
+    # deletes commits once checkpointed — silently missing adds would
+    # be data loss, not an error message).
+    first_replayed = next(
+        (v for v, _p in commits if v > snap.version), None
+    )
+    if snap.version == -1 and first_replayed not in (None, 0):
+        raise DeltaProtocolError(
+            f"log starts at commit {first_replayed} with no readable "
+            "checkpoint before it — cannot reconstruct the snapshot"
+        )
 
     for v, path in commits:
         if v <= snap.version:
@@ -256,6 +284,46 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
     if not snap.schema.fields:
         raise DeltaProtocolError("no metaData action found in Delta log")
     return snap
+
+
+def _apply_checkpoint_df(spark, snap: _Snapshot, cp: DataFrame, location: str) -> None:
+    """Apply a checkpoint DataFrame's actions (classic or v2-parquet):
+    protocol/metaData singletons, the add file set, and — in v2
+    checkpoints — sidecar references whose parquet holds the file
+    actions."""
+    cols = set(cp.columns)
+    for name in ("protocol", "metaData"):
+        if name in cols:
+            for row in cp.filter(F.col(name).isNotNull()).select(name).collect():
+                _apply_action(snap, {name: row[0].asDict(recursive=True)})
+    if "add" in cols:
+        # Older checkpoints lack the deletionVector field — select
+        # only what exists.
+        add_cols = cp.select("add.*").columns
+        sel = ["add.path", "add.partitionValues"] + (
+            ["add.deletionVector"] if "deletionVector" in add_cols else []
+        ) + (["add.stats"] if "stats" in add_cols else []) + (
+            ["add.size"] if "size" in add_cols else []
+        )
+        for row in cp.filter(F.col("add").isNotNull()).select(*sel).collect():
+            _apply_action(snap, {"add": row.asDict(recursive=True)})
+    if "sidecar" in cols:
+        for row in (
+            cp.filter(F.col("sidecar").isNotNull()).select("sidecar.path").collect()
+        ):
+            _apply_sidecar(spark, snap, location, row[0])
+
+
+def _apply_sidecar(spark, snap: _Snapshot, location: str, rel: str) -> None:
+    """v2-checkpoint sidecar: file actions live in
+    ``_delta_log/_sidecars/<name>.parquet`` (Delta PROTOCOL.md,
+    V2 Checkpoint Table Features)."""
+    side_path = (
+        _log_dir(location).rstrip("/") + "/_sidecars/" + rel
+        if not rel.startswith(("/", "file://"))
+        else rel
+    )
+    _apply_checkpoint_df(spark, snap, spark.read.parquet(side_path), location)
 
 
 def _physical_type(dt: T.DataType, with_ids: bool) -> T.DataType:

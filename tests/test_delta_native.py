@@ -552,3 +552,126 @@ def test_table_changes_guards(spark, tmp_path):
         table_changes(spark, loc, 0, 5)
     with pytest.raises(FileNotFoundError):
         table_changes(spark, str(tmp_path / "nolog"), 0)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint format completeness: multi-part classic, v2 (UUID), sidecars
+# ---------------------------------------------------------------------------
+
+
+def _cp_schema():
+    return pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([("schemaString", pa.string()),
+                                ("partitionColumns", pa.list_(pa.string()))])),
+        ("add", pa.struct([("path", pa.string()),
+                           ("partitionValues", pa.struct([("p", pa.string())]))])),
+    ])
+
+
+def _cp_proto_meta_rows():
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"schemaString": json.dumps(SCHEMA.jsonValue()),
+                      "partitionColumns": ["p"]},
+         "add": None},
+    ]
+
+
+def _cp_add_row(path, p):
+    return {"protocol": None, "metaData": None,
+            "add": {"path": path, "partitionValues": {"p": p}}}
+
+
+def test_multipart_checkpoint_replay(spark, table):
+    """Classic MULTI-PART checkpoint (N.checkpoint.<part>.<parts>.parquet):
+    all parts read together; an incomplete part set is unusable."""
+    log = os.path.join(table, "_delta_log")
+    pq.write_table(
+        pa.Table.from_pylist(
+            _cp_proto_meta_rows() + [_cp_add_row("p=1/f1.parquet", "1")],
+            schema=_cp_schema()),
+        os.path.join(log, f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist([_cp_add_row("p=2/f2.parquet", "2")],
+                             schema=_cp_schema()),
+        os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))  # log cleaned up
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {1, 2, 3, 4, 5}
+
+    # drop one part -> the set is unusable; with no commits left the
+    # table is unreadable (hard error either way, never silent loss)
+    os.remove(os.path.join(log, f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    with pytest.raises((DeltaProtocolError, FileNotFoundError)):
+        replay_snapshot(spark, table)
+
+
+def test_v2_uuid_parquet_checkpoint_with_sidecar(spark, table):
+    """v2 (UUID-named) parquet checkpoint whose file actions live in
+    a _sidecars parquet (Delta table-features checkpoint layout)."""
+    log = os.path.join(table, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist(
+            [_cp_add_row("p=1/f1.parquet", "1"), _cp_add_row("p=2/f2.parquet", "2")],
+            schema=_cp_schema()),
+        os.path.join(side_dir, "sc-001.parquet"),
+    )
+    top_schema = pa.schema(list(_cp_schema())
+                           + [pa.field("sidecar", pa.struct([("path", pa.string())]))])
+    top_rows = [dict(r, sidecar=None) for r in _cp_proto_meta_rows()] + [
+        {"protocol": None, "metaData": None, "add": None,
+         "sidecar": {"path": "sc-001.parquet"}},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema),
+        os.path.join(log, f"{0:020d}.checkpoint.{uuidlib.uuid4()}.parquet"),
+    )
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {1, 2, 3, 4, 5}
+
+
+def test_v2_json_checkpoint_replay(spark, table):
+    """v2 JSON checkpoint: commit-style action lines under a UUID
+    checkpoint name, including a sidecar reference."""
+    log = os.path.join(table, "_delta_log")
+    side_dir = os.path.join(log, "_sidecars")
+    os.makedirs(side_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist([_cp_add_row("p=2/f2.parquet", "2")],
+                             schema=_cp_schema()),
+        os.path.join(side_dir, "sc-j.parquet"),
+    )
+    cp_path = os.path.join(log, f"{0:020d}.checkpoint.{uuidlib.uuid4()}.json")
+    with open(cp_path, "w") as fh:
+        for a in (
+            _protocol(),
+            _meta(),
+            _add("p=1/f1.parquet", {"p": "1"}),
+            {"sidecar": {"path": "sc-j.parquet"}},
+        ):
+            fh.write(json.dumps(a) + "\n")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    rows = {r.id for r in read_delta_native(spark, table).collect()}
+    assert rows == {1, 2, 3, 4, 5}
+
+
+def test_truncated_log_without_checkpoint_refused(spark, tmp_path):
+    """A log whose first surviving commit is > 0 with no checkpoint
+    cannot be reconstructed — hard error, never silent data loss."""
+    t = str(tmp_path / "dtrunc")
+    _write_data(t, "p=1/f1.parquet", [1], ["a"])
+    _commit(t, 0, [_protocol(), _meta(), _add("p=1/f1.parquet", {"p": "1"})])
+    _write_data(t, "p=1/f2.parquet", [2], ["b"])
+    _commit(t, 1, [_add("p=1/f2.parquet", {"p": "1"})])
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="cannot reconstruct"):
+        replay_snapshot(spark, t)
