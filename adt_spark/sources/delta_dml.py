@@ -83,6 +83,11 @@ def _split_assignments(sets: str) -> dict[str, str]:
     return out
 
 
+_TABLE_CHANGES = re.compile(
+    r"table_changes\(\s*delta\.`(?P<path>[^`]+)`\s*,\s*(?P<start>\d+)"
+    r"(?:\s*,\s*(?P<end>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 _DELTA_URL = re.compile(
     r"\bdelta\.`(?P<path>[^`]+)`"
     r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?",
@@ -102,7 +107,8 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
 
     Time travel: ``delta.`/path` VERSION AS OF n`` (delta-spark's SQL
     spelling) replays the log only to version n — each (path, version)
-    binds its own view.
+    binds its own view.  ``table_changes(delta.`/path`, start[, end])``
+    (the delta-spark CDF TVF spelling) binds the native change feed.
     """
     import hashlib
 
@@ -115,6 +121,23 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
     # recognize keeps skip_where empty — pruning is an optimization
     # and misparsing toward "no pruning" is always sound (the real
     # WHERE still applies to the returned rows).
+    # CDF TVF first (its argument contains the delta URL pattern):
+    # table_changes(delta.`path`, start[, end]) -> temp view of
+    # the native change feed (delta-spark's TVF spelling).
+    def sub_tvf(m: re.Match[str]) -> str:
+        from adt_spark.sources.delta_native import table_changes
+
+        path = m.group("path")
+        start = int(m.group("start"))
+        end = int(m.group("end")) if m.group("end") else None
+        name = "delta_cdf_" + hashlib.md5(
+            f"{path}@{start}-{end}".encode()
+        ).hexdigest()[:10]
+        table_changes(spark, path, start, end).createOrReplaceTempView(name)
+        return name
+
+    sql = _TABLE_CHANGES.sub(sub_tvf, sql)
+
     skip = _conjunctive_terms(sql) if len(_DELTA_URL.findall(sql)) == 1 else None
 
     def sub(m: re.Match[str]) -> str:

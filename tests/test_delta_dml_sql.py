@@ -154,3 +154,27 @@ def test_sql_where_drives_file_skipping(ctx, spark, tmp_path):
     # OR disables pruning (whitelist grammar) but results stay right
     rows_or = ctx.sql(f"SELECT * FROM delta.`{t}` WHERE id >= 205 OR id < 2")
     assert sorted(r.id for r in rows_or.collect()) == [0, 1] + list(range(205, 210))
+
+
+def test_sql_table_changes_tvf(ctx, spark, tmp_path):
+    """table_changes(delta.`path`, start[, end]) in SQL binds the
+    native Change Data Feed (delta-spark's TVF spelling)."""
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = str(tmp_path / "dtvf")
+    write_delta_native(spark.range(0, 10).repartition(1).select("id"), t)   # v0
+    write_delta_native(
+        spark.range(10, 14).repartition(1).select("id"), t, mode="append"   # v1
+    )
+    delete_where(spark, t, "id >= 12")                                      # v2
+
+    ins = ctx.sql(
+        f"SELECT count(*) AS n FROM table_changes(delta.`{t}`, 1, 1) "
+        "WHERE _change_type = 'insert'"
+    ).first().n
+    assert ins == 4
+    agg = ctx.sql(
+        f"SELECT _change_type, count(*) AS n FROM table_changes(delta.`{t}`, 2) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    assert {(r._change_type, r.n) for r in agg} == {("delete", 4), ("insert", 2)}
