@@ -85,6 +85,8 @@ class _Snapshot:
     file_stats: dict[str, str] = field(default_factory=dict)
     #: path → add.size bytes (compaction sizing; 0 when unrecorded)
     file_sizes: dict[str, int] = field(default_factory=dict)
+    #: metaData.id — stable table identity, preserved across commits
+    table_id: str = ""
 
 
 def _is_url(location: str) -> bool:
@@ -201,6 +203,7 @@ def _check_protocol(protocol: dict) -> None:
 
 def _apply_action(snap: _Snapshot, action: dict) -> None:
     if meta := action.get("metaData"):
+        snap.table_id = meta.get("id") or snap.table_id
         snap.schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         snap.partition_columns = list(meta.get("partitionColumns") or [])
         conf = meta.get("configuration") or {}

@@ -417,10 +417,20 @@ def write_delta_native(
     location: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Write ``df`` to a Delta table at ``location``; returns the
     committed version.  ``mode``: ``append`` (create if absent) or
     ``overwrite`` (replace data, keep history).
+
+    ``merge_schema=True`` (delta-spark's ``mergeSchema`` analog)
+    evolves the table on write instead of erroring on a superset
+    schema: columns new to the table are ADDED (nullable) with an
+    updated ``metaData`` in the same commit; columns the write lacks
+    are null-filled.  Existing columns must keep their types (no
+    type-widening evolution — the delta-spark default posture).
+    Evolution is refused on column-mapped tables (new fields need
+    physical names + id assignment).
     """
     if mode not in ("append", "overwrite"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
@@ -438,14 +448,68 @@ def write_delta_native(
                 f"partition mismatch: table has {snap.partition_columns}, "
                 f"write requested {partition_by}"
             )
+        evolved_meta = None
+        # Same-name columns must keep their declared types regardless
+        # of merge_schema — staging parquet under a divergent physical
+        # type would corrupt future snapshot reads (the ADVICE-item
+        # class update_where already guards against).
+        _table_fields = {f.name: f for f in snap.schema.fields}
+        for f in df.schema.fields:
+            existing = _table_fields.get(f.name)
+            if existing is not None and existing.dataType != f.dataType:
+                hint = (
+                    "merge_schema cannot change" if merge_schema else "type mismatch on"
+                )
+                raise DeltaWriteError(
+                    f"{hint} {f.name!r}: table has "
+                    f"{existing.dataType.simpleString()}, write has "
+                    f"{f.dataType.simpleString()}"
+                )
         if [f.name for f in snap.schema.fields] != df.schema.fieldNames():
-            raise DeltaWriteError(
-                f"schema mismatch: table has {snap.schema.fieldNames()}, "
-                f"dataframe has {df.schema.fieldNames()}"
+            if not merge_schema:
+                raise DeltaWriteError(
+                    f"schema mismatch: table has {snap.schema.fieldNames()}, "
+                    f"dataframe has {df.schema.fieldNames()} "
+                    "(pass merge_schema=True to evolve)"
+                )
+            if snap.column_mapping_mode != "none":
+                raise DeltaWriteError(
+                    "merge_schema on column-mapped tables is not supported "
+                    "(new fields need physical names and mapping ids)"
+                )
+            from pyspark.sql import functions as F
+
+            table_fields = _table_fields
+            new_fields = [
+                T.StructField(f.name, f.dataType, nullable=True)
+                for f in df.schema.fields
+                if f.name not in table_fields
+            ]
+            evolved = T.StructType(list(snap.schema.fields) + new_fields)
+            # null-fill table columns the write lacks; order to the
+            # evolved schema so staged parquet matches it exactly
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in evolved.fields
+                ]
             )
+            evolved_meta = {
+                "metaData": {
+                    "id": snap.table_id or str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": evolved.json(),
+                    "partitionColumns": snap.partition_columns,
+                    "configuration": snap.configuration,
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
     else:
         snap = None
         version = 0
+        evolved_meta = None
 
     # Column-mapped tables: stage under PHYSICAL column names (+
     # parquet field ids for id mode — Spark writes them from the
@@ -488,6 +552,8 @@ def write_delta_native(
                 }
             }
         )
+    if evolved_meta is not None:
+        actions.append(evolved_meta)
     if mode == "overwrite" and snap is not None:
         for path, (pvals, _dv) in snap.files.items():
             actions.append(

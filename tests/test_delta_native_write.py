@@ -642,3 +642,48 @@ def test_checkpoint_preserves_file_stats(spark, tmp_path):
     assert len(snap.file_stats) == 2
     pruned = read_delta_native(spark, loc, skip_where=[("id", ">=", 50)])
     assert len(pruned.inputFiles()) == 1
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True evolves the table on append: new columns add
+    nullable (old files read as null), missing columns null-fill, the
+    table id stays stable, and type changes are refused."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "devolve")
+    write_delta_native(spark.range(0, 3).select("id"), loc)
+    snap0 = replay_snapshot(spark, loc)
+
+    with pytest.raises(DeltaWriteError, match="merge_schema=True"):
+        write_delta_native(
+            spark.range(3, 5).select("id", F.lit("x").alias("tag")),
+            loc,
+            mode="append",
+        )
+    write_delta_native(
+        spark.range(3, 5).select("id", F.lit("x").alias("tag")),
+        loc,
+        mode="append",
+        merge_schema=True,
+    )
+    df = read_delta_native(spark, loc)
+    assert df.columns == ["id", "tag"]
+    rows = {(r.id, r.tag) for r in df.collect()}
+    assert rows == {(0, None), (1, None), (2, None), (3, "x"), (4, "x")}
+    snap1 = replay_snapshot(spark, loc)
+    assert snap1.table_id == snap0.table_id != ""
+
+    # writer lacking an existing column null-fills it
+    write_delta_native(
+        spark.range(5, 6).select("id"), loc, mode="append", merge_schema=True
+    )
+    assert read_delta_native(spark, loc).filter("id = 5").first().tag is None
+
+    # type change refused
+    with pytest.raises(DeltaWriteError, match="cannot change"):
+        write_delta_native(
+            spark.range(6, 7).select("id", F.lit(1).alias("tag")),
+            loc,
+            mode="append",
+            merge_schema=True,
+        )
