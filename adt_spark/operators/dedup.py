@@ -1262,3 +1262,92 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removable"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed dedup funnel: exact -> near-dup -> per-source report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node AS doc_id, min(label) AS component_id FROM reach GROUP BY node
+    ),
+    exact AS (
+        SELECT doc_id,
+               doc_id = min(doc_id) OVER (
+                 PARTITION BY md5(lower(trim(text)))) AS exact_keeper
+        FROM documents
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT e.exact_keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(sum(CASE WHEN e.exact_keeper AND c.doc_id <> c.component_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           CAST(sum(CASE WHEN e.exact_keeper AND c.doc_id = c.component_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d
+    JOIN exact e USING (doc_id)
+    JOIN comp c USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("pipeline", "dedup", "report"),
+)
+def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup FUNNEL a corpus owner reports per source:
+    how many documents each source contributes, how many fall to
+    exact dedup, how many surviving docs fall to near-dup clustering,
+    and how many remain — the end-to-end attrition table that decides
+    which crawls are worth their storage.
+
+    Composition reuses the session's memoized stages: the exact
+    keeper flag is one window over the content hash (uniform key, no
+    skew); the component labels come from the shared iterative CC
+    (computed once per session across dedup_components /
+    canonical_pick / cluster_stats); the final fold is a per-source
+    partial+final aggregate.  Nothing here adds a corpus-scale
+    shuffle beyond what the shared stages already did.
+    """
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    exact = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(
+                Window.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+            )
+        ).alias("exact_keeper"),
+    )
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component_id")
+    joined = exact.join(comp, "doc_id")
+    is_comp_keeper = F.col("doc_id") == F.col("component_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("exact_keeper"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dups"),
+        F.sum(F.when(F.col("exact_keeper") & ~is_comp_keeper, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dups"),
+        F.sum(F.when(F.col("exact_keeper") & is_comp_keeper, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
