@@ -398,10 +398,9 @@ _KM_K = 4
 _KM_DIM = 64
 
 
-@register(
-    "emb_kmeans_assign",
-    oracle=f"""
-    WITH v AS (
+#: the one-Lloyd-iteration assignment as composable oracle CTEs —
+#: shared by emb_kmeans_assign and dedup_semantic (SemDeDup)
+_KM_CTES = f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
     ), c0 AS (
@@ -429,9 +428,17 @@ _KM_DIM = 64
                i -> (vec[i+1]-cvec[i+1])*(vec[i+1]-cvec[i+1])), (a,b) -> a+b)
                AS dist
       FROM v CROSS JOIN c1
-    )
-    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM d2
-    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    ), km_assign AS (
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM d2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    )"""
+
+
+@register(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH {_KM_CTES}
+    SELECT vec_id, cluster_id FROM km_assign
     """,
     tags=("embedding", "kmeans", "iterative"),
 )
@@ -780,3 +787,84 @@ def emb_pca_power1(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return emb.select("vec_id", pc1.alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means cluster, then within-cluster cosine
+# ---------------------------------------------------------------------------
+
+#: within-cluster cosine threshold (matches dedup_embedding_cosine's
+#: corpus-wide threshold so the planted near-dup pairs are the target)
+_SEM_T = 0.45
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_KM_CTES},
+    pairs AS (
+      SELECT b.vec_id AS dropped
+      FROM km_assign a
+      JOIN km_assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> av.vec[i] * bv.vec[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> av.vec[i] * av.vec[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, {_DIM}),
+                     i -> bv.vec[i] * bv.vec[i])))) >= {_SEM_T}
+    )
+    SELECT k.vec_id, k.cluster_id,
+           k.vec_id NOT IN (SELECT dropped FROM pairs) AS is_kept
+    FROM km_assign k
+    """,
+    tags=("dedup", "semantic", "embedding"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", public): cluster the embedding space with k-means,
+    then drop every vector that has a LOWER-id near-twin (cosine >=
+    {_SEM_T}) **within its cluster** — pairwise search confined to
+    clusters is what makes semantic dedup tractable at corpus scale
+    (candidate space is sum of cluster sizes squared, not corpus
+    squared; k grows with the corpus so cluster size stays bounded).
+
+    Composition: the cluster assignment IS emb_kmeans_assign (same
+    memoless deterministic Lloyd iteration, oracle-shared CTEs); the
+    within-cluster self-join is an equi-join on cluster_id; cosine is
+    the usual per-pair left-to-right fold (bit-exact both engines);
+    keep/drop is an anti-join on the dropped set.  Lower-id-wins needs
+    no transitive closure — a vector is dropped iff ANY lower-id
+    neighbor is within the threshold, which is exactly SemDeDup's
+    keep-one-per-epsilon-ball rule with id as the ranking.
+    """
+    assign = emb_kmeans_assign(spark, sf_dir)
+    emb = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    va = assign.join(emb, "vec_id").select(
+        F.col("vec_id").alias("ida"), F.col("cluster_id").alias("ca"),
+        F.col("vec").alias("veca"),
+    )
+    vb = assign.join(emb, "vec_id").select(
+        F.col("vec_id").alias("idb"), F.col("cluster_id").alias("cb"),
+        F.col("vec").alias("vecb"),
+    )
+    cos = _dot(F.col("veca"), F.col("vecb")) / (
+        F.sqrt(_dot(F.col("veca"), F.col("veca")))
+        * F.sqrt(_dot(F.col("vecb"), F.col("vecb")))
+    )
+    dropped = (
+        va.join(vb, (F.col("ca") == F.col("cb")) & (F.col("ida") < F.col("idb")))
+        .filter(cos >= _SEM_T)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("is_kept"),
+    )
