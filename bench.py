@@ -51,7 +51,9 @@ HEADLINE = [
     "q_deterministic_shuffle",
     "q_token_pack_bins",
     "q_skew_salted_join",
+    "q_events_anomaly",
     "pipeline_clean_corpus",
+    "pipeline_dedup_funnel",
 ]
 
 

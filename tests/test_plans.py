@@ -331,3 +331,20 @@ def test_pca_projection_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" not in plan
     assert "Python" not in plan
+
+
+def test_semantic_dedup_cluster_confined(spark, sf_dir):
+    """dedup_semantic's pairwise search must be an equi-join on
+    cluster_id — never a corpus-wide cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_semantic"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_funnel_no_extra_corpus_shuffle(spark, sf_dir):
+    """pipeline_dedup_funnel composes the memoized CC labels with one
+    content-hash window and a per-source fold — no cartesian, and the
+    final aggregate is partial+final."""
+    plan = _formatted(_q(spark, sf_dir, "pipeline_dedup_funnel"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
