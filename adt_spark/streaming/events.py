@@ -420,3 +420,56 @@ def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chash")
     )
     return _drain_to_memory(admitted, spark, "append")
+
+
+@register("streaming_anomaly_alerts", oracle=None, tags=("streaming", "anomaly"))
+def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3-sigma anomaly alerting: per-type thresholds are
+    computed ONCE from the historical batch (the exact moments of
+    q_events_anomaly — decimal-exact sums), broadcast as a static
+    side, and the live stream emits only the events crossing its
+    type's threshold — the standard "train thresholds offline, alert
+    online" monitoring split.
+
+    Scale posture: thresholds are a per-type row (a handful of
+    values), so the stream side carries ZERO state — no watermark, no
+    aggregation buffers; each micro-batch is a broadcast join + scan
+    filter.  Threshold refresh = re-run the batch moments and the
+    next micro-batch picks them up (the stream-static re-resolution
+    contract, as streaming_enriched_purchases).
+
+    Batch-agreement: tests/test_streaming.py pins the drained alert
+    set to the oracle-checked q_events_anomaly batch output.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    vdec = F.col("value").cast(T.DecimalType(12, 2))
+    stats = (
+        ev.select("event_type", vdec.alias("vdec"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vdec").cast("double").alias("s1"),
+            F.sum(F.col("vdec") * F.col("vdec")).cast("double").alias("s2"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    thresholds = stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias(
+            "std"
+        ),
+    )
+    stream = _events_stream(spark, sf_dir)
+    v = F.col("value").cast(T.DecimalType(12, 2)).cast("double")
+    alerts = (
+        stream.join(F.broadcast(thresholds), "event_type")
+        .filter(F.abs(v - F.col("mean")) > 3.0 * F.col("std"))
+        .select(
+            "event_id",
+            "event_type",
+            v.alias("value"),
+            ((v - F.col("mean")) / F.col("std")).alias("zscore"),
+        )
+    )
+    return _drain_to_memory(alerts, spark, "append")

@@ -225,3 +225,17 @@ def test_streaming_docs_dedup_matches_batch_admit_set(spark, sf_dir):
     )
     assert {r.chash for r in got.collect()} == {r.chash for r in batch_admit.collect()}
     assert got.count() == got.select("chash").distinct().count()  # in-stream dedup held
+
+
+def test_anomaly_alerts_stream_matches_batch(spark, sf_dir):
+    """streaming_anomaly_alerts drains to exactly the oracle-checked
+    q_events_anomaly batch output (thresholds trained on the same
+    history; zero streaming state)."""
+    from adt_spark.queries import load_all
+
+    reg = load_all()
+    streamed = reg["streaming_anomaly_alerts"].spark_fn(spark, sf_dir)
+    batch = reg["q_events_anomaly"].spark_fn(spark, sf_dir)
+    got = {(r.event_id, r.event_type, r.value, r.zscore) for r in streamed.collect()}
+    want = {(r.event_id, r.event_type, r.value, r.zscore) for r in batch.collect()}
+    assert got == want and len(want) > 0
