@@ -11,6 +11,8 @@ delta-spark present parse natively in Spark SQL):
     UPDATE delta.`/path` SET col = expr [, ...] WHERE <predicate>
     VACUUM delta.`/path` [RETAIN <n> HOURS]
     OPTIMIZE delta.`/path` [ZORDER BY (col, ...)]
+    RESTORE [TABLE] delta.`/path` TO VERSION AS OF n
+    DESCRIBE HISTORY delta.`/path`
 
 Each returns a 1-row metrics DataFrame (affected-row / file counts),
 matching the shape Spark's own DML commands report.
@@ -36,6 +38,15 @@ _OPTIMIZE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?delta\.`(?P<path>[^`]+)`"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+delta\.`(?P<path>[^`]+)`"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
@@ -49,6 +60,8 @@ def is_delta_dml(sql: str) -> bool:
         or _UPDATE.match(sql)
         or _VACUUM.match(sql)
         or _OPTIMIZE.match(sql)
+        or _RESTORE.match(sql)
+        or _HISTORY.match(sql)
     )
 
 
@@ -226,6 +239,26 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
             )
         version = optimize_compact(spark, path)
         return spark.createDataFrame([(version,)], "version bigint")
+    if m := _RESTORE.match(sql):
+        from adt_spark.sources.delta_native_write import restore_table
+
+        version, n_added, n_removed = restore_table(
+            spark, m.group("path"), int(m.group("version"))
+        )
+        return spark.createDataFrame(
+            [(version, n_added, n_removed)],
+            "version bigint, num_restored_files bigint, num_removed_files bigint",
+        )
+    if m := _HISTORY.match(sql):
+        from adt_spark.sources.delta_native_write import describe_history
+
+        rows = describe_history(spark, m.group("path"))
+        return spark.createDataFrame(
+            [(r["version"], r["timestamp"], r["operation"], r["operationParameters"])
+             for r in rows],
+            "version bigint, timestamp bigint, operation string, "
+            "operationParameters string",
+        )
     if m := _VACUUM.match(sql):
         hours = float(m.group("hours")) if m.group("hours") else 168.0
         deleted = vacuum(spark, m.group("path"), retain_hours=hours)

@@ -1368,3 +1368,116 @@ def optimize_compact(spark, location: str, target_mb: int = 128) -> int:
     n_out = max(1, -(-total // (target_mb << 20)))  # ceil; 1 if sizes unrecorded
     df = read_delta_native(spark, location).repartition(n_out)
     return _optimize_commit(spark, location, snap, df, {"targetFiles": n_out})
+
+
+def restore_table(spark, location: str, to_version: int) -> tuple[int, int, int]:
+    """``RESTORE TABLE <t> TO VERSION AS OF n``: commit a new version
+    whose file set equals version n's — time-travel made current,
+    without rewriting any data (adds for files only in the target
+    snapshot, removes for files only in the current one; both
+    dataChange=true, since readers' rows change).  Returns
+    (committed version, files re-added, files removed).
+
+    Same contract as delta-spark RESTORE: the restored files must
+    still exist (VACUUM past the target breaks restorability — the
+    documented trade), and history is preserved (the restore is just
+    another commit; you can restore the restore away).
+    """
+    cur = replay_snapshot(spark, location)
+    _check_writable(cur, "restore")
+    target = replay_snapshot(spark, location, version=to_version)
+    if target.column_mapping_mode != cur.column_mapping_mode:
+        raise DeltaWriteError("restore across column-mapping changes is not supported")
+    for rel in target.files:
+        abs_path = os.path.join(location, *rel.split("/"))
+        if not os.path.exists(abs_path):
+            raise DeltaWriteError(
+                f"cannot restore to version {to_version}: file {rel} was vacuumed"
+            )
+
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": to_version},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    # schema/partitioning follow the target version
+    actions.append(
+        {
+            "metaData": {
+                "id": target.table_id or cur.table_id,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": target.schema.json(),
+                "partitionColumns": target.partition_columns,
+                "configuration": target.configuration,
+                "createdTime": ts,
+            }
+        }
+    )
+    n_added = n_removed = 0
+    for rel, (pvals, dv) in target.files.items():
+        if rel not in cur.files:
+            add = {
+                "path": rel,
+                "partitionValues": pvals,
+                "size": target.file_sizes.get(rel, 0),
+                "modificationTime": ts,
+                "dataChange": True,
+            }
+            if dv is not None:
+                add["deletionVector"] = dv
+            if st := target.file_stats.get(rel):
+                add["stats"] = st
+            actions.append({"add": add})
+            n_added += 1
+    for rel, (pvals, _dv) in cur.files.items():
+        if rel not in target.files:
+            actions.append(
+                {
+                    "remove": {
+                        "path": rel,
+                        "deletionTimestamp": ts,
+                        "dataChange": True,
+                        "partitionValues": pvals,
+                    }
+                }
+            )
+            n_removed += 1
+    version = cur.version + 1
+    _atomic_write(_log_path(location, version), actions)
+    return version, n_added, n_removed
+
+
+def describe_history(spark, location: str) -> list[dict]:
+    """``DESCRIBE HISTORY``: one row per commit — version, timestamp,
+    operation, operationParameters — straight from each commit's
+    ``commitInfo`` (log metadata only; no data reads)."""
+    commits, _ = _list_log(location)
+    if not commits:
+        raise FileNotFoundError(f"no Delta log at {location}")
+    out: list[dict] = []
+    for v, path in commits:
+        info: dict = {}
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                if ci := json.loads(line).get("commitInfo"):
+                    info = ci
+                    break
+        out.append(
+            {
+                "version": v,
+                "timestamp": int(info.get("timestamp") or 0),
+                "operation": str(info.get("operation") or ""),
+                "operationParameters": json.dumps(
+                    info.get("operationParameters") or {}
+                ),
+            }
+        )
+    return out

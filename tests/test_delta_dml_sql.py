@@ -178,3 +178,25 @@ def test_sql_table_changes_tvf(ctx, spark, tmp_path):
         "GROUP BY _change_type ORDER BY _change_type"
     ).collect()
     assert {(r._change_type, r.n) for r in agg} == {("delete", 4), ("insert", 2)}
+
+
+def test_sql_restore_and_history(ctx, spark, tmp_path):
+    """RESTORE TABLE ... TO VERSION AS OF and DESCRIBE HISTORY through
+    the SQL path: restore flips the live file set back without
+    rewriting data, history lists every commit's operation."""
+    t = str(tmp_path / "drestore")
+    write_delta_native(spark.range(0, 5).select("id"), t)                  # v0
+    write_delta_native(spark.range(5, 9).select("id"), t, mode="append")   # v1
+    write_delta_native(spark.range(100, 102).select("id"), t, mode="overwrite")  # v2
+    assert read_delta_native(spark, t).count() == 2
+
+    res = ctx.sql(f"RESTORE TABLE delta.`{t}` TO VERSION AS OF 1").first()
+    assert res.version == 3
+    assert sorted(r.id for r in read_delta_native(spark, t).collect()) == list(range(9))
+    # history survives: time travel to v2 still sees the overwrite
+    assert read_delta_native(spark, t, version=2).count() == 2
+
+    hist = ctx.sql(f"DESCRIBE HISTORY delta.`{t}`").collect()
+    assert [r.version for r in hist] == [0, 1, 2, 3]
+    assert hist[-1].operation == "RESTORE"
+    assert '"version": 1' in hist[-1].operationParameters
