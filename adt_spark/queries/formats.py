@@ -100,3 +100,61 @@ def q_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@register(
+    "q_delta_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("format", "delta"),
+)
+def q_delta_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta path UNDER THE DRIVER GATE: nation → native protocol
+    writer (overwrite commit) → native log-replay reader → aggregate.
+    A hash match against the parquet-side oracle proves the entire
+    jar-free Delta round-trip — staging write, commit, snapshot
+    replay, distributed read-back — is value-lossless, not just
+    locally unit-tested.
+    """
+    from adt_spark.sources.delta_native import read_delta_native
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    nation = tables(spark, sf_dir)["nation"]
+    path = _tmp(sf_dir, "delta")
+    write_delta_native(nation, path, mode="overwrite")
+    back = read_delta_native(spark, path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+
+
+@register(
+    "q_avro_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("format", "avro"),
+)
+def q_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro path UNDER THE DRIVER GATE: nation → native container
+    writer (per-partition, executor-side) → native Arrow-batched
+    distributed decode → aggregate.  Proves the jar-free Avro format
+    (the one the reference registers but cannot execute) round-trips
+    values exactly.
+    """
+    from adt_spark.sources.avro_native import read_avro_native, write_avro_native
+
+    nation = tables(spark, sf_dir)["nation"]
+    path = _tmp(sf_dir, "avro")
+    write_avro_native(nation, path, mode="overwrite")
+    back = read_avro_native(spark, path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
