@@ -708,7 +708,7 @@ def _oracle_cov_ctes() -> str:
       UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j
     ), rows_m AS (
       SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i
-    ), mat AS (
+    ), mat AS MATERIALIZED (
       SELECT list(r ORDER BY i) AS mm FROM rows_m
     ), pw(k, v) AS (
       SELECT 0, list_transform(generate_series(1, {_DIM}),
@@ -719,7 +719,7 @@ def _oracle_cov_ctes() -> str:
                i -> list_sum(list_transform(generate_series(1, {_DIM}),
                     j -> mat.mm[i][j] * pw.v[j])))
       FROM pw, mat WHERE pw.k < {_PI_ITERS}
-    ), vf AS (
+    ), vf AS MATERIALIZED (
       SELECT list_transform(v,
                x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
       FROM pw WHERE k = {_PI_ITERS}
@@ -890,3 +890,129 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("is_kept"),
     )
+
+
+@register(
+    "emb_pca_top2",
+    oracle=f"""
+    WITH RECURSIVE {_oracle_cov_ctes()},
+    full_m AS (
+      SELECT i, j, cov FROM tri
+      UNION ALL SELECT j AS i, i AS j, cov FROM tri WHERE i <> j
+    ), rows_m AS (
+      SELECT i, list(cov ORDER BY j) AS r FROM full_m GROUP BY i
+    ), mat AS MATERIALIZED (
+      SELECT list(r ORDER BY i) AS mm FROM rows_m
+    ), pw(k, v) AS (
+      SELECT 0, list_transform(generate_series(1, {_DIM}),
+                               x -> CAST(0.125 AS DOUBLE))
+      UNION ALL
+      SELECT pw.k + 1,
+             list_transform(generate_series(1, {_DIM}),
+               i -> list_sum(list_transform(generate_series(1, {_DIM}),
+                    j -> mat.mm[i][j] * pw.v[j])))
+      FROM pw, mat WHERE pw.k < {_PI_ITERS}
+    ), v1 AS MATERIALIZED (
+      SELECT list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM pw WHERE k = {_PI_ITERS}
+    ), lam AS MATERIALIZED (
+      SELECT list_sum(list_transform(generate_series(1, {_DIM}),
+               i -> v1.v[i] * list_sum(list_transform(generate_series(1, {_DIM}),
+                    j -> mat.mm[i][j] * v1.v[j])))) AS l1
+      FROM v1, mat
+    ), mat2 AS MATERIALIZED (
+      SELECT list_transform(generate_series(1, {_DIM}),
+               i -> list_transform(generate_series(1, {_DIM}),
+                    j -> mat.mm[i][j] - lam.l1 * v1.v[i] * v1.v[j])) AS mm
+      FROM mat, v1, lam
+    ), pw2(k, v) AS (
+      SELECT 0, list_transform(generate_series(1, {_DIM}),
+                               x -> CAST(0.125 AS DOUBLE))
+      UNION ALL
+      SELECT pw2.k + 1,
+             list_transform(generate_series(1, {_DIM}),
+               i -> list_sum(list_transform(generate_series(1, {_DIM}),
+                    j -> mat2.mm[i][j] * pw2.v[j])))
+      FROM pw2, mat2 WHERE pw2.k < {_PI_ITERS}
+    ), v2 AS (
+      SELECT list_transform(v,
+               x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM pw2 WHERE k = {_PI_ITERS}
+    )
+    SELECT e.vec_id,
+           list_sum(list_transform(generate_series(1, {_DIM}),
+             j -> CAST(e.embedding[j] AS DOUBLE) * v1.v[j])) AS pc1,
+           list_sum(list_transform(generate_series(1, {_DIM}),
+             j -> CAST(e.embedding[j] AS DOUBLE) * v2.v[j])) AS pc2
+    FROM embeddings e, v1, v2
+    """,
+    tags=("embeddings", "pca", "iterative"),
+)
+def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D corpus map coordinates: every embedding projected onto the
+    top TWO principal components — PC2 obtained by Hotelling
+    deflation (M' = M − λ1·v1·v1ᵀ, λ1 the Rayleigh quotient) followed
+    by a second 12-step power iteration.  The workhorse behind corpus
+    visualization / drift dashboards ("where did this crawl land in
+    embedding space?").
+
+    Same exactness regime as emb_pca_power1, now across a multi-stage
+    derivation: every matvec/Rayleigh/deflation value is a fixed
+    chain of IEEE double ops in identical order on both engines
+    (driver Python mirrors the oracle's nested list_sum folds
+    term-for-term; sqrt correctly rounded; no transcendentals), so
+    the two projections hash-match bit-for-bit.  Distribution
+    boundary unchanged: one distributed covariance in, dim² driver
+    math, one zero-shuffle projection pass out with both components
+    as literal arrays.
+    """
+    cov_rows = emb_covariance(spark, sf_dir).collect()
+    mm = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in cov_rows:
+        mm[r.i][r.j] = r.cov
+        mm[r.j][r.i] = r.cov
+
+    import math
+
+    def matvec(m, v):
+        w = []
+        for i in range(_DIM):
+            s = 0.0
+            for j in range(_DIM):
+                s = s + m[i][j] * v[j]
+            w.append(s)
+        return w
+
+    def power(m):
+        v = [0.125] * _DIM
+        for _ in range(_PI_ITERS):
+            v = matvec(m, v)
+        n2 = 0.0
+        for y in v:
+            n2 = n2 + y * y
+        nrm = math.sqrt(n2)
+        return [x / nrm for x in v]
+
+    v1 = power(mm)
+    w = matvec(mm, v1)
+    lam1 = 0.0
+    for i in range(_DIM):
+        lam1 = lam1 + v1[i] * w[i]
+    mm2 = [
+        [mm[i][j] - lam1 * v1[i] * v1[j] for j in range(_DIM)] for i in range(_DIM)
+    ]
+    v2 = power(mm2)
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    c1 = F.array(*[F.lit(x) for x in v1])
+    c2 = F.array(*[F.lit(x) for x in v2])
+
+    def proj(comp):
+        return F.aggregate(
+            F.zip_with(_vec_double(), comp, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return emb.select("vec_id", proj(c1).alias("pc1"), proj(c2).alias("pc2"))
