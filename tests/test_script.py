@@ -116,3 +116,30 @@ def test_ddl_with_order_registers_contract(spark):
             f"create external table ext_bad stored as parquet "
             f"with order (nope) location '{path}'"
         )
+
+
+def test_execute_script_delta_lifecycle_end_to_end(spark, tmp_path):
+    """A maintenance script an adt user would actually run — CTAS-ish
+    COPY into Delta, DML, OPTIMIZE, DESCRIBE HISTORY, time travel,
+    RESTORE — every statement through the splitter + ADTContext.sql."""
+    from adt_spark import ADTContext
+    from adt_spark.script import split_statements
+
+    ctx = ADTContext(spark=spark)
+    loc = str(tmp_path / "script_delta")
+    script = f"""-- delta lifecycle script
+COPY (SELECT n_nationkey AS id, n_name AS name
+      FROM parquet.`{os.path.join(SF_DIR, "nation.parquet")}`) TO '{loc}' STORED AS DELTA;
+DELETE FROM delta.`{loc}` WHERE id >= 20;
+OPTIMIZE delta.`{loc}`;
+DESCRIBE HISTORY delta.`{loc}`;
+SELECT count(*) AS n FROM delta.`{loc}`;
+SELECT count(*) AS n0 FROM delta.`{loc}` VERSION AS OF 0;
+RESTORE TABLE delta.`{loc}` TO VERSION AS OF 0;
+SELECT count(*) AS n FROM delta.`{loc}`"""
+    results = [ctx.sql(stmt) for stmt in split_statements(script.splitlines())]
+    hist_ops = [r.operation for r in results[3].collect()]
+    assert hist_ops[1:3] == ["DELETE", "OPTIMIZE"]
+    assert results[4].first().n == 20     # after DELETE (+OPTIMIZE no-change)
+    assert results[5].first().n0 == 25    # time travel to v0
+    assert results[7].first().n == 25     # restored
