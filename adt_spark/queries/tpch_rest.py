@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adt_spark.queries import register, tables
-from adt_spark.queries.relational import _qty, _D_DISC_PRICE, _disc_price, _money
+from adt_spark.queries.relational import _qty, _D_DISC_PRICE, _disc_price
 
 
 @register(
