@@ -249,6 +249,136 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_STRIDE = 2
 
 
+def _encode_bmp_gray(vals) -> bytes:
+    """Encode a 2-D uint8 array as a REAL 24-bpp Windows BMP
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) with the
+    gray value replicated across B/G/R."""
+    import struct
+
+    import numpy as np
+
+    h, w = vals.shape
+    stride = (w * 3 + 3) & ~3
+    header_size = 14 + 40
+    img_size = stride * h
+    buf = bytearray()
+    buf += b"BM" + struct.pack("<IHHI", header_size + img_size, 0, 0, header_size)
+    buf += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    row = np.zeros(stride, dtype=np.uint8)
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row[: w * 3] = np.repeat(vals[y], 3)
+        buf += bytes(row)
+    return bytes(buf)
+
+
+def _decode_bmp_pixels(blob: bytes):
+    """Decode a 24-bpp BMP to a top-down 2-D uint8 gray array (blue
+    channel; equal channels for gray content).  Positive header height
+    means bottom-up pixel rows, so flip back."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP stream (missing BM magic)")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    width = struct.unpack_from("<i", blob, 18)[0]
+    height = struct.unpack_from("<i", blob, 22)[0]
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=stride * abs(height), offset=data_offset
+    ).reshape(abs(height), stride)[:, : width * 3]
+    px = rows.reshape(abs(height), width, 3)[..., 0]
+    return px[::-1] if height > 0 else px
+
+
+def resize_nearest(px, tw: int, th: int):
+    """Nearest-neighbor resize: target pixel (tx, ty) samples source
+    pixel (⌊tx·sw/tw⌋, ⌊ty·sh/th⌋) — the standard NN convention
+    (OpenCV INTER_NEAREST / PIL NEAREST family)."""
+    import numpy as np
+
+    sh, sw = px.shape
+    xs = (np.arange(tw) * sw) // tw
+    ys = (np.arange(th) * sh) // th
+    return px[np.ix_(ys, xs)]
+
+
+_RESIZE_TW = _RESIZE_TH = 8
+
+
+@register(
+    "mm_resize_nearest",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS sw,
+               4 + doc_id % 11 AS sh
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, sw, sh,
+               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
+                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
+        FROM p,
+             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
+             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
+    )
+    SELECT doc_id,
+           CAST(min(sw) AS INT) AS src_w,
+           CAST(min(sh) AS INT) AS src_h,
+           CAST(sum(v) AS BIGINT) AS resized_checksum
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf", "resize"),
+)
+def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize via a REAL in-container codec path: per row,
+    synthesize a gray image whose pixel (x, y) is the closed form
+    ``(doc_id·31 + x·7 + y·13) mod 256``, encode it as a genuine
+    24-bpp BMP, decode the BMP back (header parse, stride padding,
+    bottom-up flip), nearest-neighbor-resize to 8×8, and checksum the
+    resized pixels.
+
+    Because the source pixels have a closed form, the oracle computes
+    the *same checksum arithmetically in SQL* — so the full
+    encode → decode → resize kernel is value-hash-verified end-to-end
+    (a flipped row order, an off-by-one in the stride padding, or a
+    wrong NN index would all shift the checksum).  Swapping the
+    synthetic source for real stored blobs changes only the input
+    column; decode/resize/checksum are the production kernels.
+
+    Scale: mapInPandas over Arrow batches — per-task memory is one
+    batch of small images; no shuffle; resize is numpy fancy-indexing
+    (vectorized, no per-pixel Python).
+    """
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"]).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh = 4 + d % 13, 4 + d % 11
+                x = np.arange(sw, dtype=np.int64)
+                y = np.arange(sh, dtype=np.int64)
+                vals = ((d * 31 + x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
+                blob = _encode_bmp_gray(vals)
+                resized = resize_nearest(_decode_bmp_pixels(blob), _RESIZE_TW, _RESIZE_TH)
+                rows.append((d, sw, sh, int(resized.sum(dtype=np.int64))))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "resized_checksum"]
+            )
+
+    return docs.mapInPandas(
+        batches, schema="doc_id long, src_w int, src_h int, resized_checksum bigint"
+    )
+
+
 def sample_frames(blob: bytes, media_type: str, stride: int) -> list[dict]:
     """Frame sampling: decode → take every ``stride``-th frame →
     per-frame content hash.  The real codec (ffmpeg frame extraction)

@@ -86,3 +86,72 @@ def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     key = F.md5(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string")))
     return docs.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key")
+
+
+#: fixed-point scale for the √count sampling weights (2^20).
+_MIX_FP = 1 << 20
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH w AS (
+        SELECT source,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {_MIX_FP}) AS BIGINT)
+                 AS w_fp
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w_fp) AS HUGEINT) AS tot_fp FROM w),
+    keyed AS (
+        SELECT d.doc_id, d.source, w.w_fp,
+               list_aggregate(list_transform(generate_series(1, 8), i ->
+                   CAST(instr('0123456789abcdef',
+                              substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)),
+                                     CAST(i AS INT), 1)) - 1 AS BIGINT)
+                   * CAST(power(16, 8 - i) AS BIGINT)), 'sum') AS frac32
+        FROM documents d JOIN w USING (source)
+    )
+    SELECT doc_id, source
+    FROM keyed, tot
+    WHERE CAST(frac32 AS HUGEINT) * tot_fp
+          < CAST(4294967296 AS HUGEINT) * CAST(w_fp AS HUGEINT)
+    """,
+    tags=("sampling", "mixing", "temperature"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (α = 1/2): per-source
+    sampling rate ∝ count^α / Σ count^α — the multinomial-smoothing
+    scheme multilingual/multi-source training mixes use to keep small
+    sources from vanishing (cf. mBERT / XLM-R exponential smoothing).
+
+    Cross-engine exactness: α = 1/2 means ``sqrt`` (IEEE-correctly-
+    rounded on both engines, unlike ``pow``); weights become tie-free
+    fixed-point BIGINTs (floor × 2^20), and the membership test
+    ``md5_frac32 × Σw < 2^32 × w`` is pure integer arithmetic (widened
+    to DECIMAL(38)/HUGEINT so it cannot overflow at any corpus size)
+    — identical row selection on every engine.
+
+    Scale shape: one tiny two-phase count agg (|sources| rows), its
+    result broadcast back onto the corpus scan, then a zero-shuffle
+    row-local md5 membership test — at 100 TB this is one agg plus one
+    embarrassingly-parallel pass.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    w = docs.groupBy("source").agg(
+        F.floor(F.sqrt(F.count(F.lit(1)).cast("double")) * _MIX_FP)
+        .cast("bigint")
+        .alias("w_fp")
+    )
+    tot = w.agg(F.sum("w_fp").alias("tot_fp"))
+    frac32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        docs.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(dec(frac32) * dec(F.col("tot_fp")) < dec(F.lit(4294967296)) * dec(F.col("w_fp")))
+        .select("doc_id", "source")
+    )

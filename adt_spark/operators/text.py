@@ -260,6 +260,130 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (RAG / context-window splitting)
+# ---------------------------------------------------------------------------
+
+#: chunk width / stride in whitespace tokens (25% overlap) — the
+#: standard RAG/pre-training context-window split.
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.i // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[CAST(s.i + 1 AS INT):CAST(s.i + {_CHUNK_W} AS INT)], ' ')
+             AS chunk_text,
+           CAST(len(toks[CAST(s.i + 1 AS INT):CAST(s.i + {_CHUNK_W} AS INT)]) AS INT)
+             AS n_chunk_tokens
+    FROM t, unnest(generate_series(0, greatest(n - 1, 0), {_CHUNK_STRIDE})) AS s(i)
+    """,
+    tags=("text", "chunking", "rag"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the split step every
+    RAG / long-context training pipeline runs before embedding or
+    packing: fixed token windows (width 32, stride 24 → 25% overlap),
+    each chunk addressable as (doc_id, chunk_idx).
+
+    Scale shape: tokens never leave the row until the one
+    ``explode(sequence(...))`` over chunk *starts* (≤ n/stride rows
+    per doc, not n), and each chunk is a row-local ``slice`` — no
+    shuffle anywhere, so the operator runs at scan speed and output
+    size is input size × (1 + overlap), the information-theoretic
+    floor for overlapped chunking.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _toks()
+    n = F.size(toks)
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, F.lit(_CHUNK_W))
+    return chunked.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (one tokenizer-training iteration)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle="""
+    WITH wc AS (
+        SELECT w AS word, count(*) AS cnt
+        FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt
+        FROM wc, unnest(generate_series(1, length(word) - 1)) AS u(i)
+        WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "bpe", "tokenizer"),
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training iteration (Sennrich et al. 2016):
+    count adjacent symbol pairs weighted by word frequency and rank
+    the top merge candidates (here at the character level, i.e. the
+    first merge round).
+
+    Scale shape — the classic BPE trick, distributed: the corpus-sized
+    work is ONE explode + hash-agg into the word-frequency table
+    (map-side combine absorbs Zipf mass, so shuffle bytes track the
+    VOCABULARY, not the corpus); pair expansion then runs over that
+    vocab-sized table only — at 100 TB of text the pair stage touches
+    a few million distinct words, not the corpus.  Final top-k is a
+    partial+final agg + TakeOrderedAndProject with a total-order
+    tiebreak (count desc, pair asc).
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    wc = (
+        docs.select(F.explode(_toks()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII detection + redaction
 # ---------------------------------------------------------------------------
 
