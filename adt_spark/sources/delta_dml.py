@@ -13,6 +13,8 @@ delta-spark present parse natively in Spark SQL):
     OPTIMIZE delta.`/path` [ZORDER BY (col, ...)]
     RESTORE [TABLE] delta.`/path` TO VERSION AS OF n
     DESCRIBE HISTORY delta.`/path`
+    ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
+    ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
 
 Each returns a 1-row metrics DataFrame (affected-row / file counts),
 matching the shape Spark's own DML commands report.
@@ -52,6 +54,18 @@ _VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
     re.IGNORECASE,
 )
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+delta\.`(?P<path>[^`]+)`"
+    r"\s+ADD\s+CONSTRAINT\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+delta\.`(?P<path>[^`]+)`"
+    r"\s+DROP\s+CONSTRAINT\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def is_delta_dml(sql: str) -> bool:
@@ -62,6 +76,8 @@ def is_delta_dml(sql: str) -> bool:
         or _OPTIMIZE.match(sql)
         or _RESTORE.match(sql)
         or _HISTORY.match(sql)
+        or _ADD_CONSTRAINT.match(sql)
+        or _DROP_CONSTRAINT.match(sql)
     )
 
 
@@ -263,4 +279,25 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
         hours = float(m.group("hours")) if m.group("hours") else 168.0
         deleted = vacuum(spark, m.group("path"), retain_hours=hours)
         return spark.createDataFrame([(len(deleted),)], "num_files_deleted bigint")
+    if m := _ADD_CONSTRAINT.match(sql):
+        from adt_spark.sources.delta_native_write import add_constraint
+
+        version = add_constraint(
+            spark, m.group("path"), m.group("name"), m.group("expr").strip()
+        )
+        return spark.createDataFrame(
+            [(version, m.group("name").lower())], "version bigint, constraint string"
+        )
+    if m := _DROP_CONSTRAINT.match(sql):
+        from adt_spark.sources.delta_native_write import drop_constraint
+
+        version = drop_constraint(
+            spark,
+            m.group("path"),
+            m.group("name"),
+            if_exists=bool(m.group("if_exists")),
+        )
+        return spark.createDataFrame(
+            [(version, m.group("name").lower())], "version bigint, constraint string"
+        )
     raise ValueError(f"not a delta DML statement: {sql!r}")

@@ -142,37 +142,34 @@ def _check_writable(snap, operation: str) -> None:
       ``_physical_projection`` (recursive renames — delta-spark
       territory).
     - CHECK constraints (``delta.constraints.*`` in table config) and
-      generated columns (``delta.generationExpression`` in field
-      metadata) are not enforced/computed here — tables declaring
-      them abort rather than admit non-compliant rows.
+      column invariants (``delta.invariants`` field metadata) ARE
+      enforced — every mutation path that introduces rows runs
+      ``_enforce_constraints`` and aborts before committing when any
+      incoming row violates one (protocol: writer version 3 /
+      ``checkConstraints`` feature; invariants: writer version 2).
+    - Generated columns (``delta.generationExpression`` in field
+      metadata) are not computed here — tables declaring them abort
+      rather than admit rows with stale generated values.
     - Change data feed: appends/overwrites are legal without
       ``_change_data`` files (CDC derives from dataChange add/remove
       of whole files); partial-file DML would require them — refused.
-    - ``delta.appendOnly=true`` forbids non-append operations.
-    - Column invariants abort (not enforced here).
+    - ``delta.appendOnly=true`` forbids operations that delete or
+      rewrite data; metadata-only ``alter`` and dataChange=false
+      ``optimize`` stay legal.
     - Unknown ``writerFeatures`` / ``minWriterVersion`` > 5 abort.
     """
     conf = snap.configuration or {}
     for f in snap.schema.fields:
         md = f.metadata or {}
-        if md.get("delta.invariants"):
-            raise DeltaWriteError(
-                f"{operation}: column {f.name!r} declares an invariant "
-                "this writer does not enforce"
-            )
         if md.get("delta.generationExpression"):
             raise DeltaWriteError(
                 f"{operation}: column {f.name!r} is a generated column "
                 "this writer does not compute"
             )
-    if any(k.startswith("delta.constraints.") for k in conf):
-        raise DeltaWriteError(
-            f"{operation}: table declares CHECK constraints this writer "
-            "does not enforce"
-        )
     cdf_on = str(conf.get("delta.enableChangeDataFeed", "false")).lower() == "true"
-    # optimize is dataChange=false (no CDC rows result from it)
-    if cdf_on and operation not in ("append", "overwrite", "optimize"):
+    # optimize is dataChange=false (no CDC rows result from it);
+    # alter is metadata-only (no data rows at all)
+    if cdf_on and operation not in ("append", "overwrite", "optimize", "alter"):
         raise DeltaWriteError(
             f"{operation}: change data feed requires _change_data files for "
             "partial-file DML, which this writer does not produce"
@@ -194,13 +191,70 @@ def _check_writable(snap, operation: str) -> None:
             f"{operation}: table requires minWriterVersion={v} "
             "(this writer implements version <= 5 semantics)"
         )
-    # the appendOnly FEATURE only obliges understanding the conf;
-    # the conf itself is what forbids non-append operations
+    # the appendOnly FEATURE only obliges understanding the conf; the
+    # conf itself is what forbids data-removing operations.  Metadata-
+    # only ALTERs and dataChange=false OPTIMIZE rewrites never delete
+    # rows, so they remain legal on append-only tables (delta-spark
+    # behavior).
     append_only = str(conf.get("delta.appendOnly", "false")).lower() == "true"
-    if append_only and operation != "append":
+    if append_only and operation not in ("append", "alter", "optimize"):
         raise DeltaWriteError(
             f"{operation}: table is delta.appendOnly=true — only appends allowed"
         )
+
+
+def _table_constraints(snap) -> list[tuple[str, str]]:
+    """All row-level predicates the table declares: CHECK constraints
+    from ``delta.constraints.<name>`` table config (protocol writer
+    v3 / ``checkConstraints`` feature) plus column invariants from
+    ``delta.invariants`` field metadata (writer v2; JSON-wrapped SQL
+    expression, delta PROTOCOL.md "Column Invariants")."""
+    out: list[tuple[str, str]] = []
+    for k, v in sorted((snap.configuration or {}).items()):
+        if k.startswith("delta.constraints."):
+            out.append((k[len("delta.constraints."):], v))
+    for f in snap.schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                raise DeltaWriteError(
+                    f"column {f.name!r}: unparseable delta.invariants {inv!r}"
+                ) from None
+            out.append((f"invariant({f.name})", expr))
+    return out
+
+
+def _enforce_constraints(df: DataFrame, snap, operation: str) -> None:
+    """Abort ``operation`` if any incoming row violates a declared
+    CHECK constraint or column invariant.  SQL CHECK semantics: a row
+    violates only when the predicate evaluates to FALSE (NULL passes).
+
+    All predicates are checked in ONE aggregate pass over ``df``
+    (a map-side-combined count per constraint — no shuffle of data
+    rows), so enforcement costs a single scan of the incoming rows
+    regardless of how many constraints the table declares.
+    """
+    from pyspark.sql import functions as F
+
+    checks = _table_constraints(snap)
+    if not checks:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(True)), 1).otherwise(0)
+        ).alias(f"c{i}")
+        for i, (_name, expr) in enumerate(checks)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for i, (name, expr) in enumerate(checks):
+        n_bad = row[f"c{i}"] or 0
+        if n_bad:
+            raise DeltaWriteError(
+                f"{operation}: {n_bad} row(s) violate constraint "
+                f"{name!r} CHECK ({expr}) — nothing committed"
+            )
 
 
 def _rel_from_uri(uri: str, snap_files) -> str:
@@ -510,6 +564,9 @@ def write_delta_native(
         snap = None
         version = 0
         evolved_meta = None
+
+    if snap is not None:
+        _enforce_constraints(df, snap, mode)
 
     # Column-mapped tables: stage under PHYSICAL column names (+
     # parquet field ids for id mode — Spark writes them from the
@@ -926,6 +983,33 @@ def update_where(
     ts = int(time.time() * 1000)
     version = snap.version + 1
     hit = F.coalesce(F.expr(predicate), F.lit(False))
+    if _table_constraints(snap):
+        # CHECK the post-SET values of the rows this UPDATE touches
+        # (constraints may reference partition columns, so re-attach
+        # them as typed literals per file group).
+        from adt_spark.sources.delta_native import _with_partition_cols
+
+        part_fields = {f.name: f for f in snap.schema.fields if f.name in part_cols}
+        out_cols = [f.name for f in snap.schema.fields]
+        pieces = []
+        for rel in touched_rel:
+            pvals = snap.files[rel][0]
+            scan = to_logical(
+                spark.read.schema(read_schema).parquet(os.path.join(location, rel))
+            ).filter(F.expr(predicate))
+            post = scan.select(
+                *[
+                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in assignments
+                    else F.col(f.name)
+                    for f in data_fields
+                ]
+            )
+            pieces.append(_with_partition_cols(post, pvals, part_fields, out_cols))
+        changed = pieces[0]
+        for p in pieces[1:]:
+            changed = changed.unionByName(p)
+        _enforce_constraints(changed, snap, "update")
     # SQL UPDATE: every SET expression sees the PRE-update row — build
     # all new columns first, then substitute.  Each assignment is cast
     # to the column's DECLARED type (as delta-spark/delta-rs do):
@@ -1074,6 +1158,10 @@ def merge_upsert(
             "forbid multiple source matches per target row); de-duplicate "
             "the source first"
         )
+
+    # every row this MERGE introduces (replacement or insert) comes
+    # from the source — one constraint pass over it covers both arms
+    _enforce_constraints(source, snap, "merge")
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
@@ -1481,3 +1569,124 @@ def describe_history(spark, location: str) -> list[dict]:
             }
         )
     return out
+
+
+def add_constraint(spark, location: str, name: str, expr: str) -> int:
+    """``ALTER TABLE … ADD CONSTRAINT <name> CHECK (<expr>)`` — the
+    delta-spark semantics end-to-end: the expression must resolve
+    against the table schema, EXISTING data must already satisfy it
+    (one validation scan; delta-spark does the same full-table check),
+    and the commit records ``delta.constraints.<name>`` in the table
+    configuration plus a protocol upgrade to writer version 3 (the
+    CHECK-constraints version, PROTOCOL.md) when the table is below
+    it.  Returns the committed version.
+    """
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources.delta_native import read_delta_native
+
+    snap = replay_snapshot(spark, location)
+    _check_writable(snap, "alter")
+    key = f"delta.constraints.{name.lower()}"
+    conf = dict(snap.configuration or {})
+    if key in conf:
+        raise DeltaWriteError(
+            f"constraint {name!r} already exists: CHECK ({conf[key]})"
+        )
+    # resolve the expression against the schema (analysis error = bad
+    # column / syntax) on an empty frame — no data read
+    try:
+        spark.createDataFrame([], snap.schema).filter(F.expr(expr)).schema
+    except Exception as exc:
+        raise DeltaWriteError(
+            f"constraint {name!r} does not resolve against the table "
+            f"schema: {expr!r} ({exc})"
+        ) from None
+    n_bad = (
+        read_delta_native(spark, location)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .limit(1)
+        .count()
+    )
+    if n_bad:
+        raise DeltaWriteError(
+            f"cannot add constraint {name!r}: existing rows violate "
+            f"CHECK ({expr})"
+        )
+    conf[key] = expr
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name.lower(), "expr": expr},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    proto = snap.protocol or {}
+    if proto.get("minWriterVersion", 2) < 3 and not proto.get("writerFeatures"):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": snap.table_id or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": ts,
+            }
+        }
+    )
+    _atomic_write(_log_path(location, version), actions)
+    return version
+
+
+def drop_constraint(spark, location: str, name: str, if_exists: bool = False) -> int:
+    """``ALTER TABLE … DROP CONSTRAINT [IF EXISTS] <name>`` — removes
+    the ``delta.constraints.<name>`` config key in a metadata-only
+    commit.  Returns the committed version (unchanged version when
+    ``if_exists`` swallows a missing name, matching delta-spark)."""
+    snap = replay_snapshot(spark, location)
+    _check_writable(snap, "alter")
+    key = f"delta.constraints.{name.lower()}"
+    conf = dict(snap.configuration or {})
+    if key not in conf:
+        if if_exists:
+            return snap.version
+        raise DeltaWriteError(f"no such constraint {name!r}")
+    del conf[key]
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name.lower()},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        },
+        {
+            "metaData": {
+                "id": snap.table_id or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": ts,
+            }
+        },
+    ]
+    _atomic_write(_log_path(location, version), actions)
+    return version

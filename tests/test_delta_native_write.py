@@ -687,3 +687,153 @@ def test_merge_schema_evolution(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+# --- CHECK constraints + column invariants (enforced, protocol v3) --------
+
+
+def test_check_constraint_lifecycle(spark, tmp_path):
+    """ADD CONSTRAINT → enforcement on append/update/merge → DROP."""
+    from adt_spark.sources.delta_native_write import (
+        add_constraint,
+        drop_constraint,
+        merge_upsert,
+        update_where,
+    )
+
+    loc = str(tmp_path / "ck")
+    write_delta_native(
+        spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v")), loc
+    )
+    v = add_constraint(spark, loc, "v_nonneg", "v >= 0")
+    assert v == 1
+    snap = replay_snapshot(spark, loc)
+    assert snap.configuration["delta.constraints.v_nonneg"] == "v >= 0"
+    # protocol upgraded to the CHECK-constraints writer version
+    assert snap.protocol["minWriterVersion"] == 3
+    # violating append aborts BEFORE committing anything
+    bad = spark.range(5, 7).select(F.col("id"), F.lit(-1).cast("bigint").alias("v"))
+    with pytest.raises(DeltaWriteError, match="v_nonneg"):
+        write_delta_native(bad, loc, mode="append")
+    assert read_delta_native(spark, loc).count() == 5
+    assert replay_snapshot(spark, loc).version == 1
+    # compliant append commits
+    ok = spark.range(5, 7).select(F.col("id"), F.col("id").alias("v"))
+    assert write_delta_native(ok, loc, mode="append") == 2
+    # UPDATE checks the post-SET rows
+    with pytest.raises(DeltaWriteError, match="v_nonneg"):
+        update_where(spark, loc, "id = 1", {"v": "-5"})
+    update_where(spark, loc, "id = 1", {"v": "99"})
+    # MERGE checks the source (both replace and insert arms)
+    src = spark.createDataFrame([(1, -3)], "id bigint, v bigint")
+    with pytest.raises(DeltaWriteError, match="v_nonneg"):
+        merge_upsert(spark, loc, src, ["id"])
+    # NULL passes SQL CHECK semantics
+    nullv = spark.createDataFrame([(100, None)], "id bigint, v bigint")
+    write_delta_native(nullv, loc, mode="append")
+    # duplicate names refused; DROP re-admits violating rows
+    with pytest.raises(DeltaWriteError, match="already exists"):
+        add_constraint(spark, loc, "v_nonneg", "v >= 0")
+    drop_constraint(spark, loc, "v_nonneg")
+    write_delta_native(bad, loc, mode="append")
+    assert (
+        read_delta_native(spark, loc).filter(F.col("v") < 0).count() == 2
+    )
+
+
+def test_add_constraint_validates(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import add_constraint, drop_constraint
+
+    loc = str(tmp_path / "ckv")
+    write_delta_native(
+        spark.range(5).select(F.col("id"), (F.col("id") - 2).alias("v")), loc
+    )
+    # existing data must satisfy the new constraint (delta-spark scans too)
+    with pytest.raises(DeltaWriteError, match="existing rows violate"):
+        add_constraint(spark, loc, "pos", "v >= 0")
+    # expression must resolve against the schema
+    with pytest.raises(DeltaWriteError, match="does not resolve"):
+        add_constraint(spark, loc, "bad", "no_such_col > 0")
+    # nothing was committed by the failed attempts
+    assert replay_snapshot(spark, loc).version == 0
+    with pytest.raises(DeltaWriteError, match="no such constraint"):
+        drop_constraint(spark, loc, "ghost")
+    assert drop_constraint(spark, loc, "ghost", if_exists=True) == 0
+
+
+def test_column_invariant_enforced(spark, tmp_path):
+    """delta.invariants field metadata (writer v2) is enforced like a
+    CHECK constraint."""
+    import pyspark.sql.types as T
+
+    loc = str(tmp_path / "inv")
+    write_delta_native(spark.range(3).select(F.col("id")), loc)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "id",
+                T.LongType(),
+                True,
+                metadata={
+                    "delta.invariants": json.dumps(
+                        {"expression": {"expression": "id < 100"}}
+                    )
+                },
+            )
+        ]
+    )
+    meta = [
+        json.loads(l)
+        for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+        if "metaData" in l
+    ][0]["metaData"]
+    meta["schemaString"] = schema.json()
+    _append_log_action(loc, 1, {"metaData": meta})
+    with pytest.raises(DeltaWriteError, match=r"invariant\(id\)"):
+        write_delta_native(spark.range(100, 102).select("id"), loc, mode="append")
+    write_delta_native(spark.range(90, 92).select("id"), loc, mode="append")
+    assert read_delta_native(spark, loc).count() == 5
+
+
+def test_constraint_sql_dispatch(spark, tmp_path):
+    """ALTER TABLE delta.`path` ADD/DROP CONSTRAINT through the SQL
+    entry point (same dispatch as DELETE/OPTIMIZE/RESTORE)."""
+    from adt_spark.context import ADTContext
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    loc = str(tmp_path / "cks")
+    write_delta_native(
+        spark.range(4).select(F.col("id"), (F.col("id") + 1).alias("v")), loc
+    )
+    out = ctx.sql(f"ALTER TABLE delta.`{loc}` ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert out.first()["constraint"] == "v_pos"
+    with pytest.raises(DeltaWriteError, match="v_pos"):
+        write_delta_native(
+            spark.createDataFrame([(9, 0)], "id bigint, v bigint"), loc, mode="append"
+        )
+    out = ctx.sql(f"ALTER TABLE delta.`{loc}` DROP CONSTRAINT IF EXISTS v_pos")
+    assert out.first()["version"] == 2
+    write_delta_native(
+        spark.createDataFrame([(9, 0)], "id bigint, v bigint"), loc, mode="append"
+    )
+    assert read_delta_native(spark, loc).count() == 5
+
+
+def test_appendonly_allows_optimize_and_alter(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import add_constraint, optimize_compact
+
+    loc = str(tmp_path / "aoo")
+    write_delta_native(spark.range(4).select(F.col("id")), loc)
+    write_delta_native(spark.range(4, 8).select(F.col("id")), loc, mode="append")
+    meta = [
+        json.loads(l)
+        for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+        if "metaData" in l
+    ][0]["metaData"]
+    meta["configuration"] = {"delta.appendOnly": "true"}
+    _append_log_action(loc, 2, {"metaData": meta})
+    # metadata-only ALTER and dataChange=false OPTIMIZE stay legal
+    assert add_constraint(spark, loc, "id_pos", "id >= 0") == 3
+    assert optimize_compact(spark, loc) == 4
+    assert read_delta_native(spark, loc).count() == 8
