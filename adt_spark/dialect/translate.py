@@ -166,6 +166,176 @@ def _rewrite_names(sql: str) -> str:
     return "".join(out)
 
 
+# --- argument-aware call rewrites ------------------------------------------
+# DataFusion functions whose Spark counterpart differs in argument
+# ORDER or SEMANTICS (not just name), closed by rewriting the call
+# with its parsed argument list (SURVEY.md §7 "moderate" deviations):
+#
+# - trunc(x[, d])        numeric truncation toward zero (Spark's trunc
+#                        is date-only).  trunc(date, 'fmt') — a quoted
+#                        second argument — is left for Spark.
+# - encode/decode(e, 'hex'|'base64')  DataFusion binary codecs (Spark's
+#                        encode/decode are charset conversions; other
+#                        second arguments pass through untouched).
+# - array_slice(a, i, j) inclusive END index → Spark slice(a, i, len).
+# - array_prepend(el, a) element-first → Spark array_prepend(a, el).
+#
+# range() as a scalar stays a documented gap: its Spark spelling is the
+# FROM-position range TVF, and a textual rewrite cannot tell the two
+# apart safely.
+
+
+def _scan_literal(s: str, i: int) -> int:
+    """``s[i]`` is an opening quote; return the index one past the
+    closing quote (SQL '' escapes respected)."""
+    j = i + 1
+    while j < len(s):
+        if s[j] == "'":
+            if j + 1 < len(s) and s[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return len(s)
+
+
+def _split_call_args(s: str) -> list[str]:
+    """Split an argument string at top-level commas (paren- and
+    literal-aware)."""
+    args: list[str] = []
+    depth = 0
+    i = 0
+    buf: list[str] = []
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = _scan_literal(s, i)
+            buf.append(s[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _is_string_literal(arg: str) -> bool:
+    return arg.startswith("'") and arg.endswith("'")
+
+
+def _h_trunc(args: list[str]) -> str | None:
+    if len(args) == 1:
+        a = args[0]
+        return (
+            f"CAST(CASE WHEN ({a}) >= 0 THEN floor({a}) "
+            f"ELSE ceil({a}) END AS DOUBLE)"
+        )
+    if len(args) == 2 and not _is_string_literal(args[1]):
+        a, d = args
+        p = f"pow(10, ({d}))"
+        return (
+            f"CAST(CASE WHEN ({a}) >= 0 THEN floor(({a}) * {p}) "
+            f"ELSE ceil(({a}) * {p}) END / {p} AS DOUBLE)"
+        )
+    return None  # trunc(date, 'fmt') → Spark's own
+
+
+def _h_encode(args: list[str]) -> str | None:
+    if len(args) == 2 and _is_string_literal(args[1]):
+        fmt = args[1][1:-1].strip().lower()
+        if fmt == "hex":
+            return f"lower(hex({args[0]}))"
+        if fmt == "base64":
+            return f"base64({args[0]})"
+    return None  # charset encode → Spark's own
+
+
+def _h_decode(args: list[str]) -> str | None:
+    if len(args) == 2 and _is_string_literal(args[1]):
+        fmt = args[1][1:-1].strip().lower()
+        if fmt == "hex":
+            return f"unhex({args[0]})"
+        if fmt == "base64":
+            return f"unbase64({args[0]})"
+    return None
+
+
+def _h_array_slice(args: list[str]) -> str | None:
+    if len(args) == 3:
+        a, b, e = args
+        return f"slice({a}, {b}, ({e}) - ({b}) + 1)"
+    return None  # 4-arg stride form stays unsupported
+
+
+def _h_array_prepend(args: list[str]) -> str | None:
+    if len(args) == 2:
+        el, arr = args
+        return f"array_prepend({arr}, {el})"
+    return None
+
+
+_CALL_HANDLERS = {
+    "trunc": _h_trunc,
+    "encode": _h_encode,
+    "decode": _h_decode,
+    "array_slice": _h_array_slice,
+    "array_prepend": _h_array_prepend,
+}
+_CALL_RE = re.compile(
+    r"(" + "|".join(sorted(_CALL_HANDLERS, key=len, reverse=True)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_calls(s: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = _scan_literal(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        m = _CALL_RE.match(s, i)
+        if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_.$")):
+            # find the matching close paren, literal-aware
+            depth = 1
+            j = m.end()
+            while j < len(s) and depth:
+                c = s[j]
+                if c == "'":
+                    j = _scan_literal(s, j)
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                j += 1
+            inner = _rewrite_calls(s[m.end() : j - 1])  # nested calls first
+            repl = _CALL_HANDLERS[m.group(1).lower()](_split_call_args(inner))
+            if repl is None:
+                out.append(s[i : m.end()] + inner + ")")
+            else:
+                out.append(repl)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def translate_sql(sql: str) -> str:
     """Translate a PostgreSQL/DataFusion-flavored statement to Spark SQL."""
     if "~" in sql:
@@ -174,4 +344,6 @@ def translate_sql(sql: str) -> str:
         sql = _rewrite_similar_to(sql)
     if _NAME_RE.search(sql):
         sql = _rewrite_names(sql)
+    if _CALL_RE.search(sql):
+        sql = _rewrite_calls(sql)
     return sql

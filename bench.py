@@ -52,6 +52,8 @@ HEADLINE = [
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",
+    "q_mixture_temperature",
+    "doc_chunk_overlap",
     "pipeline_clean_corpus",
     "pipeline_dedup_funnel",
 ]
@@ -76,7 +78,13 @@ def main() -> None:
 
     # Python-touching operators (mapInPandas) run last so any Python
     # worker startup/IO cannot pollute the JVM-only measurements.
-    python_ops = {"dedup_embedding_cosine", "mm_decode_features", "mm_frame_sample"}
+    python_ops = {
+        "dedup_embedding_cosine",
+        "dedup_semantic",
+        "mm_decode_features",
+        "mm_frame_sample",
+        "mm_resize_nearest",
+    }
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
     ]

@@ -245,15 +245,33 @@ def test_nondeterministic_surface_runs(dspark):
     assert isinstance(_run(dspark, "version()"), str)
 
 
+def test_call_rewrites_close_former_gaps(dspark):
+    """Argument-aware call rewrites (translate._rewrite_calls) close
+    the former SURVEY §7 deviations: numeric trunc, hex/base64
+    encode/decode, array_slice inclusive-end, array_prepend
+    element-first."""
+    assert _run(dspark, "trunc(3.7)") == 3.0
+    assert _run(dspark, "trunc(-3.7)") == -3.0
+    assert _run(dspark, "trunc(3.14159, 2)") == 3.14
+    assert _run(dspark, "trunc(-3.14159, 2)") == -3.14
+    # Spark's own date trunc — quoted second arg — is untouched
+    assert _run(dspark, "trunc(DATE'2024-03-15', 'MM')") == datetime.date(2024, 3, 1)
+    assert _run(dspark, "encode('abc', 'hex')") == "616263"
+    assert bytes(_run(dspark, "decode('616263', 'hex')")) == b"abc"
+    assert _run(dspark, "encode('abc', 'base64')") == "YWJj"
+    assert bytes(_run(dspark, "decode('YWJj', 'base64')")) == b"abc"
+    # charset conversion (Spark's encode/decode) still passes through
+    assert _run(dspark, "decode(encode('abc', 'utf-8'), 'utf-8')") == "abc"
+    assert _run(dspark, "array_slice(array(1,2,3), 1, 2)") == [1, 2]
+    assert _run(dspark, "array_prepend(0, array(1,2))") == [0, 1, 2]
+    # nested calls rewrite inside-out
+    assert _run(dspark, "array_slice(array_prepend(0, array(1,2)), 2, 3)") == [1, 2]
+
+
 def test_documented_gaps_stay_gaps(dspark):
-    """Known deviations (kept visible; each has a noted workaround):
-    numeric trunc() (Spark's trunc is date-only — use round/floor or
-    cast), encode/decode (Spark's encode is charset conversion — use
-    hex/base64 natives), array_slice / array_prepend (argument
-    conventions differ — use slice / array_insert), range() as a
-    scalar (end-exclusive; Spark's sequence is inclusive — the range
-    TVF exists in FROM position)."""
+    """Remaining known deviation (kept visible): range() as a scalar
+    (end-exclusive list) — a textual rewrite cannot distinguish it
+    from Spark's FROM-position range TVF; use generate_series
+    (inclusive, already mapped to sequence) or the TVF."""
     with pytest.raises(Exception):
-        _run(dspark, "trunc(3.7)")
-    with pytest.raises(Exception):
-        _run(dspark, "array_slice(array(1,2,3), 1, 2)")
+        _run(dspark, "range(1, 5)")
