@@ -348,3 +348,34 @@ def test_dedup_funnel_no_extra_corpus_shuffle(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "pipeline_dedup_funnel"))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_chunk_overlap_no_shuffle(spark, sf_dir):
+    """doc_chunk_overlap claims scan-speed chunking: the only Generate
+    is the explode over chunk STARTS, and there is no Exchange —
+    chunking must not shuffle the corpus."""
+    plan = _formatted(_q(spark, sf_dir, "doc_chunk_overlap"))
+    assert "Exchange" not in plan
+    # one Generate node (formatted output names each node twice:
+    # once in the tree, once in the detail section)
+    assert plan.count(") Generate") == 1
+
+
+def test_bpe_pairs_vocab_sized_second_stage(spark, sf_dir):
+    """text_bpe_merge_pairs: both aggregations (word counts, pair
+    counts) must be partial+final — map-side combine absorbs the Zipf
+    mass before each shuffle — and the top-k must plan as
+    TakeOrderedAndProject, never a global sort."""
+    plan = _formatted(_q(spark, sf_dir, "text_bpe_merge_pairs"))
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "SortAggregate" not in plan
+
+
+def test_mixture_temperature_broadcast_no_corpus_shuffle(spark, sf_dir):
+    """q_mixture_temperature: the per-source weight table and its
+    total broadcast back onto the corpus scan; the documents side must
+    never hash-partition — membership is a row-local md5 test."""
+    plan = _formatted(_q(spark, sf_dir, "q_mixture_temperature"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
