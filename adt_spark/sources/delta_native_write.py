@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -148,8 +149,11 @@ def _check_writable(snap, operation: str) -> None:
       incoming row violates one (protocol: writer version 3 /
       ``checkConstraints`` feature; invariants: writer version 2).
     - Generated columns (``delta.generationExpression`` in field
-      metadata) are not computed here — tables declaring them abort
-      rather than admit rows with stale generated values.
+      metadata, protocol writer v4) follow delta-spark semantics:
+      computed when the write omits the column, VALIDATED (null-safe
+      equality against the expression) when the write provides it,
+      recomputed for rows an UPDATE touches; assigning one directly
+      is refused.
     - Change data feed: appends/overwrites are legal without
       ``_change_data`` files (CDC derives from dataChange add/remove
       of whole files); partial-file DML would require them — refused.
@@ -159,13 +163,6 @@ def _check_writable(snap, operation: str) -> None:
     - Unknown ``writerFeatures`` / ``minWriterVersion`` > 5 abort.
     """
     conf = snap.configuration or {}
-    for f in snap.schema.fields:
-        md = f.metadata or {}
-        if md.get("delta.generationExpression"):
-            raise DeltaWriteError(
-                f"{operation}: column {f.name!r} is a generated column "
-                "this writer does not compute"
-            )
     cdf_on = str(conf.get("delta.enableChangeDataFeed", "false")).lower() == "true"
     # optimize is dataChange=false (no CDC rows result from it);
     # alter is metadata-only (no data rows at all)
@@ -224,6 +221,45 @@ def _table_constraints(snap) -> list[tuple[str, str]]:
                 ) from None
             out.append((f"invariant({f.name})", expr))
     return out
+
+
+def _generated_fields(snap) -> list[tuple[str, str, T.DataType]]:
+    """(name, generation expression, declared type) for every column
+    carrying ``delta.generationExpression`` metadata (Delta protocol
+    writer v4 'Generated Columns')."""
+    out: list[tuple[str, str, T.DataType]] = []
+    for f in snap.schema.fields:
+        ge = (f.metadata or {}).get("delta.generationExpression")
+        if ge:
+            out.append((f.name, ge, f.dataType))
+    return out
+
+
+def _validate_generated(df: DataFrame, gens, operation: str) -> None:
+    """delta-spark semantics: a write that PROVIDES a generated column
+    must provide values equal to the generation expression (null-safe)
+    on every row — one aggregate pass for all generated columns."""
+    from pyspark.sql import functions as F
+
+    gens = [g for g in gens if g[0] in df.columns]
+    if not gens:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.col(name).eqNullSafe(F.expr(ge).cast(dt)), 1).otherwise(0)
+        ).alias(f"g{i}")
+        for i, (name, ge, dt) in enumerate(gens)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for i, (name, ge, _dt) in enumerate(gens):
+        n_bad = row[f"g{i}"] or 0
+        if n_bad:
+            raise DeltaWriteError(
+                f"{operation}: {n_bad} row(s) provide generated column "
+                f"{name!r} values that do not match its expression ({ge}) "
+                "— omit the column to have it computed, or provide "
+                "matching values"
+            )
 
 
 def _enforce_constraints(df: DataFrame, snap, operation: str) -> None:
@@ -497,6 +533,23 @@ def write_delta_native(
         snap = replay_snapshot(df.sparkSession, location)
         _check_writable(snap, "append" if mode == "append" else "overwrite")
         version = snap.version + 1
+        gens = _generated_fields(snap)
+        if gens:
+            from pyspark.sql import functions as F
+
+            # delta-spark semantics: omitted generated columns are
+            # computed from the expression; provided ones are
+            # validated below (null-safe equality, one agg pass).
+            _validate_generated(df, gens, mode)
+            for name, ge, dt in gens:
+                if name not in df.columns:
+                    df = df.withColumn(name, F.expr(ge).cast(dt))
+            if set(df.columns) == {f.name for f in snap.schema.fields}:
+                df = df.select(*[f.name for f in snap.schema.fields])
+        if not partition_by:
+            # delta-spark UX: writes to an existing table inherit its
+            # partitioning; an explicit partition_by must still match.
+            partition_by = list(snap.partition_columns)
         if snap.partition_columns != partition_by:
             raise DeltaWriteError(
                 f"partition mismatch: table has {snap.partition_columns}, "
@@ -954,6 +1007,27 @@ def update_where(
             f"cannot assign {sorted(bad)}: not data columns "
             f"(partition columns need a repartitioning overwrite)"
         )
+    gens = _generated_fields(snap)
+    gen_names = {g[0] for g in gens}
+    if gen_names & set(assignments):
+        raise DeltaWriteError(
+            f"cannot assign generated column(s) "
+            f"{sorted(gen_names & set(assignments))}: their values come "
+            "from the generation expression (they are recomputed when "
+            "an UPDATE touches their source columns)"
+        )
+    # a generated PARTITION column whose expression references an
+    # assigned column would need rows moved across partitions — refuse
+    # (delta-spark rewrites partitions there; out of scope).
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    for name, ge, _dt in gens:
+        if name in part_cols and set(ident.findall(ge)) & set(assignments):
+            raise DeltaWriteError(
+                f"updating {sorted(set(ident.findall(ge)) & set(assignments))} "
+                f"would change generated partition column {name!r} "
+                "(cross-partition row movement) — use read + overwrite"
+            )
+    gens_data = [g for g in gens if g[0] in data_names]
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None:
             raise DeltaWriteError(
@@ -983,48 +1057,65 @@ def update_where(
     ts = int(time.time() * 1000)
     version = snap.version + 1
     hit = F.coalesce(F.expr(predicate), F.lit(False))
-    if _table_constraints(snap):
-        # CHECK the post-SET values of the rows this UPDATE touches
-        # (constraints may reference partition columns, so re-attach
-        # them as typed literals per file group).
-        from adt_spark.sources.delta_native import _with_partition_cols
+    from adt_spark.sources.delta_native import _with_partition_cols
 
-        part_fields = {f.name: f for f in snap.schema.fields if f.name in part_cols}
-        out_cols = [f.name for f in snap.schema.fields]
+    part_fields = {f.name: f for f in snap.schema.fields if f.name in part_cols}
+    data_col_names = [f.name for f in data_fields]
+
+    def _transform_group(ldf: DataFrame, pvals: dict, keep_hit: bool = False):
+        """Post-UPDATE logical rows for one partition group.
+
+        SQL UPDATE: every SET expression sees the PRE-update row —
+        all new columns are built simultaneously in one select, each
+        cast to the column's DECLARED type (as delta-spark/delta-rs
+        do): without the cast F.when coerces to the common type, so a
+        widening assignment would commit parquet whose physical type
+        diverges from the table's schemaString and break every later
+        snapshot read.  Generated data columns are then RECOMPUTED
+        for hit rows from the post-SET values (delta-spark semantics);
+        partition columns attach as typed literals so generation/
+        constraint expressions referencing them resolve.
+        """
+        ldf = ldf.withColumn("_hit", hit)
+        ldf = ldf.select(
+            *[
+                F.when(F.col("_hit"), F.expr(assignments[f.name]).cast(f.dataType))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in data_fields
+            ],
+            "_hit",
+        )
+        if gens_data or _table_constraints(snap):
+            ldf = _with_partition_cols(
+                ldf, pvals, part_fields, [*data_col_names, *part_fields, "_hit"]
+            )
+        for name, ge, dt in gens_data:
+            ldf = ldf.withColumn(
+                name,
+                F.when(F.col("_hit"), F.expr(ge).cast(dt)).otherwise(F.col(name)),
+            )
+        keep = [*data_col_names, *part_fields] if (gens_data or _table_constraints(snap)) else data_col_names
+        return ldf.select(*keep, *(["_hit"] if keep_hit else []))
+
+    if _table_constraints(snap):
+        # CHECK the post-SET values of the rows this UPDATE touches.
         pieces = []
         for rel in touched_rel:
-            pvals = snap.files[rel][0]
             scan = to_logical(
                 spark.read.schema(read_schema).parquet(os.path.join(location, rel))
-            ).filter(F.expr(predicate))
-            post = scan.select(
-                *[
-                    F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in assignments
-                    else F.col(f.name)
-                    for f in data_fields
-                ]
             )
-            pieces.append(_with_partition_cols(post, pvals, part_fields, out_cols))
+            pieces.append(
+                _transform_group(scan, snap.files[rel][0], keep_hit=True)
+                .filter(F.col("_hit"))
+                .drop("_hit")
+            )
         changed = pieces[0]
         for p in pieces[1:]:
             changed = changed.unionByName(p)
         _enforce_constraints(changed, snap, "update")
-    # SQL UPDATE: every SET expression sees the PRE-update row — build
-    # all new columns first, then substitute.  Each assignment is cast
-    # to the column's DECLARED type (as delta-spark/delta-rs do):
-    # without it F.when coerces to the common type, so a widening
-    # assignment would commit parquet whose physical type diverges
-    # from the table's schemaString and break every later snapshot
-    # read.
-    new_cols = [
-        F.when(hit, F.expr(assignments[f.name]).cast(f.dataType))
-        .otherwise(F.col(f.name))
-        .alias(f.name)
-        if f.name in assignments
-        else F.col(f.name)
-        for f in data_fields
-    ]
     adds: list[dict] = []
     removes: list[dict] = []
     groups: dict[tuple, list[str]] = {}
@@ -1033,10 +1124,13 @@ def update_where(
     for key, rels in groups.items():
         pvals = dict(key)
         updated = to_physical(
-            to_logical(
-                spark.read.schema(read_schema)
-                .parquet(*[os.path.join(location, r) for r in rels])
-            ).select(*new_cols)
+            _transform_group(
+                to_logical(
+                    spark.read.schema(read_schema)
+                    .parquet(*[os.path.join(location, r) for r in rels])
+                ),
+                pvals,
+            ).select(*data_col_names)
         )
         staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
         updated.write.mode("overwrite").parquet(staging)
@@ -1160,8 +1254,12 @@ def merge_upsert(
         )
 
     # every row this MERGE introduces (replacement or insert) comes
-    # from the source — one constraint pass over it covers both arms
+    # from the source — one constraint pass over it covers both arms;
+    # generated columns must arrive with expression-matching values
+    # (merge sources carry the full schema, so compute-on-omit does
+    # not apply here)
     _enforce_constraints(source, snap, "merge")
+    _validate_generated(source, _generated_fields(snap), "merge")
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}

@@ -76,7 +76,8 @@ def test_partitioned_write(spark, tmp_path):
         "even=0",
         "even=1",
     ]
-    # append respects partitioning; mismatch is rejected
+    # append respects partitioning; omitting partition_by inherits the
+    # table's (delta-spark UX); an explicit WRONG partition_by rejects
     write_delta_native(
         spark.range(12, 14).select(F.col("id"), (F.col("id") % 2).cast("int").alias("even")),
         loc,
@@ -84,8 +85,17 @@ def test_partitioned_write(spark, tmp_path):
         partition_by=["even"],
     )
     assert read_delta_native(spark, loc).count() == 14
+    write_delta_native(
+        spark.range(14, 15).select(F.col("id"), (F.col("id") % 2).cast("int").alias("even")),
+        loc,
+        mode="append",
+    )
+    assert read_delta_native(spark, loc).count() == 15
+    assert sorted(
+        r.even for r in read_delta_native(spark, loc).filter(F.col("id") == 14).collect()
+    ) == [0]
     with pytest.raises(DeltaWriteError, match="partition mismatch"):
-        write_delta_native(src, loc, mode="append")
+        write_delta_native(src, loc, mode="append", partition_by=["id"])
 
 
 def test_schema_mismatch_rejected(spark, tmp_path):
@@ -837,3 +847,120 @@ def test_appendonly_allows_optimize_and_alter(spark, tmp_path):
     assert add_constraint(spark, loc, "id_pos", "id >= 0") == 3
     assert optimize_compact(spark, loc) == 4
     assert read_delta_native(spark, loc).count() == 8
+
+
+# --- generated columns (protocol writer v4) -------------------------------
+
+
+def _make_generated_table(spark, loc, gen_on_partition=False):
+    """A table whose ``v2x`` column is generated as ``v * 2`` (and,
+    optionally, a partition column generated from ``id``)."""
+    import pyspark.sql.types as T
+
+    part = ["bucket"] if gen_on_partition else []
+    base = spark.range(4).select(
+        F.col("id"),
+        (F.col("id") + 1).alias("v"),
+        ((F.col("id") + 1) * 2).alias("v2x"),
+        *([(F.col("id") % 2).alias("bucket")] if gen_on_partition else []),
+    )
+    write_delta_native(base, loc, partition_by=part)
+    fields = [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.LongType(), True),
+        T.StructField(
+            "v2x",
+            T.LongType(),
+            True,
+            metadata={"delta.generationExpression": "v * 2"},
+        ),
+    ]
+    if gen_on_partition:
+        fields.append(
+            T.StructField(
+                "bucket",
+                T.LongType(),
+                True,
+                metadata={"delta.generationExpression": "id % 2"},
+            )
+        )
+    meta = [
+        json.loads(l)
+        for l in open(os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+        if "metaData" in l
+    ][0]["metaData"]
+    meta["schemaString"] = T.StructType(fields).json()
+    _append_log_action(loc, 1, {"metaData": meta})
+
+
+def test_generated_column_computed_on_append(spark, tmp_path):
+    loc = str(tmp_path / "gen1")
+    _make_generated_table(spark, loc)
+    # omit the generated column → computed from the expression
+    write_delta_native(
+        spark.createDataFrame([(10, 5)], "id bigint, v bigint"), loc, mode="append"
+    )
+    got = {
+        (r.id, r.v, r.v2x) for r in read_delta_native(spark, loc).collect()
+    }
+    assert (10, 5, 10) in got
+    assert len(got) == 5
+
+
+def test_generated_column_validated_when_provided(spark, tmp_path):
+    loc = str(tmp_path / "gen2")
+    _make_generated_table(spark, loc)
+    # matching values pass
+    write_delta_native(
+        spark.createDataFrame([(11, 3, 6)], "id bigint, v bigint, v2x bigint"),
+        loc,
+        mode="append",
+    )
+    # mismatching values abort before commit
+    with pytest.raises(DeltaWriteError, match="v2x"):
+        write_delta_native(
+            spark.createDataFrame([(12, 3, 7)], "id bigint, v bigint, v2x bigint"),
+            loc,
+            mode="append",
+        )
+    assert read_delta_native(spark, loc).count() == 5
+
+
+def test_generated_column_recomputed_on_update(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import update_where
+
+    loc = str(tmp_path / "gen3")
+    _make_generated_table(spark, loc)
+    # assigning the generated column directly is refused
+    with pytest.raises(DeltaWriteError, match="generated column"):
+        update_where(spark, loc, "id = 1", {"v2x": "99"})
+    # updating the source column recomputes the generated one
+    _v, n = update_where(spark, loc, "id = 1", {"v": "v + 10"})
+    assert n == 1
+    row = read_delta_native(spark, loc).filter(F.col("id") == 1).collect()[0]
+    assert (row.v, row.v2x) == (12, 24)
+    # untouched rows keep their original generated values
+    other = read_delta_native(spark, loc).filter(F.col("id") == 2).collect()[0]
+    assert (other.v, other.v2x) == (3, 6)
+
+
+def test_generated_partition_column(spark, tmp_path):
+    from adt_spark.sources.delta_native_write import merge_upsert, update_where
+
+    loc = str(tmp_path / "gen4")
+    _make_generated_table(spark, loc, gen_on_partition=True)
+    # append computing BOTH generated columns (incl. the partition one)
+    write_delta_native(
+        spark.createDataFrame([(10, 5)], "id bigint, v bigint"), loc, mode="append"
+    )
+    got = read_delta_native(spark, loc).filter(F.col("id") == 10).collect()[0]
+    assert (got.v2x, got.bucket) == (10, 0)
+    # updating a source of the generated PARTITION column is refused
+    with pytest.raises(DeltaWriteError, match="partition"):
+        update_where(spark, loc, "v = 5", {"id": "id + 1"})
+    # merge validates generated values in the source
+    bad = spark.createDataFrame(
+        [(1, 2, 5, 1)], "id bigint, v bigint, v2x bigint, bucket bigint"
+    )
+    with pytest.raises(DeltaWriteError, match="v2x"):
+        merge_upsert(spark, loc, bad, ["id"])
