@@ -768,3 +768,73 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style scoring shape)
+# ---------------------------------------------------------------------------
+
+#: hash-bucket count (2 hex chars of md5) and the Knuth multiplicative
+#: constant deriving a deterministic weight per bucket.
+_HB = 256
+_KNUTH = 2654435761
+
+
+@register(
+    "quality_hash_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_aggregate(list_transform(toks, w ->
+                   ((instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef', substr(md5(w), 2, 1)) - 1)
+                   * {_KNUTH} % 2048 - 1024), 'sum') AS score_fp
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(score_fp AS BIGINT) AS score_fp,
+           CAST(score_fp AS DOUBLE) / (n_tokens * 1024) AS mean_logit,
+           CAST(CASE WHEN score_fp > 0 THEN 1 ELSE 0 END AS INT) AS label_pred
+    FROM s
+    """,
+    tags=("quality", "classifier", "hashing"),
+)
+def quality_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier over hashed token features — the
+    fastText-style quality/domain scoring shape (Joulin et al. 2016:
+    hash tokens into B buckets, score = mean of bucket weights).  The
+    weight table here is derived deterministically from the bucket id
+    (Knuth multiplicative hash → integer weight in [-1024, 1024)) so
+    both engines score identically; swapping in trained weights means
+    replacing that arithmetic with a broadcast ``bucket → weight``
+    map-literal — the plan shape does not change.
+
+    Cross-engine exactness: the per-token weights are INTEGERS and the
+    fold is an integer sum (order-independent), so the only float op
+    is one final division — bit-identical everywhere.
+
+    Scale shape: pure projection — tokens hash and fold inside a
+    single higher-order expression per row, zero shuffles, zero
+    explodes; at 100 TB this runs at scan speed like the other
+    text-quality gates.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    weight = (
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("bigint") * _KNUTH)
+        % 2048
+        - 1024
+    )
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("score_fp"),
+        (score.cast("double") / (F.size(toks) * 1024)).alias("mean_logit"),
+        F.when(score > 0, 1).otherwise(0).cast("int").alias("label_pred"),
+    )

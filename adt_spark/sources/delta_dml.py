@@ -13,6 +13,7 @@ delta-spark present parse natively in Spark SQL):
     OPTIMIZE delta.`/path` [ZORDER BY (col, ...)]
     RESTORE [TABLE] delta.`/path` TO VERSION AS OF n
     DESCRIBE HISTORY delta.`/path`
+    DESCRIBE DETAIL delta.`/path`
     ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
     ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
 
@@ -22,6 +23,7 @@ matching the shape Spark's own DML commands report.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +49,10 @@ _RESTORE = re.compile(
 )
 _HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
 _VACUUM = re.compile(
@@ -78,6 +84,7 @@ def is_delta_dml(sql: str) -> bool:
         or _HISTORY.match(sql)
         or _ADD_CONSTRAINT.match(sql)
         or _DROP_CONSTRAINT.match(sql)
+        or _DETAIL.match(sql)
     )
 
 
@@ -279,6 +286,31 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
         hours = float(m.group("hours")) if m.group("hours") else 168.0
         deleted = vacuum(spark, m.group("path"), retain_hours=hours)
         return spark.createDataFrame([(len(deleted),)], "num_files_deleted bigint")
+    if m := _DETAIL.match(sql):
+        from adt_spark.sources.delta_native import replay_snapshot
+
+        path = m.group("path")
+        snap = replay_snapshot(spark, path)
+        n_files = len(snap.files)
+        size = sum(snap.file_sizes.get(p, 0) for p in snap.files)
+        return spark.createDataFrame(
+            [
+                (
+                    "delta",
+                    snap.table_id,
+                    path,
+                    json.dumps(snap.partition_columns),
+                    int(n_files),
+                    int(size),
+                    json.dumps(dict(snap.configuration or {})),
+                    int((snap.protocol or {}).get("minReaderVersion", 1)),
+                    int((snap.protocol or {}).get("minWriterVersion", 2)),
+                )
+            ],
+            "format string, id string, location string, partitionColumns string, "
+            "numFiles bigint, sizeInBytes bigint, properties string, "
+            "minReaderVersion int, minWriterVersion int",
+        )
     if m := _ADD_CONSTRAINT.match(sql):
         from adt_spark.sources.delta_native_write import add_constraint
 

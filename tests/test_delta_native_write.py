@@ -964,3 +964,27 @@ def test_generated_partition_column(spark, tmp_path):
     )
     with pytest.raises(DeltaWriteError, match="v2x"):
         merge_upsert(spark, loc, bad, ["id"])
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL delta.`path` — table-level metadata from the
+    log only (no data scan), delta-spark's DESCRIBE DETAIL shape."""
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.delta_native_write import add_constraint
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    loc = str(tmp_path / "det")
+    write_delta_native(
+        spark.range(6).select(F.col("id"), (F.col("id") % 2).cast("int").alias("b")),
+        loc,
+        partition_by=["b"],
+    )
+    add_constraint(spark, loc, "id_pos", "id >= 0")
+    row = ctx.sql(f"DESCRIBE DETAIL delta.`{loc}`").collect()[0]
+    assert row.format == "delta"
+    assert row.location == loc
+    assert json.loads(row.partitionColumns) == ["b"]
+    assert row.numFiles >= 2 and row.sizeInBytes > 0
+    assert json.loads(row.properties) == {"delta.constraints.id_pos": "id >= 0"}
+    assert (row.minReaderVersion, row.minWriterVersion) == (1, 3)
