@@ -1643,19 +1643,20 @@ def describe_history(spark, location: str) -> list[dict]:
     """``DESCRIBE HISTORY``: one row per commit — version, timestamp,
     operation, operationParameters — straight from each commit's
     ``commitInfo`` (log metadata only; no data reads)."""
+    from adt_spark.sources.delta_native import _read_file
+
     commits, _ = _list_log(location)
     if not commits:
         raise FileNotFoundError(f"no Delta log at {location}")
     out: list[dict] = []
     for v, path in commits:
         info: dict = {}
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                if ci := json.loads(line).get("commitInfo"):
-                    info = ci
-                    break
+        for line in _read_file(spark, path).splitlines():
+            if not line.strip():
+                continue
+            if ci := json.loads(line).get("commitInfo"):
+                info = ci
+                break
         out.append(
             {
                 "version": v,
