@@ -838,3 +838,94 @@ def quality_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score.cast("double") / (F.size(toks) * 1024)).alias("mean_logit"),
         F.when(score > 0, 1).otherwise(0).cast("int").alias("label_pred"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-score bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+#: trained-threshold constants (CCNet buckets by perplexity cutoffs
+#: chosen offline from a reference LM; here cutoffs on the mean
+#: relative token frequency, the transcendental-free LM score this
+#: corpus uses — see text_unigram_prob).
+_CC_HEAD = 0.0334
+_CC_MID = 0.0333
+
+
+@register(
+    "quality_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, ts[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+           unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    total AS (SELECT count(*) AS n FROM tok),
+    d AS (
+      SELECT tok.doc_id, count(*) AS n_tokens,
+             CAST(sum(vocab.freq) AS BIGINT) AS sum_freq
+      FROM tok JOIN vocab USING (token) GROUP BY tok.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_freq AS DOUBLE) / (n_tokens * (SELECT n FROM total))
+             AS mean_token_prob,
+           CASE WHEN CAST(sum_freq AS DOUBLE) / (n_tokens * (SELECT n FROM total))
+                     >= {_CC_HEAD} THEN 'head'
+                WHEN CAST(sum_freq AS DOUBLE) / (n_tokens * (SELECT n FROM total))
+                     >= {_CC_MID} THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM d
+    """,
+    tags=("quality", "ccnet", "lm"),
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2019): score each
+    document with a corpus LM and split into head/middle/tail by
+    trained cutoffs — the standard step that keeps only the
+    highest-quality web slices for pre-training.
+
+    The LM score is the transcendental-free surrogate this corpus uses
+    for cross-engine exactness: mean relative token frequency — all
+    counting is exact BIGINT (partial+final aggs), with ONE double
+    division at the output boundary, so both engines compute
+    bit-identical scores and identical bucket labels.
+
+    Scale shape: the CCNet production posture — thresholds are
+    CONSTANTS trained offline, so assignment is a row-local
+    comparison: one vocab count (shuffle bytes track the vocabulary
+    via map-side combine), one freq re-join (broadcast when the vocab
+    fits), one per-doc aggregate.  No global sort/ntile — the naive
+    quantile formulation would serialize the corpus through one
+    window partition at 100 TB.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    d = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").cast("bigint").alias("sum_freq"),
+        )
+    )
+    score = F.col("sum_freq").cast("double") / (F.col("n_tokens") * F.col("n"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            score.alias("mean_token_prob"),
+            F.when(score >= _CC_HEAD, "head")
+            .when(score >= _CC_MID, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -14,6 +14,7 @@ delta-spark present parse natively in Spark SQL):
     RESTORE [TABLE] delta.`/path` TO VERSION AS OF n
     DESCRIBE HISTORY delta.`/path`
     DESCRIBE DETAIL delta.`/path`
+    SHOW TBLPROPERTIES delta.`/path`
     ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
     ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
 
@@ -55,6 +56,10 @@ _DETAIL = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
+_TBLPROPS = re.compile(
+    r"^\s*SHOW\s+TBLPROPERTIES\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+delta\.`(?P<path>[^`]+)`"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
@@ -85,6 +90,7 @@ def is_delta_dml(sql: str) -> bool:
         or _ADD_CONSTRAINT.match(sql)
         or _DROP_CONSTRAINT.match(sql)
         or _DETAIL.match(sql)
+        or _TBLPROPS.match(sql)
     )
 
 
@@ -311,6 +317,14 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
             "numFiles bigint, sizeInBytes bigint, properties string, "
             "minReaderVersion int, minWriterVersion int",
         )
+    if m := _TBLPROPS.match(sql):
+        from adt_spark.sources.delta_native import replay_snapshot
+
+        snap = replay_snapshot(spark, m.group("path"))
+        props = sorted((snap.configuration or {}).items())
+        return spark.createDataFrame(
+            props or [("", "")], "key string, value string"
+        ).filter("key != '' OR value != ''")
     if m := _ADD_CONSTRAINT.match(sql):
         from adt_spark.sources.delta_native_write import add_constraint
 

