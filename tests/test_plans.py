@@ -379,3 +379,23 @@ def test_mixture_temperature_broadcast_no_corpus_shuffle(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_mixture_temperature"))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_hash_classifier_scan_only(spark, sf_dir):
+    """quality_hash_classifier claims a pure projection: tokens hash
+    and fold inside one higher-order expression — zero shuffles, zero
+    explodes."""
+    plan = _formatted(_q(spark, sf_dir, "quality_hash_classifier"))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+
+
+def test_ccnet_buckets_no_global_sort(spark, sf_dir):
+    """quality_ccnet_buckets claims the CCNet production posture:
+    threshold constants → row-local assignment.  No global Sort and no
+    Window (the naive ntile formulation would serialize the corpus
+    through one partition); both aggregations partial+final."""
+    plan = _formatted(_q(spark, sf_dir, "quality_ccnet_buckets"))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan  # no global sort
+    assert plan.count("HashAggregate") >= 4
