@@ -64,6 +64,47 @@ def clear_dedup_state() -> None:
     _SHINGLE_MEMO.clear()
     _PAIRS_MEMO.clear()
     _CC_LABELS_MEMO.clear()
+    _GRAMS_MEMO.clear()
+
+
+#: (applicationId, documents-plan hash) → materialized positional
+#: {k}-gram hash table (doc_id, i, gram).  Shared by the two substring
+#: operators: the inventory consumer (mask) and the inventory itself
+#: (repeats) — at scale the gram table is computed ONCE per corpus and
+#: every "memorized span" pass reuses it.
+_GRAMS_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def _positional_grams(docs: DataFrame, k: int) -> DataFrame:
+    """doc_id, i (1-based window start), gram (md5 of the k-token
+    window) — materialized via localCheckpoint and memoized per
+    session+corpus, same lifecycle discipline as _shingle_arrays."""
+    from adt_spark.context import spread
+
+    key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash() * 31 + k)
+    memo = _GRAMS_MEMO.get(key)
+    if memo is not None:
+        return memo
+    toks = F.split(F.col("text"), " ")
+    out = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.i", "g.gram")
+        .localCheckpoint(eager=False)
+    )
+    _GRAMS_MEMO[key] = out
+    return out
 
 
 def _shingle_arrays(docs: DataFrame) -> DataFrame:
@@ -969,17 +1010,9 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal: join the surviving grams back against documents to mask
     or drop repeated spans.
     """
-    from adt_spark.context import spread
-
     docs = tables(spark, sf_dir)["documents"]
-    toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (_SUB_K - 1), F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SUB_K))),
-    )
     return (
-        spread(docs)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        _positional_grams(docs, _SUB_K)
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -1148,18 +1181,7 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spread(docs).select(
         "doc_id", toks_arr.alias("ts"), F.size(toks_arr).alias("n_tokens")
     ).localCheckpoint(eager=False)
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - (_SUB_K - 1), F.lit(0))),
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.md5(F.concat_ws(" ", F.slice(F.col("ts"), i, _SUB_K))).alias("gram"),
-                ),
-            )
-        ).alias("g"),
-    ).select("doc_id", "g.i", "g.gram")
+    grams = _positional_grams(docs, _SUB_K)
     repeated = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
