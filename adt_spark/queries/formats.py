@@ -158,3 +158,30 @@ def q_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+@register(
+    "q_orc_roundtrip_agg",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("format", "orc"),
+)
+def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC path UNDER THE DRIVER GATE: nation → Spark-native ORC
+    write → ORC read-back → aggregate, hash-matched against the
+    parquet-side oracle.  ORC is beyond the reference's six formats
+    (a Spark-native columnar format its DataFusion core lacks);
+    registry + COPY sink expose it under the same listing-table and
+    ``STORED AS`` surfaces as the others.
+    """
+    nation = tables(spark, sf_dir)["nation"]
+    path = _tmp(sf_dir, "orc")
+    nation.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

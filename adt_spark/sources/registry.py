@@ -36,6 +36,7 @@ _FORMATS = {
     "ndjson": {"format": "json", "options": {}},
     "avro": {"format": "avro", "options": {}},  # spark-avro, else native fallback
     "arrow": {"format": "arrow", "options": {}},  # via adt_spark.sources.arrow_ipc
+    "orc": {"format": "orc", "options": {}},  # Spark-native (beyond reference)
     "delta": {"format": "delta", "options": {}},  # needs delta-spark
     "deltatable": {"format": "delta", "options": {}},  # reference alias (cli.rs:8)
 }

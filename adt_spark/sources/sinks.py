@@ -39,6 +39,8 @@ _WRITE_FORMATS = {
     "csv": ("csv", {"header": "true"}),
     "json": ("json", {}),
     "ndjson": ("json", {}),
+    # ORC: Spark-native columnar format (beyond the reference surface).
+    "orc": ("orc", {}),
     # Delta sink: delta-spark when the jars are present, else the
     # native protocol writer (delta_native_write) — mirrors the
     # reader's two-path selection (delta.py).
