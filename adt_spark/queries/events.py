@@ -396,3 +396,65 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("v") - F.col("mean")) / F.col("std")).alias("zscore"),
         )
     )
+
+
+# M4 bucket width: 6 hours of event time.
+_M4_W_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "q_events_m4_downsample",
+    oracle=f"""
+    WITH k AS (
+      SELECT epoch_us(ts) // {_M4_W_US} AS bucket,
+             printf('%020d', epoch_us(ts)) || printf('%012d', event_id) AS ord,
+             value
+      FROM events
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(value) AS v_min,
+           max(value) AS v_max,
+           arg_min(value, ord) AS v_first,
+           arg_max(value, ord) AS v_last
+    FROM k GROUP BY bucket
+    """,
+    tags=("events", "timeseries", "downsample"),
+)
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    time bucket keep min, max, first, and last — the four values that
+    make a line chart pixel-exact at any zoom, and the standard
+    width-bounded rollup for dashboarding huge event streams.
+
+    First/last use ``min_by``/``max_by`` over a zero-padded
+    (event-time, event_id) string key — a total order both engines
+    compare identically (the decorated-ordering idiom; numeric
+    composite keys would overflow BIGINT at epoch-micros scale).
+
+    Scale shape: ONE partial+final aggregate keyed by time bucket —
+    min/max/min_by/max_by are all decomposable, so map-side combine
+    reduces each partition to |buckets| rows before the only shuffle.
+    Unlike LTTB (sequentially dependent on the previous selection), M4
+    is embarrassingly parallel — which is why it is the scalable
+    choice at 100 TB.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    ordkey = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            (F.floor(F.unix_micros(F.col("ts")) / _M4_W_US)).cast("bigint").alias("bucket"),
+            ordkey.alias("ord"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.expr("min_by(value, ord)").alias("v_first"),
+            F.expr("max_by(value, ord)").alias("v_last"),
+        )
+    )
