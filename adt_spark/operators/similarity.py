@@ -1016,3 +1016,115 @@ def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return emb.select("vec_id", proj(c1).alias("pc1"), proj(c2).alias("pc2"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011 — the IVFPQ building block)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_SUB = 16       # dims per subspace (4 × 16 = 64)
+_PQ_K = 4          # centroids per subspace codebook
+
+
+@register(
+    "emb_pq_assign",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_PQ_K}
+    ), d AS (
+      SELECT v.vec_id, m.i AS m, cb.cid,
+             list_reduce(list_transform(range({_PQ_SUB}),
+               i -> (vec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])
+                    * (vec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])),
+               (a,b) -> a+b) AS dist
+      FROM v CROSS JOIN range({_PQ_M}) m(i) CROSS JOIN cb
+    ), a AS (
+      SELECT vec_id, m, cid, dist FROM d
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+    ), p AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN cid END) AS c0,
+             max(CASE WHEN m = 1 THEN cid END) AS c1,
+             max(CASE WHEN m = 2 THEN cid END) AS c2,
+             max(CASE WHEN m = 3 THEN cid END) AS c3,
+             max(CASE WHEN m = 0 THEN dist END) AS d0,
+             max(CASE WHEN m = 1 THEN dist END) AS d1,
+             max(CASE WHEN m = 2 THEN dist END) AS d2,
+             max(CASE WHEN m = 3 THEN dist END) AS d3
+      FROM a GROUP BY vec_id
+    )
+    SELECT vec_id,
+           CAST(c0 AS INT) AS code_0, CAST(c1 AS INT) AS code_1,
+           CAST(c2 AS INT) AS code_2, CAST(c3 AS INT) AS code_3,
+           d0 + d1 + d2 + d3 AS recon_err
+    FROM p
+    """,
+    tags=("embedding", "pq", "quantization"),
+)
+def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector
+    into {M} subspaces of {SUB} dims and encode each subspace as its
+    nearest codebook centroid — the compression behind FAISS IVFPQ
+    (64 floats → {M} small codes).  Codebook here is deterministic
+    (sub-vectors of the {K} lowest vec_ids — the sampled-anchor init);
+    a trained codebook drops into the same literal slot.
+
+    Cross-engine exactness (the emb_kmeans_assign discipline):
+    per-subspace distances fold left-to-right over the fixed 16-term
+    array — no cross-row float reduction anywhere — argmin tiebreaks
+    (dist, cid) via field-lexicographic struct min, and the
+    reconstruction error adds the {M} subspace minima in fixed
+    expression order.
+
+    Scale shape: the codebook is M×K×{SUB} floats (kilobytes) living
+    in the plan as literals; encoding is a pure per-row projection —
+    ZERO shuffles at any corpus size, the defining property that makes
+    PQ the 100 TB embedding-compression path.
+    """
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
+    )
+    anchors = {
+        int(r.vec_id): list(r.vec) for r in v.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+
+    def sub_argmin(m: int):
+        sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
+        structs = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(
+                            *[
+                                F.lit(float(x))
+                                for x in cvec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                            ]
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, cvec in sorted(anchors.items())
+        ]
+        return F.array_min(F.array(*structs))
+
+    best = [sub_argmin(m).alias(f"b{m}") for m in range(_PQ_M)]
+    out = v.select("vec_id", *best)
+    return out.select(
+        "vec_id",
+        *[F.col(f"b{m}").getField("cid").cast("int").alias(f"code_{m}") for m in range(_PQ_M)],
+        (
+            F.col("b0").getField("dist")
+            + F.col("b1").getField("dist")
+            + F.col("b2").getField("dist")
+            + F.col("b3").getField("dist")
+        ).alias("recon_err"),
+    )

@@ -399,3 +399,11 @@ def test_ccnet_buckets_no_global_sort(spark, sf_dir):
     assert "Window" not in plan
     assert "rangepartitioning" not in plan  # no global sort
     assert plan.count("HashAggregate") >= 4
+
+
+def test_pq_assign_zero_shuffle(spark, sf_dir):
+    """emb_pq_assign claims PQ's defining scale property: the codebook
+    is plan literals and encoding is a pure per-row projection — zero
+    Exchanges."""
+    plan = _formatted(_q(spark, sf_dir, "emb_pq_assign"))
+    assert "Exchange" not in plan
