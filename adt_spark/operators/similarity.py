@@ -1027,10 +1027,9 @@ _PQ_SUB = 16       # dims per subspace (4 × 16 = 64)
 _PQ_K = 4          # centroids per subspace codebook
 
 
-@register(
-    "emb_pq_assign",
-    oracle=f"""
-    WITH v AS (
+#: PQ code derivation as composable oracle CTEs — shared by
+#: emb_pq_assign and ann_pq_adc_topk.
+_PQ_CTES = f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
     ), cb AS (
@@ -1045,7 +1044,7 @@ _PQ_K = 4          # centroids per subspace codebook
     ), a AS (
       SELECT vec_id, m, cid, dist FROM d
       QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
-    ), p AS (
+    ), pq_codes AS (
       SELECT vec_id,
              max(CASE WHEN m = 0 THEN cid END) AS c0,
              max(CASE WHEN m = 1 THEN cid END) AS c1,
@@ -1056,12 +1055,18 @@ _PQ_K = 4          # centroids per subspace codebook
              max(CASE WHEN m = 2 THEN dist END) AS d2,
              max(CASE WHEN m = 3 THEN dist END) AS d3
       FROM a GROUP BY vec_id
-    )
+    )"""
+
+
+@register(
+    "emb_pq_assign",
+    oracle=f"""
+    WITH {_PQ_CTES}
     SELECT vec_id,
            CAST(c0 AS INT) AS code_0, CAST(c1 AS INT) AS code_1,
            CAST(c2 AS INT) AS code_2, CAST(c3 AS INT) AS code_3,
            d0 + d1 + d2 + d3 AS recon_err
-    FROM p
+    FROM pq_codes
     """,
     tags=("embedding", "pq", "quantization"),
 )
@@ -1128,3 +1133,109 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("b3").getField("dist")
         ).alias("recon_err"),
     )
+
+
+_PQ_NQ = 2   # ADC query count (vec_ids _PQ_K .. _PQ_K+_PQ_NQ-1)
+_PQ_TOPK = 5
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}, q AS (
+      SELECT vec_id AS qid, vec AS qvec FROM v
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+    ), lut AS (
+      SELECT q.qid, m.i AS m, cb.cid,
+             list_reduce(list_transform(range({_PQ_SUB}),
+               i -> (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])
+                    * (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])),
+               (a,b) -> a+b) AS ld
+      FROM q CROSS JOIN range({_PQ_M}) m(i) CROSS JOIN cb
+    ), scored AS (
+      SELECT q.qid, p.vec_id,
+             l0.ld + l1.ld + l2.ld + l3.ld AS adist
+      FROM pq_codes p CROSS JOIN q
+      JOIN lut l0 ON l0.qid = q.qid AND l0.m = 0 AND l0.cid = p.c0
+      JOIN lut l1 ON l1.qid = q.qid AND l1.m = 1 AND l1.cid = p.c1
+      JOIN lut l2 ON l2.qid = q.qid AND l2.m = 2 AND l2.cid = p.c2
+      JOIN lut l3 ON l3.qid = q.qid AND l3.m = 3 AND l3.cid = p.c3
+    )
+    SELECT CAST(qid AS BIGINT) AS query_id, vec_id, adist
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+            <= {_PQ_TOPK}
+    """,
+    tags=("embedding", "pq", "adc", "ann"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (Jégou et al. 2011 asymmetric
+    distance computation — FAISS's IVFPQ query path): per query,
+    precompute a per-subspace lookup table of distances to each
+    codebook centroid (M×K doubles), then score every encoded vector
+    as FOUR table lookups + adds instead of a 64-dim distance — the
+    compressed-domain scan that makes billion-vector search cheap.
+
+    Cross-engine exactness: LUT entries are the same in-order 16-term
+    folds as encoding (Python's left-to-right accumulation ==
+    list_reduce's, since 0.0 + x == x exactly); the approximate
+    distance adds the M lookups in fixed expression order; top-k
+    tiebreaks (adist, vec_id).
+
+    Scale shape: codes live distributed; the LUT is M×K×|queries|
+    doubles embedded as literals (broadcast) — scoring is a pure
+    per-row projection over the codes table, then a per-query
+    WindowGroupLimit top-k.  ZERO joins and zero full-vector reads at
+    query time; the corpus scan touches only the code columns.
+    """
+    codes = emb_pq_assign(spark, sf_dir).select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3"
+    )
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
+    )
+    anchors = {
+        int(r.vec_id): list(r.vec) for r in v.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    queries = {
+        int(r.vec_id): list(r.vec)
+        for r in v.filter(
+            (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
+        ).collect()
+    }
+
+    def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
+        acc = 0.0
+        for i in range(m * _PQ_SUB, (m + 1) * _PQ_SUB):
+            d = qvec[i] - cvec[i]
+            acc += d * d
+        return acc
+
+    per_query = []
+    for qid, qvec in sorted(queries.items()):
+        adist = None
+        for m in range(_PQ_M):
+            lut = F.array(
+                *[
+                    F.lit(lut_entry(qvec, cvec, m))
+                    for _cid, cvec in sorted(anchors.items())
+                ]
+            )
+            term = F.element_at(lut, F.col(f"code_{m}") + 1)
+            adist = term if adist is None else adist + term
+        per_query.append(
+            codes.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                "vec_id",
+                adist.alias("adist"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adist", "vec_id")
+    )
+    return scored.withColumn("_rn", rn).filter(F.col("_rn") <= _PQ_TOPK).drop("_rn")

@@ -407,3 +407,14 @@ def test_pq_assign_zero_shuffle(spark, sf_dir):
     Exchanges."""
     plan = _formatted(_q(spark, sf_dir, "emb_pq_assign"))
     assert "Exchange" not in plan
+
+
+def test_adc_topk_no_joins(spark, sf_dir):
+    """ann_pq_adc_topk claims the compressed-domain scan: the LUT is
+    plan literals, scoring is a projection over the codes — no join
+    operators at query time, top-k via WindowGroupLimit."""
+    plan = _formatted(_q(spark, sf_dir, "ann_pq_adc_topk"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "WindowGroupLimit" in plan
