@@ -53,6 +53,8 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_events_anomaly",
     "q_mixture_temperature",
+    "q_events_m4_downsample",
+    "q_orc_roundtrip_agg",
     "doc_chunk_overlap",
     "pipeline_clean_corpus",
     "pipeline_dedup_funnel",
