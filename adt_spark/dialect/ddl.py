@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 DECLARED_ORDERS: dict[str, list[tuple[str, bool]]] = {}
 
 _CREATE_RE = re.compile(
-    r"^\s*create\s+(?:unbounded\s+)?external\s+table\s+"
+    r"^\s*create\s+(?P<unbounded>unbounded\s+)?external\s+table\s+"
     r"(?P<ine>if\s+not\s+exists\s+)?"
     r"(?P<name>\"[^\"]+\"|`[^`]+`|[A-Za-z_][\w.]*)"
     r"(?P<body>.*)$",
@@ -99,6 +99,7 @@ def parse_create_external_table(sql: str) -> dict | None:
     spec: dict = {
         "name": _unquote(m.group("name")),
         "if_not_exists": bool(m.group("ine")),
+        "unbounded": bool(m.group("unbounded")),
         "schema": None,
         "partition_cols": None,
         "options": {},
@@ -195,6 +196,9 @@ def execute_create_external_table(spark: SparkSession, sql: str) -> DataFrame:
         t.name for t in spark.catalog.listTables()
     ]:
         return spark.createDataFrame([], "result string")
+    if spec["unbounded"]:
+        _register_unbounded(spark, spec)
+        return spark.createDataFrame([], "result string")
     df = register_table(
         spark,
         spec["name"],
@@ -223,3 +227,42 @@ def execute_create_external_table(spark: SparkSession, sql: str) -> DataFrame:
         # sorts (the Spark analog of with_file_sort_order).
         df.sortWithinPartitions(*sort_exprs).createOrReplaceTempView(spec["name"])
     return spark.createDataFrame([], "result string")
+
+
+#: formats Spark's file-stream source supports (the others are
+#: custom readers without a streaming source implementation here).
+_STREAMABLE = {"parquet", "csv", "json", "ndjson", "orc"}
+
+
+def _register_unbounded(spark: SparkSession, spec: dict) -> None:
+    """``CREATE UNBOUNDED EXTERNAL TABLE`` → Structured Streaming
+    source (DataFusion's unbounded listing tables, listing.rs:50-158
+    grammar flag, mapped to Spark's file-stream source: new files
+    appearing under LOCATION become new rows of the stream).
+
+    File streams need a declared schema; when the DDL omits the
+    ``(col type, …)`` list, it is inferred ONCE from the files already
+    present (driver-side batch read of the current listing — the same
+    inference a bounded registration would do), then pinned for the
+    stream's lifetime.
+    """
+    from adt_spark.sources.registry import _FORMATS, UnsupportedFormatError
+
+    fmt = spec["fmt"]
+    if fmt not in _STREAMABLE:
+        raise UnsupportedFormatError(
+            f"UNBOUNDED external tables support {sorted(_STREAMABLE)}; "
+            f"{fmt!r} has no streaming source here"
+        )
+    conf = _FORMATS[fmt]
+    options = {**conf["options"], **(spec["options"] or {})}
+    schema = spec["schema"]
+    if schema is None:
+        reader = spark.read.format(conf["format"])
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        schema = reader.load(spec["location"]).schema
+    stream = spark.readStream.format(conf["format"])
+    for k, v in options.items():
+        stream = stream.option(k, v)
+    stream.schema(schema).load(spec["location"]).createOrReplaceTempView(spec["name"])

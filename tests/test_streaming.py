@@ -239,3 +239,64 @@ def test_anomaly_alerts_stream_matches_batch(spark, sf_dir):
     got = {(r.event_id, r.event_type, r.value, r.zscore) for r in streamed.collect()}
     want = {(r.event_id, r.event_type, r.value, r.zscore) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_unbounded_external_table_streams(spark, tmp_path):
+    """CREATE UNBOUNDED EXTERNAL TABLE (DataFusion's unbounded listing
+    grammar flag) registers a Structured Streaming file source: new
+    files under LOCATION become new rows of the stream."""
+    from adt_spark.context import ADTContext
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    src = str(tmp_path / "ub_src")
+    spark.range(5).write.mode("overwrite").parquet(src)
+    ctx.sql(f"CREATE UNBOUNDED EXTERNAL TABLE ub_tbl STORED AS parquet LOCATION '{src}'")
+    sdf = spark.sql("SELECT count(*) AS n FROM ub_tbl")
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ub_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT n FROM ub_counts").collect()[0].n == 5
+    # a new file landing in LOCATION is picked up by the next run
+    spark.range(5, 8).write.mode("append").parquet(src)
+    q2 = (
+        spark.sql("SELECT count(*) AS n FROM ub_tbl")
+        .writeStream.format("memory")
+        .queryName("ub_counts2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT n FROM ub_counts2").collect()[0].n == 8
+
+
+def test_unbounded_declared_schema_and_format_guard(spark, tmp_path):
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.registry import UnsupportedFormatError
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    src = str(tmp_path / "ub_csv")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "a.csv"), "w") as f:
+        f.write("7,alpha\n8,beta\n")
+    ctx.sql(
+        "CREATE UNBOUNDED EXTERNAL TABLE ub_csv (k INT, v TEXT) "
+        f"STORED AS csv LOCATION '{src}'"
+    )
+    sdf = spark.sql("SELECT k, v FROM ub_csv")
+    assert sdf.isStreaming
+    assert [f.name for f in sdf.schema.fields] == ["k", "v"]
+    with __import__("pytest").raises(UnsupportedFormatError, match="streaming"):
+        ctx.sql(
+            f"CREATE UNBOUNDED EXTERNAL TABLE ub_bad STORED AS arrow LOCATION '{src}'"
+        )
