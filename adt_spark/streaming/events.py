@@ -473,3 +473,50 @@ def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(alerts, spark, "append")
+
+
+@register("streaming_m4_downsample", oracle=None, tags=("streaming", "downsample"))
+def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming M4 downsampling: the q_events_m4_downsample rollup
+    (per-bucket min/max/first/last — Jugel et al. 2014) as an
+    unbounded computation — the live-dashboard half of the operator.
+
+    6-hour tumbling windows (epoch-aligned, so window.start/width ==
+    the batch bucket key) with a 12-hour watermark; all four stats
+    are decomposable aggregates, so streaming state per window is
+    four scalars + the count — bounded by |open windows|, not rows.
+
+    (No SQL oracle: watermarked triggers are not SQL-expressible;
+    the batch equivalent IS oracle-checked, and test_streaming.py
+    pins stream == batch, the stronger guarantee.)
+    """
+    from adt_spark.queries.events import _M4_W_US
+
+    tables(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir)
+    ordkey = F.format_string(
+        "%020d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    agg = (
+        stream.select("ts", "event_id", "value", ordkey.alias("ord"))
+        .withWatermark("ts", "12 hours")
+        .groupBy(F.window("ts", "6 hours").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.expr("min_by(value, ord)").alias("v_first"),
+            F.expr("max_by(value, ord)").alias("v_last"),
+        )
+        .select(
+            (F.unix_micros(F.col("win.start")) / F.lit(_M4_W_US))
+            .cast("bigint")
+            .alias("bucket"),
+            "n_points",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+    return _drain_to_memory(agg, spark, "complete")

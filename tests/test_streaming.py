@@ -300,3 +300,16 @@ def test_unbounded_declared_schema_and_format_guard(spark, tmp_path):
         ctx.sql(
             f"CREATE UNBOUNDED EXTERNAL TABLE ub_bad STORED AS arrow LOCATION '{src}'"
         )
+
+
+def test_streaming_m4_matches_batch(spark, sf_dir):
+    """streaming_m4_downsample drains to exactly the oracle-checked
+    batch M4 rollup (same buckets, same four stats per bucket)."""
+    from adt_spark.queries import load_all
+
+    reg = load_all()
+    streamed = reg["streaming_m4_downsample"].spark_fn(spark, sf_dir)
+    batch = reg["q_events_m4_downsample"].spark_fn(spark, sf_dir)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
