@@ -678,6 +678,32 @@ def write_delta_native(
             )
     actions.extend(adds)
 
+    if mode == "append" and snap is not None:
+        # Delta OCC: a blind append (no read predicate) commutes with
+        # any concurrent data commit, so on a version collision replay
+        # the new log and re-commit the SAME adds at the next version —
+        # aborting only when the table's metadata or protocol changed
+        # underneath us (delta-spark's ConcurrentAppend resolution).
+        for attempt in range(4):
+            try:
+                _atomic_write(_log_path(location, version), actions)
+                return version
+            except DeltaWriteError as exc:
+                if "concurrent commit" not in str(exc) or attempt == 3:
+                    raise
+                newsnap = replay_snapshot(df.sparkSession, location)
+                if (
+                    newsnap.schema != snap.schema
+                    or newsnap.partition_columns != snap.partition_columns
+                    or (newsnap.configuration or {}) != (snap.configuration or {})
+                    or (newsnap.protocol or {}) != (snap.protocol or {})
+                ):
+                    raise DeltaWriteError(
+                        "concurrent metadata/protocol change during append "
+                        "— re-run the write against the new table state"
+                    ) from exc
+                snap = newsnap
+                version = newsnap.version + 1
     _atomic_write(_log_path(location, version), actions)
     return version
 

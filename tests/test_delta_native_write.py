@@ -1002,3 +1002,78 @@ def test_show_tblproperties(spark, tmp_path):
     add_constraint(spark, loc, "id_pos", "id >= 0")
     rows = {(r.key, r.value) for r in ctx.sql(f"SHOW TBLPROPERTIES delta.`{loc}`").collect()}
     assert rows == {("delta.constraints.id_pos", "id >= 0")}
+
+
+def test_append_occ_retry(spark, tmp_path):
+    """Delta OCC: a blind append landing on a taken version replays
+    and re-commits at the next one; a concurrent METADATA change
+    aborts instead."""
+    loc = str(tmp_path / "occ")
+    write_delta_native(spark.range(3).select("id"), loc)
+    # a racing data commit takes version 1 between replay and publish:
+    # simulate by pre-placing a valid data commit at version 1
+    existing_rel = next(iter(replay_snapshot(spark, loc).files))
+    racing = {
+        "add": {
+            "path": existing_rel,  # a real file: replay + reads stay valid
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+    _append_log_action(loc, 1, racing)
+    # the append sees version 1 during its own replay? No — force the
+    # collision window: write_delta_native replays (sees v1), targets
+    # v2; place another racing commit at v2 first.
+    import json as _json
+    import os as _os
+
+    # first append: replays log (v0+v1) and lands cleanly at v2
+    v = write_delta_native(spark.range(3, 5).select("id"), loc, mode="append")
+    assert v == 2
+    # now patch _atomic_write's collision path: pre-create v3 then ask
+    # for an append — the writer replays (v<=2 … wait v3 exists so
+    # replay already sees it).  Instead simulate the true race with a
+    # monkeypatched first attempt:
+    from adt_spark.sources import delta_native_write as w
+
+    real_atomic = w._atomic_write
+    calls = {"n": 0}
+
+    def racy_atomic(path, lines):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # racer lands the exact version our commit targeted
+            with open(path, "w") as f:
+                f.write(_json.dumps(racing) + "\n")
+        return real_atomic(path, lines)
+
+    w._atomic_write = racy_atomic
+    try:
+        v = write_delta_native(spark.range(5, 7).select("id"), loc, mode="append")
+    finally:
+        w._atomic_write = real_atomic
+    assert v == 4  # bumped past the racer's version 3
+    assert {r.id for r in read_delta_native(spark, loc).collect()} >= {0, 1, 2, 3, 4, 5, 6}
+    # metadata change mid-append aborts
+    meta = [
+        _json.loads(l)
+        for l in open(_os.path.join(loc, "_delta_log", f"{0:020d}.json"))
+        if "metaData" in l
+    ][0]["metaData"]
+    meta["configuration"] = {"delta.appendOnly": "true"}
+
+    def racy_meta(path, lines):
+        if calls["n"] == 1:
+            calls["n"] += 1
+            with open(path, "w") as f:
+                f.write(_json.dumps({"metaData": meta}) + "\n")
+        return real_atomic(path, lines)
+
+    w._atomic_write = racy_meta
+    try:
+        with pytest.raises(DeltaWriteError, match="concurrent metadata"):
+            write_delta_native(spark.range(7, 8).select("id"), loc, mode="append")
+    finally:
+        w._atomic_write = real_atomic
