@@ -87,6 +87,10 @@ class _Snapshot:
     file_sizes: dict[str, int] = field(default_factory=dict)
     #: metaData.id — stable table identity, preserved across commits
     table_id: str = ""
+    #: SetTransaction state: appId → highest txn version seen
+    #: (Delta PROTOCOL.md "Transaction Identifiers" — idempotent
+    #: writer support; checkpoints must carry these)
+    transactions: dict[str, int] = field(default_factory=dict)
 
 
 def _is_url(location: str) -> bool:
@@ -221,6 +225,12 @@ def _apply_action(snap: _Snapshot, action: dict) -> None:
             snap.file_stats[add["path"]] = stats
         if size := add.get("size"):
             snap.file_sizes[add["path"]] = int(size)
+    if txn := action.get("txn"):
+        app = txn.get("appId")
+        if app is not None:
+            v = int(txn.get("version") or 0)
+            if v > snap.transactions.get(app, -1):
+                snap.transactions[app] = v
     if rm := action.get("remove"):
         snap.files.pop(rm["path"], None)
         snap.file_stats.pop(rm["path"], None)
@@ -310,6 +320,9 @@ def _apply_checkpoint_df(spark, snap: _Snapshot, cp: DataFrame, location: str) -
         )
         for row in cp.filter(F.col("add").isNotNull()).select(*sel).collect():
             _apply_action(snap, {"add": row.asDict(recursive=True)})
+    if "txn" in cols:
+        for row in cp.filter(F.col("txn").isNotNull()).select("txn").collect():
+            _apply_action(snap, {"txn": row[0].asDict()})
     if "sidecar" in cols:
         for row in (
             cp.filter(F.col("sidecar").isNotNull()).select("sidecar.path").collect()

@@ -508,6 +508,7 @@ def write_delta_native(
     mode: str = "append",
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` to a Delta table at ``location``; returns the
     committed version.  ``mode``: ``append`` (create if absent) or
@@ -521,6 +522,14 @@ def write_delta_native(
     type-widening evolution — the delta-spark default posture).
     Evolution is refused on column-mapped tables (new fields need
     physical names + id assignment).
+
+    ``txn=(app_id, version)`` makes the write IDEMPOTENT (Delta
+    PROTOCOL.md "Transaction Identifiers"): the commit carries a
+    SetTransaction action, and a write whose version is <= the
+    table's last recorded version for that app is SKIPPED (returns
+    the current table version) — exactly-once semantics for
+    streaming/retried producers, delta-spark's
+    ``txnAppId``/``txnVersion`` option pair.
     """
     if mode not in ("append", "overwrite"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
@@ -531,6 +540,8 @@ def write_delta_native(
     exists = bool(commits or checkpoints)
     if exists:
         snap = replay_snapshot(df.sparkSession, location)
+        if txn is not None and snap.transactions.get(txn[0], -1) >= txn[1]:
+            return snap.version  # already applied — idempotent skip
         _check_writable(snap, "append" if mode == "append" else "overwrite")
         version = snap.version + 1
         gens = _generated_fields(snap)
@@ -646,6 +657,8 @@ def write_delta_native(
             }
         }
     ]
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1]), "lastUpdated": ts}})
     # data columns first, partition columns last (reader appends them,
     # matching reference deltatable.rs:136-189 field order)
     if not exists:
@@ -692,6 +705,8 @@ def write_delta_native(
                 if "concurrent commit" not in str(exc) or attempt == 3:
                     raise
                 newsnap = replay_snapshot(df.sparkSession, location)
+                if txn is not None and newsnap.transactions.get(txn[0], -1) >= txn[1]:
+                    return newsnap.version  # racer applied our txn
                 if (
                     newsnap.schema != snap.schema
                     or newsnap.partition_columns != snap.partition_columns
@@ -725,17 +740,33 @@ def write_checkpoint(spark, location: str) -> int:
     snap = replay_snapshot(spark, location)
     n = snap.version
     proto_rows, meta_rows, add_rows = [], [], []
-    proto_rows.append({"minReaderVersion": 1, "minWriterVersion": 2})
+    # preserve the table's REAL protocol and metaData — a checkpoint
+    # that resets them would silently drop constraints/appendOnly
+    # config and protocol requirements once the JSON commits are
+    # truncated
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    proto_rows.append(
+        {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }
+    )
     meta_rows.append(
         {
-            "id": str(uuid.uuid4()),
+            "id": snap.table_id or str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": snap.schema.json(),
             "partitionColumns": snap.partition_columns,
-            "configuration": {},
+            "configuration": snap.configuration or {},
             "createdTime": int(time.time() * 1000),
         }
     )
+    txn_rows = [
+        {"appId": app, "version": int(v)}
+        for app, v in sorted(snap.transactions.items())
+    ]
     for path, (pvals, dv) in snap.files.items():
         add_rows.append(
             {
@@ -756,13 +787,22 @@ def write_checkpoint(spark, location: str) -> int:
         rows.append({"protocol": None, "metaData": m, "add": None})
     for a in add_rows:
         rows.append({"protocol": None, "metaData": None, "add": a})
+    for t in txn_rows:
+        rows.append({"protocol": None, "metaData": None, "add": None, "txn": t})
+    for r in rows:
+        r.setdefault("txn", None)
 
     schema = pa.schema(
         [
             pa.field(
                 "protocol",
                 pa.struct(
-                    [pa.field("minReaderVersion", pa.int32()), pa.field("minWriterVersion", pa.int32())]
+                    [
+                        pa.field("minReaderVersion", pa.int32()),
+                        pa.field("minWriterVersion", pa.int32()),
+                        pa.field("readerFeatures", pa.list_(pa.string())),
+                        pa.field("writerFeatures", pa.list_(pa.string())),
+                    ]
                 ),
             ),
             pa.field(
@@ -796,6 +836,12 @@ def write_checkpoint(spark, location: str) -> int:
                         pa.field("stats", pa.string()),
                         pa.field("size", pa.int64()),
                     ]
+                ),
+            ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [pa.field("appId", pa.string()), pa.field("version", pa.int64())]
                 ),
             ),
         ]

@@ -1077,3 +1077,83 @@ def test_append_occ_retry(spark, tmp_path):
             write_delta_native(spark.range(7, 8).select("id"), loc, mode="append")
     finally:
         w._atomic_write = real_atomic
+
+
+# --- transaction identifiers (idempotent writes) ---------------------------
+
+
+def test_txn_idempotent_appends(spark, tmp_path):
+    """SetTransaction (txn appId/version): replaying the same producer
+    version is a no-op; higher versions commit; state survives a
+    checkpoint."""
+    from adt_spark.sources.delta_native_write import write_checkpoint
+
+    loc = str(tmp_path / "txn")
+    write_delta_native(spark.range(3).select("id"), loc)
+    v = write_delta_native(
+        spark.range(3, 5).select("id"), loc, mode="append", txn=("job-a", 1)
+    )
+    assert v == 1
+    assert replay_snapshot(spark, loc).transactions == {"job-a": 1}
+    # same (app, version) again → skipped, nothing committed
+    v = write_delta_native(
+        spark.range(100, 200).select("id"), loc, mode="append", txn=("job-a", 1)
+    )
+    assert v == 1
+    assert read_delta_native(spark, loc).count() == 5
+    # stale (lower) version also skipped
+    v = write_delta_native(
+        spark.range(100, 200).select("id"), loc, mode="append", txn=("job-a", 0)
+    )
+    assert read_delta_native(spark, loc).count() == 5
+    # next version commits
+    v = write_delta_native(
+        spark.range(5, 6).select("id"), loc, mode="append", txn=("job-a", 2)
+    )
+    assert v == 2
+    assert read_delta_native(spark, loc).count() == 6
+    # a different app is independent
+    write_delta_native(
+        spark.range(6, 7).select("id"), loc, mode="append", txn=("job-b", 1)
+    )
+    snap = replay_snapshot(spark, loc)
+    assert snap.transactions == {"job-a": 2, "job-b": 1}
+    # txn state (and protocol/config/table id) survive checkpoint + truncation
+    cp_v = write_checkpoint(spark, loc)
+    log_dir = os.path.join(loc, "_delta_log")
+    for i in range(cp_v + 1):
+        p = os.path.join(log_dir, f"{i:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap2 = replay_snapshot(spark, loc)
+    assert snap2.transactions == {"job-a": 2, "job-b": 1}
+    assert snap2.table_id == snap.table_id
+    v = write_delta_native(
+        spark.range(200, 300).select("id"), loc, mode="append", txn=("job-a", 2)
+    )
+    assert read_delta_native(spark, loc).count() == 7  # still skipped
+
+
+def test_checkpoint_preserves_config_and_protocol(spark, tmp_path):
+    """A checkpoint must carry the REAL table configuration and
+    protocol — truncating the JSON commits must not drop constraints
+    or protocol requirements."""
+    from adt_spark.sources.delta_native_write import add_constraint, write_checkpoint
+
+    loc = str(tmp_path / "cpfid")
+    write_delta_native(spark.range(4).select("id"), loc)
+    add_constraint(spark, loc, "id_pos", "id >= 0")
+    cp_v = write_checkpoint(spark, loc)
+    log_dir = os.path.join(loc, "_delta_log")
+    for i in range(cp_v + 1):
+        p = os.path.join(log_dir, f"{i:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    snap = replay_snapshot(spark, loc)
+    assert snap.configuration == {"delta.constraints.id_pos": "id >= 0"}
+    assert snap.protocol["minWriterVersion"] == 3
+    # and the constraint still ENFORCES after truncation
+    with pytest.raises(DeltaWriteError, match="id_pos"):
+        write_delta_native(
+            spark.createDataFrame([(-5,)], "id bigint"), loc, mode="append"
+        )
