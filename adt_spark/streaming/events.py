@@ -353,8 +353,13 @@ def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # complete mode re-emits the whole rollup each batch → each
-        # commit overwrites (the writer creates the table on first use)
-        write_delta_native(batch_df, target, mode="overwrite")
+        # commit overwrites (the writer creates the table on first use).
+        # txn=(app, batch_id) is delta-spark's foreachBatch idempotency
+        # recipe (txnAppId/txnVersion): a batch re-delivered after a
+        # restart skips instead of double-committing — exactly-once.
+        write_delta_native(
+            batch_df, target, mode="overwrite", txn=("stream-hourly", batch_id)
+        )
 
     q = (
         windowed_counts_stream(spark, os.path.join(sf_dir, "events.parquet"))
