@@ -15,6 +15,7 @@ delta-spark present parse natively in Spark SQL):
     DESCRIBE HISTORY delta.`/path`
     DESCRIBE DETAIL delta.`/path`
     SHOW TBLPROPERTIES delta.`/path`
+    CONVERT TO DELTA parquet.`/path`
     ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
     ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
 
@@ -60,6 +61,10 @@ _TBLPROPS = re.compile(
     r"^\s*SHOW\s+TBLPROPERTIES\s+delta\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
+_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+DELTA\s+parquet\.`(?P<path>[^`]+)`\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+delta\.`(?P<path>[^`]+)`"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
@@ -91,6 +96,7 @@ def is_delta_dml(sql: str) -> bool:
         or _DROP_CONSTRAINT.match(sql)
         or _DETAIL.match(sql)
         or _TBLPROPS.match(sql)
+        or _CONVERT.match(sql)
     )
 
 
@@ -317,6 +323,11 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
             "numFiles bigint, sizeInBytes bigint, properties string, "
             "minReaderVersion int, minWriterVersion int",
         )
+    if m := _CONVERT.match(sql):
+        from adt_spark.sources.delta_native_write import convert_to_delta
+
+        version = convert_to_delta(spark, m.group("path"))
+        return spark.createDataFrame([(version,)], "version bigint")
     if m := _TBLPROPS.match(sql):
         from adt_spark.sources.delta_native import replay_snapshot
 

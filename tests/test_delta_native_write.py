@@ -1157,3 +1157,51 @@ def test_checkpoint_preserves_config_and_protocol(spark, tmp_path):
         write_delta_native(
             spark.createDataFrame([(-5,)], "id bigint"), loc, mode="append"
         )
+
+
+def test_convert_to_delta(spark, tmp_path):
+    """CONVERT TO DELTA parquet.`path`: a Delta log materializes over
+    the existing parquet files in place — no rewrite; partitioned
+    layouts keep typed partition columns; DML works afterward."""
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.delta_native_write import delete_where
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    # plain directory
+    flat = str(tmp_path / "cv_flat")
+    spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")).write.parquet(flat)
+    before = sorted(
+        f for f in os.listdir(flat) if f.endswith(".parquet")
+    )
+    out = ctx.sql(f"CONVERT TO DELTA parquet.`{flat}`")
+    assert out.first()["version"] == 0
+    got = read_delta_native(spark, flat)
+    assert got.count() == 10
+    # same physical files — nothing rewritten
+    assert sorted(f for f in os.listdir(flat) if f.endswith(".parquet")) == before
+    # already-converted refuses
+    with pytest.raises(DeltaWriteError, match="already a Delta table"):
+        ctx.sql(f"CONVERT TO DELTA parquet.`{flat}`")
+    # stats landed → file skipping available; DML works on the converted table
+    snap = replay_snapshot(spark, flat)
+    assert all(snap.file_stats.get(p) for p in snap.files)
+    _v, n = delete_where(spark, flat, "id >= 8")
+    assert n == 2
+    assert read_delta_native(spark, flat).count() == 8
+
+    # hive-partitioned directory
+    part = str(tmp_path / "cv_part")
+    spark.range(12).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("p")
+    ).write.partitionBy("p").parquet(part)
+    ctx.sql(f"CONVERT TO DELTA parquet.`{part}`")
+    got = read_delta_native(spark, part)
+    assert got.count() == 12
+    assert dict(got.dtypes)["p"] == "int"
+    assert {r.p for r in got.select("p").distinct().collect()} == {0, 1, 2}
+    # appending through the native writer keeps the layout
+    write_delta_native(
+        spark.createDataFrame([(100, 1)], "id bigint, p int"), part, mode="append"
+    )
+    assert read_delta_native(spark, part).count() == 13
