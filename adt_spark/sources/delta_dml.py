@@ -16,6 +16,7 @@ delta-spark present parse natively in Spark SQL):
     DESCRIBE DETAIL delta.`/path`
     SHOW TBLPROPERTIES delta.`/path`
     CONVERT TO DELTA parquet.`/path`
+    CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src` [VERSION AS OF n]
     ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
     ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
 
@@ -65,6 +66,12 @@ _CONVERT = re.compile(
     r"^\s*CONVERT\s+TO\s+DELTA\s+parquet\.`(?P<path>[^`]+)`\s*;?\s*$",
     re.IGNORECASE,
 )
+_CLONE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+delta\.`(?P<dst>[^`]+)`"
+    r"\s+SHALLOW\s+CLONE\s+delta\.`(?P<src>[^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+delta\.`(?P<path>[^`]+)`"
     r"(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*$",
@@ -97,6 +104,7 @@ def is_delta_dml(sql: str) -> bool:
         or _DETAIL.match(sql)
         or _TBLPROPS.match(sql)
         or _CONVERT.match(sql)
+        or _CLONE.match(sql)
     )
 
 
@@ -328,6 +336,18 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
 
         version = convert_to_delta(spark, m.group("path"))
         return spark.createDataFrame([(version,)], "version bigint")
+    if m := _CLONE.match(sql):
+        from adt_spark.sources.delta_native_write import shallow_clone
+
+        version, n_files = shallow_clone(
+            spark,
+            m.group("src"),
+            m.group("dst"),
+            int(m.group("version")) if m.group("version") else None,
+        )
+        return spark.createDataFrame(
+            [(version, n_files)], "version bigint, num_referenced_files bigint"
+        )
     if m := _TBLPROPS.match(sql):
         from adt_spark.sources.delta_native import replay_snapshot
 

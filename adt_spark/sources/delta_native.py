@@ -692,7 +692,8 @@ def table_changes(
                     f"table_changes cannot derive CDC for {rel}: it carries "
                     "a deletion vector (use delta-spark CDF)"
                 )
-            abs_path = os.path.join(location, *rel.split("/"))
+            # plain join: absolute paths (shallow clones) pass through
+            abs_path = os.path.join(location, rel)
             if not _is_url(location) and not os.path.exists(abs_path):
                 raise FileNotFoundError(
                     f"CDC source file missing (vacuumed?): {rel} at version {v}"

@@ -1043,6 +1043,12 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
     for rel, ts_ms in tombstones.items():
         if rel in live or ts_ms >= cutoff_ms:
             continue
+        if rel.startswith("/") or "://" in rel:
+            # EXTERNAL file (an absolute path — e.g. a shallow clone's
+            # reference into its source table): never vacuumed; only
+            # files under this table's own root are reclaimable
+            # (delta-spark's vacuum boundary).
+            continue
         abs_path = os.path.join(location, *rel.split("/"))
         if os.path.exists(abs_path):
             os.remove(abs_path)
@@ -1959,3 +1965,69 @@ def convert_to_delta(spark, location: str) -> int:
     os.makedirs(log_dir, exist_ok=True)
     _atomic_write(_log_path(location, 0), actions)
     return 0
+
+
+def shallow_clone(
+    spark, src: str, dst: str, version: int | None = None
+) -> tuple[int, int]:
+    """``CREATE TABLE delta.`dst` SHALLOW CLONE delta.`src` [VERSION
+    AS OF n]`` — delta-spark's zero-copy fork: the clone's commit 0
+    references the source's data files by ABSOLUTE path (the Delta
+    spec allows absolute ``add.path``), so cloning costs one metadata
+    commit regardless of table size.  Writes to the clone diverge
+    copy-on-write (new files land under ``dst``); VACUUM on the clone
+    never reclaims source files (absolute paths are outside the
+    vacuum boundary).  Returns (clone version 0, files referenced).
+    """
+    snap = replay_snapshot(spark, src, version)
+    for path, (_pvals, dv) in snap.files.items():
+        if dv is not None:
+            raise DeltaWriteError(
+                f"shallow clone: {path} carries a deletion vector "
+                "(clone after VACUUM/OPTIMIZE, or use delta-spark)"
+            )
+    log_dir = os.path.join(dst, "_delta_log")
+    if os.path.isdir(log_dir) and os.listdir(log_dir):
+        raise DeltaWriteError(f"{dst} is already a Delta table")
+    src_abs = os.path.abspath(src)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "CLONE",
+                "operationParameters": {
+                    "source": src,
+                    "sourceVersion": snap.version,
+                },
+                "engineInfo": "adt-spark native delta writer",
+            }
+        },
+        {"protocol": snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),  # a clone is a NEW table
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": snap.configuration or {},
+                "createdTime": ts,
+            }
+        },
+    ]
+    for rel, (pvals, _dv) in snap.files.items():
+        actions.append(
+            {
+                "add": {
+                    "path": os.path.join(src_abs, rel),
+                    "partitionValues": pvals,
+                    "size": snap.file_sizes.get(rel, 0),
+                    "modificationTime": ts,
+                    "dataChange": True,
+                    **({"stats": snap.file_stats[rel]} if rel in snap.file_stats else {}),
+                }
+            }
+        )
+    os.makedirs(log_dir, exist_ok=True)
+    _atomic_write(_log_path(dst, 0), actions)
+    return 0, len(snap.files)

@@ -1205,3 +1205,44 @@ def test_convert_to_delta(spark, tmp_path):
         spark.createDataFrame([(100, 1)], "id bigint, p int"), part, mode="append"
     )
     assert read_delta_native(spark, part).count() == 13
+
+
+def test_shallow_clone(spark, tmp_path):
+    """SHALLOW CLONE: zero-copy fork — the clone references source
+    files by absolute path; writes diverge copy-on-write; vacuum on
+    the clone never reclaims source files."""
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.delta_native_write import delete_where, vacuum
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    src = str(tmp_path / "cl_src")
+    dst = str(tmp_path / "cl_dst")
+    write_delta_native(spark.range(6).select("id"), src)
+    write_delta_native(spark.range(6, 9).select("id"), src, mode="append")
+    out = ctx.sql(
+        f"CREATE TABLE delta.`{dst}` SHALLOW CLONE delta.`{src}` VERSION AS OF 0"
+    )
+    assert out.first()["version"] == 0
+    # clone sees the source's version-0 data without copying any file
+    assert read_delta_native(spark, dst).count() == 6
+    assert not [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    # a fresh table identity
+    assert replay_snapshot(spark, dst).table_id != replay_snapshot(spark, src).table_id
+    # writes to the clone land under the clone and leave the source alone
+    write_delta_native(spark.range(100, 102).select("id"), dst, mode="append")
+    assert read_delta_native(spark, dst).count() == 8
+    assert read_delta_native(spark, src).count() == 9
+    # copy-on-write delete on the clone: rewrites into dst
+    _v, n = delete_where(spark, dst, "id < 2")
+    assert n == 2
+    assert read_delta_native(spark, dst).count() == 6
+    assert read_delta_native(spark, src).count() == 9  # source untouched
+    # vacuum on the clone must NOT delete the (tombstoned, absolute-
+    # path) source files
+    deleted = vacuum(spark, dst, retain_hours=0.0)
+    assert deleted == []
+    assert read_delta_native(spark, src).count() == 9
+    # cloning over an existing table refuses
+    with pytest.raises(DeltaWriteError, match="already a Delta table"):
+        ctx.sql(f"CREATE TABLE delta.`{dst}` SHALLOW CLONE delta.`{src}`")
