@@ -1373,3 +1373,126 @@ def pipeline_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+_CAL_EST_SQL = " + ".join(
+    f"(CASE WHEN sa.sig{k} = sb.sig{k} THEN 1 ELSE 0 END)" for k in range(_N_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    dsh AS (
+        SELECT doc_id, {_D_DHASH} AS d FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_SIG_SQL}
+        FROM dsh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {_BAND_KEYS_SQL}
+        FROM sigs
+    ),
+    exploded AS (
+{_BAND_UNION_SQL}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exploded a JOIN exploded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    overlap AS (
+        SELECT doc_a, doc_b, count(*) AS c
+        FROM cands
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b AND x.shingle = y.shingle
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(coalesce(o.c, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(o.c, 0)) AS jaccard_exact,
+           CAST({{_CAL_EST_SQL}} AS DOUBLE) / {_N_HASHES} AS jaccard_est
+    FROM cands c
+    LEFT JOIN overlap o USING (doc_a, doc_b)
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    JOIN sigs sga ON c.doc_a = sga.doc_id
+    JOIN sigs sgb ON c.doc_b = sgb.doc_id
+    """.replace("{_CAL_EST_SQL}", _CAL_EST_SQL.replace("sa.sig", "sga.sig").replace("sb.sig", "sgb.sig")),
+    tags=("dedup", "minhash", "calibration"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    report the EXACT shingle Jaccard next to the signature ESTIMATE
+    (fraction of the 12 min-hash components that agree, the unbiased
+    MinHash estimator) — the QA step that tells you whether a banding
+    threshold is trustworthy before deduplicating 100 TB with it.
+
+    Scale shape: identical to dedup_minhash_lsh's census (per-row
+    signature folds, one band-bucket shuffle, broadcast pair
+    verification); the estimator column adds one broadcast join of
+    the tiny signature table per side — candidate-pair-sized work,
+    not corpus-sized.  Exactness: the estimate is an integer
+    agreement count / 12, the exact side is integer set arithmetic —
+    one double division each.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pre = _shingle_arrays(docs)
+    dhash = _dhash_arrays(pre)
+    sigs = dhash.filter(F.size("dhash_arr") > 0).select("doc_id", *_minhash_sig_cols())
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[
+                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    sigs = sigs.localCheckpoint(eager=False)
+    bands = sigs.select("doc_id", *band_cols)
+    exploded = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])).alias("band_key"),
+    )
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("shingle_arr").alias("arr_a"))
+    pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("shingle_arr").alias("arr_b"))
+    both = pb.join(F.broadcast(pa.join(F.broadcast(cands), ["doc_a"])), ["doc_b"])
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    na, nb = F.size("arr_a"), F.size("arr_b")
+    sga = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig{k}").alias(f"a{k}") for k in range(_N_HASHES)]
+    )
+    sgb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig{k}").alias(f"b{k}") for k in range(_N_HASHES)]
+    )
+    agree = None
+    for k in range(_N_HASHES):
+        term = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        both.join(F.broadcast(sga), ["doc_a"])
+        .join(F.broadcast(sgb), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (c.cast("double") / (na + nb - c)).alias("jaccard_exact"),
+            (agree.cast("double") / _N_HASHES).alias("jaccard_est"),
+        )
+    )
