@@ -1239,3 +1239,62 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("query_id").orderBy("adist", "vec_id")
     )
     return scored.withColumn("_rn", rn).filter(F.col("_rn") <= _PQ_TOPK).drop("_rn")
+
+
+@register(
+    "pipeline_cluster_quality_report",
+    oracle=f"""
+    WITH {_KM_CTES},
+    q AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS passes
+        FROM documents
+    )
+    SELECT km.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.passes) AS BIGINT) AS n_pass,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+    FROM km_assign km JOIN q ON km.vec_id = q.doc_id
+    GROUP BY km.cluster_id
+    """,
+    tags=("pipeline", "embedding", "quality"),
+)
+def pipeline_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit — the cross-modal report a
+    curation pipeline runs before choosing per-cluster sampling rates:
+    join every document's rule-based quality gate (text side) with its
+    k-means cluster (embedding side) and aggregate pass-rates per
+    cluster.  Clusters with low pass-rates are pruned or downsampled
+    wholesale (the SemDeDup/DataComp-style curation loop).
+
+    Scale shape: the k-means assignment is the zero-shuffle
+    literal-centroid projection (emb_kmeans_assign); the text gate is
+    a scan-speed projection; the join is doc_id = vec_id equi-join
+    (co-partitionable at scale) followed by a |clusters|-row
+    partial+final aggregate.  Exactness: counts and BIGINT sums only.
+    """
+    from pyspark.sql import functions as F
+
+    km = emb_kmeans_assign(spark, sf_dir)
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    q = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when((n_tokens >= 20) & (distinct_ratio > 0.3), 1).otherwise(0).alias("passes"),
+    )
+    return (
+        km.join(q, km.vec_id == q.doc_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("passes").cast("bigint").alias("n_pass"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
