@@ -19,6 +19,7 @@ delta-spark present parse natively in Spark SQL):
     CREATE TABLE delta.`/dst` SHALLOW CLONE delta.`/src` [VERSION AS OF n]
     ALTER TABLE delta.`/path` ADD CONSTRAINT name CHECK (<expr>)
     ALTER TABLE delta.`/path` DROP CONSTRAINT [IF EXISTS] name
+    ALTER TABLE delta.`/path` SET TBLPROPERTIES ('k'='v', ...)
 
 Each returns a 1-row metrics DataFrame (affected-row / file counts),
 matching the shape Spark's own DML commands report.
@@ -83,6 +84,11 @@ _ADD_CONSTRAINT = re.compile(
     r"\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_SET_TBLPROPS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+delta\.`(?P<path>[^`]+)`"
+    r"\s+SET\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+delta\.`(?P<path>[^`]+)`"
     r"\s+DROP\s+CONSTRAINT\s+(?P<if_exists>IF\s+EXISTS\s+)?"
@@ -105,6 +111,7 @@ def is_delta_dml(sql: str) -> bool:
         or _TBLPROPS.match(sql)
         or _CONVERT.match(sql)
         or _CLONE.match(sql)
+        or _SET_TBLPROPS.match(sql)
     )
 
 
@@ -356,6 +363,16 @@ def execute_delta_dml(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             props or [("", "")], "key string, value string"
         ).filter("key != '' OR value != ''")
+    if m := _SET_TBLPROPS.match(sql):
+        from adt_spark.sources.delta_native_write import set_tblproperties
+
+        props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", m.group("props")))
+        if not props:
+            raise ValueError(
+                f"no 'key'='value' pairs in SET TBLPROPERTIES: {m.group('props')!r}"
+            )
+        version = set_tblproperties(spark, m.group("path"), props)
+        return spark.createDataFrame([(version,)], "version bigint")
     if m := _ADD_CONSTRAINT.match(sql):
         from adt_spark.sources.delta_native_write import add_constraint
 

@@ -129,7 +129,15 @@ def _file_stats(meta) -> str:
 #: in _check_writable.  Anything else aborts (Delta protocol: a writer
 #: MUST NOT commit to a table whose writer requirements it does not
 #: understand).
-_SUPPORTED_WRITER_FEATURES = {"appendOnly", "invariants", "timestampNtz"}
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "timestampNtz",
+    # DV-aware: appends never touch DVs; DELETE writes them when
+    # delta.enableDeletionVectors=true; rewriting DML on DV-bearing
+    # files is refused per file (see delete_where/update_where/merge).
+    "deletionVectors",
+}
 
 
 def _check_writable(snap, operation: str) -> None:
@@ -889,6 +897,13 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
 
     snap = replay_snapshot(spark, location)
     _check_writable(snap, "delete")
+    if (
+        str((snap.configuration or {}).get("delta.enableDeletionVectors", "false")).lower()
+        == "true"
+    ):
+        # delta-spark's selection rule: the table property routes
+        # DELETE through deletion vectors (no file rewrites)
+        return _delete_with_dvs(spark, location, predicate, snap)
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -2031,3 +2046,148 @@ def shallow_clone(
     os.makedirs(log_dir, exist_ok=True)
     _atomic_write(_log_path(dst, 0), actions)
     return 0, len(snap.files)
+
+
+def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
+    """``ALTER TABLE … SET TBLPROPERTIES (…)`` — metadata-only commit
+    updating the table configuration.  Enabling deletion vectors
+    (``delta.enableDeletionVectors=true``) also upgrades the protocol
+    to the table-features form (reader 3 / writer 7 with the
+    ``deletionVectors`` feature), as delta-spark does."""
+    snap = replay_snapshot(spark, location)
+    _check_writable(snap, "alter")
+    conf = dict(snap.configuration or {})
+    conf.update({str(k): str(v) for k, v in props.items()})
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {"properties": json.dumps(props)},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    dv_on = str(conf.get("delta.enableDeletionVectors", "false")).lower() == "true"
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    if dv_on and "deletionVectors" not in set(proto.get("writerFeatures") or []):
+        rf = sorted(set(proto.get("readerFeatures") or []) | {"deletionVectors"})
+        wf = sorted(set(proto.get("writerFeatures") or []) | {"deletionVectors"})
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": rf,
+                    "writerFeatures": wf,
+                }
+            }
+        )
+    actions.append(
+        {
+            "metaData": {
+                "id": snap.table_id or str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": snap.schema.json(),
+                "partitionColumns": snap.partition_columns,
+                "configuration": conf,
+                "createdTime": ts,
+            }
+        }
+    )
+    _atomic_write(_log_path(location, version), actions)
+    return version
+
+
+def _delete_with_dvs(
+    spark, location: str, predicate: str, snap
+) -> tuple[int, int]:
+    """DELETE via deletion vectors (Delta protocol 'Deletion Vectors',
+    delta-spark's path when ``delta.enableDeletionVectors=true``):
+    instead of rewriting every touched file, record the deleted ROW
+    POSITIONS per file as an inline roaring bitmap on a re-added
+    ``add`` — the data files never move, so delete cost is
+    proportional to the MATCHES, not to the bytes of the touched
+    files.  Existing DVs union with the new positions.
+
+    Positions come from the parquet reader's ``_metadata.row_index``
+    (the same physical row ordinal the DV spec addresses).
+    """
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
+
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    data_schema = T.StructType(data_fields)
+    read_schema, to_logical, _to_physical = _dml_projection(snap, data_schema)
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    if not all_paths:
+        return snap.version, 0
+
+    hits = (
+        to_logical(
+            spark.read.schema(read_schema)
+            .parquet(*all_paths)
+            .withColumn("_f", F.input_file_name())
+            .withColumn("_pos", F.col("_metadata.row_index")),
+            extra=("_f", "_pos"),
+        )
+        .filter(F.expr(predicate))
+        .select("_f", "_pos")
+        .collect()
+    )
+    if not hits:
+        return snap.version, 0
+    by_file: dict[str, list[int]] = {}
+    for r in hits:
+        by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate, "deletionVectors": True},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    n_deleted = 0
+    for rel, positions in sorted(by_file.items()):
+        pvals, old_dv = snap.files[rel]
+        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
+        fresh = [p for p in positions if p not in already]
+        if not fresh:
+            continue
+        n_deleted += len(fresh)
+        merged = sorted(already | set(fresh))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": snap.file_sizes.get(rel, 0),
+            "modificationTime": ts,
+            "dataChange": True,
+            "deletionVector": encode_inline_dv(merged),
+        }
+        if st := snap.file_stats.get(rel):
+            add["stats"] = st
+        actions.append({"add": add})
+    if n_deleted == 0:
+        return snap.version, 0
+    _atomic_write(_log_path(location, version), actions)
+    return version, n_deleted

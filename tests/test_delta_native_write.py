@@ -1246,3 +1246,59 @@ def test_shallow_clone(spark, tmp_path):
     # cloning over an existing table refuses
     with pytest.raises(DeltaWriteError, match="already a Delta table"):
         ctx.sql(f"CREATE TABLE delta.`{dst}` SHALLOW CLONE delta.`{src}`")
+
+
+# --- deletion-vector DELETE + SET TBLPROPERTIES ----------------------------
+
+
+def test_dv_delete_lifecycle(spark, tmp_path):
+    """delta.enableDeletionVectors=true routes DELETE through inline
+    deletion vectors: data files never move, positions accumulate
+    across deletes, reads apply the DV, rewriting DML refuses."""
+    from adt_spark.context import ADTContext
+    from adt_spark.sources.delta_native_write import delete_where, update_where
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    loc = str(tmp_path / "dvdel")
+    write_delta_native(spark.range(10).select(F.col("id")), loc)
+    files_before = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(loc)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    out = ctx.sql(
+        f"ALTER TABLE delta.`{loc}` SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors'='true')"
+    )
+    assert out.first()["version"] == 1
+    snap = replay_snapshot(spark, loc)
+    assert "deletionVectors" in snap.protocol["writerFeatures"]
+    # DELETE → DV, no file rewrites
+    version, n = delete_where(spark, loc, "id IN (2, 5)")
+    assert (version, n) == (2, 2)
+    assert {r.id for r in read_delta_native(spark, loc).collect()} == set(range(10)) - {2, 5}
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(loc)
+        for f in fs
+        if f.endswith(".parquet") and "_delta_log" not in r
+    )
+    assert files_after == files_before  # zero rewrites
+    snap = replay_snapshot(spark, loc)
+    assert any(dv is not None for _p, (_pv, dv) in snap.files.items())
+    # second DV delete unions positions on the same files
+    version, n = delete_where(spark, loc, "id = 7")
+    assert n == 1
+    assert {r.id for r in read_delta_native(spark, loc).collect()} == set(range(10)) - {2, 5, 7}
+    # deleting already-deleted rows is a no-op (DV filters them out of the scan)
+    version2, n = delete_where(spark, loc, "id = 5")
+    assert n == 0
+    # rewriting DML still refuses on DV-bearing files
+    with pytest.raises(DeltaWriteError, match="deletion vector"):
+        update_where(spark, loc, "id = 1", {"id": "id + 100"})
+    # appends remain legal on the DV table; time travel still sees old rows
+    write_delta_native(spark.range(100, 102).select("id"), loc, mode="append")
+    assert read_delta_native(spark, loc).count() == 9
+    assert read_delta_native(spark, loc, version=1).count() == 10
