@@ -1121,6 +1121,11 @@ def update_where(
                 "(cross-partition row movement) — use read + overwrite"
             )
     gens_data = [g for g in gens if g[0] in data_names]
+    if (
+        str((snap.configuration or {}).get("delta.enableDeletionVectors", "false")).lower()
+        == "true"
+    ):
+        return _update_with_dvs(spark, location, predicate, assignments, snap, gens_data)
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None:
             raise DeltaWriteError(
@@ -2191,3 +2196,104 @@ def _delete_with_dvs(
         return snap.version, 0
     _atomic_write(_log_path(location, version), actions)
     return version, n_deleted
+
+
+def _update_with_dvs(
+    spark, location: str, predicate: str, assignments: dict[str, str], snap, gens_data
+) -> tuple[int, int]:
+    """UPDATE via deletion vectors (delta-spark's path when
+    ``delta.enableDeletionVectors=true``): the pre-update row
+    positions are masked with DVs (no rewrite of the touched files)
+    and the post-SET rows append as new files in the same atomic
+    commit — update cost ∝ matches, not touched-file bytes."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
+    from adt_spark.sources.delta_native import read_delta_native
+
+    if snap.column_mapping_mode != "none":
+        raise DeltaWriteError(
+            "DV-based UPDATE on column-mapped tables is not supported "
+            "(disable delta.enableDeletionVectors or use delta-spark)"
+        )
+    part_cols = snap.partition_columns
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    visible = read_delta_native(spark, location)
+    post = visible.filter(hit).select(
+        *[
+            F.expr(assignments[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+            for f in snap.schema.fields
+        ]
+    )
+    for name, ge, dt in gens_data:
+        post = post.withColumn(name, F.expr(ge).cast(dt))
+    _enforce_constraints(post, snap, "update")
+
+    # pre-update positions per file (raw scan; minus already-deleted)
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    read_schema = T.StructType(data_fields)
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    if not all_paths:
+        return snap.version, 0
+    hits = (
+        spark.read.schema(read_schema)
+        .parquet(*all_paths)
+        .withColumn("_f", F.input_file_name())
+        .withColumn("_pos", F.col("_metadata.row_index"))
+        .filter(F.expr(predicate))
+        .select("_f", "_pos")
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in hits:
+        by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "UPDATE",
+                "operationParameters": {"predicate": predicate, "deletionVectors": True},
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    n_updated = 0
+    for rel, positions in sorted(by_file.items()):
+        pvals, old_dv = snap.files[rel]
+        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
+        fresh = [p for p in positions if p not in already]
+        if not fresh:
+            continue
+        n_updated += len(fresh)
+        merged = sorted(already | set(fresh))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": snap.file_sizes.get(rel, 0),
+            "modificationTime": ts,
+            "dataChange": True,
+            "deletionVector": encode_inline_dv(merged),
+        }
+        if st := snap.file_stats.get(rel):
+            add["stats"] = st
+        actions.append({"add": add})
+    if n_updated == 0:
+        return snap.version, 0
+    actions.extend(_stage_and_collect(post, location, part_cols))
+    _atomic_write(_log_path(location, version), actions)
+    return version, n_updated

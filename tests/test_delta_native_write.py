@@ -1295,10 +1295,18 @@ def test_dv_delete_lifecycle(spark, tmp_path):
     # deleting already-deleted rows is a no-op (DV filters them out of the scan)
     version2, n = delete_where(spark, loc, "id = 5")
     assert n == 0
-    # rewriting DML still refuses on DV-bearing files
-    with pytest.raises(DeltaWriteError, match="deletion vector"):
-        update_where(spark, loc, "id = 1", {"id": "id + 100"})
+    # UPDATE on the DV table also goes through DVs: the old row is
+    # masked, the post-SET row appends — no rewrite of touched files
+    version, n = update_where(spark, loc, "id = 1", {"id": "id + 100"})
+    assert n == 1
+    assert {r.id for r in read_delta_native(spark, loc).collect()} == (
+        set(range(10)) - {1, 2, 5, 7}
+    ) | {101}
+    # updating the appended (updated) row works too
+    version, n = update_where(spark, loc, "id = 101", {"id": "id + 1"})
+    assert n == 1
+    assert 102 in {r.id for r in read_delta_native(spark, loc).collect()}
     # appends remain legal on the DV table; time travel still sees old rows
-    write_delta_native(spark.range(100, 102).select("id"), loc, mode="append")
+    write_delta_native(spark.range(200, 202).select("id"), loc, mode="append")
     assert read_delta_native(spark, loc).count() == 9
     assert read_delta_native(spark, loc, version=1).count() == 10
