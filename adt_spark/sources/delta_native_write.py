@@ -1326,8 +1326,12 @@ def merge_upsert(
     missing = [k for k in key_cols if k not in source.columns]
     if missing:
         raise DeltaWriteError(f"merge key columns missing from source: {missing}")
+    dv_mode = (
+        str((snap.configuration or {}).get("delta.enableDeletionVectors", "false")).lower()
+        == "true"
+    )
     for path, (_pvals, dv) in snap.files.items():
-        if dv is not None:
+        if dv is not None and not dv_mode:
             raise DeltaWriteError(
                 f"merge_upsert cannot rewrite {path}: it carries a deletion vector"
             )
@@ -1358,6 +1362,12 @@ def merge_upsert(
     # not apply here)
     _enforce_constraints(source, snap, "merge")
     _validate_generated(source, _generated_fields(snap), "merge")
+
+    if (
+        str((snap.configuration or {}).get("delta.enableDeletionVectors", "false")).lower()
+        == "true"
+    ):
+        return _merge_with_dvs(spark, location, source, key_cols, snap)
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
@@ -2297,3 +2307,89 @@ def _update_with_dvs(
     actions.extend(_stage_and_collect(post, location, part_cols))
     _atomic_write(_log_path(location, version), actions)
     return version, n_updated
+
+
+def _merge_with_dvs(
+    spark, location: str, source: DataFrame, key_cols: list[str], snap
+) -> tuple[int, int, int]:
+    """MERGE via deletion vectors: matched target rows are masked
+    with DVs (no rewrite) and the full source appends as new files in
+    one atomic commit — merge cost ∝ matched rows + source size."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
+
+    if snap.column_mapping_mode != "none":
+        raise DeltaWriteError(
+            "DV-based MERGE on column-mapped tables is not supported "
+            "(disable delta.enableDeletionVectors or use delta-spark)"
+        )
+    part_cols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
+    read_schema = T.StructType(data_fields)
+    keys = source.select(*key_cols).distinct()
+    all_paths = {os.path.join(location, p): p for p in snap.files}
+    n_source = source.count()
+
+    by_file: dict[str, list[int]] = {}
+    if all_paths:
+        hits = (
+            spark.read.schema(read_schema)
+            .parquet(*all_paths)
+            .withColumn("_f", F.input_file_name())
+            .withColumn("_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(keys), key_cols)
+            .select("_f", "_pos")
+            .collect()
+        )
+        for r in hits:
+            by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+
+    ts = int(time.time() * 1000)
+    version = snap.version + 1
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": json.dumps(key_cols),
+                    "deletionVectors": True,
+                },
+                "engineInfo": "adt-spark native delta writer",
+            }
+        }
+    ]
+    n_replaced = 0
+    for rel, positions in sorted(by_file.items()):
+        pvals, old_dv = snap.files[rel]
+        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
+        fresh = [p for p in positions if p not in already]
+        if not fresh:
+            continue
+        n_replaced += len(fresh)
+        merged = sorted(already | set(fresh))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": snap.file_sizes.get(rel, 0),
+            "modificationTime": ts,
+            "dataChange": True,
+            "deletionVector": encode_inline_dv(merged),
+        }
+        if st := snap.file_stats.get(rel):
+            add["stats"] = st
+        actions.append({"add": add})
+    actions.extend(_stage_and_collect(source, location, part_cols))
+    _atomic_write(_log_path(location, version), actions)
+    return version, n_replaced, int(n_source - n_replaced)

@@ -1310,3 +1310,34 @@ def test_dv_delete_lifecycle(spark, tmp_path):
     write_delta_native(spark.range(200, 202).select("id"), loc, mode="append")
     assert read_delta_native(spark, loc).count() == 9
     assert read_delta_native(spark, loc, version=1).count() == 10
+
+
+def test_dv_merge(spark, tmp_path):
+    """MERGE on a DV-enabled table: matched target rows mask via DVs,
+    the source appends — no rewrite of touched files."""
+    from adt_spark.sources.delta_native_write import merge_upsert, set_tblproperties
+
+    loc = str(tmp_path / "dvmerge")
+    write_delta_native(
+        spark.range(6).select(F.col("id"), (F.col("id") * 10).alias("v")), loc
+    )
+    set_tblproperties(spark, loc, {"delta.enableDeletionVectors": "true"})
+    files_before = {
+        p for p in replay_snapshot(spark, loc).files
+    }
+    src = spark.createDataFrame([(2, 222), (10, 1000)], "id bigint, v bigint")
+    version, n_replaced, n_inserted = merge_upsert(spark, loc, src, ["id"])
+    assert (n_replaced, n_inserted) == (1, 1)
+    got = {(r.id, r.v) for r in read_delta_native(spark, loc).collect()}
+    assert (2, 222) in got and (10, 1000) in got and (2, 20) not in got
+    assert len(got) == 7
+    # original files still referenced (now DV-bearing), plus new source files
+    snap = replay_snapshot(spark, loc)
+    assert files_before <= set(snap.files)
+    # constraints still gate the DV merge path
+    from adt_spark.sources.delta_native_write import add_constraint
+
+    add_constraint(spark, loc, "v_pos", "v >= 0")
+    bad = spark.createDataFrame([(3, -1)], "id bigint, v bigint")
+    with pytest.raises(DeltaWriteError, match="v_pos"):
+        merge_upsert(spark, loc, bad, ["id"])
