@@ -1341,3 +1341,23 @@ def test_dv_merge(spark, tmp_path):
     bad = spark.createDataFrame([(3, -1)], "id bigint, v bigint")
     with pytest.raises(DeltaWriteError, match="v_pos"):
         merge_upsert(spark, loc, bad, ["id"])
+
+
+def test_optimize_materializes_dvs(spark, tmp_path):
+    """OPTIMIZE on a DV-bearing table materializes the deletes (rows
+    stay gone, fresh files carry no DVs) — the REORG/purge behavior."""
+    from adt_spark.sources.delta_native_write import (
+        delete_where,
+        optimize_compact,
+        set_tblproperties,
+    )
+
+    loc = str(tmp_path / "dvopt")
+    write_delta_native(spark.range(8).select("id"), loc)
+    set_tblproperties(spark, loc, {"delta.enableDeletionVectors": "true"})
+    delete_where(spark, loc, "id in (1, 3)")
+    assert read_delta_native(spark, loc).count() == 6
+    optimize_compact(spark, loc)
+    snap = replay_snapshot(spark, loc)
+    assert all(dv is None for _p, (_pv, dv) in snap.files.items())
+    assert {r.id for r in read_delta_native(spark, loc).collect()} == set(range(8)) - {1, 3}
