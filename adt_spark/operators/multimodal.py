@@ -441,3 +441,82 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_blob.mapInPandas(
         expand, schema="doc_id long, frame_idx int, frame_md5 string"
     )
+
+
+_WAV_SR = 8000
+
+
+@register(
+    "mm_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_WAV_SR} AS INT) AS sample_rate,
+           CAST(64 + doc_id % 64 AS INT) AS n_frames,
+           CAST(100 + doc_id % 1000 AS DOUBLE) AS rms,
+           CAST(64 + doc_id % 64 AS DOUBLE) / {_WAV_SR} AS duration_s
+    FROM documents
+    """,
+    tags=("multimodal", "udf", "audio"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction through a REAL in-container codec:
+    per row, synthesize a square wave of amplitude ``100 + doc_id %
+    1000`` (``64 + doc_id % 64`` frames at 8 kHz), encode it as a
+    genuine RIFF/WAVE PCM16 container (stdlib ``wave``), decode it
+    back through ``_decode_wav`` (header parse, PCM16 → float), and
+    report sample_rate / frame count / RMS / duration.
+
+    A ±A square wave has RMS exactly A (mean of squares = A², and
+    IEEE sqrt of a perfect square is exact), so the SQL oracle states
+    the features in closed form — the full encode → decode → feature
+    kernel is value-hash-verified end-to-end, the audio analog of
+    ``mm_resize_nearest``.  Real audio blobs change only the input
+    column; the decode path is the production kernel.
+
+    Scale: mapInPandas over Arrow batches, no shuffle, bounded
+    per-task memory.
+    """
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"]).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 64 + d % 64
+                amp = 100 + d % 1000
+                samples = np.empty(n, dtype="<i2")
+                samples[0::2] = amp
+                samples[1::2] = -amp
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_SR)
+                    w.writeframes(samples.tobytes())
+                feats = _decode_wav(buf.getvalue())
+                rows.append(
+                    (
+                        d,
+                        feats["sample_rate"],
+                        feats["n_frames"],
+                        feats["rms"],
+                        feats["duration_s"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_frames", "rms", "duration_s"],
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, sample_rate int, n_frames int, rms double, duration_s double",
+    )
