@@ -520,3 +520,104 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches,
         schema="doc_id long, sample_rate int, n_frames int, rms double, duration_s double",
     )
+
+
+def _encode_ppm(px) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6)."""
+    h, w, _ = px.shape
+    return b"P6\n# adt-spark synthetic\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def _decode_ppm_pixels(blob: bytes):
+    """Binary P6 → (h, w, 3) uint8 array (reuses the header walk of
+    ``_decode_ppm``)."""
+    import numpy as np
+
+    fields: list[bytes] = []
+    pos = 0
+    while len(fields) < 4:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":
+            pos = blob.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(blob[start:pos])
+    if fields[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) stream")
+    width, height = int(fields[1]), int(fields[2])
+    return np.frombuffer(
+        blob, dtype=np.uint8, count=width * height * 3, offset=pos + 1
+    ).reshape(height, width, 3)
+
+
+@register(
+    "mm_ppm_channel_stats",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 7 AS h FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id + x.i * 3 + y.i * 5) % 256 AS r,
+               (doc_id * 2 + x.i * 7 + y.i * 11) % 256 AS g,
+               (doc_id * 3 + x.i * 13 + y.i * 17) % 256 AS b
+        FROM p, unnest(generate_series(0, w - 1)) AS x(i),
+                unnest(generate_series(0, h - 1)) AS y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width, CAST(min(h) AS INT) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "udf", "ppm"),
+)
+def mm_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel statistics through the REAL P6 codec: synthesize an
+    RGB image whose channels follow closed forms of (doc_id, x, y),
+    encode a genuine binary PPM (with a comment line, exercising the
+    header walk), decode it back, and sum each channel.
+
+    The SQL oracle recomputes the channel sums arithmetically — the
+    third real codec kernel verified end-to-end (BMP resize, WAV
+    features, PPM channel stats).  Scale: Arrow-batched mapInPandas,
+    no shuffle.
+    """
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"]).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 3 + d % 5, 2 + d % 7
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.stack(
+                    [
+                        (d + x * 3 + y * 5) % 256,
+                        (d * 2 + x * 7 + y * 11) % 256,
+                        (d * 3 + x * 13 + y * 17) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                back = _decode_ppm_pixels(_encode_ppm(px))
+                sums = back.sum(axis=(0, 1), dtype=np.int64)
+                rows.append((d, w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
