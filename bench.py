@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_chunk_overlap",
     "pipeline_clean_corpus",
     "pipeline_dedup_funnel",
+    "pipeline_cluster_quality_report",
 ]
 
 
@@ -86,6 +87,8 @@ def main() -> None:
         "mm_decode_features",
         "mm_frame_sample",
         "mm_resize_nearest",
+        "mm_audio_features",
+        "mm_ppm_channel_stats",
     }
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
