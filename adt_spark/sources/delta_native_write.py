@@ -2116,6 +2116,49 @@ def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
     return version
 
 
+def _dv_mask_actions(
+    location: str, snap, by_file: dict[str, list[int]], ts: int
+) -> tuple[list[dict], int]:
+    """remove+re-add actions masking ``by_file`` row positions with
+    inline DVs (positions already deleted are skipped; existing DVs
+    union).  Returns (actions, number of freshly masked rows) —
+    shared by the DV DELETE/UPDATE/MERGE paths."""
+    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
+
+    actions: list[dict] = []
+    n_fresh = 0
+    for rel, positions in sorted(by_file.items()):
+        pvals, old_dv = snap.files[rel]
+        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
+        fresh = [p for p in positions if p not in already]
+        if not fresh:
+            continue
+        n_fresh += len(fresh)
+        merged = sorted(already | set(fresh))
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                    "partitionValues": pvals,
+                }
+            }
+        )
+        add = {
+            "path": rel,
+            "partitionValues": pvals,
+            "size": snap.file_sizes.get(rel, 0),
+            "modificationTime": ts,
+            "dataChange": True,
+            "deletionVector": encode_inline_dv(merged),
+        }
+        if st := snap.file_stats.get(rel):
+            add["stats"] = st
+        actions.append({"add": add})
+    return actions, n_fresh
+
+
 def _delete_with_dvs(
     spark, location: str, predicate: str, snap
 ) -> tuple[int, int]:
@@ -2131,8 +2174,6 @@ def _delete_with_dvs(
     (the same physical row ordinal the DV spec addresses).
     """
     from pyspark.sql import functions as F
-
-    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
 
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
@@ -2172,38 +2213,10 @@ def _delete_with_dvs(
             }
         }
     ]
-    n_deleted = 0
-    for rel, positions in sorted(by_file.items()):
-        pvals, old_dv = snap.files[rel]
-        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
-        fresh = [p for p in positions if p not in already]
-        if not fresh:
-            continue
-        n_deleted += len(fresh)
-        merged = sorted(already | set(fresh))
-        actions.append(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "partitionValues": pvals,
-                }
-            }
-        )
-        add = {
-            "path": rel,
-            "partitionValues": pvals,
-            "size": snap.file_sizes.get(rel, 0),
-            "modificationTime": ts,
-            "dataChange": True,
-            "deletionVector": encode_inline_dv(merged),
-        }
-        if st := snap.file_stats.get(rel):
-            add["stats"] = st
-        actions.append({"add": add})
+    mask_actions, n_deleted = _dv_mask_actions(location, snap, by_file, ts)
     if n_deleted == 0:
         return snap.version, 0
+    actions.extend(mask_actions)
     _atomic_write(_log_path(location, version), actions)
     return version, n_deleted
 
@@ -2218,7 +2231,6 @@ def _update_with_dvs(
     commit — update cost ∝ matches, not touched-file bytes."""
     from pyspark.sql import functions as F
 
-    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
     from adt_spark.sources.delta_native import read_delta_native
 
     if snap.column_mapping_mode != "none":
@@ -2272,38 +2284,10 @@ def _update_with_dvs(
             }
         }
     ]
-    n_updated = 0
-    for rel, positions in sorted(by_file.items()):
-        pvals, old_dv = snap.files[rel]
-        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
-        fresh = [p for p in positions if p not in already]
-        if not fresh:
-            continue
-        n_updated += len(fresh)
-        merged = sorted(already | set(fresh))
-        actions.append(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "partitionValues": pvals,
-                }
-            }
-        )
-        add = {
-            "path": rel,
-            "partitionValues": pvals,
-            "size": snap.file_sizes.get(rel, 0),
-            "modificationTime": ts,
-            "dataChange": True,
-            "deletionVector": encode_inline_dv(merged),
-        }
-        if st := snap.file_stats.get(rel):
-            add["stats"] = st
-        actions.append({"add": add})
+    mask_actions, n_updated = _dv_mask_actions(location, snap, by_file, ts)
     if n_updated == 0:
         return snap.version, 0
+    actions.extend(mask_actions)
     actions.extend(_stage_and_collect(post, location, part_cols))
     _atomic_write(_log_path(location, version), actions)
     return version, n_updated
@@ -2316,8 +2300,6 @@ def _merge_with_dvs(
     with DVs (no rewrite) and the full source appends as new files in
     one atomic commit — merge cost ∝ matched rows + source size."""
     from pyspark.sql import functions as F
-
-    from adt_spark.sources._roaring import decode_dv, encode_inline_dv
 
     if snap.column_mapping_mode != "none":
         raise DeltaWriteError(
@@ -2360,36 +2342,8 @@ def _merge_with_dvs(
             }
         }
     ]
-    n_replaced = 0
-    for rel, positions in sorted(by_file.items()):
-        pvals, old_dv = snap.files[rel]
-        already = set(decode_dv(old_dv, location)) if old_dv is not None else set()
-        fresh = [p for p in positions if p not in already]
-        if not fresh:
-            continue
-        n_replaced += len(fresh)
-        merged = sorted(already | set(fresh))
-        actions.append(
-            {
-                "remove": {
-                    "path": rel,
-                    "deletionTimestamp": ts,
-                    "dataChange": True,
-                    "partitionValues": pvals,
-                }
-            }
-        )
-        add = {
-            "path": rel,
-            "partitionValues": pvals,
-            "size": snap.file_sizes.get(rel, 0),
-            "modificationTime": ts,
-            "dataChange": True,
-            "deletionVector": encode_inline_dv(merged),
-        }
-        if st := snap.file_stats.get(rel):
-            add["stats"] = st
-        actions.append({"add": add})
+    mask_actions, n_replaced = _dv_mask_actions(location, snap, by_file, ts)
+    actions.extend(mask_actions)
     actions.extend(_stage_and_collect(source, location, part_cols))
     _atomic_write(_log_path(location, version), actions)
     return version, n_replaced, int(n_source - n_replaced)
