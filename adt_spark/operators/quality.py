@@ -929,3 +929,79 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+@register(
+    "doc_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, text, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    ), b AS (
+      SELECT source, CAST(floor(cum_before / 256.0) AS BIGINT) AS bin_id,
+             doc_id, text, n_tokens
+      FROM c
+    )
+    SELECT source, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           md5(string_agg(text, '<|endofdoc|>' ORDER BY doc_id)) AS packed_md5
+    FROM b GROUP BY source, bin_id
+    """,
+    tags=("text", "packing", "sequences"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, the CONSUMER side: materialize each
+    token-budget bin (same assignment as q_token_pack_bins) as one
+    packed training sequence — documents concatenated in a
+    deterministic order with an end-of-document separator — the final
+    step that turns a curated corpus into fixed-budget training rows.
+    The packed text is md5-fingerprinted at the output boundary (the
+    full concatenation is what's hashed, so any ordering or
+    separator mistake changes the digest).
+
+    Scale shape: one window pass per source partition assigns bins
+    (identical to q_token_pack_bins), then ONE groupBy(source, bin)
+    with an order-struct collect re-assembles each sequence —
+    per-group state is one bin's documents (~the token budget), never
+    the corpus.  At 100 TB, pre-shard the window key for huge sources
+    (documented in q_token_pack_bins).
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        toks.alias("n_tokens"),
+        F.floor(F.coalesce(F.sum(toks).over(w), F.lit(0)) / 256.0)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "<|endofdoc|>",
+            )
+        ).alias("packed_md5"),
+    )
