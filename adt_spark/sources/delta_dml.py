@@ -201,7 +201,19 @@ def rewrite_delta_url_tables(spark: SparkSession, sql: str) -> str:
 
     sql = _TABLE_CHANGES.sub(sub_tvf, sql)
 
-    skip = _conjunctive_terms(sql) if len(_DELTA_URL.findall(sql)) == 1 else None
+    # Pruning requires the WHERE to provably scope to the delta scan's
+    # RAW columns: exactly one delta URL table AND a single-SELECT
+    # statement (a subquery/CTE could alias or derive a column of the
+    # same name — e.g. SELECT * FROM (SELECT id+1 AS id FROM …) WHERE
+    # id = 5 — and pruning on the raw column would drop matching
+    # files).  In a single SELECT, Spark's WHERE always resolves
+    # against the base relation, never select-list aliases.
+    single_select = len(re.findall(r"\bselect\b", sql, re.IGNORECASE)) == 1
+    skip = (
+        _conjunctive_terms(sql)
+        if single_select and len(_DELTA_URL.findall(sql)) == 1
+        else None
+    )
 
     def sub(m: re.Match[str]) -> str:
         path = m.group("path")

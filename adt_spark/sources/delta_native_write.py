@@ -100,8 +100,12 @@ def _file_stats(meta) -> str:
             if st is None or not st.has_min_max:
                 bad.add(name)
                 continue
-            lo, hi = _json_stat(st.min), _json_stat(st.max)
-            if lo is None or hi is None:
+            # aggregate RAW values (typed comparison — a Decimal must
+            # not compare as its string form: '10.2' < '9.5' lexically,
+            # which would record inverted bounds); JSON-encode only at
+            # the end.
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
                 bad.add(name)
                 continue
             if name not in mins or lo < mins[name]:
@@ -114,6 +118,12 @@ def _file_stats(meta) -> str:
         mins.pop(name, None)
         maxs.pop(name, None)
         nulls.pop(name, None)
+    mins = {k: e for k, v in mins.items() if (e := _json_stat(v)) is not None}
+    maxs = {k: e for k, v in maxs.items() if (e := _json_stat(v)) is not None}
+    common = set(mins) & set(maxs)
+    mins = {k: v for k, v in mins.items() if k in common}
+    maxs = {k: v for k, v in maxs.items() if k in common}
+    nulls = {k: v for k, v in nulls.items() if k in common}
     stats: dict[str, object] = {"numRecords": meta.num_rows}
     if mins:
         stats["minValues"] = mins
@@ -323,15 +333,21 @@ def _log_path(location: str, version: int) -> str:
 
 
 def _atomic_write(path: str, lines: list[dict]) -> None:
-    """Write a commit atomically: temp file + rename, refusing to
-    clobber an existing version (single-writer local semantics)."""
-    if os.path.exists(path):
-        raise DeltaWriteError(f"concurrent commit: {path} already exists")
+    """Publish a commit atomically WITHOUT clobbering: temp file +
+    ``os.link`` (hard link creation fails with EEXIST if the version
+    already exists — unlike ``os.rename``, which silently replaces on
+    POSIX, turning a commit race into lost writes).  This is the
+    local-FS analog of the object-store conditional put."""
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         for action in lines:
             f.write(json.dumps(action, separators=(",", ":")) + "\n")
-    os.rename(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise DeltaWriteError(f"concurrent commit: {path} already exists") from None
+    finally:
+        os.remove(tmp)
 
 
 #: characters Hive/Spark escape in partition directory names
@@ -785,6 +801,9 @@ def write_checkpoint(spark, location: str) -> int:
                 # file skipping survives log truncation
                 "stats": snap.file_stats.get(path),
                 "size": snap.file_sizes.get(path),
+                # DVs MUST survive the checkpoint — dropping them would
+                # resurrect deleted rows once the JSON commits truncate
+                "deletionVector": dv,
             }
         )
 
@@ -843,6 +862,18 @@ def write_checkpoint(spark, location: str) -> int:
                         pa.field("dataChange", pa.bool_()),
                         pa.field("stats", pa.string()),
                         pa.field("size", pa.int64()),
+                        pa.field(
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    pa.field("storageType", pa.string()),
+                                    pa.field("pathOrInlineDv", pa.string()),
+                                    pa.field("offset", pa.int32()),
+                                    pa.field("sizeInBytes", pa.int32()),
+                                    pa.field("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -1174,6 +1205,13 @@ def update_where(
         partition columns attach as typed literals so generation/
         constraint expressions referencing them resolve.
         """
+        # attach the group's partition values FIRST so SET expressions,
+        # the predicate, generation expressions, and constraints may
+        # all reference partition columns (per-group typed literals)
+        if part_fields:
+            ldf = _with_partition_cols(
+                ldf, pvals, part_fields, [*data_col_names, *part_fields]
+            )
         ldf = ldf.withColumn("_hit", hit)
         ldf = ldf.select(
             *[
@@ -1184,19 +1222,17 @@ def update_where(
                 else F.col(f.name)
                 for f in data_fields
             ],
+            *part_fields,
             "_hit",
         )
-        if gens_data or _table_constraints(snap):
-            ldf = _with_partition_cols(
-                ldf, pvals, part_fields, [*data_col_names, *part_fields, "_hit"]
-            )
         for name, ge, dt in gens_data:
             ldf = ldf.withColumn(
                 name,
                 F.when(F.col("_hit"), F.expr(ge).cast(dt)).otherwise(F.col(name)),
             )
-        keep = [*data_col_names, *part_fields] if (gens_data or _table_constraints(snap)) else data_col_names
-        return ldf.select(*keep, *(["_hit"] if keep_hit else []))
+        return ldf.select(
+            *data_col_names, *part_fields, *(["_hit"] if keep_hit else [])
+        )
 
     if _table_constraints(snap):
         # CHECK the post-SET values of the rows this UPDATE touches.
@@ -1392,6 +1428,18 @@ def merge_upsert(
         )
         n_replaced = int(sum(r.n for r in matches))
         touched_rel = {_rel_from_uri(r._f, snap.files) for r in matches}
+    # inserted = source rows whose KEY matched no target row; with
+    # duplicate keys in the TARGET, n_source - n_replaced would go
+    # negative (one source row can replace several target rows)
+    n_matched_keys = 0
+    if all_paths:
+        n_matched_keys = (
+            keys.join(
+                to_logical(spark.read.schema(read_schema).parquet(*all_paths)),
+                key_cols,
+                "left_semi",
+            ).count()
+        )
 
     adds: list[dict] = []
     removes: list[dict] = []
@@ -1481,7 +1529,7 @@ def merge_upsert(
         }
     ] + removes + adds
     _atomic_write(_log_path(location, version), actions)
-    return version, n_replaced, int(n_source - n_replaced)
+    return version, n_replaced, int(n_source - n_matched_keys)
 
 
 # ---------------------------------------------------------------------------
@@ -1834,7 +1882,27 @@ def add_constraint(spark, location: str, name: str, expr: str) -> int:
         }
     ]
     proto = snap.protocol or {}
-    if proto.get("minWriterVersion", 2) < 3 and not proto.get("writerFeatures"):
+    features = set(proto.get("writerFeatures") or [])
+    if proto.get("minWriterVersion", 2) >= 7 or features:
+        # table-features protocol: the constraint obliges writers via
+        # the checkConstraints FEATURE, which must be enumerated
+        if "checkConstraints" not in features:
+            rf, wf = _implied_features(proto)
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": proto.get("minReaderVersion", 1),
+                        "minWriterVersion": proto.get("minWriterVersion", 7),
+                        **(
+                            {"readerFeatures": sorted(rf)}
+                            if proto.get("minReaderVersion", 1) >= 3
+                            else {}
+                        ),
+                        "writerFeatures": sorted(wf | {"checkConstraints"}),
+                    }
+                }
+            )
+    elif proto.get("minWriterVersion", 2) < 3:
         actions.append(
             {
                 "protocol": {
@@ -1981,10 +2049,10 @@ def convert_to_delta(spark, location: str) -> int:
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {
-                        k: ("__HIVE_DEFAULT_PARTITION__" if v is None else v)
-                        for k, v in pvals.items()
-                    },
+                    # JSON null for null partitions (the log convention
+                    # every other writer path here uses; the hive string
+                    # is a DIRECTORY-name encoding only)
+                    "partitionValues": pvals,
                     "size": os.path.getsize(abs_path),
                     "modificationTime": ts,
                     "dataChange": True,
@@ -2063,6 +2131,39 @@ def shallow_clone(
     return 0, len(snap.files)
 
 
+#: Delta spec: converting a legacy protocol to the table-features form
+#: must ENUMERATE every feature the legacy versions implied — dropping
+#: one (e.g. checkConstraints) would let feature-aware writers skip an
+#: obligation the table still carries.
+_LEGACY_WRITER_FEATURES = {
+    2: {"appendOnly", "invariants"},
+    3: {"checkConstraints"},
+    4: {"changeDataFeed", "generatedColumns"},
+    5: {"columnMapping"},
+    6: {"identityColumns"},
+}
+_LEGACY_READER_FEATURES = {2: {"columnMapping"}}
+
+
+def _implied_features(proto: dict) -> tuple[set[str], set[str]]:
+    """(readerFeatures, writerFeatures) implied by a protocol dict —
+    explicit feature lists plus everything its legacy version numbers
+    imply."""
+    rf = set(proto.get("readerFeatures") or [])
+    wf = set(proto.get("writerFeatures") or [])
+    wv = proto.get("minWriterVersion", 2)
+    rv = proto.get("minReaderVersion", 1)
+    if wv < 7:
+        for v, feats in _LEGACY_WRITER_FEATURES.items():
+            if wv >= v:
+                wf |= feats
+    if rv < 3:
+        for v, feats in _LEGACY_READER_FEATURES.items():
+            if rv >= v:
+                rf |= feats
+    return rf, wf
+
+
 def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
     """``ALTER TABLE … SET TBLPROPERTIES (…)`` — metadata-only commit
     updating the table configuration.  Enabling deletion vectors
@@ -2088,15 +2189,14 @@ def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
     dv_on = str(conf.get("delta.enableDeletionVectors", "false")).lower() == "true"
     proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
     if dv_on and "deletionVectors" not in set(proto.get("writerFeatures") or []):
-        rf = sorted(set(proto.get("readerFeatures") or []) | {"deletionVectors"})
-        wf = sorted(set(proto.get("writerFeatures") or []) | {"deletionVectors"})
+        rf, wf = _implied_features(proto)
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": rf,
-                    "writerFeatures": wf,
+                    "readerFeatures": sorted(rf | {"deletionVectors"}),
+                    "writerFeatures": sorted(wf | {"deletionVectors"}),
                 }
             }
         )
@@ -2192,14 +2292,15 @@ def _delete_with_dvs(
             extra=("_f", "_pos"),
         )
         .filter(F.expr(predicate))
-        .select("_f", "_pos")
+        .groupBy("_f")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
         .collect()
     )
     if not hits:
         return snap.version, 0
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+    by_file: dict[str, list[int]] = {
+        _rel_from_uri(r._f, snap.files): [int(p) for p in r._ps] for r in hits
+    }
 
     ts = int(time.time() * 1000)
     version = snap.version + 1
@@ -2265,12 +2366,13 @@ def _update_with_dvs(
         .withColumn("_f", F.input_file_name())
         .withColumn("_pos", F.col("_metadata.row_index"))
         .filter(F.expr(predicate))
-        .select("_f", "_pos")
+        .groupBy("_f")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
         .collect()
     )
-    by_file: dict[str, list[int]] = {}
-    for r in hits:
-        by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+    by_file: dict[str, list[int]] = {
+        _rel_from_uri(r._f, snap.files): [int(p) for p in r._ps] for r in hits
+    }
 
     ts = int(time.time() * 1000)
     version = snap.version + 1
@@ -2321,11 +2423,12 @@ def _merge_with_dvs(
             .withColumn("_f", F.input_file_name())
             .withColumn("_pos", F.col("_metadata.row_index"))
             .join(F.broadcast(keys), key_cols)
-            .select("_f", "_pos")
+            .groupBy("_f")
+            .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
             .collect()
         )
         for r in hits:
-            by_file.setdefault(_rel_from_uri(r._f, snap.files), []).append(int(r._pos))
+            by_file[_rel_from_uri(r._f, snap.files)] = [int(p) for p in r._ps]
 
     ts = int(time.time() * 1000)
     version = snap.version + 1
@@ -2343,7 +2446,14 @@ def _merge_with_dvs(
         }
     ]
     mask_actions, n_replaced = _dv_mask_actions(location, snap, by_file, ts)
+    # inserted = source rows whose key matched no VISIBLE target row
+    # (duplicate target keys would otherwise drive the count negative)
+    from adt_spark.sources.delta_native import read_delta_native
+
+    n_matched_keys = keys.join(
+        read_delta_native(spark, location), key_cols, "left_semi"
+    ).count()
     actions.extend(mask_actions)
     actions.extend(_stage_and_collect(source, location, part_cols))
     _atomic_write(_log_path(location, version), actions)
-    return version, n_replaced, int(n_source - n_replaced)
+    return version, n_replaced, int(n_source - n_matched_keys)

@@ -1361,3 +1361,112 @@ def test_optimize_materializes_dvs(spark, tmp_path):
     snap = replay_snapshot(spark, loc)
     assert all(dv is None for _p, (_pv, dv) in snap.files.items())
     assert {r.id for r in read_delta_native(spark, loc).collect()} == set(range(8)) - {1, 3}
+
+
+def test_update_set_references_partition_column(spark, tmp_path):
+    """SET expressions may reference partition columns (attached as
+    typed per-group literals) — parity with the DV update path."""
+    from adt_spark.sources.delta_native_write import update_where
+
+    loc = str(tmp_path / "updpart")
+    write_delta_native(
+        spark.range(8).select(
+            F.col("id"),
+            F.lit(0).cast("bigint").alias("tag"),
+            (F.col("id") % 2).cast("int").alias("p"),
+        ),
+        loc,
+        partition_by=["p"],
+    )
+    _v, n = update_where(spark, loc, "id < 4", {"tag": "p * 100 + id"})
+    assert n == 4
+    got = {(r.id, r.tag) for r in read_delta_native(spark, loc).collect()}
+    assert (0, 0) in got and (1, 101) in got and (2, 2) in got and (3, 103) in got
+    assert (5, 0) in got  # untouched rows keep tag = 0
+
+
+def test_skip_where_not_applied_across_subquery_scope(spark, tmp_path):
+    """Review finding: WHERE terms must not prune the raw scan when a
+    subquery derives a same-named column — pruning is disabled for
+    multi-SELECT statements."""
+    from adt_spark.context import ADTContext
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    loc = str(tmp_path / "scope")
+    # one file whose raw ids are all 4 — stats [4,4]
+    write_delta_native(spark.createDataFrame([(4,), (4,)], "id bigint"), loc)
+    rows = ctx.sql(
+        f"SELECT * FROM (SELECT id + 1 AS id FROM delta.`{loc}`) WHERE id = 5"
+    ).collect()
+    assert len(rows) == 2  # naive pruning on raw id=5 would skip the file
+    # single-SELECT pruning still works (sound AND effective)
+    assert (
+        ctx.sql(f"SELECT id FROM delta.`{loc}` WHERE id = 4").count() == 2
+    )
+    assert (
+        ctx.sql(f"SELECT id FROM delta.`{loc}` WHERE id = 99").count() == 0
+    )
+
+
+def test_checkpoint_preserves_deletion_vectors(spark, tmp_path):
+    """Review finding: a checkpoint must carry deletionVector structs —
+    dropping them would resurrect deleted rows after log truncation."""
+    from adt_spark.sources.delta_native_write import (
+        delete_where,
+        set_tblproperties,
+        write_checkpoint,
+    )
+
+    loc = str(tmp_path / "cpdv")
+    write_delta_native(spark.range(10).select("id"), loc)
+    set_tblproperties(spark, loc, {"delta.enableDeletionVectors": "true"})
+    delete_where(spark, loc, "id in (3, 7)")
+    assert read_delta_native(spark, loc).count() == 8
+    cp_v = write_checkpoint(spark, loc)
+    log_dir = os.path.join(loc, "_delta_log")
+    for i in range(cp_v + 1):
+        p = os.path.join(log_dir, f"{i:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    # replay now comes from the checkpoint alone — DVs must survive
+    assert {r.id for r in read_delta_native(spark, loc).collect()} == set(range(10)) - {3, 7}
+
+
+def test_merge_insert_count_with_duplicate_target_keys(spark, tmp_path):
+    """Review finding: duplicate keys in the TARGET must not drive the
+    inserted count negative."""
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    loc = str(tmp_path / "dupkeys")
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "k bigint, v bigint"
+    ).createOrReplaceTempView("_dup_src")
+    write_delta_native(spark.table("_dup_src"), loc)
+    src = spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    _v, n_replaced, n_inserted = merge_upsert(spark, loc, src, ["k"])
+    assert n_replaced == 2  # both duplicate target rows replaced
+    assert n_inserted == 0  # NOT -1
+    got = sorted((r.k, r.v) for r in read_delta_native(spark, loc).collect())
+    assert got == [(1, 99), (2, 20)]
+
+
+def test_file_stats_decimal_bounds_typed(spark, tmp_path):
+    """Review finding: cross-row-group min/max must aggregate on TYPED
+    values — decimal '10.2' < '9.5' lexically would invert bounds."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adt_spark.sources.delta_native_write import _file_stats
+
+    path = str(tmp_path / "dec.parquet")
+    table = pa.table(
+        {"d": pa.array([decimal.Decimal("9.5"), decimal.Decimal("10.2")],
+                       pa.decimal128(5, 1))}
+    )
+    pq.write_table(table, path, row_group_size=1)  # two row groups
+    stats = json.loads(_file_stats(pq.ParquetFile(path).metadata))
+    assert stats["minValues"]["d"] == "9.5"
+    assert stats["maxValues"]["d"] == "10.2"
