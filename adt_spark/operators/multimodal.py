@@ -137,11 +137,11 @@ def _decode_bmp(blob: bytes) -> dict:
     return out
 
 
-def _decode_ppm(blob: bytes) -> dict:
-    """Binary PPM (P6): ASCII header (magic, width, height, maxval)
-    then raw RGB triples."""
-    import numpy as np
-
+def _ppm_header(blob: bytes) -> tuple[int, int, int]:
+    """Walk a binary-PPM (P6) header: whitespace-separated magic,
+    width, height, maxval with # comments — returns (width, height,
+    pixel data offset).  The ONE header parser both PPM decoders use.
+    """
     fields: list[bytes] = []
     pos = 0
     while len(fields) < 4:
@@ -156,14 +156,17 @@ def _decode_ppm(blob: bytes) -> dict:
         fields.append(blob[start:pos])
     if fields[0] != b"P6":
         raise ValueError("not a binary PPM (P6) stream")
-    width, height = int(fields[1]), int(fields[2])
-    px = np.frombuffer(
-        blob, dtype=np.uint8, count=width * height * 3, offset=pos + 1
-    ).reshape(height, width, 3)
+    return int(fields[1]), int(fields[2]), pos + 1
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    """Binary PPM (P6): ASCII header (magic, width, height, maxval)
+    then raw RGB triples."""
+    px = _decode_ppm_pixels(blob)
     luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     return {
-        "width": width,
-        "height": height,
+        "width": px.shape[1],
+        "height": px.shape[0],
         "n_frames": 1,
         "mean_luma": float(luma.mean()),
     }
@@ -529,27 +532,12 @@ def _encode_ppm(px) -> bytes:
 
 
 def _decode_ppm_pixels(blob: bytes):
-    """Binary P6 → (h, w, 3) uint8 array (reuses the header walk of
-    ``_decode_ppm``)."""
+    """Binary P6 → (h, w, 3) uint8 array."""
     import numpy as np
 
-    fields: list[bytes] = []
-    pos = 0
-    while len(fields) < 4:
-        while pos < len(blob) and blob[pos : pos + 1].isspace():
-            pos += 1
-        if blob[pos : pos + 1] == b"#":
-            pos = blob.index(b"\n", pos) + 1
-            continue
-        start = pos
-        while pos < len(blob) and not blob[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(blob[start:pos])
-    if fields[0] != b"P6":
-        raise ValueError("not a binary PPM (P6) stream")
-    width, height = int(fields[1]), int(fields[2])
+    width, height, offset = _ppm_header(blob)
     return np.frombuffer(
-        blob, dtype=np.uint8, count=width * height * 3, offset=pos + 1
+        blob, dtype=np.uint8, count=width * height * 3, offset=offset
     ).reshape(height, width, 3)
 
 

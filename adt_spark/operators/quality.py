@@ -35,6 +35,30 @@ NGRAM = 4
 EVAL_MOD = 20
 
 
+
+
+def _word_shingles(with_toks: DataFrame) -> DataFrame:
+    """(doc_id, toks) → exploded word {NGRAM}-gram shingles — the one
+    shingle definition decontamination and the composed pipeline
+    share (a width change must move both in lockstep)."""
+    return with_toks.filter(F.size("toks") >= NGRAM).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {NGRAM}),"
+                f" i -> array_join(slice(toks, i + 1, {NGRAM}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+
+
+def _eval_shingle_set(shingled: DataFrame) -> DataFrame:
+    """The held-out benchmark's distinct shingles (broadcast side)."""
+    return (
+        shingled.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+
+
 @register(
     "text_repetition_stats",
     oracle="""
@@ -120,27 +144,38 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keyed by doc_id for the final count-distinct.
     """
     docs = tables(spark, sf_dir)["documents"]
-    shingled = docs.select(
-        "doc_id", F.split("text", " ").alias("toks")
-    ).filter(F.size("toks") >= NGRAM).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {NGRAM}),"
-                f" i -> array_join(slice(toks, i + 1, {NGRAM}), ' '))"
-            )
-        ).alias("shingle"),
-    )
-    eval_shingles = (
-        shingled.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select("shingle")
-        .distinct()
-    )
+    shingled = _word_shingles(docs.select("doc_id", F.split("text", " ").alias("toks")))
+    eval_shingles = _eval_shingle_set(shingled)
     return (
         shingled.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(F.broadcast(eval_shingles), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
+    )
+
+
+
+
+#: token budget per packed training sequence (shared by the bin
+#: assignment operator and the packing consumer — they must agree).
+PACK_BUDGET = 256
+
+
+def _token_bins(docs: DataFrame) -> DataFrame:
+    """Greedy in-order bin assignment: per-source cumulative token sum
+    DIV the budget — the ONE definition both packing operators use."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.split(F.col("text"), " "))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return docs.select(
+        "doc_id",
+        "source",
+        "text",
+        toks.alias("n_tokens"),
+        F.floor(F.coalesce(F.sum(toks).over(w), F.lit(0)) / float(PACK_BUDGET))
+        .cast("bigint")
+        .alias("bin_id"),
     )
 
 
@@ -176,12 +211,11 @@ def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle total; no iteration, no driver loop.
     """
     docs = tables(spark, sf_dir)["documents"]
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return _token_bins(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
     )
     return (
         docs.select(
@@ -249,9 +283,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (text_quality_score, text_repetition_stats,
     dedup_decontaminate); this query pins their composition.
     """
+    from adt_spark.operators.text import STOPWORDS
+
     docs = tables(spark, sf_dir)["documents"]
-    sw = ", ".join(f"'{w}'" for w in
-                   ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on"))
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
     stats = docs.select(
         "doc_id",
         "lang",
@@ -269,18 +304,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_ratio"
         ),
     )
-    shingled = stats.filter(F.size("toks") >= NGRAM).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(toks) - {NGRAM}),"
-                f" i -> array_join(slice(toks, i + 1, {NGRAM}), ' '))"
-            )
-        ).alias("shingle"),
-    )
-    eval_shingles = (
-        shingled.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
-    )
+    shingled = _word_shingles(stats)
+    eval_shingles = _eval_shingle_set(shingled)
     contaminated = (
         shingled.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(F.broadcast(eval_shingles), "shingle")
@@ -588,7 +613,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_diversity",
     oracle="""
     WITH ch AS (
-      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents
     ), cnt AS (
       SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2
     )
@@ -621,7 +646,15 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cnt = (
         spread(docs)
-        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        # code-POINT explode via regex (both engines are code-point
+        # based: Java Pattern and RE2) — split(text, '') would explode
+        # Java UTF-16 code units, so an astral-plane character (emoji,
+        # rare CJK) becomes two lone surrogates on Spark but ONE char
+        # in DuckDB, diverging on any non-ASCII corpus.
+        .select(
+            "doc_id",
+            F.explode(F.expr("regexp_extract_all(text, '(?s).', 0)")).alias("c"),
+        )
         .filter(F.col("c") != "")
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -975,23 +1008,7 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented in q_token_pack_bins).
     """
     docs = tables(spark, sf_dir)["documents"]
-    from pyspark.sql import Window as W
-
-    toks = F.size(F.split(F.col("text"), " "))
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    binned = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        toks.alias("n_tokens"),
-        F.floor(F.coalesce(F.sum(toks).over(w), F.lit(0)) / 256.0)
-        .cast("bigint")
-        .alias("bin_id"),
-    )
+    binned = _token_bins(docs)
     return binned.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),

@@ -90,7 +90,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot(F.col("v_q"), F.col("v_n")) / (F.col("norm_q") * F.col("norm_n")),
+            F.try_divide(_dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -199,7 +199,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cosine",
-            _dot(F.col("v_a"), F.col("v_b")) / (F.col("norm_a") * F.col("norm_b")),
+            F.try_divide(_dot(F.col("v_a"), F.col("v_b")), F.col("norm_a") * F.col("norm_b")),
         )
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
@@ -309,7 +309,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("cnorm"),
     )
     scored_cells = base.join(F.broadcast(cents)).withColumn(
-        "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+        "ccos", F.try_divide(_dot(F.col("v"), F.col("cv")), F.col("norm") * F.col("cnorm"))
     )
     w_cell = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
     ranked = scored_cells.withColumn("rn", F.row_number().over(w_cell))
@@ -325,8 +325,8 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
               (F.col("a.cell") == F.col("q.cell"))
               & (F.col("a.vec_id") != F.col("q.query_id")))
         .withColumn("cosine",
-                    _dot(F.col("q.qv"), F.col("a.v"))
-                    / (F.col("q.qnorm") * F.col("a.norm")))
+                    F.try_divide(_dot(F.col("q.qv"), F.col("a.v")),
+                                 F.col("q.qnorm") * F.col("a.norm")))
         .select("query_id", F.col("a.vec_id").alias("neighbor_id"), "cosine")
     )
     w_k = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -386,7 +386,8 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(
                 F.col("embedding"),
                 lambda x: F.floor(
-                    xd(x) * F.lit(127.0) / xd(F.col("max_abs")) + F.lit(0.5)
+                    F.try_divide(xd(x) * F.lit(127.0), xd(F.col("max_abs")))
+                    + F.lit(0.5)
                 ).cast("int"),
             ),
             ",",
@@ -415,10 +416,12 @@ _KM_CTES = f"""v AS (
       SELECT vec_id, cid FROM d1
       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
     ), dims AS (
-      SELECT a1.cid, r.i AS pos, CAST(v.vec[r.i+1] AS DECIMAL(38,15)) AS val
+      SELECT a1.cid, r.i AS pos,
+             CAST(floor(v.vec[r.i+1] * 1099511627776.0) AS HUGEINT) AS val
       FROM a1 JOIN v USING (vec_id) CROSS JOIN range({_KM_DIM}) r(i)
     ), sums AS (
-      SELECT cid, pos, CAST(sum(val) AS DOUBLE) / count(*) AS m
+      SELECT cid, pos,
+             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS m
       FROM dims GROUP BY cid, pos
     ), c1 AS (
       SELECT cid, list(m ORDER BY pos) AS cvec FROM sums GROUP BY cid
@@ -455,9 +458,11 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     - distances fold left-to-right over ``zip_with`` (both engines
       reduce the 64-term sum in array order — no shuffle-order
       nondeterminism can enter a per-row fold);
-    - centroid means accumulate in DECIMAL(38,15) (exact, order-free)
-      and divide in DOUBLE — the one cross-row float reduction is
-      decimal, so Spark's shuffle order cannot change the result;
+    - centroid means accumulate in TIE-FREE FIXED POINT —
+      floor(x·2⁴⁰) (exact power-of-two multiply, floor never ties —
+      exactness rule 6: double→DECIMAL casts round HALF_UP on Spark
+      vs HALF_EVEN on DuckDB and binary fractions DO tie) summed as
+      exact integers, one double division at the boundary;
     - argmin tiebreaks on (dist, cid) via field-lexicographic struct
       min.
 
@@ -471,7 +476,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.B).
     """
     v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
+        "vec_id", _vec_double().alias("vec")
     )
 
     def assign(cents: dict[int, list[float]]) -> DataFrame:
@@ -501,8 +506,9 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id", "pos")
         .agg(
             (
-                F.sum(F.col("val").cast("decimal(38,15)")).cast("double")
-                / F.count("*")
+                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.count("*").cast("double") * 1099511627776.0)
             ).alias("m")
         )
     )
@@ -1091,11 +1097,18 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ the 100 TB embedding-compression path.
     """
     v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
+        "vec_id", _vec_double().alias("vec")
     )
     anchors = {
         int(r.vec_id): list(r.vec) for r in v.filter(F.col("vec_id") < _PQ_K).collect()
     }
+    return _pq_encode(v, anchors)
+
+
+def _pq_encode(v: DataFrame, anchors: dict[int, list[float]]) -> DataFrame:
+    """Encode (vec_id, vec) rows against a PQ codebook — the shared
+    kernel of emb_pq_assign (encoding) and ann_pq_adc_topk (which
+    searches the codes)."""
 
     def sub_argmin(m: int):
         sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
@@ -1188,21 +1201,20 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit top-k.  ZERO joins and zero full-vector reads at
     query time; the corpus scan touches only the code columns.
     """
-    codes = emb_pq_assign(spark, sf_dir).select(
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    # one driver collect serves the codebook AND the query set (the
+    # PQ encoder would otherwise re-collect the same anchors)
+    small = {
+        int(r.vec_id): list(r.vec)
+        for r in v.filter(F.col("vec_id") < _PQ_K + _PQ_NQ).collect()
+    }
+    anchors = {k: small[k] for k in range(_PQ_K) if k in small}
+    queries = {k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small}
+    codes = _pq_encode(v, anchors).select(
         "vec_id", "code_0", "code_1", "code_2", "code_3"
     )
-    v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("vec")
-    )
-    anchors = {
-        int(r.vec_id): list(r.vec) for r in v.filter(F.col("vec_id") < _PQ_K).collect()
-    }
-    queries = {
-        int(r.vec_id): list(r.vec)
-        for r in v.filter(
-            (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
-        ).collect()
-    }
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
         acc = 0.0

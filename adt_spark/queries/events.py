@@ -393,7 +393,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.col("v").alias("value"),
-            ((F.col("v") - F.col("mean")) / F.col("std")).alias("zscore"),
+            F.try_divide(F.col("v") - F.col("mean"), F.col("std")).alias("zscore"),
         )
     )
 
