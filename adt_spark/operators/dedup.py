@@ -86,20 +86,25 @@ def _positional_grams(docs: DataFrame, k: int) -> DataFrame:
     if memo is not None:
         return memo
     toks = F.split(F.col("text"), " ")
+    # Guard docs shorter than k tokens (same discipline as
+    # _shingle_arrays): Spark's sequence(1, 0) yields the DESCENDING
+    # [1, 0] — not empty — so the unguarded transform would evaluate
+    # slice(toks, 0, k), which THROWS under Spark 4, and emit an
+    # undersized gram the DuckDB oracle (empty generate_series) never
+    # produces.
+    windows = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<i:int,gram:string>>"))
     out = (
         spread(docs)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-                    lambda i: F.struct(
-                        i.alias("i"),
-                        F.md5(F.concat_ws(" ", F.slice(toks, i, k))).alias("gram"),
-                    ),
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(windows).alias("g"))
         .select("doc_id", "g.i", "g.gram")
         .localCheckpoint(eager=False)
     )
@@ -404,6 +409,48 @@ _BAND_UNION_SQL = "\n        UNION ALL\n".join(
 )
 
 
+
+
+def _lsh_candidates(dhash: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(signatures, candidate pairs) from the banded minhash index —
+    the ONE banding pipeline dedup_minhash_lsh and its calibration
+    auditor share (a band-count or key-derivation change must move
+    both together).  Signatures and band keys are materialized via
+    localCheckpoint (tiny; re-deriving the 12 folds per consuming
+    plan appearance measured much slower)."""
+    sigs = (
+        dhash.filter(F.size("dhash_arr") > 0)
+        .select("doc_id", *_minhash_sig_cols())
+        .localCheckpoint(eager=False)
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[
+                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+    bands = sigs.select("doc_id", *band_cols).localCheckpoint(eager=False)
+    exploded = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])).alias("band_key"),
+    )
+    cands = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return sigs, cands
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -466,36 +513,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tables(spark, sf_dir)["documents"]
     pre = _shingle_arrays(docs)
-    dhash = _dhash_arrays(pre)
-    sigs = dhash.filter(F.size("dhash_arr") > 0).select("doc_id", *_minhash_sig_cols())
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(f"b{b}"),
-                *[
-                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
-                    for r in range(_ROWS_PER_BAND)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(_N_BANDS)
-    ]
-    # Materialize the band keys (4 hex strings per doc — tiny): the
-    # bucket self-join and the broadcast pre-jobs would otherwise
-    # re-evaluate the 12 signature folds once per plan appearance.
-    bands = sigs.select("doc_id", *band_cols).localCheckpoint(eager=False)
-    exploded = bands.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])).alias("band_key"),
-    )
-    cands = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    _sigs, cands = _lsh_candidates(_dhash_arrays(pre))
     # Verification: broadcast the (tiny) candidate-pair set against
     # the cached arrays; exact common-shingle count = intersection
     # size (arrays are distinct), exact integer arithmetic → the 0.8
@@ -798,6 +816,7 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(20):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), F.col("label")
@@ -810,8 +829,18 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a silent cap would memoize WRONG labels for any component
+        # whose diameter exceeds the round budget (long boilerplate
+        # chains do this) — fail loudly instead; label propagation
+        # needs O(diameter) rounds, so raise the cap if this fires.
+        raise RuntimeError(
+            "connected-components label propagation did not converge in "
+            "20 rounds (component diameter > 20?) — raise the round cap"
+        )
     _CC_LABELS_MEMO[key] = labels
     return labels
 
@@ -1443,34 +1472,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tables(spark, sf_dir)["documents"]
     pre = _shingle_arrays(docs)
-    dhash = _dhash_arrays(pre)
-    sigs = dhash.filter(F.size("dhash_arr") > 0).select("doc_id", *_minhash_sig_cols())
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(f"b{b}"),
-                *[
-                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
-                    for r in range(_ROWS_PER_BAND)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(_N_BANDS)
-    ]
-    sigs = sigs.localCheckpoint(eager=False)
-    bands = sigs.select("doc_id", *band_cols)
-    exploded = bands.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band{b}") for b in range(_N_BANDS)])).alias("band_key"),
-    )
-    cands = (
-        exploded.alias("a")
-        .join(exploded.alias("b"), ["band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs, cands = _lsh_candidates(_dhash_arrays(pre))
     pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("shingle_arr").alias("arr_a"))
     pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("shingle_arr").alias("arr_b"))
     both = pb.join(F.broadcast(pa.join(F.broadcast(cands), ["doc_a"])), ["doc_b"])

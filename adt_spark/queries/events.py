@@ -324,6 +324,30 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_thresholds(ev: DataFrame) -> DataFrame:
+    """Per-event-type (mean, std) from exact decimal moments — shared
+    by the oracle-checked batch detector and the streaming alerter so
+    the pinned pair cannot drift."""
+    vdec = F.col("value").cast(T.DecimalType(12, 2))
+    stats = (
+        ev.select("event_type", vdec.alias("vdec"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vdec").cast("double").alias("s1"),
+            F.sum(F.col("vdec") * F.col("vdec")).cast("double").alias("s2"),
+        )
+    )
+    mean = F.col("s1") / F.col("n")
+    return stats.select(
+        "event_type",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias(
+            "std"
+        ),
+    )
+
+
 @register(
     "q_events_anomaly",
     oracle=f"""
@@ -369,23 +393,8 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = tables(spark, sf_dir)["events"]
     vdec = F.col("value").cast(T.DecimalType(12, 2))
-    d = ev.select(
-        "event_id", "event_type",
-        vdec.cast("double").alias("v"), vdec.alias("vdec"),
-    )
-    stats = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vdec").cast("double").alias("s1"),
-        F.sum(F.col("vdec") * F.col("vdec")).cast("double").alias("s2"),
-    )
-    mean = F.col("s1") / F.col("n")
-    m = stats.select(
-        "event_type",
-        mean.alias("mean"),
-        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias(
-            "std"
-        ),
-    )
+    d = ev.select("event_id", "event_type", vdec.cast("double").alias("v"))
+    m = anomaly_thresholds(ev)
     return (
         d.join(F.broadcast(m), "event_type")
         .filter(F.abs(F.col("v") - F.col("mean")) > 3.0 * F.col("std"))

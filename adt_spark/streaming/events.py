@@ -46,6 +46,16 @@ def streaming_events_schema(ts_type: T.DataType | None = None) -> T.StructType:
     )
 
 
+def _stream_glob(path: str) -> str:
+    """FileStreamSource needs a directory/glob, not a bare file path —
+    the one glob derivation every file-backed stream here uses."""
+    if os.path.isdir(path):
+        return path
+    return os.path.join(
+        os.path.dirname(path), os.path.basename(path).split(".")[0] + ".*"
+    )
+
+
 def _open_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """readStream over the events file/directory, normalizing ``ts``
     to TimestampType whatever the file's physical timestamp encoding.
@@ -54,11 +64,7 @@ def _open_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     nanos-encoded ``ts`` (epoch-long under nanosAsLong) is converted
     by exact integer DIV — sub-µs is zero in the data.
     """
-    # FileStreamSource needs a directory/glob, not a bare file path.
-    path = events_path if os.path.isdir(events_path) else os.path.join(
-        os.path.dirname(events_path),
-        os.path.basename(events_path).split(".")[0] + ".*",
-    )
+    path = _stream_glob(events_path)
     ts_type = spark.read.parquet(events_path).schema["ts"].dataType
     stream = (
         spark.readStream.schema(streaming_events_schema(ts_type))
@@ -106,24 +112,36 @@ def streaming_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tables(spark, sf_dir)  # registers views; also validates layout
     events_path = os.path.join(sf_dir, "events.parquet")
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        windowed_counts_stream(spark, events_path)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return _drain_to_memory(windowed_counts_stream(spark, events_path), spark, "complete")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events directory with µs timestamps."""
     return _open_events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+#: memory-sink tables and scratch dirs created by drained streams —
+#: callers need the returned table alive, so cleanup is an explicit
+#: hook (mirroring dedup.clear_dedup_state) for long-lived sessions
+#: that re-run streaming operators.
+_SINK_TABLES: list[str] = []
+_SCRATCH_DIRS: list[str] = []
+
+
+def clear_streaming_state(spark: SparkSession) -> None:
+    """Drop every memory-sink table and scratch directory accumulated
+    by prior streaming-operator invocations in this session."""
+    import shutil
+
+    for name in _SINK_TABLES:
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+    _SINK_TABLES.clear()
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.clear()
 
 
 def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -133,6 +151,7 @@ def _drain_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame
         q.processAllAvailable()
     finally:
         q.stop()
+    _SINK_TABLES.append(name)
     return spark.table(name)
 
 
@@ -349,6 +368,7 @@ def streaming_delta_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables(spark, sf_dir)
     out_dir = tempfile.mkdtemp(prefix="stream_delta_")
+    _SCRATCH_DIRS.append(out_dir)
     target = os.path.join(out_dir, "hourly_rollup")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -403,16 +423,7 @@ def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(chash.alias("chash"))
         .distinct()
     )
-    # FileStreamSource needs a directory/glob, not a bare file path
-    # (same move as _open_events_stream).
-    glob = (
-        docs_path
-        if os.path.isdir(docs_path)
-        else os.path.join(
-            os.path.dirname(docs_path),
-            os.path.basename(docs_path).split(".")[0] + ".*",
-        )
-    )
+    glob = _stream_glob(docs_path)
     stream = (
         spark.readStream.schema(static_schema)
         .parquet(glob)
@@ -446,25 +457,12 @@ def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch-agreement: tests/test_streaming.py pins the drained alert
     set to the oracle-checked q_events_anomaly batch output.
     """
+    from adt_spark.queries.events import anomaly_thresholds
+
     ev = tables(spark, sf_dir)["events"]
-    vdec = F.col("value").cast(T.DecimalType(12, 2))
-    stats = (
-        ev.select("event_type", vdec.alias("vdec"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("vdec").cast("double").alias("s1"),
-            F.sum(F.col("vdec") * F.col("vdec")).cast("double").alias("s2"),
-        )
-    )
-    mean = F.col("s1") / F.col("n")
-    thresholds = stats.select(
-        "event_type",
-        mean.alias("mean"),
-        F.sqrt(F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))).alias(
-            "std"
-        ),
-    )
+    # the SAME per-type moments/threshold derivation the oracle-checked
+    # batch operator uses — the pinned stream/batch pair cannot drift
+    thresholds = anomaly_thresholds(ev)
     stream = _events_stream(spark, sf_dir)
     v = F.col("value").cast(T.DecimalType(12, 2)).cast("double")
     alerts = (
@@ -474,7 +472,7 @@ def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             v.alias("value"),
-            ((v - F.col("mean")) / F.col("std")).alias("zscore"),
+            F.try_divide(v - F.col("mean"), F.col("std")).alias("zscore"),
         )
     )
     return _drain_to_memory(alerts, spark, "append")
