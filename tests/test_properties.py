@@ -305,3 +305,21 @@ def test_call_rewriter_preserves_literal_bodies(body):
     lit = "'" + body.replace("'", "''") + " trunc(3.7) array_slice(a,1,2)'"
     sql = f"SELECT {lit} AS v"
     assert _rewrite_calls(sql) == sql
+
+
+def test_positional_grams_short_docs(spark):
+    """Review finding: Spark's sequence(1, 0) is the DESCENDING
+    [1, 0], so ungated gram windows crashed on docs shorter than k
+    tokens; short docs must yield zero grams, long docs n-k+1."""
+    from adt_spark.operators.dedup import _SUB_K, _positional_grams
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, " ".join(f"t{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    grams = _positional_grams(docs, _SUB_K).collect()
+    by_doc = {}
+    for r in grams:
+        by_doc.setdefault(r.doc_id, []).append(r.i)
+    assert 1 not in by_doc  # 3 tokens < k=8 → no windows, no crash
+    assert sorted(by_doc[2]) == list(range(1, 12 - _SUB_K + 2))
