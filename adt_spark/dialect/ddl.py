@@ -31,10 +31,12 @@ the same way COPY is intercepted for sinks.
 the files' sort order so the engine may elide sorts.  The declared
 order is recorded in :data:`DECLARED_ORDERS` and applied as a
 read-contract: the registered view is wrapped in
-``sortWithinPartitions`` so Catalyst's ``SortExec`` planning sees the
-ordering guarantee without a shuffle (Spark has no listing-table sort
-metadata; per-partition sort of already-sorted files is a streaming
-no-op at scan time, and downstream per-partition sorts are elided).
+``sortWithinPartitions`` so downstream same-key per-partition sorts
+are elided without a shuffle.  (Honest cost note: Spark has no
+listing-table sort metadata, so the wrapper IS a real per-partition
+SortExec — cheap on already-sorted input but not free; the zero-cost
+scale path for declared order is bucketed+sorted catalog tables,
+sources/sinks.py::write_bucketed.)
 """
 
 from __future__ import annotations
@@ -192,6 +194,10 @@ def execute_create_external_table(spark: SparkSession, sql: str) -> DataFrame:
 
     spec = parse_create_external_table(sql)
     assert spec is not None
+    # Catalog-qualified names (datafusion.public.t) register under the
+    # last component: Spark temp views are single-part (the reference's
+    # grammar allows qualification but its CLI never emits it).
+    spec["name"] = spec["name"].rsplit(".", 1)[-1]
     if spec["if_not_exists"] and spec["name"] in [
         t.name for t in spark.catalog.listTables()
     ]:

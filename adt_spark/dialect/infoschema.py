@@ -48,6 +48,10 @@ def _catalog_snapshot(spark: SparkSession):
     """(tables_rows, views_rows, columns_rows) from the live catalog."""
     tables_rows, views_rows, columns_rows = [], [], []
     for t in spark.catalog.listTables():
+        if t.name.startswith("information_schema_"):
+            # a previous query's snapshot views must not appear in the
+            # next snapshot (the count would grow by 5 per query)
+            continue
         schema = t.namespace[0] if t.namespace else "default"
         if t.isTemporary:
             # DataFusion registers CLI tables in catalog "datafusion",
@@ -102,11 +106,15 @@ def materialize_information_schema(spark: SparkSession) -> None:
         ],
         "catalog_name string, schema_name string",
     ).createOrReplaceTempView("information_schema_schemata")
+    # runtime conf wins deterministically over the static SparkConf
+    # (dropDuplicates picks an arbitrary survivor when they disagree)
+    settings = dict(spark.sparkContext.getConf().getAll())
+    settings["spark.sql.shuffle.partitions"] = spark.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
     spark.createDataFrame(
-        [(k, v) for k, v in spark.sparkContext.getConf().getAll()]
-        + [("spark.sql.shuffle.partitions", spark.conf.get("spark.sql.shuffle.partitions"))],
-        "name string, value string",
-    ).dropDuplicates(["name"]).createOrReplaceTempView("information_schema_df_settings")
+        sorted(settings.items()), "name string, value string"
+    ).createOrReplaceTempView("information_schema_df_settings")
 
 
 def rewrite_information_schema(spark: SparkSession, sql: str) -> str:

@@ -243,6 +243,20 @@ def _encode(schema, v, out: io.BytesIO) -> None:
             delta = v - epoch
             _write_long(out, (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds)
             return
+        if logical == "decimal" and t in ("bytes", "fixed"):
+            unscaled = int(v.scaleb(schema.get("scale", 0)))
+            if t == "fixed":
+                out.write(unscaled.to_bytes(schema["size"], "big", signed=True))
+            else:
+                nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+                _write_bytes(out, unscaled.to_bytes(nbytes, "big", signed=True))
+            return
+    if t == "enum":
+        _write_long(out, schema["symbols"].index(v))
+        return
+    if t == "fixed":
+        out.write(bytes(v))
+        return
     if t == "record":
         for f in schema["fields"]:
             _encode(f["type"], v.get(f["name"]) if isinstance(v, dict) else v[f["name"]], out)
@@ -271,6 +285,32 @@ def _encode(schema, v, out: io.BytesIO) -> None:
 # ---------------------------------------------------------------------------
 # Container file format
 # ---------------------------------------------------------------------------
+
+
+def parse_schema_header(data: bytes):
+    """(schema, codec) from ONLY the container header — stops at the
+    sync marker without decoding any block, so the driver-side schema
+    probe reads a few KB of a multi-GB file instead of row-decoding
+    the whole thing."""
+    r = _Reader(data)
+    if r.read(4) != _MAGIC:
+        raise AvroError("not an Avro container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.read_long()
+        for _ in range(n):
+            k = r.read_string()
+            meta[k] = r.read_bytes()
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported Avro codec {codec!r}")
+    return schema, codec
 
 
 def parse_container(data: bytes) -> tuple[dict | str | list, str, list]:
@@ -464,8 +504,11 @@ def read_avro_native(spark: SparkSession, location: str) -> DataFrame:
 
     files = _list_avro_files(location)
     with open(files[0], "rb") as fh:
-        header = fh.read()
-    schema, _codec, _ = parse_container(header)
+        # the header (magic + metadata map + sync) is small; 1 MB
+        # covers any realistic schema without pulling a multi-GB data
+        # file onto the driver
+        header = fh.read(1 << 20)
+    schema, _codec = parse_schema_header(header)
     spark_schema = avro_to_spark_type(schema)
     if not isinstance(spark_schema, T.StructType):
         raise AvroError("top-level Avro schema must be a record")

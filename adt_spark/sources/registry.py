@@ -88,12 +88,24 @@ def register_table(
     if key == "arrow":
         from adt_spark.sources.arrow_ipc import read_arrow_ipc
 
+        if schema is not None or options:
+            # honest refusal beats silently dropping the user's DDL:
+            # the Arrow reader derives its schema from the IPC stream
+            raise UnsupportedFormatError(
+                "declared schemas/OPTIONS are not supported for ARROW "
+                "tables (the IPC stream carries its own schema)"
+            )
         df = read_arrow_ipc(spark, location)
     elif key == "avro":
         df = _read_avro(spark, location, schema, options)
     elif conf["format"] == "delta":
         from adt_spark.sources.delta import read_delta
 
+        if schema is not None or options:
+            raise UnsupportedFormatError(
+                "declared schemas/OPTIONS are not supported for DELTA "
+                "tables (the transaction log is authoritative)"
+            )
         df = read_delta(spark, location)
     else:
         reader = spark.read.format(conf["format"])
@@ -138,4 +150,13 @@ def _read_avro(spark, location, schema, options):
     except Exception:
         from adt_spark.sources.avro_native import read_avro_native
 
+        if schema is not None or options:
+            # the native fallback derives its schema from the Avro
+            # container header — refuse rather than silently dropping
+            # the user's declared schema/OPTIONS
+            raise UnsupportedFormatError(
+                "declared schemas/OPTIONS on AVRO tables need the "
+                "spark-avro jar; the jar-free native reader takes its "
+                "schema from the container header"
+            ) from None
         return read_avro_native(spark, location)

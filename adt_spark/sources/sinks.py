@@ -77,13 +77,27 @@ def _split_source(sql: str) -> tuple[str, str]:
     rest = sql[m.end():].lstrip()
     if rest.startswith("("):
         depth = 0
-        for i, ch in enumerate(rest):
-            if ch == "(":
+        i = 0
+        while i < len(rest):
+            ch = rest[i]
+            if ch == "'":
+                # skip string literals ('' escapes respected) — a
+                # paren inside a quoted string must not close depth
+                i += 1
+                while i < len(rest):
+                    if rest[i] == "'":
+                        if i + 1 < len(rest) and rest[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     return rest[1:i], rest[i + 1:]
+            i += 1
         raise ValueError("unbalanced parentheses in COPY source query")
     # bare table name: first whitespace-delimited token
     token = rest.split(None, 1)
@@ -152,20 +166,33 @@ def write_dataframe(
     if spark_fmt == "avro_native":
         if partition_by:
             raise ValueError("PARTITIONED BY is not supported for AVRO sinks")
-        try:  # spark-avro when present (JVM, vectorized)
-            df.write.format("avro").mode(mode).save(path)
-            return
-        except Exception:
+        # choose the writer by AVAILABILITY, not by catching failures:
+        # a bare except here would swallow real spark-avro write
+        # errors and silently re-execute the whole query through the
+        # Python writer
+        if _spark_avro_available(df.sparkSession):
+            writer = df.write.format("avro").mode(mode)
+            for k, v in (options or {}).items():
+                writer = writer.option(k, v)
+            writer.save(path)
+        else:
             from adt_spark.sources.avro_native import write_avro_native
 
             write_avro_native(df, path, mode=mode)
-            return
+        return
     if spark_fmt == "delta":
         from adt_spark.sources.delta import delta_available
 
         if not delta_available(df.sparkSession):
+            import os as _os
+
             from adt_spark.sources.delta_native_write import write_delta_native
 
+            exists = _os.path.isdir(_os.path.join(path, "_delta_log"))
+            if mode in ("error", "errorifexists") and exists:
+                raise ValueError(f"delta table already exists at {path}")
+            if mode == "ignore" and exists:
+                return
             write_delta_native(
                 df,
                 path,
@@ -179,6 +206,20 @@ def write_dataframe(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def _spark_avro_available(spark) -> bool:
+    """True when the 'avro' data source actually resolves (probe
+    Spark's own DataSource.lookupDataSource — Class.forName is NOT a
+    valid proxy: pyspark ships some avro classes without the data
+    source service registration); never probe by trial write."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
 
 
 def execute_copy(spark: SparkSession, sql: str, run_query) -> DataFrame:
@@ -279,12 +320,20 @@ def compact_files(
             if not f.startswith(("_", ".")):
                 total += os.path.getsize(os.path.join(root, f))
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    df = spark.read.format(fmt).load(src)
+    # registry name → actual Spark data-source name ('ndjson' is a
+    # registry alias for the json source; Spark has no such format)
+    spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
+    reader = spark.read.format(spark_fmt)
+    for k, v in defaults.items():
+        reader = reader.option(k, v)
+    df = reader.load(src)
     write_dataframe(df.repartition(n_out), dst, fmt=fmt, mode="overwrite")
     out_base = dst.removeprefix("file://")
+    # count the writer's part files (their extension follows the SPARK
+    # format name, e.g. .json for ndjson), not the registry name
     return sum(
         1
         for root, _, files in os.walk(out_base)
         for f in files
-        if f.endswith(f".{fmt}") or (fmt == "json" and f.endswith(".json"))
+        if f.startswith("part-") and not f.endswith(".crc")
     )
