@@ -43,8 +43,14 @@ _RANGE_US = 3_600_000_000
            c.ts AS click_ts,
            c.value AS click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+    LEFT JOIN LATERAL (
+      SELECT ck.ts, ck.value
+      FROM events ck
+      WHERE ck.event_type = 'click'
+        AND ck.user_id = p.user_id AND ck.ts <= p.ts
+      ORDER BY ck.ts DESC, ck.event_id DESC
+      LIMIT 1
+    ) c ON TRUE
     """,
     tags=("join", "asof", "temporal"),
 )
@@ -55,17 +61,19 @@ def q_asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Implementation: tag click/purchase rows, union, and run
     ``last_value(ignorenulls=True)`` over a per-user window ordered by
-    (ts, side) — clicks sort before purchases at equal ts, matching
-    the oracle's ``>=`` bound.  One hash shuffle on user_id, one sort
-    per partition; no non-equi join, no fan-out.  (DuckDB runs its
-    native ASOF JOIN as the oracle — same semantics, different
-    algorithm.)
+    (ts, side, event_id) — clicks sort before purchases at equal ts
+    (matching the ``<=`` bound) and equal-ts clicks resolve to the
+    highest event_id, a total order both engines share.  One hash shuffle on user_id, one sort
+    per partition; no non-equi join, no fan-out.  (The oracle is an
+    explicit LATERAL top-1 with the same tiebreak — DuckDB's native
+    ASOF JOIN picks arbitrarily among equal-ts clicks.)
     """
     ev = tables(spark, sf_dir)["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         "ts",
         F.lit(0).alias("side"),
+        F.col("event_id").alias("ord_id"),
         F.lit(None).cast("long").alias("purchase_id"),
         F.lit(None).cast("double").alias("purchase_value"),
         F.col("ts").alias("c_ts"),
@@ -75,14 +83,19 @@ def q_asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(1).alias("side"),
+        F.col("event_id").alias("ord_id"),
         F.col("event_id").alias("purchase_id"),
         F.col("value").alias("purchase_value"),
         F.lit(None).cast("timestamp").alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
     )
+    # total order: (ts, side, event_id) — among equal-ts clicks the
+    # HIGHEST event_id wins (last in window order), the defined rule
+    # the lateral oracle mirrors; without the id tiebreak the pick
+    # would be shuffle-order nondeterministic (corpus rule 3)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "ord_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

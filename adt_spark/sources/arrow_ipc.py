@@ -60,7 +60,13 @@ def read_arrow_ipc(spark: SparkSession, location: str) -> DataFrame:
         tables.append(
             reader.read_all() if hasattr(reader, "read_all") else pa.Table.from_batches(list(reader))
         )
-    return spark.createDataFrame(pa.concat_tables(tables).to_pandas())
+    merged = pa.concat_tables(tables)
+    # pin the Spark schema from the ARROW schema: an untyped
+    # to_pandas() round-trip turns int64-with-nulls into float64
+    # (precision loss + a different dtype than the distributed path)
+    return spark.createDataFrame(
+        merged.to_pandas(), schema=from_arrow_schema(merged.schema)
+    )
 
 
 def read_arrow_ipc_distributed(spark: SparkSession, location: str) -> DataFrame:
@@ -130,6 +136,13 @@ def write_arrow_ipc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
                     )
                 writer.write_batch(batch)
                 n += len(batch)
+            if writer is None and pid == 0:
+                # empty result: still write ONE schema-bearing file so
+                # the directory round-trips as an empty table (the
+                # parquet/CSV sinks behave the same way)
+                writer = pa.ipc.new_file(
+                    os.path.join(path, f"part-{pid:05d}.arrow"), arrow_schema
+                )
         finally:
             if writer is not None:
                 writer.close()

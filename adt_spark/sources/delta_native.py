@@ -287,6 +287,14 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
             continue
         if version is not None and v > version:
             break
+        if v != snap.version + 1:
+            # a GAP in the commit chain (partial replication /
+            # eventually-consistent listing) — applying around it
+            # would silently drop the missing version's adds/removes
+            raise DeltaProtocolError(
+                f"commit chain gap: version {snap.version + 1} missing "
+                f"(next available is {v}) — refusing a wrong snapshot"
+            )
         for line in _read_file(spark, path).splitlines():
             if line.strip():
                 _apply_action(snap, json.loads(line))
@@ -402,6 +410,54 @@ def _file_may_match(
     maxs = stats.get("maxValues") or {}
     nulls = stats.get("nullCount") or {}
     n_records = stats.get("numRecords")
+
+    def _coerce(a, b):
+        """Comparable (a, b) or None when no SOUND common form exists.
+
+        Pruning on raw string compare is UNSOUND across encodings: the
+        writer's timestamp stats use the 'T' separator while SQL
+        literals use a space ('2021-01-01T…' > '2021-01-01 …'
+        lexically at index 10), and decimal stats are strings
+        ('9.5' > '10.2').  Coerce both sides to a typed value first;
+        any failure keeps the file (pruning is only an optimization).
+        """
+        import datetime as _dt
+
+        if isinstance(a, bool) or isinstance(b, bool):
+            return (a, b) if isinstance(a, bool) and isinstance(b, bool) else None
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return a, b
+        def _num(x):
+            try:
+                return float(x)
+            except (TypeError, ValueError):
+                return None
+        if isinstance(a, (int, float)) or isinstance(b, (int, float)):
+            na, nb = _num(a), _num(b)
+            return (na, nb) if na is not None and nb is not None else None
+        if isinstance(a, str) and isinstance(b, str):
+            def _ts(x):
+                try:
+                    return _dt.datetime.fromisoformat(x.replace("T", " ", 1))
+                except ValueError:
+                    return None
+            ta, tb = _ts(a), _ts(b)
+            if ta is not None and tb is not None:
+                if ta.tzinfo is not None:
+                    ta = ta.replace(tzinfo=None)
+                if tb.tzinfo is not None:
+                    tb = tb.replace(tzinfo=None)
+                return ta, tb
+            if ta is not None or tb is not None:
+                return None  # one side temporal, the other not
+            na, nb = _num(a), _num(b)
+            if na is not None and nb is not None:
+                return na, nb
+            if na is not None or nb is not None:
+                return None  # one side numeric-looking, the other not
+            return a, b  # plain strings: lexical compare is the order
+        return None
+
     for col, op, value in constraints:
         if op not in _SKIP_OPS:
             continue
@@ -411,16 +467,22 @@ def _file_may_match(
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             continue
+        clo = _coerce(lo, value)
+        chi = _coerce(hi, value)
+        if clo is None or chi is None:
+            continue  # no sound common form: keep the file
+        lo_c, v1 = clo
+        hi_c, v2 = chi
         try:
-            if op == "=" and (value < lo or value > hi):
+            if op == "=" and (v1 < lo_c or v2 > hi_c):
                 return False
-            if op == "<" and not (lo < value):
+            if op == "<" and not (lo_c < v1):
                 return False
-            if op == "<=" and not (lo <= value):
+            if op == "<=" and not (lo_c <= v1):
                 return False
-            if op == ">" and not (hi > value):
+            if op == ">" and not (hi_c > v2):
                 return False
-            if op == ">=" and not (hi >= value):
+            if op == ">=" and not (hi_c >= v2):
                 return False
         except TypeError:
             continue  # cross-type comparison: keep the file
@@ -521,7 +583,7 @@ def read_delta_native(
             dv_files.append((path, logical_pvals, dv))
             continue
         key = tuple(sorted(logical_pvals.items()))
-        groups.setdefault(key, []).append(os.path.join(location, path))
+        groups.setdefault(key, []).append(_data_path(location, path))
 
     parts: list[DataFrame] = []
     for key, paths in groups.items():
@@ -530,7 +592,7 @@ def read_delta_native(
     for path, pvals, dv in dv_files:
         df = to_logical(
             _apply_deletion_vector(
-                spark, os.path.join(location, path), read_schema, dv, location
+                spark, _data_path(location, path), read_schema, dv, location
             )
         )
         parts.append(_with_partition_cols(df, pvals, part_fields, out_cols))
@@ -543,6 +605,23 @@ def read_delta_native(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _data_path(location: str, rel: str) -> str:
+    """add.path → readable path.  The Delta spec says add.path is an
+    RFC 2396 URI-ENCODED relative path (delta-spark percent-encodes
+    hive-escaped names again), while this engine's own writer records
+    the on-disk name verbatim — so try the raw join first and fall
+    back to the URI-decoded form when the raw path does not exist
+    locally (URL locations keep the raw form; their readers resolve
+    encoded URIs natively)."""
+    raw = os.path.join(location, rel)
+    if _is_url(location) or os.path.exists(raw):
+        return raw
+    from urllib.parse import unquote
+
+    decoded = os.path.join(location, unquote(rel))
+    return decoded if os.path.exists(decoded) else raw
 
 
 def _with_partition_cols(
@@ -583,16 +662,25 @@ def _apply_deletion_vector(
     positions = decode_dv(
         dv, table_location, read_bytes=lambda p: _read_file(spark, p, binary=True)
     )
-    df = spark.read.schema(data_schema).parquet(file_path)
-    pos_col = F.expr("monotonically_increasing_id()")
-    # Single-file scan: row order within a parquet file read is the
-    # file order, and monotonically_increasing_id over one file's
-    # ordered partitions yields (partition_id << 33) + offset.  To be
-    # order-exact regardless of split count, force one partition for
-    # DV'd files (a DV'd file is one parquet file — bounded size).
-    df = df.coalesce(1).withColumn("__pos", pos_col)
-    if positions:
+    # _metadata.row_index IS the physical row ordinal the DV spec
+    # addresses — no coalesce(1) (the scan stays split-parallel) and
+    # no monotonically_increasing_id ordering contract needed.
+    df = spark.read.schema(data_schema).parquet(file_path).withColumn(
+        "__pos", F.col("_metadata.row_index")
+    )
+    if not positions:
+        return df.drop("__pos")
+    if len(positions) <= 1000:
+        # small DV: a literal IN-list stays in whole-stage codegen
         df = df.filter(~F.col("__pos").isin(*[int(p) for p in positions]))
+    else:
+        # large DV: millions of literals would blow up the expression
+        # tree/driver — broadcast left-anti join against a positions
+        # DataFrame instead (plan size O(1) in the DV cardinality)
+        pos_df = spark.createDataFrame(
+            [(int(p),) for p in positions], "__pos bigint"
+        )
+        df = df.join(F.broadcast(pos_df), "__pos", "left_anti")
     return df.drop("__pos")
 
 
@@ -641,10 +729,25 @@ def table_changes(
     end = last if ending_version is None else ending_version
     if end > last:
         raise ValueError(f"ending version {end} beyond log end {last}")
+    if starting_version > end:
+        raise ValueError(
+            f"starting version {starting_version} beyond ending version {end}"
+        )
+    # every requested version must actually be present — silently
+    # skipping a cleaned/missing commit would permanently drop its
+    # changes from an incremental consumer (delta-spark CDF raises too)
+    present = {v for v, _p in commits}
+    missing = [v for v in range(starting_version, end + 1) if v not in present]
+    if missing:
+        raise DeltaProtocolError(
+            f"table_changes: commit(s) {missing} not in the log "
+            "(cleaned past a checkpoint?) — their changes are unrecoverable"
+        )
 
-    # schema as of the END version (CDF reads under one schema; schema
-    # changes mid-range would need per-version schemas — refused by
-    # comparing below)
+    # schema as of the END version: CDF reads under ONE schema, so a
+    # metaData action changing the schema inside the range is refused
+    # (files before the change would silently resolve renamed/retyped
+    # columns to NULL)
     snap = replay_snapshot(spark, location, version=end)
     if snap.column_mapping_mode != "none":
         raise DeltaProtocolError(
@@ -669,6 +772,7 @@ def table_changes(
         ]
     )
 
+    end_schema_json = snap.schema.json()
     for v, path in commits:
         if v < starting_version or v > end:
             continue
@@ -676,12 +780,33 @@ def table_changes(
             if not line.strip():
                 continue
             action = json.loads(line)
+            if meta := action.get("metaData"):
+                if (
+                    T.StructType.fromJson(json.loads(meta["schemaString"])).json()
+                    != end_schema_json
+                ):
+                    raise DeltaProtocolError(
+                        f"table_changes: schema change at version {v} inside "
+                        "the requested range — per-version schemas are not "
+                        "supported (split the range at the change)"
+                    )
             add, rm = action.get("add"), action.get("remove")
             entry = None
             if add and add.get("dataChange", True):
                 entry = (add["path"], add.get("partitionValues") or {},
                          add.get("deletionVector"), "insert")
             elif rm and rm.get("dataChange", True):
+                # the protocol guarantees remove.partitionValues only
+                # under extendedFileMetadata — surfacing deletes with
+                # NULL partition columns would mis-key downstream
+                # appliers, so refuse instead
+                if part_cols and not rm.get("partitionValues"):
+                    raise DeltaProtocolError(
+                        f"table_changes: remove action for {rm['path']} at "
+                        f"version {v} carries no partitionValues "
+                        "(extendedFileMetadata absent) — cannot attribute "
+                        "the delete to a partition"
+                    )
                 entry = (rm["path"], rm.get("partitionValues") or {},
                          rm.get("deletionVector"), "delete")
             if entry is None:
@@ -693,7 +818,7 @@ def table_changes(
                     "a deletion vector (use delta-spark CDF)"
                 )
             # plain join: absolute paths (shallow clones) pass through
-            abs_path = os.path.join(location, rel)
+            abs_path = _data_path(location, rel)
             if not _is_url(location) and not os.path.exists(abs_path):
                 raise FileNotFoundError(
                     f"CDC source file missing (vacuumed?): {rel} at version {v}"

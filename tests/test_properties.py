@@ -323,3 +323,33 @@ def test_positional_grams_short_docs(spark):
         by_doc.setdefault(r.doc_id, []).append(r.i)
     assert 1 not in by_doc  # 3 tokens < k=8 → no windows, no crash
     assert sorted(by_doc[2]) == list(range(1, 12 - _SUB_K + 2))
+
+
+def test_file_skipping_typed_comparisons():
+    """Review finding: timestamp stats use the 'T' separator while SQL
+    literals use a space, and decimal stats are strings — raw string
+    compare wrongly pruned matching files."""
+    import json
+
+    from adt_spark.sources.delta_native import _file_may_match
+
+    ts_stats = json.dumps(
+        {
+            "numRecords": 2,
+            "minValues": {"ts": "2021-06-01T00:00:00.000000"},
+            "maxValues": {"ts": "2021-06-01T23:00:00.000000"},
+            "nullCount": {"ts": 0},
+        }
+    )
+    assert _file_may_match(ts_stats, [("ts", "<=", "2021-06-01 12:00:00")])
+    assert not _file_may_match(ts_stats, [("ts", ">", "2021-06-02 00:00:00")])
+    dec_stats = json.dumps(
+        {
+            "numRecords": 2,
+            "minValues": {"d": "9.5"},
+            "maxValues": {"d": "10.2"},
+            "nullCount": {"d": 0},
+        }
+    )
+    assert _file_may_match(dec_stats, [("d", ">", 10)])
+    assert not _file_may_match(dec_stats, [("d", ">", 11)])
