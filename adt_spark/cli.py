@@ -64,8 +64,13 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
             # reference appends LIMIT to the user query (main.rs:72)
             ctx.sql(f"{args.query} limit {args.limit}").show(args.limit, truncate=False)
             if args.output_path:
+                if "'" in args.output_path:
+                    raise SystemExit(
+                        f"output path may not contain a single quote: "
+                        f"{args.output_path!r}"
+                    )
                 n = ctx.sql(
-                    f"COPY ({args.query}) TO '{args.output_path}'"
+                    f"COPY ({args.query.rstrip().rstrip(';')}) TO '{args.output_path}'"
                 ).first()["count"]
                 print(f"exported {n} rows to {args.output_path}")
         elif args.command == "schema":
@@ -77,7 +82,9 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
             with open(args.file) as fh:
                 for stmt in split_statements(fh):
                     df = ctx.sql(stmt)
-                    df.show(50, truncate=False)
+                    # reference collects and prints ALL rows
+                    # (main.rs:16-29) — no silent truncation
+                    df.show(max(df.count(), 1), truncate=False)
     finally:
         if owns_ctx:
             ctx.spark.stop()

@@ -86,11 +86,14 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       join on (user_id = c_custkey AND salt = salt)
 
     The aggregate after the join is decomposable, so correctness is
-    unchanged (oracle = the plain unsalted join).  At 100 TB the
-    replicated dimension stays broadcast-sized (customers x 8); AQE's
-    skew splitting handles moderate skew automatically — this operator
-    is the explicit pattern for the pathological case AQE cannot split
-    (single-key state larger than an executor).
+    unchanged (oracle = the plain unsalted join).  The join is FORCED
+    to a shuffled hash join (``hint("shuffle_hash")``): under a
+    broadcast join the fact side never shuffles and salting would be a
+    no-op — the pattern only means something when the join key
+    partitions the data, which is exactly the 100 TB regime (dimension
+    too large to broadcast, hot keys too large for one task; AQE's
+    skew splitting covers moderate skew, this is the explicit form for
+    single-key state larger than an executor).
 
     Money math per exactness rule 1: values sum as DECIMAL(12,2),
     cast to double only at the output boundary.
@@ -107,7 +110,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(
-            F.broadcast(cust),
+            cust.hint("shuffle_hash"),
             (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt),
         )
         .groupBy("c_mktsegment")

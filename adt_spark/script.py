@@ -17,7 +17,10 @@ def split_statements(lines: Iterable[str]) -> Iterator[str]:
     buf: list[str] = []
     for raw in lines:
         line = raw.rstrip("\n")
-        if line.strip().startswith("--"):
+        # reference checks the RAW line (main.rs:112): an INDENTED
+        # "--" line is appended as statement text (harmless SQL
+        # comment) and its trailing ';' still terminates the statement
+        if line.startswith("--"):
             continue
         buf.append(line)
         if line.rstrip().endswith(";"):

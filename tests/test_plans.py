@@ -291,18 +291,19 @@ def test_char_diversity_two_phase_agg(spark, sf_dir):
 
 
 def test_salted_join_replicates_dimension(spark, sf_dir):
-    """q_skew_salted_join: the dimension side must replicate (explode)
-    and broadcast; the fact side must NOT shuffle — salting spreads a
-    hot key across tasks without an exchange on the fact."""
+    """q_skew_salted_join: the join must be a SHUFFLED hash join whose
+    partitioning includes the salt (under a broadcast join the fact
+    never shuffles and salting would demonstrate nothing); no exchange
+    may partition on user_id without the salt."""
+    import re as _re
+
     plan = _formatted(_q(spark, sf_dir, "q_skew_salted_join"))
-    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" in plan
     assert "Generate" in plan  # the explode(sequence(0, S-1)) replication
-    # The fact side must never shuffle on its join key — the only
-    # hash-partitioning in the plan is the final aggregate's (on
-    # c_mktsegment); a hashpartitioning on user_id would mean the
-    # salting failed to avoid the hot-key exchange.
-    assert "hashpartitioning(user_id" not in plan
-    assert "SortMergeJoin" not in plan
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    keyed = [p for p in parts if "user_id" in p or "c_custkey" in p]
+    assert keyed, "expected a join exchange on the salted key"
+    assert all("salt" in p for p in keyed), f"unsalted join exchange: {keyed}"
 
 
 def test_emb_norm_stats_no_explode(spark, sf_dir):
