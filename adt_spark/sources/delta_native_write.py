@@ -2079,10 +2079,13 @@ def shallow_clone(
     """
     snap = replay_snapshot(spark, src, version)
     for path, (_pvals, dv) in snap.files.items():
-        if dv is not None:
+        if dv is not None and dv.get("storageType") != "i":
+            # INLINE DVs are location-independent and clone verbatim;
+            # 'u'/'p' storage references files under the SOURCE table,
+            # which the clone's reader would resolve wrongly
             raise DeltaWriteError(
-                f"shallow clone: {path} carries a deletion vector "
-                "(clone after VACUUM/OPTIMIZE, or use delta-spark)"
+                f"shallow clone: {path} carries a file-backed deletion "
+                "vector (OPTIMIZE the source first, or use delta-spark)"
             )
     log_dir = os.path.join(dst, "_delta_log")
     if os.path.isdir(log_dir) and os.listdir(log_dir):
@@ -2113,19 +2116,18 @@ def shallow_clone(
             }
         },
     ]
-    for rel, (pvals, _dv) in snap.files.items():
-        actions.append(
-            {
-                "add": {
-                    "path": os.path.join(src_abs, rel),
-                    "partitionValues": pvals,
-                    "size": snap.file_sizes.get(rel, 0),
-                    "modificationTime": ts,
-                    "dataChange": True,
-                    **({"stats": snap.file_stats[rel]} if rel in snap.file_stats else {}),
-                }
-            }
-        )
+    for rel, (pvals, dv) in snap.files.items():
+        add = {
+            "path": os.path.join(src_abs, rel),
+            "partitionValues": pvals,
+            "size": snap.file_sizes.get(rel, 0),
+            "modificationTime": ts,
+            "dataChange": True,
+            **({"stats": snap.file_stats[rel]} if rel in snap.file_stats else {}),
+        }
+        if dv is not None:
+            add["deletionVector"] = dv  # inline: location-independent
+        actions.append({"add": add})
     os.makedirs(log_dir, exist_ok=True)
     _atomic_write(_log_path(dst, 0), actions)
     return 0, len(snap.files)

@@ -143,3 +143,53 @@ SELECT count(*) AS n FROM delta.`{loc}`"""
     assert results[4].first().n == 20     # after DELETE (+OPTIMIZE no-change)
     assert results[5].first().n0 == 25    # time travel to v0
     assert results[7].first().n == 25     # restored
+
+
+def test_execute_script_delta_session3_features_end_to_end(spark, tmp_path):
+    """One `execute` script driving every session-3 Delta statement:
+    CONVERT, SET TBLPROPERTIES (enabling DVs), DV DELETE, constraint
+    ADD/enforce/DROP, SHALLOW CLONE, DESCRIBE DETAIL, and SHOW
+    TBLPROPERTIES — the SQL surface a migrating adt user script hits."""
+    from adt_spark import ADTContext
+    from adt_spark.script import split_statements
+
+    ctx = ADTContext(spark=spark)
+    src = tmp_path / "plain_pq"
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(str(src))
+    clone = tmp_path / "clone"
+    script = f"""
+-- migrate the parquet directory in place
+CONVERT TO DELTA parquet.`{src}`;
+ALTER TABLE delta.`{src}` ADD CONSTRAINT v_even CHECK (v % 2 = 0);
+ALTER TABLE delta.`{src}` SET TBLPROPERTIES ('delta.enableDeletionVectors'='true');
+DELETE FROM delta.`{src}` WHERE id >= 8;
+SELECT count(*) AS n FROM delta.`{src}`;
+CREATE TABLE delta.`{clone}` SHALLOW CLONE delta.`{src}`;
+DESCRIBE DETAIL delta.`{clone}`;
+SHOW TBLPROPERTIES delta.`{src}`;
+ALTER TABLE delta.`{src}` DROP CONSTRAINT v_even;
+"""
+    results = [ctx.sql(stmt) for stmt in split_statements(script.splitlines())]
+    n = results[4].first()["n"]
+    assert n == 8  # DV delete removed ids 8, 9
+    detail = results[6].first()
+    assert detail.format == "delta" and detail.numFiles >= 1
+    props = {(r.key, r.value) for r in results[7].collect()}
+    assert ("delta.enableDeletionVectors", "true") in props
+    assert ("delta.constraints.v_even", "v % 2 = 0") in props
+    # the clone reads the DV-masked state and carries the constraint
+    from adt_spark.sources.delta_native import read_delta_native
+    from adt_spark.sources.delta_native_write import (
+        DeltaWriteError,
+        write_delta_native,
+    )
+
+    assert read_delta_native(spark, str(clone)).count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(DeltaWriteError, match="v_even"):
+        write_delta_native(
+            spark.createDataFrame([(100, 3)], "id bigint, v bigint"),
+            str(clone),
+            mode="append",
+        )
