@@ -467,3 +467,53 @@ def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("max_by(value, ord)").alias("v_last"),
         )
     )
+
+
+_HIST_W = 50.0   # bin width
+_HIST_N = 10     # bins; values >= N*W clamp into the last bin
+
+
+@register(
+    "q_events_value_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(least(floor(value / {_HIST_W}), {_HIST_N - 1}) AS BIGINT) AS bin,
+           CAST(least(floor(value / {_HIST_W}), {_HIST_N - 1}) * {_HIST_W}
+                AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, bin, bin_lo
+    """,
+    tags=("events", "histogram"),
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type — the value-dimension
+    dashboard primitive (M4 covers the time dimension): bin =
+    ``least(floor(value / width), n-1)`` with the overflow mass
+    clamped into the last bin.
+
+    Exactness: the bin index is floor of a single double division
+    (deterministic both engines); per-bin mass sums in DECIMAL
+    (rule 1).  Scale shape: ONE partial+final aggregate on
+    (event_type, bin) — bounded keys, map-side combine does nearly
+    all the work; at 100 TB this is a single scan-speed pass, unlike
+    exact-percentile formulations that need a global sort.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    bin_idx = F.least(
+        F.floor(F.col("value") / _HIST_W), F.lit(_HIST_N - 1)
+    ).cast("bigint")
+    return (
+        ev.select(
+            "event_type",
+            bin_idx.alias("bin"),
+            (bin_idx * _HIST_W).cast("double").alias("bin_lo"),
+            F.col("value").cast(T.DecimalType(12, 2)).alias("vdec"),
+        )
+        .groupBy("event_type", "bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vdec").cast("double").alias("total_value"),
+        )
+    )
