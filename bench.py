@@ -54,6 +54,7 @@ HEADLINE = [
     "q_events_anomaly",
     "q_mixture_temperature",
     "q_events_m4_downsample",
+    "q_events_value_histogram",
     "q_orc_roundtrip_agg",
     "doc_chunk_overlap",
     "pipeline_clean_corpus",
