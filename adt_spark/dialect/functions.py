@@ -73,13 +73,14 @@ _SQL_UDFS: dict[str, tuple[str, str]] = {
     "sha384": ("(s STRING) RETURNS STRING", "sha2(s, 384)"),
     "sha512": ("(s STRING) RETURNS STRING", "sha2(s, 512)"),
     # DataFusion gcd/lcm (math_expressions) — Spark has no builtin.
-    # Euclid's algorithm as a bounded fold: 48 iterations exceeds the
-    # worst case for 64-bit inputs (consecutive Fibonacci numbers),
-    # and the loop is a pure Catalyst `aggregate` — codegen-eligible,
-    # no Python.
+    # Euclid's algorithm as a bounded fold.  Worst case for 64-bit
+    # inputs is ~90 division steps (consecutive Fibonacci numbers
+    # F_92, F_91 — verified: 48 steps returned 701408733 instead of
+    # gcd 1), so the bound is 96; the loop is a pure Catalyst
+    # `aggregate` — codegen-eligible, no Python.
     "gcd": (
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
-        "element_at(aggregate(sequence(1, 48), array(abs(a), abs(b)), "
+        "element_at(aggregate(sequence(1, 96), array(abs(a), abs(b)), "
         "(acc, i) -> CASE WHEN element_at(acc, 2) = 0 THEN acc "
         "ELSE array(element_at(acc, 2), element_at(acc, 1) % element_at(acc, 2)) END), 1)",
     ),

@@ -51,24 +51,32 @@ def _rewrite_regex_ops(sql: str) -> str:
         if is_lit:
             out.append(chunk)
             continue
-        # Only rewrite a tilde directly followed (next segment) by a
-        # string literal — the PostgreSQL regex-match shape.
-        def repl(m: re.Match[str]) -> str:
-            op = " NOT RLIKE " if m.group("neg") else " RLIKE "
-            if m.group("ci"):
-                # mark for (?i) injection into the following literal
-                return op + "\x00CI\x00"
-            return op
 
-        rewritten = _TILDE.sub(repl, chunk)
-        if "\x00CI\x00" in rewritten and idx + 1 < len(segments):
+        # Only rewrite a tilde whose right operand IS a string literal
+        # (the PostgreSQL regex-match shape): after the operator the
+        # chunk must hold nothing but whitespace and the opening quote
+        # (a non-literal chunk always ENDS with the opening quote of
+        # the literal that follows it).  Anything else — bitwise NOT
+        # (`~5`), `~~`, a column operand — passes through untouched.
+        m = _TILDE.search(chunk)
+        if m is None:
+            out.append(chunk)
+            continue
+        tail = chunk[m.end():]
+        is_regex_shape = (
+            idx + 1 < len(segments)
+            and segments[idx + 1][1]
+            and tail.strip() == "'"
+            and "~" not in chunk[: m.start()].rstrip()[-1:]  # not `~~`
+        )
+        if not is_regex_shape:
+            out.append(chunk)
+            continue
+        op = " NOT RLIKE " if m.group("neg") else " RLIKE "
+        if m.group("ci"):
             nxt, nxt_lit = segments[idx + 1]
-            # the opening quote sits at the end of THIS chunk; the
-            # literal segment holds the body + closing quote.
-            if nxt_lit:
-                segments[idx + 1] = ("(?i)" + nxt, nxt_lit)
-            rewritten = rewritten.replace("\x00CI\x00", "")
-        out.append(rewritten)
+            segments[idx + 1] = ("(?i)" + nxt, nxt_lit)
+        out.append(chunk[: m.start()] + op + tail.lstrip())
     return "".join(out)
 
 
@@ -107,17 +115,29 @@ def _rewrite_similar_to(sql: str) -> str:
         if is_lit:
             out.append(chunk)
             continue
-        rewritten = _SIMILAR.sub(
-            lambda m: (" NOT RLIKE " if m.group("neg") else " RLIKE ") + _ST_MARK, chunk
+        # Same literal-operand guard as the tilde ops: rewrite ONLY
+        # when the pattern is the string literal that immediately
+        # follows — a non-literal pattern (column, expression) must
+        # not smuggle the anchor wrapper into some LATER literal.
+        m = _SIMILAR.search(chunk)
+        if m is None:
+            out.append(chunk)
+            continue
+        tail = chunk[m.end():]
+        if not (
+            idx + 1 < len(segments)
+            and segments[idx + 1][1]
+            and tail.strip() == "'"
+        ):
+            out.append(chunk)
+            continue
+        nxt, nxt_lit = segments[idx + 1]
+        body, quote = nxt[:-1], nxt[-1]
+        segments[idx + 1] = (
+            "^(?:" + _convert_similar_pattern(body) + ")$" + quote, nxt_lit
         )
-        if _ST_MARK in rewritten and idx + 1 < len(segments):
-            nxt, nxt_lit = segments[idx + 1]
-            if nxt_lit:
-                # literal segment = body + closing quote
-                body, quote = nxt[:-1], nxt[-1]
-                segments[idx + 1] = ("^(?:" + _convert_similar_pattern(body) + ")$" + quote, nxt_lit)
-            rewritten = rewritten.replace(_ST_MARK, "")
-        out.append(rewritten)
+        op = " NOT RLIKE " if m.group("neg") else " RLIKE "
+        out.append(chunk[: m.start()] + op + tail.lstrip())
     return "".join(out)
 
 
@@ -129,11 +149,9 @@ _NAME_REWRITES = {
     "array_has": "array_contains",
     "array_has_any": "arrays_overlap",
     "array_to_string": "array_join",
-    "string_to_array": "split",
     "make_array": "array",
     "array_element": "element_at",
     "array_length": "cardinality",
-    "regexp_match": "regexp_extract_all",
     "today": "current_date",
     "random": "rand",
     "power": "pow",
@@ -285,8 +303,34 @@ def _h_array_prepend(args: list[str]) -> str | None:
     return None
 
 
+def _h_string_to_array(args: list[str]) -> str | None:
+    """DataFusion/Postgres string_to_array splits on a LITERAL
+    delimiter; Spark's split takes a Java REGEX — a '.' or '|'
+    delimiter would silently split on everything.  Literal delimiters
+    are regex-escaped via \\Q…\\E; non-literal delimiters pass
+    through unhandled (an unknown-function error beats silent regex
+    reinterpretation)."""
+    if len(args) == 2 and _is_string_literal(args[1]):
+        body = args[1][1:-1]
+        return f"split({args[0]}, '\\\\Q{body}\\\\E')"
+    return None
+
+
+def _h_regexp_match(args: list[str]) -> str | None:
+    """DataFusion regexp_match → first-match extraction.  Spark's
+    regexp_extract_all defaults to group 1 and THROWS on zero-group
+    patterns; group 0 (the full match) is the safe common semantics.
+    (Deviation: all full matches rather than the first match's capture
+    groups — group-less patterns, the common case, agree.)"""
+    if len(args) == 2:
+        return f"regexp_extract_all({args[0]}, {args[1]}, 0)"
+    return None
+
+
 _CALL_HANDLERS = {
     "trunc": _h_trunc,
+    "string_to_array": _h_string_to_array,
+    "regexp_match": _h_regexp_match,
     "encode": _h_encode,
     "decode": _h_decode,
     "array_slice": _h_array_slice,

@@ -31,8 +31,13 @@ class DeltaUnavailableError(RuntimeError):
 
 
 def delta_available(spark: SparkSession) -> bool:
+    """Probe through Spark's own data-source resolution — Class.forName
+    uses the SYSTEM classloader and misses jars added with
+    --packages/spark.jars.packages (Spark's MutableURLClassLoader)."""
     try:
-        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.delta.DeltaLog")
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "delta", spark._jsparkSession.sessionState().conf()
+        )
         return True
     except Exception:
         return False

@@ -80,8 +80,11 @@ def _normalize(pdf: pd.DataFrame, name: str = "", side: str = "") -> pd.DataFram
             pass
         elif pd.api.types.is_object_dtype(s):
             non_null = s.dropna()
+            # scan EVERY cell: a list at row 25 past a 20-row sample
+            # would skip this actionable guard and die later as an
+            # opaque hasher TypeError (test-scale frames — cheap)
+            bad = [v for v in non_null if isinstance(v, _NON_SCALAR)]
             head = list(non_null.head(20))
-            bad = [v for v in head if isinstance(v, _NON_SCALAR)]
             if bad:
                 raise AssertionError(
                     f"{name} [{side}].{col}: non-scalar cell {type(bad[0]).__name__} "
