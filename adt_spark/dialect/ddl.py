@@ -100,6 +100,9 @@ def parse_create_external_table(sql: str) -> dict | None:
     body = m.group("body")
     spec: dict = {
         "name": _unquote(m.group("name")),
+        # quoted identifiers are verbatim — a dot inside quotes is part
+        # of the name, not catalog qualification
+        "name_quoted": m.group("name")[:1] in ('"', "`"),
         "if_not_exists": bool(m.group("ine")),
         "unbounded": bool(m.group("unbounded")),
         "schema": None,
@@ -196,8 +199,11 @@ def execute_create_external_table(spark: SparkSession, sql: str) -> DataFrame:
     assert spec is not None
     # Catalog-qualified names (datafusion.public.t) register under the
     # last component: Spark temp views are single-part (the reference's
-    # grammar allows qualification but its CLI never emits it).
-    spec["name"] = spec["name"].rsplit(".", 1)[-1]
+    # grammar allows qualification but its CLI never emits it).  A
+    # QUOTED name is a single verbatim identifier — `"a.b"` registers
+    # as a.b, never truncated to b.
+    if not spec.get("name_quoted"):
+        spec["name"] = spec["name"].rsplit(".", 1)[-1]
     if spec["if_not_exists"] and spec["name"] in [
         t.name for t in spark.catalog.listTables()
     ]:

@@ -58,10 +58,15 @@ def _rewrite_regex_ops(sql: str) -> str:
         # (a non-literal chunk always ENDS with the opening quote of
         # the literal that follows it).  Anything else — bitwise NOT
         # (`~5`), `~~`, a column operand — passes through untouched.
-        m = _TILDE.search(chunk)
-        if m is None:
+        # A chunk can hold SEVERAL tildes (`a ~ b AND c ~ 'pat'` is one
+        # chunk); only the LAST can precede the following literal, so
+        # the guard is decided on it alone and earlier matches pass
+        # through untouched.
+        matches = list(_TILDE.finditer(chunk))
+        if not matches:
             out.append(chunk)
             continue
+        m = matches[-1]
         tail = chunk[m.end():]
         is_regex_shape = (
             idx + 1 < len(segments)
@@ -119,10 +124,13 @@ def _rewrite_similar_to(sql: str) -> str:
         # when the pattern is the string literal that immediately
         # follows — a non-literal pattern (column, expression) must
         # not smuggle the anchor wrapper into some LATER literal.
-        m = _SIMILAR.search(chunk)
-        if m is None:
+        # As with the tildes, only the LAST match in the chunk can
+        # precede the following literal; earlier ones pass through.
+        matches = list(_SIMILAR.finditer(chunk))
+        if not matches:
             out.append(chunk)
             continue
+        m = matches[-1]
         tail = chunk[m.end():]
         if not (
             idx + 1 < len(segments)

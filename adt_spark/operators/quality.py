@@ -217,20 +217,6 @@ def q_token_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "bin_id",
     )
-    return (
-        docs.select(
-            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
-        )
-        .withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.floor(F.col("cum_before") / 256.0).cast("long").alias("bin_id"),
-        )
-    )
 
 
 @register(

@@ -386,14 +386,51 @@ def _physical_name(f: T.StructField) -> str:
 _SKIP_OPS = ("=", "<", "<=", ">", ">=")
 
 
+def _skip_category(dt: T.DataType) -> str:
+    """Pruning category for a declared Delta column type: drives which
+    coercion _file_may_match may soundly apply to that column's stats."""
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(
+        dt,
+        (
+            T.ByteType,
+            T.ShortType,
+            T.IntegerType,
+            T.LongType,
+            T.FloatType,
+            T.DoubleType,
+            T.DecimalType,
+        ),
+    ):
+        return "num"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "temporal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return "opaque"
+
+
 def _file_may_match(
-    stats_json: str | None, constraints: list[tuple[str, str, object]]
+    stats_json: str | None,
+    constraints: list[tuple[str, str, object]],
+    col_types: dict[str, str] | None = None,
 ) -> bool:
     """Conservative min/max file-skipping oracle: False ONLY when the
     file's statistics prove no row can satisfy every constraint
     (conjunctive ``(col, op, value)`` terms).  Missing stats, missing
     columns, or cross-type comparisons keep the file — skipping must
     never lose rows.
+
+    ``col_types`` maps stats-key (physical) column name → category
+    from _skip_category.  When given, the DECLARED type picks the one
+    sound coercion: numeric-looking strings in a STRING column have
+    lexical min/max (values {"50","9"} record min="50", max="9"), so
+    coercing them to numbers would prune files that do contain matches
+    — string columns compare lexically, numeric/temporal columns by
+    typed value, anything else keeps the file.  Without ``col_types``
+    a shape-based heuristic is used (unit-test convenience only; the
+    production read path always passes the snapshot schema).
 
     Mirrors Delta data skipping (delta.io PROTOCOL.md per-file stats;
     the same [min,max]-interval logic delta-spark's
@@ -411,42 +448,67 @@ def _file_may_match(
     nulls = stats.get("nullCount") or {}
     n_records = stats.get("numRecords")
 
-    def _coerce(a, b):
+    import datetime as _dt
+    from decimal import Decimal, InvalidOperation
+
+    def _num(x):
+        # Decimal(str(x)) is exact for int/decimal-string stats and
+        # value-preserving for float literals — no binary-float edge
+        # where an equal boundary value rounds outside [min, max].
+        try:
+            return Decimal(str(x))
+        except (InvalidOperation, TypeError, ValueError):
+            return None
+
+    def _ts(x):
+        if isinstance(x, _dt.datetime):
+            return x.replace(tzinfo=None) if x.tzinfo is not None else x
+        if isinstance(x, _dt.date):
+            return _dt.datetime(x.year, x.month, x.day)
+        if not isinstance(x, str):
+            return None
+        try:
+            t = _dt.datetime.fromisoformat(x.replace("T", " ", 1))
+        except ValueError:
+            return None
+        return t.replace(tzinfo=None) if t.tzinfo is not None else t
+
+    def _coerce(a, b, cat):
         """Comparable (a, b) or None when no SOUND common form exists.
 
         Pruning on raw string compare is UNSOUND across encodings: the
         writer's timestamp stats use the 'T' separator while SQL
         literals use a space ('2021-01-01T…' > '2021-01-01 …'
         lexically at index 10), and decimal stats are strings
-        ('9.5' > '10.2').  Coerce both sides to a typed value first;
-        any failure keeps the file (pruning is only an optimization).
+        ('9.5' > '10.2').  Conversely numeric coercion is UNSOUND for
+        string-typed columns whose stats are lexical.  The declared
+        category (when known) picks the coercion; any failure keeps
+        the file (pruning is only an optimization).
         """
-        import datetime as _dt
+        if cat == "str":
+            return (a, b) if isinstance(a, str) and isinstance(b, str) else None
+        if cat == "num":
+            na, nb = _num(a), _num(b)
+            return (na, nb) if na is not None and nb is not None else None
+        if cat == "temporal":
+            ta, tb = _ts(a), _ts(b)
+            return (ta, tb) if ta is not None and tb is not None else None
+        if cat == "bool":
+            return (a, b) if isinstance(a, bool) and isinstance(b, bool) else None
+        if cat is not None:
+            return None  # opaque declared type: never prune on it
 
+        # No declared type: shape-based heuristic (tests only).
         if isinstance(a, bool) or isinstance(b, bool):
             return (a, b) if isinstance(a, bool) and isinstance(b, bool) else None
         if isinstance(a, (int, float)) and isinstance(b, (int, float)):
             return a, b
-        def _num(x):
-            try:
-                return float(x)
-            except (TypeError, ValueError):
-                return None
         if isinstance(a, (int, float)) or isinstance(b, (int, float)):
             na, nb = _num(a), _num(b)
             return (na, nb) if na is not None and nb is not None else None
         if isinstance(a, str) and isinstance(b, str):
-            def _ts(x):
-                try:
-                    return _dt.datetime.fromisoformat(x.replace("T", " ", 1))
-                except ValueError:
-                    return None
             ta, tb = _ts(a), _ts(b)
             if ta is not None and tb is not None:
-                if ta.tzinfo is not None:
-                    ta = ta.replace(tzinfo=None)
-                if tb.tzinfo is not None:
-                    tb = tb.replace(tzinfo=None)
                 return ta, tb
             if ta is not None or tb is not None:
                 return None  # one side temporal, the other not
@@ -467,8 +529,9 @@ def _file_may_match(
         lo, hi = mins.get(col), maxs.get(col)
         if lo is None or hi is None:
             continue
-        clo = _coerce(lo, value)
-        chi = _coerce(hi, value)
+        cat = col_types.get(col) if col_types is not None else None
+        clo = _coerce(lo, value, cat)
+        chi = _coerce(hi, value, cat)
         if clo is None or chi is None:
             continue  # no sound common form: keep the file
         lo_c, v1 = clo
@@ -570,13 +633,19 @@ def read_delta_native(
     if skip and mapped:
         phys_of = {f.name: _physical_name(f) for f in snap.schema.fields}
         skip = [(phys_of.get(c, c), op, v) for c, op, v in skip]
+    # Declared types keyed by stats key (physical name): the skipping
+    # oracle must coerce per the COLUMN's type, not the value's shape
+    # (a string column's min/max are lexical).
+    skip_types = {
+        _physical_name(f): _skip_category(f.dataType) for f in snap.schema.fields
+    }
 
     # Group files by partition tuple → one scan per group, partition
     # values as typed literal columns (never re-read from data files).
     groups: dict[tuple, list[str]] = {}
     dv_files = []
     for path, (pvals, dv) in snap.files.items():
-        if skip and not _file_may_match(snap.file_stats.get(path), skip):
+        if skip and not _file_may_match(snap.file_stats.get(path), skip, skip_types):
             continue
         logical_pvals = {part_key_of.get(k, k): v for k, v in pvals.items()}
         if dv is not None:

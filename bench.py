@@ -126,15 +126,45 @@ def main() -> None:
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     geomean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
-    out = {
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Full per-query detail goes to a file: the driver records only the
+    # last ~2000 chars of combined output, and an 85-query map no longer
+    # fits (round 2's line was truncated mid-line -> parsed:null).
+    detail = {
         "metric": "geomean_sec_per_query",
         "value": round(geomean, 4),
         "unit": "sec",
         "queries": timings,
-        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "sf": sf,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # Compact final line: geomean + the slowest queries, hard-capped so
+    # the whole line always fits the driver's tail buffer.  Printed
+    # after spark.stop() so no trailing JVM log lines displace it.
     spark.stop()
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    out = {
+        "metric": "geomean_sec_per_query",
+        "value": round(geomean, 4),
+        "unit": "sec",
+        "queries": {},
+        "n_queries": len(timings),
+        "max_sec": max(timings.values()),
+        "sf": sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    for name, sec in slowest.items():
+        out["queries"][name] = sec
+        if len(json.dumps(out)) > 1400:
+            del out["queries"][name]
+            break
+    line = json.dumps(out)
+    assert len(line) <= 1600, len(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -406,6 +406,60 @@ def test_file_may_match_oracle():
     assert _file_may_match(st, [("id", "!=", 150)])
 
 
+def test_file_may_match_declared_types():
+    """Type-aware coercion: a STRING column's min/max are LEXICAL, so
+    numeric-looking string stats must never be compared numerically —
+    values {"50","9"} record min="50", max="9", and s = '9' is inside
+    that lexical interval even though 9.0 < 50.0 numerically."""
+    from adt_spark.sources.delta_native import _file_may_match, _skip_category
+    from pyspark.sql import types as T
+
+    types = {"s": "str", "id": "num", "ts": "temporal", "b": "bool", "arr": "opaque"}
+    st = (
+        '{"numRecords": 3, "minValues": {"s": "50", "id": "100", "ts": "2021-01-02T00:00:00"},'
+        ' "maxValues": {"s": "9", "id": "200", "ts": "2021-06-01T00:00:00"},'
+        ' "nullCount": {"s": 0, "id": 0, "ts": 0}}'
+    )
+    # string column, lexical interval ["50", "9"]
+    assert _file_may_match(st, [("s", "=", "9")], types)      # the bug case
+    assert _file_may_match(st, [("s", "=", "60")], types)     # lexically inside
+    assert not _file_may_match(st, [("s", "=", "1")], types)  # lexically below "50"
+    assert not _file_may_match(st, [("s", "=", "a")], types)  # lexically above "9"
+    # string column vs non-string literal: keep (no sound compare)
+    assert _file_may_match(st, [("s", "=", 9)], types)
+    # numeric column with string-encoded stats (decimal style) still prunes
+    assert not _file_may_match(st, [("id", "=", 99)], types)
+    assert _file_may_match(st, [("id", "=", 150)], types)
+    # temporal column: 'T' vs space separator handled by typed parse
+    assert _file_may_match(st, [("ts", "<=", "2021-01-02 00:00:00")], types)
+    assert not _file_may_match(st, [("ts", "<", "2021-01-02 00:00:00")], types)
+    # opaque declared type: never prune
+    assert _file_may_match(
+        '{"minValues": {"arr": "x"}, "maxValues": {"arr": "x"}}',
+        [("arr", "=", "zzz")],
+        types,
+    )
+    # category mapping itself
+    assert _skip_category(T.StringType()) == "str"
+    assert _skip_category(T.DecimalType(10, 2)) == "num"
+    assert _skip_category(T.DateType()) == "temporal"
+    assert _skip_category(T.ArrayType(T.IntegerType())) == "opaque"
+
+
+def test_skipping_string_column_numeric_values(spark, tmp_path):
+    """End-to-end advice regression: numeric-looking STRING values must
+    not be pruned numerically.  One file holds {"50","9"} (lexical
+    min="50" > max-as-number), and WHERE s = '9' must still return the
+    row."""
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    loc = str(tmp_path / "strskip")
+    df = spark.createDataFrame([("50",), ("9",)], "s string").coalesce(1)
+    write_delta_native(df, loc)
+    out = read_delta_native(spark, loc, skip_where=[("s", "=", "9")])
+    assert [r.s for r in out.where("s = '9'").collect()] == ["9"]
+
+
 def test_writer_records_minmax_stats(spark, tmp_path):
     """The native writer's add actions carry full Delta statistics
     (numRecords + minValues/maxValues/nullCount from parquet footers;

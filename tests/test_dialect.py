@@ -22,6 +22,23 @@ def test_tilde_inside_literal_untouched():
     assert translate_sql("select '~tilde~' from t") == "select '~tilde~' from t"
 
 
+def test_tilde_multiple_in_one_chunk():
+    """Several tildes can share one non-literal chunk; the rewritable
+    one (literal operand, always the LAST in the chunk) is translated
+    even when an earlier non-literal-operand tilde precedes it."""
+    out = translate_sql("select a FROM t WHERE a ~ b AND c ~ 'pat'")
+    assert "c RLIKE 'pat'" in out
+    assert "a ~ b" in out  # untranslatable column-operand form kept verbatim
+    # two rewritable tildes land in separate chunks — both translate
+    assert translate_sql("select x ~ 'p1' AND y ~* 'p2' from t") == (
+        "select x RLIKE 'p1' AND y RLIKE '(?i)p2' from t"
+    )
+    # same guard for SIMILAR TO sharing a chunk with a column operand
+    out2 = translate_sql("select 1 FROM t WHERE a SIMILAR TO b AND c SIMILAR TO 'x%'")
+    assert "c RLIKE '^(?:x.*)$'" in out2
+    assert "a SIMILAR TO b" in out2
+
+
 def test_name_rewrites():
     assert (
         translate_sql("select approx_distinct(x), arrow_typeof(y) from t")

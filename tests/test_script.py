@@ -78,6 +78,24 @@ def test_parse_with_order():
     assert spec["order"] == [("a", True), ("b", False)]
 
 
+def test_parse_quoted_vs_qualified_names():
+    """A QUOTED identifier containing a dot is one verbatim name;
+    only UNQUOTED dotted names are catalog-qualified and truncate to
+    the last component at registration."""
+    quoted = parse_create_external_table(
+        'CREATE EXTERNAL TABLE "a.b" STORED AS parquet LOCATION \'/d/\''
+    )
+    assert quoted["name"] == "a.b" and quoted["name_quoted"]
+    ticked = parse_create_external_table(
+        "CREATE EXTERNAL TABLE `a.b` STORED AS parquet LOCATION '/d/'"
+    )
+    assert ticked["name"] == "a.b" and ticked["name_quoted"]
+    plain = parse_create_external_table(
+        "CREATE EXTERNAL TABLE datafusion.public.t STORED AS parquet LOCATION '/d/'"
+    )
+    assert plain["name"] == "datafusion.public.t" and not plain["name_quoted"]
+
+
 def test_not_ddl_passthrough():
     assert not is_create_external_table("SELECT * FROM create_external_table")
     assert parse_create_external_table("select 1") is None
