@@ -803,6 +803,12 @@ def emb_pca_power1(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: corpus-wide threshold so the planted near-dup pairs are the target)
 _SEM_T = 0.45
 
+#: vectors per within-cluster block — bounds any single scoring task
+#: to a ≤ block×block cosine matrix even for a 100k+-vector cluster
+#: (same sizing rationale as dedup._COS_BLOCK_ROWS; module-level so
+#: tests can shrink it to force the multi-block path on small data)
+_SEM_BLOCK_ROWS = 100_000
+
 
 @register(
     "dedup_semantic",
@@ -839,54 +845,126 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition: the cluster assignment IS emb_kmeans_assign (same
     deterministic Lloyd iteration, oracle-shared CTEs); within-cluster
-    scoring is an Arrow-batched applyInPandas per cluster (the block-
-    cosine idiom of dedup_embedding_cosine: sequential-k accumulation
-    matches the oracle's list_sum fold order bit-for-bit, while the
-    per-k work is vectorized over the whole cluster block — measured
-    ~10x faster than the per-pair zip_with fold, whose 64-element
-    array allocation per candidate pair dominates); keep/drop is a
-    left join on the dropped set.  Lower-id-wins needs no transitive
-    closure — a vector is dropped iff ANY lower-id neighbor is within
-    the threshold, exactly SemDeDup's keep-one-per-epsilon-ball rule
-    with id as the ranking.
+    scoring reuses dedup_embedding_cosine's BLOCK-PAIR idiom *inside
+    each cluster* (round-2 verdict fix — a single task per cluster
+    held the full |cluster|² matrix, unbounded for data-dependent
+    cluster sizes): each cluster splits into ceil(|cluster| /
+    _SEM_BLOCK_ROWS) blocks by vec_id hash, the tiny per-cluster
+    block-pair table broadcasts onto the vectors, and one Arrow task
+    scores exactly one (cluster, block i, block j) pair — per-task
+    memory is bounded by _SEM_BLOCK_ROWS regardless of cluster size.
+    Sequential-k accumulation matches the oracle's list_sum fold
+    order bit-for-bit, and a pair's cosine is identical under any
+    blocking (each dot still sums dimensions in ascending k), so no
+    tolerance is needed.  Keep/drop is a left join on the distinct
+    dropped set.  Lower-id-wins needs no transitive closure — a
+    vector is dropped iff ANY lower-id neighbor is within the
+    threshold, exactly SemDeDup's keep-one-per-epsilon-ball rule with
+    id as the ranking.
     """
     emb = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    # Materialize (assignment ⋈ vector ⋈ norm) ONCE: the self-join
-    # below references it on both sides, and without a barrier the
-    # whole Lloyd pipeline (with its centroid collects) would be
-    # re-planned per reference; per-vector norms precompute here so
-    # each candidate pair evaluates ONE dot, not three.
+    # Materialize (assignment ⋈ vector) ONCE: the block-pair expansion
+    # references it three times (sizes + both join sides), and without
+    # a barrier the whole Lloyd pipeline (with its centroid collects)
+    # would be re-planned per reference.
     assigned = (
         emb_kmeans_assign(spark, sf_dir)
         .join(emb, "vec_id")
-        .withColumn("nrm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
         .localCheckpoint(eager=False)
     )
     import numpy as np
     import pandas as pd
 
-    def drop_in_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
-        ids = pdf["vec_id"].to_numpy()
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
-        dots = np.zeros((len(A), len(A)))
-        norms = np.zeros(len(A))
+    # Per-cluster block counts (k rows — metadata-sized) and the
+    # (cluster, i <= j) block-pair table; both broadcast.
+    sizes = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .withColumn(
+            "nblk",
+            F.ceil(F.col("csz") / F.lit(float(_SEM_BLOCK_ROWS))).cast("int"),
+        )
+    )
+    bpairs = (
+        sizes.select(
+            "cluster_id",
+            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("i"),
+            F.col("nblk"),
+        )
+        .select(
+            "cluster_id",
+            "i",
+            F.explode(F.sequence(F.col("i"), F.col("nblk") - 1)).alias("j"),
+        )
+    )
+    blocks = assigned.join(F.broadcast(sizes.select("cluster_id", "nblk")), "cluster_id").select(
+        "cluster_id",
+        "vec_id",
+        "vec",
+        (F.col("vec_id") % F.col("nblk")).cast("int").alias("blk"),
+    )
+    left = blocks.join(
+        F.broadcast(bpairs),
+        on=["cluster_id"],
+    ).where(F.col("blk") == F.col("i")).select(
+        "cluster_id", "i", "j", F.lit("a").alias("side"), "vec_id", "vec"
+    )
+    right = blocks.join(
+        F.broadcast(bpairs.where(F.col("i") != F.col("j"))),
+        on=["cluster_id"],
+    ).where(F.col("blk") == F.col("j")).select(
+        "cluster_id", "i", "j", F.lit("b").alias("side"), "vec_id", "vec"
+    )
+    both = left.unionByName(right)
+
+    def _block_cos(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        dots = np.zeros((len(A), len(B)))
+        a_norms = np.zeros(len(A))
+        b_norms = np.zeros(len(B))
         tmp = np.empty_like(dots)
         for k in range(A.shape[1]):  # sequential-k: list_sum fold order
-            norms += A[:, k] * A[:, k]
-            np.multiply(A[:, k][:, None], A[None, :, k], out=tmp)
+            a_norms += A[:, k] * A[:, k]
+            b_norms += B[:, k] * B[:, k]
+            np.multiply(A[:, k][:, None], B[None, :, k], out=tmp)
             dots += tmp
-        cos = dots / (np.sqrt(norms)[:, None] * np.sqrt(norms)[None, :])
-        dropped_mask = ((cos >= _SEM_T) & (ids[:, None] < ids[None, :])).any(axis=0)
-        return pd.DataFrame({"vec_id": ids[dropped_mask]})
+        return dots / (np.sqrt(a_norms)[:, None] * np.sqrt(b_norms)[None, :])
+
+    def drop_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cluster, i, j = key
+        empty = pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        a_pdf = pdf[pdf["side"] == "a"]
+        if i == j:
+            if len(a_pdf) < 2:
+                return empty
+            ids = a_pdf["vec_id"].to_numpy()
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["vec"]])
+            cos = _block_cos(A, A)
+            mask = ((cos >= _SEM_T) & (ids[:, None] < ids[None, :])).any(axis=0)
+            return pd.DataFrame({"vec_id": ids[mask]})
+        b_pdf = pdf[pdf["side"] == "b"]
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        a_ids = a_pdf["vec_id"].to_numpy()
+        b_ids = b_pdf["vec_id"].to_numpy()
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["vec"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["vec"]])
+        cos = _block_cos(A, B)
+        hit = cos >= _SEM_T
+        # blocks are vec_id-disjoint: each cross pair appears once
+        drop_b = (hit & (a_ids[:, None] < b_ids[None, :])).any(axis=0)
+        drop_a = (hit & (b_ids[None, :] < a_ids[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": np.concatenate([a_ids[drop_a], b_ids[drop_b]])}
+        )
 
     dropped = (
-        assigned.select("cluster_id", "vec_id", "vec")
-        .groupBy("cluster_id")
-        .applyInPandas(drop_in_cluster, schema="vec_id long")
+        both.groupBy("cluster_id", "i", "j")
+        .applyInPandas(drop_block_pair, schema="vec_id long")
+        # a vector can be dropped by several block pairs — the keep
+        # join below needs one row per id
+        .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
     return assigned.select("vec_id", "cluster_id").join(
