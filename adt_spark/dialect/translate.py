@@ -398,4 +398,6 @@ def translate_sql(sql: str) -> str:
         sql = _rewrite_names(sql)
     if _CALL_RE.search(sql):
         sql = _rewrite_calls(sql)
-    return sql
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    return rewrite_window_frames(sql)

@@ -1,0 +1,457 @@
+"""GROUPS / EXCLUDE window-frame rewrites for raw SQL.
+
+DataFusion 48 parses the full SQL window-frame grammar — ``GROUPS
+BETWEEN … AND …`` frames and the ``EXCLUDE CURRENT ROW | GROUP | TIES
+| NO OTHERS`` clause — and the reference enables it wholesale for adt
+scripts (crates/core/src/context.rs:32-33, reached through the CLI's
+raw SQL pass-through, crates/cli/src/main.rs:116).  Spark 4 parses
+neither, so `translate_sql` routes both constructs through the
+emulations this repo already proves driver-green as DataFrame recipes
+(`adt_spark/queries/relational.py` q_window_groups_frame /
+q_window_exclude):
+
+- ``GROUPS`` with only UNBOUNDED / CURRENT ROW endpoints is exactly
+  ``RANGE`` with the same endpoints (peer-group granularity is
+  identical), a pure frame-keyword substitution.
+- ``GROUPS n PRECEDING/FOLLOWING`` becomes a RANGE frame over the
+  peer-group index ``dense_rank() OVER (same partition ORDER BY same
+  keys)`` — the statement is wrapped once so the rank is computed in a
+  subquery (you cannot nest window functions in one expression).
+- ``EXCLUDE NO OTHERS`` is the default: the clause is dropped.
+- ``EXCLUDE CURRENT ROW / GROUP / TIES`` on sum / count / avg becomes
+  subtract-the-excluded arithmetic over the unmodified frame plus (for
+  GROUP/TIES) the peer frame ``RANGE BETWEEN CURRENT ROW AND CURRENT
+  ROW``; NULL-emptied frames are reproduced with a COUNT guard.  This
+  subtraction is only SOUND when every excluded row is inside the
+  frame, so it is guarded: the frame must straddle the current row
+  (lo ≤ 0 ≤ hi), and GROUP/TIES additionally require a RANGE (or
+  rewritten-GROUPS) frame — a ROWS frame need not contain all peers.
+
+Anything outside the sound cases raises ``NotImplementedError`` with
+the DataFrame recipe to use instead — a loud error, never a silently
+different result.  All scanning is literal-masked so quoted strings
+are never touched.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: fast gate: statements without these keywords pass through untouched
+_KEY_RE = re.compile(r"\b(groups|exclude)\b", re.IGNORECASE)
+
+_OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
+
+_BOUND = r"(?:unbounded\s+preceding|unbounded\s+following|current\s+row|\d+\s+(?:preceding|following))"
+_FRAME_RE = re.compile(
+    rf"\b(?P<mode>rows|range|groups)\s+"
+    rf"(?:between\s+(?P<lo>{_BOUND})\s+and\s+(?P<hi>{_BOUND})|(?P<single>{_BOUND}))",
+    re.IGNORECASE,
+)
+_EXCLUDE_RE = re.compile(
+    r"\s*\bexclude\s+(?P<what>current\s+row|group|ties|no\s+others)\s*$",
+    re.IGNORECASE,
+)
+_PRE_RE = re.compile(
+    r"^\s*(?:partition\s+by\s+(?P<p>.*?))?\s*(?:order\s+by\s+(?P<o>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: alias prefix for injected peer-group-index columns
+_DR = "__adt_dr"
+
+_NULLS_RE = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
+_DESC_RE = re.compile(r"\bdesc\s*$", re.IGNORECASE)
+
+
+def _pin_null_order(order_src: str) -> str:
+    """Append the SOURCE dialect's default null placement to every
+    order key lacking an explicit NULLS modifier.  DataFusion (and
+    PostgreSQL/DuckDB) default to NULLS LAST for ASC and NULLS FIRST
+    for DESC; Spark defaults the opposite way — without pinning, a
+    rewritten frame would put NULL keys at the other end of the
+    partition and every frame near them would differ."""
+    keys: list[str] = []
+    depth = 0
+    start = 0
+    s = order_src
+    for i, ch in enumerate(s + ","):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            keys.append(s[start:i])
+            start = i + 1
+    out = []
+    for k in keys:
+        if _NULLS_RE.search(k):
+            out.append(k.strip())
+        elif _DESC_RE.search(k.strip()):
+            out.append(k.strip() + " NULLS FIRST")
+        else:
+            out.append(k.strip() + " NULLS LAST")
+    return ", ".join(out)
+
+
+def _mask_literals(sql: str) -> str:
+    """Same-length copy with single-quoted literal bodies blanked, so
+    keyword/paren scanning can't be fooled by quoted text.  Offsets in
+    the mask are offsets in the original."""
+    out = list(sql)
+    in_str = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            if in_str and i + 1 < len(sql) and sql[i + 1] == "'":
+                out[i] = out[i + 1] = " "
+                i += 2
+                continue
+            in_str = not in_str
+            i += 1
+            continue
+        if in_str:
+            out[i] = " "
+        i += 1
+    return "".join(out)
+
+
+def _match_paren(s: str, open_pos: int) -> int:
+    """Index of the ')' matching s[open_pos] == '(' (masked input)."""
+    depth = 0
+    for i in range(open_pos, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise NotImplementedError(f"unbalanced parentheses after offset {open_pos}")
+
+
+def _match_paren_back(s: str, close_pos: int) -> int:
+    depth = 0
+    for i in range(close_pos, -1, -1):
+        if s[i] == ")":
+            depth += 1
+        elif s[i] == "(":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise NotImplementedError(f"unbalanced parentheses before offset {close_pos}")
+
+
+def _bound_sign(b: str) -> int:
+    """-1 / 0 / +1 for preceding / current / following (UNBOUNDED maps
+    with its direction); used only for the lo<=0<=hi soundness check."""
+    b = " ".join(b.lower().split())
+    if b == "current row":
+        return 0
+    return -1 if b.endswith("preceding") else 1
+
+
+class _Unsupported(NotImplementedError):
+    pass
+
+
+def _parse_spec(spec_masked: str, spec_src: str) -> dict:
+    """Decompose a window spec into pre (partition/order), frame, and
+    exclude parts.  Positions come from the mask, text from the source."""
+    excl = _EXCLUDE_RE.search(spec_masked)
+    exclude = " ".join(excl.group("what").lower().split()) if excl else None
+    frame_zone_end = excl.start() if excl else len(spec_masked)
+    fm = _FRAME_RE.search(spec_masked, 0, frame_zone_end)
+    frame = None
+    pre_end = frame_zone_end
+    if fm:
+        lo = fm.group("lo") or fm.group("single")
+        hi = fm.group("hi") or "current row"
+        frame = {
+            "mode": fm.group("mode").lower(),
+            "lo": " ".join(lo.split()),
+            "hi": " ".join(hi.split()),
+            "span": (fm.start(), fm.end()),
+        }
+        pre_end = fm.start()
+    pre_masked = spec_masked[:pre_end]
+    pm = _PRE_RE.match(pre_masked)
+    if pm is None:
+        raise _Unsupported(f"cannot parse window spec: {spec_src!r}")
+    part = spec_src[pm.start("p"): pm.end("p")].strip() if pm.group("p") else None
+    order = spec_src[pm.start("o"): pm.end("o")].strip() if pm.group("o") else None
+    return {
+        "partition": part,
+        "order": order,
+        "frame": frame,
+        "exclude": exclude,
+        "src": spec_src,
+    }
+
+
+def _frame_text(frame: dict | None, src: str) -> str:
+    if frame is None:
+        return ""
+    s, e = frame["span"]
+    return src[s:e]
+
+
+def _straddles(frame: dict | None) -> bool:
+    """True when the frame is guaranteed to contain the current row
+    (lo <= 0 <= hi).  No frame clause means the default frame, which
+    always contains the current row."""
+    if frame is None:
+        return True
+    return _bound_sign(frame["lo"]) <= 0 <= _bound_sign(frame["hi"])
+
+
+def rewrite_window_frames(sql: str) -> str:
+    """Rewrite GROUPS frames and EXCLUDE clauses into Spark-parseable
+    SQL (see module docstring for the mapping and its guards)."""
+    if not _KEY_RE.search(sql):
+        return sql
+    masked = _mask_literals(sql)
+    if not _KEY_RE.search(masked):
+        return sql  # keyword only inside string literals
+
+    edits: list[tuple[int, int, str]] = []  # (start, end, replacement)
+    dr_aliases: dict[tuple[str, str], str] = {}  # (partition, order) -> alias
+
+    for m in _OVER_RE.finditer(masked):
+        open_pos = m.end() - 1
+        close_pos = _match_paren(masked, open_pos)
+        spec_masked = masked[open_pos + 1: close_pos]
+        if not _KEY_RE.search(spec_masked):
+            continue
+        spec = _parse_spec(spec_masked, sql[open_pos + 1: close_pos])
+        frame = spec["frame"]
+        if frame is None and spec["exclude"] in (None, "no others"):
+            # keyword matched something that isn't frame syntax (e.g. a
+            # column named groups) — leave the spec alone
+            continue
+
+        # --- GROUPS → RANGE ---------------------------------------------
+        new_frame_text = _frame_text(frame, spec["src"])
+        order_text = spec["order"]
+        if frame is not None and frame["mode"] == "groups":
+            if order_text is None:
+                raise _Unsupported("GROUPS frame requires ORDER BY")
+            numeric = any(b[0].isdigit() for b in (frame["lo"], frame["hi"]))
+            if numeric:
+                key = (spec["partition"] or "", order_text)
+                alias = dr_aliases.setdefault(key, f"{_DR}{len(dr_aliases)}")
+                order_text = alias  # rank values are never NULL: no pinning
+            else:
+                order_text = _pin_null_order(order_text)
+            new_frame_text = f"RANGE BETWEEN {frame['lo']} AND {frame['hi']}"
+        elif order_text is not None and spec["exclude"] not in (None, "no others"):
+            # the EXCLUDE arithmetic reconstructs the spec — keep the
+            # source dialect's null placement while we're at it
+            order_text = _pin_null_order(order_text)
+
+        part_clause = f"PARTITION BY {spec['partition']} " if spec["partition"] else ""
+        order_clause = f"ORDER BY {order_text} " if order_text else ""
+        base_w = (part_clause + order_clause + new_frame_text).strip()
+
+        # --- EXCLUDE ----------------------------------------------------
+        exclude = spec["exclude"]
+        if exclude in (None, "no others"):
+            edits.append((open_pos + 1, close_pos, base_w))
+            continue
+
+        if not _straddles(frame):
+            raise _Unsupported(
+                f"EXCLUDE {exclude.upper()} on a frame not containing the "
+                "current row (lo <= 0 <= hi) has no sound subtraction "
+                "rewrite — use the DataFrame API (see q_window_exclude)"
+            )
+        eff_mode = "range" if frame is None else (
+            "range" if frame["mode"] == "groups" else frame["mode"]
+        )
+        if exclude in ("group", "ties") and eff_mode != "range":
+            raise _Unsupported(
+                f"EXCLUDE {exclude.upper()} on a {eff_mode.upper()} frame may "
+                "exclude peers outside the frame — only RANGE/GROUPS frames "
+                "have a sound subtraction rewrite (see q_window_exclude)"
+            )
+        if exclude in ("group", "ties") and order_text is None:
+            raise _Unsupported(
+                f"EXCLUDE {exclude.upper()} without ORDER BY (all rows are "
+                "peers) is not supported — use the DataFrame API"
+            )
+
+        # the aggregate call directly before OVER
+        k = m.start() - 1
+        while k >= 0 and masked[k].isspace():
+            k -= 1
+        if k < 0 or masked[k] != ")":
+            raise _Unsupported(
+                f"EXCLUDE {exclude.upper()} requires the aggregate call "
+                "directly before OVER (named windows / FILTER clauses are "
+                "not supported)"
+            )
+        args_close = k
+        args_open = _match_paren_back(masked, args_close)
+        j = args_open - 1
+        while j >= 0 and masked[j].isspace():
+            j -= 1
+        fn_end = j + 1
+        while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+            j -= 1
+        fn_start = j + 1
+        fn = sql[fn_start:fn_end].lower()
+        args = sql[args_open + 1: args_close].strip()
+        if fn == "filter" or not fn:
+            raise _Unsupported(
+                "EXCLUDE with a FILTER clause or named window is not supported"
+            )
+        if fn not in ("sum", "count", "avg"):
+            raise _Unsupported(
+                f"EXCLUDE {exclude.upper()} is only rewritable for "
+                f"sum/count/avg (got {fn}) — min/max and others cannot be "
+                "computed by subtraction; use the DataFrame API"
+            )
+        if re.match(r"(?i)^\s*distinct\b", args):
+            raise _Unsupported("EXCLUDE with DISTINCT aggregates is not supported")
+
+        star = args == "*"
+        e = args
+        peer_w = (part_clause + (f"ORDER BY {order_text} " if order_text else "")
+                  + "RANGE BETWEEN CURRENT ROW AND CURRENT ROW").strip()
+        cnt_arg = "*" if star else e
+        cw = f"count({cnt_arg}) OVER ({base_w})"
+        cwp = f"count({cnt_arg}) OVER ({peer_w})"
+        nn = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
+        if fn == "count":
+            if exclude == "current row":
+                repl = f"({cw} - {nn})"
+            elif exclude == "group":
+                repl = f"({cw} - {cwp})"
+            else:  # ties
+                repl = f"({cw} - {cwp} + {nn})"
+        else:
+            if star:
+                raise _Unsupported(f"{fn}(*) is not valid SQL")
+            sw = f"sum({e}) OVER ({base_w})"
+            swp = f"sum({e}) OVER ({peer_w})"
+            if exclude == "current row":
+                n_excl = f"{cw} - {nn}"
+                s_excl = f"{sw} - COALESCE({e}, 0)"
+            elif exclude == "group":
+                n_excl = f"{cw} - {cwp}"
+                s_excl = f"{sw} - COALESCE({swp}, 0)"
+            else:  # ties
+                n_excl = f"{cw} - {cwp} + {nn}"
+                s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({e}, 0)"
+            if fn == "sum":
+                repl = f"(CASE WHEN {n_excl} = 0 THEN NULL ELSE {s_excl} END)"
+            else:  # avg
+                repl = (
+                    f"(CASE WHEN {n_excl} = 0 THEN NULL "
+                    f"ELSE ({s_excl}) / ({n_excl}) END)"
+                )
+        edits.append((fn_start, close_pos + 1, repl))
+
+    if not edits:
+        return sql
+
+    # non-overlap sanity (nested OVER inside a window spec would overlap)
+    edits.sort()
+    for (s1, e1, _), (s2, _e2, _) in zip(edits, edits[1:]):
+        if s2 < e1:
+            raise _Unsupported("overlapping window rewrites (nested OVER?)")
+    out = sql
+    for s, e, repl in reversed(edits):
+        out = out[:s] + repl + out[e:]
+
+    if dr_aliases:
+        out = _wrap_with_dense_rank(out, dr_aliases)
+    return out
+
+
+def _top_level_positions(masked: str, word_re: re.Pattern) -> list[int]:
+    """Start offsets of word_re matches at paren depth 0."""
+    depths = []
+    d = 0
+    for ch in masked:
+        if ch == "(":
+            d += 1
+        depths.append(d)
+        if ch == ")":
+            d -= 1
+    return [mm.start() for mm in word_re.finditer(masked) if depths[mm.start()] == 0]
+
+
+_SELECT_RE = re.compile(r"\bselect\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+_FORBID_RE = re.compile(
+    r"\b(group\s+by|having|qualify|union|intersect|except|window|distinct)\b",
+    re.IGNORECASE,
+)
+_TRAILER_RE = re.compile(r"\b(order\s+by|limit|offset)\b", re.IGNORECASE)
+
+
+def _wrap_with_dense_rank(sql: str, dr_aliases: dict[tuple[str, str], str]) -> str:
+    """Wrap the statement's final SELECT so each needed peer-group
+    index (dense_rank over the frame's partition+order) is computed in
+    a subquery the rewritten RANGE frame can ORDER BY.  Guarded to the
+    simple shape ``[WITH …] SELECT <list> FROM <relations> [WHERE …]
+    [ORDER BY/LIMIT …]`` — anything else raises."""
+    masked = _mask_literals(sql)
+    selects = _top_level_positions(masked, _SELECT_RE)
+    if not selects:
+        raise _Unsupported("GROUPS frame: no top-level SELECT to wrap")
+    sel = selects[-1]
+    if any(sql.find(a, 0, sel) != -1 for a in dr_aliases.values()):
+        raise _Unsupported(
+            "numeric GROUPS frame inside a CTE/subquery is not supported — "
+            "hoist it to the outer SELECT or use the DataFrame API "
+            "(see q_window_groups_frame)"
+        )
+    froms = [p for p in _top_level_positions(masked, _FROM_RE) if p > sel]
+    if not froms:
+        raise _Unsupported("GROUPS frame: SELECT without FROM")
+    frm = froms[0]
+    select_list = sql[sel + len("select"): frm]
+    if _FORBID_RE.match(select_list.lstrip()):
+        raise _Unsupported("GROUPS frame with SELECT DISTINCT is not supported")
+    # reject bare `*` / `t.*` ITEMS (they would leak the injected rank
+    # column into the output); `count(*)` inside an expression is fine
+    lm = _mask_literals(select_list)
+    item_start = 0
+    d = 0
+    for i, ch in enumerate(lm + ","):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif ch == "," and d == 0:
+            if re.fullmatch(r"\s*(?:\w+\s*\.\s*)?\*\s*", lm[item_start:i]):
+                raise _Unsupported(
+                    "GROUPS frame with SELECT * is not supported (the "
+                    "injected rank column would change the output schema) "
+                    "— list columns explicitly"
+                )
+            item_start = i + 1
+    tail = sql[frm:]
+    tail_masked = masked[frm:]
+    bad = _top_level_positions(tail_masked, _FORBID_RE)
+    if bad:
+        kw = _FORBID_RE.match(tail_masked[bad[0]:]).group(0)
+        raise _Unsupported(
+            f"numeric GROUPS frame with {kw.upper()} in the same SELECT is "
+            "not supported — use the DataFrame API (see q_window_groups_frame)"
+        )
+    trailers = _top_level_positions(tail_masked, _TRAILER_RE)
+    cut = trailers[0] if trailers else len(tail)
+    core, trailer = tail[:cut], tail[cut:]
+    defs = ", ".join(
+        f"dense_rank() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
+        f"ORDER BY {_pin_null_order(o)}) AS {a}"
+        for (p, o), a in dr_aliases.items()
+    )
+    prefix = sql[:sel]
+    return (
+        f"{prefix}SELECT {select_list.strip()} FROM "
+        f"(SELECT *, {defs} {core.strip()}) __adt_w {trailer.strip()}"
+    ).strip()

@@ -118,6 +118,70 @@ select count(*) as n from ext_nation"""
     assert results[1].collect()[0]["n"] == 25
 
 
+def test_execute_script_groups_exclude_frames(spark):
+    """An adt script using DataFusion 48's full window-frame grammar —
+    a GROUPS frame and an EXCLUDE frame (context.rs:32-33 surface,
+    reached via the CLI's raw pass-through main.rs:116) — end-to-end
+    through the splitter + ADTContext.sql, matching the DuckDB oracle
+    (native EXCLUDE; dense_rank construction for GROUPS, which DuckDB
+    itself does not implement)."""
+    import duckdb
+
+    from adt_spark import ADTContext
+    from adt_spark.script import split_statements
+
+    ctx = ADTContext(spark=spark)
+    li = os.path.join(SF_DIR, "lineitem.parquet")
+    script = f"""-- window-frame grammar script
+create external table wf_lineitem
+stored as parquet
+location '{li}';
+SELECT l_orderkey, l_linenumber,
+       sum(CAST(l_quantity AS BIGINT)) OVER (
+         PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+         GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum
+FROM wf_lineitem;
+SELECT l_orderkey, l_linenumber,
+       sum(CAST(l_quantity AS BIGINT)) OVER (
+         PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+         RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+         EXCLUDE CURRENT ROW) AS excl_sum
+FROM wf_lineitem"""
+    results = [ctx.sql(stmt) for stmt in split_statements(script.splitlines())]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW wf_lineitem AS SELECT * FROM read_parquet('{li}')"
+    )
+    groups_oracle = con.execute(
+        """
+        WITH r AS (
+          SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+                 dense_rank() OVER (PARTITION BY l_returnflag
+                                    ORDER BY CAST(l_quantity AS BIGINT)) AS dr,
+                 l_returnflag
+          FROM wf_lineitem)
+        SELECT l_orderkey, l_linenumber,
+               sum(qty) OVER (PARTITION BY l_returnflag ORDER BY dr
+                              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS grp_sum
+        FROM r
+        """
+    ).fetchall()
+    exclude_oracle = con.execute(
+        """
+        SELECT l_orderkey, l_linenumber,
+               sum(CAST(l_quantity AS BIGINT)) OVER (
+                 PARTITION BY l_returnflag ORDER BY CAST(l_quantity AS BIGINT)
+                 RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS excl_sum
+        FROM wf_lineitem
+        """
+    ).fetchall()
+    key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+    assert key(results[1].collect()) == key(groups_oracle)
+    assert key(results[2].collect()) == key(exclude_oracle)
+
+
 def test_ddl_with_order_registers_contract(spark):
     from adt_spark import ADTContext
 

@@ -1,0 +1,182 @@
+"""GROUPS / EXCLUDE window-frame SQL rewrites (dialect layer).
+
+DataFusion 48 parses both constructs in raw adt scripts
+(crates/core/src/context.rs:32-33 via the CLI pass-through
+crates/cli/src/main.rs:116); Spark 4 parses neither.  These tests pin
+the textual rewrite `adt_spark/dialect/window_frames.py` against
+DuckDB: native EXCLUDE is DuckDB-supported (direct oracle), GROUPS is
+not ("not implemented yet"), so its oracle is the dense_rank
+construction q_window_groups_frame already proved driver-green.
+
+Null-ordering note: the rewrites pin the SOURCE dialect's defaults
+(DataFusion/PostgreSQL: ASC NULLS LAST, DESC NULLS FIRST) because
+Spark's defaults are the opposite; DuckDB defaults to NULLS LAST in
+BOTH directions, so DESC oracles below carry explicit modifiers.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from adt_spark.dialect.window_frames import rewrite_window_frames
+
+
+ROWS = [
+    (1, 1), (2, 1), (2, 1), (3, 1), (5, 1), (None, 1),
+    (2, 2), (2, 2), (7, 2), (8, 2), (None, 2), (None, 2),
+]
+
+
+@pytest.fixture(scope="module")
+def small_t(spark):
+    spark.createDataFrame(ROWS, "a int, g int").createOrReplaceTempView(
+        "wf_t"
+    )
+    con = duckdb.connect()
+    con.execute("create table wf_t(a int, g int)")
+    con.executemany("insert into wf_t values (?,?)", ROWS)
+    return con
+
+
+def _norm(rows):
+    return sorted(
+        [tuple(None if x is None else float(x) for x in r) for r in rows],
+        key=str,
+    )
+
+
+_FRAME = "PARTITION BY g ORDER BY a RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        f"SELECT a, g, sum(a) OVER ({_FRAME} EXCLUDE CURRENT ROW) AS v FROM wf_t",
+        f"SELECT a, g, sum(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, sum(a) OVER ({_FRAME} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, sum(a) OVER ({_FRAME} EXCLUDE NO OTHERS) AS v FROM wf_t",
+        f"SELECT a, g, count(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, count(*) OVER ({_FRAME} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, avg(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t",
+        "SELECT a, g, count(*) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS v FROM wf_t",
+        "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a DESC RANGE BETWEEN "
+        "2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS v FROM wf_t",
+    ],
+)
+def test_exclude_matches_duckdb_native(spark, small_t, q):
+    """Every EXCLUDE variant (sum/count/avg × current row/group/ties,
+    NULL keys and ties present) equals DuckDB's NATIVE EXCLUDE."""
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(small_t.execute(q).fetchall())
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    ("q", "oracle"),
+    [
+        (
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a GROUPS "
+            "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM wf_t",
+            "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+            "ORDER BY a) AS dr FROM wf_t) SELECT a, g, sum(a) OVER "
+            "(PARTITION BY g ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING) AS v FROM r",
+        ),
+        (
+            # DESC: oracle pins NULLS FIRST explicitly — the source
+            # dialect's DESC default, not DuckDB's
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a DESC GROUPS "
+            "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM wf_t",
+            "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+            "ORDER BY a DESC NULLS FIRST) AS dr FROM wf_t) SELECT a, g, "
+            "sum(a) OVER (PARTITION BY g ORDER BY dr RANGE BETWEEN 1 "
+            "PRECEDING AND 1 FOLLOWING) AS v FROM r",
+        ),
+        (
+            # GROUPS + EXCLUDE combined
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a GROUPS "
+            "BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS v FROM wf_t",
+            "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+            "ORDER BY a) AS dr FROM wf_t) SELECT a, g, sum(a) OVER "
+            "(PARTITION BY g ORDER BY dr RANGE BETWEEN 2 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE GROUP) AS v FROM r",
+        ),
+        (
+            # UNBOUNDED/CURRENT endpoints: direct RANGE mapping
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a GROUPS "
+            "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v FROM wf_t",
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a RANGE "
+            "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v FROM wf_t",
+        ),
+        (
+            # WITH-prefixed statement: wrap applies to the final SELECT
+            "WITH base AS (SELECT a, g FROM wf_t WHERE a IS NOT NULL) "
+            "SELECT a, g, sum(a) OVER (PARTITION BY g ORDER BY a GROUPS "
+            "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM base",
+            "WITH base AS (SELECT a, g FROM wf_t WHERE a IS NOT NULL), r AS "
+            "(SELECT a, g, dense_rank() OVER (PARTITION BY g ORDER BY a) AS "
+            "dr FROM base) SELECT a, g, sum(a) OVER (PARTITION BY g ORDER "
+            "BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v FROM r",
+        ),
+    ],
+)
+def test_groups_matches_constructed_oracle(spark, small_t, q, oracle):
+    """GROUPS frames (numeric offsets, DESC, combined EXCLUDE, WITH
+    prefix) equal the dense_rank+RANGE construction in DuckDB."""
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(small_t.execute(oracle).fetchall())
+    assert got == want
+
+
+def test_passthrough_untouched():
+    """No GROUPS/EXCLUDE (or only inside literals / as column names):
+    the statement must come back byte-identical."""
+    for q in (
+        "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t",
+        "SELECT 'EXCLUDE GROUPS BETWEEN' AS lit FROM t",
+        "SELECT groups, exclude FROM t",  # column names
+        "SELECT count(*) FROM t",
+    ):
+        assert rewrite_window_frames(q) == q
+
+
+def test_unsupported_cases_raise_loudly():
+    """Outside the sound rewrite space the layer must refuse with a
+    clear error, never return silently different results."""
+    cases = [
+        # min/max cannot be computed by subtraction
+        "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+        # EXCLUDE GROUP on a ROWS frame may exclude peers outside the frame
+        "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE GROUP) FROM t",
+        # frame not containing the current row
+        "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 5 PRECEDING AND 2 "
+        "PRECEDING EXCLUDE CURRENT ROW) FROM t",
+        # DISTINCT aggregate
+        "SELECT sum(DISTINCT a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+        # numeric GROUPS with SELECT *
+        "SELECT * , sum(a) OVER (ORDER BY a GROUPS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING) FROM t",
+        # numeric GROUPS alongside GROUP BY in the same SELECT
+        "SELECT g, sum(sum(a)) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING) FROM t GROUP BY g",
+    ]
+    for q in cases:
+        with pytest.raises(NotImplementedError):
+            rewrite_window_frames(q)
+
+
+def test_count_exclude_skips_nulls_exactly(spark, small_t):
+    """count(a) EXCLUDE CURRENT ROW on a NULL current row must not
+    subtract 1 (NULLs never counted) — the CASE guard in the rewrite."""
+    q = (
+        f"SELECT a, g, count(a) OVER ({_FRAME} EXCLUDE CURRENT ROW) AS v "
+        "FROM wf_t"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(small_t.execute(q).fetchall())
+    assert got == want
