@@ -634,7 +634,23 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^-40 (~9e-13) quantization is deliberate and documented — it buys
     bit-exact cross-engine verification for a statistic whose inputs
     are float32 (~1e-7 granular) to begin with.
+
+    100 TB configuration: set ``ADT_COV_ARROW=1`` to switch to the
+    mapInArrow fast path (_emb_covariance_arrow) — per-partition numpy
+    XᵀX partials, dim² state per task, one tiny shuffle of
+    (#partitions × 2,080) rows.  Same plan-scale shape, ~CPU-bound
+    speedup; float accumulation order becomes partition-dependent, so
+    verification is tolerance-based (test_covariance_arrow_agrees).
+    The exact explode path stays the oracle-verified default.
     """
+    import os
+
+    if os.environ.get("ADT_COV_ARROW", "").lower() in ("1", "true"):
+        return _emb_covariance_arrow(spark, sf_dir)
+    return _emb_covariance_exact(spark, sf_dir)
+
+
+def _emb_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables(spark, sf_dir)["embeddings"]
     from adt_spark.context import spread
 
@@ -668,6 +684,82 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sxy").cast("double") / scale) / F.col("n")
             - ((F.col("sx").cast("double") / scale) / F.col("n"))
             * ((F.col("sy").cast("double") / scale) / F.col("n"))
+        ).alias("cov"),
+    )
+
+
+def _emb_covariance_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow covariance: each Arrow batch folds to ONE partial
+    (n, Σx vector, upper-triangle of XᵀX) with BLAS-backed numpy, so
+    Python sees O(#batches) rows and the shuffle carries #partials ×
+    2,080 tiny rows.  E[xy] − E[x]E[y] math identical to the exact
+    path minus the fixed-point quantization — agreement is within
+    float tolerance, not bit-exact (accumulation order varies with
+    partitioning), which is the documented trade for the ~CPU-bound
+    speedup at 100 TB."""
+    import numpy as np
+    import pyarrow as pa
+
+    from adt_spark.context import spread
+
+    dim = _DIM
+    tri_i, tri_j = np.triu_indices(dim)
+    out_schema = pa.schema(
+        [
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.list_(pa.float64())),
+            pa.field("m", pa.list_(pa.float64())),
+        ]
+    )
+
+    def partials(batches):
+        for batch in batches:
+            col = batch.column(0)
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            X = flat.reshape(len(col), dim)
+            M = X.T @ X
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([len(X)], pa.int64()),
+                    pa.array([X.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                    pa.array([M[tri_i, tri_j].tolist()], pa.list_(pa.float64())),
+                ],
+                schema=out_schema,
+            )
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    src = spread(emb).select(_vec_double().alias("ve"))
+    parts = src.mapInArrow(partials, schema="n long, s array<double>, m array<double>")
+    # upper-triangle (i, j) index table as a plan literal; k is the
+    # position of (i, j) in the flattened triangle
+    pairs = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), "
+        f"i -> transform(sequence(i, {dim - 1}), "
+        f"j -> struct(i AS i, j AS j))))"
+    )
+    ex = (
+        parts.select("n", "s", "m", F.posexplode(pairs).alias("k", "p"))
+        .select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            F.col("n"),
+            F.expr("element_at(m, k + 1)").alias("xy"),
+            F.expr("element_at(s, p.i + 1)").alias("x"),
+            F.expr("element_at(s, p.j + 1)").alias("y"),
+        )
+    )
+    sums = ex.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("xy").alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    return sums.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        (
+            F.col("sxy") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
         ).alias("cov"),
     )
 
@@ -763,7 +855,7 @@ def emb_pca_power1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sign convention: determined by the all-0.125 start vector (both
     engines), so the hash matches without a sign fixup.
     """
-    cov_rows = emb_covariance(spark, sf_dir).collect()
+    cov_rows = _emb_covariance_exact(spark, sf_dir).collect()
     mm = [[0.0] * _DIM for _ in range(_DIM)]
     for r in cov_rows:
         mm[r.i][r.j] = r.cov
@@ -1051,7 +1143,7 @@ def emb_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, one zero-shuffle projection pass out with both components
     as literal arrays.
     """
-    cov_rows = emb_covariance(spark, sf_dir).collect()
+    cov_rows = _emb_covariance_exact(spark, sf_dir).collect()
     mm = [[0.0] * _DIM for _ in range(_DIM)]
     for r in cov_rows:
         mm[r.i][r.j] = r.cov
