@@ -42,11 +42,88 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from adt_spark.sources.delta_native import _list_log, replay_snapshot
+from adt_spark.sources.delta_native import (
+    _hadoop_fs,
+    _is_url,
+    _list_log,
+    replay_snapshot,
+)
 
 
 class DeltaWriteError(RuntimeError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# URL-scheme (object-store) IO — the Hadoop-FS seam
+# ---------------------------------------------------------------------------
+# The writer's driver-side filesystem work (log-dir create, staged-file
+# listing/moves, footer reads for statistics, the conditional-put
+# commit) goes through the Hadoop FileSystem API whenever the table
+# location is a URL, so any scheme Spark's Hadoop conf resolves
+# (s3a://, viewfs://, …) works end-to-end; bare paths keep the
+# zero-dependency os.* fast path.  Atomicity note: fs.create(path,
+# overwrite=false) is the conditional put — atomic on HDFS/local,
+# check-then-write on plain S3A (same caveat as delta-rs standalone
+# writers; a production S3 deployment wants a commit coordinator).
+
+
+def _url_join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *[p.strip("/") for p in parts]])
+
+
+def _fs_mkdirs(spark, url: str) -> None:
+    _jvm, p, fs = _hadoop_fs(spark, url)
+    fs.mkdirs(p)
+
+
+def _fs_write_new(spark, url: str, payload: bytes) -> None:
+    """Create-exclusive write: raises DeltaWriteError('concurrent
+    commit …') when the target already exists."""
+    jvm, p, fs = _hadoop_fs(spark, url)
+    if fs.exists(p):
+        raise DeltaWriteError(f"concurrent commit: {url} already exists")
+    try:
+        stream = fs.create(p, False)
+    except Exception as exc:  # Py4JJavaError: FileAlreadyExists race
+        if "exist" in str(exc).lower():
+            raise DeltaWriteError(
+                f"concurrent commit: {url} already exists"
+            ) from None
+        raise
+    try:
+        stream.write(payload)
+    finally:
+        stream.close()
+
+
+def _fs_parquet_meta(spark, url: str):
+    """Parquet FOOTER metadata of a remote file without fetching the
+    data pages: read the 8-byte trailer for the footer length, then
+    the footer itself, and hand pyarrow a tiny synthetic file
+    (``PAR1 + footer + trailer``) whose tail offsets line up — the
+    footer thrift is self-contained, so stats/num_rows parse exactly
+    as from the full file."""
+    import io
+
+    jvm, p, fs = _hadoop_fs(spark, url)
+    size = fs.getFileStatus(p).getLen()
+    if size < 12:
+        raise DeltaWriteError(f"not a parquet file (size {size}): {url}")
+    stream = fs.open(p)
+    try:
+        stream.seek(size - 8)
+        trailer = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream, 8))
+        flen = int.from_bytes(trailer[:4], "little")
+        if trailer[4:] != b"PAR1" or flen > size - 12:
+            raise DeltaWriteError(f"corrupt parquet footer: {url}")
+        stream.seek(size - 8 - flen)
+        footer = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream, flen + 8)
+        )
+    finally:
+        stream.close()
+    return pq.ParquetFile(io.BytesIO(b"PAR1" + footer)).metadata
 
 
 def _json_stat(v):
@@ -329,15 +406,28 @@ def _rel_from_uri(uri: str, snap_files) -> str:
 
 
 def _log_path(location: str, version: int) -> str:
+    if _is_url(location):
+        return _url_join(location, "_delta_log", f"{version:020d}.json")
     return os.path.join(location, "_delta_log", f"{version:020d}.json")
 
 
-def _atomic_write(path: str, lines: list[dict]) -> None:
+def _atomic_write(path: str, lines: list[dict], spark=None) -> None:
     """Publish a commit atomically WITHOUT clobbering: temp file +
     ``os.link`` (hard link creation fails with EEXIST if the version
     already exists — unlike ``os.rename``, which silently replaces on
     POSIX, turning a commit race into lost writes).  This is the
-    local-FS analog of the object-store conditional put."""
+    local-FS analog of the object-store conditional put; URL locations
+    take the Hadoop-FS create-exclusive path (_fs_write_new)."""
+    if _is_url(path):
+        if spark is None:
+            raise DeltaWriteError(
+                f"committing to {path!r} requires an active SparkSession"
+            )
+        payload = "".join(
+            json.dumps(a, separators=(",", ":")) + "\n" for a in lines
+        ).encode()
+        _fs_write_new(spark, path, payload)
+        return
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         for action in lines:
@@ -378,31 +468,59 @@ def _rel_dirname(pvals: dict, order: list[str] | None = None) -> str:
     )
 
 
-def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[str, dict]]:
-    """(relative staged path, RAW partitionValues) for every part file.
+def _pvals_from_segments(
+    segs: list[str], partition_by: list[str], name: str
+) -> dict[str, str]:
+    """``col=value`` directory segments → RAW partitionValues.
 
     Spark's partitioned write hive-escapes special characters in the
     directory names (``p=x%25y`` for value ``x%y``); the log's
     ``partitionValues`` must carry the unescaped value.
     """
+    pvals: dict[str, str] = {}
+    for seg in segs:
+        k, _, v = seg.partition("=")
+        # hive-encoded nulls arrive as __HIVE_DEFAULT_PARTITION__
+        pvals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
+    missing = [c for c in partition_by if c not in pvals]
+    if missing:
+        raise DeltaWriteError(f"staged file {name} missing partition dirs {missing}")
+    return pvals
+
+
+def _collect_staged_files(staging: str, partition_by: list[str]) -> list[tuple[str, dict]]:
+    """(staged path, RAW partitionValues) for every part file."""
     out: list[tuple[str, dict]] = []
     for root, _dirs, files in os.walk(staging):
         for name in files:
             if not name.endswith(".parquet"):
                 continue
             rel_dir = os.path.relpath(root, staging)
-            pvals: dict[str, str] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    # hive-encoded nulls arrive as __HIVE_DEFAULT_PARTITION__
-                    pvals[k] = (
-                        None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
-                    )
-            missing = [c for c in partition_by if c not in pvals]
-            if missing:
-                raise DeltaWriteError(f"staged file {name} missing partition dirs {missing}")
-            out.append((os.path.join(root, name), pvals))
+            segs = [] if rel_dir == "." else rel_dir.split(os.sep)
+            out.append(
+                (os.path.join(root, name), _pvals_from_segments(segs, partition_by, name))
+            )
+    return out
+
+
+def _collect_staged_files_url(
+    spark, staging: str, partition_by: list[str]
+) -> list[tuple[str, dict, int]]:
+    """URL-scheme staging listing: (qualified file URL, RAW
+    partitionValues, size) via a recursive Hadoop FS listing."""
+    _jvm, p, fs = _hadoop_fs(spark, staging)
+    prefix = fs.makeQualified(p).toString().rstrip("/")
+    out: list[tuple[str, dict, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        url = st.getPath().toString()
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = url[len(prefix):].strip("/")
+        segs = rel.split("/")[:-1]
+        out.append((url, _pvals_from_segments(segs, partition_by, name), st.getLen()))
     return out
 
 
@@ -481,7 +599,12 @@ def _stage_and_collect(
     """Distributed parquet write into a staging dir, then move every
     part file to its final UUID name and return the add actions (with
     full per-file statistics).  Shared by write_delta_native and
-    optimize_zorder."""
+    optimize_zorder.  URL locations run the same shape through the
+    Hadoop FS (_stage_and_collect_url): executors write the staged
+    parquet remotely, the driver renames within the same store and
+    reads only footers."""
+    if _is_url(location):
+        return _stage_and_collect_url(df, location, partition_by, data_change)
     staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -526,6 +649,59 @@ def _stage_and_collect(
     return adds
 
 
+def _stage_and_collect_url(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str],
+    data_change: bool = True,
+) -> list[dict]:
+    """_stage_and_collect through the Hadoop FileSystem for URL-scheme
+    table locations (s3a://, viewfs://, …): identical staging shape,
+    with driver-side IO limited to a recursive listing, per-file
+    footer reads (_fs_parquet_meta — never the data pages), renames
+    within the same store, and the staging-dir delete."""
+    spark = df.sparkSession
+    staging = _url_join(location, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    adds: list[dict] = []
+    _jvm, staging_p, fs = _hadoop_fs(spark, staging)
+    Path = _jvm.org.apache.hadoop.fs.Path
+    try:
+        for staged_url, pvals, size in _collect_staged_files_url(
+            spark, staging, partition_by
+        ):
+            meta = _fs_parquet_meta(spark, staged_url)
+            if meta.num_rows == 0:
+                fs.delete(Path(staged_url), False)
+                continue
+            rel_dir = _rel_dirname(pvals, partition_by) if partition_by else ""
+            final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            final_url = _url_join(location, final_rel)
+            final_p = Path(final_url)
+            fs.mkdirs(final_p.getParent())
+            if not fs.rename(Path(staged_url), final_p):
+                raise DeltaWriteError(f"rename failed: {staged_url} -> {final_url}")
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": int(size),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": data_change,
+                        "stats": _file_stats(meta),
+                    }
+                }
+            )
+    finally:
+        fs.delete(staging_p, True)
+    return adds
+
+
 def write_delta_native(
     df: DataFrame,
     location: str,
@@ -558,9 +734,12 @@ def write_delta_native(
     if mode not in ("append", "overwrite"):
         raise DeltaWriteError(f"unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
-    os.makedirs(os.path.join(location, "_delta_log"), exist_ok=True)
-
-    commits, checkpoints = _list_log(location)
+    if _is_url(location):
+        _fs_mkdirs(df.sparkSession, _url_join(location, "_delta_log"))
+        commits, checkpoints = _list_log(location, df.sparkSession)
+    else:
+        os.makedirs(os.path.join(location, "_delta_log"), exist_ok=True)
+        commits, checkpoints = _list_log(location)
     exists = bool(commits or checkpoints)
     if exists:
         snap = replay_snapshot(df.sparkSession, location)
@@ -723,7 +902,7 @@ def write_delta_native(
         # underneath us (delta-spark's ConcurrentAppend resolution).
         for attempt in range(4):
             try:
-                _atomic_write(_log_path(location, version), actions)
+                _atomic_write(_log_path(location, version), actions, df.sparkSession)
                 return version
             except DeltaWriteError as exc:
                 if "concurrent commit" not in str(exc) or attempt == 3:
@@ -743,7 +922,7 @@ def write_delta_native(
                     ) from exc
                 snap = newsnap
                 version = newsnap.version + 1
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, df.sparkSession)
     return version
 
 
@@ -761,6 +940,12 @@ def write_checkpoint(spark, location: str) -> int:
     """
     import pyarrow as pa
 
+    if _is_url(location):
+        raise DeltaWriteError(
+            "write_checkpoint on URL-scheme locations is not implemented — "
+            "readers replay the JSON log (object-store capable); run "
+            "checkpointing from a local mount or extend the Hadoop-FS seam"
+        )
     snap = replay_snapshot(spark, location)
     n = snap.version
     proto_rows, meta_rows, add_rows = [], [], []

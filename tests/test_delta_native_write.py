@@ -1041,13 +1041,13 @@ def test_append_occ_retry(spark, tmp_path):
     real_atomic = w._atomic_write
     calls = {"n": 0}
 
-    def racy_atomic(path, lines):
+    def racy_atomic(path, lines, spark=None):
         if calls["n"] == 0:
             calls["n"] += 1
             # racer lands the exact version our commit targeted
             with open(path, "w") as f:
                 f.write(_json.dumps(racing) + "\n")
-        return real_atomic(path, lines)
+        return real_atomic(path, lines, spark)
 
     w._atomic_write = racy_atomic
     try:
@@ -1064,12 +1064,12 @@ def test_append_occ_retry(spark, tmp_path):
     ][0]["metaData"]
     meta["configuration"] = {"delta.appendOnly": "true"}
 
-    def racy_meta(path, lines):
+    def racy_meta(path, lines, spark=None):
         if calls["n"] == 1:
             calls["n"] += 1
             with open(path, "w") as f:
                 f.write(_json.dumps({"metaData": meta}) + "\n")
-        return real_atomic(path, lines)
+        return real_atomic(path, lines, spark)
 
     w._atomic_write = racy_meta
     try:

@@ -1,0 +1,96 @@
+"""Native Delta read + write through a URL-scheme Hadoop FileSystem.
+
+The reference wires object stores from env and reads the log through
+them (context.rs:62-79, deltatable.rs:113-117).  The sandbox has no
+live S3, so these tests drive the same code path — scheme-based
+``FileSystem.get`` resolution, qualified-``Path`` IO, no ``os.*`` —
+through ``viewfs://``, Hadoop's client-side mount-table filesystem
+(bundled in hadoop-client-runtime, needs no network): every
+``viewfs://adt/…`` access resolves through the mount table, exactly
+how an ``s3a://bucket/…`` path would resolve through S3AFileSystem.
+
+Covered end-to-end: table create, append (conditional-put commit),
+partitioned write (remote staging listing + renames + footer-only
+statistics reads), snapshot replay, data scan, time travel, and
+byte-compatibility of the written log with the local reader.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from adt_spark.sources.delta_native import read_delta_native, replay_snapshot
+from adt_spark.sources.delta_native_write import write_delta_native
+
+
+@pytest.fixture()
+def viewfs(spark, tmp_path):
+    """Mount viewfs://adt/data onto a local tmp dir."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.set("fs.viewfs.mounttable.adt.link./data", f"file://{tmp_path}")
+    yield "viewfs://adt/data"
+    conf.unset("fs.viewfs.mounttable.adt.link./data")
+
+
+def test_url_roundtrip_create_append_timetravel(spark, viewfs, tmp_path):
+    loc = f"{viewfs}/t1"
+    v0 = write_delta_native(spark.range(0, 5).selectExpr("id", "id * 2 AS x"), loc)
+    assert v0 == 0
+    v1 = write_delta_native(spark.range(5, 8).selectExpr("id", "id * 2 AS x"), loc)
+    assert v1 == 1
+
+    df = read_delta_native(spark, loc)
+    assert sorted(r.id for r in df.collect()) == list(range(8))
+    snap = replay_snapshot(spark, loc)
+    assert snap.version == 1 and len(snap.files) >= 2
+    assert snap.file_stats, "URL write must record footer statistics"
+
+    # time travel through the URL scheme
+    t0 = read_delta_native(spark, loc, version=0)
+    assert sorted(r.id for r in t0.collect()) == list(range(5))
+
+    # the log written through viewfs is byte-compatible with the
+    # local-path reader (same files on disk behind the mount)
+    local = read_delta_native(spark, str(tmp_path / "t1"))
+    assert sorted(map(tuple, local.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_url_partitioned_write_and_skipping(spark, viewfs, tmp_path):
+    loc = f"{viewfs}/t2"
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b%x")], "id int, p string"
+    )
+    write_delta_native(src, loc, partition_by=["p"])
+    snap = replay_snapshot(spark, loc)
+    assert snap.partition_columns == ["p"]
+    # raw (unescaped) partition values in the log; hive-escaped dirs
+    pvals = sorted({pv["p"] for pv, _dv in snap.files.values()})
+    assert pvals == ["a", "b", "b%x"]
+    df = read_delta_native(spark, loc)
+    assert sorted((r.id, r.p) for r in df.collect()) == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "b%x"),
+    ]
+    # min/max skipping works off the footer-read statistics
+    pruned = read_delta_native(spark, loc, skip_where=[("id", "=", 1)])
+    assert {r.id for r in pruned.collect()} >= {1}
+
+
+def test_url_conditional_put_rejects_existing_version(spark, viewfs):
+    from adt_spark.sources.delta_native_write import DeltaWriteError, _atomic_write, _log_path
+
+    loc = f"{viewfs}/t3"
+    write_delta_native(spark.range(3).selectExpr("id"), loc)
+    with pytest.raises(DeltaWriteError, match="concurrent commit"):
+        _atomic_write(_log_path(loc, 0), [{"commitInfo": {}}], spark)
+
+
+def test_url_overwrite_keeps_history(spark, viewfs):
+    loc = f"{viewfs}/t4"
+    write_delta_native(spark.range(4).selectExpr("id"), loc)
+    write_delta_native(
+        spark.range(100, 102).selectExpr("id"), loc, mode="overwrite"
+    )
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == [100, 101]
+    assert sorted(r.id for r in read_delta_native(spark, loc, version=0).collect()) == [
+        0, 1, 2, 3,
+    ]
