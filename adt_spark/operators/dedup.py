@@ -322,6 +322,105 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: overlap-coefficient threshold for containment dedup
+_CONTAIN_T = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    filtered AS (
+        SELECT doc_id, shingle FROM sh
+        QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_POSTING}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS c
+        FROM filtered a
+        JOIN filtered b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        WHERE sa.n < sb.n OR (sa.n = sb.n AND a.doc_id < b.doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT doc_small, doc_big, CAST(c AS DOUBLE) / sa.n AS containment
+    FROM common JOIN sizes sa ON doc_small = sa.doc_id
+    WHERE CAST(c AS DOUBLE) / sa.n >= {_CONTAIN_T}
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup: pairs where the SMALLER document's
+    shingles are ≥ {_CONTAIN_T} contained in the larger one's
+    (overlap coefficient c / min(|A|, |B|)) — the size-skewed
+    duplication Jaccard under-scores: a paragraph pasted into a long
+    page has tiny J but containment ≈ 1 (cf. Broder's resemblance vs
+    containment distinction, "On the resemblance and containment of
+    documents", 1997, public).
+
+    Scale shape mirrors dedup_ngram_jaccard's PPJoin pipeline with
+    the containment-specific prefix bound: only the candidate-SMALLER
+    side is prefix-indexed (pigeonhole against t·|A| — if none of
+    A's ``n_filt − ⌈t·|A|⌉ + 1`` rarest shingles hit B, the capped
+    intersection is < t·|A|), while the larger side exposes its full
+    hot-capped postings.  One equi-join on the prefix shingle with a
+    strict (size, id) orientation filter — no cartesian, no double
+    counting — then exact verification with ``array_intersect`` on
+    the memoized arrays.  Integer c / integer n → one exact double
+    division, engine-identical.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pre = _shingle_arrays(docs)
+    sh = pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
+    sizes = pre.select("doc_id", F.size("shingle_arr").alias("n"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    filt = sh.join(dfc, ["shingle"]).filter(F.col("df") <= _MAX_POSTING)
+    docarr = (
+        filt.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .join(sizes, ["doc_id"])
+        .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
+        .withColumn(
+            "plen",
+            F.greatest(
+                F.size("arr_filt")
+                - F.ceil(F.lit(_CONTAIN_T) * F.col("n")).cast("int")
+                + 1,
+                F.lit(0),
+            ),
+        )
+        .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
+        .select("doc_id", "n", "arr_filt", "prefix")
+        .localCheckpoint(eager=False)
+    )
+    pa = docarr.select(
+        F.col("doc_id").alias("doc_small"), F.col("n").alias("na"),
+        F.col("arr_filt").alias("fa"), F.explode("prefix").alias("ps"),
+    )
+    pb = docarr.select(
+        F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"),
+        F.col("arr_filt").alias("fb"), F.explode("arr_filt").alias("ps"),
+    )
+    cand = (
+        pa.join(pb, ["ps"])
+        # strict orientation: smaller (or equal-size lower-id) side is A
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_small") < F.col("doc_big")))
+        )
+        .select("doc_small", "doc_big", "na", "fa", "fb")
+        .dropDuplicates(["doc_small", "doc_big"])
+    )
+    containment = F.col("c").cast("double") / F.col("na")
+    return (
+        cand.withColumn("c", F.size(F.array_intersect("fa", "fb")))
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .select("doc_small", "doc_big", "containment")
+    )
+
+
 _MERSENNE_P = 2147483647  # 2^31 - 1
 
 

@@ -1008,3 +1008,119 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("packed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust per-source length outliers (median / MAD)
+# ---------------------------------------------------------------------------
+
+#: MAD multiplier for the outlier gate
+_MAD_K = 3
+
+
+@register(
+    "quality_length_outliers",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM t
+    ),
+    med AS (
+      SELECT source,
+             CAST(sum(n_tokens) AS DOUBLE) / count(*) AS med
+      FROM r
+      WHERE rn IN (CAST(floor((cnt + 1) / 2.0) AS BIGINT),
+                   CAST(ceil((cnt + 1) / 2.0) AS BIGINT))
+      GROUP BY source
+    ),
+    d AS (
+      SELECT t.doc_id, t.source, t.n_tokens, med.med,
+             abs(t.n_tokens - med.med) AS dev
+      FROM t JOIN med USING (source)
+    ),
+    rd AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY dev, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS cnt
+      FROM d
+    ),
+    mad AS (
+      SELECT source, CAST(sum(dev) AS DOUBLE) / count(*) AS mad
+      FROM rd
+      WHERE rn IN (CAST(floor((cnt + 1) / 2.0) AS BIGINT),
+                   CAST(ceil((cnt + 1) / 2.0) AS BIGINT))
+      GROUP BY source
+    )
+    SELECT d.doc_id, d.source, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           d.med, mad.mad,
+           d.dev > {_MAD_K} * mad.mad AS is_outlier
+    FROM d JOIN mad USING (source)
+    """,
+    tags=("quality", "outliers", "robust"),
+)
+def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source token-length outlier flags: |len − median| >
+    {_MAD_K}·MAD — the median/MAD gate quality pipelines prefer over
+    mean/stddev because one 10M-token page doesn't shift the
+    threshold for its whole source.
+
+    Exactness: both medians are computed by the SAME explicit
+    row_number construction on both engines — (lo + hi)/2 over
+    integers, then over integer-or-half deviations — so every med/mad
+    is an exact binary fraction and the comparison is engine-exact;
+    native median()/percentile() interpolation differs between
+    engines and is deliberately avoided.
+
+    Scale shape: one shuffle per window pass keyed by source, counts
+    computed in the same pass; the per-source med/MAD tables are
+    source-cardinality-sized and BROADCAST back onto the documents —
+    the corpus itself shuffles exactly twice (the two sorts), never
+    for the joins.  A single hot source exceeding one task's sort
+    budget pre-shards on (source, hash(doc_id) % k) with per-shard
+    rank merge — same plan family.
+    """
+    from pyspark.sql import Window as W
+
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    t = spread(docs).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+    def _median(df: DataFrame, val: str) -> DataFrame:
+        w = W.partitionBy("source").orderBy(val, "doc_id")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "cnt", F.count("*").over(W.partitionBy("source"))
+        )
+        mid = r.filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2.0).cast("long"))
+            | (F.col("rn") == F.ceil((F.col("cnt") + 1) / 2.0).cast("long"))
+        )
+        return mid.groupBy("source").agg(
+            (F.sum(val).cast("double") / F.count("*")).alias(f"med_{val}")
+        )
+
+    med = _median(t, "n_tokens").withColumnRenamed("med_n_tokens", "med")
+    d = t.join(F.broadcast(med), ["source"]).withColumn(
+        "dev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = _median(d, "dev").withColumnRenamed("med_dev", "mad")
+    return (
+        d.join(F.broadcast(mad), ["source"])
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "med",
+            "mad",
+            (F.col("dev") > F.lit(_MAD_K) * F.col("mad")).alias("is_outlier"),
+        )
+    )

@@ -449,3 +449,144 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(dirty, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
         red.alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-relative term statistics: tf-idf distinctive terms, rarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT source) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT source) AS n FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("text", "tfidf", "topk"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source by tf-idf (idf as the exact
+    rational N/df rather than its log — identical ranking class,
+    and the double arithmetic is a correctly-rounded single
+    division+multiply, engine-identical; log is libm-dependent and
+    not bit-reproducible across engines).
+
+    Scale shape: one token explode feeding two two-phase aggregates —
+    (source, term) term frequencies (shuffle key ~ vocabulary x
+    sources, partial-combined map-side) and per-term source document
+    frequencies.  The df table is vocabulary-sized, so it BROADCASTS
+    onto the tf table (no fact-sized shuffle for the join), the
+    source count joins as a 1-row broadcast literal, and the top-5 is
+    WindowGroupLimit (rank pushed into the shuffle) with a term
+    tiebreak for cross-engine determinism.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = toks.select("source", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), ["term"])
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("n").cast("double") / F.col("df")),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("source", "term", F.col("tf").cast("long").alias("tf"), "score")
+    )
+
+
+#: fixed-point scale for rarity sums (2^20; power-of-two multiply is
+#: exact, floor never ties — rule 6 in queries/__init__.py)
+_RARITY_FP = 1 << 20
+
+
+@register(
+    "text_doc_rarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS tot FROM toks),
+    per_tok AS (
+      SELECT doc_id,
+             CAST(floor((CAST(tot.tot AS DOUBLE) / vocab.cnt) * {_RARITY_FP})
+                  AS BIGINT) AS fp
+      FROM toks JOIN vocab USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           (CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / {_RARITY_FP}) / count(*)
+             AS rarity
+    FROM per_tok GROUP BY doc_id
+    """,
+    tags=("text", "rarity", "lm"),
+)
+def text_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inverse corpus frequency per document — the unigram-LM
+    "surprise" proxy quality pipelines use to flag gibberish (high
+    rarity) and boilerplate (low rarity).  Defined on the exact
+    rational total/count rather than -log p: same ordering, and the
+    per-token value is one correctly-rounded division (log is
+    libm-dependent across engines).
+
+    Scale shape: token explode -> vocabulary aggregate (two-phase,
+    keyed by term) which then BROADCASTS back onto the token stream
+    (vocabulary is dictionary-sized; the fact table never shuffles
+    for the join), corpus total joins as a 1-row broadcast, and the
+    per-doc mean is one final doc_id-keyed two-phase aggregate over
+    fixed-point integers (2^-20 quantization buys exact cross-engine
+    sums; summation order is then irrelevant).
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = spread(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").alias("tot"))
+    fp = F.floor(
+        (F.col("tot").cast("double") / F.col("cnt")) * F.lit(_RARITY_FP)
+    ).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), ["term"])
+        .join(F.broadcast(tot))
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("fp").alias("sfp"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                (F.col("sfp").cast("double") / F.lit(_RARITY_FP))
+                / F.col("n_tokens")
+            ).alias("rarity"),
+        )
+    )

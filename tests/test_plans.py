@@ -322,6 +322,37 @@ def test_incremental_dedup_hash_probe(spark, sf_dir):
     assert "chash" in plan  # the content-hash join key reaches the plan
 
 
+def test_corpus_relative_text_ops_broadcast(spark, sf_dir):
+    """text_tfidf_top_terms / text_doc_rarity: the vocabulary-sized
+    aggregate BROADCASTS back onto the token stream (the fact table
+    never shuffles for the join), and the top-k is WindowGroupLimit."""
+    plan = _formatted(_q(spark, sf_dir, "text_tfidf_top_terms"))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    plan2 = _formatted(_q(spark, sf_dir, "text_doc_rarity"))
+    assert "BroadcastHashJoin" in plan2
+    assert "SortMergeJoin" not in plan2  # vocab join must not shuffle the facts
+
+
+def test_length_outliers_broadcast_stats(spark, sf_dir):
+    """quality_length_outliers: the per-source med/MAD tables join
+    back by BROADCAST; the corpus shuffles only for the two window
+    sorts, never for the joins."""
+    plan = _formatted(_q(spark, sf_dir, "quality_length_outliers"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """dedup_ngram_containment stays equi-join keyed (prefix shingle):
+    never a cartesian/nested-loop."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_ngram_containment"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_gopher_rules_scan_only(spark, sf_dir):
     """quality_gopher_rules claims a pure projection: zero shuffles,
     zero explodes — word stats come from higher-order functions over
