@@ -101,6 +101,68 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine radius for range search — 0.3 yields a data-dependent,
+#: non-trivial result set for the fixture query vectors (18 hits at
+#: sf0.01; the 0.4 near-dup gate fires only for planted pairs, none
+#: of which fall in the query id range)
+_RANGE_R = 0.3
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES})
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+             / ({_norm_sql('q')} * {_norm_sql('e')}) AS cosine
+    FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+    WHERE {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+             / ({_norm_sql('q')} * {_norm_sql('e')}) >= {_RANGE_R}
+    """,
+    tags=("similarity", "ann", "range"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius neighbor search (FAISS ``range_search`` parity): every
+    corpus vector within cosine ≥ {_RANGE_R} of each query — the
+    retrieval mode where the RESULT SIZE is data-dependent, so no
+    top-k heap applies and the gate is a plain filter.
+
+    Same scale shape as ann_topk_bruteforce minus the window: the
+    query set broadcasts, scoring is a shuffle-FREE partition-parallel
+    scan with the radius filter fused into it (one pass, no
+    WindowGroupLimit state at all) — strictly cheaper than top-k.
+    For corpora where even the linear scan is the bottleneck, bucket
+    first (ann_lsh_bucketed) and verify candidates with this exact
+    gate.  Cosines use the same ascending-k fold as every embedding
+    operator — bit-identical to the oracle, no tolerance.
+    """
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+    v = _vec_double()
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        v.alias("v_n"),
+        F.sqrt(_dot(v, v)).alias("norm_n"),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        v.alias("v_q"),
+        F.sqrt(_dot(v, v)).alias("norm_q"),
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.try_divide(
+                _dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")
+            ),
+        )
+        .filter(F.col("cosine") >= _RANGE_R)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def _plane_weights(p: int) -> list[int]:
     """±1 weight vector for pseudo-hyperplane p, derived from md5 of
     (plane, dim) — no RNG.  Evaluated once in Python at plan-build
