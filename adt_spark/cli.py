@@ -83,14 +83,18 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
                 for stmt in split_statements(fh):
                     df = ctx.sql(stmt)
                     # reference collects and prints ALL rows
-                    # (main.rs:16-29) — no silent truncation.  Collect
-                    # ONCE and render locally: count()+show() would run
-                    # the plan twice (double cost, and the two passes
-                    # can disagree for non-deterministic queries).
-                    rows = df.collect()
-                    ctx.spark.createDataFrame(rows, df.schema).show(
-                        max(len(rows), 1), truncate=False
-                    )
+                    # (main.rs:16-29) — no silent truncation.  persist
+                    # + count + show computes the plan ONCE and renders
+                    # a consistent snapshot entirely JVM-side (a bare
+                    # count()+show() runs the plan twice and the two
+                    # passes can disagree for non-deterministic
+                    # queries; collect()-and-rebuild would pickle the
+                    # whole result through Python twice).
+                    df.persist()
+                    try:
+                        df.show(max(df.count(), 1), truncate=False)
+                    finally:
+                        df.unpersist()
     finally:
         if owns_ctx:
             ctx.spark.stop()

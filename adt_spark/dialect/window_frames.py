@@ -31,6 +31,19 @@ Anything outside the sound cases raises ``NotImplementedError`` with
 the DataFrame recipe to use instead — a loud error, never a silently
 different result.  All scanning is literal-masked so quoted strings
 are never touched.
+
+Numeric-exactness boundary (a textual rewrite cannot see column
+types, so this is documented rather than guarded): the subtraction
+algebra is EXACT for integer/bigint/decimal-sum arguments — the
+corpus's pinned style (queries/__init__.py rules 1-2) and everything
+the tests cover.  For FLOATING-POINT arguments the rewrite computes
+``frame_sum − excluded`` where the reference sums the surviving rows
+directly; float subtraction is not the inverse of addition, so
+results can differ in low-order bits (worst case under catastrophic
+cancellation, e.g. frame values [1e16, 1, −1e16]).  DECIMAL ``avg``
+EXCLUDE returns Spark's sum/count division scale rather than the
+native avg scale.  Bit-exact float EXCLUDE needs the DataFrame
+recipe (q_window_exclude over an exact-typed column).
 """
 
 from __future__ import annotations
@@ -445,6 +458,31 @@ def _wrap_with_dense_rank(sql: str, dr_aliases: dict[tuple[str, str], str]) -> s
     trailers = _top_level_positions(tail_masked, _TRAILER_RE)
     cut = trailers[0] if trailers else len(tail)
     core, trailer = tail[:cut], tail[cut:]
+    # The wrap hides the FROM relations inside a subquery, so
+    # qualified references (t.col) in the outer select list / trailer
+    # would stop resolving.  When the core is a single plain relation
+    # (`FROM t [AS a] [WHERE …]`), name the wrapper with that
+    # relation's alias so qualifications keep working; otherwise any
+    # outer qualified reference is refused loudly (a confusing
+    # AnalysisException at execution is not an acceptable failure).
+    wrapper = "__adt_w"
+    m1 = re.match(
+        r"(?is)^\s*from\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*(where\b.*)?$",
+        core.strip(),
+    )
+    if m1 and (m1.group(2) or "").lower() not in ("where",):
+        rel, alias = m1.group(1), m1.group(2)
+        wrapper = alias or rel.rsplit(".", 1)[-1]
+    else:
+        qual = re.findall(r"\b(\w+)\s*\.\s*\w+", _mask_literals(select_list + trailer))
+        if qual:
+            raise _Unsupported(
+                "numeric GROUPS frame with a multi-relation FROM and "
+                f"qualified outer references ({sorted(set(qual))}) is not "
+                "supported — the dense_rank wrap hides those aliases; "
+                "unqualify the columns or use the DataFrame API"
+            )
     defs = ", ".join(
         f"dense_rank() OVER ({'PARTITION BY ' + p + ' ' if p else ''}"
         f"ORDER BY {_pin_null_order(o)}) AS {a}"
@@ -453,5 +491,5 @@ def _wrap_with_dense_rank(sql: str, dr_aliases: dict[tuple[str, str], str]) -> s
     prefix = sql[:sel]
     return (
         f"{prefix}SELECT {select_list.strip()} FROM "
-        f"(SELECT *, {defs} {core.strip()}) __adt_w {trailer.strip()}"
+        f"(SELECT *, {defs} {core.strip()}) {wrapper} {trailer.strip()}"
     ).strip()

@@ -964,6 +964,69 @@ _SEM_T = 0.45
 _SEM_BLOCK_ROWS = 100_000
 
 
+def _sem_block_input(spark: SparkSession, sf_dir: str):
+    """(assigned, both): the k-means-joined corpus and the scorer's
+    grouped input — every row tagged with its (cluster_id, i, j)
+    block pair and side.  Factored out so tests can machine-check the
+    per-task bound (rows per group ≤ the two blocks' sizes) directly
+    on the DataFrame the Arrow scorer consumes."""
+    emb = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    # Materialize (assignment ⋈ vector) ONCE: the block-pair expansion
+    # references it three times (sizes + both join sides), and without
+    # a barrier the whole Lloyd pipeline (with its centroid collects)
+    # would be re-planned per reference.
+    assigned = (
+        emb_kmeans_assign(spark, sf_dir)
+        .join(emb, "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    # Per-cluster block counts (k rows — metadata-sized) and the
+    # (cluster, i <= j) block-pair table; both broadcast.
+    sizes = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("csz"))
+        .withColumn(
+            "nblk",
+            F.ceil(F.col("csz") / F.lit(float(_SEM_BLOCK_ROWS))).cast("int"),
+        )
+    )
+    bpairs = (
+        sizes.select(
+            "cluster_id",
+            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("i"),
+            F.col("nblk"),
+        )
+        .select(
+            "cluster_id",
+            "i",
+            F.explode(F.sequence(F.col("i"), F.col("nblk") - 1)).alias("j"),
+        )
+    )
+    blocks = assigned.join(
+        F.broadcast(sizes.select("cluster_id", "nblk")), "cluster_id"
+    ).select(
+        "cluster_id",
+        "vec_id",
+        "vec",
+        (F.col("vec_id") % F.col("nblk")).cast("int").alias("blk"),
+    )
+    left = blocks.join(
+        F.broadcast(bpairs),
+        on=["cluster_id"],
+    ).where(F.col("blk") == F.col("i")).select(
+        "cluster_id", "i", "j", F.lit("a").alias("side"), "vec_id", "vec"
+    )
+    right = blocks.join(
+        F.broadcast(bpairs.where(F.col("i") != F.col("j"))),
+        on=["cluster_id"],
+    ).where(F.col("blk") == F.col("j")).select(
+        "cluster_id", "i", "j", F.lit("b").alias("side"), "vec_id", "vec"
+    )
+    return assigned, left.unionByName(right)
+
+
 @register(
     "dedup_semantic",
     oracle=f"""
@@ -1016,62 +1079,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, exactly SemDeDup's keep-one-per-epsilon-ball rule with
     id as the ranking.
     """
-    emb = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _vec_double().alias("vec")
-    )
-    # Materialize (assignment ⋈ vector) ONCE: the block-pair expansion
-    # references it three times (sizes + both join sides), and without
-    # a barrier the whole Lloyd pipeline (with its centroid collects)
-    # would be re-planned per reference.
-    assigned = (
-        emb_kmeans_assign(spark, sf_dir)
-        .join(emb, "vec_id")
-        .localCheckpoint(eager=False)
-    )
+    assigned, both = _sem_block_input(spark, sf_dir)
     import numpy as np
     import pandas as pd
-
-    # Per-cluster block counts (k rows — metadata-sized) and the
-    # (cluster, i <= j) block-pair table; both broadcast.
-    sizes = (
-        assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("csz"))
-        .withColumn(
-            "nblk",
-            F.ceil(F.col("csz") / F.lit(float(_SEM_BLOCK_ROWS))).cast("int"),
-        )
-    )
-    bpairs = (
-        sizes.select(
-            "cluster_id",
-            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("i"),
-            F.col("nblk"),
-        )
-        .select(
-            "cluster_id",
-            "i",
-            F.explode(F.sequence(F.col("i"), F.col("nblk") - 1)).alias("j"),
-        )
-    )
-    blocks = assigned.join(F.broadcast(sizes.select("cluster_id", "nblk")), "cluster_id").select(
-        "cluster_id",
-        "vec_id",
-        "vec",
-        (F.col("vec_id") % F.col("nblk")).cast("int").alias("blk"),
-    )
-    left = blocks.join(
-        F.broadcast(bpairs),
-        on=["cluster_id"],
-    ).where(F.col("blk") == F.col("i")).select(
-        "cluster_id", "i", "j", F.lit("a").alias("side"), "vec_id", "vec"
-    )
-    right = blocks.join(
-        F.broadcast(bpairs.where(F.col("i") != F.col("j"))),
-        on=["cluster_id"],
-    ).where(F.col("blk") == F.col("j")).select(
-        "cluster_id", "i", "j", F.lit("b").alias("side"), "vec_id", "vec"
-    )
-    both = left.unionByName(right)
 
     def _block_cos(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
         dots = np.zeros((len(A), len(B)))

@@ -455,10 +455,14 @@ def _file_may_match(
         # Decimal(str(x)) is exact for int/decimal-string stats and
         # value-preserving for float literals — no binary-float edge
         # where an equal boundary value rounds outside [min, max].
+        # Non-finite values return None (keep the file): Decimal('NaN')
+        # ordered comparisons raise InvalidOperation, not TypeError,
+        # and NaN proves nothing about the interval anyway.
         try:
-            return Decimal(str(x))
+            d = Decimal(str(x))
         except (InvalidOperation, TypeError, ValueError):
             return None
+        return d if d.is_finite() else None
 
     def _ts(x):
         if isinstance(x, _dt.datetime):
@@ -547,8 +551,8 @@ def _file_may_match(
                 return False
             if op == ">=" and not (hi_c >= v2):
                 return False
-        except TypeError:
-            continue  # cross-type comparison: keep the file
+        except (TypeError, InvalidOperation):
+            continue  # cross-type / non-comparable: keep the file
     return True
 
 

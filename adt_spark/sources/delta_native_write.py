@@ -405,6 +405,21 @@ def _rel_from_uri(uri: str, snap_files) -> str:
     )
 
 
+def _require_local(location: str, op: str) -> None:
+    """Loud upfront boundary for mutators whose IO is still os.*-local:
+    refusing BEFORE any staging/rename happens prevents the half-
+    committed state (data files renamed into the table, commit failed)
+    a late failure would leave on an object store.  URL-scheme surface
+    today: write_delta_native (create/append/overwrite) + all reads."""
+    if _is_url(location):
+        raise DeltaWriteError(
+            f"{op} on URL-scheme location {location!r} is not implemented — "
+            "supported there: write_delta_native (create/append/overwrite) "
+            "and every read path; run table maintenance from a local mount "
+            "or extend the Hadoop-FS seam"
+        )
+
+
 def _log_path(location: str, version: int) -> str:
     if _is_url(location):
         return _url_join(location, "_delta_log", f"{version:020d}.json")
@@ -1109,6 +1124,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     are rejected — rewriting them here would silently resurrect
     DV-deleted rows.
     """
+    _require_local(location, "delete_where")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1250,6 +1266,7 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
     (delta-kernel/delta-spark VACUUM): vacuuming past a version breaks
     time travel to it — tombstones younger than the horizon are kept.
     """
+    _require_local(location, "vacuum")
     cutoff_ms = int((time.time() - retain_hours * 3600.0) * 1000)
     snap = replay_snapshot(spark, location)
     live = set(snap.files)
@@ -1301,6 +1318,7 @@ def update_where(
     UPDATE semantics); partition columns cannot be assigned (that is a
     repartitioning rewrite — express it as read + overwrite).
     """
+    _require_local(location, "update_where")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1531,6 +1549,7 @@ def merge_upsert(
     rows land under their own partition dirs.  DV-bearing files are
     rejected (as in delete_where).
     """
+    _require_local(location, "merge_upsert")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1793,6 +1812,7 @@ def optimize_zorder(
     vectors are materialized away by the rewrite (the snapshot read
     applies them), exactly like Delta's OPTIMIZE purges DVs.
     """
+    _require_local(location, "optimize_zorder")
     from pyspark.sql import functions as F
 
     from adt_spark.sources.delta_native import read_delta_native
@@ -1880,6 +1900,7 @@ def optimize_compact(spark, location: str, target_mb: int = 128) -> int:
     (open + footer + task schedule) dominates scans; compaction
     restores scan bandwidth and shrinks the replayed log.
     """
+    _require_local(location, "optimize_compact")
     from adt_spark.sources.delta_native import read_delta_native
 
     snap = replay_snapshot(spark, location)
@@ -1910,6 +1931,7 @@ def restore_table(spark, location: str, to_version: int) -> tuple[int, int, int]
     documented trade), and history is preserved (the restore is just
     another commit; you can restore the restore away).
     """
+    _require_local(location, "restore_table")
     cur = replay_snapshot(spark, location)
     _check_writable(cur, "restore")
     target = replay_snapshot(spark, location, version=to_version)
@@ -2021,6 +2043,7 @@ def add_constraint(spark, location: str, name: str, expr: str) -> int:
     CHECK-constraints version, PROTOCOL.md) when the table is below
     it.  Returns the committed version.
     """
+    _require_local(location, "add_constraint")
     from pyspark.sql import functions as F
 
     from adt_spark.sources.delta_native import read_delta_native
@@ -2117,6 +2140,7 @@ def drop_constraint(spark, location: str, name: str, if_exists: bool = False) ->
     the ``delta.constraints.<name>`` config key in a metadata-only
     commit.  Returns the committed version (unchanged version when
     ``if_exists`` swallows a missing name, matching delta-spark)."""
+    _require_local(location, "drop_constraint")
     snap = replay_snapshot(spark, location)
     _check_writable(snap, "alter")
     key = f"delta.constraints.{name.lower()}"
@@ -2165,6 +2189,7 @@ def convert_to_delta(spark, location: str) -> int:
     read-and-rewrite: the commit is metadata proportional to the FILE
     COUNT — the data itself never moves.
     """
+    _require_local(location, "convert_to_delta")
     log_dir = os.path.join(location, "_delta_log")
     if os.path.isdir(log_dir) and os.listdir(log_dir):
         raise DeltaWriteError(f"{location} is already a Delta table")
@@ -2262,6 +2287,7 @@ def shallow_clone(
     never reclaims source files (absolute paths are outside the
     vacuum boundary).  Returns (clone version 0, files referenced).
     """
+    _require_local(dst, "shallow_clone (destination)")
     snap = replay_snapshot(spark, src, version)
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None and dv.get("storageType") != "i":
@@ -2357,6 +2383,7 @@ def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
     (``delta.enableDeletionVectors=true``) also upgrades the protocol
     to the table-features form (reader 3 / writer 7 with the
     ``deletionVectors`` feature), as delta-spark does."""
+    _require_local(location, "set_tblproperties")
     snap = replay_snapshot(spark, location)
     _check_writable(snap, "alter")
     conf = dict(snap.configuration or {})

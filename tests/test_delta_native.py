@@ -439,6 +439,15 @@ def test_file_may_match_declared_types():
         [("arr", "=", "zzz")],
         types,
     )
+    # NaN stats or NaN probe values keep the file (Decimal('NaN')
+    # comparisons raise InvalidOperation — must never crash the read)
+    nan_stats = (
+        '{"numRecords": 2, "minValues": {"id": "NaN"},'
+        ' "maxValues": {"id": "NaN"}, "nullCount": {"id": 0}}'
+    )
+    assert _file_may_match(nan_stats, [("id", "=", 5)], types)
+    assert _file_may_match(st, [("id", ">", float("nan"))], types)
+    assert _file_may_match(nan_stats, [("id", "=", 5)])  # heuristic path too
     # category mapping itself
     assert _skip_category(T.StringType()) == "str"
     assert _skip_category(T.DecimalType(10, 2)) == "num"

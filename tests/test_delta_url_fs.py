@@ -84,6 +84,30 @@ def test_url_conditional_put_rejects_existing_version(spark, viewfs):
         _atomic_write(_log_path(loc, 0), [{"commitInfo": {}}], spark)
 
 
+def test_url_unsupported_mutators_refuse_upfront(spark, viewfs, tmp_path):
+    """Mutators whose IO is still local must refuse a URL location
+    BEFORE any staging/rename — a late commit failure would leave
+    renamed-but-uncommitted data files in the live table."""
+    import adt_spark.sources.delta_native_write as w
+
+    loc = f"{viewfs}/t5"
+    write_delta_native(spark.range(3).selectExpr("id"), loc)
+    files_before = sorted((tmp_path / "t5").rglob("*"))
+    for call in (
+        lambda: w.delete_where(spark, loc, "id = 1"),
+        lambda: w.update_where(spark, loc, "id = 1", {"id": "id + 10"}),
+        lambda: w.optimize_compact(spark, loc),
+        lambda: w.optimize_zorder(spark, loc, ["id"]),
+        lambda: w.restore_table(spark, loc, 0),
+        lambda: w.vacuum(spark, loc),
+        lambda: w.set_tblproperties(spark, loc, {"k": "v"}),
+        lambda: w.write_checkpoint(spark, loc),
+    ):
+        with pytest.raises(w.DeltaWriteError, match="URL-scheme|not implemented"):
+            call()
+    assert sorted((tmp_path / "t5").rglob("*")) == files_before  # zero side effects
+
+
 def test_url_overwrite_keeps_history(spark, viewfs):
     loc = f"{viewfs}/t4"
     write_delta_native(spark.range(4).selectExpr("id"), loc)

@@ -283,23 +283,49 @@ def test_semantic_dedup_block_bounded(spark, sf_dir):
     try:
         blocked = sorted(map(tuple, _q(spark, sf_dir, "dedup_semantic").collect()))
         assert blocked == baseline
-        # machine-check the per-task bound: rebuild the scorer's input
-        # grouping and assert no (cluster, i, j) group exceeds two
-        # blocks' worth of rows (diagonal groups hold one block; off-
-        # diagonal hold two; vec_id % nblk spreads ids near-uniformly,
-        # 4x covers modulo imbalance on tiny clusters)
+        # machine-check the per-task bound on the EXACT DataFrame the
+        # Arrow scorer consumes: every (cluster, i, j) group holds at
+        # most the two referenced blocks' rows — never a whole
+        # multi-block cluster
         from pyspark.sql import functions as F
 
-        from adt_spark.operators.similarity import emb_kmeans_assign
-
-        csz = (
-            emb_kmeans_assign(spark, sf_dir)
-            .groupBy("cluster_id")
-            .agg(F.count(F.lit(1)).alias("csz"))
+        assigned, both = sim._sem_block_input(spark, sf_dir)
+        groups = {
+            (r.cluster_id, r.i, r.j): r.cnt
+            for r in both.groupBy("cluster_id", "i", "j")
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
+        }
+        nblk_of = {}
+        blk_sizes = {}
+        csz = {
+            r.cluster_id: r.cnt
+            for r in assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        import math
+
+        for cid, n in csz.items():
+            nblk_of[cid] = math.ceil(n / 7)
+        for r in assigned.select("cluster_id", "vec_id").collect():
+            key = (r.cluster_id, int(r.vec_id) % nblk_of[r.cluster_id])
+            blk_sizes[key] = blk_sizes.get(key, 0) + 1
+        assert any(n > 1 for n in nblk_of.values()), (
+            "fixture must exercise the multi-block path"
         )
-        max_cluster = max(r.csz for r in csz)
-        assert max_cluster > 7, "fixture must exercise the multi-block path"
+        for (cid, i, j), cnt in groups.items():
+            # a group holds EXACTLY its one or two referenced blocks —
+            # the bound that makes per-task memory independent of
+            # cluster size (for nblk == 2 the single off-diagonal pair
+            # legitimately spans both blocks; the bound is per block,
+            # not per cluster)
+            expect = (
+                blk_sizes.get((cid, i), 0)
+                if i == j
+                else blk_sizes.get((cid, i), 0) + blk_sizes.get((cid, j), 0)
+            )
+            assert cnt == expect, (cid, i, j, cnt, expect)
     finally:
         sim._SEM_BLOCK_ROWS = prev
 

@@ -170,6 +170,42 @@ def test_unsupported_cases_raise_loudly():
             rewrite_window_frames(q)
 
 
+def test_wrap_preserves_single_relation_alias(spark, small_t):
+    """Qualified references (t.col) keep resolving when the core FROM
+    is one plain relation: the dense_rank wrapper takes that
+    relation's name/alias; multi-relation FROMs with qualified outer
+    refs are refused loudly instead of failing at analysis time."""
+    q = (
+        "SELECT wf_t.a, wf_t.g, sum(wf_t.a) OVER (PARTITION BY wf_t.g "
+        "ORDER BY wf_t.a GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS v "
+        "FROM wf_t ORDER BY wf_t.g, wf_t.a"
+    )
+    out = rewrite_window_frames(q)
+    assert ") wf_t" in out  # wrapper named after the relation
+    got = _norm(spark.sql(out).collect())
+    want = _norm(
+        small_t.execute(
+            "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+            "ORDER BY a) AS dr FROM wf_t) SELECT a, g, sum(a) OVER "
+            "(PARTITION BY g ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING) AS v FROM r"
+        ).fetchall()
+    )
+    assert got == want
+    # aliased relation: `FROM wf_t t` keeps alias t
+    q2 = (
+        "SELECT t.a, sum(t.a) OVER (ORDER BY t.a GROUPS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING) AS v FROM wf_t t"
+    )
+    assert ") t" in rewrite_window_frames(q2)
+    # multi-relation FROM + qualified outer refs: loud refusal
+    with pytest.raises(NotImplementedError, match="qualified"):
+        rewrite_window_frames(
+            "SELECT x.a, sum(x.a) OVER (ORDER BY x.a GROUPS BETWEEN 1 "
+            "PRECEDING AND 1 FOLLOWING) AS v FROM wf_t x JOIN wf_t y ON x.a = y.a"
+        )
+
+
 def test_count_exclude_skips_nulls_exactly(spark, small_t):
     """count(a) EXCLUDE CURRENT ROW on a NULL current row must not
     subtract 1 (NULLs never counted) — the CASE guard in the rewrite."""
