@@ -65,6 +65,7 @@ def clear_dedup_state() -> None:
     _PAIRS_MEMO.clear()
     _CC_LABELS_MEMO.clear()
     _GRAMS_MEMO.clear()
+    _RARITY_MEMO.clear()
 
 
 #: (applicationId, documents-plan hash) → materialized positional
@@ -203,6 +204,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: _SHINGLE_MEMO for the lifecycle rationale.
 _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+#: (applicationId, docs-plan hash) → materialized rarity-ordered
+#: hot-capped shingle arrays (doc_id, n, arr_filt).  The
+#: document-frequency count + rarity sort is the expensive common
+#: stem of every prefix-filtered similarity join (Jaccard,
+#: containment); the THRESHOLD-specific prefix is a cheap projection
+#: each consumer adds on top.
+_RARITY_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def _rarity_arrays(docs: DataFrame) -> DataFrame:
+    """doc_id, n (full distinct-shingle count), arr_filt (hot-capped
+    shingles ordered rarest-first) — memoized per session+corpus."""
+    key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
+    memo = _RARITY_MEMO.get(key)
+    if memo is not None:
+        return memo
+    pre = _shingle_arrays(docs)
+    sh = pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
+    sizes = pre.select("doc_id", F.size("shingle_arr").alias("n"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    filt = sh.join(dfc, ["shingle"]).filter(F.col("df") <= _MAX_POSTING)
+    out = (
+        filt.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
+        .join(sizes, ["doc_id"])
+        .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
+        .select("doc_id", "n", "arr_filt")
+        .localCheckpoint(eager=False)
+    )
+    _RARITY_MEMO[key] = out
+    return out
+
 
 
 @register(
@@ -260,22 +293,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is not None:
         return memo
     docs = tables(spark, sf_dir)["documents"]
-    pre = _shingle_arrays(docs)
-    sh = pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
-    # Doc sizes straight off the cached arrays — no groupBy shuffle
-    # (shingles are distinct per doc, so array length = shingle count).
-    sizes = pre.select("doc_id", F.size("shingle_arr").alias("n"))
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    filt = sh.join(dfc, ["shingle"]).filter(F.col("df") <= _MAX_POSTING)
-    # Per-doc hot-capped shingle array ordered rarest-first, plus the
-    # exact prefix: n_filt − ⌈t·n_full⌉ + 1 elements (n_full, not
-    # n_filt, in the ceiling — the Jaccard denominator uses full
-    # sizes, so the pigeonhole bound is against t·n_full).
+    # Per-doc hot-capped shingle array ordered rarest-first (shared
+    # memoized stem), plus the Jaccard-specific exact prefix:
+    # n_filt − ⌈t·n_full⌉ + 1 elements (n_full, not n_filt, in the
+    # ceiling — the Jaccard denominator uses full sizes, so the
+    # pigeonhole bound is against t·n_full).
     docarr = (
-        filt.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
-        .join(sizes, ["doc_id"])
-        .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
+        _rarity_arrays(docs)
         .withColumn(
             "plen",
             F.greatest(
@@ -287,7 +311,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
         .select("doc_id", "n", "arr_filt", "prefix")
-        .localCheckpoint(eager=False)  # scoped materialization, no CacheManager residue
     )
     pa = docarr.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
@@ -371,16 +394,10 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     division, engine-identical.
     """
     docs = tables(spark, sf_dir)["documents"]
-    pre = _shingle_arrays(docs)
-    sh = pre.select("doc_id", F.explode("shingle_arr").alias("shingle"))
-    sizes = pre.select("doc_id", F.size("shingle_arr").alias("n"))
-    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    filt = sh.join(dfc, ["shingle"]).filter(F.col("df") <= _MAX_POSTING)
+    # shared rarity-ordered stem + the containment-specific prefix
+    # (pigeonhole against t·|A| for the candidate-smaller side)
     docarr = (
-        filt.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
-        .join(sizes, ["doc_id"])
-        .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
+        _rarity_arrays(docs)
         .withColumn(
             "plen",
             F.greatest(
@@ -392,7 +409,6 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
         .select("doc_id", "n", "arr_filt", "prefix")
-        .localCheckpoint(eager=False)
     )
     pa = docarr.select(
         F.col("doc_id").alias("doc_small"), F.col("n").alias("na"),

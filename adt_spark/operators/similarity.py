@@ -963,54 +963,97 @@ _SEM_T = 0.45
 #: tests can shrink it to force the multi-block path on small data)
 _SEM_BLOCK_ROWS = 100_000
 
+#: (applicationId, sf_dir) → (materialized assignment⋈vector, size map).
+#: Release with clear_similarity_state() for long-lived sessions.
+_SEM_ASSIGNED_MEMO: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
+
+
+def clear_similarity_state() -> None:
+    """Release memoized similarity intermediates (checkpoint blocks
+    are reclaimed by the ContextCleaner once unreferenced)."""
+    _SEM_ASSIGNED_MEMO.clear()
+
 
 def _sem_block_input(spark: SparkSession, sf_dir: str):
-    """(assigned, both): the k-means-joined corpus and the scorer's
-    grouped input — every row tagged with its (cluster_id, i, j)
-    block pair and side.  Factored out so tests can machine-check the
-    per-task bound (rows per group ≤ the two blocks' sizes) directly
-    on the DataFrame the Arrow scorer consumes."""
-    emb = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _vec_double().alias("vec")
-    )
-    # Materialize (assignment ⋈ vector) ONCE: the block-pair expansion
-    # references it three times (sizes + both join sides), and without
-    # a barrier the whole Lloyd pipeline (with its centroid collects)
-    # would be re-planned per reference.
-    assigned = (
-        emb_kmeans_assign(spark, sf_dir)
-        .join(emb, "vec_id")
-        .localCheckpoint(eager=False)
-    )
-    # Per-cluster block counts (k rows — metadata-sized) and the
-    # (cluster, i <= j) block-pair table; both broadcast.
-    sizes = (
-        assigned.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("csz"))
-        .withColumn(
-            "nblk",
-            F.ceil(F.col("csz") / F.lit(float(_SEM_BLOCK_ROWS))).cast("int"),
+    """(assigned, both, multi_block): the k-means-joined corpus and
+    the scorer's grouped input — every row tagged with its
+    (cluster_id, i, j) block pair and side.  Factored out so tests can
+    machine-check the per-task bound (rows per group ≤ the two blocks'
+    sizes) directly on the DataFrame the Arrow scorer consumes.
+
+    The per-cluster sizes are k rows (k-means k — metadata-sized by
+    construction, same driver boundary as the centroids themselves),
+    so they are COLLECTED and the block geometry is baked into the
+    plan as literals: a map literal for nblk and a literal block-pair
+    table, replacing two aggregate+broadcast-join stages.  When every
+    cluster fits one block (``multi_block`` False — the common case
+    once k is sized so clusters ≈ _SEM_BLOCK_ROWS), the input
+    degenerates to one diagonal group per cluster with zero extra
+    stages."""
+    import math
+    from itertools import chain
+
+    # Session memo (same lifecycle discipline as dedup._SHINGLE_MEMO):
+    # the Lloyd pass + vector join is the dominant cost and is
+    # identical across calls, so the materialized checkpoint and the
+    # k-row size map are computed once per (session, corpus).
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SEM_ASSIGNED_MEMO.get(memo_key)
+    if memo is not None:
+        assigned, csz = memo
+    else:
+        emb = tables(spark, sf_dir)["embeddings"].select(
+            "vec_id", _vec_double().alias("vec")
         )
-    )
-    bpairs = (
-        sizes.select(
+        # Materialize (assignment ⋈ vector) ONCE: the block-pair
+        # expansion references it on both sides, and without a barrier
+        # the whole Lloyd pipeline (with its centroid collects) would
+        # be re-planned per reference.
+        assigned = (
+            emb_kmeans_assign(spark, sf_dir)
+            .join(emb, "vec_id")
+            .localCheckpoint(eager=False)
+        )
+        csz = {
+            r.cluster_id: r.cnt
+            for r in assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        _SEM_ASSIGNED_MEMO[memo_key] = (assigned, csz)
+    nblk = {c: max(1, math.ceil(n / _SEM_BLOCK_ROWS)) for c, n in csz.items()}
+    multi_block = any(b > 1 for b in nblk.values())
+
+    if not multi_block:
+        both = assigned.select(
             "cluster_id",
-            F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("i"),
-            F.col("nblk"),
+            F.lit(0).alias("i"),
+            F.lit(0).alias("j"),
+            F.lit("a").alias("side"),
+            "vec_id",
+            "vec",
         )
-        .select(
-            "cluster_id",
-            "i",
-            F.explode(F.sequence(F.col("i"), F.col("nblk") - 1)).alias("j"),
-        )
+        return assigned, both, False
+
+    nblk_map = F.create_map(
+        *chain.from_iterable((F.lit(c), F.lit(b)) for c, b in nblk.items())
     )
-    blocks = assigned.join(
-        F.broadcast(sizes.select("cluster_id", "nblk")), "cluster_id"
-    ).select(
+    bpairs = spark.createDataFrame(
+        [
+            (c, i, j)
+            for c, b in nblk.items()
+            for i in range(b)
+            for j in range(i, b)
+        ],
+        "cluster_id long, i int, j int",
+    )
+    blocks = assigned.select(
         "cluster_id",
         "vec_id",
         "vec",
-        (F.col("vec_id") % F.col("nblk")).cast("int").alias("blk"),
+        (F.col("vec_id") % F.element_at(nblk_map, F.col("cluster_id")))
+        .cast("int")
+        .alias("blk"),
     )
     left = blocks.join(
         F.broadcast(bpairs),
@@ -1024,7 +1067,7 @@ def _sem_block_input(spark: SparkSession, sf_dir: str):
     ).where(F.col("blk") == F.col("j")).select(
         "cluster_id", "i", "j", F.lit("b").alias("side"), "vec_id", "vec"
     )
-    return assigned, left.unionByName(right)
+    return assigned, left.unionByName(right), True
 
 
 @register(
@@ -1079,7 +1122,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, exactly SemDeDup's keep-one-per-epsilon-ball rule with
     id as the ranking.
     """
-    assigned, both = _sem_block_input(spark, sf_dir)
+    assigned, both, multi_block = _sem_block_input(spark, sf_dir)
     import numpy as np
     import pandas as pd
 
@@ -1123,14 +1166,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_id": np.concatenate([a_ids[drop_a], b_ids[drop_b]])}
         )
 
-    dropped = (
-        both.groupBy("cluster_id", "i", "j")
-        .applyInPandas(drop_block_pair, schema="vec_id long")
-        # a vector can be dropped by several block pairs — the keep
-        # join below needs one row per id
-        .distinct()
-        .withColumn("is_dropped", F.lit(True))
+    dropped = both.groupBy("cluster_id", "i", "j").applyInPandas(
+        drop_block_pair, schema="vec_id long"
     )
+    if multi_block:
+        # a vector can be dropped by several block pairs — the keep
+        # join below needs one row per id (single-block clusters emit
+        # each id at most once, so the extra shuffle is skipped there)
+        dropped = dropped.distinct()
+    dropped = dropped.withColumn("is_dropped", F.lit(True))
     return assigned.select("vec_id", "cluster_id").join(
         dropped, "vec_id", "left"
     ).select(

@@ -267,7 +267,6 @@ def test_semantic_dedup_block_bounded(spark, sf_dir):
 
     plan = _formatted(_q(spark, sf_dir, "dedup_semantic"))
     assert "FlatMapGroupsInPandas" in plan
-    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the scorer's grouping keys are (cluster_id, i, j) — one task ==
     # one block pair, never a whole cluster
@@ -281,6 +280,11 @@ def test_semantic_dedup_block_bounded(spark, sf_dir):
     prev = sim._SEM_BLOCK_ROWS
     sim._SEM_BLOCK_ROWS = 7  # force every non-trivial cluster multi-block
     try:
+        blocked_plan = _formatted(_q(spark, sf_dir, "dedup_semantic"))
+        # the multi-block path joins the literal block-pair table by
+        # BROADCAST — never shuffling the corpus for it
+        assert "BroadcastHashJoin" in blocked_plan
+        assert "CartesianProduct" not in blocked_plan
         blocked = sorted(map(tuple, _q(spark, sf_dir, "dedup_semantic").collect()))
         assert blocked == baseline
         # machine-check the per-task bound on the EXACT DataFrame the
@@ -289,7 +293,8 @@ def test_semantic_dedup_block_bounded(spark, sf_dir):
         # multi-block cluster
         from pyspark.sql import functions as F
 
-        assigned, both = sim._sem_block_input(spark, sf_dir)
+        assigned, both, multi_block = sim._sem_block_input(spark, sf_dir)
+        assert multi_block, "block size 7 must force the multi-block path"
         groups = {
             (r.cluster_id, r.i, r.j): r.cnt
             for r in both.groupBy("cluster_id", "i", "j")
