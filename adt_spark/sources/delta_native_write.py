@@ -406,17 +406,23 @@ def _rel_from_uri(uri: str, snap_files) -> str:
 
 
 def _require_local(location: str, op: str) -> None:
-    """Loud upfront boundary for mutators whose IO is still os.*-local:
-    refusing BEFORE any staging/rename happens prevents the half-
-    committed state (data files renamed into the table, commit failed)
-    a late failure would leave on an object store.  URL-scheme surface
-    today: write_delta_native (create/append/overwrite) + all reads."""
+    """Loud upfront boundary for the operations whose IO is still
+    os.*-local: refusing BEFORE any staging/rename happens prevents
+    the half-committed state (data files renamed into the table,
+    commit failed) a late failure would leave on an object store.
+
+    URL-scheme surface today: every read path, write_delta_native
+    (create/append/overwrite), OPTIMIZE/ZORDER, constraints,
+    TBLPROPERTIES, RESTORE, and DV-routed DELETE/UPDATE/MERGE
+    (inline deletion vectors are log-only).  Still local-only:
+    copy-on-write DELETE/UPDATE/MERGE rewrites (enable
+    delta.enableDeletionVectors for URL tables), VACUUM,
+    CONVERT, SHALLOW CLONE destinations, and checkpoints."""
     if _is_url(location):
         raise DeltaWriteError(
             f"{op} on URL-scheme location {location!r} is not implemented — "
-            "supported there: write_delta_native (create/append/overwrite) "
-            "and every read path; run table maintenance from a local mount "
-            "or extend the Hadoop-FS seam"
+            "run it from a local mount, or (for DELETE/UPDATE/MERGE) set "
+            "delta.enableDeletionVectors=true so the DV path applies"
         )
 
 
@@ -1124,7 +1130,6 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
     are rejected — rewriting them here would silently resurrect
     DV-deleted rows.
     """
-    _require_local(location, "delete_where")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1136,6 +1141,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
         # delta-spark's selection rule: the table property routes
         # DELETE through deletion vectors (no file rewrites)
         return _delete_with_dvs(spark, location, predicate, snap)
+    _require_local(location, "delete_where (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -1246,7 +1252,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
             }
         }
     ] + removes + adds
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, int(n_deleted)
 
 
@@ -1318,7 +1324,6 @@ def update_where(
     UPDATE semantics); partition columns cannot be assigned (that is a
     repartitioning rewrite — express it as read + overwrite).
     """
-    _require_local(location, "update_where")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1360,6 +1365,7 @@ def update_where(
         == "true"
     ):
         return _update_with_dvs(spark, location, predicate, assignments, snap, gens_data)
+    _require_local(location, "update_where (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None:
             raise DeltaWriteError(
@@ -1524,7 +1530,7 @@ def update_where(
             }
         }
     ] + removes + adds
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, int(n_updated)
 
 
@@ -1549,7 +1555,6 @@ def merge_upsert(
     rows land under their own partition dirs.  DV-bearing files are
     rejected (as in delete_where).
     """
-    _require_local(location, "merge_upsert")
     from pyspark.sql import functions as F
 
     snap = replay_snapshot(spark, location)
@@ -1608,6 +1613,7 @@ def merge_upsert(
         == "true"
     ):
         return _merge_with_dvs(spark, location, source, key_cols, snap)
+    _require_local(location, "merge_upsert (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
@@ -1732,7 +1738,7 @@ def merge_upsert(
             }
         }
     ] + removes + adds
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, n_replaced, int(n_source - n_matched_keys)
 
 
@@ -1812,7 +1818,6 @@ def optimize_zorder(
     vectors are materialized away by the rewrite (the snapshot read
     applies them), exactly like Delta's OPTIMIZE purges DVs.
     """
-    _require_local(location, "optimize_zorder")
     from pyspark.sql import functions as F
 
     from adt_spark.sources.delta_native import read_delta_native
@@ -1884,7 +1889,7 @@ def _optimize_commit(spark, location: str, snap, df: DataFrame, params: dict) ->
             }
         )
     actions.extend(adds)
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version
 
 
@@ -1900,7 +1905,6 @@ def optimize_compact(spark, location: str, target_mb: int = 128) -> int:
     (open + footer + task schedule) dominates scans; compaction
     restores scan bandwidth and shrinks the replayed log.
     """
-    _require_local(location, "optimize_compact")
     from adt_spark.sources.delta_native import read_delta_native
 
     snap = replay_snapshot(spark, location)
@@ -1931,15 +1935,25 @@ def restore_table(spark, location: str, to_version: int) -> tuple[int, int, int]
     documented trade), and history is preserved (the restore is just
     another commit; you can restore the restore away).
     """
-    _require_local(location, "restore_table")
     cur = replay_snapshot(spark, location)
     _check_writable(cur, "restore")
     target = replay_snapshot(spark, location, version=to_version)
     if target.column_mapping_mode != cur.column_mapping_mode:
         raise DeltaWriteError("restore across column-mapping changes is not supported")
+    if _is_url(location):
+        _jvm, _p, fs = _hadoop_fs(spark, location)
+        Path = _jvm.org.apache.hadoop.fs.Path
+
+        def _missing(rel: str) -> bool:
+            return not fs.exists(Path(_url_join(location, rel)))
+
+    else:
+
+        def _missing(rel: str) -> bool:
+            return not os.path.exists(os.path.join(location, *rel.split("/")))
+
     for rel in target.files:
-        abs_path = os.path.join(location, *rel.split("/"))
-        if not os.path.exists(abs_path):
+        if _missing(rel):
             raise DeltaWriteError(
                 f"cannot restore to version {to_version}: file {rel} was vacuumed"
             )
@@ -1998,7 +2012,7 @@ def restore_table(spark, location: str, to_version: int) -> tuple[int, int, int]
             )
             n_removed += 1
     version = cur.version + 1
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, n_added, n_removed
 
 
@@ -2043,7 +2057,6 @@ def add_constraint(spark, location: str, name: str, expr: str) -> int:
     CHECK-constraints version, PROTOCOL.md) when the table is below
     it.  Returns the committed version.
     """
-    _require_local(location, "add_constraint")
     from pyspark.sql import functions as F
 
     from adt_spark.sources.delta_native import read_delta_native
@@ -2131,7 +2144,7 @@ def add_constraint(spark, location: str, name: str, expr: str) -> int:
             }
         }
     )
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version
 
 
@@ -2140,7 +2153,6 @@ def drop_constraint(spark, location: str, name: str, if_exists: bool = False) ->
     the ``delta.constraints.<name>`` config key in a metadata-only
     commit.  Returns the committed version (unchanged version when
     ``if_exists`` swallows a missing name, matching delta-spark)."""
-    _require_local(location, "drop_constraint")
     snap = replay_snapshot(spark, location)
     _check_writable(snap, "alter")
     key = f"delta.constraints.{name.lower()}"
@@ -2172,7 +2184,7 @@ def drop_constraint(spark, location: str, name: str, if_exists: bool = False) ->
             }
         },
     ]
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version
 
 
@@ -2271,7 +2283,7 @@ def convert_to_delta(spark, location: str) -> int:
             }
         )
     os.makedirs(log_dir, exist_ok=True)
-    _atomic_write(_log_path(location, 0), actions)
+    _atomic_write(_log_path(location, 0), actions, spark)
     return 0
 
 
@@ -2340,7 +2352,7 @@ def shallow_clone(
             add["deletionVector"] = dv  # inline: location-independent
         actions.append({"add": add})
     os.makedirs(log_dir, exist_ok=True)
-    _atomic_write(_log_path(dst, 0), actions)
+    _atomic_write(_log_path(dst, 0), actions, spark)
     return 0, len(snap.files)
 
 
@@ -2383,7 +2395,6 @@ def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
     (``delta.enableDeletionVectors=true``) also upgrades the protocol
     to the table-features form (reader 3 / writer 7 with the
     ``deletionVectors`` feature), as delta-spark does."""
-    _require_local(location, "set_tblproperties")
     snap = replay_snapshot(spark, location)
     _check_writable(snap, "alter")
     conf = dict(snap.configuration or {})
@@ -2426,7 +2437,7 @@ def set_tblproperties(spark, location: str, props: dict[str, str]) -> int:
             }
         }
     )
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version
 
 
@@ -2532,7 +2543,7 @@ def _delete_with_dvs(
     if n_deleted == 0:
         return snap.version, 0
     actions.extend(mask_actions)
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, n_deleted
 
 
@@ -2605,7 +2616,7 @@ def _update_with_dvs(
         return snap.version, 0
     actions.extend(mask_actions)
     actions.extend(_stage_and_collect(post, location, part_cols))
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, n_updated
 
 
@@ -2669,5 +2680,5 @@ def _merge_with_dvs(
     ).count()
     actions.extend(mask_actions)
     actions.extend(_stage_and_collect(source, location, part_cols))
-    _atomic_write(_log_path(location, version), actions)
+    _atomic_write(_log_path(location, version), actions, spark)
     return version, n_replaced, int(n_source - n_matched_keys)

@@ -84,28 +84,54 @@ def test_url_conditional_put_rejects_existing_version(spark, viewfs):
         _atomic_write(_log_path(loc, 0), [{"commitInfo": {}}], spark)
 
 
-def test_url_unsupported_mutators_refuse_upfront(spark, viewfs, tmp_path):
-    """Mutators whose IO is still local must refuse a URL location
+def test_url_local_only_mutators_refuse_upfront(spark, viewfs, tmp_path):
+    """Operations whose IO is still local must refuse a URL location
     BEFORE any staging/rename — a late commit failure would leave
-    renamed-but-uncommitted data files in the live table."""
+    renamed-but-uncommitted data files in the live table.  Copy-on-
+    write DELETE/UPDATE (no DV property) are in this set."""
     import adt_spark.sources.delta_native_write as w
 
     loc = f"{viewfs}/t5"
     write_delta_native(spark.range(3).selectExpr("id"), loc)
     files_before = sorted((tmp_path / "t5").rglob("*"))
     for call in (
-        lambda: w.delete_where(spark, loc, "id = 1"),
+        lambda: w.delete_where(spark, loc, "id = 1"),       # COW (no DVs)
         lambda: w.update_where(spark, loc, "id = 1", {"id": "id + 10"}),
-        lambda: w.optimize_compact(spark, loc),
-        lambda: w.optimize_zorder(spark, loc, ["id"]),
-        lambda: w.restore_table(spark, loc, 0),
         lambda: w.vacuum(spark, loc),
-        lambda: w.set_tblproperties(spark, loc, {"k": "v"}),
+        lambda: w.convert_to_delta(spark, loc),
         lambda: w.write_checkpoint(spark, loc),
     ):
         with pytest.raises(w.DeltaWriteError, match="URL-scheme|not implemented"):
             call()
     assert sorted((tmp_path / "t5").rglob("*")) == files_before  # zero side effects
+
+
+def test_url_log_only_mutators_work(spark, viewfs):
+    """Log-only operations run on URL tables: properties, constraints,
+    DV-routed DELETE/UPDATE, OPTIMIZE (staging is URL-routed), RESTORE."""
+    import adt_spark.sources.delta_native_write as w
+
+    loc = f"{viewfs}/t6"
+    write_delta_native(spark.range(10).selectExpr("id", "id % 2 AS p"), loc)
+    w.set_tblproperties(spark, loc, {"delta.enableDeletionVectors": "true"})
+    v, n = w.delete_where(spark, loc, "id >= 8")
+    assert n == 2
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == list(range(8))
+    v2, n2 = w.update_where(spark, loc, "id = 0", {"id": "100"})
+    assert n2 == 1
+    assert 100 in {r.id for r in read_delta_native(spark, loc).collect()}
+    w.add_constraint(spark, loc, "pos", "id >= 0")
+    with pytest.raises(w.DeltaWriteError):
+        write_delta_native(
+            spark.createDataFrame([(-5, 1)], "id long, p long"), loc
+        )
+    w.drop_constraint(spark, loc, "pos")
+    w.optimize_compact(spark, loc)
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == (
+        [1, 2, 3, 4, 5, 6, 7, 100]
+    )
+    w.restore_table(spark, loc, 0)
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == list(range(10))
 
 
 def test_url_overwrite_keeps_history(spark, viewfs):
