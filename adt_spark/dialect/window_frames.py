@@ -475,7 +475,13 @@ def _wrap_with_dense_rank(sql: str, dr_aliases: dict[tuple[str, str], str]) -> s
         rel, alias = m1.group(1), m1.group(2)
         wrapper = alias or rel.rsplit(".", 1)[-1]
     else:
-        qual = re.findall(r"\b(\w+)\s*\.\s*\w+", _mask_literals(select_list + trailer))
+        # identifier.identifier only — a numeric literal like 0.5 is
+        # not a qualification (nor is 1.e2); struct-field access is
+        # indistinguishable textually and refused conservatively
+        qual = re.findall(
+            r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]",
+            _mask_literals(select_list + trailer),
+        )
         if qual:
             raise _Unsupported(
                 "numeric GROUPS frame with a multi-relation FROM and "

@@ -72,6 +72,21 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor corpus: scoring cost is linear and perfectly
     partitioned, top-k state is k rows per query per partition.
     """
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        _scored_query_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+def _scored_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for the broadcast query set ×
+    corpus — the shared exact-scoring stem of ann_topk_bruteforce and
+    ann_range_search.  ONE copy on purpose: the ascending-k cosine
+    fold is the bit-exactness-critical code, and a fold-order change
+    must move every consumer (and its oracle) together."""
     from adt_spark.context import spread
 
     emb = spread(tables(spark, sf_dir)["embeddings"])
@@ -86,18 +101,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.alias("v_q"),
         F.sqrt(_dot(v, v)).alias("norm_q"),
     )
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.try_divide(_dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rn")
+    return corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn(
+        "cosine",
+        F.try_divide(_dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")),
     )
 
 
@@ -134,30 +142,11 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     For corpora where even the linear scan is the bottleneck, bucket
     first (ann_lsh_bucketed) and verify candidates with this exact
     gate.  Cosines use the same ascending-k fold as every embedding
-    operator — bit-identical to the oracle, no tolerance.
+    operator (shared stem _scored_query_pairs) — bit-identical to the
+    oracle, no tolerance.
     """
-    from adt_spark.context import spread
-
-    emb = spread(tables(spark, sf_dir)["embeddings"])
-    v = _vec_double()
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        v.alias("v_n"),
-        F.sqrt(_dot(v, v)).alias("norm_n"),
-    )
-    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        v.alias("v_q"),
-        F.sqrt(_dot(v, v)).alias("norm_q"),
-    )
     return (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.try_divide(
-                _dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")
-            ),
-        )
+        _scored_query_pairs(spark, sf_dir)
         .filter(F.col("cosine") >= _RANGE_R)
         .select("query_id", "neighbor_id", "cosine")
     )

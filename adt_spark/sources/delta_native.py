@@ -688,6 +688,8 @@ def _data_path(location: str, rel: str) -> str:
     back to the URI-decoded form when the raw path does not exist
     locally (URL locations keep the raw form; their readers resolve
     encoded URIs natively)."""
+    if _is_url(rel):
+        return rel  # absolute URL (a shallow clone of a URL-scheme src)
     raw = os.path.join(location, rel)
     if _is_url(location) or os.path.exists(raw):
         return raw

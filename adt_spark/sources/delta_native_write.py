@@ -2313,7 +2313,10 @@ def shallow_clone(
     log_dir = os.path.join(dst, "_delta_log")
     if os.path.isdir(log_dir) and os.listdir(log_dir):
         raise DeltaWriteError(f"{dst} is already a Delta table")
-    src_abs = os.path.abspath(src)
+    # A URL src is already absolute — os.path.abspath would mangle the
+    # scheme ('viewfs://x' → '<cwd>/viewfs:/x') and silently commit a
+    # clone whose add paths resolve nowhere.
+    src_abs = src.rstrip("/") if _is_url(src) else os.path.abspath(src)
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {

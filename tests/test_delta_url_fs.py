@@ -134,6 +134,22 @@ def test_url_log_only_mutators_work(spark, viewfs):
     assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == list(range(10))
 
 
+def test_url_src_shallow_clone(spark, viewfs, tmp_path):
+    """Cloning FROM a URL-scheme source records the source's data
+    files under their absolute URL (os.path.abspath would have mangled
+    the scheme into '<cwd>/viewfs:/…' — silent metadata corruption);
+    the clone then reads through the URL."""
+    from adt_spark.sources.delta_native_write import shallow_clone
+
+    src = f"{viewfs}/t7"
+    write_delta_native(spark.range(4).selectExpr("id"), src)
+    dst = str(tmp_path / "clone_local")
+    shallow_clone(spark, src, dst)
+    snap = replay_snapshot(spark, dst)
+    assert all(p.startswith("viewfs://") for p in snap.files), snap.files
+    assert sorted(r.id for r in read_delta_native(spark, dst).collect()) == [0, 1, 2, 3]
+
+
 def test_url_overwrite_keeps_history(spark, viewfs):
     loc = f"{viewfs}/t4"
     write_delta_native(spark.range(4).selectExpr("id"), loc)

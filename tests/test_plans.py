@@ -353,7 +353,18 @@ def test_incremental_dedup_hash_probe(spark, sf_dir):
     assert "chash" in plan  # the content-hash join key reaches the plan
 
 
-def test_corpus_relative_text_ops_broadcast(spark, sf_dir):
+def test_range_search_fused_scan(spark, sf_dir):
+    """ann_range_search: broadcast query set, radius filter fused into
+    the partition-parallel scan — no exchange before the filter, no
+    WindowGroupLimit (no top-k state), no cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "ann_range_search"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # scoring happens before any exchange: the only Exchange (if AQE
+    # inserts one) sits above the filtered output, never below the join
+    scan_to_join = plan.split("Join")[0] if "Join" in plan else plan
+    assert "Exchange" not in scan_to_join
     """text_tfidf_top_terms / text_doc_rarity: the vocabulary-sized
     aggregate BROADCASTS back onto the token stream (the fact table
     never shuffles for the join), and the top-k is WindowGroupLimit."""
