@@ -413,11 +413,11 @@ def _require_local(location: str, op: str) -> None:
 
     URL-scheme surface today: every read path, write_delta_native
     (create/append/overwrite), OPTIMIZE/ZORDER, constraints,
-    TBLPROPERTIES, RESTORE, and DV-routed DELETE/UPDATE/MERGE
+    TBLPROPERTIES, RESTORE, VACUUM, and DV-routed DELETE/UPDATE/MERGE
     (inline deletion vectors are log-only).  Still local-only:
     copy-on-write DELETE/UPDATE/MERGE rewrites (enable
-    delta.enableDeletionVectors for URL tables), VACUUM,
-    CONVERT, SHALLOW CLONE destinations, and checkpoints."""
+    delta.enableDeletionVectors for URL tables), CONVERT,
+    SHALLOW CLONE destinations, and checkpoints."""
     if _is_url(location):
         raise DeltaWriteError(
             f"{op} on URL-scheme location {location!r} is not implemented — "
@@ -1272,26 +1272,44 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
     (delta-kernel/delta-spark VACUUM): vacuuming past a version breaks
     time travel to it — tombstones younger than the horizon are kept.
     """
-    _require_local(location, "vacuum")
+    from adt_spark.sources.delta_native import _read_file
+
+    is_url = _is_url(location)
     cutoff_ms = int((time.time() - retain_hours * 3600.0) * 1000)
     snap = replay_snapshot(spark, location)
     live = set(snap.files)
 
     # collect tombstones from the JSON log (checkpoints drop removes
     # older than their own horizon; JSON commits are the authority).
-    commits, _ = _list_log(location)
+    commits, _ = _list_log(location, spark if is_url else None)
     tombstones: dict[str, int] = {}
     for _v, path in commits:
-        with open(path, encoding="utf-8") as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if rm := action.get("remove"):
-                    tombstones[rm["path"]] = rm.get("deletionTimestamp", 0)
-                if add := action.get("add"):
-                    # re-added later → not dead
-                    tombstones.pop(add["path"], None)
+        for line in _read_file(spark, path).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if rm := action.get("remove"):
+                tombstones[rm["path"]] = rm.get("deletionTimestamp", 0)
+            if add := action.get("add"):
+                # re-added later → not dead
+                tombstones.pop(add["path"], None)
+
+    if is_url:
+        _jvm, _p, fs = _hadoop_fs(spark, location)
+        Path = _jvm.org.apache.hadoop.fs.Path
+
+        def _unlink(rel: str) -> bool:
+            p = Path(_url_join(location, rel))
+            return bool(fs.exists(p)) and bool(fs.delete(p, False))
+
+    else:
+
+        def _unlink(rel: str) -> bool:
+            abs_path = os.path.join(location, *rel.split("/"))
+            if not os.path.exists(abs_path):
+                return False
+            os.remove(abs_path)
+            return True
 
     deleted: list[str] = []
     for rel, ts_ms in tombstones.items():
@@ -1303,9 +1321,7 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
             # files under this table's own root are reclaimable
             # (delta-spark's vacuum boundary).
             continue
-        abs_path = os.path.join(location, *rel.split("/"))
-        if os.path.exists(abs_path):
-            os.remove(abs_path)
+        if _unlink(rel):
             deleted.append(rel)
     return sorted(deleted)
 

@@ -25,8 +25,12 @@ from adt_spark.sources.delta_native_write import write_delta_native
 
 @pytest.fixture()
 def viewfs(spark, tmp_path):
-    """Mount viewfs://adt/data onto a local tmp dir."""
+    """Mount viewfs://adt/data onto a local tmp dir.  The FileSystem
+    CACHE must be off for the scheme: it keys on (scheme, authority),
+    so a cached instance would keep serving the FIRST test's mount
+    table after tmp_path changed."""
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.set("fs.viewfs.impl.disable.cache", "true")
     conf.set("fs.viewfs.mounttable.adt.link./data", f"file://{tmp_path}")
     yield "viewfs://adt/data"
     conf.unset("fs.viewfs.mounttable.adt.link./data")
@@ -97,7 +101,6 @@ def test_url_local_only_mutators_refuse_upfront(spark, viewfs, tmp_path):
     for call in (
         lambda: w.delete_where(spark, loc, "id = 1"),       # COW (no DVs)
         lambda: w.update_where(spark, loc, "id = 1", {"id": "id + 10"}),
-        lambda: w.vacuum(spark, loc),
         lambda: w.convert_to_delta(spark, loc),
         lambda: w.write_checkpoint(spark, loc),
     ):
@@ -132,6 +135,25 @@ def test_url_log_only_mutators_work(spark, viewfs):
     )
     w.restore_table(spark, loc, 0)
     assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == list(range(10))
+
+
+def test_url_vacuum_reclaims_through_fs(spark, viewfs, tmp_path):
+    """VACUUM on a URL table deletes dead files through the Hadoop
+    FileSystem (retention 0 so the overwrite tombstones qualify)."""
+    import adt_spark.sources.delta_native_write as w
+
+    loc = f"{viewfs}/t8"
+    write_delta_native(spark.range(4).selectExpr("id"), loc)
+    write_delta_native(spark.range(9, 11).selectExpr("id"), loc, mode="overwrite")
+    before = {p.name for p in (tmp_path / "t8").glob("*.parquet")}
+    # negative retention puts the cutoff strictly in the future —
+    # retain_hours=0 races the tombstone's millisecond timestamp
+    deleted = w.vacuum(spark, loc, retain_hours=-0.01)
+    assert deleted, "overwrite tombstones past retention must be reclaimed"
+    after = {p.name for p in (tmp_path / "t8").glob("*.parquet")}
+    assert after < before
+    # table still reads fine at HEAD
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == [9, 10]
 
 
 def test_url_src_shallow_clone(spark, viewfs, tmp_path):
