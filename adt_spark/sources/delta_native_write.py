@@ -412,12 +412,12 @@ def _require_local(location: str, op: str) -> None:
     commit failed) a late failure would leave on an object store.
 
     URL-scheme surface today: every read path, write_delta_native
-    (create/append/overwrite), OPTIMIZE/ZORDER, constraints,
-    TBLPROPERTIES, RESTORE, VACUUM, and DV-routed DELETE/UPDATE/MERGE
-    (inline deletion vectors are log-only).  Still local-only:
-    copy-on-write DELETE/UPDATE/MERGE rewrites (enable
-    delta.enableDeletionVectors for URL tables), CONVERT,
-    SHALLOW CLONE destinations, and checkpoints."""
+    (create/append/overwrite), full DML (DELETE/UPDATE/MERGE, both the
+    copy-on-write and deletion-vector routes — staging goes through
+    _stage_into_table's Hadoop-FS branch), OPTIMIZE/ZORDER,
+    constraints, TBLPROPERTIES, RESTORE, and VACUUM.  Still
+    local-only: CONVERT, SHALLOW CLONE destinations, and
+    checkpoints."""
     if _is_url(location):
         raise DeltaWriteError(
             f"{op} on URL-scheme location {location!r} is not implemented — "
@@ -720,6 +720,102 @@ def _stage_and_collect_url(
             )
     finally:
         fs.delete(staging_p, True)
+    return adds
+
+
+def _stage_into_table(
+    df: DataFrame,
+    location: str,
+    ts: int,
+    *,
+    partition_by: list[str] | None = None,
+    fixed_pvals: dict | None = None,
+    data_change: bool = True,
+) -> list[dict]:
+    """Stage ``df`` as parquet and move every part file into the table
+    under a fresh UUID name, returning the add actions — the ONE
+    staging engine the copy-on-write DML rewrites share (DELETE /
+    UPDATE / MERGE).  ``partition_by`` derives partitionValues from
+    the staged directory names; ``fixed_pvals`` pins them (a
+    single-partition-group rewrite).  Local paths use os.*; URL-scheme
+    locations go through the Hadoop FileSystem (remote staging
+    listing, footer-only statistics reads, same-store renames)."""
+    partition_by = list(partition_by or [])
+    adds: list[dict] = []
+
+    def _add(final_rel: str, pvals: dict, size: int, meta) -> None:
+        adds.append(
+            {
+                "add": {
+                    "path": final_rel,
+                    "partitionValues": pvals,
+                    "size": int(size),
+                    "modificationTime": ts,
+                    "dataChange": data_change,
+                    "stats": _file_stats(meta),
+                }
+            }
+        )
+
+    def _final_rel(pvals: dict) -> str:
+        rel_dir = _rel_dirname(pvals)
+        return (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+
+    if _is_url(location):
+        spark = df.sparkSession
+        staging = _url_join(location, f"_staging-{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        _jvm, staging_p, fs = _hadoop_fs(spark, staging)
+        Path = _jvm.org.apache.hadoop.fs.Path
+        try:
+            for staged_url, staged_pvals, size in _collect_staged_files_url(
+                spark, staging, partition_by
+            ):
+                meta = _fs_parquet_meta(spark, staged_url)
+                if meta.num_rows == 0:
+                    fs.delete(Path(staged_url), False)
+                    continue
+                pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
+                final_rel = _final_rel(pvals)
+                final_p = Path(_url_join(location, final_rel))
+                fs.mkdirs(final_p.getParent())
+                if not fs.rename(Path(staged_url), final_p):
+                    raise DeltaWriteError(
+                        f"rename failed: {staged_url} -> {final_rel}"
+                    )
+                _add(final_rel, pvals, size, meta)
+        finally:
+            fs.delete(staging_p, True)
+        return adds
+
+    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    try:
+        for staged, staged_pvals in _collect_staged_files(staging, partition_by):
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                os.remove(staged)
+                continue
+            pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
+            final_rel = _final_rel(pvals)
+            final_abs = os.path.join(location, *final_rel.split("/"))
+            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+            os.rename(staged, final_abs)
+            _add(final_rel, pvals, os.path.getsize(final_abs), meta)
+    finally:
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        if os.path.isdir(staging):
+            os.rmdir(staging)
     return adds
 
 
@@ -1141,7 +1237,6 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
         # delta-spark's selection rule: the table property routes
         # DELETE through deletion vectors (no file rewrites)
         return _delete_with_dvs(spark, location, predicate, snap)
-    _require_local(location, "delete_where (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
     part_cols = snap.partition_columns
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
@@ -1197,39 +1292,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
                 .parquet(*[os.path.join(location, r) for r in rels])
             ).filter(keep)
         )
-        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-        kept.write.mode("overwrite").parquet(staging)
-        try:
-            for staged, _ in _collect_staged_files(staging, []):
-                meta = pq.ParquetFile(staged).metadata
-                if meta.num_rows == 0:
-                    os.remove(staged)
-                    continue
-                rel_dir = _rel_dirname(pvals)
-                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-                final_abs = os.path.join(location, *final_rel.split("/"))
-                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-                os.rename(staged, final_abs)
-                adds.append(
-                    {
-                        "add": {
-                            "path": final_rel,
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(final_abs),
-                            "modificationTime": ts,
-                            "dataChange": True,
-                            "stats": _file_stats(meta),
-                        }
-                    }
-                )
-        finally:
-            for root, dirs, files in os.walk(staging, topdown=False):
-                for name in files:
-                    os.remove(os.path.join(root, name))
-                for name in dirs:
-                    os.rmdir(os.path.join(root, name))
-            if os.path.isdir(staging):
-                os.rmdir(staging)
+        adds.extend(_stage_into_table(kept, location, ts, fixed_pvals=pvals))
         for rel in rels:
             removes.append(
                 {
@@ -1381,7 +1444,6 @@ def update_where(
         == "true"
     ):
         return _update_with_dvs(spark, location, predicate, assignments, snap, gens_data)
-    _require_local(location, "update_where (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None:
             raise DeltaWriteError(
@@ -1491,39 +1553,7 @@ def update_where(
                 pvals,
             ).select(*data_col_names)
         )
-        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-        updated.write.mode("overwrite").parquet(staging)
-        try:
-            for staged, _ in _collect_staged_files(staging, []):
-                meta = pq.ParquetFile(staged).metadata
-                if meta.num_rows == 0:
-                    os.remove(staged)
-                    continue
-                rel_dir = _rel_dirname(pvals)
-                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-                final_abs = os.path.join(location, *final_rel.split("/"))
-                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-                os.rename(staged, final_abs)
-                adds.append(
-                    {
-                        "add": {
-                            "path": final_rel,
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(final_abs),
-                            "modificationTime": ts,
-                            "dataChange": True,
-                            "stats": _file_stats(meta),
-                        }
-                    }
-                )
-        finally:
-            for root, dirs, files in os.walk(staging, topdown=False):
-                for name in files:
-                    os.remove(os.path.join(root, name))
-                for name in dirs:
-                    os.rmdir(os.path.join(root, name))
-            if os.path.isdir(staging):
-                os.rmdir(staging)
+        adds.extend(_stage_into_table(updated, location, ts, fixed_pvals=pvals))
         for rel in rels:
             removes.append(
                 {
@@ -1629,7 +1659,6 @@ def merge_upsert(
         == "true"
     ):
         return _merge_with_dvs(spark, location, source, key_cols, snap)
-    _require_local(location, "merge_upsert (copy-on-write rewrite; set delta.enableDeletionVectors=true for URL tables)")
 
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
@@ -1670,44 +1699,12 @@ def merge_upsert(
     adds: list[dict] = []
     removes: list[dict] = []
 
-    def _stage_and_collect(df: DataFrame, pvals: dict, partition_by: list[str]) -> None:
-        staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staging)
-        try:
-            for staged, staged_pvals in _collect_staged_files(staging, partition_by):
-                meta = pq.ParquetFile(staged).metadata
-                if meta.num_rows == 0:
-                    os.remove(staged)
-                    continue
-                eff = staged_pvals if partition_by else pvals
-                rel_dir = _rel_dirname(eff)
-                final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-                final_abs = os.path.join(location, *final_rel.split("/"))
-                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-                os.rename(staged, final_abs)
-                adds.append(
-                    {
-                        "add": {
-                            "path": final_rel,
-                            "partitionValues": eff,
-                            "size": os.path.getsize(final_abs),
-                            "modificationTime": ts,
-                            "dataChange": True,
-                            "stats": _file_stats(meta),
-                        }
-                    }
-                )
-        finally:
-            for root, dirs, files in os.walk(staging, topdown=False):
-                for name in files:
-                    os.remove(os.path.join(root, name))
-                for name in dirs:
-                    os.rmdir(os.path.join(root, name))
-            if os.path.isdir(staging):
-                os.rmdir(staging)
+    def _stage_group(df: DataFrame, pvals: dict, partition_by: list[str]) -> None:
+        adds.extend(
+            _stage_into_table(
+                df, location, ts, partition_by=partition_by, fixed_pvals=pvals
+            )
+        )
 
     # 1. rewrite touched files with matched rows removed
     groups: dict[tuple, list[str]] = {}
@@ -1721,7 +1718,7 @@ def merge_upsert(
                 .parquet(*[os.path.join(location, r) for r in rels])
             ).join(F.broadcast(keys), key_cols, "left_anti")
         )
-        _stage_and_collect(kept, pvals, [])
+        _stage_group(kept, pvals, [])
         for rel in rels:
             removes.append(
                 {
@@ -1738,11 +1735,11 @@ def merge_upsert(
     # mapped tables stage under physical names + physical partition dirs
     if snap.column_mapping_mode != "none":
         phys_of = _physical_projection(snap)[0]
-        _stage_and_collect(
+        _stage_group(
             to_physical(source), {}, [phys_of[c] for c in part_cols]
         )
     else:
-        _stage_and_collect(source, {}, part_cols)
+        _stage_group(source, {}, part_cols)
 
     actions = [
         {

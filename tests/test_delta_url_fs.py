@@ -91,22 +91,46 @@ def test_url_conditional_put_rejects_existing_version(spark, viewfs):
 def test_url_local_only_mutators_refuse_upfront(spark, viewfs, tmp_path):
     """Operations whose IO is still local must refuse a URL location
     BEFORE any staging/rename — a late commit failure would leave
-    renamed-but-uncommitted data files in the live table.  Copy-on-
-    write DELETE/UPDATE (no DV property) are in this set."""
+    renamed-but-uncommitted data files in the live table."""
     import adt_spark.sources.delta_native_write as w
 
     loc = f"{viewfs}/t5"
     write_delta_native(spark.range(3).selectExpr("id"), loc)
     files_before = sorted((tmp_path / "t5").rglob("*"))
     for call in (
-        lambda: w.delete_where(spark, loc, "id = 1"),       # COW (no DVs)
-        lambda: w.update_where(spark, loc, "id = 1", {"id": "id + 10"}),
         lambda: w.convert_to_delta(spark, loc),
         lambda: w.write_checkpoint(spark, loc),
+        lambda: w.shallow_clone(spark, str(tmp_path / "t5"), f"{viewfs}/t5clone"),
     ):
         with pytest.raises(w.DeltaWriteError, match="URL-scheme|not implemented"):
             call()
     assert sorted((tmp_path / "t5").rglob("*")) == files_before  # zero side effects
+
+
+def test_url_cow_dml_roundtrip(spark, viewfs, tmp_path):
+    """Copy-on-write DELETE/UPDATE/MERGE on a URL table (no DV
+    property): rewrites stage remotely through _stage_into_table's
+    Hadoop-FS branch and the commit is conditional-put."""
+    import adt_spark.sources.delta_native_write as w
+
+    loc = f"{viewfs}/t9"
+    write_delta_native(
+        spark.range(8).selectExpr("id", "id % 2 AS p"), loc, partition_by=["p"]
+    )
+    v, n = w.delete_where(spark, loc, "id >= 6")
+    assert n == 2
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == list(range(6))
+    v2, n2 = w.update_where(spark, loc, "id = 5", {"id": "50"})
+    assert n2 == 1
+    src = spark.createDataFrame([(0, 0), (100, 0)], "id long, p long")
+    w.merge_upsert(spark, loc, src, ["id"])
+    got = sorted(r.id for r in read_delta_native(spark, loc).collect())
+    assert got == [0, 1, 2, 3, 4, 50, 100]
+    # all data files live under the mounted dir; none strayed locally
+    assert all(
+        p.suffix != ".parquet" or "t9" in str(p)
+        for p in (tmp_path / "t9").rglob("*")
+    )
 
 
 def test_url_log_only_mutators_work(spark, viewfs):
