@@ -18,11 +18,20 @@ point + the deltalake crate's table factory (SURVEY.md §2.A A5,
   overwrite.  Delta's ``schemaString`` IS Spark's ``StructType``
   JSON, so the schema round-trips with zero mapping code
   (SURVEY.md §1.2).
-- **Atomicity**: the commit file is written to a temp name and
-  ``os.rename``d — atomic on a local/posix store.  On S3 a real
-  deployment needs a conditional-put/commit-coordinator (same caveat
-  as delta-rs standalone writers); the log format written here is
+- **Atomicity**: local commits hard-link a temp file into place
+  (EEXIST detects the losing racer); URL-scheme commits use a
+  create-exclusive Hadoop-FS write — atomic on HDFS/local mounts,
+  check-then-write on plain S3A, where a real deployment adds a
+  conditional-put/commit-coordinator (same caveat as delta-rs
+  standalone writers).  The log format written here is
   byte-compatible either way.
+- **Object-store capable end to end**: every operation — create /
+  append / overwrite, DELETE / UPDATE / MERGE (copy-on-write and
+  deletion-vector routes), OPTIMIZE [ZORDER], constraints,
+  TBLPROPERTIES, RESTORE, VACUUM, CONVERT, SHALLOW CLONE, and
+  checkpoints — runs against URL-scheme locations through the Hadoop
+  FileSystem (tests drive a ``viewfs://`` mount; the same resolution
+  path serves ``s3a://``).
 
 Read-back path: ``delta_native.read_delta_native`` (or delta-spark /
 any Delta reader — only protocol v1 features are emitted:
@@ -403,27 +412,6 @@ def _rel_from_uri(uri: str, snap_files) -> str:
         f"scanned file {uri!r} (decoded {decoded!r}) does not match any "
         "file in the Delta snapshot — log and directory out of sync?"
     )
-
-
-def _require_local(location: str, op: str) -> None:
-    """Loud upfront boundary for the operations whose IO is still
-    os.*-local: refusing BEFORE any staging/rename happens prevents
-    the half-committed state (data files renamed into the table,
-    commit failed) a late failure would leave on an object store.
-
-    URL-scheme surface today: every read path, write_delta_native
-    (create/append/overwrite), full DML (DELETE/UPDATE/MERGE, both the
-    copy-on-write and deletion-vector routes — staging goes through
-    _stage_into_table's Hadoop-FS branch), OPTIMIZE/ZORDER,
-    constraints, TBLPROPERTIES, RESTORE, and VACUUM.  Still
-    local-only: CONVERT, SHALLOW CLONE destinations, and
-    checkpoints."""
-    if _is_url(location):
-        raise DeltaWriteError(
-            f"{op} on URL-scheme location {location!r} is not implemented — "
-            "run it from a local mount, or (for DELETE/UPDATE/MERGE) set "
-            "delta.enableDeletionVectors=true so the DV path applies"
-        )
 
 
 def _log_path(location: str, version: int) -> str:
@@ -1057,12 +1045,6 @@ def write_checkpoint(spark, location: str) -> int:
     """
     import pyarrow as pa
 
-    if _is_url(location):
-        raise DeltaWriteError(
-            "write_checkpoint on URL-scheme locations is not implemented — "
-            "readers replay the JSON log (object-store capable); run "
-            "checkpointing from a local mount or extend the Hadoop-FS seam"
-        )
     snap = replay_snapshot(spark, location)
     n = snap.version
     proto_rows, meta_rows, add_rows = [], [], []
@@ -1199,12 +1181,33 @@ def write_checkpoint(spark, location: str) -> int:
             r["add"]["partitionValues"] = _mapify(r["add"]["partitionValues"])
 
     table = pa.Table.from_pylist(rows, schema=schema)
+    last_cp = json.dumps({"version": n, "size": len(rows)})
+    if _is_url(location):
+        # serialize driver-side, stream through the Hadoop FS
+        # (checkpoints are idempotent per version: overwrite is safe)
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        jvm, _p, fs = _hadoop_fs(spark, location)
+        Path = jvm.org.apache.hadoop.fs.Path
+
+        def _put(rel: str, data: bytes) -> None:
+            stream = fs.create(Path(_url_join(location, "_delta_log", rel)), True)
+            try:
+                stream.write(data)
+            finally:
+                stream.close()
+
+        _put(f"{n:020d}.checkpoint.parquet", buf.getvalue())
+        _put("_last_checkpoint", last_cp.encode())
+        return n
     cp_path = os.path.join(location, "_delta_log", f"{n:020d}.checkpoint.parquet")
     tmp = cp_path + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(table, tmp)
     os.rename(tmp, cp_path)
     with open(os.path.join(location, "_delta_log", "_last_checkpoint"), "w") as f:
-        json.dump({"version": n, "size": len(rows)}, f)
+        f.write(last_cp)
     return n
 
 
@@ -2214,28 +2217,55 @@ def convert_to_delta(spark, location: str) -> int:
     read-and-rewrite: the commit is metadata proportional to the FILE
     COUNT — the data itself never moves.
     """
-    _require_local(location, "convert_to_delta")
-    log_dir = os.path.join(location, "_delta_log")
-    if os.path.isdir(log_dir) and os.listdir(log_dir):
-        raise DeltaWriteError(f"{location} is already a Delta table")
+    is_url = _is_url(location)
+    if is_url:
+        existing, cps = _list_log(location, spark)
+        if existing or cps:
+            raise DeltaWriteError(f"{location} is already a Delta table")
+    else:
+        log_dir = os.path.join(location, "_delta_log")
+        if os.path.isdir(log_dir) and os.listdir(log_dir):
+            raise DeltaWriteError(f"{location} is already a Delta table")
 
     # discover data files + hive partition values from the layout
     rels: list[tuple[str, dict]] = []
-    for root, dirs, files in os.walk(location):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        for name in files:
-            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+    if is_url:
+        _jvm, root_p, fs = _hadoop_fs(spark, location)
+        prefix = fs.makeQualified(root_p).toString().rstrip("/")
+        it = fs.listFiles(root_p, True)
+        while it.hasNext():
+            st = it.next()
+            rel = st.getPath().toString()[len(prefix):].strip("/")
+            segs = rel.split("/")
+            # prune _delta_log/_staging/hidden files anywhere in the path
+            if any(s.startswith(("_", ".")) for s in segs):
                 continue
-            abs_path = os.path.join(root, name)
-            rel = os.path.relpath(abs_path, location)
-            pvals: dict = {}
-            for part in rel.split(os.sep)[:-1]:
+            if not segs[-1].endswith(".parquet"):
+                continue
+            pvals = {}
+            for part in segs[:-1]:
                 if "=" in part:
                     k, _, v = part.partition("=")
                     pvals[k] = (
                         None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
                     )
-            rels.append((rel.replace(os.sep, "/"), pvals))
+            rels.append((rel, pvals))
+    else:
+        for root, dirs, files in os.walk(location):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for name in files:
+                if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(root, name)
+                rel = os.path.relpath(abs_path, location)
+                pvals = {}
+                for part in rel.split(os.sep)[:-1]:
+                    if "=" in part:
+                        k, _, v = part.partition("=")
+                        pvals[k] = (
+                            None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
+                        )
+                rels.append((rel.replace(os.sep, "/"), pvals))
     if not rels:
         raise DeltaWriteError(f"no parquet files under {location} to convert")
 
@@ -2278,8 +2308,14 @@ def convert_to_delta(spark, location: str) -> int:
         },
     ]
     for rel, pvals in rels:
-        abs_path = os.path.join(location, *rel.split("/"))
-        meta = pq.ParquetFile(abs_path).metadata
+        if is_url:
+            url = _url_join(location, rel)
+            meta = _fs_parquet_meta(spark, url)
+            size = fs.getFileStatus(_jvm.org.apache.hadoop.fs.Path(url)).getLen()
+        else:
+            abs_path = os.path.join(location, *rel.split("/"))
+            meta = pq.ParquetFile(abs_path).metadata
+            size = os.path.getsize(abs_path)
         actions.append(
             {
                 "add": {
@@ -2288,14 +2324,17 @@ def convert_to_delta(spark, location: str) -> int:
                     # every other writer path here uses; the hive string
                     # is a DIRECTORY-name encoding only)
                     "partitionValues": pvals,
-                    "size": os.path.getsize(abs_path),
+                    "size": int(size),
                     "modificationTime": ts,
                     "dataChange": True,
                     "stats": _file_stats(meta),
                 }
             }
         )
-    os.makedirs(log_dir, exist_ok=True)
+    if is_url:
+        _fs_mkdirs(spark, _url_join(location, "_delta_log"))
+    else:
+        os.makedirs(log_dir, exist_ok=True)
     _atomic_write(_log_path(location, 0), actions, spark)
     return 0
 
@@ -2312,7 +2351,6 @@ def shallow_clone(
     never reclaims source files (absolute paths are outside the
     vacuum boundary).  Returns (clone version 0, files referenced).
     """
-    _require_local(dst, "shallow_clone (destination)")
     snap = replay_snapshot(spark, src, version)
     for path, (_pvals, dv) in snap.files.items():
         if dv is not None and dv.get("storageType") != "i":
@@ -2323,9 +2361,15 @@ def shallow_clone(
                 f"shallow clone: {path} carries a file-backed deletion "
                 "vector (OPTIMIZE the source first, or use delta-spark)"
             )
-    log_dir = os.path.join(dst, "_delta_log")
-    if os.path.isdir(log_dir) and os.listdir(log_dir):
-        raise DeltaWriteError(f"{dst} is already a Delta table")
+    if _is_url(dst):
+        existing, cps = _list_log(dst, spark)
+        if existing or cps:
+            raise DeltaWriteError(f"{dst} is already a Delta table")
+        log_dir = None
+    else:
+        log_dir = os.path.join(dst, "_delta_log")
+        if os.path.isdir(log_dir) and os.listdir(log_dir):
+            raise DeltaWriteError(f"{dst} is already a Delta table")
     # A URL src is already absolute — os.path.abspath would mangle the
     # scheme ('viewfs://x' → '<cwd>/viewfs:/x') and silently commit a
     # clone whose add paths resolve nowhere.
@@ -2367,7 +2411,10 @@ def shallow_clone(
         if dv is not None:
             add["deletionVector"] = dv  # inline: location-independent
         actions.append({"add": add})
-    os.makedirs(log_dir, exist_ok=True)
+    if log_dir is not None:
+        os.makedirs(log_dir, exist_ok=True)
+    else:
+        _fs_mkdirs(spark, _url_join(dst, "_delta_log"))
     _atomic_write(_log_path(dst, 0), actions, spark)
     return 0, len(snap.files)
 

@@ -88,23 +88,36 @@ def test_url_conditional_put_rejects_existing_version(spark, viewfs):
         _atomic_write(_log_path(loc, 0), [{"commitInfo": {}}], spark)
 
 
-def test_url_local_only_mutators_refuse_upfront(spark, viewfs, tmp_path):
-    """Operations whose IO is still local must refuse a URL location
-    BEFORE any staging/rename — a late commit failure would leave
-    renamed-but-uncommitted data files in the live table."""
+def test_url_convert_clone_checkpoint(spark, viewfs, tmp_path):
+    """The remaining maintenance surface on URL tables: CONVERT a bare
+    hive-partitioned parquet layout in place, SHALLOW CLONE into a URL
+    destination, and write+consume a parquet checkpoint — the writer
+    is object-store capable end to end."""
     import adt_spark.sources.delta_native_write as w
+    from adt_spark.sources.delta_native import replay_snapshot
 
-    loc = f"{viewfs}/t5"
-    write_delta_native(spark.range(3).selectExpr("id"), loc)
-    files_before = sorted((tmp_path / "t5").rglob("*"))
-    for call in (
-        lambda: w.convert_to_delta(spark, loc),
-        lambda: w.write_checkpoint(spark, loc),
-        lambda: w.shallow_clone(spark, str(tmp_path / "t5"), f"{viewfs}/t5clone"),
-    ):
-        with pytest.raises(w.DeltaWriteError, match="URL-scheme|not implemented"):
-            call()
-    assert sorted((tmp_path / "t5").rglob("*")) == files_before  # zero side effects
+    # CONVERT: plain partitioned parquet dir (written via the URL)
+    spark.range(6).selectExpr("id", "id % 2 AS p").write.partitionBy("p").parquet(
+        f"{viewfs}/t5"
+    )
+    w.convert_to_delta(spark, f"{viewfs}/t5")
+    snap = replay_snapshot(spark, f"{viewfs}/t5")
+    assert snap.partition_columns == ["p"] and len(snap.files) >= 2
+    assert sorted(r.id for r in read_delta_native(spark, f"{viewfs}/t5").collect()) == list(range(6))
+    with pytest.raises(w.DeltaWriteError, match="already a Delta table"):
+        w.convert_to_delta(spark, f"{viewfs}/t5")
+
+    # SHALLOW CLONE into a URL destination
+    w.shallow_clone(spark, f"{viewfs}/t5", f"{viewfs}/t5clone")
+    assert sorted(
+        r.id for r in read_delta_native(spark, f"{viewfs}/t5clone").collect()
+    ) == list(range(6))
+
+    # checkpoint written through the FS and consumed on replay
+    n = w.write_checkpoint(spark, f"{viewfs}/t5")
+    assert (tmp_path / "t5" / "_delta_log" / f"{n:020d}.checkpoint.parquet").exists()
+    snap2 = replay_snapshot(spark, f"{viewfs}/t5")
+    assert snap2.version == snap.version and set(snap2.files) == set(snap.files)
 
 
 def test_url_cow_dml_roundtrip(spark, viewfs, tmp_path):
