@@ -130,6 +130,44 @@ def test_groups_matches_constructed_oracle(spark, small_t, q, oracle):
     assert got == want
 
 
+def test_exclude_exhaustive_matrix(spark, small_t):
+    """Every (aggregate × exclude-variant × frame × sort-direction)
+    combination, evaluated as columns of ONE statement against
+    DuckDB's native EXCLUDE — 54 window expressions over data with
+    ties and NULL keys."""
+    frames = [
+        "RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    ]
+    # input uses BARE directions (the rewrite pins the source
+    # dialect's defaults); the DuckDB oracle must spell DESC NULLS
+    # FIRST explicitly because DuckDB's own DESC default is NULLS
+    # LAST — with unbounded frames the NULL rows' frames differ
+    # between those defaults (this matrix caught exactly that)
+    spark_cols, duck_cols = [], []
+    i = 0
+    for agg in ("sum(a)", "count(a)", "count(*)"):
+        for excl in ("CURRENT ROW", "GROUP", "TIES"):
+            for frame in frames:
+                for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+                    spark_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                        f"EXCLUDE {excl}) AS c{i}"
+                    )
+                    duck_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame} "
+                        f"EXCLUDE {excl}) AS c{i}"
+                    )
+                    i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(duck_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+
+
 def test_passthrough_untouched():
     """No GROUPS/EXCLUDE (or only inside literals / as column names):
     the statement must come back byte-identical."""
