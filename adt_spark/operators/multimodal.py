@@ -382,6 +382,92 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_phash",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS sw,
+               4 + doc_id % 11 AS sh
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, tx.i AS x, ty.i AS y,
+               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
+                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
+        FROM p,
+             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
+             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
+    ),
+    m AS (
+        SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
+        FROM px GROUP BY doc_id
+    )
+    SELECT px.doc_id,
+           CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
+                         THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
+                         ELSE 0 END) AS BIGINT) AS phash_hi,
+           CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
+                         THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
+                         ELSE 0 END) AS BIGINT) AS phash_lo
+    FROM px JOIN m ON px.doc_id = m.doc_id
+    GROUP BY px.doc_id
+    """,
+    tags=("multimodal", "udf", "phash"),
+)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (average hash — the classic aHash of
+    image-dedup pipelines): synthesize the closed-form gray image,
+    run the REAL BMP encode → decode → 8×8 nearest-resize kernels,
+    then fingerprint: bit(y·8+x) = 1 iff the resized pixel exceeds
+    the image mean.  Near-duplicate images differ in a few Hamming
+    bits; the two 32-bit halves avoid int64 sign overflow at bit 63
+    in both engines.
+
+    The oracle recomputes the hash ARITHMETICALLY in SQL from the
+    same closed form — so the codec round-trip, the resize index
+    math, the strict-majority threshold (mean = sum/64, an exact
+    power-of-two division), and the bit packing are all
+    value-hash-verified.  Scale: one mapInPandas pass, no shuffle;
+    downstream dedup joins on the hash halves (band the 64 bits for
+    Hamming-radius candidates exactly like dedup_simhash).
+    """
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"]).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sw, sh = 4 + d % 13, 4 + d % 11
+                x = np.arange(sw, dtype=np.int64)
+                y = np.arange(sh, dtype=np.int64)
+                vals = ((d * 31 + x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
+                resized = resize_nearest(
+                    _decode_bmp_pixels(_encode_bmp_gray(vals)), _RESIZE_TW, _RESIZE_TH
+                ).astype(np.int64)
+                mean = resized.sum() / float(_RESIZE_TW * _RESIZE_TH)
+                bits = resized > mean  # strict: matches the SQL CASE
+                pos = (
+                    np.arange(_RESIZE_TH)[:, None] * _RESIZE_TW
+                    + np.arange(_RESIZE_TW)[None, :]
+                )
+                hi_bits = (bits & (pos >= 32)).astype(np.int64)
+                lo_bits = (bits & (pos < 32)).astype(np.int64)
+                hi = int((hi_bits << (pos % 32)).sum(dtype=np.int64))
+                lo = int((lo_bits << pos).sum(dtype=np.int64))
+                rows.append((d, hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash_hi", "phash_lo"])
+
+    return docs.mapInPandas(
+        batches, schema="doc_id long, phash_hi long, phash_lo long"
+    )
+
+
 def sample_frames(blob: bytes, media_type: str, stride: int) -> list[dict]:
     """Frame sampling: decode → take every ``stride``-th frame →
     per-frame content hash.  The real codec (ffmpeg frame extraction)

@@ -90,6 +90,7 @@ def main() -> None:
         "mm_resize_nearest",
         "mm_audio_features",
         "mm_ppm_channel_stats",
+        "mm_phash",
     }
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
