@@ -468,6 +468,105 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hamming radius for perceptual-hash near-dup pairs; 4 bands of 16
+#: bits give EXACT recall for any radius < 4 (pigeonhole: ≤3 flipped
+#: bits cannot touch all four bands)
+_PHASH_R = 1
+
+
+@register(
+    "dedup_phash_hamming",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, tx.i AS x, ty.i AS y,
+               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
+                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
+        FROM p,
+             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
+             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
+    ),
+    m AS (
+        SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
+        FROM px GROUP BY doc_id
+    ),
+    h AS (
+        SELECT px.doc_id,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
+                             THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
+                             THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+             AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {_PHASH_R}
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance
+    ≤ {_PHASH_R} — the multimodal dedup composition: mm_phash
+    fingerprints (real BMP codec path) → 4×16-bit band buckets →
+    equi-join candidates → exact popcount verify.
+
+    The banding is EXACT at this radius (a pair within Hamming ≤ 3
+    must agree on at least one of four 16-bit bands), so the oracle
+    can use the plain all-pairs formulation while the engine never
+    joins beyond the band buckets — the same candidates-then-verify
+    shape as dedup_minhash_lsh, keyed on uniform hash bands.  The
+    hash table is fingerprint-sized (two longs per image), so the
+    verify join BROADCASTS it onto the candidate pairs; the one
+    fact-scale shuffle is the band-bucket join.
+    """
+    h = mm_phash(spark, sf_dir).localCheckpoint(eager=False)
+    bands = h.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("phash_lo") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.expr("(phash_lo >> 16) & 65535").alias("bv"),
+                ),
+                F.struct(F.lit(2).alias("bi"), (F.col("phash_hi") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    F.expr("(phash_hi >> 16) & 65535").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bi", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash_hi").alias("hi_a"), F.col("phash_lo").alias("lo_a")
+    )
+    hb = h.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash_hi").alias("hi_b"), F.col("phash_lo").alias("lo_b")
+    )
+    ham = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    return (
+        cand.join(F.broadcast(ha), ["doc_a"])
+        .join(F.broadcast(hb), ["doc_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _PHASH_R)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def sample_frames(blob: bytes, media_type: str, stride: int) -> list[dict]:
     """Frame sampling: decode → take every ``stride``-th frame →
     per-frame content hash.  The real codec (ffmpeg frame extraction)

@@ -91,6 +91,7 @@ def main() -> None:
         "mm_audio_features",
         "mm_ppm_channel_stats",
         "mm_phash",
+        "dedup_phash_hamming",
     }
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
