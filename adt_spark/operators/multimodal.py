@@ -794,3 +794,111 @@ def mm_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
     )
+
+
+@register(
+    "pipeline_media_dedup",
+    oracle=f"""
+    WITH addr AS (
+        SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+    ),
+    keepers AS (
+        SELECT content_sha256, min(doc_id) AS keeper FROM addr GROUP BY 1
+    ),
+    p AS (
+        SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, tx.i AS x, ty.i AS y,
+               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
+                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
+        FROM p,
+             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
+             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
+    ),
+    m AS (
+        SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
+        FROM px GROUP BY doc_id
+    ),
+    h AS (
+        SELECT px.doc_id,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
+                             THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
+                             THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+              <= {_PHASH_R}
+    ),
+    near AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+               CAST(max(has_lower) AS INT) AS has_lower
+        FROM (
+            SELECT doc_a AS doc_id, 0 AS has_lower FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, 1 AS has_lower FROM pairs
+        ) GROUP BY doc_id
+    )
+    SELECT addr.doc_id, addr.content_sha256,
+           addr.doc_id <> keepers.keeper AS is_exact_dup,
+           COALESCE(near.n_near, 0) AS n_near_dups,
+           addr.doc_id = keepers.keeper
+             AND COALESCE(near.has_lower, 0) = 0 AS is_kept
+    FROM addr
+    JOIN keepers USING (content_sha256)
+    LEFT JOIN near ON near.doc_id = addr.doc_id
+    """,
+    tags=("multimodal", "dedup", "pipeline"),
+)
+def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed media-dedup pipeline a training-data lake runs over
+    an image corpus: content-address every blob (sha256, exact dups
+    keep the min-id copy), perceptual-hash the decoded pixels, count
+    near-duplicate partners (Hamming ≤ {_PHASH_R}), and keep a
+    document iff it is its exact-dup group's keeper AND no lower-id
+    near-twin exists — the same lower-id-wins rule as dedup_semantic.
+
+    Composition = mm_binary_content_address ⊕ dedup_phash_hamming in
+    ONE plan: the content hash is a pure JVM projection folded into
+    the scan, the hash-groupBy keeper is one uniform shuffle, and the
+    near-dup side reuses the banded candidates + broadcast popcount
+    verify.  At 100 TB the blob bytes never leave the executors and
+    nothing corpus-sized reaches the driver.
+    """
+    addr = mm_binary_content_address(spark, sf_dir).select(
+        "doc_id", "content_sha256"
+    )
+    keepers = addr.groupBy("content_sha256").agg(F.min("doc_id").alias("keeper"))
+    pairs = dedup_phash_hamming(spark, sf_dir).select("doc_a", "doc_b")
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"), F.lit(0).alias("has_lower"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("doc_id"), F.lit(1).alias("has_lower"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_near"),
+            F.max("has_lower").cast("int").alias("has_lower"),
+        )
+    )
+    return (
+        addr.join(keepers, ["content_sha256"])
+        .join(near, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            "content_sha256",
+            (F.col("doc_id") != F.col("keeper")).alias("is_exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near_dups"),
+            (
+                (F.col("doc_id") == F.col("keeper"))
+                & (F.coalesce(F.col("has_lower"), F.lit(0)) == 0)
+            ).alias("is_kept"),
+        )
+    )

@@ -60,6 +60,7 @@ HEADLINE = [
     "pipeline_clean_corpus",
     "pipeline_dedup_funnel",
     "pipeline_cluster_quality_report",
+    "pipeline_media_dedup",
 ]
 
 
@@ -92,6 +93,7 @@ def main() -> None:
         "mm_ppm_channel_stats",
         "mm_phash",
         "dedup_phash_hamming",
+        "pipeline_media_dedup",
     }
     names = [n for n in names if n not in python_ops] + [
         n for n in names if n in python_ops
