@@ -152,6 +152,110 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: truncated ("matryoshka") prefix dimensionality for retrieval-recall
+#: evaluation — the MRL question: how much top-k does a 4x-cheaper
+#: prefix embedding preserve?
+_MRL_DIM = 16
+
+
+@register(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    ),
+    trunc_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_MRL_DIM, a='q.embedding', b='e.embedding')}
+                       / (sqrt({_DOT_SQL_T.format(dim=_MRL_DIM, a='q.embedding', b='q.embedding')})
+                        * sqrt({_DOT_SQL_T.format(dim=_MRL_DIM, a='e.embedding', b='e.embedding')})) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "eval", "matryoshka"),
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-recall evaluation for truncated ("matryoshka")
+    embeddings (Kusupati et al. 2022, "Matryoshka Representation
+    Learning", public): per query, how many of the full-{_DIM}-dim
+    cosine top-{_TOP_K} survive when retrieval uses only the first
+    {_MRL_DIM} dims — the measurement a pipeline runs before swapping
+    in the 4x-cheaper prefix index.
+
+    Both rankings are exact brute force over the broadcast query set
+    (two shuffle-free scoring scans + two WindowGroupLimit top-k
+    passes), joined on (query, neighbor) and folded to one overlap
+    count per query.  Ascending-k folds keep every cosine — full and
+    truncated — bit-identical to the oracle, and the neighbor-id
+    tiebreak makes both top-k sets deterministic.
+    """
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+
+    def topk(dim: int, out_q: str, out_n: str) -> DataFrame:
+        v = F.transform(
+            F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double")
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias(out_n),
+            v.alias("v_n"),
+            F.sqrt(_dot(v, v)).alias("norm_n"),
+        )
+        queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias(out_q),
+            v.alias("v_q"),
+            F.sqrt(_dot(v, v)).alias("norm_q"),
+        )
+        scored = corpus.join(
+            F.broadcast(queries), F.col(out_n) != F.col(out_q)
+        ).withColumn(
+            "cosine",
+            F.try_divide(
+                _dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")
+            ),
+        )
+        w = W.partitionBy(out_q).orderBy(F.col("cosine").desc(), F.col(out_n))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select(out_q, out_n)
+        )
+
+    full = topk(_DIM, "query_id", "neighbor_id")
+    trunc = topk(_MRL_DIM, "tq", "tn")
+    return (
+        full.join(
+            trunc,
+            (F.col("tq") == F.col("query_id")) & (F.col("tn") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("tn").alias("n_overlap"),
+            (F.count("tn").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
 def _plane_weights(p: int) -> list[int]:
     """±1 weight vector for pseudo-hyperplane p, derived from md5 of
     (plane, dim) — no RNG.  Evaluated once in Python at plan-build
