@@ -366,12 +366,7 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                sw, sh = 4 + d % 13, 4 + d % 11
-                x = np.arange(sw, dtype=np.int64)
-                y = np.arange(sh, dtype=np.int64)
-                vals = ((d * 31 + x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
-                blob = _encode_bmp_gray(vals)
-                resized = resize_nearest(_decode_bmp_pixels(blob), _RESIZE_TW, _RESIZE_TH)
+                sw, sh, resized = _synth_resized(d)
                 rows.append((d, sw, sh, int(resized.sum(dtype=np.int64))))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "src_w", "src_h", "resized_checksum"]
@@ -382,13 +377,14 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_phash",
-    oracle=f"""
-    WITH p AS (
-        SELECT doc_id,
-               4 + doc_id % 13 AS sw,
-               4 + doc_id % 11 AS sh
+#: shared oracle CTE block: closed-form image -> 8x8 resized pixels
+#: -> mean -> bit-packed hash halves h(doc_id, hi, lo).  ONE copy on
+#: purpose (same discipline as dedup._SHINGLE_SQL): the three phash
+#: oracles and the Python kernel must move together on any change to
+#: the synthesis closed form, threshold strictness, or packing.
+_PHASH_SQL_CTE = f"""
+    p AS (
+        SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
         FROM documents
     ),
     px AS (
@@ -402,16 +398,46 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
         SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
         FROM px GROUP BY doc_id
+    ),
+    h AS (
+        SELECT px.doc_id,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
+                             THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
+                             ELSE 0 END) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
+                             THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
+                             ELSE 0 END) AS BIGINT) AS lo
+        FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id
+    )"""
+
+
+def _synth_resized(d: int):
+    """doc_id -> the 8x8 resized pixel array via the REAL codec path:
+    closed-form gray image (pixel (x, y) = (d*31 + x*7 + y*13) mod
+    256, size (4 + d%13) x (4 + d%11)) -> genuine BMP encode ->
+    decode -> nearest resize.  The ONE synthesis both mm_resize_nearest
+    and mm_phash (and their oracles, via _PHASH_SQL_CTE's px CTE) are
+    pinned to."""
+    import numpy as np
+
+    sw, sh = 4 + d % 13, 4 + d % 11
+    x = np.arange(sw, dtype=np.int64)
+    y = np.arange(sh, dtype=np.int64)
+    vals = ((d * 31 + x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
+    return (
+        sw,
+        sh,
+        resize_nearest(
+            _decode_bmp_pixels(_encode_bmp_gray(vals)), _RESIZE_TW, _RESIZE_TH
+        ),
     )
-    SELECT px.doc_id,
-           CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
-                         THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
-                         ELSE 0 END) AS BIGINT) AS phash_hi,
-           CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
-                         THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
-                         ELSE 0 END) AS BIGINT) AS phash_lo
-    FROM px JOIN m ON px.doc_id = m.doc_id
-    GROUP BY px.doc_id
+
+
+@register(
+    "mm_phash",
+    oracle=f"""
+    WITH {_PHASH_SQL_CTE}
+    SELECT doc_id, hi AS phash_hi, lo AS phash_lo FROM h
     """,
     tags=("multimodal", "udf", "phash"),
 )
@@ -443,13 +469,8 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d in pdf["doc_id"]:
                 d = int(d)
-                sw, sh = 4 + d % 13, 4 + d % 11
-                x = np.arange(sw, dtype=np.int64)
-                y = np.arange(sh, dtype=np.int64)
-                vals = ((d * 31 + x[None, :] * 7 + y[:, None] * 13) % 256).astype(np.uint8)
-                resized = resize_nearest(
-                    _decode_bmp_pixels(_encode_bmp_gray(vals)), _RESIZE_TW, _RESIZE_TH
-                ).astype(np.int64)
+                _sw, _sh, resized = _synth_resized(d)
+                resized = resized.astype(np.int64)
                 mean = resized.sum() / float(_RESIZE_TW * _RESIZE_TH)
                 bits = resized > mean  # strict: matches the SQL CASE
                 pos = (
@@ -477,32 +498,7 @@ _PHASH_R = 1
 @register(
     "dedup_phash_hamming",
     oracle=f"""
-    WITH p AS (
-        SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
-        FROM documents
-    ),
-    px AS (
-        SELECT doc_id, tx.i AS x, ty.i AS y,
-               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
-                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
-        FROM p,
-             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
-             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
-    ),
-    m AS (
-        SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
-        FROM px GROUP BY doc_id
-    ),
-    h AS (
-        SELECT px.doc_id,
-               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
-                             THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
-                             ELSE 0 END) AS BIGINT) AS hi,
-               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
-                             THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
-                             ELSE 0 END) AS BIGINT) AS lo
-        FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id
-    )
+    WITH {_PHASH_SQL_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
              AS hamming
@@ -805,32 +801,7 @@ def mm_ppm_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers AS (
         SELECT content_sha256, min(doc_id) AS keeper FROM addr GROUP BY 1
     ),
-    p AS (
-        SELECT doc_id, 4 + doc_id % 13 AS sw, 4 + doc_id % 11 AS sh
-        FROM documents
-    ),
-    px AS (
-        SELECT doc_id, tx.i AS x, ty.i AS y,
-               (doc_id * 31 + ((tx.i * sw) // {_RESIZE_TW}) * 7
-                            + ((ty.i * sh) // {_RESIZE_TH}) * 13) % 256 AS v
-        FROM p,
-             unnest(generate_series(0, {_RESIZE_TW - 1})) AS tx(i),
-             unnest(generate_series(0, {_RESIZE_TH - 1})) AS ty(i)
-    ),
-    m AS (
-        SELECT doc_id, CAST(sum(v) AS DOUBLE) / {_RESIZE_TW * _RESIZE_TH} AS mean
-        FROM px GROUP BY doc_id
-    ),
-    h AS (
-        SELECT px.doc_id,
-               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x >= 32
-                             THEN CAST(1 AS BIGINT) << ((y * {_RESIZE_TW} + x) % 32)
-                             ELSE 0 END) AS BIGINT) AS hi,
-               CAST(sum(CASE WHEN v > mean AND y * {_RESIZE_TW} + x < 32
-                             THEN CAST(1 AS BIGINT) << (y * {_RESIZE_TW} + x)
-                             ELSE 0 END) AS BIGINT) AS lo
-        FROM px JOIN m ON px.doc_id = m.doc_id GROUP BY px.doc_id
-    ),
+    {_PHASH_SQL_CTE},
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM h a JOIN h b ON a.doc_id < b.doc_id

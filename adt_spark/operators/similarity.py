@@ -81,16 +81,25 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scored_query_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_query_pairs(
+    spark: SparkSession, sf_dir: str, dim: int = _DIM
+) -> DataFrame:
     """(query_id, neighbor_id, cosine) for the broadcast query set ×
-    corpus — the shared exact-scoring stem of ann_topk_bruteforce and
-    ann_range_search.  ONE copy on purpose: the ascending-k cosine
-    fold is the bit-exactness-critical code, and a fold-order change
-    must move every consumer (and its oracle) together."""
+    corpus — the shared exact-scoring stem of ann_topk_bruteforce,
+    ann_range_search, and emb_matryoshka_recall.  ONE copy on
+    purpose: the ascending-k cosine fold is the bit-exactness-critical
+    code, and a fold-order change must move every consumer (and its
+    oracle) together.  ``dim < _DIM`` scores over the embedding
+    PREFIX (matryoshka truncation)."""
     from adt_spark.context import spread
 
     emb = spread(tables(spark, sf_dir)["embeddings"])
-    v = _vec_double()
+    if dim < _DIM:
+        v = F.transform(
+            F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double")
+        )
+    else:
+        v = _vec_double()
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         v.alias("v_n"),
@@ -207,37 +216,17 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated — bit-identical to the oracle, and the neighbor-id
     tiebreak makes both top-k sets deterministic.
     """
-    from adt_spark.context import spread
-
-    emb = spread(tables(spark, sf_dir)["embeddings"])
-
     def topk(dim: int, out_q: str, out_n: str) -> DataFrame:
-        v = F.transform(
-            F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double")
+        scored = _scored_query_pairs(spark, sf_dir, dim)
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
         )
-        corpus = emb.select(
-            F.col("vec_id").alias(out_n),
-            v.alias("v_n"),
-            F.sqrt(_dot(v, v)).alias("norm_n"),
-        )
-        queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-            F.col("vec_id").alias(out_q),
-            v.alias("v_q"),
-            F.sqrt(_dot(v, v)).alias("norm_q"),
-        )
-        scored = corpus.join(
-            F.broadcast(queries), F.col(out_n) != F.col(out_q)
-        ).withColumn(
-            "cosine",
-            F.try_divide(
-                _dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")
-            ),
-        )
-        w = W.partitionBy(out_q).orderBy(F.col("cosine").desc(), F.col(out_n))
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _TOP_K)
-            .select(out_q, out_n)
+            .select(
+                F.col("query_id").alias(out_q), F.col("neighbor_id").alias(out_n)
+            )
         )
 
     full = topk(_DIM, "query_id", "neighbor_id")

@@ -365,6 +365,9 @@ def test_range_search_fused_scan(spark, sf_dir):
     # inserts one) sits above the filtered output, never below the join
     scan_to_join = plan.split("Join")[0] if "Join" in plan else plan
     assert "Exchange" not in scan_to_join
+
+
+def test_corpus_relative_text_ops_broadcast(spark, sf_dir):
     """text_tfidf_top_terms / text_doc_rarity: the vocabulary-sized
     aggregate BROADCASTS back onto the token stream (the fact table
     never shuffles for the join), and the top-k is WindowGroupLimit."""
@@ -393,6 +396,37 @@ def test_containment_no_cartesian(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "dedup_ngram_containment"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_family_plan_shapes(spark, sf_dir):
+    """mm_phash: one Arrow pass, zero exchanges.  dedup_phash_hamming:
+    band-bucket equi-join candidates + broadcast verify, no cartesian.
+    pipeline_media_dedup: sha256 stays a JVM projection; exactly one
+    Arrow pass (the phash) in the whole composed plan."""
+    plan = _formatted(_q(spark, sf_dir, "mm_phash"))
+    assert "MapInPandas" in plan
+    # the only exchange is spread()'s round-robin fan-out; no KEYED
+    # shuffle happens anywhere in the hashing pass
+    assert "hashpartitioning" not in plan
+
+    plan2 = _formatted(_q(spark, sf_dir, "dedup_phash_hamming"))
+    assert "BroadcastHashJoin" in plan2
+    assert "CartesianProduct" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
+
+    plan3 = _formatted(_q(spark, sf_dir, "pipeline_media_dedup"))
+    assert "sha2" in plan3  # content address evaluated JVM-side
+    assert "CartesianProduct" not in plan3
+    # the phash Arrow pass runs once UPSTREAM behind its checkpoint
+    # barrier — the composed plan itself adds no further Python
+    assert plan3.count("MapInPandas") <= 1
+
+
+def test_matryoshka_two_topk_passes(spark, sf_dir):
+    """emb_matryoshka_recall: two WindowGroupLimit top-k passes
+    (full + truncated dims), no cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "emb_matryoshka_recall"))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_gopher_rules_scan_only(spark, sf_dir):
