@@ -1613,3 +1613,79 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / _N_HASHES).alias("jaccard_est"),
         )
     )
+
+
+#: Hamming radius for simhash near-dup pairs; 4 bands of 8 bits give
+#: EXACT recall for any radius < 4 (pigeonhole), mirroring
+#: dedup_phash_hamming's banding on the image side.
+_SIMHASH_R = 3
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+           {_SIM_SUMS_SQL}
+        FROM toks GROUP BY doc_id
+    ),
+    s AS (
+        SELECT doc_id, CAST({_SIM_FP_SQL} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_R}
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup TEXT pairs by SimHash Hamming distance ≤ {_SIMHASH_R}
+    — the candidates-at-scale step dedup_simhash's fingerprint exists
+    for (Charikar 2002; the Google near-dup crawl pipeline shape,
+    Manku et al. 2007, public): 4×8-bit band buckets generate
+    candidates with EXACT recall at this radius (≤3 flipped bits
+    cannot touch all four bands), then a broadcast popcount verify
+    gates exactly.
+
+    One fingerprint pass (the memoized dedup_simhash plan is rebuilt
+    here as a subplan and checkpointed so both join sides share it),
+    one band-keyed shuffle for candidates, and a broadcast verify —
+    never an all-pairs join; the oracle uses the plain quadratic
+    formulation, which the exact banding provably equals.
+    """
+    sh = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"),
+                        F.expr(f"(simhash >> {8 * b}) & 255").alias("bv"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["bi", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cand.join(F.broadcast(sa), ["doc_a"])
+        .join(F.broadcast(sb), ["doc_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _SIMHASH_R)
+        .select("doc_a", "doc_b", "hamming")
+    )
