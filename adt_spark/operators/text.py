@@ -590,3 +590,145 @@ def text_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rarity"),
         )
     )
+
+
+@register(
+    "quality_langid_confusion",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
+               {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es,
+               {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
+               {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM scores
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("quality", "langid", "eval"),
+)
+def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's labeled
+    ``lang`` column: per (label, prediction) counts and within-label
+    fractions — the calibration check run before trusting a heuristic
+    classifier to gate a training mix (`zh` has no marker profile, so
+    its rows land on `und`/confusions and expose the classifier's
+    coverage hole rather than hiding it).
+
+    One shuffle-free scoring projection (the same marker-count
+    expressions text_langid uses) + one two-phase count aggregation;
+    the per-label normalization is a window over the
+    label-cardinality-sized aggregate, not the corpus.  Exactness:
+    integer counts; the fraction is one count/count double division.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = _toks()
+
+    def marker_count(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] == 0) & (scores["es"] == 0)
+            & (scores["fr"] == 0) & (scores["de"] == 0),
+            "und",
+        )
+        .when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    from pyspark.sql import Window as W
+
+    counts = (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("lang")).cast("double")
+        ).alias("frac"),
+    )
+
+
+@register(
+    "text_shingle_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+           unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+    ),
+    first_seen AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS novelty
+    FROM sh JOIN first_seen USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "novelty", "dedup"),
+)
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: the fraction of a document's
+    distinct word-3-grams whose FIRST corpus appearance (min doc_id)
+    is this document — the novel-n-gram curve deduplication papers
+    plot (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public) to show how much of each new
+    document is genuinely new text.
+
+    Shape: the memoized shingle arrays feed a first-seen aggregate
+    (shingle-keyed two-phase min) that joins back to the exploded
+    index and folds per doc — two shuffles total (shingle, doc_id),
+    both on uniform keys, reusing the same materialized shingle table
+    every other near-dup operator shares.  Exactness: integer counts
+    and one count/count double division.
+    """
+    from adt_spark.operators.dedup import _shingles
+
+    docs = tables(spark, sf_dir)["documents"]
+    sh = _shingles(docs)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, ["shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
