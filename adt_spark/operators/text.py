@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from adt_spark.context import spread
+from adt_spark.operators.dedup import _SHINGLE_SQL
 from adt_spark.queries import register, tables
 
 # Shared stopword profile (tiny, deterministic; used by quality + langid).
@@ -125,41 +126,34 @@ def _lang_score_sql(markers: tuple[str, ...]) -> str:
     return f"len(list_filter(string_split(text, ' '), x -> x IN ({inlist})))"
 
 
-@register(
-    "text_langid",
-    oracle=f"""
-    WITH scores AS (
-        SELECT doc_id,
-               {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
-               {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es,
-               {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
-               {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de
-        FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
-                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-                WHEN s_fr >= s_de THEN 'fr'
-                ELSE 'de' END AS lang_pred,
-           CAST(s_en AS INT) AS s_en
-    FROM scores
-    """,
-    tags=("text", "langid"),
+#: the ONE langid scoring + tie-break definition (en>es>fr>de fixed
+#: priority, und on zero evidence) — text_langid and
+#: quality_langid_confusion, and both their oracles, must move
+#: together on any marker/priority change.
+_LANG_SCORES_SQL = ",\n               ".join(
+    f"{_lang_score_sql(m)} AS s_{lang}" for lang, m in _LANG_MARKERS.items()
 )
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-marker profiles (n-gram-heuristic
-    family).  Ties resolve by fixed priority en>es>fr>de — a total,
-    engine-independent order.  Shuffle-free."""
-    docs = tables(spark, sf_dir)["documents"]
+_LANG_PRED_SQL = """
+               CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                    WHEN s_fr >= s_de THEN 'fr'
+                    ELSE 'de' END"""
+
+
+def _lang_scores_and_pred():
+    """(scores dict, prediction Column) — the Python twin of
+    _LANG_SCORES_SQL/_LANG_PRED_SQL."""
     toks = _toks()
+
     def marker_count(markers: tuple[str, ...]):
         return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
-    scores = {lang: marker_count(markers) for lang, markers in _LANG_MARKERS.items()}
+    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
     pred = (
         F.when(
-            (scores["en"] == 0) & (scores["es"] == 0) & (scores["fr"] == 0) & (scores["de"] == 0),
+            (scores["en"] == 0) & (scores["es"] == 0)
+            & (scores["fr"] == 0) & (scores["de"] == 0),
             "und",
         )
         .when(
@@ -172,6 +166,30 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] >= scores["de"], "fr")
         .otherwise("de")
     )
+    return scores, pred
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id,
+               {_LANG_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id,
+           {_LANG_PRED_SQL} AS lang_pred,
+           CAST(s_en AS INT) AS s_en
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-marker profiles (n-gram-heuristic
+    family).  Ties resolve by fixed priority en>es>fr>de — a total,
+    engine-independent order.  Shuffle-free."""
+    docs = tables(spark, sf_dir)["documents"]
+    scores, pred = _lang_scores_and_pred()
     return docs.select(
         "doc_id",
         pred.alias("lang_pred"),
@@ -597,19 +615,12 @@ def text_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scores AS (
         SELECT doc_id, lang,
-               {_lang_score_sql(_LANG_MARKERS["en"])} AS s_en,
-               {_lang_score_sql(_LANG_MARKERS["es"])} AS s_es,
-               {_lang_score_sql(_LANG_MARKERS["fr"])} AS s_fr,
-               {_lang_score_sql(_LANG_MARKERS["de"])} AS s_de
+               {_LANG_SCORES_SQL}
         FROM documents
     ),
     pred AS (
         SELECT lang,
-               CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
-                    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                    WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
-                    WHEN s_fr >= s_de THEN 'fr'
-                    ELSE 'de' END AS lang_pred
+               {_LANG_PRED_SQL} AS lang_pred
         FROM scores
     )
     SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n,
@@ -634,28 +645,7 @@ def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts; the fraction is one count/count double division.
     """
     docs = tables(spark, sf_dir)["documents"]
-    toks = _toks()
-
-    def marker_count(markers: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
-
-    scores = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
-    pred = (
-        F.when(
-            (scores["en"] == 0) & (scores["es"] == 0)
-            & (scores["fr"] == 0) & (scores["de"] == 0),
-            "und",
-        )
-        .when(
-            (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["fr"])
-            & (scores["en"] >= scores["de"]),
-            "en",
-        )
-        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]), "es")
-        .when(scores["fr"] >= scores["de"], "fr")
-        .otherwise("de")
-    )
+    _scores, pred = _lang_scores_and_pred()
     from pyspark.sql import Window as W
 
     counts = (
@@ -676,12 +666,8 @@ def quality_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_shingle_novelty",
-    oracle="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
-           unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
-    ),
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
     first_seen AS (
       SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
     )

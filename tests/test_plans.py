@@ -421,6 +421,36 @@ def test_phash_family_plan_shapes(spark, sf_dir):
     assert plan3.count("MapInPandas") <= 1
 
 
+def test_simhash_hamming_banded(spark, sf_dir):
+    """dedup_simhash_hamming: band-keyed equi-join candidates +
+    broadcast popcount verify — never an all-pairs/nested-loop join."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_simhash_hamming"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_langid_confusion_shuffle_census(spark, sf_dir):
+    """quality_langid_confusion: scoring is a shuffle-free projection;
+    the only exchanges are the (lang, pred) two-phase count and the
+    label-sized window normalization — no joins at all."""
+    simple = (
+        _q(spark, sf_dir, "quality_langid_confusion")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in simple
+    assert simple.count("Exchange") <= 2
+
+
+def test_shingle_novelty_two_uniform_shuffles(spark, sf_dir):
+    """text_shingle_novelty: first-seen aggregate + per-doc fold over
+    the memoized shingle table — shingle- and doc-keyed shuffles only,
+    no cartesian/nested-loop."""
+    plan = _formatted(_q(spark, sf_dir, "text_shingle_novelty"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_matryoshka_two_topk_passes(spark, sf_dir):
     """emb_matryoshka_recall: two WindowGroupLimit top-k passes
     (full + truncated dims), no cartesian."""
