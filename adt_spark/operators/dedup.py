@@ -1677,15 +1677,18 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bands.alias("b"), ["bi", "bv"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
     ham = F.bit_count(F.expr("sim_a ^ sim_b"))
+    # candidates may repeat across bands (≤4×): verify FIRST — the
+    # popcount gate shrinks the set ~100× — and dedupe the survivors,
+    # trading the big pre-verify distinct shuffle for a tiny one
     return (
         cand.join(F.broadcast(sa), ["doc_a"])
         .join(F.broadcast(sb), ["doc_b"])
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= _SIMHASH_R)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
