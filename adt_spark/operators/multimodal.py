@@ -433,6 +433,20 @@ def _synth_resized(d: int):
     )
 
 
+#: (applicationId, sf_dir) -> materialized phash fingerprint table.
+#: The Arrow decode+hash pass is the expensive stem every phash
+#: consumer (hamming pairs, the media pipeline) shares — computed once
+#: per session+corpus, same lifecycle discipline as
+#: dedup._SHINGLE_MEMO.  Release with clear_multimodal_state().
+_PHASH_MEMO: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def clear_multimodal_state() -> None:
+    """Release memoized multimodal intermediates (checkpoint blocks
+    are reclaimed by the ContextCleaner once unreferenced)."""
+    _PHASH_MEMO.clear()
+
+
 @register(
     "mm_phash",
     oracle=f"""
@@ -458,6 +472,23 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream dedup joins on the hash halves (band the 64 bits for
     Hamming-radius candidates exactly like dedup_simhash).
     """
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _PHASH_MEMO.get(memo_key)
+    if memo is not None:
+        return memo
+    out = _phash_plan(spark, sf_dir).localCheckpoint(eager=False)
+    _PHASH_MEMO[memo_key] = out
+    return out
+
+
+def _phash_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed fingerprint pipeline (one Arrow pass over
+    the spread scan) — separate so tests can assert its plan shape;
+    mm_phash memoizes its checkpoint."""
     import numpy as np
 
     from adt_spark.context import spread
@@ -522,7 +553,7 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join BROADCASTS it onto the candidate pairs; the one
     fact-scale shuffle is the band-bucket join.
     """
-    h = mm_phash(spark, sf_dir).localCheckpoint(eager=False)
+    h = mm_phash(spark, sf_dir)  # session-memoized checkpoint
     bands = h.select(
         "doc_id",
         F.explode(

@@ -403,7 +403,11 @@ def test_phash_family_plan_shapes(spark, sf_dir):
     band-bucket equi-join candidates + broadcast verify, no cartesian.
     pipeline_media_dedup: sha256 stays a JVM projection; exactly one
     Arrow pass (the phash) in the whole composed plan."""
-    plan = _formatted(_q(spark, sf_dir, "mm_phash"))
+    from adt_spark.operators.multimodal import _phash_plan
+
+    # assert the underlying pipeline (mm_phash returns its memoized
+    # checkpoint, whose plan is an RDD scan by construction)
+    plan = _formatted(_phash_plan(spark, sf_dir))
     assert "MapInPandas" in plan
     # the only exchange is spread()'s round-robin fan-out; no KEYED
     # shuffle happens anywhere in the hashing pass
