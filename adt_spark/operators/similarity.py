@@ -424,6 +424,62 @@ _IVF_ORACLE = f"""
 """
 
 
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN (SELECT query_id, neighbor_id FROM ({_IVF_ORACLE})) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "ivf", "eval"),
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the IVF-probe index against exact brute
+    force — the index-quality measurement that decides nprobe/ncells
+    before a pipeline trusts the approximate path (FAISS's standard
+    eval loop).  Composes ann_ivf_probe's top-k with the exact ranking
+    from the one shared cosine stem; per query, the overlap count and
+    recall fraction.  Everything exact: both rankings tiebreak on
+    neighbor_id and every cosine is the ascending-k fold.
+    """
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    full = (
+        _scored_query_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ann_ivf_probe(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        full.join(
+            ivf,
+            (F.col("iq") == F.col("query_id")) & (F.col("inb") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("inb").alias("n_overlap"),
+            (F.count("inb").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
 @register("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (the first
