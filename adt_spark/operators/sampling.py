@@ -155,3 +155,63 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dec(frac32) * dec(F.col("tot_fp")) < dec(F.lit(4294967296)) * dec(F.col("w_fp")))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "q_source_token_share",
+    oracle="""
+    WITH t AS (
+      SELECT source, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE)
+             / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share,
+           CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source)
+                AS BIGINT) AS cum_tokens
+    FROM s
+    """,
+    tags=("sampling", "mixture", "report"),
+)
+def q_source_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture audit every training run starts from: per-source
+    document and token counts, each source's share of the corpus
+    token budget, and the cumulative token total in descending-share
+    order (the 'top k sources cover X% of the mix' curve that drives
+    per-source caps and temperature choices — see q_per_source_cap /
+    q_mixture_temperature for the interventions).
+
+    Shape: one two-phase aggregation keyed by source, then windows
+    over the SOURCE-cardinality-sized aggregate only (a global sum
+    and a running sum over ~hundreds of rows, never the corpus).
+    Counts are exact integers; the share is one sum/sum double
+    division; the cumulative sort tiebreaks on source for a total
+    order.
+    """
+    from pyspark.sql import Window as W
+
+    docs = tables(spark, sf_dir)["documents"]
+    s = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w_all = W.partitionBy()
+    w_cum = W.partitionBy().orderBy(F.col("n_tokens").desc(), F.col("source"))
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w_all).cast("double")
+        ).alias("token_share"),
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+    )
