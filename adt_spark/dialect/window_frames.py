@@ -246,6 +246,7 @@ def rewrite_window_frames(sql: str) -> str:
         # --- GROUPS → RANGE ---------------------------------------------
         new_frame_text = _frame_text(frame, spec["src"])
         order_text = spec["order"]
+        dr_order = None  # set when order_text IS a peer-group index
         if frame is not None and frame["mode"] == "groups":
             if order_text is None:
                 raise _Unsupported("GROUPS frame requires ORDER BY")
@@ -254,6 +255,7 @@ def rewrite_window_frames(sql: str) -> str:
                 key = (spec["partition"] or "", order_text)
                 alias = dr_aliases.setdefault(key, f"{_DR}{len(dr_aliases)}")
                 order_text = alias  # rank values are never NULL: no pinning
+                dr_order = alias
             else:
                 order_text = _pin_null_order(order_text)
             new_frame_text = f"RANGE BETWEEN {frame['lo']} AND {frame['hi']}"

@@ -620,23 +620,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffle census (the whole point at 100 TB): signatures are
     per-row array folds over the cached shingle arrays (zero
     shuffles), the band-bucket join is the one fact-sized shuffle,
-    and verification joins the *candidate pairs* (tiny — broadcast)
-    back to the arrays and computes exact Jaccard with
-    ``array_intersect`` — the shingle inverted index is never
-    materialized, let alone shuffled.  Deterministic: md5-seeded
-    hashes, no RNG.
+    and verification equi-joins the candidate pairs back to the
+    arrays by doc id (two keyed shuffles bounded by |pairs| + |docs|)
+    and computes exact Jaccard with ``array_intersect`` — the shingle
+    inverted index is never materialized, let alone shuffled.  The
+    pair set is NOT force-broadcast: it grows with the corpus (each
+    doc contributes its expected band collisions), so the join is
+    left to AQE, which broadcasts only when the runtime size says so.
+    Deterministic: md5-seeded hashes, no RNG.
     """
     docs = tables(spark, sf_dir)["documents"]
     pre = _shingle_arrays(docs)
     _sigs, cands = _lsh_candidates(_dhash_arrays(pre))
-    # Verification: broadcast the (tiny) candidate-pair set against
-    # the cached arrays; exact common-shingle count = intersection
-    # size (arrays are distinct), exact integer arithmetic → the 0.8
-    # gate is engine-independent.
+    # Verification: equi-join the candidate pairs against the cached
+    # arrays; exact common-shingle count = intersection size (arrays
+    # are distinct), exact integer arithmetic → the 0.8 gate is
+    # engine-independent.
     pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("shingle_arr").alias("arr_a"))
     pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("shingle_arr").alias("arr_b"))
-    with_a = pa.join(F.broadcast(cands), ["doc_a"])
-    both = pb.join(F.broadcast(with_a), ["doc_b"])
+    both = cands.join(pa, ["doc_a"]).join(pb, ["doc_b"])
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     na, nb = F.size("arr_a"), F.size("arr_b")
     jac = c.cast("double") / (na + nb - c)
@@ -1578,19 +1580,21 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is trustworthy before deduplicating 100 TB with it.
 
     Scale shape: identical to dedup_minhash_lsh's census (per-row
-    signature folds, one band-bucket shuffle, broadcast pair
-    verification); the estimator column adds one broadcast join of
-    the tiny signature table per side — candidate-pair-sized work,
-    not corpus-sized.  Exactness: the estimate is an integer
-    agreement count / 12, the exact side is integer set arithmetic —
-    one double division each.
+    signature folds, one band-bucket shuffle, doc-id-keyed pair
+    verification); the estimator column adds one doc-id-keyed join
+    of the signature table per side.  Neither the pair set nor the
+    per-doc signature table is force-broadcast — both grow with the
+    corpus, so the joins are left to AQE (runtime-size broadcast
+    when small, shuffle when not).  Exactness: the estimate is an
+    integer agreement count / 12, the exact side is integer set
+    arithmetic — one double division each.
     """
     docs = tables(spark, sf_dir)["documents"]
     pre = _shingle_arrays(docs)
     sigs, cands = _lsh_candidates(_dhash_arrays(pre))
     pa = pre.select(F.col("doc_id").alias("doc_a"), F.col("shingle_arr").alias("arr_a"))
     pb = pre.select(F.col("doc_id").alias("doc_b"), F.col("shingle_arr").alias("arr_b"))
-    both = pb.join(F.broadcast(pa.join(F.broadcast(cands), ["doc_a"])), ["doc_b"])
+    both = cands.join(pa, ["doc_a"]).join(pb, ["doc_b"])
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     na, nb = F.size("arr_a"), F.size("arr_b")
     sga = sigs.select(
@@ -1604,8 +1608,8 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
     return (
-        both.join(F.broadcast(sga), ["doc_a"])
-        .join(F.broadcast(sgb), ["doc_b"])
+        both.join(sga, ["doc_a"])
+        .join(sgb, ["doc_b"])
         .select(
             "doc_a",
             "doc_b",
@@ -1648,18 +1652,25 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     for (Charikar 2002; the Google near-dup crawl pipeline shape,
     Manku et al. 2007, public): 4×8-bit band buckets generate
     candidates with EXACT recall at this radius (≤3 flipped bits
-    cannot touch all four bands), then a broadcast popcount verify
+    cannot touch all four bands), then an in-join popcount verify
     gates exactly.
 
     One fingerprint pass (the memoized dedup_simhash plan is rebuilt
-    here as a subplan and checkpointed so both join sides share it),
-    one band-keyed shuffle for candidates, and a broadcast verify —
-    never an all-pairs join; the oracle uses the plain quadratic
-    formulation, which the exact banding provably equals.
+    here as a subplan and checkpointed so both join sides share it)
+    and ONE band-keyed shuffle, total: the fingerprint rides along in
+    the exploded band rows, so the band equi-join already carries
+    sim_a/sim_b and verification is a pure popcount filter — zero
+    extra joins and, critically, zero corpus-sized broadcasts (a
+    per-document fingerprint table is small per ROW, not small in
+    TOTAL: at 10 B docs a forced broadcast of it is ~160 GB on every
+    executor and the driver).  Never an all-pairs join; the oracle
+    uses the plain quadratic formulation, which the exact banding
+    provably equals.
     """
     sh = dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
     bands = sh.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -1671,22 +1682,20 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.bi", "b.bv")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["bi", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    ).select("doc_id", "simhash", "b.bi", "b.bv")
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bi", "bv"
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bi", "bv"
+    )
     ham = F.bit_count(F.expr("sim_a ^ sim_b"))
     # candidates may repeat across bands (≤4×): verify FIRST — the
     # popcount gate shrinks the set ~100× — and dedupe the survivors,
     # trading the big pre-verify distinct shuffle for a tiny one
     return (
-        cand.join(F.broadcast(sa), ["doc_a"])
-        .join(F.broadcast(sb), ["doc_b"])
+        ba.join(bb, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= _SIMHASH_R)
         .select("doc_a", "doc_b", "hamming")

@@ -549,13 +549,17 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     can use the plain all-pairs formulation while the engine never
     joins beyond the band buckets — the same candidates-then-verify
     shape as dedup_minhash_lsh, keyed on uniform hash bands.  The
-    hash table is fingerprint-sized (two longs per image), so the
-    verify join BROADCASTS it onto the candidate pairs; the one
-    fact-scale shuffle is the band-bucket join.
+    two fingerprint longs ride along inside the exploded band rows,
+    so the single band-keyed shuffle join already carries both sides'
+    hashes and the verify is a pure popcount filter — no second join
+    and no broadcast of the per-image hash table (small per ROW, not
+    small in TOTAL: corpus-sized broadcasts die at 100×).
     """
     h = mm_phash(spark, sf_dir)  # session-memoized checkpoint
     bands = h.select(
         "doc_id",
+        "phash_hi",
+        "phash_lo",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("bi"), (F.col("phash_lo") % 65536).alias("bv")),
@@ -570,27 +574,32 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("b"),
-    ).select("doc_id", "b.bi", "b.bv")
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["bi", "bv"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    ).select("doc_id", "phash_hi", "phash_lo", "b.bi", "b.bv")
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+        "bi",
+        "bv",
     )
-    ha = h.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash_hi").alias("hi_a"), F.col("phash_lo").alias("lo_a")
-    )
-    hb = h.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash_hi").alias("hi_b"), F.col("phash_lo").alias("lo_b")
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+        "bi",
+        "bv",
     )
     ham = F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    # verify FIRST (the popcount gate is a free filter on the join
+    # output), then dedupe the tiny survivor set — same ordering as
+    # dedup_simhash_hamming
     return (
-        cand.join(F.broadcast(ha), ["doc_a"])
-        .join(F.broadcast(hb), ["doc_b"])
+        ba.join(bb, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= _PHASH_R)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

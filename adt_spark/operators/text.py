@@ -506,11 +506,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token explode feeding two two-phase aggregates —
     (source, term) term frequencies (shuffle key ~ vocabulary x
     sources, partial-combined map-side) and per-term source document
-    frequencies.  The df table is vocabulary-sized, so it BROADCASTS
-    onto the tf table (no fact-sized shuffle for the join), the
-    source count joins as a 1-row broadcast literal, and the top-5 is
-    WindowGroupLimit (rank pushed into the shuffle) with a term
-    tiebreak for cross-engine determinism.
+    frequencies.  The df table is VOCABULARY-sized — unbounded on a
+    heavy-tailed web corpus — so it is NOT force-broadcast: the
+    term-keyed equi-join is left to AQE (runtime broadcast only when
+    the measured size allows).  The source count joins as a 1-row
+    broadcast literal, and the top-5 is WindowGroupLimit (rank pushed
+    into the shuffle) with a term tiebreak for cross-engine
+    determinism.
     """
     docs = tables(spark, sf_dir)["documents"]
     toks = spread(docs).select(
@@ -522,7 +524,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = docs.agg(F.countDistinct("source").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), ["term"])
+        tf.join(df, ["term"])
         .join(F.broadcast(n))
         .withColumn(
             "score",
@@ -594,7 +596,9 @@ def text_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tot").cast("double") / F.col("cnt")) * F.lit(_RARITY_FP)
     ).cast("bigint")
     return (
-        toks.join(F.broadcast(vocab), ["term"])
+        # vocab is vocabulary-sized (unbounded): term-keyed equi-join,
+        # AQE decides broadcast; only the 1-row total is forced
+        toks.join(vocab, ["term"])
         .join(F.broadcast(tot))
         .select("doc_id", fp.alias("fp"))
         .groupBy("doc_id")

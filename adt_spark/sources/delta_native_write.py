@@ -1663,6 +1663,10 @@ def merge_upsert(
     ):
         return _merge_with_dvs(spark, location, source, key_cols, snap)
 
+    # MERGE source keys are unbounded (a backfill MERGE can carry
+    # billions of rows): key joins below are plain equi-joins so AQE
+    # broadcasts only when the runtime size allows, instead of a
+    # forced hint that would OOM the driver on a large source
     keys = source.select(*key_cols).distinct()
     all_paths = {os.path.join(location, p): p for p in snap.files}
     ts = int(time.time() * 1000)
@@ -1679,7 +1683,7 @@ def merge_upsert(
                 .withColumn("_f", F.input_file_name()),
                 extra=("_f",),
             )
-            .join(F.broadcast(keys), key_cols)
+            .join(keys, key_cols)
             .groupBy("_f")
             .agg(F.count("*").alias("n"))
             .collect()
@@ -1719,7 +1723,7 @@ def merge_upsert(
             to_logical(
                 spark.read.schema(read_schema)
                 .parquet(*[os.path.join(location, r) for r in rels])
-            ).join(F.broadcast(keys), key_cols, "left_anti")
+            ).join(keys, key_cols, "left_anti")
         )
         _stage_group(kept, pvals, [])
         for rel in rels:
@@ -2710,7 +2714,7 @@ def _merge_with_dvs(
             .parquet(*all_paths)
             .withColumn("_f", F.input_file_name())
             .withColumn("_pos", F.col("_metadata.row_index"))
-            .join(F.broadcast(keys), key_cols)
+            .join(keys, key_cols)
             .groupBy("_f")
             .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
             .collect()

@@ -403,10 +403,12 @@ def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized content hash is (a) absent from the EXISTING corpus and
     (b) not already admitted earlier in the stream.
 
-    Scale posture: the corpus-hash side is a broadcast per micro-batch
-    (at real scale: a hash INDEX table, small relative to the corpus,
-    or a stream-static join against a Delta table that compaction
-    keeps fresh); within-stream dedup is ``dropDuplicates`` keyed on
+    Scale posture: the corpus-hash side is a stream-static LEFT ANTI
+    equi-join — NOT force-broadcast, because the corpus hash set grows
+    with the corpus (10 B docs ≈ 160 GB of hashes); per micro-batch
+    the planner shuffles or runtime-broadcasts it on measured size (at
+    real scale this side is a Delta hash-index table that compaction
+    keeps fresh).  Within-stream dedup is ``dropDuplicates`` keyed on
     the 128-bit content hash — uniform state, no skew.  Content
     hashing stays in the JVM.
 
@@ -431,7 +433,7 @@ def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     admitted = (
         stream.withColumn("chash", chash)
-        .join(F.broadcast(corpus_hashes), "chash", "left_anti")
+        .join(corpus_hashes, "chash", "left_anti")
         .dropDuplicates(["chash"])
         .select("doc_id", "chash")
     )

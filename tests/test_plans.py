@@ -34,6 +34,24 @@ def _q(spark, sf_dir, name):
     return load_all()[name].spark_fn(spark, sf_dir)
 
 
+class _no_auto_broadcast:
+    """Disable stats-driven broadcast while planning, simulating
+    100×-scale stats: any BroadcastHashJoin that SURVIVES threshold=-1
+    comes from a forced ``F.broadcast()`` hint — exactly the pattern
+    that dies at corpus scale (forced hints have no AQE fallback)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.saved)
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     """q06: shipdate/discount/quantity predicates must appear as
     PushedFilters on the lineitem parquet scan."""
@@ -369,15 +387,22 @@ def test_range_search_fused_scan(spark, sf_dir):
 
 def test_corpus_relative_text_ops_broadcast(spark, sf_dir):
     """text_tfidf_top_terms / text_doc_rarity: the vocabulary-sized
-    aggregate BROADCASTS back onto the token stream (the fact table
-    never shuffles for the join), and the top-k is WindowGroupLimit."""
+    aggregate joins back onto the token stream by TERM-keyed
+    equi-join.  At test scale the stats-driven planner broadcasts it
+    (vocab is tiny here — that's healthy); under threshold=-1 (100×
+    stats stand-in) NO broadcast may survive, proving the vocab side
+    is not force-hinted — a web-corpus vocabulary is unbounded."""
     plan = _formatted(_q(spark, sf_dir, "text_tfidf_top_terms"))
-    assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
-    plan2 = _formatted(_q(spark, sf_dir, "text_doc_rarity"))
-    assert "BroadcastHashJoin" in plan2
-    assert "SortMergeJoin" not in plan2  # vocab join must not shuffle the facts
+    with _no_auto_broadcast(spark):
+        # the only surviving broadcast is the forced 1-row count
+        # literal (a BroadcastNestedLoopJoin over IdentityBroadcast);
+        # the vocab-keyed join itself must not hash-broadcast
+        plan = _formatted(_q(spark, sf_dir, "text_tfidf_top_terms"))
+        assert "BroadcastHashJoin" not in plan
+        plan2 = _formatted(_q(spark, sf_dir, "text_doc_rarity"))
+        assert "BroadcastHashJoin" not in plan2
 
 
 def test_length_outliers_broadcast_stats(spark, sf_dir):
@@ -390,6 +415,20 @@ def test_length_outliers_broadcast_stats(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_verify_no_forced_broadcast(spark, sf_dir):
+    """dedup_minhash_lsh / dedup_minhash_calibration: the candidate
+    pair set and the per-doc signature/array tables all grow with the
+    corpus, so under threshold=-1 (100×-scale stats stand-in) the
+    verify joins must plan as shuffle joins — a surviving broadcast
+    would be a forced hint, the pattern that OOMs at 10 B docs."""
+    with _no_auto_broadcast(spark):
+        for name in ("dedup_minhash_lsh", "dedup_minhash_calibration"):
+            plan = _formatted(_q(spark, sf_dir, name))
+            assert "BroadcastExchange" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_containment_no_cartesian(spark, sf_dir):
     """dedup_ngram_containment stays equi-join keyed (prefix shingle):
     never a cartesian/nested-loop."""
@@ -400,9 +439,12 @@ def test_containment_no_cartesian(spark, sf_dir):
 
 def test_phash_family_plan_shapes(spark, sf_dir):
     """mm_phash: one Arrow pass, zero exchanges.  dedup_phash_hamming:
-    band-bucket equi-join candidates + broadcast verify, no cartesian.
-    pipeline_media_dedup: sha256 stays a JVM projection; exactly one
-    Arrow pass (the phash) in the whole composed plan."""
+    band-bucket equi-join with the fingerprints carried IN the band
+    rows — verify is a popcount filter, so the plan must contain NO
+    broadcast join at all (the per-image hash table is corpus-sized;
+    a forced broadcast of it dies at 100×).  pipeline_media_dedup:
+    sha256 stays a JVM projection; exactly one Arrow pass (the phash)
+    in the whole composed plan."""
     from adt_spark.operators.multimodal import _phash_plan
 
     # assert the underlying pipeline (mm_phash returns its memoized
@@ -413,24 +455,37 @@ def test_phash_family_plan_shapes(spark, sf_dir):
     # shuffle happens anywhere in the hashing pass
     assert "hashpartitioning" not in plan
 
-    plan2 = _formatted(_q(spark, sf_dir, "dedup_phash_hamming"))
-    assert "BroadcastHashJoin" in plan2
-    assert "CartesianProduct" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
+    with _no_auto_broadcast(spark):
+        plan2 = _formatted(_q(spark, sf_dir, "dedup_phash_hamming"))
+        # zero FORCED broadcasts: the ONLY join is the band-keyed
+        # shuffle join (stats-driven broadcast at tiny SF is fine and
+        # is exactly what threshold=-1 removes here)
+        assert "BroadcastHashJoin" not in plan2 and "BroadcastExchange" not in plan2
+        assert "CartesianProduct" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
 
-    plan3 = _formatted(_q(spark, sf_dir, "pipeline_media_dedup"))
-    assert "sha2" in plan3  # content address evaluated JVM-side
-    assert "CartesianProduct" not in plan3
-    # the phash Arrow pass runs once UPSTREAM behind its checkpoint
-    # barrier — the composed plan itself adds no further Python
-    assert plan3.count("MapInPandas") <= 1
+        plan3 = _formatted(_q(spark, sf_dir, "pipeline_media_dedup"))
+        assert "sha2" in plan3  # content address evaluated JVM-side
+        assert "CartesianProduct" not in plan3
+        # the phash Arrow pass runs once UPSTREAM behind its checkpoint
+        # barrier — the composed plan itself adds no further Python
+        assert plan3.count("MapInPandas") <= 1
+        # the composition must not force a corpus-side broadcast:
+        # near-dup pairs join back by doc_id via shuffle, keepers by
+        # content_sha256 via shuffle (both sides fact-scale)
+        assert "BroadcastHashJoin" not in plan3 and "BroadcastExchange" not in plan3
 
 
 def test_simhash_hamming_banded(spark, sf_dir):
-    """dedup_simhash_hamming: band-keyed equi-join candidates +
-    broadcast popcount verify — never an all-pairs/nested-loop join."""
-    plan = _formatted(_q(spark, sf_dir, "dedup_simhash_hamming"))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    """dedup_simhash_hamming: ONE band-keyed equi-join carrying the
+    fingerprints in the band rows; verify is a popcount filter — no
+    broadcast of the corpus-sized fingerprint table, never an
+    all-pairs/nested-loop join."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "dedup_simhash_hamming"))
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_langid_confusion_shuffle_census(spark, sf_dir):
