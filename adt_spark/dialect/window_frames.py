@@ -26,6 +26,21 @@ q_window_exclude):
   frame, so it is guarded: the frame must straddle the current row
   (lo ≤ 0 ≤ hi), and GROUP/TIES additionally require a RANGE (or
   rewritten-GROUPS) frame — a ROWS frame need not contain all peers.
+- ``EXCLUDE GROUP / TIES`` on min / max / first_value / last_value
+  has no subtraction inverse; it becomes the SPLIT-FRAME form: the
+  surviving rows are exactly the two half-frames on either side of
+  the current peer group, which in peer-group-index space (the same
+  injected dense_rank the GROUPS rewrite uses) are integer RANGE
+  frames ``[lo, 1 PRECEDING]`` and ``[1 FOLLOWING, hi]``.  min/max
+  combine the halves with least/greatest (NULL-skipping, exact for
+  any orderable type — no arithmetic); first/last_value take the
+  half nearer the partition edge, count-guarded so an empty frame is
+  not conflated with a NULL value, falling back to the far half
+  (GROUP) or the current row (TIES).  Frame endpoints must be
+  UNBOUNDED / CURRENT ROW (or GROUPS-numeric, already in peer space)
+  — a numeric VALUE offset has no peer-space image and raises.
+  ``EXCLUDE CURRENT ROW`` on these raises: no frame bound can
+  separate one row from peers sharing its key.
 
 Anything outside the sound cases raises ``NotImplementedError`` with
 the DataFrame recipe to use instead — a loud error, never a silently
@@ -49,6 +64,31 @@ recipe (q_window_exclude over an exact-typed column).
 from __future__ import annotations
 
 import re
+import warnings
+
+_subtraction_warned = False
+
+
+def _warn_subtraction_once(fn: str) -> None:
+    """One-time heads-up that a subtraction EXCLUDE rewrite fired (a
+    textual rewrite cannot see column types): exact for integer /
+    bigint / decimal-sum arguments, but FLOATING-POINT arguments can
+    differ from a native EXCLUDE in low-order bits (frame_sum −
+    excluded is not the inverse of summing the survivors), and
+    DECIMAL avg gets sum/count scale.  Emitted so a hash-gate
+    divergence is traceable to the rewrite rather than the engine."""
+    global _subtraction_warned
+    if _subtraction_warned or fn == "count":
+        return
+    _subtraction_warned = True
+    warnings.warn(
+        "EXCLUDE window rewrite: using frame-aggregate subtraction for "
+        f"{fn}(); results are exact for integer/decimal arguments but may "
+        "differ in low-order bits for floating-point ones (see "
+        "adt_spark/dialect/window_frames.py docstring)",
+        RuntimeWarning,
+        stacklevel=4,
+    )
 
 #: fast gate: statements without these keywords pass through untouched
 _KEY_RE = re.compile(r"\b(groups|exclude)\b", re.IGNORECASE)
@@ -320,14 +360,96 @@ def rewrite_window_frames(sql: str) -> str:
             raise _Unsupported(
                 "EXCLUDE with a FILTER clause or named window is not supported"
             )
+        if re.match(r"(?i)^\s*distinct\b", args):
+            raise _Unsupported("EXCLUDE with DISTINCT aggregates is not supported")
+
+        if fn in ("min", "max", "first_value", "last_value"):
+            # Split-frame rewrite: no subtraction inverse exists for
+            # these, but the surviving rows of EXCLUDE GROUP/TIES are
+            # exactly the two half-frames on either side of the
+            # current peer group.  In peer-group-index space (the
+            # dense_rank the GROUPS machinery already injects) those
+            # halves are RANGE frames with integer offsets:
+            # [lo, 1 PRECEDING] and [1 FOLLOWING, hi].
+            if args == "*":
+                raise _Unsupported(f"{fn}(*) is not valid SQL")
+            if exclude == "current row":
+                raise _Unsupported(
+                    f"EXCLUDE CURRENT ROW on {fn} has no sound rewrite "
+                    "(peers sharing the current row's key stay in the "
+                    "frame and no frame bound can separate one row from "
+                    "its peers) — use the DataFrame API (see "
+                    "q_window_exclude)"
+                )
+            # the GROUP/TIES guards above already enforced a RANGE (or
+            # rewritten-GROUPS) frame and an ORDER BY
+            lo = frame["lo"] if frame is not None else "unbounded preceding"
+            hi = frame["hi"] if frame is not None else "current row"
+            if dr_order is None:
+                if any(b[0].isdigit() for b in (lo, hi)):
+                    raise _Unsupported(
+                        f"EXCLUDE {exclude.upper()} on {fn} over a RANGE "
+                        "frame with a numeric VALUE offset cannot be mapped "
+                        "to peer-group space — use a GROUPS frame or the "
+                        "DataFrame API (see q_window_exclude)"
+                    )
+                key = (spec["partition"] or "", spec["order"])
+                dr_order = dr_aliases.setdefault(key, f"{_DR}{len(dr_aliases)}")
+            # a lo of CURRENT ROW / 0 PRECEDING starts AT the peer
+            # group: the lower half-frame is empty (likewise above)
+            has_lower = lo not in ("current row", "0 preceding")
+            has_upper = hi not in ("current row", "0 following")
+            wl = (
+                part_clause + f"ORDER BY {dr_order} "
+                + f"RANGE BETWEEN {lo.upper()} AND 1 PRECEDING"
+            ).strip()
+            wu = (
+                part_clause + f"ORDER BY {dr_order} "
+                + f"RANGE BETWEEN 1 FOLLOWING AND {hi.upper()}"
+            ).strip()
+            e = args
+            if fn in ("min", "max"):
+                # least/greatest skip NULLs, and an empty half-frame's
+                # aggregate IS NULL — the combine is exact for any
+                # orderable type, no arithmetic involved
+                pick = "least" if fn == "min" else "greatest"
+                low = f"{fn}({e}) OVER ({wl})" if has_lower else "NULL"
+                up = f"{fn}({e}) OVER ({wu})" if has_upper else "NULL"
+                if exclude == "ties":
+                    repl = f"{pick}({low}, {up}, ({e}))"
+                else:
+                    repl = f"{pick}({low}, {up})"
+            else:
+                # first/last_value: take the half-frame nearer the
+                # partition edge, count-guarded so an EMPTY near frame
+                # and a genuinely-NULL first value are not conflated
+                if fn == "first_value":
+                    near, has_near, far, has_far = wl, has_lower, wu, has_upper
+                else:
+                    near, has_near, far, has_far = wu, has_upper, wl, has_lower
+                cnt_near = f"count(*) OVER ({near})" if has_near else "0"
+                v_near = f"{fn}({e}) OVER ({near})" if has_near else "NULL"
+                if exclude == "ties":
+                    # the current row always survives TIES and sits
+                    # between the two halves
+                    fallback = f"({e})"
+                else:
+                    fallback = f"{fn}({e}) OVER ({far})" if has_far else "NULL"
+                repl = (
+                    f"(CASE WHEN {cnt_near} > 0 THEN {v_near} "
+                    f"ELSE {fallback} END)"
+                )
+            edits.append((fn_start, close_pos + 1, repl))
+            continue
+
         if fn not in ("sum", "count", "avg"):
             raise _Unsupported(
                 f"EXCLUDE {exclude.upper()} is only rewritable for "
-                f"sum/count/avg (got {fn}) — min/max and others cannot be "
-                "computed by subtraction; use the DataFrame API"
+                f"sum/count/avg (subtraction) and min/max/first_value/"
+                f"last_value (split-frame) — got {fn}; use the DataFrame "
+                "API (see q_window_exclude)"
             )
-        if re.match(r"(?i)^\s*distinct\b", args):
-            raise _Unsupported("EXCLUDE with DISTINCT aggregates is not supported")
+        _warn_subtraction_once(fn)
 
         star = args == "*"
         e = args

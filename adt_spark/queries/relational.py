@@ -1216,6 +1216,60 @@ def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_F1 = (
+    "PARTITION BY l_returnflag ORDER BY qty "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+_MM_F2 = (
+    "PARTITION BY l_returnflag ORDER BY qty "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+)
+_MM_SELECT = f"""SELECT l_orderkey, l_linenumber,
+       min(qty) OVER ({_MM_F1} EXCLUDE GROUP) AS min_excl_group,
+       max(qty) OVER ({_MM_F2} EXCLUDE TIES) AS max_excl_ties,
+       first_value(qty) OVER ({_MM_F1} EXCLUDE GROUP) AS fv_excl_group,
+       last_value(qty) OVER ({_MM_F2} EXCLUDE GROUP) AS lv_excl_group"""
+
+
+@register(
+    "q_window_exclude_minmax",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    {_MM_SELECT}
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP/TIES under min/max/first_value/last_value through
+    the RAW-SQL split-frame rewrite itself (DataFusion 48 accepts
+    EXCLUDE under any window aggregate — crates/core/src/context.rs:32-33
+    via the CLI pass-through crates/cli/src/main.rs:116; Spark parses
+    no EXCLUDE at all).  The statement is the adt-script form, pushed
+    through ``rewrite_window_frames`` and executed with ``spark.sql``
+    — so the driver's oracle gate covers the dialect path, not a
+    hand-built DataFrame equivalent.  The aggregate arg equals the
+    sort key, so first/last among peer rows is value-determined in
+    both engines.  Plan: the injected dense_rank and all half-frame
+    windows share one (partition, sort) pair — one exchange + sort.
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    li = tables(spark, sf_dir)["lineitem"]
+    li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).createOrReplaceTempView("adt_wx_minmax_t")
+    sql = f"{_MM_SELECT}\nFROM adt_wx_minmax_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
 @register(
     "q_lateral_topk_per_nation",
     oracle="""

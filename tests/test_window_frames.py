@@ -168,6 +168,93 @@ def test_exclude_exhaustive_matrix(spark, small_t):
     assert got == want
 
 
+def test_split_frame_exclude_matrix(spark, small_t):
+    """min/max/first_value/last_value × EXCLUDE GROUP/TIES × frame ×
+    direction — the SPLIT-FRAME rewrite (half-frames over the injected
+    peer index) against DuckDB's native EXCLUDE.  Data has ties and
+    NULL keys; the aggregate arg is the sort key so first/last among
+    peers is value-determined in both engines."""
+    frames = [
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+    spark_cols, duck_cols = [], []
+    i = 0
+    for agg in ("min(a)", "max(a)", "first_value(a)", "last_value(a)"):
+        for excl in ("GROUP", "TIES"):
+            for frame in frames:
+                for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+                    spark_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                        f"EXCLUDE {excl}) AS c{i}"
+                    )
+                    duck_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame} "
+                        f"EXCLUDE {excl}) AS c{i}"
+                    )
+                    i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(duck_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+
+
+def test_split_frame_exclude_groups_numeric(spark, small_t):
+    """min/max EXCLUDE over a NUMERIC GROUPS frame: bounds are already
+    peer-group offsets, so the half-frames keep them verbatim."""
+    sq = (
+        "SELECT a, g, "
+        "min(a) OVER (PARTITION BY g ORDER BY a GROUPS BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS lo, "
+        "max(a) OVER (PARTITION BY g ORDER BY a GROUPS BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE TIES) AS hi "
+        "FROM wf_t"
+    )
+    # DuckDB has no GROUPS mode: the oracle is the textbook
+    # equivalence GROUPS ≡ RANGE over dense_rank, with DuckDB's
+    # NATIVE EXCLUDE doing the exclusion
+    oq = (
+        "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+        "ORDER BY a) AS dr FROM wf_t) "
+        "SELECT a, g, "
+        "min(a) OVER (PARTITION BY g ORDER BY dr RANGE BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE GROUP) AS lo, "
+        "max(a) OVER (PARTITION BY g ORDER BY dr RANGE BETWEEN 2 PRECEDING "
+        "AND 1 FOLLOWING EXCLUDE TIES) AS hi "
+        "FROM r"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert got == want
+
+
+def test_split_frame_exclude_default_frame(spark, small_t):
+    """EXCLUDE GROUP with NO frame clause (the implicit RANGE
+    UNBOUNDED PRECEDING..CURRENT ROW default) on min and last_value."""
+    sq = (
+        "SELECT a, g, "
+        "min(a) OVER (PARTITION BY g ORDER BY a EXCLUDE GROUP) AS m, "
+        "last_value(a) OVER (PARTITION BY g ORDER BY a EXCLUDE GROUP) AS lv "
+        "FROM wf_t"
+    )
+    # DuckDB won't parse EXCLUDE without a frame clause: spell the
+    # identical implicit default frame explicitly in the oracle
+    dflt = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    oq = (
+        "SELECT a, g, "
+        f"min(a) OVER (PARTITION BY g ORDER BY a {dflt} EXCLUDE GROUP) AS m, "
+        f"last_value(a) OVER (PARTITION BY g ORDER BY a {dflt} "
+        "EXCLUDE GROUP) AS lv "
+        "FROM wf_t"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert got == want
+
+
 def test_passthrough_untouched():
     """No GROUPS/EXCLUDE (or only inside literals / as column names):
     the statement must come back byte-identical."""
@@ -184,9 +271,16 @@ def test_unsupported_cases_raise_loudly():
     """Outside the sound rewrite space the layer must refuse with a
     clear error, never return silently different results."""
     cases = [
-        # min/max cannot be computed by subtraction
+        # EXCLUDE CURRENT ROW on min: peers sharing the key stay in
+        # the frame — no split-frame image
         "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING EXCLUDE CURRENT ROW) FROM t",
+        # numeric VALUE offsets have no peer-space image for min/max
+        "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING EXCLUDE GROUP) FROM t",
+        # stddev has neither a subtraction nor a split-frame rewrite
+        "SELECT stddev(a) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
         # EXCLUDE GROUP on a ROWS frame may exclude peers outside the frame
         "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING EXCLUDE GROUP) FROM t",
