@@ -66,6 +66,7 @@ def clear_dedup_state() -> None:
     _CC_LABELS_MEMO.clear()
     _GRAMS_MEMO.clear()
     _RARITY_MEMO.clear()
+    _POSTINGS_MEMO.clear()
 
 
 #: (applicationId, documents-plan hash) → materialized positional
@@ -212,6 +213,29 @@ _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 #: each consumer adds on top.
 _RARITY_MEMO: dict[tuple[str, int], DataFrame] = {}
 
+#: (applicationId, docs-plan hash) → materialized FULL-posting
+#: explode of the rarity arrays (doc_id, n, ps) — the indexed-larger
+#: side of the containment prefix join (threshold-independent, unlike
+#: the prefix explodes, so it is shareable and worth materializing).
+_POSTINGS_MEMO: dict[tuple[str, int], DataFrame] = {}
+
+
+def _full_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, ps): one row per hot-capped posting occurrence,
+    rarity-array order — memoized per session+corpus (see
+    _SHINGLE_MEMO for the lifecycle rationale)."""
+    key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
+    memo = _POSTINGS_MEMO.get(key)
+    if memo is not None:
+        return memo
+    out = (
+        _rarity_arrays(docs)
+        .select("doc_id", "n", F.explode("arr_filt").alias("ps"))
+        .localCheckpoint(eager=False)
+    )
+    _POSTINGS_MEMO[key] = out
+    return out
+
 
 def _rarity_arrays(docs: DataFrame) -> DataFrame:
     """doc_id, n (full distinct-shingle count), arr_filt (hot-capped
@@ -312,13 +336,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
         .select("doc_id", "n", "arr_filt", "prefix")
     )
+    # the prefix join and the pair-dedup shuffle move only (id, n, ps)
+    # — NOT the shingle arrays (carrying the full array through every
+    # exploded posting row costs O(postings × |arr|) shuffle bytes);
+    # verification joins the arrays back by doc id, |pairs|-bounded
     pa = docarr.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"),
-        F.col("arr_filt").alias("fa"), F.explode("prefix").alias("ps"),
+        F.explode("prefix").alias("ps"),
     )
     pb = docarr.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"),
-        F.col("arr_filt").alias("fb"), F.explode("prefix").alias("ps"),
+        F.explode("prefix").alias("ps"),
     )
     cand = (
         pa.join(pb, ["ps"])
@@ -328,12 +356,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nb") >= F.lit(_JACCARD_T) * F.col("na"))
             & (F.col("na") >= F.lit(_JACCARD_T) * F.col("nb"))
         )
-        .select("doc_a", "doc_b", "na", "nb", "fa", "fb")
+        .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    arrs = _rarity_arrays(docs)
+    fa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr_filt").alias("fa"))
+    fb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr_filt").alias("fb"))
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     out = (
-        cand.withColumn("c", F.size(F.array_intersect("fa", "fb")))
+        cand.join(fa, ["doc_a"])
+        .join(fb, ["doc_b"])
+        .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
@@ -408,15 +441,18 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
-        .select("doc_id", "n", "arr_filt", "prefix")
+        .select("doc_id", "n", "prefix")
     )
+    # ids + sizes only through the prefix join and pair dedup (the
+    # arrays join back per PAIR afterwards — see dedup_ngram_jaccard);
+    # the full-posting explode of the indexed-larger side is
+    # threshold-independent, so it is memoized across calls
     pa = docarr.select(
         F.col("doc_id").alias("doc_small"), F.col("n").alias("na"),
-        F.col("arr_filt").alias("fa"), F.explode("prefix").alias("ps"),
+        F.explode("prefix").alias("ps"),
     )
-    pb = docarr.select(
-        F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"),
-        F.col("arr_filt").alias("fb"), F.explode("arr_filt").alias("ps"),
+    pb = _full_postings(docs).select(
+        F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"), "ps"
     )
     cand = (
         pa.join(pb, ["ps"])
@@ -425,12 +461,17 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") < F.col("nb"))
             | ((F.col("na") == F.col("nb")) & (F.col("doc_small") < F.col("doc_big")))
         )
-        .select("doc_small", "doc_big", "na", "fa", "fb")
+        .select("doc_small", "doc_big", "na")
         .dropDuplicates(["doc_small", "doc_big"])
     )
+    arrs = _rarity_arrays(docs)
+    fa = arrs.select(F.col("doc_id").alias("doc_small"), F.col("arr_filt").alias("fa"))
+    fb = arrs.select(F.col("doc_id").alias("doc_big"), F.col("arr_filt").alias("fb"))
     containment = F.col("c").cast("double") / F.col("na")
     return (
-        cand.withColumn("c", F.size(F.array_intersect("fa", "fb")))
+        cand.join(fa, ["doc_small"])
+        .join(fb, ["doc_big"])
+        .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("containment", containment)
         .filter(F.col("containment") >= _CONTAIN_T)
         .select("doc_small", "doc_big", "containment")

@@ -480,6 +480,109 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    ),
+    full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN lsh t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "lsh", "eval"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of single-probe sign-LSH top-k against exact
+    brute force — the companion eval ann_ivf_recall has for IVF
+    (verdict r3 item 6): per query, rank only the query's own-bucket
+    candidates by exact cosine, take top-{_TOP_K}, and count overlap
+    with the exact top-{_TOP_K} from the shared cosine stem.  A
+    sub-1.0 recall here IS the measurement: it quantifies what one
+    8-plane bucket probe loses, the number that decides bands/probes
+    before trusting the approximate path at 100 TB.
+
+    Scale: the exact side is brute force over the BOUNDED query set
+    only (that is the eval, same boundary as ann_ivf_recall); the LSH
+    side broadcasts the bounded query rows onto the bucket-keyed
+    corpus scan — no corpus-side broadcast, no all-pairs join.
+    Determinism: both rankings use the ascending-k cosine fold and
+    tiebreak (cosine DESC, neighbor_id ASC).
+    """
+    from adt_spark.context import spread
+
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    full = (
+        _scored_query_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+    v = _vec_double()
+    bucket = F.concat_ws(
+        "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]
+    )
+    b = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"), bucket.alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), "bucket",
+    )
+    cand = (
+        b.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.try_divide(_dot(F.col("qv"), F.col("v")), F.col("qnorm") * F.col("norm")),
+        )
+    )
+    w_lsh = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    lsh = (
+        cand.withColumn("rn", F.row_number().over(w_lsh))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb"))
+    )
+    return (
+        full.join(
+            lsh,
+            (F.col("lq") == F.col("query_id")) & (F.col("lnb") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("lnb").alias("n_overlap"),
+            (F.count("lnb").cast("double") / _TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
 @register("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
 def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (the first

@@ -688,13 +688,25 @@ def _data_path(location: str, rel: str) -> str:
     back to the URI-decoded form when the raw path does not exist
     locally (URL locations keep the raw form; their readers resolve
     encoded URIs natively)."""
+    from urllib.parse import unquote, urlsplit, urlunsplit
+
     if _is_url(rel):
-        return rel  # absolute URL (a shallow clone of a URL-scheme src)
+        # absolute URI (a shallow clone of a URL-scheme src): the spec
+        # says it is URI-encoded — decode the path portion back to the
+        # on-store name before handing it to Spark/Hadoop
+        parts = urlsplit(rel)
+        return urlunsplit(
+            (parts.scheme, parts.netloc, unquote(parts.path), "", "")
+        )
+    if os.path.isabs(rel):
+        # absolute LOCAL path (shallow clone of a local src): decode
+        # per spec, falling back to the raw form for logs written by
+        # non-encoding writers
+        decoded = unquote(rel)
+        return decoded if os.path.exists(decoded) else rel
     raw = os.path.join(location, rel)
     if _is_url(location) or os.path.exists(raw):
         return raw
-    from urllib.parse import unquote
-
     decoded = os.path.join(location, unquote(rel))
     return decoded if os.path.exists(decoded) else raw
 

@@ -86,6 +86,34 @@ def _fs_mkdirs(spark, url: str) -> None:
     fs.mkdirs(p)
 
 
+def _is_already_exists_error(exc: Exception) -> bool:
+    """True when a Py4J exception wraps a Java file-already-exists
+    class — matched by exception CLASS (walking the Java cause chain),
+    not by message substring, so a racer's loss is detected reliably
+    across Hadoop FS implementations and locales."""
+    java_exc = getattr(exc, "java_exception", None)
+    seen = 0
+    while java_exc is not None and seen < 16:
+        try:
+            cls = java_exc.getClass().getName()
+        except Exception:
+            break
+        if cls in (
+            "org.apache.hadoop.fs.FileAlreadyExistsException",
+            "java.nio.file.FileAlreadyExistsException",
+            "java.io.FileAlreadyExistsException",
+        ):
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+        seen += 1
+    # last resort for FS impls that signal the race as a plain
+    # IOException with only a message (RawLocalFileSystem does)
+    return "already exist" in str(exc).lower()
+
+
 def _fs_write_new(spark, url: str, payload: bytes) -> None:
     """Create-exclusive write: raises DeltaWriteError('concurrent
     commit …') when the target already exists."""
@@ -95,7 +123,7 @@ def _fs_write_new(spark, url: str, payload: bytes) -> None:
     try:
         stream = fs.create(p, False)
     except Exception as exc:  # Py4JJavaError: FileAlreadyExists race
-        if "exist" in str(exc).lower():
+        if _is_already_exists_error(exc):
             raise DeltaWriteError(
                 f"concurrent commit: {url} already exists"
             ) from None
@@ -1183,8 +1211,11 @@ def write_checkpoint(spark, location: str) -> int:
     table = pa.Table.from_pylist(rows, schema=schema)
     last_cp = json.dumps({"version": n, "size": len(rows)})
     if _is_url(location):
-        # serialize driver-side, stream through the Hadoop FS
-        # (checkpoints are idempotent per version: overwrite is safe)
+        # serialize driver-side, stream through the Hadoop FS.
+        # Write temp + rename, same as the local branch below: rename
+        # is atomic on HDFS/local-mount schemes (the stores where the
+        # commit path is atomic too), so a reader racing the write
+        # never observes a torn checkpoint or _last_checkpoint
         import io
 
         buf = io.BytesIO()
@@ -1193,11 +1224,23 @@ def write_checkpoint(spark, location: str) -> int:
         Path = jvm.org.apache.hadoop.fs.Path
 
         def _put(rel: str, data: bytes) -> None:
-            stream = fs.create(Path(_url_join(location, "_delta_log", rel)), True)
+            final = Path(_url_join(location, "_delta_log", rel))
+            tmp_p = Path(
+                _url_join(location, "_delta_log", f".{rel}.tmp-{uuid.uuid4().hex}")
+            )
+            stream = fs.create(tmp_p, True)
             try:
                 stream.write(data)
             finally:
                 stream.close()
+            # checkpoints are idempotent per version: replacing an
+            # existing target is safe, so clear it before rename (the
+            # Hadoop rename contract refuses existing destinations)
+            if fs.exists(final):
+                fs.delete(final, False)
+            if not fs.rename(tmp_p, final):
+                fs.delete(tmp_p, False)
+                raise DeltaWriteError(f"checkpoint rename failed: {final}")
 
         _put(f"{n:020d}.checkpoint.parquet", buf.getvalue())
         _put("_last_checkpoint", last_cp.encode())
@@ -1206,8 +1249,11 @@ def write_checkpoint(spark, location: str) -> int:
     tmp = cp_path + f".tmp-{uuid.uuid4().hex}"
     pq.write_table(table, tmp)
     os.rename(tmp, cp_path)
-    with open(os.path.join(location, "_delta_log", "_last_checkpoint"), "w") as f:
+    lcp = os.path.join(location, "_delta_log", "_last_checkpoint")
+    lcp_tmp = lcp + f".tmp-{uuid.uuid4().hex}"
+    with open(lcp_tmp, "w") as f:
         f.write(last_cp)
+    os.replace(lcp_tmp, lcp)
     return n
 
 
@@ -2378,6 +2424,22 @@ def shallow_clone(
     # scheme ('viewfs://x' → '<cwd>/viewfs:/x') and silently commit a
     # clone whose add paths resolve nowhere.
     src_abs = src.rstrip("/") if _is_url(src) else os.path.abspath(src)
+
+    def _encoded_abs(rel: str) -> str:
+        # The Delta spec (PROTOCOL.md, add.path) requires an absolute
+        # add.path to be a URI-ENCODED URI: percent-encode the path
+        # portion so a source dir with URI-special characters (space,
+        # %, #) round-trips through third-party readers (delta-spark /
+        # delta-rs) exactly; our own reader decodes in _data_path.
+        from urllib.parse import quote, urlsplit, urlunsplit
+
+        if _is_url(src_abs):
+            full = _url_join(src_abs, rel)
+            parts = urlsplit(full)
+            return urlunsplit(
+                (parts.scheme, parts.netloc, quote(parts.path, safe="/"), "", "")
+            )
+        return quote(os.path.join(src_abs, rel), safe="/")
     ts = int(time.time() * 1000)
     actions: list[dict] = [
         {
@@ -2405,7 +2467,7 @@ def shallow_clone(
     ]
     for rel, (pvals, dv) in snap.files.items():
         add = {
-            "path": os.path.join(src_abs, rel),
+            "path": _encoded_abs(rel),
             "partitionValues": pvals,
             "size": snap.file_sizes.get(rel, 0),
             "modificationTime": ts,

@@ -1248,6 +1248,39 @@ def test_shallow_clone(spark, tmp_path):
         ctx.sql(f"CREATE TABLE delta.`{dst}` SHALLOW CLONE delta.`{src}`")
 
 
+def test_shallow_clone_uri_encodes_absolute_paths(spark, tmp_path):
+    """Delta PROTOCOL.md: an absolute add.path must be URI-encoded.
+    A source dir with URI-special characters (space, %, #) must (a)
+    produce a log whose add.path a spec-following third-party reader
+    resolves (percent-encoded, no raw specials), and (b) still read
+    back exactly through this engine's own reader."""
+    import json as _json
+
+    from adt_spark.sources.delta_native_write import shallow_clone
+
+    src = str(tmp_path / "cl src %40 #x")
+    dst = str(tmp_path / "cl_enc_dst")
+    write_delta_native(spark.range(5).select("id"), src)
+    shallow_clone(spark, src, dst)
+    with open(os.path.join(dst, "_delta_log", f"{0:020d}.json")) as f:
+        adds = [
+            _json.loads(ln)["add"]["path"]
+            for ln in f
+            if '"add"' in ln and _json.loads(ln).get("add")
+        ]
+    assert adds
+    for p in adds:
+        # URI-encoded: no raw space/#/% outside percent-escapes
+        assert " " not in p and "#" not in p
+        assert "%20" in p and "%2540" in p and "%23" in p
+        from urllib.parse import unquote
+
+        assert os.path.exists(unquote(p))
+    # our own reader decodes and reads the clone exactly
+    got = sorted(r.id for r in read_delta_native(spark, dst).collect())
+    assert got == [0, 1, 2, 3, 4]
+
+
 # --- deletion-vector DELETE + SET TBLPROPERTIES ----------------------------
 
 

@@ -518,6 +518,15 @@ def test_matryoshka_two_topk_passes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_recall_bucketed_topk(spark, sf_dir):
+    """ann_lsh_recall: two WindowGroupLimit top-k passes (exact +
+    LSH-bucketed), the LSH candidates bucket-keyed — no cartesian;
+    the only broadcast sides are the bounded query set."""
+    plan = _formatted(_q(spark, sf_dir, "ann_lsh_recall"))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_gopher_rules_scan_only(spark, sf_dir):
     """quality_gopher_rules claims a pure projection: zero shuffles,
     zero explodes — word stats come from higher-order functions over
