@@ -221,16 +221,25 @@ _POSTINGS_MEMO: dict[tuple[str, int], DataFrame] = {}
 
 
 def _full_postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, n, ps): one row per hot-capped posting occurrence,
-    rarity-array order — memoized per session+corpus (see
-    _SHINGLE_MEMO for the lifecycle rationale)."""
+    """(doc_id, n, len, pos, ps): one row per hot-capped posting
+    occurrence with its 0-based position in the rarity order and the
+    array length — memoized per session+corpus (see _SHINGLE_MEMO for
+    the lifecycle rationale).  Positions feed PPJoin's positional
+    filter (Xiao et al. 2008, public): both sides' arrays share one
+    global (df, shingle) sort, so a match at positions (pa, pb)
+    bounds the whole intersection by min(lenA − pa, lenB − pb)."""
     key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
     memo = _POSTINGS_MEMO.get(key)
     if memo is not None:
         return memo
     out = (
         _rarity_arrays(docs)
-        .select("doc_id", "n", F.explode("arr_filt").alias("ps"))
+        .select(
+            "doc_id",
+            "n",
+            F.size("arr_filt").alias("len"),
+            F.posexplode("arr_filt").alias("pos", "ps"),
+        )
         .localCheckpoint(eager=False)
     )
     _POSTINGS_MEMO[key] = out
@@ -239,7 +248,15 @@ def _full_postings(docs: DataFrame) -> DataFrame:
 
 def _rarity_arrays(docs: DataFrame) -> DataFrame:
     """doc_id, n (full distinct-shingle count), arr_filt (hot-capped
-    shingles ordered rarest-first) — memoized per session+corpus."""
+    shingles ordered rarest-first), arr_hash (xxhash64 of each
+    shingle, same order) — memoized per session+corpus.
+
+    arr_hash exists for the verify fast path: ``array_intersect`` on
+    string arrays hashes ~30-byte objects per element per pair, which
+    dominated verification wall time; intersecting the LONG arrays is
+    ~10× cheaper, and a 64-bit collision can only INFLATE the hash
+    count — so the hash intersect is a sound superset gate, with the
+    exact string intersect run only on its survivors."""
     key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
     memo = _RARITY_MEMO.get(key)
     if memo is not None:
@@ -254,7 +271,8 @@ def _rarity_arrays(docs: DataFrame) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ordered"))
         .join(sizes, ["doc_id"])
         .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
-        .select("doc_id", "n", "arr_filt")
+        .withColumn("arr_hash", F.transform("ordered", lambda x: F.xxhash64(x["shingle"])))
+        .select("doc_id", "n", "arr_filt", "arr_hash")
         .localCheckpoint(eager=False)
     )
     _RARITY_MEMO[key] = out
@@ -360,12 +378,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     arrs = _rarity_arrays(docs)
-    fa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr_filt").alias("fa"))
-    fb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr_filt").alias("fb"))
+    fa = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr_filt").alias("fa"),
+        F.col("arr_hash").alias("ha"),
+    )
+    fb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr_filt").alias("fb"),
+        F.col("arr_hash").alias("hb"),
+    )
+    # hash pre-verify: J ≥ t needs c ≥ t·(na+nb)/(1+t); the long-array
+    # intersect can only over-count (64-bit collisions inflate), so
+    # this gate keeps every true positive while skipping the costly
+    # string intersect for the overwhelming non-dup majority
+    c_need = F.ceil(
+        F.lit(_JACCARD_T) * (F.col("na") + F.col("nb")) / F.lit(1.0 + _JACCARD_T)
+    )
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     out = (
         cand.join(fa, ["doc_a"])
         .join(fb, ["doc_b"])
+        .filter(F.size(F.array_intersect("ha", "hb")) >= c_need)
         .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
@@ -441,19 +473,30 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("prefix", F.slice("arr_filt", 1, F.col("plen")))
-        .select("doc_id", "n", "prefix")
+        .select("doc_id", "n", F.size("arr_filt").alias("len"), "prefix")
     )
-    # ids + sizes only through the prefix join and pair dedup (the
-    # arrays join back per PAIR afterwards — see dedup_ngram_jaccard);
-    # the full-posting explode of the indexed-larger side is
-    # threshold-independent, so it is memoized across calls
+    # ids + sizes + positions only through the prefix join and pair
+    # dedup (the arrays join back per PAIR afterwards — see
+    # dedup_ngram_jaccard); the full-posting explode of the
+    # indexed-larger side is threshold-independent → memoized
     pa = docarr.select(
         F.col("doc_id").alias("doc_small"), F.col("n").alias("na"),
-        F.explode("prefix").alias("ps"),
+        F.col("len").alias("len_a"),
+        F.posexplode("prefix").alias("pos_a", "ps"),
     )
     pb = _full_postings(docs).select(
-        F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"), "ps"
+        F.col("doc_id").alias("doc_big"), F.col("n").alias("nb"),
+        F.col("len").alias("len_b"), F.col("pos").alias("pos_b"), "ps",
     )
+    # PPJoin positional filter: arrays share ONE global rarity order,
+    # so intersection elements can only come at-or-after a matched
+    # element in BOTH arrays — the earliest common element (always in
+    # A's prefix when the pair can pass at all, by the pigeonhole)
+    # bounds c by min(len_a − pos_a, len_b − pos_b); requiring that
+    # bound ≥ ⌈t·|A|⌉ prunes the candidate set ~100× BEFORE the pair
+    # dedup shuffle and the array verify (any-match-pass semantics:
+    # the earliest match carries the largest, i.e. deciding, bound)
+    c_min = F.ceil(F.lit(_CONTAIN_T) * F.col("na"))
     cand = (
         pa.join(pb, ["ps"])
         # strict orientation: smaller (or equal-size lower-id) side is A
@@ -461,16 +504,32 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") < F.col("nb"))
             | ((F.col("na") == F.col("nb")) & (F.col("doc_small") < F.col("doc_big")))
         )
+        .filter(
+            F.least(
+                F.col("len_a") - F.col("pos_a"), F.col("len_b") - F.col("pos_b")
+            )
+            >= c_min
+        )
         .select("doc_small", "doc_big", "na")
         .dropDuplicates(["doc_small", "doc_big"])
     )
     arrs = _rarity_arrays(docs)
-    fa = arrs.select(F.col("doc_id").alias("doc_small"), F.col("arr_filt").alias("fa"))
-    fb = arrs.select(F.col("doc_id").alias("doc_big"), F.col("arr_filt").alias("fb"))
+    fa = arrs.select(
+        F.col("doc_id").alias("doc_small"), F.col("arr_filt").alias("fa"),
+        F.col("arr_hash").alias("ha"),
+    )
+    fb = arrs.select(
+        F.col("doc_id").alias("doc_big"), F.col("arr_filt").alias("fb"),
+        F.col("arr_hash").alias("hb"),
+    )
+    # hash pre-verify (sound superset gate — see _rarity_arrays):
+    # the long intersect prunes the ~1000:1 non-dup candidates, the
+    # exact string intersect confirms the survivors
     containment = F.col("c").cast("double") / F.col("na")
     return (
         cand.join(fa, ["doc_small"])
         .join(fb, ["doc_big"])
+        .filter(F.size(F.array_intersect("ha", "hb")) >= c_min)
         .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("containment", containment)
         .filter(F.col("containment") >= _CONTAIN_T)

@@ -534,8 +534,6 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both rankings use the ascending-k cosine fold and
     tiebreak (cosine DESC, neighbor_id ASC).
     """
-    from adt_spark.context import spread
-
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     full = (
         _scored_query_pairs(spark, sf_dir)
@@ -543,14 +541,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id")
     )
-    emb = spread(tables(spark, sf_dir)["embeddings"])
-    v = _vec_double()
-    bucket = F.concat_ws(
-        "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]
-    )
-    b = emb.select(
-        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"), bucket.alias("bucket")
-    )
+    b = _lsh_bucketed_corpus(spark, sf_dir)
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"), "bucket",
@@ -569,9 +560,16 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select(F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb"))
     )
+    return _overlap_vs_exact(full, lsh)
+
+
+def _overlap_vs_exact(full: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k tail shared by the LSH evals: per query, how many of
+    the exact top-k (``full``: query_id, neighbor_id) the approximate
+    top-k (``approx``: lq, lnb) recovered."""
     return (
         full.join(
-            lsh,
+            approx,
             (F.col("lq") == F.col("query_id")) & (F.col("lnb") == F.col("neighbor_id")),
             "left",
         )
@@ -581,6 +579,134 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("lnb").cast("double") / _TOP_K).alias("recall_at_k"),
         )
     )
+
+
+def _lsh_bucketed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, bucket) — the sign-LSH-keyed corpus shared by
+    the bucketed join and both recall evals."""
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+    v = _vec_double()
+    bucket = F.concat_ws(
+        "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]
+    )
+    return emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("norm"), bucket.alias("bucket")
+    )
+
+
+def _flip_bit(bucket, p: int):
+    """The 8-char '0'/'1' bucket string with 1-based position p
+    flipped — a Hamming-1 neighbor bucket."""
+    return F.concat(
+        F.substring(bucket, 1, p - 1),
+        F.when(F.substring(bucket, p, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, p + 1, _N_PLANES),
+    )
+
+
+_MP_FLIP_SQL = (
+    "CASE WHEN u.p = 0 THEN q.bucket ELSE "
+    "substr(q.bucket, 1, u.p - 1) || "
+    "(CASE WHEN substr(q.bucket, u.p, 1) = '1' THEN '0' ELSE '1' END) || "
+    "substr(q.bucket, u.p + 1) END"
+)
+
+
+@register(
+    "ann_lsh_multiprobe_recall",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.embedding, {_MP_FLIP_SQL} AS pbucket
+        FROM q, unnest(generate_series(0, {_N_PLANES})) AS u(p)
+    ),
+    lsh AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='p.embedding', b='e.embedding')}
+                       / ({_norm_sql('p')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM probes p JOIN b e ON e.bucket = p.pbucket
+                                  AND e.vec_id <> p.query_id)
+        WHERE rn <= {_TOP_K}
+    ),
+    full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
+                     e.vec_id) AS rn
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+        WHERE rn <= {_TOP_K}
+    )
+    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN lsh t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "ann", "lsh", "eval"),
+)
+def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of MULTI-PROBE sign-LSH: each query probes its
+    own bucket plus all {_N_PLANES} Hamming-1 neighbor buckets (flip
+    one plane sign — the standard multi-probe LSH trick, Lv et al.
+    2007, public), directly comparable with single-probe
+    ``ann_lsh_recall``: the recall lift per extra probe is the number
+    that tunes probes-vs-latency before a 100 TB rollout.
+
+    Scale: candidates stay bucket-local — the probe table is the
+    bounded query set × {_N_PLANES + 1} rows, broadcast onto the
+    bucket-keyed corpus exactly like the single-probe eval; a corpus
+    vector matches a query at most once (its one bucket is at most
+    one of the query's nine distinct probes), so no pair dedup is
+    needed.  Determinism: ascending-k cosine fold, (cosine DESC, id)
+    tiebreaks, same as every ANN eval here.
+    """
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    full = (
+        _scored_query_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    b = _lsh_bucketed_corpus(spark, sf_dir)
+    q = b.filter(F.col("vec_id") < _N_QUERIES)
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[_flip_bit(F.col("bucket"), p) for p in range(1, _N_PLANES + 1)],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        b.join(F.broadcast(probes), ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.try_divide(_dot(F.col("qv"), F.col("v")), F.col("qnorm") * F.col("norm")),
+        )
+    )
+    w_lsh = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    lsh = (
+        cand.withColumn("rn", F.row_number().over(w_lsh))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb"))
+    )
+    return _overlap_vs_exact(full, lsh)
 
 
 @register("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
