@@ -1413,12 +1413,14 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the gram inventory (one shuffle, as in substring_repeats)
     self-identifies repeated grams; covered positions come from an
-    equi-join of each doc's grams against the repeated set followed by
-    a bounded 8-way position explode; surviving tokens anti-join on
-    (doc, pos) and re-assemble with ONE groupBy (position-sorted
-    struct collect — the ordered-reassembly idiom this corpus uses
-    everywhere).  Every join is keyed on uniform hashes or (doc, pos)
-    — no skew; state per doc tracks doc length, not corpus size.
+    equi-join of each doc's grams against the repeated set, a bounded
+    8-way position explode, and ONE (doc-keyed) collect_set — a
+    doc-length-bounded array.  Tokens never leave their row: the
+    surviving-token filter and the ordered re-assembly are
+    higher-order array functions over the original token array
+    (F.filter preserves order, so no sort and no reassembly shuffle).
+    Every shuffle is keyed on uniform hashes or doc_id — no skew;
+    state per doc tracks doc length, not corpus size.
     """
     from adt_spark.context import spread
 
@@ -1426,7 +1428,7 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks_arr = F.split(F.col("text"), " ")
     base = spread(docs).select(
         "doc_id", toks_arr.alias("ts"), F.size(toks_arr).alias("n_tokens")
-    ).localCheckpoint(eager=False)
+    )
     grams = _positional_grams(docs, _SUB_K)
     repeated = (
         grams.groupBy("gram")
@@ -1436,31 +1438,36 @@ def dedup_substring_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     covered = (
         grams.join(repeated, "gram")
-        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (_SUB_K - 1))).alias("pos"))
-        .distinct()
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SUB_K - 1))
+            ).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("cov"))
     )
-    toks = base.select(
-        "doc_id", F.posexplode(F.col("ts")).alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    reassembled = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "token"))),
-                lambda s: s["token"],
-            ),
-            " ",
-        ).alias("cleaned"),
+    kept_arr = F.filter(
+        F.zip_with(
+            F.col("ts"),
+            F.sequence(F.lit(1), F.col("n_tokens")),
+            lambda tok, pos: F.struct(tok.alias("token"), pos.alias("pos")),
+        ),
+        lambda s: ~F.array_contains(F.col("cov"), s["pos"]),
     )
     return (
-        base.select("doc_id", "n_tokens")
-        .join(reassembled, "doc_id", "left")
+        base.join(covered, "doc_id", "left")
+        .withColumn(
+            "cov", F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+        )
+        .withColumn("kept", kept_arr)
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
-            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+            (F.col("n_tokens") - F.size("kept")).alias("n_removed"),
+            F.array_join(
+                F.transform(F.col("kept"), lambda s: s["token"]), " "
+            ).alias("cleaned"),
         )
     )
 
