@@ -220,10 +220,13 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
     if fm:
         lo = fm.group("lo") or fm.group("single")
         hi = fm.group("hi") or "current row"
+        # normalized LOWERCASE (like mode/exclude): downstream
+        # comparisons — _straddles, the split-frame empty-half checks
+        # ('current row' / '0 preceding') — match literally
         frame = {
             "mode": fm.group("mode").lower(),
-            "lo": " ".join(lo.split()),
-            "hi": " ".join(hi.split()),
+            "lo": " ".join(lo.lower().split()),
+            "hi": " ".join(hi.lower().split()),
             "span": (fm.start(), fm.end()),
         }
         pre_end = fm.start()

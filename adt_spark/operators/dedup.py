@@ -31,6 +31,12 @@ _N_HASHES = 12
 _N_BANDS = 4
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 _JACCARD_T = 0.8
+#: _JACCARD_T and _CONTAIN_T as exact integer ratios (4/5) — the hash
+#: pre-verify gates compare in INTEGER arithmetic (c·q ≥ p·s) because
+#: ceil(t·s/…) in doubles overshoots the exact rational bound by 1
+#: for ~2% of sums (e.g. ceil(0.8·63/1.8) = 29 vs exact 28), which
+#: would silently drop true boundary pairs the oracle keeps.
+_T_NUM, _T_DEN = 4, 5
 # Drop shingles occurring in more than this many docs (hot-key cap).
 _MAX_POSTING = 100
 
@@ -254,9 +260,16 @@ def _rarity_arrays(docs: DataFrame) -> DataFrame:
     arr_hash exists for the verify fast path: ``array_intersect`` on
     string arrays hashes ~30-byte objects per element per pair, which
     dominated verification wall time; intersecting the LONG arrays is
-    ~10× cheaper, and a 64-bit collision can only INFLATE the hash
-    count — so the hash intersect is a sound superset gate, with the
-    exact string intersect run only on its survivors."""
+    ~10× cheaper.  Soundness: a cross-document collision (shingle
+    only in A colliding with a different shingle only in B) INFLATES
+    the hash count — harmless for a lower-bound gate.  The one
+    DEFLATION mode is two distinct COMMON shingles sharing a hash —
+    but common shingles live in BOTH arrays, so that collision is
+    visible as a duplicate value inside a single array.  ``hclean``
+    (no intra-array duplicate hashes) therefore certifies that the
+    hash count ≥ the true intersection; gates OR in ``NOT hclean``
+    so the astronomically-rare colliding doc is simply sent to the
+    exact verify instead of being trusted to the fast path."""
     key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
     memo = _RARITY_MEMO.get(key)
     if memo is not None:
@@ -272,7 +285,11 @@ def _rarity_arrays(docs: DataFrame) -> DataFrame:
         .join(sizes, ["doc_id"])
         .withColumn("arr_filt", F.transform("ordered", lambda x: x["shingle"]))
         .withColumn("arr_hash", F.transform("ordered", lambda x: F.xxhash64(x["shingle"])))
-        .select("doc_id", "n", "arr_filt", "arr_hash")
+        .withColumn(
+            "hclean",
+            F.size(F.array_distinct("arr_hash")) == F.size("arr_hash"),
+        )
+        .select("doc_id", "n", "arr_filt", "arr_hash", "hclean")
         .localCheckpoint(eager=False)
     )
     _RARITY_MEMO[key] = out
@@ -380,24 +397,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _rarity_arrays(docs)
     fa = arrs.select(
         F.col("doc_id").alias("doc_a"), F.col("arr_filt").alias("fa"),
-        F.col("arr_hash").alias("ha"),
+        F.col("arr_hash").alias("ha"), F.col("hclean").alias("hc_a"),
     )
     fb = arrs.select(
         F.col("doc_id").alias("doc_b"), F.col("arr_filt").alias("fb"),
-        F.col("arr_hash").alias("hb"),
+        F.col("arr_hash").alias("hb"), F.col("hclean").alias("hc_b"),
     )
-    # hash pre-verify: J ≥ t needs c ≥ t·(na+nb)/(1+t); the long-array
-    # intersect can only over-count (64-bit collisions inflate), so
-    # this gate keeps every true positive while skipping the costly
-    # string intersect for the overwhelming non-dup majority
-    c_need = F.ceil(
-        F.lit(_JACCARD_T) * (F.col("na") + F.col("nb")) / F.lit(1.0 + _JACCARD_T)
-    )
+    # hash pre-verify: J ≥ p/q needs c·(p+q) ≥ p·(na+nb), compared in
+    # INTEGER arithmetic (a double ceil overshoots the exact bound by
+    # 1 for some sums and would drop true boundary pairs); the hclean
+    # disjunct routes the collision-ambiguous rarities to the exact
+    # verify (see _rarity_arrays for the soundness argument)
+    hash_ok = (
+        F.size(F.array_intersect("ha", "hb")) * (_T_NUM + _T_DEN)
+        >= F.lit(_T_NUM) * (F.col("na") + F.col("nb"))
+    ) | ~F.col("hc_a") | ~F.col("hc_b")
     jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
     out = (
         cand.join(fa, ["doc_a"])
         .join(fb, ["doc_b"])
-        .filter(F.size(F.array_intersect("ha", "hb")) >= c_need)
+        .filter(hash_ok)
         .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_T)
@@ -492,11 +511,11 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so intersection elements can only come at-or-after a matched
     # element in BOTH arrays — the earliest common element (always in
     # A's prefix when the pair can pass at all, by the pigeonhole)
-    # bounds c by min(len_a − pos_a, len_b − pos_b); requiring that
-    # bound ≥ ⌈t·|A|⌉ prunes the candidate set ~100× BEFORE the pair
-    # dedup shuffle and the array verify (any-match-pass semantics:
-    # the earliest match carries the largest, i.e. deciding, bound)
-    c_min = F.ceil(F.lit(_CONTAIN_T) * F.col("na"))
+    # bounds c by min(len_a − pos_a, len_b − pos_b); requiring
+    # bound ≥ t·|A| (integer-compared: bound·q ≥ p·na) prunes
+    # candidates BEFORE the pair dedup shuffle and the array verify
+    # (any-match-pass semantics: the earliest match carries the
+    # largest, i.e. deciding, bound)
     cand = (
         pa.join(pb, ["ps"])
         # strict orientation: smaller (or equal-size lower-id) side is A
@@ -508,7 +527,8 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.col("len_a") - F.col("pos_a"), F.col("len_b") - F.col("pos_b")
             )
-            >= c_min
+            * _T_DEN
+            >= F.lit(_T_NUM) * F.col("na")
         )
         .select("doc_small", "doc_big", "na")
         .dropDuplicates(["doc_small", "doc_big"])
@@ -516,20 +536,25 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _rarity_arrays(docs)
     fa = arrs.select(
         F.col("doc_id").alias("doc_small"), F.col("arr_filt").alias("fa"),
-        F.col("arr_hash").alias("ha"),
+        F.col("arr_hash").alias("ha"), F.col("hclean").alias("hc_a"),
     )
     fb = arrs.select(
         F.col("doc_id").alias("doc_big"), F.col("arr_filt").alias("fb"),
-        F.col("arr_hash").alias("hb"),
+        F.col("arr_hash").alias("hb"), F.col("hclean").alias("hc_b"),
     )
-    # hash pre-verify (sound superset gate — see _rarity_arrays):
-    # the long intersect prunes the ~1000:1 non-dup candidates, the
-    # exact string intersect confirms the survivors
+    # hash pre-verify (sound gate — see _rarity_arrays): the long
+    # intersect prunes the ~1000:1 non-dup candidates in integer
+    # arithmetic (c·q ≥ p·na), the exact string intersect confirms
+    # the survivors; collision-ambiguous docs fall through via hclean
+    hash_ok = (
+        F.size(F.array_intersect("ha", "hb")) * _T_DEN
+        >= F.lit(_T_NUM) * F.col("na")
+    ) | ~F.col("hc_a") | ~F.col("hc_b")
     containment = F.col("c").cast("double") / F.col("na")
     return (
         cand.join(fa, ["doc_small"])
         .join(fb, ["doc_big"])
-        .filter(F.size(F.array_intersect("ha", "hb")) >= c_min)
+        .filter(hash_ok)
         .withColumn("c", F.size(F.array_intersect("fa", "fb")))
         .withColumn("containment", containment)
         .filter(F.col("containment") >= _CONTAIN_T)

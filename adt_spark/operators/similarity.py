@@ -317,19 +317,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hyperplane weights derive from md5(plane, dim) parity — fully
     deterministic and portable to the DuckDB oracle.
     """
-    from adt_spark.context import spread
-
-    emb = spread(tables(spark, sf_dir)["embeddings"])
-    v = _vec_double()
-    bucket = F.concat_ws(
-        "", *[_plane_sign_expr(v, p).cast("string") for p in range(_N_PLANES)]
-    )
-    b = emb.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(_dot(v, v)).alias("norm"),
-        bucket.alias("bucket"),
-    )
+    b = _lsh_bucketed_corpus(spark, sf_dir)
     x = b.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"),
         F.col("norm").alias("norm_a"), "bucket",
@@ -480,40 +468,56 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_lsh_recall",
-    oracle=f"""
-    WITH b AS (
+# shared SQL fragments for the LSH recall evals — the exactness-
+# critical ranking/tail text exists ONCE so a tiebreak or TOP_K
+# change moves both oracles together (same single-copy rule as
+# _scored_query_pairs on the Spark side)
+_LSH_B_Q_CTES = f"""b AS (
         SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
         FROM embeddings
     ),
-    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {_N_QUERIES}),
-    lsh AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
-                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
-                     e.vec_id) AS rn
-            FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id)
-        WHERE rn <= {_TOP_K}
-    ),
-    full_rank AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
-                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
-                     e.vec_id) AS rn
-            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
-        WHERE rn <= {_TOP_K}
+    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {_N_QUERIES})"""
+
+_LSH_RANKED_TOPK_SQL = (
+    "SELECT query_id, neighbor_id FROM (\n"
+    "            SELECT {q}.vec_id AS query_id, e.vec_id AS neighbor_id,\n"
+    "                   row_number() OVER (PARTITION BY {q}.vec_id ORDER BY\n"
+    f"                     {{dot}}\n"
+    f"                       / ({{qn}} * {_norm_sql('e')}) DESC,\n"
+    "                     e.vec_id) AS rn\n"
+    "            FROM {frm})\n"
+    f"        WHERE rn <= {_TOP_K}"
+)
+
+
+def _lsh_topk_cte(q: str, frm: str) -> str:
+    return _LSH_RANKED_TOPK_SQL.format(
+        q=q,
+        frm=frm,
+        dot=_DOT_SQL_T.format(dim=_DIM, a=f"{q}.embedding", b="e.embedding"),
+        qn=_norm_sql(q),
     )
-    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+
+
+_LSH_RECALL_TAIL_SQL = f"""SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
            CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
     FROM full_rank f
     LEFT JOIN lsh t
       ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
-    GROUP BY f.query_id
+    GROUP BY f.query_id"""
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+    WITH {_LSH_B_Q_CTES},
+    lsh AS (
+        {_lsh_topk_cte('q', 'q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id')}
+    ),
+    full_rank AS (
+        {_lsh_topk_cte('q', 'q JOIN embeddings e ON e.vec_id <> q.vec_id')}
+    )
+    {_LSH_RECALL_TAIL_SQL}
     """,
     tags=("similarity", "ann", "lsh", "eval"),
 )
@@ -534,33 +538,50 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both rankings use the ascending-k cosine fold and
     tiebreak (cosine DESC, neighbor_id ASC).
     """
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    full = (
-        _scored_query_pairs(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id")
-    )
     b = _lsh_bucketed_corpus(spark, sf_dir)
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"), "bucket",
     )
-    cand = (
-        b.join(F.broadcast(q), ["bucket"])
+    return _overlap_vs_exact(
+        _exact_topk(spark, sf_dir), _lsh_topk_ids(_lsh_scored_candidates(b, q))
+    )
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{_TOP_K} (query_id, neighbor_id) off the shared
+    cosine stem — the ground-truth side of every recall eval."""
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        _scored_query_pairs(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _lsh_scored_candidates(b: DataFrame, probes: DataFrame) -> DataFrame:
+    """Bucket-join the (bounded, broadcast) probe table onto the
+    LSH-keyed corpus and score candidates by exact cosine."""
+    return (
+        b.join(F.broadcast(probes), ["bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.try_divide(_dot(F.col("qv"), F.col("v")), F.col("qnorm") * F.col("norm")),
         )
     )
-    w_lsh = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    lsh = (
-        cand.withColumn("rn", F.row_number().over(w_lsh))
+
+
+def _lsh_topk_ids(cand: DataFrame) -> DataFrame:
+    """Approximate top-{_TOP_K} ids (lq, lnb) from scored candidates
+    — same (cosine DESC, id ASC) tiebreak as the exact side."""
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _TOP_K)
         .select(F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb"))
     )
-    return _overlap_vs_exact(full, lsh)
 
 
 def _overlap_vs_exact(full: DataFrame, approx: DataFrame) -> DataFrame:
@@ -617,42 +638,18 @@ _MP_FLIP_SQL = (
 @register(
     "ann_lsh_multiprobe_recall",
     oracle=f"""
-    WITH b AS (
-        SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
-        FROM embeddings
-    ),
-    q AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id < {_N_QUERIES}),
+    WITH {_LSH_B_Q_CTES},
     probes AS (
-        SELECT q.vec_id AS query_id, q.embedding, {_MP_FLIP_SQL} AS pbucket
+        SELECT q.vec_id, q.embedding, {_MP_FLIP_SQL} AS bucket
         FROM q, unnest(generate_series(0, {_N_PLANES})) AS u(p)
     ),
     lsh AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT p.query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY p.query_id ORDER BY
-                     {_DOT_SQL_T.format(dim=_DIM, a='p.embedding', b='e.embedding')}
-                       / ({_norm_sql('p')} * {_norm_sql('e')}) DESC,
-                     e.vec_id) AS rn
-            FROM probes p JOIN b e ON e.bucket = p.pbucket
-                                  AND e.vec_id <> p.query_id)
-        WHERE rn <= {_TOP_K}
+        {_lsh_topk_cte('q', 'probes q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id')}
     ),
     full_rank AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                     {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
-                       / ({_norm_sql('q')} * {_norm_sql('e')}) DESC,
-                     e.vec_id) AS rn
-            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
-        WHERE rn <= {_TOP_K}
+        {_lsh_topk_cte('q', 'q JOIN embeddings e ON e.vec_id <> q.vec_id')}
     )
-    SELECT f.query_id, CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
-           CAST(count(t.neighbor_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
-    FROM full_rank f
-    LEFT JOIN lsh t
-      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
-    GROUP BY f.query_id
+    {_LSH_RECALL_TAIL_SQL}
     """,
     tags=("similarity", "ann", "lsh", "eval"),
 )
@@ -672,16 +669,8 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed.  Determinism: ascending-k cosine fold, (cosine DESC, id)
     tiebreaks, same as every ANN eval here.
     """
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    full = (
-        _scored_query_pairs(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
-        .select("query_id", "neighbor_id")
-    )
     b = _lsh_bucketed_corpus(spark, sf_dir)
-    q = b.filter(F.col("vec_id") < _N_QUERIES)
-    probes = q.select(
+    probes = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("norm").alias("qnorm"),
@@ -692,21 +681,9 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    cand = (
-        b.join(F.broadcast(probes), ["bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.try_divide(_dot(F.col("qv"), F.col("v")), F.col("qnorm") * F.col("norm")),
-        )
+    return _overlap_vs_exact(
+        _exact_topk(spark, sf_dir), _lsh_topk_ids(_lsh_scored_candidates(b, probes))
     )
-    w_lsh = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    lsh = (
-        cand.withColumn("rn", F.row_number().over(w_lsh))
-        .filter(F.col("rn") <= _TOP_K)
-        .select(F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb"))
-    )
-    return _overlap_vs_exact(full, lsh)
 
 
 @register("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))

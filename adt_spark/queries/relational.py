@@ -1254,8 +1254,11 @@ def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the driver's oracle gate covers the dialect path, not a
     hand-built DataFrame equivalent.  The aggregate arg equals the
     sort key, so first/last among peer rows is value-determined in
-    both engines.  Plan: the injected dense_rank and all half-frame
-    windows share one (partition, sort) pair — one exchange + sort.
+    both engines.  Plan (machine-checked,
+    test_plans.py::test_exclude_minmax_single_exchange): ONE exchange
+    on the shared partition key; two sorts/window nodes — the
+    dense_rank sorts by (flag, qty), the half-frame windows by
+    (flag, dr) — but the dr order is qty's order, so no re-shuffle.
     """
     from adt_spark.dialect.window_frames import rewrite_window_frames
 

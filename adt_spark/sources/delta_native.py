@@ -693,15 +693,34 @@ def _data_path(location: str, rel: str) -> str:
     if _is_url(rel):
         # absolute URI (a shallow clone of a URL-scheme src): the spec
         # says it is URI-encoded — decode the path portion back to the
-        # on-store name before handing it to Spark/Hadoop
+        # on-store name, preserving any query/fragment (e.g. an S3
+        # ?versionId=…) verbatim.  Escape-free paths short-circuit
+        # (decode is the identity); for the rare escaped path, prefer
+        # the RAW name when it actually exists on the store — logs
+        # written by non-encoding writers (this repo before r4) store
+        # the on-store name verbatim, so a literal '%20' in the name
+        # must not be decoded away.
         parts = urlsplit(rel)
+        if "%" not in parts.path:
+            return rel
+        try:
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                _jvm, p, fs = _hadoop_fs(spark, rel)
+                if fs.exists(p):
+                    return rel
+        except Exception:
+            pass  # no session / unreachable store: fall through to spec
         return urlunsplit(
-            (parts.scheme, parts.netloc, unquote(parts.path), "", "")
+            (parts.scheme, parts.netloc, unquote(parts.path),
+             parts.query, parts.fragment)
         )
     if os.path.isabs(rel):
-        # absolute LOCAL path (shallow clone of a local src): decode
-        # per spec, falling back to the raw form for logs written by
-        # non-encoding writers
+        # absolute LOCAL path (shallow clone of a local src): raw
+        # first for the same non-encoding-writer logs, else decode
+        # per spec
+        if "%" not in rel or os.path.exists(rel):
+            return rel
         decoded = unquote(rel)
         return decoded if os.path.exists(decoded) else rel
     raw = os.path.join(location, rel)

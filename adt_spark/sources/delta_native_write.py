@@ -110,8 +110,10 @@ def _is_already_exists_error(exc: Exception) -> bool:
             break
         seen += 1
     # last resort for FS impls that signal the race as a plain
-    # IOException with only a message (RawLocalFileSystem does)
-    return "already exist" in str(exc).lower()
+    # IOException with only a message — keep the broad pre-class-walk
+    # match ("exist" covers both "already exists" and POSIX EEXIST's
+    # "File exists") so no previously-detected race is re-raised raw
+    return "exist" in str(exc).lower()
 
 
 def _fs_write_new(spark, url: str, payload: bytes) -> None:

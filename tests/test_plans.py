@@ -518,6 +518,15 @@ def test_matryoshka_two_topk_passes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_exclude_minmax_single_exchange(spark, sf_dir):
+    """q_window_exclude_minmax: the injected dense_rank and every
+    half-frame window share the partition key — exactly ONE exchange;
+    Spark re-sorts for the dr-keyed windows but never re-shuffles."""
+    plan = _formatted(_q(spark, sf_dir, "q_window_exclude_minmax"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
+
+
 def test_lsh_recall_bucketed_topk(spark, sf_dir):
     """ann_lsh_recall: two WindowGroupLimit top-k passes (exact +
     LSH-bucketed), the LSH candidates bucket-keyed — no cartesian;
