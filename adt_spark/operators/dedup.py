@@ -1016,13 +1016,15 @@ _PAIRS_SQL = f"""
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    pairs AS (
-        SELECT doc_a, doc_b
+    truth AS (
+        SELECT doc_a, doc_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
         FROM common
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
-    )
+    ),
+    pairs AS (SELECT doc_a, doc_b FROM truth)
 """
 
 
@@ -1747,6 +1749,93 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (c.cast("double") / (na + nb - c)).alias("jaccard_exact"),
             (agree.cast("double") / _N_HASHES).alias("jaccard_est"),
+        )
+    )
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    dsh AS (
+        SELECT doc_id, {_D_DHASH} AS d FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id,
+           {_SIG_SQL}
+        FROM dsh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id,
+           {_BAND_KEYS_SQL}
+        FROM sigs
+    ),
+    exploded AS (
+{_BAND_UNION_SQL}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM exploded a JOIN exploded b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    bucketed AS (
+        SELECT floor(t.jaccard * 20) / 20 AS bucket_lo,
+               count(*) AS n_true,
+               count(c.doc_a) AS n_caught
+        FROM truth t
+        LEFT JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        GROUP BY 1
+    )
+    SELECT bucket_lo,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST(n_caught AS DOUBLE) / n_true AS catch_rate,
+           1.0 - (1.0 - bucket_lo * bucket_lo * bucket_lo)
+               * (1.0 - bucket_lo * bucket_lo * bucket_lo)
+               * (1.0 - bucket_lo * bucket_lo * bucket_lo)
+               * (1.0 - bucket_lo * bucket_lo * bucket_lo) AS expected_rate
+    FROM bucketed
+    """,
+    tags=("dedup", "minhash", "eval"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection recall of the banded MinHash index against the EXACT
+    Jaccard-verified truth pairs, per similarity bucket, next to the
+    theoretical S-curve 1−(1−s^r)^b (r={_ROWS_PER_BAND} rows,
+    b={_N_BANDS} bands — Broder 1997 banding analysis): which TRUE
+    near-dup pairs would banding MISS.  dedup_minhash_calibration
+    audits the estimator on pairs the index FOUND; this is the other
+    half — measured catch rate vs theory per 0.05 similarity bucket,
+    the number you check before trusting a banding config on 100 TB.
+
+    Truth comes from the memoized exact PPJoin pairs (the same pair
+    set the CC/canonical stages consume); candidates from the shared
+    banding pipeline (`_lsh_candidates` — one band-bucket shuffle).
+    The recall join is (doc_a, doc_b)-keyed over two pair tables that
+    scale with true-dup density, not corpus²; nothing is
+    force-broadcast.  Exactness: counts are integers, catch_rate is
+    one division, the S-curve is a fixed-order multiply chain over
+    the bucket edge — no cross-row float accumulation anywhere.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    _sigs, cands = _lsh_candidates(_dhash_arrays(_shingle_arrays(docs)))
+    j = truth.join(cands.withColumn("caught", F.lit(1)), ["doc_a", "doc_b"], "left")
+    s = F.col("bucket_lo")
+    miss1 = F.lit(1.0) - s * s * s
+    return (
+        j.withColumn("bucket_lo", F.floor(F.col("jaccard") * 20) / 20)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("caught").alias("n_caught"),
+        )
+        .select(
+            "bucket_lo",
+            "n_true",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_true")).alias("catch_rate"),
+            (F.lit(1.0) - miss1 * miss1 * miss1 * miss1).alias("expected_rate"),
         )
     )
 

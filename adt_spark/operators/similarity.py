@@ -584,8 +584,8 @@ def _lsh_topk_ids(cand: DataFrame) -> DataFrame:
     )
 
 
-def _overlap_vs_exact(full: DataFrame, approx: DataFrame) -> DataFrame:
-    """recall@k tail shared by the LSH evals: per query, how many of
+def _overlap_vs_exact(full: DataFrame, approx: DataFrame, k: int = _TOP_K) -> DataFrame:
+    """recall@k tail shared by the ANN evals: per query, how many of
     the exact top-k (``full``: query_id, neighbor_id) the approximate
     top-k (``approx``: lq, lnb) recovered."""
     return (
@@ -597,7 +597,7 @@ def _overlap_vs_exact(full: DataFrame, approx: DataFrame) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("lnb").alias("n_overlap"),
-            (F.count("lnb").cast("double") / _TOP_K).alias("recall_at_k"),
+            (F.count("lnb").cast("double") / k).alias("recall_at_k"),
         )
     )
 
@@ -1881,6 +1881,114 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("query_id").orderBy("adist", "vec_id")
     )
     return scored.withColumn("_rn", rn).filter(F.col("_rn") <= _PQ_TOPK).drop("_rn")
+
+
+@register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTES}, q AS (
+      SELECT vec_id AS qid, vec AS qvec FROM v
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+    ), lut AS (
+      SELECT q.qid, m.i AS m, cb.cid,
+             list_reduce(list_transform(range({_PQ_SUB}),
+               i -> (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])
+                    * (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])),
+               (a,b) -> a+b) AS ld
+      FROM q CROSS JOIN range({_PQ_M}) m(i) CROSS JOIN cb
+    ), scored AS (
+      SELECT q.qid, p.vec_id,
+             l0.ld + l1.ld + l2.ld + l3.ld AS adist
+      FROM pq_codes p CROSS JOIN q
+      JOIN lut l0 ON l0.qid = q.qid AND l0.m = 0 AND l0.cid = p.c0
+      JOIN lut l1 ON l1.qid = q.qid AND l1.m = 1 AND l1.cid = p.c1
+      JOIN lut l2 ON l2.qid = q.qid AND l2.m = 2 AND l2.cid = p.c2
+      JOIN lut l3 ON l3.qid = q.qid AND l3.m = 3 AND l3.cid = p.c3
+    ), adc AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+              <= {_PQ_TOPK}
+    ), exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               list_reduce(list_transform(range({_DIM}),
+                 i -> (qvec[i+1]-vec[i+1])*(qvec[i+1]-vec[i+1])),
+                 (a,b) -> a+b) AS tdist
+        FROM q CROSS JOIN v)
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id)
+              <= {_PQ_TOPK}
+    )
+    SELECT CAST(f.qid AS BIGINT) AS query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.vec_id) AS DOUBLE) / {_PQ_TOPK} AS recall_at_k
+    FROM exact f
+    LEFT JOIN adc t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+    """,
+    tags=("embedding", "pq", "adc", "ann", "eval"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_PQ_TOPK} of the compressed-domain ADC search against
+    the TRUE squared-L2 top-k over the full vectors — the eval that
+    tells you how much retrieval quality the 64-float → {_PQ_M}-code
+    compression costs before you commit a 100 TB corpus to it
+    (completes the eval family: IVF, LSH, multiprobe and matryoshka
+    each have theirs).
+
+    Cross-engine exactness: the true distance is the same in-order
+    per-element (q_i − v_i)² fold both engines use for the codebook
+    distances (0.0-seeded left fold == DuckDB's list_reduce);
+    both rankings tiebreak (distance ASC, vec_id ASC); recall is an
+    integer count over {_PQ_TOPK}.
+
+    Scale shape: the ADC side is ann_pq_adc_topk's zero-join LUT scan
+    over the code columns; the exact side scans full vectors once per
+    bounded query (that brute-force scan IS the ground truth — an
+    eval over a sampled query set, not a production query path); the
+    overlap join carries k rows per query.  Nothing corpus-sized is
+    broadcast or collected (the {_PQ_NQ} query vectors are the only
+    driver-side rows).
+    """
+    adc = ann_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb")
+    )
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    queries = {
+        int(r.vec_id): list(r.vec)
+        for r in v.filter(
+            (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
+        ).collect()
+    }
+    per_query = []
+    for qid, qvec in sorted(queries.items()):
+        tdist = F.aggregate(
+            F.zip_with(
+                F.array(*[F.lit(float(x)) for x in qvec]),
+                F.col("vec"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        per_query.append(
+            v.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                tdist.alias("tdist"),
+            )
+        )
+    scored = per_query[0]
+    for p in per_query[1:]:
+        scored = scored.unionByName(p)
+    w = W.partitionBy("query_id").orderBy("tdist", "neighbor_id")
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    return _overlap_vs_exact(exact, adc, k=_PQ_TOPK)
 
 
 @register(

@@ -722,3 +722,152 @@ def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 more-like-this retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_NQ = 3        # query docs: doc_id < 3
+_BM25_QTERMS = 8    # query = distinct first-8 tokens of the query doc
+_BM25_TOPK = 5
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH qt AS (
+        SELECT doc_id AS query_id,
+               list_sort(list_distinct((string_split(text, ' '))[1:{_BM25_QTERMS}])) AS terms
+        FROM documents WHERE doc_id < {_BM25_NQ}
+    ),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS nn,
+               CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sumdl
+        FROM documents
+    ),
+    df AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfv
+        FROM toks
+        WHERE term IN (SELECT unnest(terms) FROM qt)
+        GROUP BY term
+    ),
+    dfl AS (SELECT list(struct_pack(t := term, d := dfv) ORDER BY term) AS l FROM df),
+    scored AS (
+        SELECT q.query_id, d.doc_id,
+               list_reduce(list_transform(q.terms, t ->
+                 ((st.nn - list_filter(fl.l, p -> p.t = t)[1].d + 0.5e0)
+                   / (list_filter(fl.l, p -> p.t = t)[1].d + 0.5e0))
+                 * ((CAST(len(list_filter(string_split(d.text, ' '), w -> w = t)) AS DOUBLE) * 2.2e0)
+                   / (CAST(len(list_filter(string_split(d.text, ' '), w -> w = t)) AS DOUBLE)
+                      + 1.2e0 * (0.25e0 + ((0.75e0 * CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+                                           / (st.sumdl / st.nn)))))),
+                 (a, b) -> a + b) AS score
+        FROM qt q CROSS JOIN documents d CROSS JOIN stats st CROSS JOIN dfl fl
+        WHERE d.doc_id <> q.query_id
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= {_BM25_TOPK}
+    """,
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 more-like-this retrieval (Robertson–Sparck Jones / Okapi,
+    k1=1.2, b=0.75): for each of the {_BM25_NQ} lowest doc_ids, use
+    its distinct first-{_BM25_QTERMS} tokens as the query and return
+    the top-{_BM25_TOPK} other documents — the lexical-retrieval
+    primitive of RAG pipelines and the classic sparse baseline next
+    to the ANN family here.
+
+    Cross-engine exactness (the text_tfidf_top_terms discipline,
+    extended): idf is the exact RATIONAL form (N − df + 0.5)/(df +
+    0.5) — same ranking class as the log form, but log is
+    libm-dependent and not bit-reproducible across engines; every
+    constant (1.2, 2.2, 0.25, 0.75) appears as the same literal on
+    both sides (never computed: 1.2+1.0 and the literal 2.2 are
+    DIFFERENT doubles); and the per-document score folds the
+    term scores in sorted-term order as one fixed expression chain —
+    no cross-row float accumulation anywhere, so the sum is
+    bit-identical to DuckDB's list_reduce over list_sort'ed terms.
+
+    Scale shape: the query-term list ({_BM25_NQ}×{_BM25_QTERMS},
+    bounded by construction) is collected to plan literals; corpus
+    statistics (N, Σdl, per-term df) are ONE 1-row scan-aggregate
+    cross-joined as a broadcast — so scoring is a zero-shuffle
+    corpus scan (tf via per-row array filters, no inverted index
+    materialized), and the only shuffle is the per-query top-k
+    window (WindowGroupLimit heaps).  This is the same
+    broadcast-bounded / scan-linear shape as ann_topk_bruteforce,
+    with the df aggregate replacing the query-vector literals.
+    """
+    from pyspark.sql import Window as W
+
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    qrows = (
+        docs.filter(F.col("doc_id") < _BM25_NQ)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.slice(toks, 1, _BM25_QTERMS))
+            ).alias("terms"),
+        )
+        .collect()
+    )
+    queries = {int(r.doc_id): list(r.terms) for r in qrows}
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    stats = docs.agg(
+        F.count("*").cast("double").alias("nn"),
+        F.sum(F.size(toks)).cast("double").alias("sumdl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).cast("double").alias(f"df_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    dfcol = {t: F.col(f"df_{i}") for i, t in enumerate(all_terms)}
+    dl = F.size(toks).cast("double")
+    avgdl = F.col("sumdl") / F.col("nn")
+
+    def term_score(t: str):
+        tfv = F.size(F.filter(toks, lambda w: w == F.lit(t))).cast("double")
+        dfv = dfcol[t]
+        idf = (F.col("nn") - dfv + F.lit(0.5)) / (dfv + F.lit(0.5))
+        return idf * (
+            (tfv * F.lit(2.2))
+            / (tfv + F.lit(1.2) * (F.lit(0.25) + ((F.lit(0.75) * dl) / avgdl)))
+        )
+
+    structs = []
+    for qid in sorted(queries):
+        sc = None
+        for t in queries[qid]:  # array_sort order == oracle's list_sort order
+            s = term_score(t)
+            sc = s if sc is None else sc + s
+        structs.append(
+            F.struct(
+                F.lit(qid).cast("long").alias("query_id"), sc.alias("score")
+            )
+        )
+    scored = (
+        spread(docs)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.explode(F.array(*structs)).alias("qs"))
+        .select(
+            F.col("qs.query_id").alias("query_id"),
+            "doc_id",
+            F.col("qs.score").alias("score"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= _BM25_TOPK)
+        .withColumn("rn", F.col("rn").cast("int"))
+    )

@@ -536,6 +536,40 @@ def test_lsh_recall_bucketed_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_scan_linear(spark, sf_dir):
+    """text_bm25_topk: scoring is a zero-join corpus scan — the only
+    join is the broadcast 1-row stats cross-join (BNLJ), the only
+    Generate is the bounded query-struct explode, and the top-k is
+    one WindowGroupLimit window; no inverted index, no corpus-keyed
+    shuffle join."""
+    plan = _formatted(_q(spark, sf_dir, "text_bm25_topk"))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one BNLJ node: the 1-row stats join
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_recall_no_forced_broadcast(spark, sf_dir):
+    """dedup_minhash_recall: both pair tables grow with true-dup
+    density — neither may be force-broadcast; the band-bucket join
+    and the (doc_a, doc_b) recall join survive threshold=-1 as
+    shuffle joins (forced hints would keep a BroadcastExchange)."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "dedup_minhash_recall"))
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_recall_two_topk(spark, sf_dir):
+    """ann_pq_recall: exact and ADC rankings are both WindowGroupLimit
+    top-k passes; ADC scoring stays the zero-join LUT scan — never a
+    cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "ann_pq_recall"))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_gopher_rules_scan_only(spark, sf_dir):
     """quality_gopher_rules claims a pure projection: zero shuffles,
     zero explodes — word stats come from higher-order functions over
