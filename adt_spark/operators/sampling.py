@@ -215,3 +215,148 @@ def q_source_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_share"),
         F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-unigram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64           # hashed feature buckets
+_DSIR_TARGET = "src0"  # the "high-quality domain" whose distribution we match
+
+# term → bucket: fold the first 4 hex chars of md5(term) to an int
+# (the _D_DHASH discipline from dedup.py, truncated), mod the bucket
+# count — deterministic and engine-identical.
+_DSIR_H4 = " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(md5(term), {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tb AS (
+        SELECT doc_id, source, ({_DSIR_H4}) % {_DSIR_B} AS bucket FROM toks
+    ),
+    bstats AS (
+        SELECT bucket,
+               sum(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct,
+               count(*) AS cr
+        FROM tb GROUP BY bucket
+    ),
+    totals AS (SELECT sum(ct) AS tt, sum(cr) AS rr FROM bstats),
+    db AS (
+        SELECT doc_id, bucket, count(*) AS nb FROM tb GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT d.doc_id, d.bucket, d.nb,
+               CAST(d.nb AS DOUBLE)
+               * ((CAST(b.ct + 1 AS DOUBLE) * CAST(t.rr + {_DSIR_B} AS DOUBLE))
+                  / (CAST(b.cr + 1 AS DOUBLE) * CAST(t.tt + {_DSIR_B} AS DOUBLE))) AS c
+        FROM db d JOIN bstats b USING (bucket) CROSS JOIN totals t
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(sum(nb) AS BIGINT) AS n_tokens,
+               list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(b := bucket, c := c))),
+                   x -> x.c),
+                 (a, b) -> a + b) AS s
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           s / CAST(n_tokens AS DOUBLE) AS weight,
+           s / CAST(n_tokens AS DOUBLE) > 1.0e0 AS selected
+    FROM w
+    """,
+    tags=("sampling", "importance", "dsir"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram importance weights for data selection (the DSIR
+    recipe — Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", public): estimate a target ('{_DSIR_TARGET}')
+    and a raw unigram distribution over {_DSIR_B} hashed buckets with
+    Laplace smoothing, weight every document by its mean per-token
+    likelihood ratio, and flag the target-like half (weight > 1).
+
+    Estimator note (the text_tfidf_top_terms discipline): DSIR's
+    per-token LOG-ratio sum is replaced by the exact-rational ratio
+    mean — log is libm-dependent and not bit-reproducible across
+    engines, while the ratio ((ct+1)(R+B))/((cr+1)(T+B)) is four
+    exact integer→double casts, two correctly-rounded multiplies and
+    one division, identical everywhere.  High-ratio-bucket-rich
+    documents rank high under both forms; the selection gate is
+    deterministic.  Per-doc accumulation folds the ≤{_DSIR_B} bucket
+    contributions in bucket order (array_sort → in-order aggregate ==
+    DuckDB's list_reduce over list_sort), never a cross-row float
+    sum.  Counts stay exact for corpora up to 2^53 tokens (≈9e15 —
+    two orders past a 100 TB text corpus); beyond that the casts
+    saturate gracefully rather than overflow.
+
+    Scale shape: one token explode feeding a (doc, bucket)-keyed
+    two-phase count (the fact shuffle) and a {_DSIR_B}-row bucket
+    aggregate; the bucket table and the 1-row totals are broadcast —
+    bounded by construction ({_DSIR_B} is a constant), the one join
+    pattern F.broadcast is FOR.  The per-doc fold is the second
+    uniform shuffle.  No corpus-sized table is ever broadcast or
+    collected.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    tb = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("bigint")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    bstats = tb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, 1).otherwise(0)
+        ).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    totals = bstats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rr"))
+    db = tb.groupBy("doc_id", "bucket").agg(F.count("*").alias("nb"))
+    ratio = (
+        (F.col("ct") + 1).cast("double") * (F.col("rr") + _DSIR_B).cast("double")
+    ) / (
+        (F.col("cr") + 1).cast("double") * (F.col("tt") + _DSIR_B).cast("double")
+    )
+    contrib = (
+        db.join(F.broadcast(bstats), ["bucket"])
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "bucket",
+            "nb",
+            (F.col("nb").cast("double") * ratio).alias("c"),
+        )
+    )
+    w = contrib.groupBy("doc_id").agg(
+        F.sum("nb").alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                lambda x: x["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    weight = F.col("s") / F.col("n_tokens").cast("double")
+    return w.select(
+        "doc_id",
+        "n_tokens",
+        weight.alias("weight"),
+        (weight > F.lit(1.0)).alias("selected"),
+    )

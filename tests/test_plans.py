@@ -570,6 +570,17 @@ def test_pq_recall_two_topk(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_dsir_bounded_broadcasts(spark, sf_dir):
+    """q_dsir_weights: the only broadcast sides are the 64-row bucket
+    table and the 1-row totals (bounded by construction — B is a
+    constant); the corpus-side work is two-phase aggregates, never a
+    cartesian or a corpus-sized broadcast."""
+    plan = _formatted(_q(spark, sf_dir, "q_dsir_weights"))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) <= 2
+    assert plan.count("HashAggregate") >= 4  # two partial+final pairs
+
+
 def test_gopher_rules_scan_only(spark, sf_dir):
     """quality_gopher_rules claims a pure projection: zero shuffles,
     zero explodes — word stats come from higher-order functions over
