@@ -73,6 +73,7 @@ def clear_dedup_state() -> None:
     _GRAMS_MEMO.clear()
     _RARITY_MEMO.clear()
     _POSTINGS_MEMO.clear()
+    _LSH_MEMO.clear()
 
 
 #: (applicationId, documents-plan hash) → materialized positional
@@ -651,13 +652,26 @@ _BAND_UNION_SQL = "\n        UNION ALL\n".join(
 
 
 
+#: (applicationId, dhash-plan hash) → (signatures, candidate pairs).
+#: dedup_minhash_lsh, its calibration auditor AND the recall eval all
+#: consume the same banding pipeline; memoizing the materialized
+#: (sigs, cands) pair means the band-bucket shuffle runs once per
+#: session+corpus instead of once per consuming operator.
+_LSH_MEMO: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
+
+
 def _lsh_candidates(dhash: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(signatures, candidate pairs) from the banded minhash index —
-    the ONE banding pipeline dedup_minhash_lsh and its calibration
-    auditor share (a band-count or key-derivation change must move
-    both together).  Signatures and band keys are materialized via
-    localCheckpoint (tiny; re-deriving the 12 folds per consuming
-    plan appearance measured much slower)."""
+    the ONE banding pipeline dedup_minhash_lsh, its calibration
+    auditor and dedup_minhash_recall share (a band-count or
+    key-derivation change must move all three together).  Signatures
+    and band keys are materialized via localCheckpoint (tiny;
+    re-deriving the 12 folds per consuming plan appearance measured
+    much slower) and the pair is memoized per session+corpus."""
+    key = (dhash.sparkSession.sparkContext.applicationId, dhash.semanticHash())
+    memo = _LSH_MEMO.get(key)
+    if memo is not None:
+        return memo
     sigs = (
         dhash.filter(F.size("dhash_arr") > 0)
         .select("doc_id", *_minhash_sig_cols())
@@ -687,7 +701,9 @@ def _lsh_candidates(dhash: DataFrame) -> tuple[DataFrame, DataFrame]:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    _LSH_MEMO[key] = (sigs, cands)
     return sigs, cands
 
 
