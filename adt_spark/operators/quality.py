@@ -511,6 +511,114 @@ def text_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, u.i AS pos, ts[u.i] AS w1, ts[u.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ),
+    uni AS (
+      SELECT token, count(*) AS cu
+      FROM (SELECT unnest(ts) AS token FROM t) GROUP BY token
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    bcnt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id, b.pos,
+             CAST(bcnt.cb + 1 AS DOUBLE) / (uni.cu + (SELECT v FROM vocab))
+               AS p
+      FROM big b
+      JOIN bcnt ON bcnt.w1 = b.w1 AND bcnt.w2 = b.w2
+      JOIN uni ON uni.token = b.w1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           list_sum(list_transform(
+               list_sort(list({'pos': pos, 'p': p})), s -> s.p)) / count(*)
+             AS mean_bigram_prob
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "bigram", "lm"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score: each doc's mean Laplace-smoothed
+    conditional bigram probability P(w_i | w_{i-1}) = (c(w_{i-1}w_i) +
+    1) / (c(w_{i-1}) + V) under the corpus's own counts — the CCNet
+    idea (Wenzek et al. 2020 score docs with an LM and threshold on
+    the per-token score) with the corpus itself as the model, one
+    order above text_unigram_prob (word-soup with plausible words but
+    implausible SEQUENCES scores low here and normal there).
+
+    Deliberate deviation, documented: CCNet reports perplexity
+    (exp of mean negative log-prob); log is libm-dependent (the
+    text_unigram_prob / text_bm25_topk rule), so the score is the
+    mean raw probability — a monotone-equivalent threshold signal
+    with zero transcendentals.
+
+    Bit-exactness: each probability is ONE exact-int-ratio double
+    division ((cb+1) and (cu+V) are exact BIGINTs); the per-doc sum
+    folds in POSITION order (array_sort struct fold == DuckDB
+    list_sum over list_sort), so no cross-row accumulation-order
+    hazard; single-token docs have no bigram and are absent from both
+    engines' outputs by construction.
+
+    Scale shape: bigrams are built in array-land per row (no window,
+    no self-join) and exploded; counts are two uniform two-phase
+    shuffles (bigram table and unigram table — both heavy-hitter
+    tolerant via map-side partials); the re-join is equi-keyed on
+    (w1, w2) / w1 (broadcast when the tables fit, shuffle-hash
+    otherwise — Catalyst picks); V and nothing else touches the
+    driver.  Survives 100 TB because every stage keys on
+    uniformly-distributed token text, never on doc_id skew.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    ts = F.split("text", " ")
+    # adjacent pairs in array-land; sequence(1, 0) DESCENDS, so guard
+    # single-token docs (same discipline as the shingle builders)
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+    big = spread(docs).select("doc_id", F.inline(pairs))
+    tok = spread(docs).select("doc_id", F.explode(ts).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(uni, big["w1"] == uni["token"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))).alias("p"),
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))), lambda s: s["p"]
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (fold / F.count(F.lit(1))).alias("mean_bigram_prob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gopher rule-based quality gate (Rae et al. 2021, appendix A1.1)
 # ---------------------------------------------------------------------------

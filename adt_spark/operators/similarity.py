@@ -1735,10 +1735,14 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_encode(v, anchors)
 
 
-def _pq_encode(v: DataFrame, anchors: dict[int, list[float]]) -> DataFrame:
+def _pq_encode(
+    v: DataFrame, anchors: dict[int, list[float]], extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Encode (vec_id, vec) rows against a PQ codebook — the shared
-    kernel of emb_pq_assign (encoding) and ann_pq_adc_topk (which
-    searches the codes)."""
+    kernel of emb_pq_assign (encoding), ann_pq_adc_topk (which
+    searches the codes) and ann_ivf_pq_topk (which carries the IVF
+    cell through via ``extra`` so assignment + encoding stay one
+    projection of one scan)."""
 
     def sub_argmin(m: int):
         sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
@@ -1765,9 +1769,10 @@ def _pq_encode(v: DataFrame, anchors: dict[int, list[float]]) -> DataFrame:
         return F.array_min(F.array(*structs))
 
     best = [sub_argmin(m).alias(f"b{m}") for m in range(_PQ_M)]
-    out = v.select("vec_id", *best)
+    out = v.select("vec_id", *extra, *best)
     return out.select(
         "vec_id",
+        *extra,
         *[F.col(f"b{m}").getField("cid").cast("int").alias(f"code_{m}") for m in range(_PQ_M)],
         (
             F.col("b0").getField("dist")
@@ -1780,6 +1785,20 @@ def _pq_encode(v: DataFrame, anchors: dict[int, list[float]]) -> DataFrame:
 
 _PQ_NQ = 2   # ADC query count (vec_ids _PQ_K .. _PQ_K+_PQ_NQ-1)
 _PQ_TOPK = 5
+
+#: true squared-L2 top-k over the full vectors — the ground-truth CTE
+#: shared by ann_pq_recall's and ann_ivfpq_recall's oracles (assumes
+#: the _PQ_CTES ``v`` and a ``q(qid, qvec)`` CTE are in scope).
+_TRUE_L2_TOPK_CTE = f"""exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, v.vec_id,
+               list_reduce(list_transform(range({_DIM}),
+                 i -> (qvec[i+1]-vec[i+1])*(qvec[i+1]-vec[i+1])),
+                 (a,b) -> a+b) AS tdist
+        FROM q CROSS JOIN v)
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id)
+              <= {_PQ_TOPK}
+    )"""
 
 
 @register(
@@ -1853,7 +1872,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += d * d
         return acc
 
-    per_query = []
+    # one scan over the codes emits every query's LUT sum per row (a
+    # per-query union would re-run the PQ encoding once per query)
+    qstructs = []
     for qid, qvec in sorted(queries.items()):
         adist = None
         for m in range(_PQ_M):
@@ -1865,16 +1886,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             term = F.element_at(lut, F.col(f"code_{m}") + 1)
             adist = term if adist is None else adist + term
-        per_query.append(
-            codes.select(
+        qstructs.append(
+            F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                "vec_id",
                 adist.alias("adist"),
             )
         )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionByName(p)
+    scored = codes.select(
+        "vec_id", F.explode(F.array(*qstructs)).alias("qs")
+    ).select(F.col("qs.query_id").alias("query_id"), "vec_id",
+             F.col("qs.adist").alias("adist"))
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(
@@ -1908,16 +1929,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, vec_id FROM scored
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
               <= {_PQ_TOPK}
-    ), exact AS (
-      SELECT qid, vec_id FROM (
-        SELECT q.qid, v.vec_id,
-               list_reduce(list_transform(range({_DIM}),
-                 i -> (qvec[i+1]-vec[i+1])*(qvec[i+1]-vec[i+1])),
-                 (a,b) -> a+b) AS tdist
-        FROM q CROSS JOIN v)
-      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id)
-              <= {_PQ_TOPK}
-    )
+    ), {_TRUE_L2_TOPK_CTE}
     SELECT CAST(f.qid AS BIGINT) AS query_id,
            CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
            CAST(count(t.vec_id) AS DOUBLE) / {_PQ_TOPK} AS recall_at_k
@@ -1952,6 +1964,14 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = ann_pq_adc_topk(spark, sf_dir).select(
         F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb")
     )
+    return _overlap_vs_exact(_true_l2_topk(spark, sf_dir), adc, k=_PQ_TOPK)
+
+
+def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-k per bounded query over the full vectors
+    — the shared ground truth of ann_pq_recall and ann_ivfpq_recall
+    (Spark twin of _TRUE_L2_TOPK_CTE; same in-order per-element fold,
+    same (tdist, vec_id) tiebreak)."""
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
@@ -1961,7 +1981,9 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
         ).collect()
     }
-    per_query = []
+    # one corpus scan emits every query's distance per row (a
+    # per-query union would rescan the full vectors once per query)
+    qstructs = []
     for qid, qvec in sorted(queries.items()):
         tdist = F.aggregate(
             F.zip_with(
@@ -1972,23 +1994,255 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        per_query.append(
-            v.select(
+        qstructs.append(
+            F.struct(
                 F.lit(qid).cast("long").alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
                 tdist.alias("tdist"),
             )
         )
-    scored = per_query[0]
-    for p in per_query[1:]:
-        scored = scored.unionByName(p)
+    scored = v.select(
+        F.col("vec_id").alias("neighbor_id"), F.explode(F.array(*qstructs)).alias("qs")
+    ).select(F.col("qs.query_id").alias("query_id"), "neighbor_id",
+             F.col("qs.tdist").alias("tdist"))
     w = W.partitionBy("query_id").orderBy("tdist", "neighbor_id")
-    exact = (
+    return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
     )
-    return _overlap_vs_exact(exact, adc, k=_PQ_TOPK)
+
+
+#: dot over the already-DOUBLE ``v.vec`` arrays (the _PQ_CTES cast) —
+#: same ascending-i left fold as _DOT_SQL_T / _dot, no per-element cast.
+_DOT_D_SQL_T = (
+    "list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i]))"
+)
+
+#: IVFPQ derivation through the per-candidate ADC scores — single copy
+#: shared by ann_ivf_pq_topk and ann_ivfpq_recall (the exactness-
+#: critical text moves both oracles together).
+_IVFPQ_SCORED_CTES = f"""{_PQ_CTES}, cents AS (
+      SELECT vec_id AS cell, vec AS cv FROM v WHERE vec_id < {_N_CELLS}
+    ), sc AS (
+      SELECT e.vec_id, c.cell,
+             {_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='c.cv')}
+               / (sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='e.vec')})
+                  * sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='c.cv', b='c.cv')}))
+               AS ccos
+      FROM v e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cell FROM sc
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell) = 1
+    ), qprobe AS (
+      SELECT vec_id AS qid, cell FROM sc
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell) <= {_N_PROBE}
+    ), q AS (
+      SELECT vec_id AS qid, vec AS qvec FROM v
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+    ), lut AS (
+      SELECT q.qid, m.i AS m, cb.cid,
+             list_reduce(list_transform(range({_PQ_SUB}),
+               i -> (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])
+                    * (qvec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])),
+               (a,b) -> a+b) AS ld
+      FROM q CROSS JOIN range({_PQ_M}) m(i) CROSS JOIN cb
+    ), scored AS (
+      SELECT pr.qid, p.vec_id, a2.cell,
+             l0.ld + l1.ld + l2.ld + l3.ld AS adist
+      FROM pq_codes p
+      JOIN assigned a2 ON a2.vec_id = p.vec_id
+      JOIN qprobe pr ON pr.cell = a2.cell AND pr.qid <> p.vec_id
+      JOIN lut l0 ON l0.qid = pr.qid AND l0.m = 0 AND l0.cid = p.c0
+      JOIN lut l1 ON l1.qid = pr.qid AND l1.m = 1 AND l1.cid = p.c1
+      JOIN lut l2 ON l2.qid = pr.qid AND l2.m = 2 AND l2.cid = p.c2
+      JOIN lut l3 ON l3.qid = pr.qid AND l3.m = 3 AND l3.cid = p.c3
+    )"""
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}
+    SELECT CAST(qid AS BIGINT) AS query_id, vec_id,
+           CAST(cell AS INT) AS cell, adist
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+            <= {_PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "adc"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search (Jégou et al. 2011 §V; FAISS ``IndexIVFPQ``) — the
+    composition that actually runs at billion-vector scale: an IVF
+    coarse quantizer ({_N_CELLS} cosine cells) prunes the corpus to
+    the query's {_N_PROBE} probed inverted lists, and candidates are
+    scored in the compressed domain via the PQ ADC lookup tables
+    instead of full-vector distances.  Completes the ANN family:
+    ann_ivf_probe prunes but scores exact, ann_pq_adc_topk scores
+    compressed but scans everything — this does both.
+
+    Cross-engine exactness: cell cosines divide the ascending-k dot
+    fold by the PRODUCT of correctly-rounded sqrts (same grouping in
+    Python, Spark and the oracle); assignment and probe rank
+    (ccos DESC, cell) — a total order; LUT entries are the in-order
+    16-term folds shared with ann_pq_adc_topk; the final top-k
+    tiebreaks (adist, vec_id).
+
+    Scale shape — the whole point: cell assignment (argmin over
+    {_N_CELLS} centroid literals), PQ encoding ({_PQ_M} sub-argmins
+    over codebook literals) and the probed-cell membership filter are
+    ONE zero-shuffle projection of ONE corpus scan; the probe set per
+    query is a driver-side literal over the bounded centroid/query
+    collect (at deployment the codes table is partitioned by cell, so
+    the ``cell IN (...)`` literal IS partition pruning), and the only
+    shuffle anywhere is the final per-query WindowGroupLimit top-k
+    over the probed candidates.  The reference has no ANN surface
+    (dedup/ANN family is the beyond-reference pipeline mandate).
+    """
+    import math
+
+    from adt_spark.context import spread
+
+    v = spread(
+        tables(spark, sf_dir)["embeddings"].select("vec_id", _vec_double().alias("vec"))
+    )
+    # one bounded collect serves codebook (0..{K}), queries and cells
+    small = {
+        int(r.vec_id): list(r.vec)
+        for r in v.filter(F.col("vec_id") < _N_CELLS).collect()
+    }
+    anchors = {k: small[k] for k in range(_PQ_K) if k in small}
+    queries = {
+        k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small
+    }
+    cells = {k: small[k] for k in range(_N_CELLS) if k in small}
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
+
+    def probe_cells(qvec: list[float]) -> list[int]:
+        qn = math.sqrt(pydot(qvec, qvec))
+        ranked = sorted(
+            (-(pydot(qvec, cv) / (qn * cnorms[cid])), cid)
+            for cid, cv in cells.items()
+        )
+        return [cid for _neg, cid in ranked[:_N_PROBE]]
+
+    # distributed side: assignment is an argmin over centroid literals
+    # fused into the same projection as the PQ sub-argmins — no
+    # centroid join, no per-vector window, zero shuffles
+    nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    cell_structs = [
+        F.struct(
+            (
+                -F.try_divide(
+                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
+                    nrm * F.lit(cnorms[cid]),
+                )
+            ).alias("nc"),
+            F.lit(cid).cast("long").alias("cell"),
+        )
+        for cid, cv in sorted(cells.items())
+    ]
+    assigned = v.select(
+        "vec_id",
+        "vec",
+        F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"),
+    )
+    codes = _pq_encode(assigned, anchors, extra=("cell",))
+
+    def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
+        acc = 0.0
+        for i in range(m * _PQ_SUB, (m + 1) * _PQ_SUB):
+            d = qvec[i] - cvec[i]
+            acc += d * d
+        return acc
+
+    # ONE scan for all queries: each code row emits its per-query
+    # (query_id, adist) structs (probe-membership and self-exclusion
+    # folded into a null-producing when), so assignment + encoding run
+    # once — a per-query union would re-execute the whole projection
+    # per query, N× the scan cost at deployment query counts
+    qstructs = []
+    for qid, qvec in sorted(queries.items()):
+        probed = probe_cells(qvec)
+        adist = None
+        for m in range(_PQ_M):
+            lut = F.array(
+                *[
+                    F.lit(lut_entry(qvec, cvec, m))
+                    for _cid, cvec in sorted(anchors.items())
+                ]
+            )
+            term = F.element_at(lut, F.col(f"code_{m}") + 1)
+            adist = term if adist is None else adist + term
+        qstructs.append(
+            F.when(
+                F.col("cell").isin([int(c) for c in probed])
+                & (F.col("vec_id") != qid),
+                F.struct(
+                    F.lit(qid).cast("long").alias("query_id"),
+                    adist.alias("adist"),
+                ),
+            )
+        )
+    scored = (
+        codes.select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.explode(
+                F.filter(F.array(*qstructs), lambda s: s.isNotNull())
+            ).alias("qs"),
+        )
+        .select(F.col("qs.query_id").alias("query_id"), "vec_id", "cell",
+                F.col("qs.adist").alias("adist"))
+    )
+    rn = F.row_number().over(W.partitionBy("query_id").orderBy("adist", "vec_id"))
+    return scored.withColumn("_rn", rn).filter(F.col("_rn") <= _PQ_TOPK).drop("_rn")
+
+
+@register(
+    "ann_ivfpq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}, ivfpq AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+              <= {_PQ_TOPK}
+    ), {_TRUE_L2_TOPK_CTE}
+    SELECT CAST(f.qid AS BIGINT) AS query_id,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST(count(t.vec_id) AS DOUBLE) / {_PQ_TOPK} AS recall_at_k
+    FROM exact f
+    LEFT JOIN ivfpq t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "eval"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{_PQ_TOPK} of the composed IVFPQ search against the TRUE
+    squared-L2 top-k — measures the COMBINED loss of cell pruning
+    (ann_ivf_recall's quantity) and PQ compression (ann_pq_recall's)
+    in one number, which is the figure a deployment actually tunes
+    (FAISS benchmarks report exactly this for IndexIVFPQ).  With this,
+    every index family AND the flagship composition have their eval.
+
+    Exactness and scale shape are inherited wholesale: the approximate
+    side is ann_ivf_pq_topk's zero-join scan, the truth side is the
+    bounded-query brute-force scan shared with ann_pq_recall
+    (_true_l2_topk), and the overlap join carries k rows per query.
+    """
+    approx = ann_ivf_pq_topk(spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("vec_id").alias("lnb")
+    )
+    return _overlap_vs_exact(_true_l2_topk(spark, sf_dir), approx, k=_PQ_TOPK)
 
 
 @register(

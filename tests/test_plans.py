@@ -727,3 +727,33 @@ def test_adc_topk_no_joins(spark, sf_dir):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_pq_single_scan_no_joins(spark, sf_dir):
+    """ann_ivf_pq_topk claims the full IVFPQ scale story: cell
+    assignment (centroid literals), PQ encoding (codebook literals)
+    and the probed-cell membership filter are ONE zero-join projection
+    of the corpus scan; the only shuffle is the final per-query top-k
+    window.  No join operator of any kind may appear, and the probe
+    must be a literal `cell IN` filter (partition pruning at
+    deployment), not a join against a probe table."""
+    plan = _formatted(_q(spark, sf_dir, "ann_ivf_pq_topk"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_bigram_lm_no_forced_broadcast(spark, sf_dir):
+    """text_bigram_lm_score: bigram/unigram count tables grow with the
+    corpus vocabulary, so under threshold=-1 (100×-scale stats
+    stand-in) the count re-joins must plan as shuffle joins; the only
+    surviving broadcast is the forced 1-row vocabulary-size literal.
+    Never a cartesian."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "text_bigram_lm_score"))
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        # the 1-row V broadcast is the single nested-loop join (each
+        # node prints twice in formatted mode: tree + detail section)
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
