@@ -298,10 +298,10 @@ def _rarity_arrays(docs: DataFrame) -> DataFrame:
 
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+#: the verified Jaccard near-dup pairs as reusable oracle CTEs — the
+#: DuckDB twin of _PAIRS_MEMO (shared by dedup_ngram_jaccard and the
+#: cross-source matrix, exactly as the Spark side shares the memo).
+_JACCARD_PAIRS_CTES = f"""sh AS ({_SHINGLE_SQL}),
     filtered AS (
         SELECT doc_id, shingle FROM sh
         QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_POSTING}
@@ -312,13 +312,22 @@ def _rarity_arrays(docs: DataFrame) -> DataFrame:
         FROM filtered a JOIN filtered b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-    FROM common
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {_JACCARD_T}
+    )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jpairs
     """,
     tags=("dedup", "jaccard"),
 )
@@ -428,6 +437,82 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _PAIRS_MEMO[memo_key] = out
     return out
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           list_sum(list_transform(
+               list_sort(list({{'doc_a': p.doc_a, 'doc_b': p.doc_b,
+                                'j': p.jaccard}})), s -> s.j)) / count(*)
+             AS mean_jaccard
+    FROM jpairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "jaccard", "source", "report"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts by (source, source) — the standard
+    corpus-overlap audit of web-scale pipelines: successive Common
+    Crawl dumps are 30-70 % near-duplicates of each other, and the
+    dump×dump / source×source dup matrix is how RefinedWeb (Penedo
+    2023 §4.2) and Dolma (Soldaini 2024) decide which source pairs
+    need cross-source (vs only within-source) dedup passes.  Emits
+    one row per unordered source pair with the verified Jaccard-pair
+    count and mean similarity.
+
+    Cross-engine exactness: pairs and their jaccards are inherited
+    verbatim from dedup_ngram_jaccard (exact int-ratio doubles); the
+    per-group mean folds in (doc_a, doc_b) order — a total order, so
+    the double sum is order-pinned (rule 2's ordered-fold variant,
+    same as text_unigram_prob); source_a/source_b normalize the pair
+    with least/greatest (binary string compare in both engines).
+
+    Scale shape: the pairs table is the tiny verified near-dup output
+    (memoized — building it is dedup_ngram_jaccard's cost, audited
+    there); labeling is two doc_id-keyed equi-joins that move one
+    (doc_id, source) projection of the corpus scan, and the final
+    aggregate is two-phase over source-pair cardinality (tiny), so
+    nothing here adds a corpus-scale shuffle beyond the shared stem.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = (
+        pairs.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("doc_a", "doc_b", F.col("jaccard").alias("j"))
+                )
+            ),
+            lambda s: s["j"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (fold / F.count(F.lit(1))).alias("mean_jaccard"),
+    )
 
 
 #: overlap-coefficient threshold for containment dedup
