@@ -905,7 +905,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id", F.array_min(F.array(*structs)).getField("cid")
         )
 
-    cents = {int(r.vec_id): r.vec for r in v.filter(F.col("vec_id") < _KM_K).collect()}
+    cents = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _KM_K}
     sums = (
         assign(cents)
         .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
@@ -1311,11 +1311,38 @@ _SEM_BLOCK_ROWS = 100_000
 #: Release with clear_similarity_state() for long-lived sessions.
 _SEM_ASSIGNED_MEMO: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
 
+#: (applicationId, sf_dir) → {vec_id: [double]} for vec_id < _SMALL_N —
+#: the ONE bounded driver collect behind every centroid/codebook/query
+#: literal in this module (k-means seeds, PQ anchors, ADC queries, IVF
+#: cells).  Each consumer previously ran its own filter+collect job;
+#: at sf0.1 that was one extra ~0.5 s Spark job per ANN query, and the
+#: rows are identical by construction (same _vec_double cast of the
+#: same scan).  Bounded: _SMALL_N × _DIM doubles — kilobytes at any
+#: corpus size, the documented driver boundary.
+_SMALL_VECS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
+_SMALL_N = 16  # = max(_KM_K, _PQ_K + _PQ_NQ, _N_CELLS)
+
+
+def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _SMALL_VECS_MEMO.get(key)
+    if memo is None:
+        v = tables(spark, sf_dir)["embeddings"].select(
+            "vec_id", _vec_double().alias("vec")
+        )
+        memo = {
+            int(r.vec_id): list(r.vec)
+            for r in v.filter(F.col("vec_id") < _SMALL_N).collect()
+        }
+        _SMALL_VECS_MEMO[key] = memo
+    return memo
+
 
 def clear_similarity_state() -> None:
     """Release memoized similarity intermediates (checkpoint blocks
     are reclaimed by the ContextCleaner once unreferenced)."""
     _SEM_ASSIGNED_MEMO.clear()
+    _SMALL_VECS_MEMO.clear()
 
 
 def _sem_block_input(spark: SparkSession, sf_dir: str):
@@ -1729,9 +1756,7 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    anchors = {
-        int(r.vec_id): list(r.vec) for r in v.filter(F.col("vec_id") < _PQ_K).collect()
-    }
+    anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
     return _pq_encode(v, anchors)
 
 
@@ -1853,11 +1878,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    # one driver collect serves the codebook AND the query set (the
-    # PQ encoder would otherwise re-collect the same anchors)
+    # the shared memoized collect serves the codebook AND the queries
     small = {
-        int(r.vec_id): list(r.vec)
-        for r in v.filter(F.col("vec_id") < _PQ_K + _PQ_NQ).collect()
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items()
+        if k < _PQ_K + _PQ_NQ
     }
     anchors = {k: small[k] for k in range(_PQ_K) if k in small}
     queries = {k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small}
@@ -1976,10 +2000,8 @@ def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vec_double().alias("vec")
     )
     queries = {
-        int(r.vec_id): list(r.vec)
-        for r in v.filter(
-            (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_NQ)
-        ).collect()
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items()
+        if _PQ_K <= k < _PQ_K + _PQ_NQ
     }
     # one corpus scan emits every query's distance per row (a
     # per-query union would rescan the full vectors once per query)
@@ -2109,11 +2131,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spread(
         tables(spark, sf_dir)["embeddings"].select("vec_id", _vec_double().alias("vec"))
     )
-    # one bounded collect serves codebook (0..{K}), queries and cells
-    small = {
-        int(r.vec_id): list(r.vec)
-        for r in v.filter(F.col("vec_id") < _N_CELLS).collect()
-    }
+    # the shared memoized collect serves codebook, queries and cells
+    small = _small_vecs(spark, sf_dir)
     anchors = {k: small[k] for k in range(_PQ_K) if k in small}
     queries = {
         k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small

@@ -231,6 +231,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
 
 
+@register(
+    "text_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    g AS (
+        SELECT doc_id, len(ts) - 2 AS ng,
+               list_transform(generate_series(1, len(ts) - 2),
+                   i -> md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS grams
+        FROM t WHERE len(ts) >= 3
+    ),
+    sel AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(ng - 3, 1)),
+                   j -> list_sort(list_transform(
+                            generate_series(j, least(j + 3, ng)),
+                            i -> {'fp': grams[i], 'np': -i}))[1]) AS fps
+        FROM g
+    )
+    SELECT DISTINCT doc_id, CAST(-u.s.np AS INT) AS pos, u.s.fp AS fp
+    FROM sel, unnest(fps) AS u(s)
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every word 3-gram, slide a
+    window of w=4 consecutive gram hashes, and select each window's
+    minimum (ties → rightmost, the paper's rule); the distinct
+    selected (position, hash) set is the fingerprint.  Guarantees any
+    shared run of ≥ w+k−1 tokens yields a shared fingerprint — the
+    local-selection property text_fingerprint's single global min
+    lacks — at expected density 2/(w+1), so matching is robust to
+    partial overlap (plagiarism / memorized-span detection, the MOSS
+    use case) while storing ~40 % of the gram count.
+
+    Cross-engine exactness: gram hashes are md5 hex strings (the
+    shared convention), window minima compare (fp ASC, −pos ASC) via
+    struct ordering — identical lexicographic rules in Spark's
+    array_min and DuckDB's list_sort; docs with < 3 tokens have no
+    grams and are absent from both engines' outputs.
+
+    Scale shape: the entire selection is ONE codegen'd projection per
+    row (transform/sequence/array_min in array-land — no explode of
+    windows, no self-join, no shuffle); only the ~2N/(w+1) selected
+    fingerprints ever become rows.  Downstream fingerprint-match
+    joins then key on fp — uniformly-distributed md5, never doc skew.
+    spread(): compute-bound like text_fingerprint (one md5 per token),
+    so the exchange pays for itself.
+    """
+    docs = spread(tables(spark, sf_dir)["documents"])
+    toks = F.split("text", " ")
+    with_g = docs.select(
+        "doc_id",
+        (F.size(toks) - F.lit(2)).alias("ng"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 3))),
+        ).alias("grams"),
+    ).filter(F.col("ng") >= 1)
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("ng") - 3, F.lit(1))),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(j, F.least(j + 3, F.col("ng"))),
+                    lambda i: F.struct(
+                        F.element_at("grams", i).alias("fp"),
+                        (-i).alias("np"),
+                    ),
+                )
+            ),
+        )
+    )
+    return with_g.select("doc_id", F.explode(sel).alias("s")).select(
+        "doc_id",
+        (-F.col("s.np")).cast("int").alias("pos"),
+        F.col("s.fp").alias("fp"),
+    )
+
+
 # GPT-2-style pre-tokenizer approximation: letter runs, digit runs,
 # and non-alnum-non-space runs are separate pieces.  Identical RE2 /
 # Java regex semantics on this corpus (ASCII).

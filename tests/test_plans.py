@@ -757,3 +757,21 @@ def test_bigram_lm_no_forced_broadcast(spark, sf_dir):
         # the 1-row V broadcast is the single nested-loop join (each
         # node prints twice in formatted mode: tree + detail section)
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_winnowing_single_projection(spark, sf_dir):
+    """text_winnowing_fingerprints claims the whole window-min
+    selection happens in array-land inside one projection: no join
+    operators, no aggregate, no window — the only exchange is
+    spread()'s round-robin repartition (compute-bound md5 hashing),
+    and the only row expansion is the explode of the already-selected
+    fingerprints."""
+    plan = _formatted(_q(spark, sf_dir, "text_winnowing_fingerprints"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "HashAggregate" not in plan
+    assert "Window" not in plan
+    # exactly one exchange: the spread round-robin (tree + detail
+    # sections each print the node once)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
