@@ -737,6 +737,66 @@ _BAND_UNION_SQL = "\n        UNION ALL\n".join(
 
 
 
+def _band_key_cols():
+    """The {_N_BANDS} LSH band-bucket keys as column expressions over
+    sig0..sig{_N_HASHES-1}: md5('b<i>|' || sigs of the band) — the ONE
+    key derivation shared by _lsh_candidates, the DuckDB
+    _BAND_KEYS_SQL twin, and the streaming band projection (a
+    derivation change must move all of them together)."""
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(f"b{b}"),
+                *[
+                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(_N_BANDS)
+    ]
+
+
+def band_keys_projection(df: DataFrame) -> DataFrame:
+    """(doc_id, band_key) — {_N_BANDS} rows per document — as a PURE
+    projection chain (no localCheckpoint, no spread), usable on batch
+    AND STREAMING DataFrames: shingle array → per-shingle 32-bit
+    digest → {_N_HASHES} affine-permutation minhash folds → band md5
+    keys, all per-row array algebra.  Batch consumers should prefer
+    the memoized _lsh_candidates pipeline (this recomputes the digest
+    folds per consuming plan appearance); streams CANNOT checkpoint,
+    so ingest-time banding pays the recompute by design — it is one
+    projection over each arriving micro-batch."""
+    toks = F.split(F.col("text"), " ")
+    arr = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dhash = F.transform(
+        arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+    sigs = (
+        df.select("doc_id", dhash.alias("dhash_arr"))
+        .filter(F.size("dhash_arr") > 0)
+        .select("doc_id", *_minhash_sig_cols())
+    )
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*[c for c in _band_key_cols()])).alias("band_key"),
+    )
+
+
 #: (applicationId, dhash-plan hash) → (signatures, candidate pairs).
 #: dedup_minhash_lsh, its calibration auditor AND the recall eval all
 #: consume the same banding pipeline; memoizing the materialized
@@ -762,19 +822,7 @@ def _lsh_candidates(dhash: DataFrame) -> tuple[DataFrame, DataFrame]:
         .select("doc_id", *_minhash_sig_cols())
         .localCheckpoint(eager=False)
     )
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(f"b{b}"),
-                *[
-                    F.col(f"sig{b * _ROWS_PER_BAND + r}").cast("string")
-                    for r in range(_ROWS_PER_BAND)
-                ],
-            )
-        ).alias(f"band{b}")
-        for b in range(_N_BANDS)
-    ]
+    band_cols = _band_key_cols()
     bands = sigs.select("doc_id", *band_cols).localCheckpoint(eager=False)
     exploded = bands.select(
         "doc_id",
@@ -1394,6 +1442,120 @@ def dedup_substring_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (LBFS / FastCDC family)
+# ---------------------------------------------------------------------------
+
+_CDC_K = 3  # boundary-decision context: word 3-gram ending at i
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    b AS (
+      SELECT doc_id, ts,
+             list_concat(list_concat(
+                 [0],
+                 list_filter(generate_series(3, greatest(len(ts) - 1, 2)),
+                     i -> substr(md5(ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i]),
+                                 1, 1) = '0')),
+                 [len(ts)]) AS bpos
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(bpos) - 1),
+                 j -> {'h': md5(array_to_string(
+                                list_slice(ts, bpos[j] + 1, bpos[j+1]), ' ')),
+                       'l': bpos[j+1] - bpos[j]}) AS chunks
+      FROM b
+    ),
+    e AS (SELECT doc_id, u.c.h AS h, u.c.l AS l FROM c, unnest(chunks) AS u(c))
+    SELECT h AS chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(l) AS INT) AS tok_len
+    FROM e
+    GROUP BY h
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    tags=("dedup", "cdc", "chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-document chunk dedup (the
+    LBFS cut-point idea — Muthitacharoen et al., "A Low-Bandwidth
+    Network File System", SOSP 2001 §3.1; refined by FastCDC, ATC
+    2016): a chunk boundary falls after token i exactly when the hash
+    of the 3-gram ENDING at i starts with a '0' nibble (p = 1/16 →
+    ~16-token expected chunks).  Because the cut decision depends
+    only on local content, an insertion early in a document does NOT
+    shift later boundaries — unlike fixed-size chunking — so shared
+    passages land in identical chunks and dedup across documents.
+    Emits every chunk appearing in ≥ 2 documents: the storage-dedup /
+    shared-boilerplate inventory, complementary to
+    dedup_substring_repeats (all k-windows) with ~k× fewer rows.
+
+    Cross-engine exactness: boundaries and chunk hashes are md5 hex
+    (the shared convention); bpos/chunk construction is pure integer
+    array algebra; counts are pinned BIGINT/INT.
+
+    Scale shape: boundary detection and chunk assembly are ONE
+    array-land projection per row (no window functions, no
+    self-join); the explode emits ~n/16 chunk rows per doc; the only
+    shuffle is the (uniform 128-bit) chunk-hash aggregation with
+    map-side partials, and HAVING prunes the singleton mass.  A hot
+    boilerplate chunk is absorbed by the partial aggregation — count
+    only, never a join fan-out.
+    """
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"])
+    toks = F.split("text", " ")
+    cut = F.when(
+        F.col("_n") >= 4,
+        F.filter(
+            F.sequence(F.lit(3), F.greatest(F.col("_n") - 1, F.lit(3))),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(F.col("_ts"), i - 2, 3))
+            ).substr(1, 1)
+            == "0",
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = docs.select(
+        "doc_id", toks.alias("_ts"), F.size(toks).alias("_n")
+    ).withColumn(
+        "bpos",
+        F.concat(F.array(F.lit(0)), cut, F.array(F.col("_n"))),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("bpos") - 1),
+        lambda j: F.struct(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("_ts"),
+                        F.element_at("bpos", j) + 1,
+                        F.element_at("bpos", j + 1) - F.element_at("bpos", j),
+                    ),
+                )
+            ).alias("h"),
+            (F.element_at("bpos", j + 1) - F.element_at("bpos", j)).alias("l"),
+        ),
+    )
+    return (
+        staged.select("doc_id", F.explode(chunks).alias("c"))
+        .groupBy(F.col("c.h").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("c.l").cast("int").alias("tok_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )
 
 

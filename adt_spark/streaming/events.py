@@ -440,6 +440,57 @@ def streaming_docs_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_to_memory(admitted, spark, "append")
 
 
+@register(
+    "streaming_docs_neardup_ingest", oracle=None, tags=("streaming", "dedup", "lsh")
+)
+def streaming_docs_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate flagging at ingest — the MinHash-LSH
+    counterpart of ``streaming_docs_dedup_ingest``'s exact-hash gate:
+    each arriving document (the doc_id % 10 == 0 slice standing in
+    for today's crawl) is banded with the SAME 12-permutation /
+    4-band pipeline as the batch ``dedup_minhash_lsh`` (shared
+    ``band_keys_projection``), and a stream-static equi-join on the
+    band bucket key flags every (new_doc, corpus_doc) candidate pair
+    the batch banding would produce — online, per micro-batch,
+    without waiting for the nightly dedup run.
+
+    Scale posture: the static side is the corpus band index (4 rows ×
+    corpus — at real scale a maintained Delta table, refreshed by the
+    batch pipeline) joined on the uniform md5 band key, NEVER
+    force-broadcast; the stream side pays one banding projection per
+    arriving row (pure array algebra, JVM-only) and the band join is
+    the identical equi-join shape the batch operator shuffles on.
+    dropDuplicates keys on the candidate PAIR — state bounded by true
+    candidates, not the corpus.  Downstream, flagged pairs feed the
+    same verify-then-cluster path as the batch operator; banding at
+    r=3 rows/band keeps the candidate fan-out at the calibrated
+    S-curve rate (dedup_minhash_calibration measures it).
+
+    Batch-agreement: tests/test_streaming.py pins the flagged pair
+    set to the identical batch band join over the same slice split
+    (driver records rows-only).
+    """
+    from adt_spark.operators.dedup import band_keys_projection
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    static_schema = spark.read.parquet(docs_path).schema
+    corpus_bands = band_keys_projection(
+        spark.read.parquet(docs_path).filter(F.col("doc_id") % 10 != 0)
+    ).withColumnRenamed("doc_id", "corpus_doc_id")
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(_stream_glob(docs_path))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    flagged = (
+        band_keys_projection(stream)
+        .join(corpus_bands, "band_key")
+        .select("doc_id", "corpus_doc_id")
+        .dropDuplicates(["doc_id", "corpus_doc_id"])
+    )
+    return _drain_to_memory(flagged, spark, "append")
+
+
 @register("streaming_anomaly_alerts", oracle=None, tags=("streaming", "anomaly"))
 def streaming_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 3-sigma anomaly alerting: per-type thresholds are

@@ -227,6 +227,36 @@ def test_streaming_docs_dedup_matches_batch_admit_set(spark, sf_dir):
     assert got.count() == got.select("chash").distinct().count()  # in-stream dedup held
 
 
+def test_streaming_neardup_matches_batch_band_join(spark, sf_dir):
+    """streaming_docs_neardup_ingest == the batch band join over the
+    same slice split: the shared band_keys_projection guarantees key
+    derivation parity, so the flagged (new_doc, corpus_doc) pair set
+    must match exactly (and contain no duplicates — the pair-keyed
+    dropDuplicates state held)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.operators.dedup import band_keys_projection
+
+    got = load_all()["streaming_docs_neardup_ingest"].spark_fn(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new_bands = band_keys_projection(docs.filter(F.col("doc_id") % 10 == 0))
+    corpus_bands = band_keys_projection(
+        docs.filter(F.col("doc_id") % 10 != 0)
+    ).withColumnRenamed("doc_id", "corpus_doc_id")
+    batch_pairs = (
+        new_bands.join(corpus_bands, "band_key")
+        .select("doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    got_rows = got.collect()
+    got_set = {(r.doc_id, r.corpus_doc_id) for r in got_rows}
+    want = {(r.doc_id, r.corpus_doc_id) for r in batch_pairs.collect()}
+    assert got_set == want and len(want) > 0
+    assert len(got_rows) == len(got_set)  # pair-keyed dedup state held
+
+
 def test_anomaly_alerts_stream_matches_batch(spark, sf_dir):
     """streaming_anomaly_alerts drains to exactly the oracle-checked
     q_events_anomaly batch output (thresholds trained on the same
