@@ -515,6 +515,89 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_contrastive_pairs",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_CTES},
+    ring AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bk
+        FROM documents
+    ),
+    neg AS (
+        SELECT doc_id,
+               coalesce(lead(doc_id) OVER w,
+                        first_value(doc_id) OVER (
+                            PARTITION BY bk ORDER BY h, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)) AS negid
+        FROM ring
+        WINDOW w AS (PARTITION BY bk ORDER BY h, doc_id)
+    )
+    SELECT p.doc_a AS anchor_id, p.doc_b AS positive_id,
+           CASE WHEN n.negid = p.doc_a OR n.negid = p.doc_b THEN NULL
+                ELSE n.negid END AS negative_id,
+           p.jaccard
+    FROM jpairs p JOIN neg n ON n.doc_id = p.doc_a
+    """,
+    tags=("dedup", "contrastive", "mining"),
+)
+def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-triple mining: (anchor, positive,
+    negative) rows for embedding-model training, with positives from
+    the verified near-dup pairs (the standard weak-supervision trick
+    — near-duplicates are semantically equivalent text, cf. Inverse
+    Cloze / SimCSE-style pair construction over web corpora) and
+    in-batch-style random negatives drawn DETERMINISTICALLY from a
+    hash ring: each doc's negative is the next doc in md5(doc_id)
+    order within its 16-way hash bucket (wrapping to the bucket's
+    first), NULLed if it collides with the anchor or positive.
+
+    Cross-engine exactness: the ring order (md5 hex, doc_id) is a
+    total order; lead/first_value over it is deterministic in both
+    engines; pair set and jaccard are inherited from
+    dedup_ngram_jaccard.
+
+    Scale shape: the negative ring is a window PARTITIONED by the
+    uniform hash bucket — parallel, never a single global sort (at
+    larger corpora widen the bucket prefix; the semantics stay
+    per-bucket); the anchor join is one doc_id equi-join bounded by
+    the (tiny) verified pair set; the expensive stem is the memoized
+    PPJoin, audited at dedup_ngram_jaccard.
+    """
+    from pyspark.sql import Window
+
+    docs = tables(spark, sf_dir)["documents"]
+    ring = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("bk", F.substring("h", 1, 1))
+    w = Window.partitionBy("bk").orderBy("h", "doc_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    neg = ring.select(
+        "doc_id",
+        F.coalesce(
+            F.lead("doc_id").over(w), F.first("doc_id").over(wfull)
+        ).alias("negid"),
+    )
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return (
+        pairs.join(neg, pairs["doc_a"] == neg["doc_id"])
+        .select(
+            F.col("doc_a").alias("anchor_id"),
+            F.col("doc_b").alias("positive_id"),
+            F.when(
+                (F.col("negid") == F.col("doc_a"))
+                | (F.col("negid") == F.col("doc_b")),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.col("negid"))
+            .alias("negative_id"),
+            "jaccard",
+        )
+    )
+
+
 #: overlap-coefficient threshold for containment dedup
 _CONTAIN_T = 0.8
 

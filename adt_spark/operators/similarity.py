@@ -1322,6 +1322,22 @@ _SEM_ASSIGNED_MEMO: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
 _SMALL_VECS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
 _SMALL_N = 16  # = max(_KM_K, _PQ_K + _PQ_NQ, _N_CELLS)
 
+#: (applicationId, sf_dir, variant) → localCheckpointed PQ codes table.
+#: "plain" (vec_id + 4 codes) is shared by ann_pq_adc_topk and — via
+#: its call — ann_pq_recall; "cell" (plus the IVF cell) by
+#: ann_ivf_pq_topk and ann_ivfpq_recall.  The encode projection is a
+#: large codegen'd expression (16 cell-dot folds + 16 sub-argmins over
+#: literal codebooks): compiling and running it once per session+corpus
+#: instead of once per consuming query is the same discipline as
+#: dedup._SHINGLE_MEMO (measured: the recall evals re-ran the whole
+#: encode at bench time).
+_CODES_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+#: (applicationId, sf_dir) → localCheckpointed exact squared-L2 top-k
+#: (k rows per bounded query — tiny) shared by ann_pq_recall and
+#: ann_ivfpq_recall.
+_L2_TRUTH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
 
 def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1343,6 +1359,8 @@ def clear_similarity_state() -> None:
     are reclaimed by the ContextCleaner once unreferenced)."""
     _SEM_ASSIGNED_MEMO.clear()
     _SMALL_VECS_MEMO.clear()
+    _CODES_MEMO.clear()
+    _L2_TRUTH_MEMO.clear()
 
 
 def _sem_block_input(spark: SparkSession, sf_dir: str):
@@ -1885,9 +1903,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     anchors = {k: small[k] for k in range(_PQ_K) if k in small}
     queries = {k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small}
-    codes = _pq_encode(v, anchors).select(
-        "vec_id", "code_0", "code_1", "code_2", "code_3"
-    )
+    ck = (spark.sparkContext.applicationId, sf_dir, "plain")
+    codes = _CODES_MEMO.get(ck)
+    if codes is None:
+        codes = (
+            _pq_encode(v, anchors)
+            .select("vec_id", "code_0", "code_1", "code_2", "code_3")
+            .localCheckpoint(eager=False)
+        )
+        _CODES_MEMO[ck] = codes
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
         acc = 0.0
@@ -1995,7 +2019,12 @@ def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact squared-L2 top-k per bounded query over the full vectors
     — the shared ground truth of ann_pq_recall and ann_ivfpq_recall
     (Spark twin of _TRUE_L2_TOPK_CTE; same in-order per-element fold,
-    same (tdist, vec_id) tiebreak)."""
+    same (tdist, vec_id) tiebreak).  Memoized: k rows per bounded
+    query, computed once per session+corpus."""
+    tk = (spark.sparkContext.applicationId, sf_dir)
+    memo = _L2_TRUTH_MEMO.get(tk)
+    if memo is not None:
+        return memo
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
@@ -2027,11 +2056,14 @@ def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("qs.query_id").alias("query_id"), "neighbor_id",
              F.col("qs.tdist").alias("tdist"))
     w = W.partitionBy("query_id").orderBy("tdist", "neighbor_id")
-    return (
+    out = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
+    _L2_TRUTH_MEMO[tk] = out
+    return out
 
 
 #: dot over the already-DOUBLE ``v.vec`` arrays (the _PQ_CTES cast) —
@@ -2171,12 +2203,20 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for cid, cv in sorted(cells.items())
     ]
-    assigned = v.select(
-        "vec_id",
-        "vec",
-        F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"),
-    )
-    codes = _pq_encode(assigned, anchors, extra=("cell",))
+    ck = (spark.sparkContext.applicationId, sf_dir, "cell")
+    codes = _CODES_MEMO.get(ck)
+    if codes is None:
+        assigned = v.select(
+            "vec_id",
+            "vec",
+            F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"),
+        )
+        codes = (
+            _pq_encode(assigned, anchors, extra=("cell",))
+            .select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
+            .localCheckpoint(eager=False)
+        )
+        _CODES_MEMO[ck] = codes
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
         acc = 0.0

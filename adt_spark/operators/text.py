@@ -359,6 +359,69 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bpe_fertility_by_lang",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{_BPE_RE}')) AS p,
+               len(string_split(text, ' ')) AS w,
+               coalesce(list_sum(list_transform(
+                   regexp_extract_all(text, '{_BPE_RE}'),
+                   x -> length(x))), 0) AS pc
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(p) AS BIGINT) AS n_pieces,
+           CAST(sum(p) AS DOUBLE) / sum(w) AS fertility,
+           CAST(sum(pc) AS DOUBLE) / sum(p) AS chars_per_piece
+    FROM p GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "fertility", "lang"),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — pieces per whitespace word
+    and characters per piece, the standard per-language tokenizer
+    audit (fertility ≫ 1 for a language means the tokenizer fragments
+    it, inflating compute per content-word and skewing effective
+    mixture weights; cf. the multilingual-tokenizer analyses around
+    BLOOM/XGLM).  Uses the same GPT-2-style run pre-tokenizer as
+    text_bpe_token_count so the two audits agree on what a piece is.
+
+    Cross-engine exactness: every per-doc stat is an exact integer
+    (regex piece count, whitespace word count, summed piece length);
+    per-lang sums are exact BIGINT partial+final aggregates; the two
+    ratios are single exact-int-ratio double divisions at the output
+    boundary (rule 2).
+
+    Scale shape: one scan-speed projection (regex + array fold, zero
+    Python), then ONE two-phase aggregate keyed on lang — bounded
+    cardinality, map-side partials absorb any language skew (a 90 %%
+    English corpus is the normal case and costs nothing extra).
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    per_doc = docs.select(
+        "lang",
+        F.size(pieces).cast("bigint").alias("p"),
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        F.aggregate(
+            F.transform(pieces, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("pc"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("p").alias("n_pieces"),
+        (F.sum("p").cast("double") / F.sum("w")).alias("fertility"),
+        (F.sum("pc").cast("double") / F.sum("p")).alias("chars_per_piece"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document chunking (RAG / context-window splitting)
 # ---------------------------------------------------------------------------
