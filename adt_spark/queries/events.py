@@ -517,3 +517,57 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vdec").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "q_events_rolling_actives",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ud),
+    contrib AS (
+        SELECT user_id, d + CAST(u.i AS INT) AS day
+        FROM ud, unnest(generate_series(0, 6)) AS u(i)
+    )
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS actives_7d
+    FROM contrib, bounds
+    WHERE day >= lo AND day <= hi
+    GROUP BY day
+    """,
+    tags=("events", "rolling", "dau"),
+)
+def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU-by-day product
+    metric).  A naive formulation is COUNT(DISTINCT) OVER a RANGE
+    frame — which Spark cannot express (no DISTINCT in windows) and
+    which a range self-join makes O(days x users).  This uses the
+    CONTRIBUTION-EXPLODE idiom instead: each (user, active-day) row
+    contributes to exactly the 7 window-end days it is visible in, so
+    the whole metric is one explode(sequence(0, 6)) projection plus
+    ONE distinct aggregation keyed on (day, user) - no window
+    functions, no self-join, no range join.
+
+    Cross-engine exactness: dates are UTC calendar truncations of the
+    same timestamps (the session-conf contract all temporal queries
+    share); counts are pinned BIGINT; the day-bounds filter uses the
+    1-row global (min, max) - genuinely broadcastable at any scale.
+
+    Scale shape: the (user, day) dedup is one uniform two-phase
+    shuffle; the 7x fan-out is a bounded array explode (constant
+    factor, no join); countDistinct re-shuffles on (day, user) with
+    map-side partials.  Day cardinality is calendar-bounded, so the
+    final per-day rows are tiny everywhere.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    bounds = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = ud.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select("user_id", F.date_add("d", F.col("i")).alias("day"))
+    return (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") >= F.col("lo")) & (F.col("day") <= F.col("hi")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("actives_7d"))
+    )
