@@ -775,3 +775,49 @@ def test_winnowing_single_projection(spark, sf_dir):
     # exactly one exchange: the spread round-robin (tree + detail
     # sections each print the node once)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_cdc_chunks_single_agg_no_joins(spark, sf_dir):
+    """dedup_cdc_chunks claims boundary detection + chunk assembly are
+    one array-land projection: no join operators, no window, and the
+    only aggregation is the chunk-hash groupBy (partial+final pair on
+    one uniform key)."""
+    plan = _formatted(_q(spark, sf_dir, "dedup_cdc_chunks"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "Window" not in plan
+
+
+def test_cross_source_matrix_no_forced_broadcast(spark, sf_dir):
+    """dedup_cross_source_matrix label joins move a (doc_id, source)
+    projection of the corpus — corpus-scale, so under threshold=-1
+    they must NOT plan as broadcasts (the memoized pairs side is the
+    small side, but smallness is AQE's call, never a forced hint).
+    Never a cartesian."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "dedup_cross_source_matrix"))
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contrastive_negatives_window_is_partitioned(spark, sf_dir):
+    """text_contrastive_pairs' negative ring must come from a window
+    PARTITIONED by the hash bucket — a global (single-partition) sort
+    over all docs would serialize the corpus through one task.  The
+    plan must show no 'Exchange SinglePartition' anywhere."""
+    plan = _formatted(_q(spark, sf_dir, "text_contrastive_pairs"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_actives_only_bounds_broadcast(spark, sf_dir):
+    """q_events_rolling_actives: the only join of any kind is the
+    1-row bounds broadcast (genuinely bounded — forced broadcast is
+    correct there); the 7x fan-out must be an explode, not a range
+    join against a day table."""
+    plan = _formatted(_q(spark, sf_dir, "q_events_rolling_actives"))
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "Generate" in plan  # the explode(sequence(0, 6)) fan-out
