@@ -571,3 +571,61 @@ def q_events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("actives_7d"))
     )
+
+
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT event_type AS from_type, nxt AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY event_type) AS p
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "markov", "behavior"),
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (from_type, to_type) pair, the transition count
+    and the conditional probability P(to | from) — the standard
+    behavioral model behind next-action prediction and funnel-leak
+    diagnosis, complementing q_event_funnel (fixed path) and
+    q_events_sessionize (boundaries).
+
+    Cross-engine exactness: the sequence order (ts, event_id) is a
+    total order; counts are exact BIGINTs and P(to | from) is ONE
+    double division of exact integers (the row-count window sum is
+    integer arithmetic, rule 2 applies — no float accumulation).
+
+    Scale shape: the lead() window is PARTITIONED by user_id —
+    parallel, state bounded per user; the pair count is a two-phase
+    aggregate on (from, to) — event-type-squared cardinality, tiny;
+    the denominator is a window over that aggregate's handful of
+    rows, not over events.
+    """
+    seq = tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    counts = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )
