@@ -190,7 +190,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join + aggregate + top-10.
 
-    customer is ~1.5% of lineitem — broadcast it; orders⋈lineitem is
+    customer is ~1.5% of lineitem — small enough that AQE broadcasts
+    it at runtime, but it SCALES with SF so the hint is not forced
+    (no 100×-scale OOM); orders⋈lineitem is
     the one real shuffle (both sides hashed on orderkey).  The top-10
     runs as TakeOrderedAndProject (per-partition heap, no full sort).
     Ordering ties broken by unique l_orderkey for determinism.
@@ -201,7 +203,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(_disc_price()).alias("_rev_dec"))
         .orderBy(F.col("_rev_dec").desc(), F.col("l_orderkey"))
@@ -229,8 +231,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way star join.
 
-    region/nation/supplier/customer are all dimension-sized →
-    broadcast; lineitem⋈orders is the single fact-fact shuffle.
+    region/nation force-broadcast (calendar-bounded); supplier and
+    customer scale with SF, so their joins are AQE-sized (runtime
+    broadcast when small); lineitem⋈orders is the fact-fact shuffle.
     Join order puts the most selective filters (region → nation)
     into broadcast hash maps so fact rows are filtered early.
     """
@@ -244,9 +247,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -284,7 +287,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_disc_price()).alias("_rev_dec"))
@@ -598,7 +601,7 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two low-cardinality dimensions."""
     t = tables(spark, sf_dir)
-    joined = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     return joined.cube("c_mktsegment", "o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.sum(_money("o_totalprice")).cast("double").alias("total_price"),
@@ -902,7 +905,7 @@ def q_cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     rev = (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(F.sum(_disc_price()).alias("rev"))
     )
@@ -976,7 +979,7 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``.pivot()`` with a pinned value list → one shuffle, no second
     pass to discover pivot values)."""
     t = tables(spark, sf_dir)
-    joined = t["orders"].join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+    joined = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     pivoted = (
         joined.groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
@@ -1064,7 +1067,7 @@ def q_join_natural_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USING(col) / NATURAL-JOIN surface (SURVEY §2.B joins table:
     ``USING(col)`` → ``df.join(d2, ["col"])``).  Column names are
     pre-aligned (``nationkey`` / ``regionkey``) so both engines run
-    the identical name-equi join; dimension sides broadcast.
+    the identical name-equi join; bounded dimensions broadcast.
     """
     t = tables(spark, sf_dir)
     cust = t["customer"].withColumnRenamed("c_nationkey", "nationkey")

@@ -89,7 +89,9 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral trade volume between two nations by year.
 
-    Both nation sides and supplier/customer are broadcast; the
+    Nation sides are forced broadcasts (25 rows); supplier/customer
+    are left to AQE (they SCALE with SF — small-SF runs broadcast
+    them at runtime, huge SFs degrade to shuffle, never OOM); the
     disjunctive nation-pair predicate is applied after the joins, as
     in the spec.  lineitem⋈orders on orderkey is the one shuffle.
     """
@@ -110,8 +112,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -146,7 +148,9 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of a region's market per year.
 
-    8-way star join: everything except lineitem⋈orders broadcasts.
+    8-way star join: nation/region force-broadcast (bounded);
+    part/supplier/customer are AQE's call (they scale with SF);
+    lineitem⋈orders is the one guaranteed shuffle.
     Both numerator and denominator are exact decimal sums; the share
     divides doubles (decimal division rounds differently per engine).
     """
@@ -162,10 +166,10 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price()
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
@@ -198,16 +202,17 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (no partsupp/supplycost in this schema, so profit =
     discounted revenue) by supplier nation × order year for parts
-    matching a name pattern.  The LIKE filter prunes part before its
-    broadcast; 25 × 7 output groups.
+    matching a name pattern.  The LIKE filter prunes part before the
+    join (AQE broadcasts the pruned side when it measures small —
+    part scales with SF, so the hint is not forced); 25 × 7 groups.
     """
     t = tables(spark, sf_dir)
     part = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -229,7 +234,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "conditional"),
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo revenue share in one month.  Part broadcasts;
+    """TPC-H Q14: promo revenue share in one month.  The part join is
+    AQE-sized (part scales with SF — broadcast at runtime when small);
     the month filter is scan-pushed on lineitem; single global
     aggregate — map-side partials reduce to one row.
     """
@@ -241,7 +247,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.coalesce(
                 F.sum(F.when(F.col("p_type") == "PROMO", vol)), F.lit(0)
@@ -286,7 +292,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("_rev_dec").alias("_max_rev"))
     return (
         rev.join(F.broadcast(top), rev._rev_dec == F.col("_max_rev"))
-        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("_rev_dec").cast("double").alias("total_revenue")
         )
@@ -316,12 +322,12 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = tables(spark, sf_dir)
     part = t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
-    li = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    li = t["lineitem"].join(part, F.col("l_partkey") == F.col("p_partkey"))
     avgs = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("_half_avg")
     )
     return (
-        li.join(F.broadcast(avgs), F.col("l_partkey") == F.col("_pk"))
+        li.join(avgs, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_half_avg"))
         .agg((F.sum(_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
@@ -357,7 +363,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
         .select(
@@ -404,7 +410,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             bracket("Brand#12", 15, 1, 30)
             | bracket("Brand#23", 25, 10, 40)

@@ -19,8 +19,9 @@ decorrelation is DataFusion's optimizer, mapped here to Catalyst's
 
 Scale posture (100 TB): every per-part / per-order aggregate is a
 single ``groupBy`` (partial+final HashAggregate, one shuffle of
-pre-aggregated data); dimension sides (part, supplier, nation) are
-broadcast; global scalars (totals/averages) are 1-row broadcast cross
+pre-aggregated data); bounded dimensions (nation, region) carry
+forced broadcast hints while scaling ones (part, supplier, customer)
+are AQE-sized at runtime; global scalars are 1-row broadcast cross
 joins, never ``collect()``-ed to the driver.
 """
 
@@ -70,7 +71,8 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the equality join key is bit-stable across engines.
 
     Scale: the per-(part,supplier) aggregate is the only big shuffle;
-    supplier/nation/region are broadcast; the min-per-part aggregate
+    nation/region force-broadcast (bounded), supplier is AQE-sized;
+    the min-per-part aggregate
     reuses the same partkey partitioning.
     """
     t = tables(spark, sf_dir)
@@ -86,7 +88,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
     )
     eur_cost = cost.join(
-        F.broadcast(eur_supp.select("s_suppkey", "s_acctbal", "s_name", "n_name")),
+        eur_supp.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     )
     min_cost = eur_cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("_min_cost"))
@@ -96,7 +98,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (eur_cost.l_partkey == min_cost.l_partkey)
                       & (F.col("unit_cost") == F.col("_min_cost")))
         .drop(min_cost.l_partkey)
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                 F.col("unit_cost").alias("supplycost"))
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -139,7 +141,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     val = (
         t["lineitem"]
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_disc_price()).alias("v"))
     )
@@ -261,8 +263,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"].select("l_partkey", "l_suppkey")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"),
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -300,7 +302,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-agg chain (per-(part,supp) qty → per-part total → threshold
     → IN → IN) is the spec shape.  The per-part total reuses the
     partkey-partitioned output of the first aggregate — no extra
-    shuffle — and the part-name IN-list is a broadcast semi join.
+    shuffle — and the part-name IN-list is a semi join whose build
+    side AQE broadcasts when it measures small (part scales with SF).
     Quantity sums are exact DECIMAL; the 30% gate compares doubles
     derived from exact sums.
     """
@@ -315,7 +318,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     blue = t["part"].filter(F.col("p_name").like("blue%")).select("p_partkey")
     dominant = (
-        shipped.join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        shipped.join(blue, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(tot, "l_partkey")
         .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("total_qty").cast("double"))
         .select("l_suppkey")
@@ -389,7 +392,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     return (
-        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
