@@ -1597,6 +1597,24 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adt_spark.context import spread
 
     docs = spread(tables(spark, sf_dir)["documents"])
+    return (
+        _cdc_chunk_rows(docs)
+        .groupBy(F.col("c.h").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("c.l").cast("int").alias("tok_len"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, c{h, l}) — one row per content-defined chunk of each
+    document; the chunking kernel of dedup_cdc_chunks, factored so the
+    property tests can drive it over CONSTRUCTED token streams and
+    machine-check the shift-resistance claim (an early insertion must
+    not change chunk hashes past the next boundary)."""
     toks = F.split("text", " ")
     cut = F.when(
         F.col("_n") >= 4,
@@ -1630,16 +1648,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.element_at("bpos", j + 1) - F.element_at("bpos", j)).alias("l"),
         ),
     )
-    return (
-        staged.select("doc_id", F.explode(chunks).alias("c"))
-        .groupBy(F.col("c.h").alias("chunk_hash"))
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min("c.l").cast("int").alias("tok_len"),
-        )
-        .filter(F.col("n_docs") >= 2)
-    )
+    return staged.select("doc_id", F.explode(chunks).alias("c"))
 
 
 # ---------------------------------------------------------------------------

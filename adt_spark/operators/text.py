@@ -282,7 +282,15 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread(): compute-bound like text_fingerprint (one md5 per token),
     so the exchange pays for itself.
     """
-    docs = spread(tables(spark, sf_dir)["documents"])
+    return _winnow_rows(spread(tables(spark, sf_dir)["documents"]))
+
+
+def _winnow_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, fp) winnowing selection — the kernel of
+    text_winnowing_fingerprints, factored so the property tests can
+    drive it over CONSTRUCTED documents and machine-check the paper's
+    guarantee (any shared run of ≥ w+k−1 tokens yields at least one
+    shared fingerprint hash)."""
     toks = F.split("text", " ")
     with_g = docs.select(
         "doc_id",
