@@ -121,12 +121,47 @@ def _positional_grams(docs: DataFrame, k: int) -> DataFrame:
     return out
 
 
+def _shingle_arr_expr():
+    """The distinct word-3-gram shingle array of ``text`` as ONE
+    column expression — the single definition of "what a shingle is",
+    shared by the memoized batch pipeline (_shingle_arrays) and the
+    streaming band projection (band_keys_projection): a width /
+    normalization change moves both, so ingest-time near-dup flagging
+    can never silently diverge from the nightly batch dedup."""
+    toks = F.split(F.col("text"), " ")
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _dhash_expr(arr):
+    """32-bit integer digests of a shingle-array column — the single
+    definition shared by _dhash_arrays (batch, memoized) and
+    band_keys_projection (streaming).  d = int(first 8 hex chars of
+    md5(shingle)); hex→int is ``conv`` in Spark, an 8-term digit fold
+    in the DuckDB oracle twin (_D_DHASH) — both exact."""
+    return F.transform(
+        arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    )
+
+
 def _shingle_arrays(docs: DataFrame) -> DataFrame:
     """doc_id → distinct word-3-gram shingle array (materialized,
     memoized per session+corpus).
 
-    The 3-gram array is built by transform(sequence) in one
-    projection and **materialized via localCheckpoint**.  Without a
+    The 3-gram array (_shingle_arr_expr) is built in one projection
+    and **materialized via localCheckpoint**.  Without a
     hard barrier Catalyst collapses the projection into downstream
     Generate/aggregate expressions and re-evaluates the whole
     transform+array_distinct per consuming expression — quadratic in
@@ -146,24 +181,9 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     if memo is not None:
         return memo
 
-    toks = F.split(F.col("text"), " ")
-    arr = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     out = (
         spread(docs)
-        .select("doc_id", arr.alias("shingle_arr"))
+        .select("doc_id", _shingle_arr_expr().alias("shingle_arr"))
         .localCheckpoint(eager=False)
     )
     _SHINGLE_MEMO[key] = out
@@ -781,11 +801,7 @@ def _dhash_arrays(pre: DataFrame) -> DataFrame:
     Spark and an 8-term digit fold in the DuckDB oracle; both exact.
     """
     return pre.select(
-        "doc_id",
-        F.transform(
-            F.col("shingle_arr"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
-        ).alias("dhash_arr"),
+        "doc_id", _dhash_expr(F.col("shingle_arr")).alias("dhash_arr")
     ).localCheckpoint(eager=False)
 
 
@@ -850,27 +866,12 @@ def band_keys_projection(df: DataFrame) -> DataFrame:
     the memoized _lsh_candidates pipeline (this recomputes the digest
     folds per consuming plan appearance); streams CANNOT checkpoint,
     so ingest-time banding pays the recompute by design — it is one
-    projection over each arriving micro-batch."""
-    toks = F.split(F.col("text"), " ")
-    arr = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dhash = F.transform(
-        arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
-    )
+    projection over each arriving micro-batch.  Every derivation step
+    is the SHARED definition (_shingle_arr_expr → _dhash_expr →
+    _minhash_sig_cols → _band_key_cols), so batch and stream cannot
+    diverge."""
     sigs = (
-        df.select("doc_id", dhash.alias("dhash_arr"))
+        df.select("doc_id", _dhash_expr(_shingle_arr_expr()).alias("dhash_arr"))
         .filter(F.size("dhash_arr") > 0)
         .select("doc_id", *_minhash_sig_cols())
     )

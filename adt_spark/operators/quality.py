@@ -577,7 +577,16 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adt_spark.context import spread
 
     docs = tables(spark, sf_dir)["documents"]
-    ts = F.split("text", " ")
+    # tokenize ONCE and materialize: `big` feeds both the bigram count
+    # and the scored re-join, and `tok` is a third consumer — without
+    # the barrier the scan+split would run ~3× per execution (the same
+    # shared-stem discipline as dedup._shingle_arrays / _CODES_MEMO)
+    toked = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("_ts"))
+        .localCheckpoint(eager=False)
+    )
+    ts = F.col("_ts")
     # adjacent pairs in array-land; sequence(1, 0) DESCENDS, so guard
     # single-token docs (same discipline as the shingle builders)
     pairs = F.when(
@@ -591,8 +600,8 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
-    big = spread(docs).select("doc_id", F.inline(pairs))
-    tok = spread(docs).select("doc_id", F.explode(ts).alias("token"))
+    big = toked.select("doc_id", F.inline(pairs))
+    tok = toked.select("doc_id", F.explode(ts).alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))

@@ -1311,16 +1311,16 @@ _SEM_BLOCK_ROWS = 100_000
 #: Release with clear_similarity_state() for long-lived sessions.
 _SEM_ASSIGNED_MEMO: dict[tuple[str, str], tuple[DataFrame, dict]] = {}
 
-#: (applicationId, sf_dir) → {vec_id: [double]} for vec_id < _SMALL_N —
+#: (applicationId, sf_dir) → {vec_id: [double]} below the call-time bound
+#: max(_KM_K, _PQ_K+_PQ_NQ, _N_CELLS) —
 #: the ONE bounded driver collect behind every centroid/codebook/query
 #: literal in this module (k-means seeds, PQ anchors, ADC queries, IVF
 #: cells).  Each consumer previously ran its own filter+collect job;
 #: at sf0.1 that was one extra ~0.5 s Spark job per ANN query, and the
 #: rows are identical by construction (same _vec_double cast of the
-#: same scan).  Bounded: _SMALL_N × _DIM doubles — kilobytes at any
+#: same scan).  Bounded: bound × _DIM doubles — kilobytes at any
 #: corpus size, the documented driver boundary.
 _SMALL_VECS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
-_SMALL_N = 16  # = max(_KM_K, _PQ_K + _PQ_NQ, _N_CELLS)
 
 #: (applicationId, sf_dir, variant) → localCheckpointed PQ codes table.
 #: "plain" (vec_id + 4 codes) is shared by ann_pq_adc_topk and — via
@@ -1340,6 +1340,11 @@ _L2_TRUTH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    # the bound is computed at CALL time from the governing constants
+    # (they are defined later in the module, and a hardcoded copy here
+    # would fail silently through the consumers' `if k in small`
+    # guards if any constant grew)
+    n = max(_KM_K, _PQ_K + _PQ_NQ, _N_CELLS)
     key = (spark.sparkContext.applicationId, sf_dir)
     memo = _SMALL_VECS_MEMO.get(key)
     if memo is None:
@@ -1348,7 +1353,7 @@ def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
         )
         memo = {
             int(r.vec_id): list(r.vec)
-            for r in v.filter(F.col("vec_id") < _SMALL_N).collect()
+            for r in v.filter(F.col("vec_id") < n).collect()
         }
         _SMALL_VECS_MEMO[key] = memo
     return memo
@@ -1838,7 +1843,7 @@ _TRUE_L2_TOPK_CTE = f"""exact AS (
                list_reduce(list_transform(range({_DIM}),
                  i -> (qvec[i+1]-vec[i+1])*(qvec[i+1]-vec[i+1])),
                  (a,b) -> a+b) AS tdist
-        FROM q CROSS JOIN v)
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.qid)
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY tdist, vec_id)
               <= {_PQ_TOPK}
     )"""
@@ -1862,6 +1867,7 @@ _TRUE_L2_TOPK_CTE = f"""exact AS (
              l0.ld + l1.ld + l2.ld + l3.ld AS adist
       FROM pq_codes p CROSS JOIN q
       JOIN lut l0 ON l0.qid = q.qid AND l0.m = 0 AND l0.cid = p.c0
+                 AND p.vec_id <> q.qid
       JOIN lut l1 ON l1.qid = q.qid AND l1.m = 1 AND l1.cid = p.c1
       JOIN lut l2 ON l2.qid = q.qid AND l2.m = 2 AND l2.cid = p.c2
       JOIN lut l3 ON l3.qid = q.qid AND l3.m = 3 AND l3.cid = p.c3
@@ -1940,10 +1946,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 adist.alias("adist"),
             )
         )
-    scored = codes.select(
-        "vec_id", F.explode(F.array(*qstructs)).alias("qs")
-    ).select(F.col("qs.query_id").alias("query_id"), "vec_id",
-             F.col("qs.adist").alias("adist"))
+    scored = (
+        codes.select("vec_id", F.explode(F.array(*qstructs)).alias("qs"))
+        .select(F.col("qs.query_id").alias("query_id"), "vec_id",
+                F.col("qs.adist").alias("adist"))
+        # self-exclusion: the module-wide ANN convention (every other
+        # search op joins on vec_id <> qid); without it the recall
+        # evals sharing _true_l2_topk would compare mismatched
+        # conventions and cap at (k-1)/k
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
     from pyspark.sql import Window as W
 
     rn = F.row_number().over(
@@ -1970,6 +1982,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              l0.ld + l1.ld + l2.ld + l3.ld AS adist
       FROM pq_codes p CROSS JOIN q
       JOIN lut l0 ON l0.qid = q.qid AND l0.m = 0 AND l0.cid = p.c0
+                 AND p.vec_id <> q.qid
       JOIN lut l1 ON l1.qid = q.qid AND l1.m = 1 AND l1.cid = p.c1
       JOIN lut l2 ON l2.qid = q.qid AND l2.m = 2 AND l2.cid = p.c2
       JOIN lut l3 ON l3.qid = q.qid AND l3.m = 3 AND l3.cid = p.c3
@@ -2051,10 +2064,18 @@ def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tdist.alias("tdist"),
             )
         )
-    scored = v.select(
-        F.col("vec_id").alias("neighbor_id"), F.explode(F.array(*qstructs)).alias("qs")
-    ).select(F.col("qs.query_id").alias("query_id"), "neighbor_id",
-             F.col("qs.tdist").alias("tdist"))
+    scored = (
+        v.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.explode(F.array(*qstructs)).alias("qs"),
+        )
+        .select(F.col("qs.query_id").alias("query_id"), "neighbor_id",
+                F.col("qs.tdist").alias("tdist"))
+        # self-exclusion (module-wide ANN convention): the truth must
+        # use the same convention as every approximate side it grades,
+        # or recall caps at (k-1)/k for corpus-vector queries
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = W.partitionBy("query_id").orderBy("tdist", "neighbor_id")
     out = (
         scored.withColumn("_rn", F.row_number().over(w))

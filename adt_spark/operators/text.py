@@ -384,7 +384,8 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(w) AS BIGINT) AS n_words,
            CAST(sum(p) AS BIGINT) AS n_pieces,
            CAST(sum(p) AS DOUBLE) / sum(w) AS fertility,
-           CAST(sum(pc) AS DOUBLE) / sum(p) AS chars_per_piece
+           CASE WHEN sum(p) = 0 THEN NULL
+                ELSE CAST(sum(pc) AS DOUBLE) / sum(p) END AS chars_per_piece
     FROM p GROUP BY lang
     """,
     tags=("text", "tokenizer", "fertility", "lang"),
@@ -426,7 +427,11 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("n_words"),
         F.sum("p").alias("n_pieces"),
         (F.sum("p").cast("double") / F.sum("w")).alias("fertility"),
-        (F.sum("pc").cast("double") / F.sum("p")).alias("chars_per_piece"),
+        # NULL (not inf/ANSI-error) when a lang has zero pieces — the
+        # guard keeps Spark and DuckDB bit-identical on that edge
+        F.when(
+            F.sum("p") > 0, F.sum("pc").cast("double") / F.sum("p")
+        ).alias("chars_per_piece"),
     )
 
 

@@ -10,9 +10,10 @@ with DataFusion default features (``context.rs:32-33``).
 
 Scale notes (100 TB posture), applied throughout:
 
-- Dimension tables (region/nation/supplier/part/customer at this
-  ratio) are joined with ``F.broadcast`` — no shuffle of the fact
-  side; Catalyst + AQE would also pick this up from statistics.
+- Calendar-bounded dimensions (region/nation) and 1-row scalars are
+  joined with ``F.broadcast``; SF-scaling dimensions (part, supplier,
+  customer) are AQE-sized — runtime broadcast while they measure
+  small, shuffle join past the threshold, never a forced-hint OOM.
 - Aggregations are expressed as single ``groupBy().agg()`` so Catalyst
   plans partial (map-side) + final HashAggregate — one shuffle of
   pre-aggregated data, not raw rows.

@@ -821,3 +821,29 @@ def test_rolling_actives_only_bounds_broadcast(spark, sf_dir):
     for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert j not in plan
     assert "Generate" in plan  # the explode(sequence(0, 6)) fan-out
+
+
+def test_markov_window_partitioned_agg_small(spark, sf_dir):
+    """q_events_markov_transitions: the lead() window must be
+    PARTITIONED (by user_id) — no SinglePartition exchange anywhere —
+    and no join operators appear (the denominator is a window over the
+    pair aggregate, not a join back)."""
+    plan = _formatted(_q(spark, sf_dir, "q_events_markov_transitions"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_fertility_single_two_phase_agg(spark, sf_dir):
+    """text_bpe_fertility_by_lang: one scan-speed projection feeding
+    ONE two-phase aggregate — no joins, no windows, and exactly one
+    partial/final HashAggregate pair (tree + detail sections each
+    print a node once → at most 2 distinct numbered HashAggregates)."""
+    plan = _formatted(_q(spark, sf_dir, "text_bpe_fertility_by_lang"))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+    assert "Window" not in plan
+    assert len(set(re.findall(r"\(\d+\) HashAggregate", plan))) <= 2
