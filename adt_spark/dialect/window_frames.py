@@ -21,7 +21,16 @@ q_window_exclude):
 - ``EXCLUDE CURRENT ROW / GROUP / TIES`` on sum / count / avg becomes
   subtract-the-excluded arithmetic over the unmodified frame plus (for
   GROUP/TIES) the peer frame ``RANGE BETWEEN CURRENT ROW AND CURRENT
-  ROW``; NULL-emptied frames are reproduced with a COUNT guard.  This
+  ROW``; NULL-emptied frames are reproduced with a COUNT guard.  The
+  variance family (var / variance / var_samp / var_pop / stddev /
+  stddev_samp / stddev_pop) extends the same algebra to second
+  moments: n, Σx, Σx² of the surviving rows give
+  ``(Σx² − (Σx)²/n) / (n | n−1)`` clamped at 0 (neither engine's
+  native can go negative), sqrt for the stddev forms, NULL below the
+  minimum count — so DataFusion scripts using ANY of the common
+  moment aggregates under EXCLUDE run here (``var`` itself is not a
+  Spark name, but the rewrite emits only sum/count arithmetic, so
+  the name never reaches Spark).  This
   subtraction is only SOUND when every excluded row is inside the
   frame, so it is guarded: the frame must straddle the current row
   (lo ≤ 0 ≤ hi), and GROUP/TIES additionally require a RANGE (or
@@ -445,19 +454,82 @@ def rewrite_window_frames(sql: str) -> str:
             edits.append((fn_start, close_pos + 1, repl))
             continue
 
-        if fn not in ("sum", "count", "avg"):
+        _VAR_FNS = {
+            # name → (is_sample, is_stddev); `var` is DataFusion's
+            # sample-variance spelling — the rewrite emits only
+            # sum/count arithmetic, so the unsupported-by-Spark name
+            # never survives into the output
+            "var": (True, False),
+            "variance": (True, False),
+            "var_samp": (True, False),
+            "var_pop": (False, False),
+            "stddev": (True, True),
+            "stddev_samp": (True, True),
+            "stddev_pop": (False, True),
+        }
+        if fn not in ("sum", "count", "avg") and fn not in _VAR_FNS:
             raise _Unsupported(
                 f"EXCLUDE {exclude.upper()} is only rewritable for "
-                f"sum/count/avg (subtraction) and min/max/first_value/"
-                f"last_value (split-frame) — got {fn}; use the DataFrame "
-                "API (see q_window_exclude)"
+                f"sum/count/avg/variance/stddev (subtraction) and "
+                f"min/max/first_value/last_value (split-frame) — got {fn}; "
+                "use the DataFrame API (see q_window_exclude)"
             )
         _warn_subtraction_once(fn)
+        peer_w = (part_clause + (f"ORDER BY {order_text} " if order_text else "")
+                  + "RANGE BETWEEN CURRENT ROW AND CURRENT ROW").strip()
+
+        if fn in _VAR_FNS:
+            # Two-pass moment algebra over the SURVIVING rows: with
+            # n = count, S1 = Σx, S2 = Σx² after subtracting the
+            # excluded rows, var = (S2 − S1²/n) / (n | n−1), clamped
+            # at 0 against cancellation (both engines' natives cannot
+            # go negative), stddev = sqrt(var).  sqrt is correctly
+            # rounded (the rule that bans log/exp allows it); the
+            # float-subtraction caveat in the module docstring applies
+            # with squared magnitudes — integer/decimal arguments (the
+            # corpus style) stay exact.
+            sample, is_std = _VAR_FNS[fn]
+            if args == "*":
+                raise _Unsupported(f"{fn}(*) is not valid SQL")
+            e = args
+            cw = f"count({e}) OVER ({base_w})"
+            cwp = f"count({e}) OVER ({peer_w})"
+            nn = f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
+            sw = f"sum({e}) OVER ({base_w})"
+            swp = f"sum({e}) OVER ({peer_w})"
+            sq = f"sum(({e}) * ({e})) OVER ({base_w})"
+            sqp = f"sum(({e}) * ({e})) OVER ({peer_w})"
+            sq_row = f"COALESCE(({e}) * ({e}), 0)"
+            if exclude == "current row":
+                n_excl = f"{cw} - {nn}"
+                s_excl = f"{sw} - COALESCE({e}, 0)"
+                s2_excl = f"{sq} - {sq_row}"
+            elif exclude == "group":
+                n_excl = f"{cw} - {cwp}"
+                s_excl = f"{sw} - COALESCE({swp}, 0)"
+                s2_excl = f"{sq} - COALESCE({sqp}, 0)"
+            else:  # ties
+                n_excl = f"{cw} - {cwp} + {nn}"
+                s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({e}, 0)"
+                s2_excl = f"{sq} - COALESCE({sqp}, 0) + {sq_row}"
+            ssq = (
+                f"greatest(({s2_excl}) - (({s_excl}) * ({s_excl}))"
+                f" / ({n_excl}), 0)"
+            )
+            denom = f"(({n_excl}) - 1)" if sample else f"({n_excl})"
+            min_n = 2 if sample else 1
+            var_txt = f"({ssq}) / {denom}"
+            if is_std:
+                var_txt = f"sqrt({var_txt})"
+            repl = (
+                f"(CASE WHEN {n_excl} < {min_n} THEN NULL "
+                f"ELSE {var_txt} END)"
+            )
+            edits.append((fn_start, close_pos + 1, repl))
+            continue
 
         star = args == "*"
         e = args
-        peer_w = (part_clause + (f"ORDER BY {order_text} " if order_text else "")
-                  + "RANGE BETWEEN CURRENT ROW AND CURRENT ROW").strip()
         cnt_arg = "*" if star else e
         cw = f"count({cnt_arg}) OVER ({base_w})"
         cwp = f"count({cnt_arg}) OVER ({peer_w})"

@@ -278,8 +278,9 @@ def test_unsupported_cases_raise_loudly():
         # numeric VALUE offsets have no peer-space image for min/max
         "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING EXCLUDE GROUP) FROM t",
-        # stddev has neither a subtraction nor a split-frame rewrite
-        "SELECT stddev(a) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
+        # aggregates outside the moment/order families still refuse
+        # (stddev itself became rewritable via second-moment algebra)
+        "SELECT string_agg(a, ',') OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
         "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
         # EXCLUDE GROUP on a ROWS frame may exclude peers outside the frame
         "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 "
@@ -347,4 +348,42 @@ def test_count_exclude_skips_nulls_exactly(spark, small_t):
     )
     got = _norm(spark.sql(rewrite_window_frames(q)).collect())
     want = _norm(small_t.execute(q).fetchall())
+    assert got == want
+
+
+def _round9(rows):
+    return sorted(
+        [
+            tuple(None if x is None else round(float(x), 9) for x in r)
+            for r in rows
+        ],
+        key=str,
+    )
+
+
+@pytest.mark.parametrize("fn", ["var_samp", "var_pop", "variance",
+                                "stddev", "stddev_pop"])
+@pytest.mark.parametrize("excl", ["CURRENT ROW", "GROUP", "TIES"])
+def test_exclude_variance_family(spark, small_t, fn, excl):
+    """The second-moment EXCLUDE rewrite (n, Σx, Σx² of the surviving
+    rows) equals DuckDB's NATIVE EXCLUDE for the whole variance family
+    under all three exclusion modes.  Compared at 9 decimals: the
+    native uses an online algorithm whose low-order bits differ from
+    the two-pass moment formula — exactly the documented float
+    boundary of the subtraction rewrites."""
+    q = f"SELECT a, g, {fn}(a) OVER ({_FRAME} EXCLUDE {excl}) AS v FROM wf_t"
+    got = _round9(spark.sql(rewrite_window_frames(q)).collect())
+    want = _round9(small_t.execute(q).fetchall())
+    assert got == want
+
+
+def test_exclude_datafusion_var_name(spark, small_t):
+    """DataFusion's ``var`` spelling (not a Spark aggregate) rewrites
+    to pure sum/count arithmetic, so it runs on Spark and matches
+    DuckDB's native ``var_samp`` EXCLUDE semantics."""
+    q = f"SELECT a, g, var(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t"
+    got = _round9(spark.sql(rewrite_window_frames(q)).collect())
+    want = _round9(small_t.execute(
+        f"SELECT a, g, var_samp(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t"
+    ).fetchall())
     assert got == want
