@@ -629,3 +629,64 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
     )
+
+
+@register(
+    "q_events_value_concentration",
+    oracle=f"""
+    WITH totals AS (
+        SELECT user_id, sum({_VAL}) AS t
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    topk AS (
+        SELECT t FROM totals ORDER BY t DESC, user_id LIMIT 10
+    ),
+    g AS (SELECT sum(t) AS grand FROM totals)
+    SELECT CAST(10 AS INT) AS top_k,
+           CAST((SELECT sum(t) FROM topk) AS DOUBLE) AS top_value,
+           CAST(grand AS DOUBLE) AS total_value,
+           CAST((SELECT sum(t) FROM topk) AS DOUBLE) / CAST(grand AS DOUBLE)
+             AS top_share
+    FROM g
+    """,
+    tags=("events", "pareto", "concentration"),
+)
+def q_events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value concentration: the share of total purchase value captured
+    by the top-10 spenders — the Pareto "whales" metric product teams
+    track (and the scale-sound formulation of it: a full cumulative
+    Pareto curve needs a GLOBAL running window — single-task in Spark —
+    whereas top-k share needs only TakeOrderedAndProject's per-partition
+    heaps plus a 1-row grand total).
+
+    Cross-engine exactness: per-user totals and both sums are exact
+    DECIMAL; the top-10 cut is totally ordered by (total DESC,
+    user_id); doubles appear only at the output boundary, and the
+    share is one division of exact-decimal-derived doubles.
+
+    Scale shape: one two-phase aggregate on user_id (high-cardinality,
+    uniform), a top-10 via per-partition heaps (no sort, no window),
+    and a 1-row broadcast cross join for the grand total.
+    """
+    ev = tables(spark, sf_dir)["events"].filter(F.col("event_type") == "purchase")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(T.DecimalType(12, 2))).alias("t")
+    )
+    topk = (
+        totals.orderBy(F.col("t").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("t").alias("top_dec"))
+    )
+    grand = totals.agg(F.sum("t").alias("grand_dec"))
+    return (
+        topk.crossJoin(F.broadcast(grand))
+        .select(
+            F.lit(10).cast("int").alias("top_k"),
+            F.col("top_dec").cast("double").alias("top_value"),
+            F.col("grand_dec").cast("double").alias("total_value"),
+            (
+                F.col("top_dec").cast("double")
+                / F.col("grand_dec").cast("double")
+            ).alias("top_share"),
+        )
+    )
