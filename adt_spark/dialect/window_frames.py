@@ -486,23 +486,27 @@ def rewrite_window_frames(sql: str) -> str:
             # go negative), stddev = sqrt(var).  sqrt is correctly
             # rounded (the rule that bans log/exp allows it); the
             # float-subtraction caveat in the module docstring applies
-            # with squared magnitudes — integer/decimal arguments (the
-            # corpus style) stay exact.
+            # with squared magnitudes.
             sample, is_std = _VAR_FNS[fn]
             if args == "*":
                 raise _Unsupported(f"{fn}(*) is not valid SQL")
             e = args
+            # moments are computed in DOUBLE, like both engines'
+            # natives: sum((e)*(e)) / s1² in the input's own type
+            # would ANSI-overflow int/bigint and blow the decimal
+            # precision cap for values the native handles fine
+            ed = f"CAST(({e}) AS DOUBLE)"
             cw = f"count({e}) OVER ({base_w})"
             cwp = f"count({e}) OVER ({peer_w})"
             nn = f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
-            sw = f"sum({e}) OVER ({base_w})"
-            swp = f"sum({e}) OVER ({peer_w})"
-            sq = f"sum(({e}) * ({e})) OVER ({base_w})"
-            sqp = f"sum(({e}) * ({e})) OVER ({peer_w})"
-            sq_row = f"COALESCE(({e}) * ({e}), 0)"
+            sw = f"sum({ed}) OVER ({base_w})"
+            swp = f"sum({ed}) OVER ({peer_w})"
+            sq = f"sum({ed} * {ed}) OVER ({base_w})"
+            sqp = f"sum({ed} * {ed}) OVER ({peer_w})"
+            sq_row = f"COALESCE({ed} * {ed}, 0)"
             if exclude == "current row":
                 n_excl = f"{cw} - {nn}"
-                s_excl = f"{sw} - COALESCE({e}, 0)"
+                s_excl = f"{sw} - COALESCE({ed}, 0)"
                 s2_excl = f"{sq} - {sq_row}"
             elif exclude == "group":
                 n_excl = f"{cw} - {cwp}"
@@ -510,7 +514,7 @@ def rewrite_window_frames(sql: str) -> str:
                 s2_excl = f"{sq} - COALESCE({sqp}, 0)"
             else:  # ties
                 n_excl = f"{cw} - {cwp} + {nn}"
-                s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({e}, 0)"
+                s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({ed}, 0)"
                 s2_excl = f"{sq} - COALESCE({sqp}, 0) + {sq_row}"
             ssq = (
                 f"greatest(({s2_excl}) - (({s_excl}) * ({s_excl}))"

@@ -645,8 +645,9 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(10 AS INT) AS top_k,
            CAST((SELECT sum(t) FROM topk) AS DOUBLE) AS top_value,
            CAST(grand AS DOUBLE) AS total_value,
-           CAST((SELECT sum(t) FROM topk) AS DOUBLE) / CAST(grand AS DOUBLE)
-             AS top_share
+           CASE WHEN grand = 0 THEN NULL
+                ELSE CAST((SELECT sum(t) FROM topk) AS DOUBLE)
+                     / CAST(grand AS DOUBLE) END AS top_share
     FROM g
     """,
     tags=("events", "pareto", "concentration"),
@@ -684,9 +685,12 @@ def q_events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10).cast("int").alias("top_k"),
             F.col("top_dec").cast("double").alias("top_value"),
             F.col("grand_dec").cast("double").alias("total_value"),
-            (
+            # NULL (not ANSI-error/NaN) when the grand total is zero —
+            # same both-engine guard as chars_per_piece
+            F.when(
+                F.col("grand_dec") != 0,
                 F.col("top_dec").cast("double")
-                / F.col("grand_dec").cast("double")
+                / F.col("grand_dec").cast("double"),
             ).alias("top_share"),
         )
     )

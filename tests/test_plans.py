@@ -847,3 +847,15 @@ def test_fertility_single_two_phase_agg(spark, sf_dir):
         assert j not in plan
     assert "Window" not in plan
     assert len(set(re.findall(r"\(\d+\) HashAggregate", plan))) <= 2
+
+
+def test_concentration_heap_topk_no_window(spark, sf_dir):
+    """q_events_value_concentration claims the scale-sound Pareto
+    shape: top-10 via TakeOrderedAndProject per-partition heaps (never
+    a global Sort or a window), shuffle joins absent (the only join is
+    the 1-row grand-total broadcast cross join)."""
+    plan = _formatted(_q(spark, sf_dir, "q_events_value_concentration"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert j not in plan

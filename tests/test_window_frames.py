@@ -387,3 +387,22 @@ def test_exclude_datafusion_var_name(spark, small_t):
         f"SELECT a, g, var_samp(a) OVER ({_FRAME} EXCLUDE GROUP) AS v FROM wf_t"
     ).fetchall())
     assert got == want
+
+
+def test_exclude_variance_large_ints_no_overflow(spark, small_t):
+    """Moment sums must run in DOUBLE: int inputs around 1e5 square to
+    1e10 (> int32) and frame-sum squares exceed int64/decimal caps the
+    native variance never hits.  Locks in the double-cast fix."""
+    rows = [(100000 + i * 7, 1) for i in range(8)] + [(250000, 2), (250000, 2)]
+    spark.createDataFrame(rows, "a int, g int").createOrReplaceTempView("wf_big")
+    con = small_t
+    con.execute("create or replace table wf_big(a int, g int)")
+    con.executemany("insert into wf_big values (?,?)", rows)
+    q = (
+        "SELECT a, g, var_pop(a) OVER (PARTITION BY g ORDER BY a RANGE "
+        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE "
+        "CURRENT ROW) AS v FROM wf_big"
+    )
+    got = _round9(spark.sql(rewrite_window_frames(q)).collect())
+    want = _round9(con.execute(q).fetchall())
+    assert got == want
