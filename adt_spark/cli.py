@@ -48,11 +48,37 @@ def _build_parser() -> argparse.ArgumentParser:
 
     execute = sub.add_parser("execute", help="run a .sql script")
     execute.add_argument("file")
+
+    queries = sub.add_parser(
+        "queries",
+        help="list the registered operator/query inventory (beyond the "
+        "reference's three subcommands — discovery for the pipeline "
+        "operator surface)",
+    )
+    queries.add_argument(
+        "-t", "--tag", default=None, help="filter by tag substring"
+    )
     return parser
 
 
 def main(argv: list[str] | None = None, ctx=None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.command == "queries":
+        # registry metadata only — no SparkSession is started
+        from adt_spark.queries import load_all
+
+        reg = load_all()
+        shown = 0
+        for name in sorted(reg):
+            q = reg[name]
+            if args.tag and not any(args.tag in t for t in q.tags):
+                continue
+            first = (q.doc.splitlines() or [""])[0].strip()
+            mark = "oracle" if q.oracle else "rows-only"
+            print(f"{name}\t[{mark}] {first}")
+            shown += 1
+        print(f"{shown} of {len(reg)} registered queries")
+        return 0
     owns_ctx = ctx is None
     if owns_ctx:
         from adt_spark import ADTContext

@@ -149,3 +149,16 @@ def test_explain_analyze_runs_and_reports_metrics(spark, sf_dir):
     assert "Metrics:" in plan
     assert "numOutputRows=" in plan            # runtime metric values
     assert "HashAggregate" in plan
+
+
+def test_cli_queries_lists_registry(capsys):
+    from adt_spark.cli import main
+
+    assert main(["queries"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "[oracle]" in out
+    assert "streaming_docs_neardup_ingest" in out and "[rows-only]" in out
+    assert main(["queries", "-t", "pareto"]) == 0
+    out = capsys.readouterr().out
+    assert "q_events_value_concentration" in out
+    assert "q01_pricing_summary" not in out
