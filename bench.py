@@ -55,6 +55,9 @@ HEADLINE = [
     "q_mixture_temperature",
     "q_events_m4_downsample",
     "q_events_value_histogram",
+    "q_events_rolling_actives",
+    "q_events_markov_transitions",
+    "q_events_value_concentration",
     "q_orc_roundtrip_agg",
     "doc_chunk_overlap",
     "pipeline_clean_corpus",
