@@ -75,6 +75,20 @@ from __future__ import annotations
 import re
 import warnings
 
+#: variance-family rewrite targets: name → (is_sample, is_stddev).
+#: ``var`` is DataFusion's sample-variance spelling — the rewrite
+#: emits only sum/count arithmetic, so the unsupported-by-Spark name
+#: never survives into the output.
+_VAR_FNS = {
+    "var": (True, False),
+    "variance": (True, False),
+    "var_samp": (True, False),
+    "var_pop": (False, False),
+    "stddev": (True, True),
+    "stddev_samp": (True, True),
+    "stddev_pop": (False, True),
+}
+
 _subtraction_warned = False
 
 
@@ -240,6 +254,16 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
         }
         pre_end = fm.start()
     pre_masked = spec_masked[:pre_end]
+    # frame-ish text _FRAME_RE could not parse (INTERVAL or fractional
+    # RANGE offsets, etc.) must refuse LOUDLY here: left in pre_masked
+    # it would be captured as part of the ORDER BY key and the rewrite
+    # would emit corrupted SQL that dies far downstream
+    if re.search(r"(?i)\b(rows|range|groups)\s+(between|unbounded|current|\d)",
+                 pre_masked):
+        raise _Unsupported(
+            f"unsupported window-frame bounds (INTERVAL / fractional "
+            f"offsets are not rewritable): {spec_src!r}"
+        )
     pm = _PRE_RE.match(pre_masked)
     if pm is None:
         raise _Unsupported(f"cannot parse window spec: {spec_src!r}")
@@ -454,19 +478,6 @@ def rewrite_window_frames(sql: str) -> str:
             edits.append((fn_start, close_pos + 1, repl))
             continue
 
-        _VAR_FNS = {
-            # name → (is_sample, is_stddev); `var` is DataFusion's
-            # sample-variance spelling — the rewrite emits only
-            # sum/count arithmetic, so the unsupported-by-Spark name
-            # never survives into the output
-            "var": (True, False),
-            "variance": (True, False),
-            "var_samp": (True, False),
-            "var_pop": (False, False),
-            "stddev": (True, True),
-            "stddev_samp": (True, True),
-            "stddev_pop": (False, True),
-        }
         if fn not in ("sum", "count", "avg") and fn not in _VAR_FNS:
             raise _Unsupported(
                 f"EXCLUDE {exclude.upper()} is only rewritable for "

@@ -37,6 +37,10 @@ _JACCARD_T = 0.8
 #: for ~2% of sums (e.g. ceil(0.8·63/1.8) = 29 vs exact 28), which
 #: would silently drop true boundary pairs the oracle keeps.
 _T_NUM, _T_DEN = 4, 5
+# the integer gates MUST bound the same threshold the float filters
+# apply — a desynchronized change would silently drop true boundary
+# pairs (the exact failure the integer arithmetic exists to prevent)
+assert _T_NUM / _T_DEN == _JACCARD_T
 # Drop shingles occurring in more than this many docs (hot-key cap).
 _MAX_POSTING = 100
 
@@ -620,6 +624,9 @@ def text_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: overlap-coefficient threshold for containment dedup
 _CONTAIN_T = 0.8
+# same gate-sync rule as _JACCARD_T (see the module-top assert): the
+# containment integer pre-verify compares c·_T_DEN ≥ _T_NUM·min-size
+assert _T_NUM / _T_DEN == _CONTAIN_T
 
 
 @register(

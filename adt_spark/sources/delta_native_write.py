@@ -110,10 +110,15 @@ def _is_already_exists_error(exc: Exception) -> bool:
             break
         seen += 1
     # last resort for FS impls that signal the race as a plain
-    # IOException with only a message — keep the broad pre-class-walk
-    # match ("exist" covers both "already exists" and POSIX EEXIST's
-    # "File exists") so no previously-detected race is re-raised raw
-    return "exist" in str(exc).lower()
+    # IOException with only a message — "already exists" plus POSIX
+    # EEXIST's "File exists", but NEVER the negated forms ("does not
+    # exist", "doesn't exist", "no such file"): misclassifying a
+    # missing-parent/storage error as a concurrent commit would retry
+    # at version+1 forever with the root cause suppressed
+    msg = str(exc).lower()
+    if "not exist" in msg or "doesn't exist" in msg or "no such file" in msg:
+        return False
+    return "already exist" in msg or "file exists" in msg
 
 
 def _fs_write_new(spark, url: str, payload: bytes) -> None:
@@ -1225,8 +1230,15 @@ def write_checkpoint(spark, location: str) -> int:
         jvm, _p, fs = _hadoop_fs(spark, location)
         Path = jvm.org.apache.hadoop.fs.Path
 
-        def _put(rel: str, data: bytes) -> None:
+        def _put(rel: str, data: bytes, keep_existing: bool) -> None:
             final = Path(_url_join(location, "_delta_log", rel))
+            if keep_existing and fs.exists(final):
+                # a versioned checkpoint for the SAME version is
+                # already valid — leave it untouched rather than
+                # delete+rename, which would open a window (and a
+                # failed-rename terminal state) with NO checkpoint on
+                # disk while _last_checkpoint still points at it
+                return
             tmp_p = Path(
                 _url_join(location, "_delta_log", f".{rel}.tmp-{uuid.uuid4().hex}")
             )
@@ -1235,17 +1247,21 @@ def write_checkpoint(spark, location: str) -> int:
                 stream.write(data)
             finally:
                 stream.close()
-            # checkpoints are idempotent per version: replacing an
-            # existing target is safe, so clear it before rename (the
-            # Hadoop rename contract refuses existing destinations)
+            # only the _last_checkpoint HINT takes this replace path:
+            # the Hadoop rename contract refuses existing destinations,
+            # so replacement is delete→rename — a reader in the gap
+            # (or after a failed rename) simply misses the hint and
+            # falls back to log listing, which the Delta protocol
+            # requires anyway (and is how delta_native.py discovers
+            # checkpoints unconditionally)
             if fs.exists(final):
                 fs.delete(final, False)
             if not fs.rename(tmp_p, final):
                 fs.delete(tmp_p, False)
                 raise DeltaWriteError(f"checkpoint rename failed: {final}")
 
-        _put(f"{n:020d}.checkpoint.parquet", buf.getvalue())
-        _put("_last_checkpoint", last_cp.encode())
+        _put(f"{n:020d}.checkpoint.parquet", buf.getvalue(), keep_existing=True)
+        _put("_last_checkpoint", last_cp.encode(), keep_existing=False)
         return n
     cp_path = os.path.join(location, "_delta_log", f"{n:020d}.checkpoint.parquet")
     tmp = cp_path + f".tmp-{uuid.uuid4().hex}"

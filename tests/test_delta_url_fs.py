@@ -219,3 +219,20 @@ def test_url_overwrite_keeps_history(spark, viewfs):
     assert sorted(r.id for r in read_delta_native(spark, loc, version=0).collect()) == [
         0, 1, 2, 3,
     ]
+
+
+def test_exists_error_classifier_messages():
+    """The message-fallback of _is_already_exists_error must catch
+    already-exists phrasings but NEVER negated ones — a missing-parent
+    error misread as a lost race would retry at version+1 forever."""
+    from adt_spark.sources.delta_native_write import _is_already_exists_error
+
+    for msg in ("File already exists: /x", "rename failed: File exists"):
+        assert _is_already_exists_error(Exception(msg))
+    for msg in (
+        "Parent directory does not exist: /x",
+        "Parent path doesn't exist",
+        "No such file or directory",
+        "connection reset",
+    ):
+        assert not _is_already_exists_error(Exception(msg))

@@ -859,3 +859,13 @@ def test_concentration_heap_topk_no_window(spark, sf_dir):
     assert "Window" not in plan
     for j in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert j not in plan
+
+
+def test_lsh_multiprobe_recall_bounded_probes(spark, sf_dir):
+    """ann_lsh_multiprobe_recall: the 9-way (own + Hamming-1) probe
+    table is bounded by construction (queries × 9 rows) and joins
+    bucket-keyed onto the corpus — never a cartesian; both rankings
+    are WindowGroupLimit top-k passes."""
+    plan = _formatted(_q(spark, sf_dir, "ann_lsh_multiprobe_recall"))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan

@@ -406,3 +406,19 @@ def test_exclude_variance_large_ints_no_overflow(spark, small_t):
     got = _round9(spark.sql(rewrite_window_frames(q)).collect())
     want = _round9(con.execute(q).fetchall())
     assert got == want
+
+
+def test_interval_frame_bounds_refuse_loudly():
+    """INTERVAL / fractional RANGE offsets are outside _FRAME_RE; with
+    an EXCLUDE clause present they must raise NotImplementedError (the
+    module contract), never leak frame text into the ORDER BY and emit
+    corrupted SQL."""
+    cases = [
+        "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' DAY "
+        "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
+        "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 1.5 PRECEDING AND "
+        "CURRENT ROW EXCLUDE TIES) FROM t",
+    ]
+    for q in cases:
+        with pytest.raises(NotImplementedError):
+            rewrite_window_frames(q)
