@@ -1333,6 +1333,12 @@ _SMALL_VECS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
 #: encode at bench time).
 _CODES_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
+#: same keys → the UN-checkpointed codes projection.  localCheckpoint
+#: wraps the plan immediately (even eager=False), so the memoized copy
+#: prints as Scan ExistingRDD — plan-shape tests assert the fused
+#: zero-join encode on THIS builder instead.
+_CODES_PLAN: dict[tuple[str, str, str], DataFrame] = {}
+
 #: (applicationId, sf_dir) → localCheckpointed exact squared-L2 top-k
 #: (k rows per bounded query — tiny) shared by ann_pq_recall and
 #: ann_ivfpq_recall.
@@ -1365,6 +1371,7 @@ def clear_similarity_state() -> None:
     _SEM_ASSIGNED_MEMO.clear()
     _SMALL_VECS_MEMO.clear()
     _CODES_MEMO.clear()
+    _CODES_PLAN.clear()
     _L2_TRUTH_MEMO.clear()
 
 
@@ -1912,11 +1919,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = (spark.sparkContext.applicationId, sf_dir, "plain")
     codes = _CODES_MEMO.get(ck)
     if codes is None:
-        codes = (
-            _pq_encode(v, anchors)
-            .select("vec_id", "code_0", "code_1", "code_2", "code_3")
-            .localCheckpoint(eager=False)
+        raw = _pq_encode(v, anchors).select(
+            "vec_id", "code_0", "code_1", "code_2", "code_3"
         )
+        _CODES_PLAN[ck] = raw
+        codes = raw.localCheckpoint(eager=False)
         _CODES_MEMO[ck] = codes
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
@@ -2232,11 +2239,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec",
             F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"),
         )
-        codes = (
-            _pq_encode(assigned, anchors, extra=("cell",))
-            .select("vec_id", "cell", "code_0", "code_1", "code_2", "code_3")
-            .localCheckpoint(eager=False)
+        raw = _pq_encode(assigned, anchors, extra=("cell",)).select(
+            "vec_id", "cell", "code_0", "code_1", "code_2", "code_3"
         )
+        _CODES_PLAN[ck] = raw
+        codes = raw.localCheckpoint(eager=False)
         _CODES_MEMO[ck] = codes
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:

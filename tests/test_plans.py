@@ -742,6 +742,22 @@ def test_ivf_pq_single_scan_no_joins(spark, sf_dir):
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in plan
     assert "WindowGroupLimit" in plan
+    # the memoized codes table hides its plan behind Scan ExistingRDD
+    # (localCheckpoint wraps immediately) — assert the fused zero-join
+    # encode on the UN-checkpointed builder the memo keeps for tests
+    from adt_spark.operators import similarity as sim
+
+    ck = (spark.sparkContext.applicationId, sf_dir, "cell")
+    encode_plan = _formatted(sim._CODES_PLAN[ck])
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in encode_plan
+    # exchanges may only be spread()'s round-robin (the executed memo
+    # plan prints initial + AQE-final sections, so node counts double)
+    # — never a keyed or single-partition shuffle
+    assert "hashpartitioning" not in encode_plan
+    assert "SinglePartition" not in encode_plan
+    assert "rangepartitioning" not in encode_plan
 
 
 def test_bigram_lm_no_forced_broadcast(spark, sf_dir):
