@@ -367,6 +367,106 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_ROUNDS = 4
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=None,  # iterative (data-dependent argmax per round) — not
+    # SQL-expressible; pinned EXACTLY to an independent pure-Python
+    # BPE reference in tests/test_bpe_train.py instead
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table TRAINING (Sennrich et al. 2016 §3.2) — the
+    actual tokenizer-training loop, not just one pair census
+    (text_bpe_merge_pairs is round 1's counts): K=4 rounds of
+    [count adjacent symbol pairs weighted by word frequency → adopt
+    the most frequent pair (ties: lexicographic (left, right)) →
+    greedily merge its occurrences left-to-right in every word].
+    Words carry a terminal '</w>' symbol, the paper's word-boundary
+    convention.  Output: the learned merge table
+    (rank, left, right, pair_count).
+
+    Determinism: pair counts are exact integer sums; the per-round
+    argmax tiebreaks (count DESC, left, right) — a total order — and
+    the greedy left-to-right merge is order-defined, so the merge
+    table is identical on every run, engine, and cluster size (the
+    local test pins it to an independent Python implementation).
+
+    Scale shape (the kmeans pattern — iterative with BOUNDED driver
+    state): the corpus is scanned ONCE for the word-frequency vocab;
+    every round after that works on the VOCAB table (distinct words ≪
+    corpus tokens), one explode + two-phase weighted count + a 1-ROW
+    collect (the argmax — the only driver state is K merge rows) +
+    one array-land merge projection, lineage truncated per round via
+    localCheckpoint.  K rounds = K bounded jobs; real tokenizer
+    training raises K, not the per-round shape.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.concat(chars, F.array(F.lit("</w>"))).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, _BPE_TRAIN_ROUNDS + 1):
+        adj = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i).alias("l"),
+                    F.element_at("syms", i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            vocab.select("freq", F.explode(adj).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        L, R, C = best[0].l, best[0].r, int(best[0].cnt)
+        merges.append((rank, L, R, C))
+        # greedy left-to-right merge: CaseWhen branches evaluate
+        # lazily per row, so element_at(-1) never runs on the empty
+        # accumulator (the size-0 branch short-circuits it)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+                F.when(
+                    (F.element_at(acc, -1) == F.lit(L)) & (x == F.lit(R)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(L + R)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+            ),
+        )
+        vocab = vocab.select("word", "freq", merged.alias("syms")).localCheckpoint(
+            eager=False
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
 @register(
     "text_bpe_fertility_by_lang",
     oracle=f"""

@@ -37,4 +37,8 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_docs_neardup_ingest",
         "streaming_m4_downsample",
         "streaming_anomaly_alerts",
+        # iterative (per-round data-dependent argmax) — not
+        # SQL-expressible; pinned exactly to an independent Python
+        # reference in tests/test_bpe_train.py
+        "text_bpe_train_merges",
     }, rows_only
