@@ -468,6 +468,79 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_encode",
+    oracle=None,  # consumes the (data-dependent) trained merge table —
+    # pinned exactly to an independent Python encoder in
+    # tests/test_bpe_train.py
+    tags=("text", "bpe", "tokenizer", "iterative"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table (text_bpe_train_merges) to
+    the corpus — the ENCODE half of the tokenizer loop: per document,
+    the exact BPE token count under the learned merges (vs
+    text_bpe_token_count's ceil(len/4) estimate).  Output:
+    (doc_id, n_words, n_bpe_tokens).
+
+    Scale shape — encode the VOCAB, not the corpus: the merge folds
+    run once per DISTINCT word (vocab ≪ corpus tokens; the same
+    observation that makes training vocab-scale), and documents join
+    their words against the encoded vocab on the uniform word key —
+    one explode, one equi-join, one doc-keyed sum.  The merge table
+    itself is K rows of driver state (plan literals in the folds).
+
+    Determinism: inherited — the merge table is deterministic
+    (text_bpe_train_merges), each merge application is the same
+    order-defined greedy fold, and the counts are exact integers.
+    """
+    merges = [
+        (r.left, r.right)
+        for r in sorted(
+            text_bpe_train_merges(spark, sf_dir).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    docs = tables(spark, sf_dir)["documents"]
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    enc = tok.select("word").distinct().select(
+        "word", F.concat(chars, F.array(F.lit("</w>"))).alias("syms")
+    )
+    def merge_fold(L: str, R: str):
+        # PySpark derives lambda arity from the signature — constants
+        # must be captured by closure, not default args (the
+        # _minhash_sig_cols rule)
+        return lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == F.lit(L)) & (x == F.lit(R)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(L + R)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+        )
+
+    for left, right in merges:
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            merge_fold(left, right),
+        )
+        enc = enc.select("word", merged.alias("syms"))
+    vocab_enc = enc.select("word", F.size("syms").alias("n_sym"))
+    return (
+        tok.join(vocab_enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@register(
     "text_bpe_fertility_by_lang",
     oracle=f"""
     WITH p AS (

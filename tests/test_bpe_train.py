@@ -63,3 +63,40 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     # by BPE (later merges can beat earlier residual counts), but the
     # table must be rank-complete
     assert [r for r, *_ in got] == [1, 2, 3, 4]
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """text_bpe_encode == encoding every document with the Python
+    reference's merge table (same greedy application, applied in rank
+    order) — the train→apply loop closed end-to-end."""
+    merges = [(l, r) for _rank, l, r, _c in _py_bpe(sf_dir, 4)]
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, string_split(text, ' ') FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    enc_cache: dict[str, int] = {}
+
+    def n_sym(word: str) -> int:
+        if word not in enc_cache:
+            s = [*word, "</w>"]
+            for left, right in merges:
+                out = []
+                for x in s:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(x)
+                s = out
+            enc_cache[word] = len(s)
+        return enc_cache[word]
+
+    want = {
+        doc_id: (len(words), sum(n_sym(w) for w in words))
+        for doc_id, words in rows
+    }
+    got = {
+        r.doc_id: (int(r.n_words), int(r.n_bpe_tokens))
+        for r in load_all()["text_bpe_encode"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == want

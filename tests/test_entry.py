@@ -41,4 +41,5 @@ def test_queries_and_oracles_aligned(spark):
         # SQL-expressible; pinned exactly to an independent Python
         # reference in tests/test_bpe_train.py
         "text_bpe_train_merges",
+        "text_bpe_encode",
     }, rows_only
