@@ -369,6 +369,16 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_TRAIN_ROUNDS = 4
 
+#: (applicationId, sf_dir) → trained merge rows — K tuples of driver
+#: state (the whole point of the bounded-iteration design), so the
+#: encoder doesn't re-run the K training rounds per call.
+_BPE_MERGES_MEMO: dict[tuple[str, str], list] = {}
+
+
+def clear_text_state() -> None:
+    """Release memoized text-operator state (merge tables)."""
+    _BPE_MERGES_MEMO.clear()
+
 
 @register(
     "text_bpe_train_merges",
@@ -403,6 +413,12 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint.  K rounds = K bounded jobs; real tokenizer
     training raises K, not the per-round shape.
     """
+    mk = (spark.sparkContext.applicationId, sf_dir)
+    memo = _BPE_MERGES_MEMO.get(mk)
+    if memo is not None:
+        return spark.createDataFrame(
+            memo, "rank int, left string, right string, pair_count bigint"
+        )
     docs = tables(spark, sf_dir)["documents"]
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
@@ -462,6 +478,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.select("word", "freq", merged.alias("syms")).localCheckpoint(
             eager=False
         )
+    _BPE_MERGES_MEMO[mk] = merges
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     )
