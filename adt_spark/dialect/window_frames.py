@@ -48,8 +48,14 @@ q_window_exclude):
   (GROUP) or the current row (TIES).  Frame endpoints must be
   UNBOUNDED / CURRENT ROW (or GROUPS-numeric, already in peer space)
   — a numeric VALUE offset has no peer-space image and raises.
-  ``EXCLUDE CURRENT ROW`` on these raises: no frame bound can
-  separate one row from peers sharing its key.
+- ``EXCLUDE CURRENT ROW`` on min / max / first_value / last_value
+  over a **ROWS** frame splits in ROW space — ``ROWS BETWEEN lo AND
+  1 PRECEDING`` / ``ROWS BETWEEN 1 FOLLOWING AND hi`` — where numeric
+  offsets are already row offsets (no dense_rank needed); the same
+  least/greatest and count-guarded near-half combines apply.  Over a
+  RANGE/GROUPS (peer-space) frame it raises: peers sharing the
+  current row's key survive the exclusion but no frame bound can
+  separate one row from them.
 
 Anything outside the sound cases raises ``NotImplementedError`` with
 the DataFrame recipe to use instead — a loud error, never a silently
@@ -410,13 +416,65 @@ def rewrite_window_frames(sql: str) -> str:
             if args == "*":
                 raise _Unsupported(f"{fn}(*) is not valid SQL")
             if exclude == "current row":
-                raise _Unsupported(
-                    f"EXCLUDE CURRENT ROW on {fn} has no sound rewrite "
-                    "(peers sharing the current row's key stay in the "
-                    "frame and no frame bound can separate one row from "
-                    "its peers) — use the DataFrame API (see "
-                    "q_window_exclude)"
-                )
+                # Over a ROWS frame the split IS sound in row space:
+                # excluding the current row leaves exactly the two
+                # half-frames ROWS [lo, 1 PRECEDING] and
+                # ROWS [1 FOLLOWING, hi] — row offsets, so numeric
+                # bounds need no peer-group mapping and no injected
+                # dense_rank.  RANGE/GROUPS frames stay unsound: peers
+                # sharing the current row's key survive the exclusion
+                # but no frame bound can separate one row from them.
+                if frame is None or frame["mode"] != "rows":
+                    raise _Unsupported(
+                        f"EXCLUDE CURRENT ROW on {fn} over a "
+                        "RANGE/GROUPS (peer-space) frame has no sound "
+                        "rewrite (peers sharing the current row's key "
+                        "stay in the frame and no frame bound can "
+                        "separate one row from its peers) — use a ROWS "
+                        "frame or the DataFrame API (see "
+                        "q_window_exclude)"
+                    )
+                if order_text is None:
+                    raise _Unsupported(
+                        "EXCLUDE CURRENT ROW on a ROWS frame without "
+                        "ORDER BY is not supported (Spark requires an "
+                        "ordered window for ROWS frames)"
+                    )
+                lo, hi = frame["lo"], frame["hi"]
+                has_lower = lo not in ("current row", "0 preceding")
+                has_upper = hi not in ("current row", "0 following")
+                wl = (
+                    part_clause + f"ORDER BY {order_text} "
+                    + f"ROWS BETWEEN {lo.upper()} AND 1 PRECEDING"
+                ).strip()
+                wu = (
+                    part_clause + f"ORDER BY {order_text} "
+                    + f"ROWS BETWEEN 1 FOLLOWING AND {hi.upper()}"
+                ).strip()
+                e = args
+                if fn in ("min", "max"):
+                    pick = "least" if fn == "min" else "greatest"
+                    low = f"{fn}({e}) OVER ({wl})" if has_lower else "NULL"
+                    up = f"{fn}({e}) OVER ({wu})" if has_upper else "NULL"
+                    repl = f"{pick}({low}, {up})"
+                else:
+                    # first/last_value: the half nearer the partition
+                    # edge wins when nonempty (count-guarded so an
+                    # empty near half is not conflated with a NULL
+                    # first value), else the far half
+                    if fn == "first_value":
+                        near, has_near, far, has_far = wl, has_lower, wu, has_upper
+                    else:
+                        near, has_near, far, has_far = wu, has_upper, wl, has_lower
+                    cnt_near = f"count(*) OVER ({near})" if has_near else "0"
+                    v_near = f"{fn}({e}) OVER ({near})" if has_near else "NULL"
+                    fallback = f"{fn}({e}) OVER ({far})" if has_far else "NULL"
+                    repl = (
+                        f"(CASE WHEN {cnt_near} > 0 THEN {v_near} "
+                        f"ELSE {fallback} END)"
+                    )
+                edits.append((fn_start, close_pos + 1, repl))
+                continue
             # the GROUP/TIES guards above already enforced a RANGE (or
             # rewritten-GROUPS) frame and an ORDER BY
             lo = frame["lo"] if frame is not None else "unbounded preceding"

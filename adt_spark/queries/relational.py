@@ -1277,6 +1277,64 @@ def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_window_frames(sql))
 
 
+_RX_F1 = (
+    "PARTITION BY l_returnflag ORDER BY qty, l_orderkey, l_linenumber "
+    "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING"
+)
+_RX_F2 = (
+    "PARTITION BY l_returnflag ORDER BY qty, l_orderkey, l_linenumber "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+)
+_RX_SELECT = f"""SELECT l_orderkey, l_linenumber,
+       min(qty) OVER ({_RX_F1} EXCLUDE CURRENT ROW) AS min_excl_cur,
+       max(qty) OVER ({_RX_F1} EXCLUDE CURRENT ROW) AS max_excl_cur,
+       first_value(qty) OVER ({_RX_F2} EXCLUDE CURRENT ROW) AS fv_excl_cur,
+       last_value(qty) OVER ({_RX_F2} EXCLUDE CURRENT ROW) AS lv_excl_cur,
+       CAST(sum(qty) OVER ({_RX_F1} EXCLUDE CURRENT ROW) AS BIGINT)
+         AS sum_excl_cur"""
+
+
+@register(
+    "q_window_exclude_rows",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    {_RX_SELECT}
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE CURRENT ROW over **ROWS** frames on
+    min/max/first_value/last_value (row-space split-frame rewrite:
+    ``ROWS [lo, 1 PRECEDING]`` / ``ROWS [1 FOLLOWING, hi]``) plus sum
+    (subtraction), through the RAW-SQL rewrite itself — the last
+    EXCLUDE construct a ported adt script could hit (DataFusion 48
+    accepts the full frame grammar, crates/core/src/context.rs:32-33
+    via the CLI pass-through crates/cli/src/main.rs:116; Spark parses
+    no EXCLUDE at all).  The ORDER BY is a UNIQUE composite
+    (qty, l_orderkey, l_linenumber): ROWS frames are only
+    deterministic under a total order, so both engines see identical
+    frame contents per output row.  All five windows share one
+    partitioning and sort, so Catalyst plans ONE exchange + ONE sort
+    (machine-checked, test_plans.py::test_exclude_rows_single_exchange).
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    li = tables(spark, sf_dir)["lineitem"]
+    li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).createOrReplaceTempView("adt_wx_rows_t")
+    sql = f"{_RX_SELECT}\nFROM adt_wx_rows_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
 @register(
     "q_lateral_topk_per_nation",
     oracle="""

@@ -527,6 +527,16 @@ def test_exclude_minmax_single_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan and "Join" not in plan
 
 
+def test_exclude_rows_single_exchange(spark, sf_dir):
+    """q_window_exclude_rows: all five half-frame/subtraction windows
+    share one partitioning and one total-order sort — exactly ONE
+    exchange, no dense_rank injection (row-space split), no join."""
+    plan = _formatted(_q(spark, sf_dir, "q_window_exclude_rows"))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "dense_rank" not in plan
+
+
 def test_lsh_recall_bucketed_topk(spark, sf_dir):
     """ann_lsh_recall: two WindowGroupLimit top-k passes (exact +
     LSH-bucketed), the LSH candidates bucket-keyed — no cartesian;

@@ -202,6 +202,46 @@ def test_split_frame_exclude_matrix(spark, small_t):
     assert got == want
 
 
+def test_rows_frame_exclude_current_row_matrix(spark, small_t):
+    """min/max/first_value/last_value (split in ROW space — numeric
+    offsets are row offsets, no peer index needed) plus sum/count
+    (subtraction) × ROWS frames × direction, EXCLUDE CURRENT ROW,
+    against DuckDB's native EXCLUDE.  The aggregate arg is the sort
+    key, so tie-order inside ROWS frames cannot change the value
+    multiset either engine sees."""
+    frames = [
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 1 PRECEDING AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+    ]
+    aggs = (
+        "min(a)", "max(a)", "first_value(a)", "last_value(a)",
+        "sum(a)", "count(a)", "count(*)",
+    )
+    spark_cols, duck_cols = [], []
+    i = 0
+    for agg in aggs:
+        for frame in frames:
+            for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+                spark_cols.append(
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                    f"EXCLUDE CURRENT ROW) AS c{i}"
+                )
+                duck_cols.append(
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame} "
+                    f"EXCLUDE CURRENT ROW) AS c{i}"
+                )
+                i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(duck_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+
+
 def test_split_frame_exclude_groups_numeric(spark, small_t):
     """min/max EXCLUDE over a NUMERIC GROUPS frame: bounds are already
     peer-group offsets, so the half-frames keep them verbatim."""
