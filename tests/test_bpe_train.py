@@ -22,6 +22,12 @@ def _py_bpe(sf_dir: str, rounds: int) -> list[tuple[int, str, str, int]]:
             f"read_parquet('{sf_dir}/documents.parquet')"
         ).fetchall()
     )
+    return _py_bpe_freq(freq, rounds)
+
+
+def _py_bpe_freq(
+    freq: dict[str, int], rounds: int
+) -> list[tuple[int, str, str, int]]:
     syms = {w: [*w, "</w>"] for w in freq}
     out = []
     for rank in range(1, rounds + 1):
@@ -100,3 +106,63 @@ def test_bpe_encode_matches_python_reference(spark, sf_dir):
         for r in load_all()["text_bpe_encode"].spark_fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def _py_rank_order_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    s = [*word, "</w>"]
+    for left, right in merges:
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        s = out
+    return s
+
+
+def test_bpe_apply_merges_k_independent(spark):
+    """The fixpoint encoder at K=64 (round-4 verdict item 3): symbol
+    sequences identical to the Python rank-order encoder for every
+    word, and the ROUND count bounded by the longest word's symbol
+    count — independent of K.  The old encoder inlined K nested folds
+    (plan depth linear in K); the fixpoint's per-round plan is one
+    join + one column-parameterized fold regardless of K."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.operators.text import _bpe_apply_merges
+
+    words = [
+        "".join(w)
+        for n in range(1, 9)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    freq = {w: i + 1 for i, w in enumerate(words)}
+    table = _py_bpe_freq(freq, 64)
+    assert len(table) == 64
+    merges = [(l, r) for _rank, l, r, _c in table]
+
+    enc0 = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    )
+    mdf = spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+    enc, rounds = _bpe_apply_merges(enc0, mdf)
+    got = {r.word: list(r.syms) for r in enc.collect()}
+    want = {w: _py_rank_order_encode(w, merges) for w in words}
+    assert got == want
+    # every applied round shortens a word by >= 1 symbol, plus one
+    # final no-op round to detect quiescence: bounded by word length,
+    # NOT by K=64
+    assert rounds <= max(len(w) for w in words) + 2
