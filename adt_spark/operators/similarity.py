@@ -1344,6 +1344,11 @@ _CODES_PLAN: dict[tuple[str, str, str], DataFrame] = {}
 #: ann_ivfpq_recall.
 _L2_TRUTH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+#: (applicationId, sf_dir) → trained PQ codebook {cid: full-dim vec}
+#: (K×dim doubles — kilobytes of driver model state, the Lloyd
+#: pattern) shared by every PQ encode/search/eval consumer.
+_PQ_CB_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
+
 
 def _small_vecs(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
     # the bound is computed at CALL time from the governing constants
@@ -1373,6 +1378,7 @@ def clear_similarity_state() -> None:
     _CODES_MEMO.clear()
     _CODES_PLAN.clear()
     _L2_TRUTH_MEMO.clear()
+    _PQ_CB_MEMO.clear()
 
 
 def _sem_block_input(spark: SparkSession, sf_dir: str):
@@ -1721,12 +1727,49 @@ _PQ_K = 4          # centroids per subspace codebook
 
 
 #: PQ code derivation as composable oracle CTEs — shared by
-#: emb_pq_assign and ann_pq_adc_topk.
+#: emb_pq_train, emb_pq_assign and ann_pq_adc_topk.  ``cb`` is the
+#: TRAINED codebook (Jégou 2011 §III runs per-subspace k-means): one
+#: exact Lloyd iteration per subspace from the first-{_PQ_K} anchor
+#: init — assign each sub-vector to its nearest anchor sub-vector,
+#: recompute per-(subspace, centroid, dim) means in the tie-free
+#: fixed point floor(x·2⁴⁰) (the _KM_CTES recipe), keep the anchor
+#: value for any empty cell — re-concatenated to full-dim vectors so
+#: every downstream CTE keeps its shape.
 _PQ_CTES = f"""v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
       FROM embeddings
-    ), cb AS (
+    ), cb0 AS (
       SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_PQ_K}
+    ), pd AS (
+      SELECT v.vec_id, m.i AS m, cb0.cid,
+             list_reduce(list_transform(range({_PQ_SUB}),
+               i -> (vec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])
+                    * (vec[m.i*{_PQ_SUB}+i+1]-cvec[m.i*{_PQ_SUB}+i+1])),
+               (a,b) -> a+b) AS dist
+      FROM v CROSS JOIN range({_PQ_M}) m(i) CROSS JOIN cb0
+    ), pa AS (
+      SELECT vec_id, m, cid FROM pd
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+    ), pdim AS (
+      SELECT pa.m, pa.cid, r.i AS pos,
+             CAST(floor(v.vec[pa.m*{_PQ_SUB} + r.i + 1] * 1099511627776.0)
+                  AS HUGEINT) AS val
+      FROM pa JOIN v USING (vec_id) CROSS JOIN range({_PQ_SUB}) r(i)
+    ), psum AS (
+      SELECT m, cid, pos,
+             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS val
+      FROM pdim GROUP BY m, cid, pos
+    ), pcell AS (
+      SELECT mm.i AS m, cb0.cid, r.i AS pos,
+             cb0.cvec[mm.i*{_PQ_SUB} + r.i + 1] AS aval
+      FROM range({_PQ_M}) mm(i) CROSS JOIN cb0 CROSS JOIN range({_PQ_SUB}) r(i)
+    ), cbt AS (
+      SELECT pcell.m, pcell.cid, pcell.pos,
+             coalesce(psum.val, pcell.aval) AS val
+      FROM pcell LEFT JOIN psum
+        ON psum.m = pcell.m AND psum.cid = pcell.cid AND psum.pos = pcell.pos
+    ), cb AS (
+      SELECT cid, list(val ORDER BY m, pos) AS cvec FROM cbt GROUP BY cid
     ), d AS (
       SELECT v.vec_id, m.i AS m, cb.cid,
              list_reduce(list_transform(range({_PQ_SUB}),
@@ -1767,9 +1810,10 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector
     into {M} subspaces of {SUB} dims and encode each subspace as its
     nearest codebook centroid — the compression behind FAISS IVFPQ
-    (64 floats → {M} small codes).  Codebook here is deterministic
-    (sub-vectors of the {K} lowest vec_ids — the sampled-anchor init);
-    a trained codebook drops into the same literal slot.
+    (64 floats → {M} small codes).  The codebook is TRAINED
+    (_pq_trained_codebooks: one per-subspace Lloyd iteration from the
+    deterministic anchor init, Jégou 2011 §III) and lives in the same
+    literal slot the anchor init used.
 
     Cross-engine exactness (the emb_kmeans_assign discipline):
     per-subspace distances fold left-to-right over the fixed 16-term
@@ -1786,8 +1830,7 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
-    return _pq_encode(v, anchors)
+    return _pq_encode(v, _pq_trained_codebooks(spark, sf_dir))
 
 
 def _pq_encode(
@@ -1836,6 +1879,94 @@ def _pq_encode(
             + F.col("b3").getField("dist")
         ).alias("recon_err"),
     )
+
+
+def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    """TRAIN the PQ codebooks (Jégou et al. 2011 §III: per-subspace
+    k-means) — one exact Lloyd iteration per subspace from the
+    deterministic first-{K} anchor init, so every PQ consumer encodes
+    against learned sub-centroids instead of raw anchor slices
+    (round-4 verdict item 6).  Returns {{cid: full-dim vector}} — the
+    M per-subspace centroids of each cid re-concatenated, so the
+    codebook drops into the exact literal slot the anchor init used.
+
+    Exactness (the emb_kmeans_assign discipline, per subspace):
+    assignment distances are in-order 16-term folds tiebroken
+    (dist, cid); means accumulate in the tie-free fixed point
+    floor(x·2⁴⁰) summed as DECIMAL(38,0) with one double division at
+    the boundary; a cell with no assigned sub-vectors keeps its
+    anchor value (oracle: the cbt COALESCE).
+
+    Scale shape: assignment is the fused zero-shuffle _pq_encode
+    projection; the only shuffle is the (m, cid, pos)-keyed mean
+    aggregate — M×K×{SUB} groups, partial+final; driver state is
+    K×dim doubles (kilobytes at any corpus size), memoized per
+    session+corpus like the Lloyd centroids.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _PQ_CB_MEMO.get(key)
+    if memo is not None:
+        return memo
+    anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    enc = _pq_encode(v, anchors, extra=("vec",))
+    codes_arr = F.array(*[F.col(f"code_{m}") for m in range(_PQ_M)])
+    pe = enc.select(
+        codes_arr.alias("codes"), F.posexplode("vec").alias("pos0", "val")
+    )
+    m_col = F.floor(F.col("pos0") / _PQ_SUB).cast("int")
+    sums = (
+        pe.select(
+            m_col.alias("m"),
+            F.element_at("codes", m_col + 1).alias("cid"),
+            (F.col("pos0") % _PQ_SUB).alias("pos"),
+            "val",
+        )
+        .groupBy("m", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.count("*").cast("double") * 1099511627776.0)
+            ).alias("val")
+        )
+    )
+    cb = {cid: list(cv) for cid, cv in anchors.items()}  # empty-cell fill
+    for r in sums.collect():  # bounded: ≤ M×K×SUB rows (256 doubles)
+        cb[int(r.cid)][int(r.m) * _PQ_SUB + int(r.pos)] = float(r.val)
+    _PQ_CB_MEMO[key] = cb
+    return cb
+
+
+@register(
+    "emb_pq_train",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT CAST(m AS INT) AS m, CAST(cid AS INT) AS cid,
+           CAST(pos AS INT) AS pos, val
+    FROM cbt
+    """,
+    tags=("embedding", "pq", "training", "iterative"),
+)
+def emb_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebooks as a table — (subspace m, centroid
+    cid, dim pos within the subspace, value): {_PQ_M}×{_PQ_K}×{_PQ_SUB}
+    rows.  This is the model every PQ query (emb_pq_assign,
+    ann_pq_adc_topk, ann_ivf_pq_topk and both recall evals) now
+    encodes against; the oracle recomputes the identical per-subspace
+    Lloyd iteration in SQL (the cbt CTE), so the training itself is
+    oracle-gated, not just its consumers.
+    """
+    cb = _pq_trained_codebooks(spark, sf_dir)
+    rows = [
+        (m, cid, pos, cb[cid][m * _PQ_SUB + pos])
+        for cid in sorted(cb)
+        for m in range(_PQ_M)
+        for pos in range(_PQ_SUB)
+    ]
+    return spark.createDataFrame(rows, "m int, cid int, pos int, val double")
 
 
 _PQ_NQ = 2   # ADC query count (vec_ids _PQ_K .. _PQ_K+_PQ_NQ-1)
@@ -1909,12 +2040,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    # the shared memoized collect serves the codebook AND the queries
-    small = {
-        k: cv for k, cv in _small_vecs(spark, sf_dir).items()
-        if k < _PQ_K + _PQ_NQ
-    }
-    anchors = {k: small[k] for k in range(_PQ_K) if k in small}
+    # the shared memoized collect serves the queries; the codebook is
+    # the trained one (kilobytes of memoized driver model state)
+    small = _small_vecs(spark, sf_dir)
+    anchors = _pq_trained_codebooks(spark, sf_dir)
     queries = {k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small}
     ck = (spark.sparkContext.applicationId, sf_dir, "plain")
     codes = _CODES_MEMO.get(ck)
@@ -2191,9 +2320,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spread(
         tables(spark, sf_dir)["embeddings"].select("vec_id", _vec_double().alias("vec"))
     )
-    # the shared memoized collect serves codebook, queries and cells
+    # the shared memoized collect serves queries and cells; the
+    # codebook is the trained one (memoized driver model state)
     small = _small_vecs(spark, sf_dir)
-    anchors = {k: small[k] for k in range(_PQ_K) if k in small}
+    anchors = _pq_trained_codebooks(spark, sf_dir)
     queries = {
         k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small
     }
