@@ -39,6 +39,7 @@ HEADLINE = [
     "q19_bracketed_revenue",
     "q22_idle_customers",
     "q_window_running_revenue",
+    "q_window_exclude_rows",
     "q_events_hourly_rollup",
     "q_events_sessionize",
     "q_events_topk_users",
@@ -65,6 +66,19 @@ HEADLINE = [
     "pipeline_cluster_quality_report",
     "pipeline_media_dedup",
 ]
+
+
+#: Stalled-window canary (round-4 verdict item 1): q01 is a pure
+#: scan+agg whose plan has been unchanged since round 1, so its time
+#: is a host-health probe, not a code signal.  Trailing-typical warm
+#: time at sf0.1 per BASELINE.md; a measurement > 2× typical means
+#: the host window is in its documented multi-10× stall band and the
+#: whole run would be noise — retry the canary until it qualifies
+#: (or flag the artifact as stalled so it is never recorded as a
+#: regression).
+CANARY = "q01_pricing_summary"
+CANARY_TYPICAL_SEC = {"0.1": 1.6}
+CANARY_MAX_ATTEMPTS = 5
 
 
 def main() -> None:
@@ -116,9 +130,35 @@ def main() -> None:
         registry[name].spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - start
 
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    typical = CANARY_TYPICAL_SEC.get(sf)
+
     timings: dict[str, float] = {}
+    canary_attempts: list[float] = []
+    stalled = False
+    if typical is not None and CANARY in names:
+        # qualify the window BEFORE measuring anything else
+        for attempt in range(CANARY_MAX_ATTEMPTS):
+            t = run_once(CANARY)
+            canary_attempts.append(round(t, 4))
+            if t <= 2 * typical:
+                break
+            time.sleep(15)  # let the stall band pass before retrying
+        timings[CANARY] = min(canary_attempts)
+        stalled = canary_attempts[-1] > 2 * typical
+
     for name in names:
+        if name in timings:
+            continue
         timings[name] = run_once(name)
+
+    # re-probe at the END: a window that degraded mid-run is just as
+    # unrecordable as one that started stalled
+    if typical is not None and CANARY in names and not stalled:
+        t_end = run_once(CANARY)
+        canary_attempts.append(round(t_end, 4))
+        if t_end > 2 * typical:
+            stalled = True
 
     # This host shows rare transient multi-10x stalls (scheduling/IO
     # jitter on the VM).  Re-measure outliers once and keep the min —
@@ -133,7 +173,6 @@ def main() -> None:
     timings = {k: round(v, 4) for k, v in timings.items()}
 
     geomean = math.exp(sum(math.log(max(t, 1e-4)) for t in timings.values()) / len(timings))
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # Full per-query detail goes to a file: the driver records only the
     # last ~2000 chars of combined output, and an 85-query map no longer
@@ -144,6 +183,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary": {"attempts": canary_attempts, "stalled": stalled},
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -162,6 +202,7 @@ def main() -> None:
         "n_queries": len(timings),
         "max_sec": max(timings.values()),
         "sf": sf,
+        "stalled_window": stalled,
         "detail": "BENCH_DETAIL.json",
     }
     for name, sec in slowest.items():
