@@ -1241,3 +1241,150 @@ def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev") > F.lit(_MAD_K) * F.col("mad")).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weak-label classifier training (the CCNet/RefinedWeb "train a quality
+# classifier on rule-derived labels" loop — trained HERE, from the corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_weaklabel_classifier",
+    oracle="""
+    WITH lab AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS good
+        FROM documents
+    ),
+    tl AS (
+        SELECT t.doc_id, t.term, l.good
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        JOIN lab l USING (doc_id)
+    ),
+    ts AS (
+        SELECT term, sum(good) AS cg, count(*) AS ctot FROM tl GROUP BY term
+    ),
+    tot AS (
+        SELECT sum(cg) AS g, sum(ctot - cg) AS b, count(*) AS v FROM ts
+    ),
+    contrib AS (
+        SELECT tl.doc_id, tl.term,
+               (CAST(ts.cg + 1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+             / (CAST(ts.ctot - ts.cg + 1 AS DOUBLE)
+                * CAST(tot.g + tot.v AS DOUBLE)) AS c
+        FROM tl JOIN ts USING (term) CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(t := term, c := c))),
+                   x -> x.c),
+                 (a, b) -> a + b) AS s
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT w.doc_id AS doc_id, w.n_tokens AS n_tokens,
+           w.s / CAST(w.n_tokens AS DOUBLE) AS score,
+           w.s / CAST(w.n_tokens AS DOUBLE) > 1.0e0 AS predicted_good,
+           l.good = 1 AS weak_label
+    FROM w JOIN lab l USING (doc_id)
+    """,
+    tags=("quality", "classifier", "training", "weak-label"),
+)
+def quality_weaklabel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a quality classifier from weak rule labels and score the
+    corpus with it — the CCNet/RefinedWeb loop (Wenzek 2020 trains a
+    fastText model on Wikipedia-vs-crawl labels; Penedo 2023 on rule
+    gates) with the corpus itself as both training set and scoring
+    target: the weak label is the rule gate pipeline_cluster_quality_report
+    already uses (≥20 tokens, distinct-token ratio > 0.3), the model is
+    a per-token Laplace-smoothed naive-Bayes likelihood ratio
+    ``(cg+1)(B+V) / (cb+1)(G+V)`` over the REAL vocabulary (cg/cb =
+    token occurrences under good/bad labels, G/B = class token totals,
+    V = vocab size), and a document's score is its mean token ratio.
+    Output: (doc_id, n_tokens, score, predicted_good, weak_label) —
+    the self-consistency audit (predicted vs weak label) a pipeline
+    inspects before trusting the classifier on unlabeled data.
+
+    This closes the classifier-training loop the same way round 5
+    closed PQ training: quality_hash_classifier scores with FIXED
+    weights in a hashed space; here the weights are LEARNED from the
+    corpus over real tokens.
+
+    Cross-engine exactness (the q_dsir_weights discipline, per real
+    token instead of hashed bucket): all counts are exact integers;
+    each ratio is four exact int→double casts, two correctly-rounded
+    multiplies, one division; per-doc accumulation folds contributions
+    sorted by (term, c) — equal terms carry equal c, so the struct
+    sort is a total order on values — never a cross-row float sum;
+    log is avoided entirely (ratio mean ranks the same direction).
+
+    Scale shape: one token explode feeding the (term)-keyed two-phase
+    class-count aggregate (vocab-scale output); the token stream
+    re-joins that vocab table on the uniform term key (AQE-sized,
+    NEVER force-broadcast — vocab is unbounded, the
+    text_unigram_prob discipline); the class totals are a 1-row
+    broadcast; the per-doc fold is the second uniform shuffle.  Token
+    skew (stop words) is absorbed by partial aggregation on the count
+    side and is uniform on the (doc, term) fold side.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    toks = F.split(F.col("text"), " ")
+    lab = docs.select(
+        "doc_id",
+        F.when(
+            (F.size(toks) >= 20)
+            & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("good"),
+    )
+    tl = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(lab, "doc_id")
+    )
+    ts = tl.groupBy("term").agg(
+        F.sum("good").alias("cg"), F.count(F.lit(1)).alias("ctot")
+    )
+    tot = ts.agg(
+        F.sum("cg").alias("g"),
+        F.sum(F.col("ctot") - F.col("cg")).alias("b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ratio = (
+        (F.col("cg") + 1).cast("double") * (F.col("b") + F.col("v")).cast("double")
+    ) / (
+        (F.col("ctot") - F.col("cg") + 1).cast("double")
+        * (F.col("g") + F.col("v")).cast("double")
+    )
+    contrib = (
+        tl.join(ts, "term")  # vocab-scale: AQE decides, never forced
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", ratio.alias("c"))
+    )
+    w = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                lambda x: x["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    score = F.col("s") / F.col("n_tokens").cast("double")
+    return w.join(lab, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score > F.lit(1.0)).alias("predicted_good"),
+        (F.col("good") == 1).alias("weak_label"),
+    )

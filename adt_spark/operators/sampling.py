@@ -234,10 +234,10 @@ _DSIR_H4 = " + ".join(
 )
 
 
-@register(
-    "q_dsir_weights",
-    oracle=f"""
-    WITH toks AS (
+#: the DSIR weight derivation as composable oracle CTEs (`w` ends with
+#: per-doc (doc_id, n_tokens, s)) — shared by q_dsir_weights and
+#: q_dsir_resample.
+_DSIR_CTES = f"""toks AS (
         SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
         FROM documents
     ),
@@ -270,7 +270,13 @@ _DSIR_H4 = " + ".join(
                    x -> x.c),
                  (a, b) -> a + b) AS s
         FROM contrib GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT doc_id, n_tokens,
            s / CAST(n_tokens AS DOUBLE) AS weight,
            s / CAST(n_tokens AS DOUBLE) > 1.0e0 AS selected
@@ -359,4 +365,90 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         weight.alias("weight"),
         (weight > F.lit(1.0)).alias("selected"),
+    )
+
+
+#: 2^52 — 13 md5 hex chars as an exact-in-double integer, so
+#: u = h13 / 2^52 ∈ [0, 1) is an EXACT power-of-two division on both
+#: engines (no rounding anywhere in the acceptance test's left side).
+_U_DENOM = float(1 << 52)
+
+#: DuckDB fold: first 13 hex chars of column ``h`` → BIGINT (the
+#: _DSIR_H4 instr discipline, widened).
+_U_H13 = " + ".join(
+    f"CAST(instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS BIGINT)"
+    f" * {16 ** (12 - i)}"
+    for i in range(13)
+)
+
+
+@register(
+    "q_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    mw AS (SELECT max(s / CAST(n_tokens AS DOUBLE)) AS max_w FROM w),
+    u0 AS (
+        SELECT doc_id, md5('dsir-' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    uu AS (
+        SELECT doc_id, CAST(({_U_H13}) AS DOUBLE) / {_U_DENOM!r} AS u
+        FROM u0
+    )
+    SELECT w.doc_id AS doc_id, w.n_tokens AS n_tokens,
+           w.s / CAST(w.n_tokens AS DOUBLE) AS weight,
+           uu.u AS u,
+           uu.u * mw.max_w < w.s / CAST(w.n_tokens AS DOUBLE) AS kept
+    FROM w JOIN uu USING (doc_id) CROSS JOIN mw
+    """,
+    tags=("sampling", "importance", "dsir"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance RESAMPLING under the DSIR weights — the consumer
+    step that actually builds the selected corpus (Xie et al. 2023 §3
+    samples with probability ∝ weight; the paper's Gumbel top-k needs
+    log, which the libm rule bans, so this is the equivalent
+    DETERMINISTIC acceptance sampler): keep a document iff
+    ``u · max_weight < weight``, where u is a seeded per-doc uniform —
+    acceptance probability is exactly weight/max_weight, reproducible
+    on every run and engine.
+
+    Cross-engine exactness: u = (first 13 md5 hex chars) / 2⁵² — an
+    exact 52-bit integer divided by a power of two, so u itself has
+    NO rounding; the acceptance test is one correctly-rounded multiply
+    and a strict compare of doubles the q_dsir_weights gate already
+    proves identical; max is order-independent.
+
+    Scale shape: the weight stem is q_dsir_weights' two uniform
+    shuffles; max_weight is a 1-row aggregate broadcast back (the
+    q_events_value_concentration pattern — at deployment you'd
+    checkpoint the weights table once and share it between the max
+    and the join); u is a scan-local projection.  Nothing corpus-sized
+    moves to the driver or a broadcast.
+    """
+    wdf = q_dsir_weights(spark, sf_dir).select("doc_id", "n_tokens", "weight")
+    maxw = wdf.agg(F.max("weight").alias("max_w"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir-"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(_U_DENOM)
+    )
+    return (
+        wdf.crossJoin(F.broadcast(maxw))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight",
+            u.alias("u"),
+            (u * F.col("max_w") < F.col("weight")).alias("kept"),
+        )
     )

@@ -54,6 +54,7 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_events_anomaly",
     "q_mixture_temperature",
+    "q_dsir_resample",
     "q_events_m4_downsample",
     "q_events_value_histogram",
     "q_events_rolling_actives",
