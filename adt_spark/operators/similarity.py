@@ -2519,3 +2519,176 @@ def pipeline_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN deployment audits: PQ training distortion + IVF list balance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_pq_distortion",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    anchor_per AS (
+      SELECT vec_id, m, min(dist) AS md FROM pd GROUP BY vec_id, m
+    ),
+    anchor_err AS (
+      SELECT vec_id,
+             list_reduce(
+               list_transform(
+                 list_sort(list(struct_pack(m := m, d := md))),
+                 x -> x.d),
+               (a, b) -> a + b) AS err
+      FROM anchor_per GROUP BY vec_id
+    ),
+    trained_err AS (
+      SELECT vec_id, d0 + d1 + d2 + d3 AS err FROM pq_codes
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(CAST(floor(a.err * 1099511627776.0) AS HUGEINT))
+                  AS DOUBLE) / (count(*) * 1099511627776.0) AS mean_err_anchor,
+             CAST(sum(CAST(floor(t.err * 1099511627776.0) AS HUGEINT))
+                  AS DOUBLE) / (count(*) * 1099511627776.0) AS mean_err_trained
+      FROM anchor_err a JOIN trained_err t USING (vec_id)
+    )
+    SELECT n_vectors, mean_err_anchor, mean_err_trained,
+           CASE WHEN mean_err_trained = 0 THEN NULL
+                ELSE mean_err_anchor / mean_err_trained END AS improvement
+    FROM s
+    """,
+    tags=("embedding", "pq", "training", "eval"),
+)
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did PQ training help?  Mean squared reconstruction error under
+    the ANCHOR-init codebook vs the TRAINED codebook
+    (_pq_trained_codebooks), plus their ratio — the quantization-
+    distortion eval Jégou 2011 §III reports (lower distortion →
+    tighter ADC distance estimates → higher recall); with this, the
+    round-5 training step has its own one-number audit next to the
+    recall evals.
+
+    Cross-engine exactness: each per-vector error is the
+    fixed-expression-order sum of the M per-subspace minima (the
+    _pq_encode recon_err fold; the anchor side re-folds the same
+    minima sorted by m); the two corpus means accumulate in the
+    tie-free fixed point floor(x·2⁴⁰) as exact integers (no cross-row
+    float sums — exactness rule 6), one double division each at the
+    boundary; the ratio is one more correctly-rounded division,
+    NULL-guarded (try_divide == DuckDB's CASE).
+
+    Scale shape: TWO zero-shuffle encode projections of the same scan
+    (anchor + trained codebooks are both plan literals), one vec_id
+    equi-join (co-partitioned — same scan, same key), one 1-row
+    aggregate.  Nothing corpus-sized is collected or broadcast.
+    """
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
+    trained = _pq_trained_codebooks(spark, sf_dir)
+    e0 = _pq_encode(v, anchors).select("vec_id", F.col("recon_err").alias("err0"))
+    e1 = _pq_encode(v, trained).select("vec_id", F.col("recon_err").alias("err1"))
+    fp = 1099511627776.0  # 2^40
+
+    def fx(c):
+        return F.sum(F.floor(F.col(c) * fp).cast("decimal(38,0)")).cast(
+            "double"
+        ) / (F.count(F.lit(1)).cast("double") * fp)
+
+    s = e0.join(e1, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        fx("err0").alias("mean_err_anchor"),
+        fx("err1").alias("mean_err_trained"),
+    )
+    return s.select(
+        "n_vectors",
+        "mean_err_anchor",
+        "mean_err_trained",
+        F.try_divide(F.col("mean_err_anchor"), F.col("mean_err_trained")).alias(
+            "improvement"
+        ),
+    )
+
+
+@register(
+    "ann_ivf_list_stats",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES},
+    ls AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM assigned GROUP BY cell
+    )
+    SELECT CAST(cell AS INT) AS cell, n_vectors,
+           CAST(n_vectors AS DOUBLE)
+             / CAST(sum(n_vectors) OVER () AS DOUBLE) AS share,
+           CAST(n_vectors * {_N_CELLS} AS DOUBLE)
+             / CAST(sum(n_vectors) OVER () AS DOUBLE) AS imbalance
+    FROM ls
+    """,
+    tags=("similarity", "ann", "ivf", "eval"),
+)
+def ann_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list balance audit for the IVF coarse quantizer — per
+    cell: list size, corpus share, and the imbalance factor
+    (size ÷ perfectly-uniform size).  This is the number FAISS tells
+    you to check before deploying IVF at scale: probe cost and tail
+    latency track the LARGEST probed list, so an imbalance factor ≫ 1
+    means a hot cell dominates query time and the quantizer needs
+    retraining (or the cell splitting).  Uses the same cosine
+    assignment as ann_ivf_probe / ann_ivf_pq_topk so it audits
+    exactly the lists those operators probe.
+
+    Cross-engine exactness: assignment equality is inherited from the
+    IVFPQ gate (same ccos folds, same (ccos DESC, cell) tiebreak);
+    counts are exact; share/imbalance are single exact-int-ratio
+    double divisions at the output boundary (rule 2).
+
+    Scale shape: the assignment is the zero-shuffle literal-centroid
+    argmin projection; the count is ONE two-phase aggregate to
+    {_N_CELLS} rows; the windows run over that {_N_CELLS}-row
+    aggregate only.  One corpus scan at any scale.
+    """
+    import math
+
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
+    nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    cell_structs = [
+        F.struct(
+            (
+                -F.try_divide(
+                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
+                    nrm * F.lit(cnorms[cid]),
+                )
+            ).alias("nc"),
+            F.lit(cid).cast("long").alias("cell"),
+        )
+        for cid, cv in sorted(cells.items())
+    ]
+    ls = (
+        v.select(F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    w_all = W.partitionBy()
+    total = F.sum("n_vectors").over(w_all).cast("double")
+    return ls.select(
+        F.col("cell").cast("int").alias("cell"),
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / total).alias("share"),
+        ((F.col("n_vectors") * _N_CELLS).cast("double") / total).alias("imbalance"),
+    )
