@@ -1833,6 +1833,35 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_encode(v, _pq_trained_codebooks(spark, sf_dir))
 
 
+def _pq_sub_argmin(anchors: dict[int, list[float]], m: int):
+    """(dist, cid) struct-min of subspace ``m`` of a ``vec`` column
+    against the codebook literals — the per-subspace argmin shared by
+    _pq_encode and emb_pq_distortion (one copy, so the distortion
+    audit measures exactly the quantizer the encoders use)."""
+    sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(
+                        *[
+                            F.lit(float(x))
+                            for x in cvec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                        ]
+                    ),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cvec in sorted(anchors.items())
+    ]
+    return F.array_min(F.array(*structs))
+
+
 def _pq_encode(
     v: DataFrame, anchors: dict[int, list[float]], extra: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1841,32 +1870,7 @@ def _pq_encode(
     searches the codes) and ann_ivf_pq_topk (which carries the IVF
     cell through via ``extra`` so assignment + encoding stay one
     projection of one scan)."""
-
-    def sub_argmin(m: int):
-        sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
-        structs = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sub,
-                        F.array(
-                            *[
-                                F.lit(float(x))
-                                for x in cvec[m * _PQ_SUB : (m + 1) * _PQ_SUB]
-                            ]
-                        ),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cvec in sorted(anchors.items())
-        ]
-        return F.array_min(F.array(*structs))
-
-    best = [sub_argmin(m).alias(f"b{m}") for m in range(_PQ_M)]
+    best = [_pq_sub_argmin(anchors, m).alias(f"b{m}") for m in range(_PQ_M)]
     out = v.select("vec_id", *extra, *best)
     return out.select(
         "vec_id",
@@ -1878,6 +1882,42 @@ def _pq_encode(
             + F.col("b2").getField("dist")
             + F.col("b3").getField("dist")
         ).alias("recon_err"),
+    )
+
+
+def _pq_train_sums(
+    spark: SparkSession, sf_dir: str, anchors: dict[int, list[float]]
+) -> DataFrame:
+    """The distributed half of PQ training: per-(subspace, centroid,
+    dim) fixed-point means of the sub-vectors assigned to each anchor
+    — assignment is the fused zero-shuffle _pq_encode projection, and
+    the ONLY shuffle is this (m, cid, pos)-keyed partial+final
+    aggregate (plan-checked,
+    test_plans.py::test_pq_train_single_shuffle_no_join)."""
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    enc = _pq_encode(v, anchors, extra=("vec",))
+    codes_arr = F.array(*[F.col(f"code_{m}") for m in range(_PQ_M)])
+    pe = enc.select(
+        codes_arr.alias("codes"), F.posexplode("vec").alias("pos0", "val")
+    )
+    m_col = F.floor(F.col("pos0") / _PQ_SUB).cast("int")
+    return (
+        pe.select(
+            m_col.alias("m"),
+            F.element_at("codes", m_col + 1).alias("cid"),
+            (F.col("pos0") % _PQ_SUB).alias("pos"),
+            "val",
+        )
+        .groupBy("m", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.count("*").cast("double") * 1099511627776.0)
+            ).alias("val")
+        )
     )
 
 
@@ -1908,32 +1948,8 @@ def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> dict[int, list[fl
     if memo is not None:
         return memo
     anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
-    v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _vec_double().alias("vec")
-    )
-    enc = _pq_encode(v, anchors, extra=("vec",))
-    codes_arr = F.array(*[F.col(f"code_{m}") for m in range(_PQ_M)])
-    pe = enc.select(
-        codes_arr.alias("codes"), F.posexplode("vec").alias("pos0", "val")
-    )
-    m_col = F.floor(F.col("pos0") / _PQ_SUB).cast("int")
-    sums = (
-        pe.select(
-            m_col.alias("m"),
-            F.element_at("codes", m_col + 1).alias("cid"),
-            (F.col("pos0") % _PQ_SUB).alias("pos"),
-            "val",
-        )
-        .groupBy("m", "cid", "pos")
-        .agg(
-            (
-                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
-                .cast("double")
-                / (F.count("*").cast("double") * 1099511627776.0)
-            ).alias("val")
-        )
-    )
     cb = {cid: list(cv) for cid, cv in anchors.items()}  # empty-cell fill
+    sums = _pq_train_sums(spark, sf_dir, anchors)
     for r in sums.collect():  # bounded: ≤ M×K×SUB rows (256 doubles)
         cb[int(r.cid)][int(r.m) * _PQ_SUB + int(r.pos)] = float(r.val)
     _PQ_CB_MEMO[key] = cb
@@ -2273,6 +2289,37 @@ _IVFPQ_SCORED_CTES = f"""{_PQ_CTES}, cents AS (
     )"""
 
 
+def _ivf_cell_argmin(cells: dict[int, list[float]]):
+    """Cell-assignment Column over a ``vec`` column: negated-cosine
+    argmin over centroid literals with the (ccos DESC, cell) tiebreak
+    — the ONE copy shared by ann_ivf_pq_topk and ann_ivf_list_stats,
+    so the balance audit can never desynchronize from the assignment
+    the operators it audits actually use."""
+    import math
+
+    def pydot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
+    nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    structs = [
+        F.struct(
+            (
+                -F.try_divide(
+                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
+                    nrm * F.lit(cnorms[cid]),
+                )
+            ).alias("nc"),
+            F.lit(cid).cast("long").alias("cell"),
+        )
+        for cid, cv in sorted(cells.items())
+    ]
+    return F.array_min(F.array(*structs)).getField("cell")
+
+
 @register(
     "ann_ivf_pq_topk",
     oracle=f"""
@@ -2347,27 +2394,15 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # distributed side: assignment is an argmin over centroid literals
     # fused into the same projection as the PQ sub-argmins — no
-    # centroid join, no per-vector window, zero shuffles
-    nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
-    cell_structs = [
-        F.struct(
-            (
-                -F.try_divide(
-                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
-                    nrm * F.lit(cnorms[cid]),
-                )
-            ).alias("nc"),
-            F.lit(cid).cast("long").alias("cell"),
-        )
-        for cid, cv in sorted(cells.items())
-    ]
+    # centroid join, no per-vector window, zero shuffles (the shared
+    # _ivf_cell_argmin column, also audited by ann_ivf_list_stats)
     ck = (spark.sparkContext.applicationId, sf_dir, "cell")
     codes = _CODES_MEMO.get(ck)
     if codes is None:
         assigned = v.select(
             "vec_id",
             "vec",
-            F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"),
+            _ivf_cell_argmin(cells).alias("cell"),
         )
         raw = _pq_encode(assigned, anchors, extra=("cell",)).select(
             "vec_id", "cell", "code_0", "code_1", "code_2", "code_3"
@@ -2578,18 +2613,27 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary; the ratio is one more correctly-rounded division,
     NULL-guarded (try_divide == DuckDB's CASE).
 
-    Scale shape: TWO zero-shuffle encode projections of the same scan
-    (anchor + trained codebooks are both plan literals), one vec_id
-    equi-join (co-partitioned — same scan, same key), one 1-row
-    aggregate.  Nothing corpus-sized is collected or broadcast.
+    Scale shape: ONE zero-shuffle projection computes BOTH errors
+    (anchor + trained codebooks are both plan literals, so the two
+    quantizers share one corpus scan with zero joins — plan-checked,
+    test_plans.py::test_pq_distortion_single_scan_no_joins), then one
+    1-row aggregate.  Nothing corpus-sized is collected or broadcast.
     """
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
     anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
     trained = _pq_trained_codebooks(spark, sf_dir)
-    e0 = _pq_encode(v, anchors).select("vec_id", F.col("recon_err").alias("err0"))
-    e1 = _pq_encode(v, trained).select("vec_id", F.col("recon_err").alias("err1"))
+
+    def err_col(cb: dict[int, list[float]]):
+        # ((d0 + d1) + d2) + d3 — the _pq_encode recon_err fold order
+        e = None
+        for m in range(_PQ_M):
+            t = _pq_sub_argmin(cb, m).getField("dist")
+            e = t if e is None else e + t
+        return e
+
+    errs = v.select(err_col(anchors).alias("err0"), err_col(trained).alias("err1"))
     fp = 1099511627776.0  # 2^40
 
     def fx(c):
@@ -2597,7 +2641,7 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double"
         ) / (F.count(F.lit(1)).cast("double") * fp)
 
-    s = e0.join(e1, "vec_id").agg(
+    s = errs.agg(
         F.count(F.lit(1)).alias("n_vectors"),
         fx("err0").alias("mean_err_anchor"),
         fx("err1").alias("mean_err_trained"),
@@ -2650,37 +2694,14 @@ def ann_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_N_CELLS} rows; the windows run over that {_N_CELLS}-row
     aggregate only.  One corpus scan at any scale.
     """
-    import math
-
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
     cells = {
         k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
     }
-
-    def pydot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
-    nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
-    cell_structs = [
-        F.struct(
-            (
-                -F.try_divide(
-                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
-                    nrm * F.lit(cnorms[cid]),
-                )
-            ).alias("nc"),
-            F.lit(cid).cast("long").alias("cell"),
-        )
-        for cid, cv in sorted(cells.items())
-    ]
     ls = (
-        v.select(F.array_min(F.array(*cell_structs)).getField("cell").alias("cell"))
+        v.select(_ivf_cell_argmin(cells).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )

@@ -517,16 +517,22 @@ def _bpe_apply_merges(enc: DataFrame, merges: DataFrame) -> tuple[DataFrame, int
     applied pass shortens its word by ≥1), INDEPENDENT of K; lineage
     is truncated per round with eager localCheckpoint (the trainer's
     own pattern), so plan depth is O(1) in both K and round count.
+    Quiesced words LEAVE the loop: each round joins and
+    re-checkpoints only the still-active set, so per-round work
+    tracks the shrinking active vocabulary, not the full one.
 
     Returns (encoded (word, syms), rounds run) — the round count so
     tests can assert the K-independence bound.
     """
+    from functools import reduce
+
     mdf = merges.select(
         F.col("rank").alias("m_rank"),
         F.col("left").alias("m_l"),
         F.col("right").alias("m_r"),
     )
-    enc = enc.select("word", "syms", F.lit(1).alias("cur"))
+    active = enc.select("word", "syms", F.lit(1).alias("cur"))
+    done: list[DataFrame] = []
     rounds = 0
     while True:
         adj = F.when(
@@ -540,8 +546,7 @@ def _bpe_apply_merges(enc: DataFrame, merges: DataFrame) -> tuple[DataFrame, int
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
         best = (
-            enc.filter(F.col("cur").isNotNull())
-            .select("word", "cur", F.explode(adj).alias("p"))
+            active.select("word", "cur", F.explode(adj).alias("p"))
             .join(
                 F.broadcast(mdf),
                 (F.col("p.l") == F.col("m_l")) & (F.col("p.r") == F.col("m_r")),
@@ -573,8 +578,8 @@ def _bpe_apply_merges(enc: DataFrame, merges: DataFrame) -> tuple[DataFrame, int
                 ).otherwise(F.concat(acc, F.array(x)))
             ),
         )
-        enc = (
-            enc.join(best, "word", "left")
+        joined = (
+            active.join(best, "word", "left")
             .select(
                 "word",
                 F.when(F.col("b").isNull(), F.col("syms"))
@@ -587,9 +592,11 @@ def _bpe_apply_merges(enc: DataFrame, merges: DataFrame) -> tuple[DataFrame, int
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        if enc.filter(F.col("cur").isNotNull()).limit(1).count() == 0:
+        done.append(joined.filter(F.col("cur").isNull()).select("word", "syms"))
+        active = joined.filter(F.col("cur").isNotNull())
+        if active.limit(1).count() == 0:
             break
-    return enc.select("word", "syms"), rounds
+    return reduce(DataFrame.unionByName, done), rounds
 
 
 @register(

@@ -138,15 +138,19 @@ def main() -> None:
     canary_attempts: list[float] = []
     stalled = False
     if typical is not None and CANARY in names:
-        # qualify the window BEFORE measuring anything else
+        # qualify the window BEFORE measuring anything else; pass/fail
+        # tracks the UNROUNDED time the loop compared (a 3.20004 s
+        # probe must not round down to a "healthy" 3.2)
+        stalled = True
         for attempt in range(CANARY_MAX_ATTEMPTS):
             t = run_once(CANARY)
             canary_attempts.append(round(t, 4))
             if t <= 2 * typical:
+                stalled = False
                 break
-            time.sleep(15)  # let the stall band pass before retrying
+            if attempt < CANARY_MAX_ATTEMPTS - 1:
+                time.sleep(15)  # let the stall band pass before retrying
         timings[CANARY] = min(canary_attempts)
-        stalled = canary_attempts[-1] > 2 * typical
 
     for name in names:
         if name in timings:

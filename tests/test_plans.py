@@ -537,6 +537,74 @@ def test_exclude_rows_single_exchange(spark, sf_dir):
     assert "dense_rank" not in plan
 
 
+def test_pq_distortion_single_scan_no_joins(spark, sf_dir):
+    """emb_pq_distortion: both codebooks are plan literals, so anchor
+    and trained reconstruction errors share ONE corpus scan with zero
+    joins; the only aggregation is the 1-row fixed-point mean."""
+    plan = _formatted(_q(spark, sf_dir, "emb_pq_distortion"))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # one distinct scan NODE (formatted mode lists each node twice:
+    # tree + details section)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_pq_train_single_shuffle_no_join(spark, sf_dir):
+    """_pq_train_sums (the distributed half of PQ training):
+    assignment is fused into the scan projection — no join anywhere —
+    and the ONLY exchange is the (m, cid, pos)-keyed partial+final
+    mean aggregate."""
+    from adt_spark.operators.similarity import _PQ_K, _pq_train_sums, _small_vecs
+
+    anchors = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K
+    }
+    plan = _formatted(_pq_train_sums(spark, sf_dir, anchors))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_ivf_list_stats_zero_join_bounded_window(spark, sf_dir):
+    """ann_ivf_list_stats: cell assignment is the literal-centroid
+    argmin projection (no centroid join), one two-phase count
+    aggregate, and the share/imbalance window runs over the
+    N_CELLS-row aggregate only — ≤2 exchanges total, zero joins."""
+    plan = _formatted(_q(spark, sf_dir, "ann_ivf_list_stats"))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "Window" in plan
+
+
+def test_weaklabel_vocab_join_not_broadcast(spark, sf_dir):
+    """quality_weaklabel_classifier: the vocab-sized class-count table
+    re-joins the token stream by TERM-keyed equi-join; under
+    threshold=-1 (100×-scale stats stand-in) no hash-broadcast may
+    survive — a web-corpus vocabulary is unbounded.  The only forced
+    broadcast is the 1-row class-totals cross join (BNLJ)."""
+    plan = _formatted(_q(spark, sf_dir, "quality_weaklabel_classifier"))
+    assert "CartesianProduct" not in plan
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "quality_weaklabel_classifier"))
+        assert "BroadcastHashJoin" not in plan
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_dsir_resample_bounded_broadcasts(spark, sf_dir):
+    """q_dsir_resample: every broadcast side is bounded by
+    construction — the 64-row bucket table, the 1-row totals, the
+    1-row max-weight — and under threshold=-1 nothing else may
+    broadcast; no cartesian anywhere."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "q_dsir_resample"))
+        assert "CartesianProduct" not in plan
+        # the weight stem appears twice (max side + join side; AQE
+        # ReuseExchange dedups the shuffles at runtime): 2× the forced
+        # 1-row totals cross join + the max-weight cross join
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 3
+        # the only hash-broadcast side is the forced 64-row bucket
+        # table (2 plan copies)
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) <= 2
+
+
 def test_lsh_recall_bucketed_topk(spark, sf_dir):
     """ann_lsh_recall: two WindowGroupLimit top-k passes (exact +
     LSH-bucketed), the LSH candidates bucket-keyed — no cartesian;
