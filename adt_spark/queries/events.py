@@ -694,3 +694,129 @@ def q_events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top_share"),
         )
     )
+
+
+@register(
+    "q_event_funnel_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+        AND e.ts <= s1.t_signup + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        AND e.ts <= s2.t_click + INTERVAL 3 DAY
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT 'signup_to_click' AS stage,
+             epoch_us(s2.t_click) - epoch_us(s1.t_signup) AS lat_us
+      FROM s1 JOIN s2 USING (user_id)
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_us(s3.t_purchase) - epoch_us(s2.t_click)
+      FROM s2 JOIN s3 USING (user_id)
+    ), r AS (
+      SELECT stage, lat_us,
+             row_number() OVER (PARTITION BY stage ORDER BY lat_us) AS rn,
+             count(*) OVER (PARTITION BY stage) AS n
+      FROM lat
+    )
+    SELECT stage,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           CAST(max(CASE WHEN rn = CAST(floor((n - 1) * 5 / 10.0) AS BIGINT) + 1
+                         THEN lat_us END) AS DOUBLE) / 1000000.0 AS p50_seconds,
+           CAST(max(CASE WHEN rn = CAST(floor((n - 1) * 9 / 10.0) AS BIGINT) + 1
+                         THEN lat_us END) AS DOUBLE) / 1000000.0 AS p90_seconds,
+           CAST(sum(lat_us) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * 1000000.0) AS mean_seconds
+    FROM r GROUP BY stage
+    """,
+    tags=("events", "funnel", "latency", "percentile"),
+)
+def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution per funnel stage — exact p50 /
+    p90 / mean seconds between first signup → first click and first
+    click → first purchase, under q_event_funnel's exact stage
+    definitions (the time-to-convert report that accompanies every
+    funnel count).
+
+    Cross-engine exactness (the quality_length_outliers discipline):
+    latencies are exact epoch-microsecond BIGINT differences;
+    percentiles are ELEMENT PICKS at integer ranks
+    ``floor((n−1)·q) + 1`` over a (lat_us)-ordered row_number — ties
+    share the value, so the picked value is order-independent — never
+    an engine-specific interpolating percentile function; the mean is
+    one exact BIGINT sum with a single boundary division.
+
+    Scale shape: the stage tables are q_event_funnel's user-keyed
+    aggregates (one shared exchange); the latency union is two
+    user-keyed equi-joins; the percentile window partitions by STAGE
+    (2 partitions), so the per-stage sort is the exact-percentile
+    cost — converted-user-sized, far below event count; at the
+    extreme, swap in approx_percentile (the sketch path) with the
+    same frame, as text_vocab_topk notes for approx_top_k.
+    """
+    ev = tables(spark, sf_dir)["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 3 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat1 = s1.join(s2, "user_id").select(
+        F.lit("signup_to_click").alias("stage"),
+        (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("lat_us"),
+    )
+    lat2 = s2.join(s3, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("lat_us"),
+    )
+    lat = lat1.unionByName(lat2)
+    w = W.partitionBy("stage")
+    r = lat.withColumn(
+        "rn", F.row_number().over(w.orderBy("lat_us"))
+    ).withColumn("n", F.count(F.lit(1)).over(w))
+    rank_of = lambda q10: (  # noqa: E731
+        F.floor((F.col("n") - 1) * q10 / 10.0).cast("bigint") + 1
+    )
+    return r.groupBy("stage").agg(
+        F.max("n").alias("n_pairs"),
+        (
+            F.max(F.when(F.col("rn") == rank_of(5), F.col("lat_us"))).cast("double")
+            / 1000000.0
+        ).alias("p50_seconds"),
+        (
+            F.max(F.when(F.col("rn") == rank_of(9), F.col("lat_us"))).cast("double")
+            / 1000000.0
+        ).alias("p90_seconds"),
+        (
+            F.sum("lat_us").cast("double")
+            / (F.max("n").cast("double") * 1000000.0)
+        ).alias("mean_seconds"),
+    )

@@ -60,6 +60,7 @@ HEADLINE = [
     "q_events_rolling_actives",
     "q_events_markov_transitions",
     "q_events_value_concentration",
+    "q_event_funnel_latency",
     "q_orc_roundtrip_agg",
     "doc_chunk_overlap",
     "pipeline_clean_corpus",
