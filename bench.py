@@ -165,6 +165,9 @@ def main() -> None:
         canary_attempts.append(round(t_end, 4))
         if t_end > 2 * typical:
             stalled = True
+        # every probe measured the same unchanged plan: record its
+        # best observation, not the first qualifying one
+        timings[CANARY] = min(canary_attempts)
 
     # This host shows rare transient multi-10x stalls (scheduling/IO
     # jitter on the VM).  Re-measure outliers once and keep the min —

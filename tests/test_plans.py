@@ -653,7 +653,11 @@ def test_dsir_bounded_broadcasts(spark, sf_dir):
     table and the 1-row totals (bounded by construction — B is a
     constant); the corpus-side work is two-phase aggregates, never a
     cartesian or a corpus-sized broadcast."""
-    plan = _formatted(_q(spark, sf_dir, "q_dsir_weights"))
+    from adt_spark.operators.sampling import _dsir_weights_build
+
+    # the registered query memoizes a localCheckpoint (prints as Scan
+    # ExistingRDD) — assert on the un-checkpointed builder
+    plan = _formatted(_dsir_weights_build(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) BroadcastExchange", plan)) <= 2
     assert plan.count("HashAggregate") >= 4  # two partial+final pairs
