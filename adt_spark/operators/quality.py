@@ -1388,3 +1388,117 @@ def quality_weaklabel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score > F.lit(1.0)).alias("predicted_good"),
         (F.col("good") == 1).alias("weak_label"),
     )
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle="""
+    WITH lab AS (
+        SELECT doc_id, source,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS good
+        FROM documents
+    ),
+    tl AS (
+        SELECT t.doc_id, t.term, l.good
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        JOIN lab l USING (doc_id)
+    ),
+    ts AS (
+        SELECT term, sum(good) AS cg, count(*) AS ctot FROM tl GROUP BY term
+    ),
+    tot AS (
+        SELECT sum(cg) AS g, sum(ctot - cg) AS b, count(*) AS v FROM ts
+    ),
+    contrib AS (
+        SELECT tl.doc_id, tl.term,
+               (CAST(ts.cg + 1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+             / (CAST(ts.ctot - ts.cg + 1 AS DOUBLE)
+                * CAST(tot.g + tot.v AS DOUBLE)) AS c
+        FROM tl JOIN ts USING (term) CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(t := term, c := c))),
+                   x -> x.c),
+                 (a, b) -> a + b) AS s
+        FROM contrib GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT l.source,
+               CASE WHEN w.s / CAST(w.n_tokens AS DOUBLE) > 1.0e0
+                    THEN 1 ELSE 0 END AS pred,
+               l.good
+        FROM w JOIN lab l USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred = 1 AND good = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred = 1 AND good = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred = 0 AND good = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN pred = 0 AND good = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CASE WHEN sum(pred) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN pred = 1 AND good = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / sum(pred) END AS precision_good,
+           CASE WHEN sum(good) = 0 THEN NULL
+                ELSE CAST(sum(CASE WHEN pred = 1 AND good = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / sum(good) END AS recall_good
+    FROM scored GROUP BY source
+    """,
+    tags=("quality", "classifier", "eval", "calibration"),
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration of the weak-label classifier — the
+    confusion matrix (tp/fp/fn/tn) plus precision/recall of
+    ``predicted_good`` against the weak rule label, BY SOURCE: the
+    eval a pipeline reads before trusting the trained filter on a new
+    source (a classifier trained mostly on one source's vocabulary
+    can be systematically mis-calibrated on another — exactly what
+    this surfaces).  Completes the train → score → EVALUATE loop the
+    way the ANN family's recall queries complete search.
+
+    Cross-engine exactness: the scores are
+    quality_weaklabel_classifier's hash-gate-proven doubles; the
+    threshold compare, confusion counts and per-source sums are exact
+    integers; precision/recall are NULL-guarded single divisions at
+    the boundary (rule 2).
+
+    Scale shape: inherits the classifier's two uniform shuffles, then
+    ONE |sources|-row partial+final aggregate — the eval itself adds
+    no corpus-scale work.
+    """
+    scored = quality_weaklabel_classifier(spark, sf_dir).select(
+        "doc_id", F.when(F.col("predicted_good"), 1).otherwise(0).alias("pred"),
+        F.when(F.col("weak_label"), 1).otherwise(0).alias("good"),
+    )
+    src = tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    s = scored.join(src, "doc_id")
+    tp = F.sum(F.when((F.col("pred") == 1) & (F.col("good") == 1), 1).otherwise(0))
+    fp = F.sum(F.when((F.col("pred") == 1) & (F.col("good") == 0), 1).otherwise(0))
+    fn = F.sum(F.when((F.col("pred") == 0) & (F.col("good") == 1), 1).otherwise(0))
+    tn = F.sum(F.when((F.col("pred") == 0) & (F.col("good") == 0), 1).otherwise(0))
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.when(
+            F.sum("pred") > 0,
+            tp.cast("double") / F.sum("pred"),
+        ).alias("precision_good"),
+        F.when(
+            F.sum("good") > 0,
+            tp.cast("double") / F.sum("good"),
+        ).alias("recall_good"),
+    )

@@ -2713,3 +2713,64 @@ def ann_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_vectors").cast("double") / total).alias("share"),
         ((F.col("n_vectors") * _N_CELLS).cast("double") / total).alias("imbalance"),
     )
+
+
+_CB_CAP = 40  # per-cluster document cap for cluster-balanced sampling
+
+
+@register(
+    "emb_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_KM_CTES},
+    keyed AS (
+      SELECT vec_id, cluster_id,
+             md5('cbal-' || CAST(vec_id AS VARCHAR)) AS k
+      FROM km_assign
+    )
+    SELECT vec_id, cluster_id, CAST(rn AS BIGINT) AS rank_in_cluster
+    FROM (
+      SELECT vec_id, cluster_id, k,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY k, vec_id)
+               AS rn
+      FROM keyed
+    )
+    WHERE rn <= {_CB_CAP}
+    """,
+    tags=("embedding", "kmeans", "sampling", "curation"),
+)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling — keep at most {_CB_CAP} documents
+    per k-means cluster, chosen by a seeded hash order: the curation
+    step after SemDeDup/clustering that stops dominant modes from
+    swamping the training mix (the DataComp / SSL-curation
+    "cluster-then-cap" recipe; same intent as q_per_source_cap but in
+    EMBEDDING space, where the imbalance is semantic, not
+    provenance).
+
+    Cross-engine exactness: the cluster assignment is
+    emb_kmeans_assign's hash-gate-proven Lloyd iteration; selection
+    orders by (md5 hash, vec_id) — a deterministic total order — and
+    keeps rank ≤ {_CB_CAP}, so the same rows survive on every engine
+    and cluster size.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid
+    projection; the cap is ONE per-cluster window — Spark plans it as
+    WindowGroupLimit (rank pushdown), so each shuffle partition keeps
+    only its top-{_CB_CAP} rows per cluster before the final window
+    pass (plan-checked, test_plans.py::test_cluster_balanced_window_limit).
+    The hash order means no data-dependent skew: every cluster's
+    candidates hash-spread uniformly.
+    """
+    km = emb_kmeans_assign(spark, sf_dir)
+    k = F.md5(F.concat(F.lit("cbal-"), F.col("vec_id").cast("string")))
+    w = W.partitionBy("cluster_id").orderBy("k", "vec_id")
+    return (
+        km.select("vec_id", "cluster_id", k.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CB_CAP)
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("rn").cast("bigint").alias("rank_in_cluster"),
+        )
+    )

@@ -588,6 +588,29 @@ def test_weaklabel_vocab_join_not_broadcast(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
 
 
+def test_cluster_balanced_window_limit(spark, sf_dir):
+    """emb_cluster_balanced_sample: assignment is the zero-join
+    literal-centroid projection and the per-cluster cap plans as
+    WindowGroupLimit (rank pushdown trims each shuffle partition to
+    its per-cluster top-K before the final window pass)."""
+    plan = _formatted(_q(spark, sf_dir, "emb_cluster_balanced_sample"))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_classifier_calibration_no_corpus_broadcast(spark, sf_dir):
+    """quality_classifier_calibration: adds only a doc_id source join
+    and a |sources|-row aggregate on top of the classifier — under
+    threshold=-1 no hash-broadcast survives (vocab and corpus sides
+    are unbounded); the only forced broadcast stays the 1-row class
+    totals."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "quality_classifier_calibration"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" not in plan
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
 def test_dsir_resample_bounded_broadcasts(spark, sf_dir):
     """q_dsir_resample: every broadcast side is bounded by
     construction — the 64-row bucket table, the 1-row totals, the
