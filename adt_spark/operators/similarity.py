@@ -884,31 +884,42 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-
-    def assign(cents: dict[int, list[float]]) -> DataFrame:
-        structs = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        "vec",
-                        F.array(*[F.lit(float(x)) for x in cvec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, cvec in sorted(cents.items())
-        ]
-        return v.withColumn(
-            "cluster_id", F.array_min(F.array(*structs)).getField("cid")
-        )
-
     cents = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _KM_K}
+    cents1 = _km_mean_update(spark, _km_assign(v, cents))
+    return _km_assign(v, cents1).select("vec_id", "cluster_id")
+
+
+def _km_assign(v: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Lloyd assignment column over (vec_id, vec) rows: struct-min
+    argmin over centroid literals, (dist, cid) tiebreak — shared by
+    emb_kmeans_assign and emb_kmeans_iter2 (one copy of the
+    exactness-critical fold)."""
+    structs = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    "vec",
+                    F.array(*[F.lit(float(x)) for x in cvec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(cid).cast("long").alias("cid"),
+        )
+        for cid, cvec in sorted(cents.items())
+    ]
+    return v.withColumn(
+        "cluster_id", F.array_min(F.array(*structs)).getField("cid")
+    )
+
+
+def _km_mean_update(spark: SparkSession, assigned: DataFrame) -> dict[int, list[float]]:
+    """One exact mean update: (cluster, dim)-keyed fixed-point means
+    (floor(x·2⁴⁰) summed as DECIMAL(38,0), one double division at the
+    boundary), collected as k×dim bounded driver state."""
     sums = (
-        assign(cents)
-        .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
+        assigned.select("cluster_id", F.posexplode("vec").alias("pos", "val"))
         .groupBy("cluster_id", "pos")
         .agg(
             (
@@ -918,10 +929,10 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
-    cents1: dict[int, list[float]] = {}
+    cents: dict[int, list[float]] = {}
     for r in sums.collect():
-        cents1.setdefault(int(r.cluster_id), [0.0] * _KM_DIM)[r.pos] = r.m
-    return assign(cents1).select("vec_id", "cluster_id")
+        cents.setdefault(int(r.cluster_id), [0.0] * _KM_DIM)[r.pos] = r.m
+    return cents
 
 
 # ---------------------------------------------------------------------------
@@ -2774,3 +2785,58 @@ def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank_in_cluster"),
         )
     )
+
+
+@register(
+    "emb_kmeans_iter2",
+    oracle=f"""
+    WITH {_KM_CTES},
+    dims2 AS (
+      SELECT ka.cluster_id AS cid, r.i AS pos,
+             CAST(floor(v.vec[r.i+1] * 1099511627776.0) AS HUGEINT) AS val
+      FROM km_assign ka JOIN v USING (vec_id) CROSS JOIN range({_KM_DIM}) r(i)
+    ), sums2 AS (
+      SELECT cid, pos,
+             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS m
+      FROM dims2 GROUP BY cid, pos
+    ), c2 AS (
+      SELECT cid, list(m ORDER BY pos) AS cvec FROM sums2 GROUP BY cid
+    ), d3 AS (
+      SELECT v.vec_id, c2.cid,
+             list_reduce(list_transform(range({_KM_DIM}),
+               i -> (vec[i+1]-cvec[i+1])*(vec[i+1]-cvec[i+1])), (a,b) -> a+b)
+               AS dist
+      FROM v CROSS JOIN c2
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM d3
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+    """,
+    tags=("embedding", "kmeans", "iterative"),
+)
+def emb_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO exact Lloyd iterations (assign → means → assign → means →
+    assign) — the multi-round form of emb_kmeans_assign, proving the
+    iterative exactness discipline COMPOSES: round 2's centroids
+    derive from round 1's hash-gate-proven assignment, so every
+    engine walks the identical centroid trajectory (the oracle
+    unrolls both mean updates in SQL).  Real curation k-means runs
+    this loop to convergence; each added round is the same bounded
+    shape.
+
+    Cross-engine exactness: by induction — assignment argmin
+    tiebreaks (dist, cid) over in-order folds; each mean update is
+    the tie-free fixed point floor(x·2⁴⁰)/DECIMAL(38,0) with one
+    boundary division; k×dim doubles per round is the only driver
+    state.
+
+    Scale shape: per round, ONE zero-shuffle literal-centroid
+    projection + ONE (cluster, dim)-keyed partial+final aggregate —
+    rounds multiply wall-clock, never memory or shuffle width.
+    """
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    cents = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _KM_K}
+    for _round in range(2):
+        cents = _km_mean_update(spark, _km_assign(v, cents))
+    return _km_assign(v, cents).select("vec_id", "cluster_id")
