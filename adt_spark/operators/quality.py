@@ -1333,7 +1333,34 @@ def quality_weaklabel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the per-doc fold is the second uniform shuffle.  Token
     skew (stop words) is absorbed by partial aggregation on the count
     side and is uniform on the (doc, term) fold side.
+
+    The output is localCheckpointed and memoized per session+corpus
+    (the q_dsir_weights discipline): quality_classifier_calibration
+    re-consumes the scores, so without the memo every consumer re-ran
+    the two token shuffles; plan-shape tests assert on the
+    un-checkpointed ``_weaklabel_build``.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _WEAKLABEL_MEMO.get(key)
+    if memo is None:
+        memo = _weaklabel_build(spark, sf_dir).localCheckpoint(eager=False)
+        _WEAKLABEL_MEMO[key] = memo
+    return memo
+
+
+#: (applicationId, sf_dir) → localCheckpointed classifier scores.
+_WEAKLABEL_MEMO: dict = {}
+
+
+def clear_quality_state() -> None:
+    """Release memoized quality intermediates (checkpoint blocks are
+    reclaimed by the ContextCleaner once unreferenced)."""
+    _WEAKLABEL_MEMO.clear()
+
+
+def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed quality_weaklabel_classifier plan (see its
+    docstring)."""
     docs = tables(spark, sf_dir)["documents"]
     toks = F.split(F.col("text"), " ")
     lab = docs.select(

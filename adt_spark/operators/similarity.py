@@ -2300,21 +2300,32 @@ _IVFPQ_SCORED_CTES = f"""{_PQ_CTES}, cents AS (
     )"""
 
 
+def _pydot(a: list[float], b: list[float]) -> float:
+    """Driver-side ascending-index dot — the SAME accumulation order
+    as the distributed `_dot` fold, so driver-computed probe cosines
+    and executor-computed assignment cosines agree bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _ivf_cnorms(cells: dict[int, list[float]]) -> dict[int, float]:
+    """Centroid L2 norms — ONE copy feeding both the distributed cell
+    assignment (_ivf_cell_argmin) and the driver-side probe ranking
+    (ann_ivf_pq_topk), so the two cosines cannot diverge."""
+    import math
+
+    return {cid: math.sqrt(_pydot(cv, cv)) for cid, cv in cells.items()}
+
+
 def _ivf_cell_argmin(cells: dict[int, list[float]]):
     """Cell-assignment Column over a ``vec`` column: negated-cosine
     argmin over centroid literals with the (ccos DESC, cell) tiebreak
     — the ONE copy shared by ann_ivf_pq_topk and ann_ivf_list_stats,
     so the balance audit can never desynchronize from the assignment
     the operators it audits actually use."""
-    import math
-
-    def pydot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
+    cnorms = _ivf_cnorms(cells)
     nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
     structs = [
         F.struct(
@@ -2386,19 +2397,12 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small
     }
     cells = {k: small[k] for k in range(_N_CELLS) if k in small}
-
-    def pydot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    cnorms = {cid: math.sqrt(pydot(cv, cv)) for cid, cv in cells.items()}
+    cnorms = _ivf_cnorms(cells)  # shared with _ivf_cell_argmin
 
     def probe_cells(qvec: list[float]) -> list[int]:
-        qn = math.sqrt(pydot(qvec, qvec))
+        qn = math.sqrt(_pydot(qvec, qvec))
         ranked = sorted(
-            (-(pydot(qvec, cv) / (qn * cnorms[cid])), cid)
+            (-(_pydot(qvec, cv) / (qn * cnorms[cid])), cid)
             for cid, cv in cells.items()
         )
         return [cid for _neg, cid in ranked[:_N_PROBE]]

@@ -592,7 +592,15 @@ def _bpe_apply_merges(enc: DataFrame, merges: DataFrame) -> tuple[DataFrame, int
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        done.append(joined.filter(F.col("cur").isNull()).select("word", "syms"))
+        # checkpoint the (small) quiesced slice on its own so the
+        # round's full frame becomes unreferenced when `active`
+        # rebinds — otherwise every round's checkpoint blocks stay
+        # pinned until the final union is consumed
+        done.append(
+            joined.filter(F.col("cur").isNull())
+            .select("word", "syms")
+            .localCheckpoint(eager=True)
+        )
         active = joined.filter(F.col("cur").isNotNull())
         if active.limit(1).count() == 0:
             break

@@ -197,10 +197,10 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_event_funnel",
-    oracle="""
-    WITH s1 AS (
+#: the funnel stage derivation as composable oracle CTEs — the ONE
+#: copy shared by q_event_funnel and q_event_funnel_latency, so the
+#: latency report can never desynchronize from the funnel counts.
+_FUNNEL_CTES = """s1 AS (
       SELECT user_id, min(ts) AS t_signup FROM events
       WHERE event_type = 'signup' GROUP BY user_id
     ), s2 AS (
@@ -215,29 +215,15 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
         AND e.ts <= s2.t_click + INTERVAL 3 DAY
       GROUP BY e.user_id
-    )
-    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
-    UNION ALL
-    SELECT 'click_within_3d', CAST(count(*) AS BIGINT) FROM s2
-    UNION ALL
-    SELECT 'purchase_within_3d', CAST(count(*) AS BIGINT) FROM s3
-    """,
-    tags=("events", "funnel", "sequence"),
-)
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequenced conversion funnel: first signup → first click within
-    3 days strictly after it → first purchase within 3 days strictly
-    after that.  The ordered-sequence-over-event-log shape (product
-    funnels, multi-stage pipeline monitors) the reference's pure-SQL
-    surface can express only this way — no MATCH_RECOGNIZE in either
-    engine.
+    )"""
 
-    Scale shape: every stage is keyed by user_id — three aggregations
-    and two joins all sharing one hash partitioning, so Catalyst
-    reuses the exchange across stages; per-stage state is one
-    timestamp per user.  Each stage's input shrinks monotonically
-    (funnel property), so later stages are cheaper, not costlier.
-    """
+
+def _funnel_stages(spark: SparkSession, sf_dir: str):
+    """(s1, s2, s3) stage DataFrames — first signup, first click
+    within 3 days strictly after it, first purchase within 3 days
+    strictly after that (the Spark twin of _FUNNEL_CTES; every stage
+    keyed by user_id so the aggregations and joins share one hash
+    partitioning)."""
     ev = tables(spark, sf_dir)["events"]
     s1 = (
         ev.filter(F.col("event_type") == "signup")
@@ -264,6 +250,36 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
+    return s1, s2, s3
+
+
+@register(
+    "q_event_funnel",
+    oracle=f"""
+    WITH {_FUNNEL_CTES}
+    SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 'click_within_3d', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'purchase_within_3d', CAST(count(*) AS BIGINT) FROM s3
+    """,
+    tags=("events", "funnel", "sequence"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequenced conversion funnel: first signup → first click within
+    3 days strictly after it → first purchase within 3 days strictly
+    after that.  The ordered-sequence-over-event-log shape (product
+    funnels, multi-stage pipeline monitors) the reference's pure-SQL
+    surface can express only this way — no MATCH_RECOGNIZE in either
+    engine.
+
+    Scale shape: every stage is keyed by user_id — three aggregations
+    and two joins all sharing one hash partitioning, so Catalyst
+    reuses the exchange across stages; per-stage state is one
+    timestamp per user.  Each stage's input shrinks monotonically
+    (funnel property), so later stages are cheaper, not costlier.
+    """
+    s1, s2, s3 = _funnel_stages(spark, sf_dir)
 
     def stage(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").alias("n_users")).select(
@@ -698,23 +714,8 @@ def q_events_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_event_funnel_latency",
-    oracle="""
-    WITH s1 AS (
-      SELECT user_id, min(ts) AS t_signup FROM events
-      WHERE event_type = 'signup' GROUP BY user_id
-    ), s2 AS (
-      SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN s1 USING (user_id)
-      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
-        AND e.ts <= s1.t_signup + INTERVAL 3 DAY
-      GROUP BY e.user_id
-    ), s3 AS (
-      SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN s2 USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
-        AND e.ts <= s2.t_click + INTERVAL 3 DAY
-      GROUP BY e.user_id
-    ), lat AS (
+    oracle=f"""
+    WITH {_FUNNEL_CTES}, lat AS (
       SELECT 'signup_to_click' AS stage,
              epoch_us(s2.t_click) - epoch_us(s1.t_signup) AS lat_us
       FROM s1 JOIN s2 USING (user_id)
@@ -756,39 +757,14 @@ def q_event_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact BIGINT sum with a single boundary division.
 
     Scale shape: the stage tables are q_event_funnel's user-keyed
-    aggregates (one shared exchange); the latency union is two
-    user-keyed equi-joins; the percentile window partitions by STAGE
+    aggregates (shared _funnel_stages builder); the latency union is
+    two user-keyed equi-joins; the percentile window partitions by STAGE
     (2 partitions), so the per-stage sort is the exact-percentile
     cost — converted-user-sized, far below event count; at the
     extreme, swap in approx_percentile (the sketch path) with the
     same frame, as text_vocab_topk notes for approx_top_k.
     """
-    ev = tables(spark, sf_dir)["events"]
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_signup"))
-            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 3 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(
-            (F.col("ts") > F.col("t_click"))
-            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 3 DAY"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
+    s1, s2, s3 = _funnel_stages(spark, sf_dir)
     lat1 = s1.join(s2, "user_id").select(
         F.lit("signup_to_click").alias("stage"),
         (F.unix_micros("t_click") - F.unix_micros("t_signup")).alias("lat_us"),
