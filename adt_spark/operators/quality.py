@@ -1358,21 +1358,29 @@ def clear_quality_state() -> None:
     _WEAKLABEL_MEMO.clear()
 
 
-def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The un-checkpointed quality_weaklabel_classifier plan (see its
-    docstring)."""
-    docs = tables(spark, sf_dir)["documents"]
+def weak_label_col() -> "F.Column":
+    """The rule-gate weak label over a ``text`` column (≥20 tokens,
+    distinct-token ratio > 0.3) — the ONE copy shared by the batch
+    classifier and the streaming ingest gate."""
     toks = F.split(F.col("text"), " ")
-    lab = docs.select(
-        "doc_id",
+    return (
         F.when(
             (F.size(toks) >= 20)
             & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) > 0.3),
             1,
         )
         .otherwise(0)
-        .alias("good"),
     )
+
+
+def weaklabel_term_ratios(docs: DataFrame) -> DataFrame:
+    """(term, c): the Laplace-smoothed naive-Bayes likelihood ratio
+    per token, trained from the rule-gate weak labels over ``docs`` —
+    the MODEL half of quality_weaklabel_classifier, shared with
+    streaming_docs_quality_ingest so offline training and online
+    scoring use one derivation (the band_keys_projection discipline).
+    """
+    lab = docs.select("doc_id", weak_label_col().alias("good"))
     tl = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .join(lab, "doc_id")
@@ -1391,10 +1399,19 @@ def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ctot") - F.col("cg") + 1).cast("double")
         * (F.col("g") + F.col("v")).cast("double")
     )
+    return ts.crossJoin(F.broadcast(tot)).select("term", ratio.alias("c"))
+
+
+def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed quality_weaklabel_classifier plan (see its
+    docstring)."""
+    docs = tables(spark, sf_dir)["documents"]
+    lab = docs.select("doc_id", weak_label_col().alias("good"))
+    tl = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     contrib = (
-        tl.join(ts, "term")  # vocab-scale: AQE decides, never forced
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", "term", ratio.alias("c"))
+        # vocab-scale ratio table: AQE decides the join, never forced
+        tl.join(weaklabel_term_ratios(docs), "term")
+        .select("doc_id", "term", "c")
     )
     w = contrib.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -576,3 +576,89 @@ def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_to_memory(agg, spark, "complete")
+
+
+#: fixed-point scale for streaming quality scores (2^40): cross-row
+#: float sums are shuffle-order-nondeterministic, so the stream (and
+#: its batch pin) accumulate floor(c·2⁴⁰) as exact integers.
+_SQ_FP = 1099511627776.0
+
+
+def quality_scored_ingest(docs_static: DataFrame, arriving: DataFrame) -> DataFrame:
+    """Score ``arriving`` documents with term ratios TRAINED on
+    ``docs_static`` (quality.weaklabel_term_ratios — the shared model
+    derivation): explode to tokens, stream-static equi-join the
+    vocab-scale ratio table on the uniform term key (NEVER
+    force-broadcast — vocab grows with the corpus), and fold each
+    doc's known-token ratios in tie-free fixed point.  Output:
+    (doc_id, n_known_tokens, score, admit).  Shared by the streaming
+    operator and its batch pin so derivation parity is by
+    construction."""
+    from adt_spark.operators.quality import weaklabel_term_ratios
+
+    ratios = weaklabel_term_ratios(docs_static)
+    toks = arriving.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    scored = (
+        toks.join(ratios, "term")  # unseen tokens drop: model coverage
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_known_tokens"),
+            F.sum(F.floor(F.col("c") * _SQ_FP).cast("decimal(38,0)")).alias(
+                "s_fp"
+            ),
+        )
+    )
+    score = F.col("s_fp").cast("double") / (
+        F.col("n_known_tokens").cast("double") * _SQ_FP
+    )
+    return scored.select(
+        "doc_id",
+        "n_known_tokens",
+        score.alias("score"),
+        (score > F.lit(1.0)).alias("admit"),
+    )
+
+
+@register(
+    "streaming_docs_quality_ingest",
+    oracle=None,
+    tags=("streaming", "quality", "classifier"),
+)
+def streaming_docs_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality gating at ingest with the TRAINED weak-label
+    classifier — the model-scored counterpart of
+    streaming_anomaly_alerts' fixed thresholds: the naive-Bayes token
+    ratios are trained ONCE on the existing corpus (the doc_id % 10
+    != 0 slice), and each arriving document (the % 10 == 0 slice
+    standing in for today's crawl) is admitted iff its mean
+    known-token ratio clears 1.0 — train offline, score online, the
+    CCNet/RefinedWeb filter deployed at the ingest edge.
+
+    Scale posture: the static side is the VOCAB-SCALE ratio table
+    joined on the uniform term key (never force-broadcast; at real
+    scale a Delta model table the batch trainer refreshes); the
+    stream pays one explode + the equi-join per micro-batch, and the
+    per-doc aggregation state is two exact integers per in-flight
+    document (complete-mode rollup here; a production sink would
+    window it).  Scores accumulate in fixed point (floor(c·2⁴⁰) as
+    DECIMAL) so admit decisions are shuffle-order-deterministic —
+    the batch pin asserts exact equality.
+
+    Batch-agreement: tests/test_streaming.py pins (doc_id, n, score,
+    admit) to the identical batch derivation over the same slice
+    split via the shared ``quality_scored_ingest`` builder (driver
+    records rows-only).
+    """
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    static_schema = spark.read.parquet(docs_path).schema
+    corpus = spark.read.parquet(docs_path).filter(F.col("doc_id") % 10 != 0)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(_stream_glob(docs_path))
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return _drain_to_memory(
+        quality_scored_ingest(corpus, stream), spark, "complete"
+    )

@@ -343,3 +343,35 @@ def test_streaming_m4_matches_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_quality_ingest_matches_batch(spark, sf_dir):
+    """streaming_docs_quality_ingest == the batch scoring of the same
+    arriving slice under ratios trained on the same corpus slice (the
+    shared quality_scored_ingest builder guarantees derivation
+    parity); fixed-point accumulation makes scores and admit flags
+    exactly equal, not approximately."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.streaming.events import quality_scored_ingest
+
+    got = load_all()["streaming_docs_quality_ingest"].spark_fn(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want_df = quality_scored_ingest(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+    got_set = {
+        (r.doc_id, r.n_known_tokens, r.score, r.admit) for r in got.collect()
+    }
+    want = {
+        (r.doc_id, r.n_known_tokens, r.score, r.admit)
+        for r in want_df.collect()
+    }
+    assert got_set == want and len(want) > 0
+    # both halves of the admit rule must occur on the fixture, or the
+    # gate degenerates to a constant
+    admits = {a for (_d, _n, _s, a) in want}
+    assert admits == {True, False}
