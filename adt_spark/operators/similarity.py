@@ -2844,3 +2844,191 @@ def emb_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _round in range(2):
         cents = _km_mean_update(spark, _km_assign(v, cents))
     return _km_assign(v, cents).select("vec_id", "cluster_id")
+
+
+#: (applicationId, sf_dir) → trained IVF coarse-quantizer centroids
+#: {cid: full-dim vec} — N_CELLS×dim doubles of memoized driver model
+#: state (the _PQ_CB_MEMO twin for the coarse quantizer).
+_IVF_CELLS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
+
+#: trained-cell derivation as composable oracle CTEs: one exact
+#: spherical-Lloyd half-step — cosine-assign to the anchor cells
+#: (the ``assigned`` CTE), recompute per-(cell, dim) fixed-point
+#: means, keep the anchor value for empty cells.  ``tcells`` ends
+#: with (cid, pos, val); ``tc`` re-concatenates full-dim vectors.
+_IVF_TRAIN_CTES = f"""tdim AS (
+      SELECT a.cell AS cid, r.i AS pos,
+             CAST(floor(v.vec[r.i+1] * 1099511627776.0) AS HUGEINT) AS val
+      FROM assigned a JOIN v USING (vec_id) CROSS JOIN range({_DIM}) r(i)
+    ), tmean AS (
+      SELECT cid, pos,
+             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS val
+      FROM tdim GROUP BY cid, pos
+    ), tcells AS (
+      SELECT c.cell AS cid, r.i AS pos,
+             coalesce(m.val, c.cv[r.i+1]) AS val
+      FROM cents c CROSS JOIN range({_DIM}) r(i)
+      LEFT JOIN tmean m ON m.cid = c.cell AND m.pos = r.i
+    ), tc AS (
+      SELECT cid, list(val ORDER BY pos) AS cv2 FROM tcells GROUP BY cid
+    )"""
+
+
+def _ivf_trained_cells(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
+    """TRAIN the IVF coarse quantizer — one exact mean update from
+    the anchor cells under the SAME cosine assignment the search
+    operators use (_ivf_cell_argmin), closing ann_ivf_probe's 'swap
+    in trained k-means centroids at deployment' promise: means in the
+    tie-free floor(x·2⁴⁰) fixed point, empty cells keep their anchor,
+    N_CELLS×dim doubles of memoized driver state."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _IVF_CELLS_MEMO.get(key)
+    if memo is not None:
+        return memo
+    cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+    sums = (
+        v.select(_ivf_cell_argmin(cells).alias("cell"), "vec")
+        .select("cell", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.count("*").cast("double") * 1099511627776.0)
+            ).alias("m")
+        )
+    )
+    cb = {cid: list(cv) for cid, cv in cells.items()}  # empty-cell fill
+    for r in sums.collect():  # bounded: N_CELLS×dim rows
+        cb[int(r.cell)][int(r.pos)] = float(r.m)
+    _IVF_CELLS_MEMO[key] = cb
+    return cb
+
+
+@register(
+    "ann_ivf_train_cells",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}
+    SELECT CAST(cid AS INT) AS cid, CAST(pos AS INT) AS pos, val
+    FROM tcells
+    """,
+    tags=("similarity", "ann", "ivf", "training", "iterative"),
+)
+def ann_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained IVF coarse-quantizer centroids as a table —
+    (cell cid, dim pos, value): {_N_CELLS}×{_DIM} rows from one exact
+    spherical-Lloyd half-step (cosine-assign to the anchor cells,
+    recompute per-cell means), oracle-gated the way emb_pq_train
+    gates the PQ codebooks — so IVF cell training is value-checked,
+    not just its consumers.
+
+    Cross-engine exactness: assignment equality is the IVFPQ gate's
+    (same ccos folds, same (ccos DESC, cell) tiebreak); means are the
+    tie-free floor(x·2⁴⁰)/DECIMAL(38,0) fixed point with one boundary
+    division; empty cells COALESCE to their anchor value on both
+    engines.
+
+    Scale shape: assignment is the zero-shuffle literal-centroid
+    argmin; the only shuffle is the (cell, dim)-keyed partial+final
+    mean aggregate ({_N_CELLS}×{_DIM} groups); driver state is
+    N_CELLS×dim doubles, memoized per session like the PQ codebooks.
+    """
+    cb = _ivf_trained_cells(spark, sf_dir)
+    rows = [
+        (cid, pos, cb[cid][pos])
+        for cid in sorted(cb)
+        for pos in range(_DIM)
+    ]
+    return spark.createDataFrame(rows, "cid int, pos int, val double")
+
+
+@register(
+    "ann_ivf_balance_trained",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES},
+    sc2 AS (
+      SELECT e.vec_id, t.cid,
+             {_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='t.cv2')}
+               / (sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='e.vec')})
+                  * sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='t.cv2', b='t.cv2')}))
+               AS ccos
+      FROM v e CROSS JOIN tc t
+    ), a2 AS (
+      SELECT vec_id, cid FROM sc2
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) = 1
+    ), s1 AS (
+      SELECT max(n) AS m, sum(n) AS t FROM (
+        SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
+    ), s2 AS (
+      SELECT max(n) AS m, sum(n) AS t FROM (
+        SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+    )
+    SELECT CAST(s1.t AS BIGINT) AS n_vectors,
+           CAST(s1.m * {_N_CELLS} AS DOUBLE) / CAST(s1.t AS DOUBLE)
+             AS max_imbalance_anchor,
+           CAST(s2.m * {_N_CELLS} AS DOUBLE) / CAST(s2.t AS DOUBLE)
+             AS max_imbalance_trained,
+           (CAST(s1.m * {_N_CELLS} AS DOUBLE) / CAST(s1.t AS DOUBLE))
+             / (CAST(s2.m * {_N_CELLS} AS DOUBLE) / CAST(s2.t AS DOUBLE))
+             AS improvement
+    FROM s1 CROSS JOIN s2
+    """,
+    tags=("similarity", "ann", "ivf", "training", "eval"),
+)
+def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did IVF cell training help?  The WORST-cell imbalance factor
+    (largest list ÷ uniform size — the tail-latency driver
+    ann_ivf_list_stats reports per cell) under the anchor quantizer
+    vs the trained one, plus their ratio: the one-number audit that
+    says whether the trained centroids actually flattened the
+    inverted lists before you re-key a 100 TB codes table by them.
+
+    Cross-engine exactness: both assignments are the proven cosine
+    argmin (the trained side's centroids are fixed-point means the
+    ann_ivf_train_cells gate value-checks; its cosine divides by
+    freshly-sqrt'd norms in the same grouping on both engines);
+    counts and maxima are exact integers; the three ratios are
+    boundary-only double divisions (denominators are corpus/list
+    counts — structurally nonzero when the table is nonempty).
+
+    Scale shape: TWO zero-shuffle assignment projections (both
+    codebooks are plan literals) + two {_N_CELLS}-row two-phase
+    count aggregates + a 1-row cross join.  One corpus scan per
+    quantizer, no joins wider than a row.
+    """
+    cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+    trained = _ivf_trained_cells(spark, sf_dir)
+    v = tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", _vec_double().alias("vec")
+    )
+
+    def stats(cb: dict[int, list[float]]):
+        return (
+            v.select(_ivf_cell_argmin(cb).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"), F.sum("n").alias("t"))
+        )
+
+    s1 = stats(cells).select(
+        F.col("m").alias("m1"), F.col("t").alias("t1")
+    )
+    s2 = stats(trained).select(
+        F.col("m").alias("m2"), F.col("t").alias("t2")
+    )
+    imb1 = (F.col("m1") * _N_CELLS).cast("double") / F.col("t1").cast("double")
+    imb2 = (F.col("m2") * _N_CELLS).cast("double") / F.col("t2").cast("double")
+    return s1.crossJoin(s2).select(
+        F.col("t1").alias("n_vectors"),
+        imb1.alias("max_imbalance_anchor"),
+        imb2.alias("max_imbalance_trained"),
+        (imb1 / imb2).alias("improvement"),
+    )
