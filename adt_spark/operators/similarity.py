@@ -1390,6 +1390,7 @@ def clear_similarity_state() -> None:
     _CODES_PLAN.clear()
     _L2_TRUTH_MEMO.clear()
     _PQ_CB_MEMO.clear()
+    _IVF_CELLS_MEMO.clear()
 
 
 def _sem_block_input(spark: SparkSession, sf_dir: str):
@@ -2888,10 +2889,27 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str) -> dict[int, list[float
     cells = {
         k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
     }
+    cb = {cid: list(cv) for cid, cv in cells.items()}  # empty-cell fill
+    for r in _ivf_train_sums(spark, sf_dir, cells).collect():
+        # bounded: N_CELLS×dim rows
+        cb[int(r.cell)][int(r.pos)] = float(r.m)
+    _IVF_CELLS_MEMO[key] = cb
+    return cb
+
+
+def _ivf_train_sums(
+    spark: SparkSession, sf_dir: str, cells: dict[int, list[float]]
+) -> DataFrame:
+    """The distributed half of IVF cell training: per-(cell, dim)
+    fixed-point means of the vectors cosine-assigned to each anchor
+    cell — assignment is the zero-shuffle _ivf_cell_argmin
+    projection, and the ONLY shuffle is this (cell, pos)-keyed
+    partial+final aggregate (plan-checked,
+    test_plans.py::test_ivf_train_single_shuffle_no_join)."""
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    sums = (
+    return (
         v.select(_ivf_cell_argmin(cells).alias("cell"), "vec")
         .select("cell", F.posexplode("vec").alias("pos", "val"))
         .groupBy("cell", "pos")
@@ -2903,11 +2921,6 @@ def _ivf_trained_cells(spark: SparkSession, sf_dir: str) -> dict[int, list[float
             ).alias("m")
         )
     )
-    cb = {cid: list(cv) for cid, cv in cells.items()}  # empty-cell fill
-    for r in sums.collect():  # bounded: N_CELLS×dim rows
-        cb[int(r.cell)][int(r.pos)] = float(r.m)
-    _IVF_CELLS_MEMO[key] = cb
-    return cb
 
 
 @register(

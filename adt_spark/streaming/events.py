@@ -591,33 +591,42 @@ def quality_scored_ingest(docs_static: DataFrame, arriving: DataFrame) -> DataFr
     vocab-scale ratio table on the uniform term key (NEVER
     force-broadcast — vocab grows with the corpus), and fold each
     doc's known-token ratios in tie-free fixed point.  Output:
-    (doc_id, n_known_tokens, score, admit).  Shared by the streaming
-    operator and its batch pin so derivation parity is by
+    (doc_id, n_known_tokens, score, admit).  EVERY arriving document
+    gets a verdict: tokens absent from the trained vocab contribute
+    nothing (LEFT join), and a document with zero known tokens is
+    REJECTED explicitly (score NULL, admit false — a gate that cannot
+    judge novel vocabulary must say so, not drop the doc).  The ratio
+    table is localCheckpointed once at build time so a streaming
+    consumer does not retrain the model every micro-batch (Structured
+    Streaming re-executes static sides per batch).  Shared by the
+    streaming operator and its batch pin so derivation parity is by
     construction."""
     from adt_spark.operators.quality import weaklabel_term_ratios
 
-    ratios = weaklabel_term_ratios(docs_static)
+    ratios = weaklabel_term_ratios(docs_static).localCheckpoint(eager=False)
     toks = arriving.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     scored = (
-        toks.join(ratios, "term")  # unseen tokens drop: model coverage
+        toks.join(ratios, "term", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_known_tokens"),
+            F.count("c").alias("n_known_tokens"),  # unseen tokens: c NULL
             F.sum(F.floor(F.col("c") * _SQ_FP).cast("decimal(38,0)")).alias(
                 "s_fp"
             ),
         )
     )
-    score = F.col("s_fp").cast("double") / (
-        F.col("n_known_tokens").cast("double") * _SQ_FP
+    score = F.when(
+        F.col("n_known_tokens") > 0,
+        F.col("s_fp").cast("double")
+        / (F.col("n_known_tokens").cast("double") * _SQ_FP),
     )
     return scored.select(
         "doc_id",
         "n_known_tokens",
         score.alias("score"),
-        (score > F.lit(1.0)).alias("admit"),
+        F.coalesce(score > F.lit(1.0), F.lit(False)).alias("admit"),
     )
 
 

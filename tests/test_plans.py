@@ -592,6 +592,61 @@ def test_weaklabel_vocab_join_not_broadcast(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
 
 
+def test_ivf_train_single_shuffle_no_join(spark, sf_dir):
+    """_ivf_train_sums (the distributed half of IVF cell training):
+    cosine assignment is fused into the scan projection — no join —
+    and the ONLY exchange is the (cell, pos)-keyed partial+final mean
+    aggregate."""
+    from adt_spark.operators.similarity import (
+        _N_CELLS,
+        _ivf_train_sums,
+        _small_vecs,
+    )
+
+    cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+    plan = _formatted(_ivf_train_sums(spark, sf_dir, cells))
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_ivf_balance_trained_two_scans_no_wide_join(spark, sf_dir):
+    """ann_ivf_balance_trained: both quantizers are plan literals, so
+    the plan is two assignment projections (two scans of the same
+    table), two bounded count aggregates, and ONE 1-row cross join —
+    never a sort-merge join or cartesian over data."""
+    plan = _formatted(_q(spark, sf_dir, "ann_ivf_balance_trained"))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+
+
+def test_quality_ingest_vocab_join_not_broadcast(spark, sf_dir):
+    """quality_scored_ingest (the shared builder behind
+    streaming_docs_quality_ingest): the trained ratio table joins the
+    arriving token stream on the uniform term key; under threshold=-1
+    no hash-broadcast may survive — the vocab grows with the corpus
+    (checked on the batch form; the streaming plan shares the
+    builder)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.streaming.events import quality_scored_ingest
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with _no_auto_broadcast(spark):
+        plan = _formatted(
+            quality_scored_ingest(
+                docs.filter(F.col("doc_id") % 10 != 0),
+                docs.filter(F.col("doc_id") % 10 == 0),
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" not in plan
+
+
 def test_kmeans_iter2_zero_shuffle_output(spark, sf_dir):
     """emb_kmeans_iter2: after the two driver-bounded mean updates,
     the RETURNED assignment is a pure literal-centroid projection —

@@ -375,3 +375,12 @@ def test_streaming_quality_ingest_matches_batch(spark, sf_dir):
     # gate degenerates to a constant
     admits = {a for (_d, _n, _s, a) in want}
     assert admits == {True, False}
+    # EVERY arriving document gets a verdict — the gate may not drop
+    # docs whose vocabulary the model has never seen
+    arriving = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {d for (d, _n, _s, _a) in got_set} == arriving
