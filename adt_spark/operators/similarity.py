@@ -3010,10 +3010,12 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary-only double divisions (denominators are corpus/list
     counts — structurally nonzero when the table is nonempty).
 
-    Scale shape: TWO zero-shuffle assignment projections (both
-    codebooks are plan literals) + two {_N_CELLS}-row two-phase
-    count aggregates + a 1-row cross join.  One corpus scan per
-    quantizer, no joins wider than a row.
+    Scale shape: ONE corpus scan computes BOTH assignments (both
+    codebooks are plan literals in one projection), a 2-row explode
+    tags each vector's (side, cell), and everything after is
+    bounded-key aggregation — (side, cell) counts, per-side max/sum,
+    one conditional-agg row.  Zero joins of any kind (plan-checked,
+    test_plans.py::test_ivf_balance_trained_single_scan_no_join).
     """
     cells = {
         k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
@@ -3022,24 +3024,33 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-
-    def stats(cb: dict[int, list[float]]):
-        return (
-            v.select(_ivf_cell_argmin(cb).alias("cell"))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.max("n").alias("m"), F.sum("n").alias("t"))
-        )
-
-    s1 = stats(cells).select(
-        F.col("m").alias("m1"), F.col("t").alias("t1")
+    both = v.select(
+        _ivf_cell_argmin(cells).alias("ca"),
+        _ivf_cell_argmin(trained).alias("ct"),
     )
-    s2 = stats(trained).select(
-        F.col("m").alias("m2"), F.col("t").alias("t2")
+    pairs = both.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("anchor").alias("side"), F.col("ca").alias("cell")),
+                F.struct(F.lit("trained").alias("side"), F.col("ct").alias("cell")),
+            )
+        ).alias("p")
+    ).select("p.side", "p.cell")
+    per_side = (
+        pairs.groupBy("side", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("side")
+        .agg(F.max("n").alias("m"), F.sum("n").alias("t"))
+    )
+    one = per_side.agg(
+        F.max(F.when(F.col("side") == "anchor", F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("side") == "anchor", F.col("t"))).alias("t1"),
+        F.max(F.when(F.col("side") == "trained", F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("side") == "trained", F.col("t"))).alias("t2"),
     )
     imb1 = (F.col("m1") * _N_CELLS).cast("double") / F.col("t1").cast("double")
     imb2 = (F.col("m2") * _N_CELLS).cast("double") / F.col("t2").cast("double")
-    return s1.crossJoin(s2).select(
+    return one.select(
         F.col("t1").alias("n_vectors"),
         imb1.alias("max_imbalance_anchor"),
         imb2.alias("max_imbalance_trained"),

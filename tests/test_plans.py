@@ -611,15 +611,14 @@ def test_ivf_train_single_shuffle_no_join(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
-def test_ivf_balance_trained_two_scans_no_wide_join(spark, sf_dir):
-    """ann_ivf_balance_trained: both quantizers are plan literals, so
-    the plan is two assignment projections (two scans of the same
-    table), two bounded count aggregates, and ONE 1-row cross join —
-    never a sort-merge join or cartesian over data."""
+def test_ivf_balance_trained_single_scan_no_join(spark, sf_dir):
+    """ann_ivf_balance_trained: both quantizers are plan literals in
+    ONE projection of ONE scan (a 2-row explode tags the sides), and
+    everything downstream is bounded-key aggregation — zero joins of
+    any kind."""
     plan = _formatted(_q(spark, sf_dir, "ann_ivf_balance_trained"))
-    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 2
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
 
 
 def test_quality_ingest_vocab_join_not_broadcast(spark, sf_dir):
