@@ -2343,6 +2343,39 @@ def _ivf_cell_argmin(cells: dict[int, list[float]]):
     return F.array_min(F.array(*structs)).getField("cell")
 
 
+def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized cell-keyed PQ codes table (vec_id, cell,
+    code_0..3): cosine cell assignment + PQ encoding fused into ONE
+    zero-shuffle projection of one scan, localCheckpointed per
+    session+corpus — shared by ann_ivf_pq_topk, ann_ivfpq_recall (via
+    its call) and ann_ivf_balance_trained (which reads only the cell
+    column), so the corpus is assigned and encoded exactly once."""
+    from adt_spark.context import spread
+
+    ck = (spark.sparkContext.applicationId, sf_dir, "cell")
+    codes = _CODES_MEMO.get(ck)
+    if codes is None:
+        v = spread(
+            tables(spark, sf_dir)["embeddings"].select(
+                "vec_id", _vec_double().alias("vec")
+            )
+        )
+        cells = {
+            k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+        }
+        anchors = _pq_trained_codebooks(spark, sf_dir)
+        assigned = v.select(
+            "vec_id", "vec", _ivf_cell_argmin(cells).alias("cell")
+        )
+        raw = _pq_encode(assigned, anchors, extra=("cell",)).select(
+            "vec_id", "cell", "code_0", "code_1", "code_2", "code_3"
+        )
+        _CODES_PLAN[ck] = raw
+        codes = raw.localCheckpoint(eager=False)
+        _CODES_MEMO[ck] = codes
+    return codes
+
+
 @register(
     "ann_ivf_pq_topk",
     oracle=f"""
@@ -2412,20 +2445,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused into the same projection as the PQ sub-argmins — no
     # centroid join, no per-vector window, zero shuffles (the shared
     # _ivf_cell_argmin column, also audited by ann_ivf_list_stats)
-    ck = (spark.sparkContext.applicationId, sf_dir, "cell")
-    codes = _CODES_MEMO.get(ck)
-    if codes is None:
-        assigned = v.select(
-            "vec_id",
-            "vec",
-            _ivf_cell_argmin(cells).alias("cell"),
-        )
-        raw = _pq_encode(assigned, anchors, extra=("cell",)).select(
-            "vec_id", "cell", "code_0", "code_1", "code_2", "code_3"
-        )
-        _CODES_PLAN[ck] = raw
-        codes = raw.localCheckpoint(eager=False)
-        _CODES_MEMO[ck] = codes
+    codes = _ivf_codes(spark, sf_dir)
 
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
         acc = 0.0
@@ -3010,32 +3030,29 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary-only double divisions (denominators are corpus/list
     counts — structurally nonzero when the table is nonempty).
 
-    Scale shape: ONE corpus scan computes BOTH assignments (both
-    codebooks are plan literals in one projection), a 2-row explode
-    tags each vector's (side, cell), and everything after is
-    bounded-key aggregation — (side, cell) counts, per-side max/sum,
-    one conditional-agg row.  Zero joins of any kind (plan-checked,
+    Scale shape: the ANCHOR side reads only the cell column of the
+    memoized codes table (_ivf_codes — already materialized for the
+    IVFPQ family, so the anchor assignment is never recomputed); the
+    TRAINED side is one zero-shuffle argmin projection of one scan;
+    the union feeds bounded-key aggregation — (side, cell) counts,
+    per-side max/sum, one conditional-agg row.  Zero joins of any
+    kind (plan-checked,
     test_plans.py::test_ivf_balance_trained_single_scan_no_join).
+    (A fused both-argmins-in-one-projection variant measured SLOWER —
+    32 cosine folds in one codegen unit — and was reverted.)
     """
-    cells = {
-        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
-    }
     trained = _ivf_trained_cells(spark, sf_dir)
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
     )
-    both = v.select(
-        _ivf_cell_argmin(cells).alias("ca"),
-        _ivf_cell_argmin(trained).alias("ct"),
+    anchor_pairs = _ivf_codes(spark, sf_dir).select(
+        F.lit("anchor").alias("side"), F.col("cell").cast("long").alias("cell")
     )
-    pairs = both.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("anchor").alias("side"), F.col("ca").alias("cell")),
-                F.struct(F.lit("trained").alias("side"), F.col("ct").alias("cell")),
-            )
-        ).alias("p")
-    ).select("p.side", "p.cell")
+    trained_pairs = v.select(
+        F.lit("trained").alias("side"),
+        _ivf_cell_argmin(trained).alias("cell"),
+    )
+    pairs = anchor_pairs.unionByName(trained_pairs)
     per_side = (
         pairs.groupBy("side", "cell")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -612,10 +612,10 @@ def test_ivf_train_single_shuffle_no_join(spark, sf_dir):
 
 
 def test_ivf_balance_trained_single_scan_no_join(spark, sf_dir):
-    """ann_ivf_balance_trained: both quantizers are plan literals in
-    ONE projection of ONE scan (a 2-row explode tags the sides), and
-    everything downstream is bounded-key aggregation — zero joins of
-    any kind."""
+    """ann_ivf_balance_trained: the anchor side reads the memoized
+    codes table's cell column (Scan ExistingRDD), the trained side is
+    one argmin projection of ONE parquet scan, and everything
+    downstream is bounded-key aggregation — zero joins of any kind."""
     plan = _formatted(_q(spark, sf_dir, "ann_ivf_balance_trained"))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
