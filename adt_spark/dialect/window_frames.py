@@ -48,6 +48,34 @@ q_window_exclude):
   (GROUP) or the current row (TIES).  Frame endpoints must be
   UNBOUNDED / CURRENT ROW (or GROUPS-numeric, already in peer space)
   — a numeric VALUE offset has no peer-space image and raises.
+- ``EXCLUDE`` over a frame that CANNOT contain the current row
+  (non-straddling: both bounds strictly preceding, or both strictly
+  following, in the frame's own offset space — e.g. ``ROWS BETWEEN 3
+  PRECEDING AND 1 PRECEDING``) is a pure NO-OP — base frame emitted
+  unchanged, ANY window function — exactly where the absence is
+  guaranteed for EVERY row: ``EXCLUDE CURRENT ROW`` over ROWS frames
+  (positional offsets) and ``EXCLUDE CURRENT ROW / GROUP`` over
+  GROUPS frames (even a NULL-keyed row's peer group sits at offset
+  0, which the frame excludes).  Over RANGE frames with VALUE
+  offsets it is NOT a no-op: a NULL-keyed row's numeric-RANGE frame
+  is its null peer group in both engines — containing the current
+  row and all its peers — so the rewrite gates on key nullness:
+  excluded quantities in the subtraction algebra are multiplied into
+  a ``CASE WHEN key IS NULL`` arm (sum/count/avg/variance), and
+  min/max/first/last under ``EXCLUDE GROUP`` become ``CASE WHEN key
+  IS NULL THEN NULL ELSE base END`` (the surviving frame for a
+  NULL-keyed row is empty).  Still refused: GROUP over non-straddling
+  ROWS frames (key-sharing peers can occupy any row offset inside
+  the frame), min/max/first/last under CURRENT ROW over
+  non-straddling RANGE frames (null-peer-group-minus-self has no
+  closed form), and ``EXCLUDE TIES`` over ANY non-straddling frame —
+  SQL:2011's "the current row together with the non-peer frame rows"
+  wording ADDS the current row to a frame that never contained it
+  (DuckDB implements that reading) while PostgreSQL's peers-only
+  removal does not, so no single rewrite is right for both dialects.
+  ``0 PRECEDING`` / ``0 FOLLOWING`` bounds are normalized to
+  ``CURRENT ROW`` first, so such frames correctly take the
+  straddling (subtraction / split) paths.
 - ``EXCLUDE CURRENT ROW`` on min / max / first_value / last_value
   over a **ROWS** frame splits in ROW space — ``ROWS BETWEEN lo AND
   1 PRECEDING`` / ``ROWS BETWEEN 1 FOLLOWING AND hi`` — where numeric
@@ -251,11 +279,21 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
         hi = fm.group("hi") or "current row"
         # normalized LOWERCASE (like mode/exclude): downstream
         # comparisons — _straddles, the split-frame empty-half checks
-        # ('current row' / '0 preceding') — match literally
+        # — match literally.  '0 PRECEDING' / '0 FOLLOWING' ARE the
+        # current row (SQL spec): normalizing here keeps _straddles
+        # accurate (a '… AND 0 PRECEDING' frame DOES contain the
+        # current row, so treating its sign as -1 would misroute it
+        # to the non-straddling no-op path — unsound).
+        lo = " ".join(lo.lower().split())
+        hi = " ".join(hi.lower().split())
+        if lo in ("0 preceding", "0 following"):
+            lo = "current row"
+        if hi in ("0 preceding", "0 following"):
+            hi = "current row"
         frame = {
             "mode": fm.group("mode").lower(),
-            "lo": " ".join(lo.lower().split()),
-            "hi": " ".join(hi.lower().split()),
+            "lo": lo,
+            "hi": hi,
             "span": (fm.start(), fm.end()),
         }
         pre_end = fm.start()
@@ -289,6 +327,28 @@ def _frame_text(frame: dict | None, src: str) -> str:
         return ""
     s, e = frame["span"]
     return src[s:e]
+
+
+def _bare_order_key(order_src: str) -> str:
+    """The ORDER BY key expression stripped of direction / null-order
+    modifiers — used by the non-straddling-RANGE rewrites to test key
+    nullness.  Numeric RANGE offsets require a single sort key in
+    every dialect; a top-level comma (multi-key) refuses loudly."""
+    masked = _mask_literals(order_src)
+    depth = 0
+    for ch in masked:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            raise _Unsupported(
+                "EXCLUDE over a RANGE frame with numeric offsets requires "
+                "a single ORDER BY key"
+            )
+    return re.sub(
+        r"(?is)\s+(asc|desc)(\s+nulls\s+(first|last))?\s*$", "", order_src
+    ).strip()
 
 
 def _straddles(frame: dict | None) -> bool:
@@ -356,12 +416,55 @@ def rewrite_window_frames(sql: str) -> str:
             edits.append((open_pos + 1, close_pos, base_w))
             continue
 
+        ns_range = False  # non-straddling RANGE: key-gated, not a no-op
         if not _straddles(frame):
-            raise _Unsupported(
-                f"EXCLUDE {exclude.upper()} on a frame not containing the "
-                "current row (lo <= 0 <= hi) has no sound subtraction "
-                "rewrite — use the DataFrame API (see q_window_exclude)"
-            )
+            # The frame cannot contain the current row (offset 0 is
+            # outside [lo, hi] in the frame's own coordinate space).
+            # EXCLUDE CURRENT ROW and EXCLUDE GROUP are pure REMOVALS
+            # in every reading of the standard, so removing rows that
+            # were never in the frame is a no-op: the base frame IS
+            # the answer, for ANY window function.  That holds
+            # unconditionally in ROW space (CURRENT ROW over ROWS
+            # frames) and in peer-group space (CURRENT ROW / GROUP
+            # over GROUPS frames — even a NULL-keyed row's peer group
+            # sits at offset 0, which the frame excludes).  RANGE
+            # frames with VALUE offsets are NOT a no-op: a NULL-keyed
+            # row's numeric-RANGE frame is its null peer group, which
+            # CONTAINS the current row and all its peers — those rows
+            # fall through to the key-nullness-gated rewrites below.
+            # Still refused: GROUP over ROWS frames (key-sharing
+            # peers can occupy any row offset inside the frame) and
+            # EXCLUDE TIES anywhere non-straddling — SQL:2011's "the
+            # current row together with the non-peer frame rows"
+            # wording ADDS the current row to a frame that never
+            # contained it (DuckDB implements that reading) while
+            # PostgreSQL's peers-only removal does not, so no single
+            # rewrite is right for both dialects.
+            if exclude == "current row" and frame["mode"] == "rows":
+                edits.append((open_pos + 1, close_pos, base_w))
+                continue
+            if (
+                exclude in ("current row", "group")
+                and frame["mode"] == "groups"
+                and order_text is not None
+            ):
+                edits.append((open_pos + 1, close_pos, base_w))
+                continue
+            if (
+                exclude in ("current row", "group")
+                and frame["mode"] == "range"
+                and spec["order"] is not None
+            ):
+                ns_range = True
+            else:
+                raise _Unsupported(
+                    f"EXCLUDE {exclude.upper()} on a frame not containing "
+                    "the current row is not a sound no-op here (ROWS "
+                    "frames can still contain key-sharing peers; EXCLUDE "
+                    "TIES re-adds the current row under SQL:2011's wording "
+                    "but not under PostgreSQL's) — use the DataFrame API "
+                    "(see q_window_exclude)"
+                )
         eff_mode = "range" if frame is None else (
             "range" if frame["mode"] == "groups" else frame["mode"]
         )
@@ -404,6 +507,18 @@ def rewrite_window_frames(sql: str) -> str:
             )
         if re.match(r"(?i)^\s*distinct\b", args):
             raise _Unsupported("EXCLUDE with DISTINCT aggregates is not supported")
+
+        korder = _bare_order_key(spec["order"]) if ns_range else None
+
+        def _gx(term: str) -> str:
+            """Excluded-quantity gate: on a non-straddling RANGE frame
+            the exclusion bites only for NULL-keyed rows (whose
+            numeric-RANGE frame is the null peer group, containing the
+            current row and all peers); every other row's frame never
+            held the excluded rows, so it loses nothing."""
+            if not ns_range:
+                return term
+            return f"(CASE WHEN ({korder}) IS NULL THEN {term} ELSE 0 END)"
 
         if fn in ("min", "max", "first_value", "last_value"):
             # Split-frame rewrite: no subtraction inverse exists for
@@ -473,6 +588,18 @@ def rewrite_window_frames(sql: str) -> str:
                         f"(CASE WHEN {cnt_near} > 0 THEN {v_near} "
                         f"ELSE {fallback} END)"
                     )
+                edits.append((fn_start, close_pos + 1, repl))
+                continue
+            if ns_range:
+                # exclude == "group" here (CURRENT ROW raised above):
+                # a non-NULL key's frame excludes the whole peer group
+                # already (offset 0 is outside it) → base frame; a
+                # NULL key's frame IS the peer group, so the surviving
+                # frame is empty → NULL.
+                repl = (
+                    f"(CASE WHEN ({korder}) IS NULL THEN NULL "
+                    f"ELSE {fn}({args}) OVER ({base_w}) END)"
+                )
                 edits.append((fn_start, close_pos + 1, repl))
                 continue
             # the GROUP/TIES guards above already enforced a RANGE (or
@@ -574,13 +701,13 @@ def rewrite_window_frames(sql: str) -> str:
             sqp = f"sum({ed} * {ed}) OVER ({peer_w})"
             sq_row = f"COALESCE({ed} * {ed}, 0)"
             if exclude == "current row":
-                n_excl = f"{cw} - {nn}"
-                s_excl = f"{sw} - COALESCE({ed}, 0)"
-                s2_excl = f"{sq} - {sq_row}"
+                n_excl = f"{cw} - {_gx(nn)}"
+                s_excl = f"{sw} - {_gx(f'COALESCE({ed}, 0)')}"
+                s2_excl = f"{sq} - {_gx(sq_row)}"
             elif exclude == "group":
-                n_excl = f"{cw} - {cwp}"
-                s_excl = f"{sw} - COALESCE({swp}, 0)"
-                s2_excl = f"{sq} - COALESCE({sqp}, 0)"
+                n_excl = f"{cw} - {_gx(cwp)}"
+                s_excl = f"{sw} - {_gx(f'COALESCE({swp}, 0)')}"
+                s2_excl = f"{sq} - {_gx(f'COALESCE({sqp}, 0)')}"
             else:  # ties
                 n_excl = f"{cw} - {cwp} + {nn}"
                 s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({ed}, 0)"
@@ -609,9 +736,9 @@ def rewrite_window_frames(sql: str) -> str:
         nn = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
         if fn == "count":
             if exclude == "current row":
-                repl = f"({cw} - {nn})"
+                repl = f"({cw} - {_gx(nn)})"
             elif exclude == "group":
-                repl = f"({cw} - {cwp})"
+                repl = f"({cw} - {_gx(cwp)})"
             else:  # ties
                 repl = f"({cw} - {cwp} + {nn})"
         else:
@@ -620,11 +747,11 @@ def rewrite_window_frames(sql: str) -> str:
             sw = f"sum({e}) OVER ({base_w})"
             swp = f"sum({e}) OVER ({peer_w})"
             if exclude == "current row":
-                n_excl = f"{cw} - {nn}"
-                s_excl = f"{sw} - COALESCE({e}, 0)"
+                n_excl = f"{cw} - {_gx(nn)}"
+                s_excl = f"{sw} - {_gx(f'COALESCE({e}, 0)')}"
             elif exclude == "group":
-                n_excl = f"{cw} - {cwp}"
-                s_excl = f"{sw} - COALESCE({swp}, 0)"
+                n_excl = f"{cw} - {_gx(cwp)}"
+                s_excl = f"{sw} - {_gx(f'COALESCE({swp}, 0)')}"
             else:  # ties
                 n_excl = f"{cw} - {cwp} + {nn}"
                 s_excl = f"{sw} - COALESCE({swp}, 0) + COALESCE({e}, 0)"

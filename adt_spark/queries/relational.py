@@ -1335,6 +1335,81 @@ def q_window_exclude_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_window_frames(sql))
 
 
+_NX_ORD = "PARTITION BY l_returnflag ORDER BY qty, l_orderkey, l_linenumber "
+#: Spark-side text: EXCLUDE over frames that cannot contain the
+#: current row; the rewrite must reduce each to its base frame (the
+#: order key chain is NOT NULL, so the RANGE key-gate arm never fires).
+_NX_SELECT_SPARK = f"""SELECT l_orderkey, l_linenumber,
+       min(qty) OVER ({_NX_ORD}ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+         EXCLUDE CURRENT ROW) AS min_prev,
+       max(qty) OVER ({_NX_ORD}ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING
+         EXCLUDE CURRENT ROW) AS max_next,
+       CAST(sum(qty) OVER ({_NX_ORD}ROWS BETWEEN UNBOUNDED PRECEDING AND
+         1 PRECEDING EXCLUDE CURRENT ROW) AS BIGINT) AS sum_before,
+       CAST(count(*) OVER ({_NX_ORD}ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+         FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS cnt_after,
+       CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY qty
+         RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING EXCLUDE GROUP)
+         AS BIGINT) AS sum_rng"""
+#: oracle: the SAME windows over their BASE frames (no EXCLUDE) —
+#: the no-op's definition; DuckDB's own native EXCLUDE is
+#: nonconformant on some non-straddling frames (see
+#: tests/test_window_frames.py), so the oracle encodes the standard.
+_NX_SELECT_ORACLE = f"""SELECT l_orderkey, l_linenumber,
+       min(qty) OVER ({_NX_ORD}ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         AS min_prev,
+       max(qty) OVER ({_NX_ORD}ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+         AS max_next,
+       CAST(sum(qty) OVER ({_NX_ORD}ROWS BETWEEN UNBOUNDED PRECEDING AND
+         1 PRECEDING) AS BIGINT) AS sum_before,
+       CAST(count(*) OVER ({_NX_ORD}ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED
+         FOLLOWING) AS BIGINT) AS cnt_after,
+       CAST(sum(qty) OVER (PARTITION BY l_returnflag ORDER BY qty
+         RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum_rng"""
+
+
+@register(
+    "q_window_exclude_noop",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    {_NX_SELECT_ORACLE}
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE over frames that CANNOT contain the current row (both
+    bounds strictly preceding / strictly following) through the
+    raw-SQL rewrite: pure removals of absent rows are no-ops, so each
+    window must reduce to its base frame — CURRENT ROW over four
+    non-straddling ROWS frames (all aggregate families) plus GROUP
+    over a non-straddling value-offset RANGE frame, where the rewrite
+    additionally gates on key nullness (a NULL-keyed row's
+    numeric-RANGE frame is its null peer group — here qty is NOT
+    NULL, so the gate arm is dead but present in the plan).
+    DataFusion 48 accepts the full frame grammar
+    (crates/core/src/context.rs:32-33 via crates/cli/src/main.rs:116);
+    Spark parses no EXCLUDE at all.  The composite ORDER BY
+    (qty, l_orderkey, l_linenumber) is unique, so ROWS frames are
+    deterministic on both engines.
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    li = tables(spark, sf_dir)["lineitem"]
+    li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).createOrReplaceTempView("adt_wx_noop_t")
+    sql = f"{_NX_SELECT_SPARK}\nFROM adt_wx_noop_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
 @register(
     "q_lateral_topk_per_nation",
     oracle="""

@@ -242,6 +242,165 @@ def test_rows_frame_exclude_current_row_matrix(spark, small_t):
     assert got == want
 
 
+def test_nonstraddling_rows_exclude_current_row_noop_matrix(spark, small_t):
+    """EXCLUDE CURRENT ROW over ROWS frames that CANNOT contain the
+    current row (both bounds strictly preceding / strictly following)
+    is a pure no-op — exclusion only ever REMOVES rows from the
+    frame, and the current row was never in it.  Oracle: DuckDB over
+    the BASE frame (the no-op's definition).  DuckDB 1.0.0's own
+    native EXCLUDE agrees for min/max/sum/count but is nonconformant
+    for first/last_value on these frames (excluding an absent row
+    shifts its frame boundaries), so the native cross-check below
+    covers the conformant aggregates only."""
+    frames = [
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING",
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING",
+        "ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING",
+    ]
+    aggs = (
+        "min(a)", "max(a)", "first_value(a)", "last_value(a)",
+        "sum(a)", "count(a)", "count(*)",
+    )
+    spark_cols, base_cols, native_cols = [], [], []
+    i = 0
+    for agg in aggs:
+        for frame in frames:
+            for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+                spark_cols.append(
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                    f"EXCLUDE CURRENT ROW) AS c{i}"
+                )
+                base_cols.append(
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame}) "
+                    f"AS c{i}"
+                )
+                if "value" not in agg:
+                    native_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame} "
+                        f"EXCLUDE CURRENT ROW) AS n{i}"
+                    )
+                i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(base_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+    # DuckDB's native EXCLUDE agrees the clause is a no-op for the
+    # conformant aggregates
+    nq = f"SELECT {', '.join(native_cols)} FROM wf_t"
+    bq = nq.replace(" EXCLUDE CURRENT ROW)", ")")
+    assert _norm(small_t.execute(nq).fetchall()) == _norm(
+        small_t.execute(bq).fetchall()
+    )
+
+
+def test_nonstraddling_range_exclude_matrix(spark, small_t):
+    """EXCLUDE CURRENT ROW / GROUP over non-straddling RANGE frames
+    is NOT a pure no-op: a NULL-keyed row's numeric-RANGE frame is
+    its null peer group (containing the current row and peers) in
+    both engines, so the rewrite gates the exclusion on key nullness.
+    Oracle (all DuckDB-native, non-circular): non-NULL-key rows keep
+    the BASE frame; NULL-key rows evaluate the same EXCLUDE over the
+    peer frame ``RANGE CURRENT ROW AND CURRENT ROW`` — a STRADDLING
+    frame, where DuckDB's native EXCLUDE is matrix-proven conformant.
+    (DuckDB's native EXCLUDE directly on these non-straddling frames
+    is nonconformant: with value-ties, two ORDER-BY-tied rows get
+    different frames.)"""
+    frames = [
+        "RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING",
+        "RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING",
+    ]
+    peer = "RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+    cases = [
+        (agg, excl)
+        for agg in ("sum(a)", "count(a)", "count(*)", "avg(a)")
+        for excl in ("CURRENT ROW", "GROUP")
+    ] + [
+        (agg, "GROUP")
+        for agg in ("min(a)", "max(a)", "first_value(a)", "last_value(a)")
+    ]
+    spark_cols, duck_cols = [], []
+    i = 0
+    for agg, excl in cases:
+        for frame in frames:
+            for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+                spark_cols.append(
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                    f"EXCLUDE {excl}) AS c{i}"
+                )
+                base = f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame})"
+                nullarm = (
+                    f"{agg} OVER (PARTITION BY g ORDER BY a{od} {peer} "
+                    f"EXCLUDE {excl})"
+                )
+                duck_cols.append(
+                    f"(CASE WHEN a IS NULL THEN {nullarm} ELSE {base} END) "
+                    f"AS c{i}"
+                )
+                i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(duck_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+
+
+def test_nonstraddling_groups_exclude_noop(spark, small_t):
+    """EXCLUDE over a non-straddling NUMERIC GROUPS frame: no-op in
+    peer-group space; oracle is the dense_rank+RANGE construction
+    over the base frame (the no-op's definition)."""
+    sq = (
+        "SELECT a, g, "
+        "sum(a) OVER (PARTITION BY g ORDER BY a GROUPS BETWEEN 3 PRECEDING "
+        "AND 1 PRECEDING EXCLUDE CURRENT ROW) AS s, "
+        "min(a) OVER (PARTITION BY g ORDER BY a GROUPS BETWEEN 1 FOLLOWING "
+        "AND 2 FOLLOWING EXCLUDE GROUP) AS m "
+        "FROM wf_t"
+    )
+    oq = (
+        "WITH r AS (SELECT a, g, dense_rank() OVER (PARTITION BY g "
+        "ORDER BY a) AS dr FROM wf_t) "
+        "SELECT a, g, "
+        "sum(a) OVER (PARTITION BY g ORDER BY dr RANGE BETWEEN 3 PRECEDING "
+        "AND 1 PRECEDING) AS s, "
+        "min(a) OVER (PARTITION BY g ORDER BY dr RANGE BETWEEN 1 FOLLOWING "
+        "AND 2 FOLLOWING) AS m "
+        "FROM r"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert got == want
+
+
+def test_zero_preceding_bound_normalizes_to_current_row(spark, small_t):
+    """'0 PRECEDING' / '0 FOLLOWING' bounds ARE the current row: a
+    '… AND 0 PRECEDING' frame straddles, so EXCLUDE takes the sound
+    subtraction path (misclassifying its sign as -1 would wrongly
+    route it to the no-op path)."""
+    sq = (
+        "SELECT a, g, "
+        "sum(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 0 PRECEDING EXCLUDE CURRENT ROW) AS s, "
+        "count(*) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN 0 FOLLOWING "
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS c "
+        "FROM wf_t"
+    )
+    oq = (
+        "SELECT a, g, "
+        "sum(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS s, "
+        "count(*) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN CURRENT ROW "
+        "AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS c "
+        "FROM wf_t"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert got == want
+
+
 def test_split_frame_exclude_groups_numeric(spark, small_t):
     """min/max EXCLUDE over a NUMERIC GROUPS frame: bounds are already
     peer-group offsets, so the half-frames keep them verbatim."""
@@ -325,8 +484,19 @@ def test_unsupported_cases_raise_loudly():
         # EXCLUDE GROUP on a ROWS frame may exclude peers outside the frame
         "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING EXCLUDE GROUP) FROM t",
-        # frame not containing the current row
+        # EXCLUDE GROUP on a non-straddling ROWS frame is NOT a no-op
+        # (peers can sit at any row offset inside the frame)
+        "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 5 PRECEDING AND 2 "
+        "PRECEDING EXCLUDE GROUP) FROM t",
+        # EXCLUDE TIES on a non-straddling frame: SQL:2011 re-adds
+        # the current row, PostgreSQL does not — dialects diverge,
+        # so no rewrite is sound for both
         "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 5 PRECEDING AND 2 "
+        "PRECEDING EXCLUDE TIES) FROM t",
+        # min EXCLUDE CURRENT ROW on a non-straddling RANGE frame: a
+        # NULL-keyed row's frame is its null peer group minus itself
+        # — no closed form for order statistics
+        "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 5 PRECEDING AND 2 "
         "PRECEDING EXCLUDE CURRENT ROW) FROM t",
         # DISTINCT aggregate
         "SELECT sum(DISTINCT a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING "
