@@ -2300,6 +2300,64 @@ _IVFPQ_SCORED_CTES = f"""{_PQ_CTES}, cents AS (
       JOIN lut l3 ON l3.qid = pr.qid AND l3.m = 3 AND l3.cid = p.c3
     )"""
 
+#: trained-cell derivation as composable oracle CTEs: one exact
+#: spherical-Lloyd half-step — cosine-assign to the anchor cells
+#: (the ``assigned`` CTE), recompute per-(cell, dim) fixed-point
+#: means, keep the anchor value for empty cells.  ``tcells`` ends
+#: with (cid, pos, val); ``tc`` re-concatenates full-dim vectors.
+_IVF_TRAIN_CTES = f"""tdim AS (
+      SELECT a.cell AS cid, r.i AS pos,
+             CAST(floor(v.vec[r.i+1] * 1099511627776.0) AS HUGEINT) AS val
+      FROM assigned a JOIN v USING (vec_id) CROSS JOIN range({_DIM}) r(i)
+    ), tmean AS (
+      SELECT cid, pos,
+             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS val
+      FROM tdim GROUP BY cid, pos
+    ), tcells AS (
+      SELECT c.cell AS cid, r.i AS pos,
+             coalesce(m.val, c.cv[r.i+1]) AS val
+      FROM cents c CROSS JOIN range({_DIM}) r(i)
+      LEFT JOIN tmean m ON m.cid = c.cell AND m.pos = r.i
+    ), tc AS (
+      SELECT cid, list(val ORDER BY pos) AS cv2 FROM tcells GROUP BY cid
+    )"""
+
+#: DEPLOYED IVFPQ derivation: the corpus re-keyed by the TRAINED
+#: coarse quantizer (tc from _IVF_TRAIN_CTES) — trained-cell cosine
+#: assignment (tassigned), trained probe selection (tqprobe) and the
+#: ADC scores over the probed lists (tscored; reuses the q/lut CTEs
+#: from _IVFPQ_SCORED_CTES).  Single copy shared by ann_ivf_pq_topk,
+#: ann_ivfpq_recall, ann_ivf_list_stats, ann_ivf_balance_trained and
+#: ann_ivfpq_recall_compare, so the exactness-critical text moves
+#: every consumer together.
+_IVF_DEPLOY_CTES = f"""sct AS (
+      SELECT e.vec_id, t.cid,
+             {_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='t.cv2')}
+               / (sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='e.vec')})
+                  * sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='t.cv2', b='t.cv2')}))
+               AS ccos
+      FROM v e CROSS JOIN tc t
+    ), tassigned AS (
+      SELECT vec_id, cid AS cell FROM sct
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) = 1
+    ), tqprobe AS (
+      SELECT vec_id AS qid, cid AS cell FROM sct
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_NQ}
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid) <= {_N_PROBE}
+    ), tscored AS (
+      SELECT pr.qid, p.vec_id, a2.cell,
+             l0.ld + l1.ld + l2.ld + l3.ld AS adist
+      FROM pq_codes p
+      JOIN tassigned a2 ON a2.vec_id = p.vec_id
+      JOIN tqprobe pr ON pr.cell = a2.cell AND pr.qid <> p.vec_id
+      JOIN lut l0 ON l0.qid = pr.qid AND l0.m = 0 AND l0.cid = p.c0
+      JOIN lut l1 ON l1.qid = pr.qid AND l1.m = 1 AND l1.cid = p.c1
+      JOIN lut l2 ON l2.qid = pr.qid AND l2.m = 2 AND l2.cid = p.c2
+      JOIN lut l3 ON l3.qid = pr.qid AND l3.m = 3 AND l3.cid = p.c3
+    )"""
+
 
 def _pydot(a: list[float], b: list[float]) -> float:
     """Driver-side ascending-index dot — the SAME accumulation order
@@ -2343,16 +2401,20 @@ def _ivf_cell_argmin(cells: dict[int, list[float]]):
     return F.array_min(F.array(*structs)).getField("cell")
 
 
-def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The memoized cell-keyed PQ codes table (vec_id, cell,
-    code_0..3): cosine cell assignment + PQ encoding fused into ONE
-    zero-shuffle projection of one scan, localCheckpointed per
-    session+corpus — shared by ann_ivf_pq_topk, ann_ivfpq_recall (via
-    its call) and ann_ivf_balance_trained (which reads only the cell
-    column), so the corpus is assigned and encoded exactly once."""
+def _ivf_codes_with(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: dict[int, list[float]],
+    tag: str,
+) -> DataFrame:
+    """A memoized cell-keyed PQ codes table (vec_id, cell, code_0..3)
+    under the GIVEN coarse quantizer: cosine cell assignment + PQ
+    encoding fused into ONE zero-shuffle projection of one scan,
+    localCheckpointed per session+corpus+tag — so each quantizer's
+    corpus is assigned and encoded exactly once."""
     from adt_spark.context import spread
 
-    ck = (spark.sparkContext.applicationId, sf_dir, "cell")
+    ck = (spark.sparkContext.applicationId, sf_dir, tag)
     codes = _CODES_MEMO.get(ck)
     if codes is None:
         v = spread(
@@ -2360,9 +2422,6 @@ def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", _vec_double().alias("vec")
             )
         )
-        cells = {
-            k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
-        }
         anchors = _pq_trained_codebooks(spark, sf_dir)
         assigned = v.select(
             "vec_id", "vec", _ivf_cell_argmin(cells).alias("cell")
@@ -2376,61 +2435,55 @@ def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes
 
 
-@register(
-    "ann_ivf_pq_topk",
-    oracle=f"""
-    WITH {_IVFPQ_SCORED_CTES}
-    SELECT CAST(qid AS BIGINT) AS query_id, vec_id,
-           CAST(cell AS INT) AS cell, adist
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
-            <= {_PQ_TOPK}
-    """,
-    tags=("similarity", "ann", "ivf", "pq", "adc"),
-)
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFPQ search (Jégou et al. 2011 §V; FAISS ``IndexIVFPQ``) — the
-    composition that actually runs at billion-vector scale: an IVF
-    coarse quantizer ({_N_CELLS} cosine cells) prunes the corpus to
-    the query's {_N_PROBE} probed inverted lists, and candidates are
-    scored in the compressed domain via the PQ ADC lookup tables
-    instead of full-vector distances.  Completes the ANN family:
-    ann_ivf_probe prunes but scores exact, ann_pq_adc_topk scores
-    compressed but scans everything — this does both.
+def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED codes table: keyed by the TRAINED coarse
+    quantizer (_ivf_trained_cells — the re-keying step Jégou 2011's
+    deployment contract prescribes and ann_ivf_balance_trained
+    audits).  Shared by ann_ivf_pq_topk, ann_ivfpq_recall,
+    ann_ivf_list_stats (cell column only) and the trained side of
+    ann_ivf_balance_trained."""
+    return _ivf_codes_with(
+        spark, sf_dir, _ivf_trained_cells(spark, sf_dir), "cell"
+    )
 
-    Cross-engine exactness: cell cosines divide the ascending-k dot
-    fold by the PRODUCT of correctly-rounded sqrts (same grouping in
-    Python, Spark and the oracle); assignment and probe rank
-    (ccos DESC, cell) — a total order; LUT entries are the in-order
-    16-term folds shared with ann_pq_adc_topk; the final top-k
-    tiebreaks (adist, vec_id).
 
-    Scale shape — the whole point: cell assignment (argmin over
-    {_N_CELLS} centroid literals), PQ encoding ({_PQ_M} sub-argmins
-    over codebook literals) and the probed-cell membership filter are
-    ONE zero-shuffle projection of ONE corpus scan; the probe set per
-    query is a driver-side literal over the bounded centroid/query
-    collect (at deployment the codes table is partitioned by cell, so
-    the ``cell IN (...)`` literal IS partition pruning), and the only
-    shuffle anywhere is the final per-query WindowGroupLimit top-k
-    over the probed candidates.  The reference has no ANN surface
-    (dedup/ANN family is the beyond-reference pipeline mandate).
-    """
+def _ivf_codes_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRE-training codes table (anchor coarse quantizer: the
+    first {_N_CELLS} corpus vectors) — kept alongside the deployed
+    table so ann_ivfpq_recall_compare and the anchor side of
+    ann_ivf_balance_trained can quantify what training bought."""
+    cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+    return _ivf_codes_with(spark, sf_dir, cells, "cell_anchor")
+
+
+def _ivfpq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    codes: DataFrame,
+    cells: dict[int, list[float]],
+) -> DataFrame:
+    """Shared IVFPQ ADC search over a GIVEN (codes table, coarse
+    quantizer) pair — the single exactness-critical implementation
+    behind the deployed trained search (ann_ivf_pq_topk) and the
+    anchor variant ann_ivfpq_recall_compare measures against.
+
+    Driver side: per-query probe-cell ranking by the same
+    (-cosine, cell) total order the distributed assignment uses
+    (cosines via _pydot/_ivf_cnorms — the shared folds).  Distributed
+    side: ONE scan of the codes table; each code row emits its
+    per-query (query_id, adist) ADC structs with probe-membership and
+    self-exclusion folded into a null-producing when (a per-query
+    union would re-execute the scan per query); the only shuffle is
+    the final per-query WindowGroupLimit top-k."""
     import math
 
-    from adt_spark.context import spread
-
-    v = spread(
-        tables(spark, sf_dir)["embeddings"].select("vec_id", _vec_double().alias("vec"))
-    )
-    # the shared memoized collect serves queries and cells; the
-    # codebook is the trained one (memoized driver model state)
     small = _small_vecs(spark, sf_dir)
     anchors = _pq_trained_codebooks(spark, sf_dir)
     queries = {
         k: small[k] for k in range(_PQ_K, _PQ_K + _PQ_NQ) if k in small
     }
-    cells = {k: small[k] for k in range(_N_CELLS) if k in small}
     cnorms = _ivf_cnorms(cells)  # shared with _ivf_cell_argmin
 
     def probe_cells(qvec: list[float]) -> list[int]:
@@ -2441,12 +2494,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [cid for _neg, cid in ranked[:_N_PROBE]]
 
-    # distributed side: assignment is an argmin over centroid literals
-    # fused into the same projection as the PQ sub-argmins — no
-    # centroid join, no per-vector window, zero shuffles (the shared
-    # _ivf_cell_argmin column, also audited by ann_ivf_list_stats)
-    codes = _ivf_codes(spark, sf_dir)
-
     def lut_entry(qvec: list[float], cvec: list[float], m: int) -> float:
         acc = 0.0
         for i in range(m * _PQ_SUB, (m + 1) * _PQ_SUB):
@@ -2454,11 +2501,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += d * d
         return acc
 
-    # ONE scan for all queries: each code row emits its per-query
-    # (query_id, adist) structs (probe-membership and self-exclusion
-    # folded into a null-producing when), so assignment + encoding run
-    # once — a per-query union would re-execute the whole projection
-    # per query, N× the scan cost at deployment query counts
     qstructs = []
     for qid, qvec in sorted(queries.items()):
         probed = probe_cells(qvec)
@@ -2498,10 +2540,62 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}, {_IVF_DEPLOY_CTES}
+    SELECT CAST(qid AS BIGINT) AS query_id, vec_id,
+           CAST(cell AS INT) AS cell, adist
+    FROM tscored
+    QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+            <= {_PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "adc"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search (Jégou et al. 2011 §V; FAISS ``IndexIVFPQ``) — the
+    composition that actually runs at billion-vector scale: the
+    TRAINED IVF coarse quantizer ({_N_CELLS} cosine cells from
+    ann_ivf_train_cells — the deployed quantizer, per Jégou's
+    train-then-re-key contract; ann_ivf_balance_trained audits what
+    the re-keying bought) prunes the corpus to the query's {_N_PROBE}
+    probed inverted lists, and candidates are scored in the
+    compressed domain via the PQ ADC lookup tables instead of
+    full-vector distances.  Completes the ANN family: ann_ivf_probe
+    prunes but scores exact, ann_pq_adc_topk scores compressed but
+    scans everything — this does both.
+
+    Cross-engine exactness: trained-cell values are the oracle-gated
+    fixed-point means (ann_ivf_train_cells); cell cosines divide the
+    ascending-k dot fold by the PRODUCT of correctly-rounded sqrts
+    (same grouping in Python, Spark and the oracle); assignment and
+    probe rank (ccos DESC, cell) — a total order; LUT entries are the
+    in-order 16-term folds shared with ann_pq_adc_topk; the final
+    top-k tiebreaks (adist, vec_id).
+
+    Scale shape — the whole point: cell assignment (argmin over
+    {_N_CELLS} trained-centroid literals), PQ encoding ({_PQ_M}
+    sub-argmins over codebook literals) and the probed-cell
+    membership filter are ONE zero-shuffle projection of ONE corpus
+    scan (the memoized deployed codes table); the probe set per query
+    is a driver-side literal over the bounded centroid/query collect
+    (at deployment the codes table is partitioned by cell, so the
+    ``cell IN (...)`` literal IS partition pruning), and the only
+    shuffle anywhere is the final per-query WindowGroupLimit top-k
+    over the probed candidates.  The reference has no ANN surface
+    (dedup/ANN family is the beyond-reference pipeline mandate).
+    """
+    codes = _ivf_codes(spark, sf_dir)
+    return _ivfpq_adc_topk(
+        spark, sf_dir, codes, _ivf_trained_cells(spark, sf_dir)
+    )
+
+
+@register(
     "ann_ivfpq_recall",
     oracle=f"""
-    WITH {_IVFPQ_SCORED_CTES}, ivfpq AS (
-      SELECT qid, vec_id FROM scored
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}, {_IVF_DEPLOY_CTES},
+    ivfpq AS (
+      SELECT qid, vec_id FROM tscored
       QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
               <= {_PQ_TOPK}
     ), {_TRUE_L2_TOPK_CTE}
@@ -2695,10 +2789,10 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_list_stats",
     oracle=f"""
-    WITH {_IVFPQ_SCORED_CTES},
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}, {_IVF_DEPLOY_CTES},
     ls AS (
       SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
-      FROM assigned GROUP BY cell
+      FROM tassigned GROUP BY cell
     )
     SELECT CAST(cell AS INT) AS cell, n_vectors,
            CAST(n_vectors AS DOUBLE)
@@ -2710,34 +2804,30 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf", "eval"),
 )
 def ann_ivf_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-list balance audit for the IVF coarse quantizer — per
-    cell: list size, corpus share, and the imbalance factor
-    (size ÷ perfectly-uniform size).  This is the number FAISS tells
-    you to check before deploying IVF at scale: probe cost and tail
-    latency track the LARGEST probed list, so an imbalance factor ≫ 1
-    means a hot cell dominates query time and the quantizer needs
-    retraining (or the cell splitting).  Uses the same cosine
-    assignment as ann_ivf_probe / ann_ivf_pq_topk so it audits
-    exactly the lists those operators probe.
+    """Inverted-list balance audit for the DEPLOYED (trained) IVF
+    coarse quantizer — per cell: list size, corpus share, and the
+    imbalance factor (size ÷ perfectly-uniform size).  This is the
+    number FAISS tells you to check before deploying IVF at scale:
+    probe cost and tail latency track the LARGEST probed list, so an
+    imbalance factor ≫ 1 means a hot cell dominates query time and
+    the quantizer needs retraining (or the cell splitting).  Reads
+    the SAME deployed codes table ann_ivf_pq_topk probes, so it
+    audits exactly the lists the search operators touch.
 
     Cross-engine exactness: assignment equality is inherited from the
-    IVFPQ gate (same ccos folds, same (ccos DESC, cell) tiebreak);
-    counts are exact; share/imbalance are single exact-int-ratio
-    double divisions at the output boundary (rule 2).
+    IVFPQ gate (trained-cell values are ann_ivf_train_cells'
+    fixed-point means; same ccos folds, same (ccos DESC, cell)
+    tiebreak); counts are exact; share/imbalance are single
+    exact-int-ratio double divisions at the output boundary (rule 2).
 
-    Scale shape: the assignment is the zero-shuffle literal-centroid
-    argmin projection; the count is ONE two-phase aggregate to
-    {_N_CELLS} rows; the windows run over that {_N_CELLS}-row
-    aggregate only.  One corpus scan at any scale.
+    Scale shape: reads ONLY the cell column of the memoized deployed
+    codes table (no recompute, no parquet rescan when the family
+    already ran); the count is ONE two-phase aggregate to {_N_CELLS}
+    rows; the windows run over that {_N_CELLS}-row aggregate only.
     """
-    v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _vec_double().alias("vec")
-    )
-    cells = {
-        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
-    }
     ls = (
-        v.select(_ivf_cell_argmin(cells).alias("cell"))
+        _ivf_codes(spark, sf_dir)
+        .select("cell")
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
@@ -2872,29 +2962,6 @@ def emb_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: state (the _PQ_CB_MEMO twin for the coarse quantizer).
 _IVF_CELLS_MEMO: dict[tuple[str, str], dict[int, list[float]]] = {}
 
-#: trained-cell derivation as composable oracle CTEs: one exact
-#: spherical-Lloyd half-step — cosine-assign to the anchor cells
-#: (the ``assigned`` CTE), recompute per-(cell, dim) fixed-point
-#: means, keep the anchor value for empty cells.  ``tcells`` ends
-#: with (cid, pos, val); ``tc`` re-concatenates full-dim vectors.
-_IVF_TRAIN_CTES = f"""tdim AS (
-      SELECT a.cell AS cid, r.i AS pos,
-             CAST(floor(v.vec[r.i+1] * 1099511627776.0) AS HUGEINT) AS val
-      FROM assigned a JOIN v USING (vec_id) CROSS JOIN range({_DIM}) r(i)
-    ), tmean AS (
-      SELECT cid, pos,
-             CAST(sum(val) AS DOUBLE) / (count(*) * 1099511627776.0) AS val
-      FROM tdim GROUP BY cid, pos
-    ), tcells AS (
-      SELECT c.cell AS cid, r.i AS pos,
-             coalesce(m.val, c.cv[r.i+1]) AS val
-      FROM cents c CROSS JOIN range({_DIM}) r(i)
-      LEFT JOIN tmean m ON m.cid = c.cell AND m.pos = r.i
-    ), tc AS (
-      SELECT cid, list(val ORDER BY pos) AS cv2 FROM tcells GROUP BY cid
-    )"""
-
-
 def _ivf_trained_cells(spark: SparkSession, sf_dir: str) -> dict[int, list[float]]:
     """TRAIN the IVF coarse quantizer — one exact mean update from
     the anchor cells under the SAME cosine assignment the search
@@ -2983,24 +3050,13 @@ def ann_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_balance_trained",
     oracle=f"""
-    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES},
-    sc2 AS (
-      SELECT e.vec_id, t.cid,
-             {_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='t.cv2')}
-               / (sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='e.vec', b='e.vec')})
-                  * sqrt({_DOT_D_SQL_T.format(dim=_DIM, a='t.cv2', b='t.cv2')}))
-               AS ccos
-      FROM v e CROSS JOIN tc t
-    ), a2 AS (
-      SELECT vec_id, cid FROM sc2
-      QUALIFY row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY ccos DESC, cid) = 1
-    ), s1 AS (
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}, {_IVF_DEPLOY_CTES},
+    s1 AS (
       SELECT max(n) AS m, sum(n) AS t FROM (
         SELECT cell, count(*) AS n FROM assigned GROUP BY cell)
     ), s2 AS (
       SELECT max(n) AS m, sum(n) AS t FROM (
-        SELECT cid, count(*) AS n FROM a2 GROUP BY cid)
+        SELECT cell, count(*) AS n FROM tassigned GROUP BY cell)
     )
     SELECT CAST(s1.t AS BIGINT) AS n_vectors,
            CAST(s1.m * {_N_CELLS} AS DOUBLE) / CAST(s1.t AS DOUBLE)
@@ -3018,9 +3074,12 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Did IVF cell training help?  The WORST-cell imbalance factor
     (largest list ÷ uniform size — the tail-latency driver
     ann_ivf_list_stats reports per cell) under the anchor quantizer
-    vs the trained one, plus their ratio: the one-number audit that
-    says whether the trained centroids actually flattened the
-    inverted lists before you re-key a 100 TB codes table by them.
+    vs the trained one, plus their ratio: the one-number audit behind
+    the deployment step the search family has now TAKEN — the
+    deployed codes table (_ivf_codes) is keyed by the trained
+    centroids precisely because this number says they flatten the
+    inverted lists (ann_ivfpq_recall_compare reports the retrieval
+    side of the same trade).
 
     Cross-engine exactness: both assignments are the proven cosine
     argmin (the trained side's centroids are fixed-point means the
@@ -3030,27 +3089,25 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary-only double divisions (denominators are corpus/list
     counts — structurally nonzero when the table is nonempty).
 
-    Scale shape: the ANCHOR side reads only the cell column of the
-    memoized codes table (_ivf_codes — already materialized for the
-    IVFPQ family, so the anchor assignment is never recomputed); the
-    TRAINED side is one zero-shuffle argmin projection of one scan;
-    the union feeds bounded-key aggregation — (side, cell) counts,
-    per-side max/sum, one conditional-agg row.  Zero joins of any
-    kind (plan-checked,
+    Scale shape: BOTH sides read only the cell column of a memoized
+    codes table — the TRAINED side from the deployed table
+    (_ivf_codes, already materialized for the IVFPQ search family)
+    and the ANCHOR side from the pre-training table
+    (_ivf_codes_anchor, shared with ann_ivfpq_recall_compare) — so
+    neither assignment is ever recomputed; the union feeds
+    bounded-key aggregation — (side, cell) counts, per-side max/sum,
+    one conditional-agg row.  Zero joins and zero parquet rescans
+    (plan-checked,
     test_plans.py::test_ivf_balance_trained_single_scan_no_join).
     (A fused both-argmins-in-one-projection variant measured SLOWER —
     32 cosine folds in one codegen unit — and was reverted.)
     """
-    trained = _ivf_trained_cells(spark, sf_dir)
-    v = tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", _vec_double().alias("vec")
-    )
-    anchor_pairs = _ivf_codes(spark, sf_dir).select(
+    anchor_pairs = _ivf_codes_anchor(spark, sf_dir).select(
         F.lit("anchor").alias("side"), F.col("cell").cast("long").alias("cell")
     )
-    trained_pairs = v.select(
+    trained_pairs = _ivf_codes(spark, sf_dir).select(
         F.lit("trained").alias("side"),
-        _ivf_cell_argmin(trained).alias("cell"),
+        F.col("cell").cast("long").alias("cell"),
     )
     pairs = anchor_pairs.unionByName(trained_pairs)
     per_side = (
@@ -3072,4 +3129,90 @@ def ann_ivf_balance_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         imb1.alias("max_imbalance_anchor"),
         imb2.alias("max_imbalance_trained"),
         (imb1 / imb2).alias("improvement"),
+    )
+
+
+@register(
+    "ann_ivfpq_recall_compare",
+    oracle=f"""
+    WITH {_IVFPQ_SCORED_CTES}, {_IVF_TRAIN_CTES}, {_IVF_DEPLOY_CTES},
+    aapprox AS (
+      SELECT qid, vec_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+              <= {_PQ_TOPK}
+    ), tapprox AS (
+      SELECT qid, vec_id FROM tscored
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id)
+              <= {_PQ_TOPK}
+    ), {_TRUE_L2_TOPK_CTE}
+    SELECT CAST(count(a.vec_id) AS BIGINT) AS n_overlap_anchor,
+           CAST(count(t2.vec_id) AS BIGINT) AS n_overlap_trained,
+           CAST(count(a.vec_id) AS DOUBLE) / {_PQ_NQ * _PQ_TOPK}
+             AS recall_anchor,
+           CAST(count(t2.vec_id) AS DOUBLE) / {_PQ_NQ * _PQ_TOPK}
+             AS recall_trained,
+           CAST(count(t2.vec_id) - count(a.vec_id) AS DOUBLE)
+             / {_PQ_NQ * _PQ_TOPK} AS recall_delta
+    FROM exact f
+    LEFT JOIN aapprox a ON a.qid = f.qid AND a.vec_id = f.vec_id
+    LEFT JOIN tapprox t2 ON t2.qid = f.qid AND t2.vec_id = f.vec_id
+    """,
+    tags=("similarity", "ann", "ivf", "pq", "training", "eval"),
+)
+def ann_ivfpq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did deploying the trained coarse quantizer cost or buy in
+    RETRIEVAL terms?  One row: mean recall@{_PQ_TOPK} over the
+    {_PQ_NQ}-query eval set of the IVFPQ search under the ANCHOR
+    quantizer vs the TRAINED (deployed) one, plus the delta — the
+    retrieval-side companion to ann_ivf_balance_trained's latency
+    audit (training flattens the inverted lists; this checks the
+    probed lists still cover the true neighbors).  FAISS deployments
+    read exactly this pair before committing an index build.
+
+    Cross-engine exactness: both searches are the shared
+    _ivfpq_adc_topk derivation (the anchor side over the kept
+    pre-training codes table, the trained side over the deployed
+    one); the truth is the shared _true_l2_topk; overlap counts are
+    exact integers and the three ratios/delta are single boundary
+    divisions by the literal {_PQ_NQ * _PQ_TOPK}.
+
+    Scale shape: two memoized codes-table scans (LUT-literal
+    projections + WindowGroupLimit top-k each), one bounded
+    brute-force truth scan (memoized), then k×{_PQ_NQ}-row overlap
+    joins into a single-row aggregate.  Nothing corpus-sized moves.
+    """
+    anchor_cells = {
+        k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _N_CELLS
+    }
+    a_topk = _ivfpq_adc_topk(
+        spark, sf_dir, _ivf_codes_anchor(spark, sf_dir), anchor_cells
+    ).select(F.col("query_id").alias("aq"), F.col("vec_id").alias("av"))
+    t_topk = _ivfpq_adc_topk(
+        spark, sf_dir, _ivf_codes(spark, sf_dir),
+        _ivf_trained_cells(spark, sf_dir),
+    ).select(F.col("query_id").alias("tq"), F.col("vec_id").alias("tv"))
+    truth = _true_l2_topk(spark, sf_dir)
+    denom = float(_PQ_NQ * _PQ_TOPK)
+    joined = (
+        truth.join(
+            a_topk,
+            (F.col("aq") == F.col("query_id"))
+            & (F.col("av") == F.col("neighbor_id")),
+            "left",
+        )
+        .join(
+            t_topk,
+            (F.col("tq") == F.col("query_id"))
+            & (F.col("tv") == F.col("neighbor_id")),
+            "left",
+        )
+    )
+    return joined.agg(
+        F.count("av").alias("n_overlap_anchor"),
+        F.count("tv").alias("n_overlap_trained"),
+        (F.count("av").cast("double") / F.lit(denom)).alias("recall_anchor"),
+        (F.count("tv").cast("double") / F.lit(denom)).alias("recall_trained"),
+        (
+            (F.count("tv") - F.count("av")).cast("double") / F.lit(denom)
+        ).alias("recall_delta"),
     )

@@ -612,13 +612,28 @@ def test_ivf_train_single_shuffle_no_join(spark, sf_dir):
 
 
 def test_ivf_balance_trained_single_scan_no_join(spark, sf_dir):
-    """ann_ivf_balance_trained: the anchor side reads the memoized
-    codes table's cell column (Scan ExistingRDD), the trained side is
-    one argmin projection of ONE parquet scan, and everything
-    downstream is bounded-key aggregation — zero joins of any kind."""
+    """ann_ivf_balance_trained: BOTH sides read a memoized codes
+    table's cell column (the trained/deployed table and the kept
+    anchor table — each prints as Scan ExistingRDD), so the audit
+    rescans NO parquet at all, and everything downstream is
+    bounded-key aggregation — zero joins of any kind."""
     plan = _formatted(_q(spark, sf_dir, "ann_ivf_balance_trained"))
     assert "Join" not in plan and "CartesianProduct" not in plan
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 0
+    assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))) == 2
+
+
+def test_ivfpq_recall_compare_memoized_no_rescan(spark, sf_dir):
+    """ann_ivfpq_recall_compare: both search variants read memoized
+    codes tables and the truth side reads the memoized _true_l2_topk
+    stem (≥3 Scan ExistingRDD), so the comparison rescans NO parquet;
+    the only joins are the k×NQ-row overlap joins into the single-row
+    aggregate."""
+    plan = _formatted(_q(spark, sf_dir, "ann_ivfpq_recall_compare"))
+    assert "CartesianProduct" not in plan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 0
+    assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))) >= 3
+    assert "WindowGroupLimit" in plan
 
 
 def test_quality_ingest_vocab_join_not_broadcast(spark, sf_dir):
