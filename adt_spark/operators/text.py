@@ -413,12 +413,17 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the kmeans pattern — iterative with BOUNDED driver
     state): the corpus is scanned ONCE for the word-frequency vocab;
-    every round after that works on the VOCAB table (distinct words ≪
-    corpus tokens), one explode + two-phase weighted count + a 1-ROW
-    collect (the argmax — the only driver state is K merge rows) +
-    one array-land merge projection, lineage truncated per round via
-    localCheckpoint.  K rounds = K bounded jobs; real tokenizer
-    training raises K, not the per-round shape.
+    every census round after that works on the VOCAB table (distinct
+    words ≪ corpus tokens), one explode + two-phase weighted count +
+    a top-N collect (bounded driver state), a driver-side BATCH
+    acceptance of provably-independent merges (_bpe_accept_batch —
+    prefix of the pick order with disjointness + count-gap guards,
+    exactly equal to the merge-by-merge argmax), then ALL accepted
+    merges applied in one vocab pass, lineage truncated via
+    localCheckpoint.  Spark job count grows with K ÷ batch size, not
+    K — a K=30k tokenizer is thousands of rounds, not 30k
+    (tests/test_bpe_train.py pins a K=32 run to the sequential
+    Python reference AND asserts its round count ≪ K).
     """
     mk = (spark.sparkContext.applicationId, sf_dir)
     memo = _BPE_MERGES_MEMO.get(mk)
@@ -426,6 +431,99 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             memo, "rank int, left string, right string, pair_count bigint"
         )
+    merges, _rounds = _bpe_train(spark, sf_dir, _BPE_TRAIN_ROUNDS)
+    _BPE_MERGES_MEMO[mk] = merges
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+def _bpe_accept_batch(
+    rows: list[tuple[str, str, int]], maxn: int, truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Accept a PREFIX of the census pick order ((count DESC, left,
+    right) — ``rows`` arrives already sorted) that is provably equal
+    to running the sequential argmax loop merge-by-merge, without
+    recounting between merges.  This is how a real trainer amortizes
+    K≈30k merges over far fewer cluster rounds.
+
+    Soundness argument (each accepted m_j must be exactly what the
+    sequential loop would pick at step j):
+
+    1. PREFIX, never skip.  Every census pair ranked above candidate
+       j is one of m_1..m_{j-1} (a skipped conflict would instead
+       STOP the batch), so no original pair outranks m_j at step j —
+       applied merges only DECREASE other original pairs' counts.
+    2. Disjointness.  A merge (Li, Ri → Ni) changes the count of
+       candidate (L, R) iff an occurrence overlaps a merge site:
+       R == Li (candidate's right token consumed as a left member),
+       L == Ri (left token consumed as a right member), the same
+       pair, or a string coincidence L == Ni / R == Ni (the new
+       symbol spelling an existing one, inflating its pairs).  Any
+       of these → STOP; m_j's recorded pair_count stays the exact
+       census value the sequential loop would see.
+    3. Count gap vs CREATED pairs.  Merge i creates pairs (x, Ni)
+       and (Ni, y) with counts ≤ min(C_i, census(x, Li)) and
+       ≤ min(C_i, census(Ri, y)) — every bound is a census entry
+       with second element Li or first element Ri (uncollected ones
+       are ≤ the truncation boundary).  Candidate j is accepted only
+       if C_j STRICTLY exceeds every accepted merge's bound, so no
+       created pair can win step j (nor tie into the lexicographic
+       tiebreak).
+    4. One-pass application.  Disjointness also means applying the
+       accepted merges in rank order within one vocab pass IS the
+       sequential application: a merge neither creates nor destroys
+       occurrences of a disjoint later merge (neighbors of a merge
+       site become adjacent to Ni, never to each other).
+    """
+    boundary = rows[-1][2] if truncated and rows else 0
+    accepted: list[tuple[str, str, int]] = []
+    lefts: set[str] = set()
+    rights: set[str] = set()
+    news: set[str] = set()
+    bmax = 0
+    for L, R, C in rows:
+        if accepted and (
+            R in lefts
+            or L in rights
+            or L in news
+            or R in news
+            or C <= bmax
+        ):
+            break
+        adj = max(
+            [
+                c2
+                for l2, r2, c2 in rows
+                if (r2 == L or l2 == R) and (l2, r2) != (L, R)
+            ]
+            + [boundary]
+        )
+        accepted.append((L, R, C))
+        lefts.add(L)
+        rights.add(R)
+        news.add(L + R)
+        bmax = max(bmax, min(C, adj))
+        if len(accepted) >= maxn:
+            break
+    return accepted
+
+
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    top: int = 64,
+    max_batch: int = 16,
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """The distributed BPE training loop, returning (merge table,
+    census rounds run).  Per round: ONE top-``top`` pair census
+    (bounded collect), a driver-side batch acceptance
+    (_bpe_accept_batch — provably equal to the merge-by-merge argmax),
+    then all accepted merges applied in ONE vocab pass (≤``max_batch``
+    folds per projection, so plan depth per round is bounded), one
+    localCheckpoint lineage truncation.  Census rounds — the Spark
+    job count — grow with K / batch size, not K."""
     docs = tables(spark, sf_dir)["documents"]
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
@@ -442,8 +540,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    return _bpe_train_vocab(vocab, k, top=top, max_batch=max_batch)
+
+
+def _bpe_train_vocab(
+    vocab: DataFrame, k: int, top: int = 64, max_batch: int = 16
+) -> tuple[list[tuple[int, str, str, int]], int]:
+    """The census→accept→apply loop over a prepared (word, freq,
+    syms) vocab table — separated so tests can drive RANDOM vocabs
+    through the exact batching guards against the sequential Python
+    reference."""
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, _BPE_TRAIN_ROUNDS + 1):
+    rounds = 0
+    while len(merges) < k:
+        rounds += 1
         adj = F.when(
             F.size("syms") >= 2,
             F.transform(
@@ -454,40 +564,50 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        best = (
-            vocab.select("freq", F.explode(adj).alias("p"))
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if not best:
+        census = [
+            (r.l, r.r, int(r.cnt))
+            for r in (
+                vocab.select("freq", F.explode(adj).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(top)
+                .collect()
+            )
+        ]
+        if not census:
             break
-        L, R, C = best[0].l, best[0].r, int(best[0].cnt)
-        merges.append((rank, L, R, C))
-        # greedy left-to-right merge: CaseWhen branches evaluate
-        # lazily per row, so element_at(-1) never runs on the empty
-        # accumulator (the size-0 branch short-circuits it)
-        merged = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(F.size(acc) == 0, F.array(x)).otherwise(
-                F.when(
-                    (F.element_at(acc, -1) == F.lit(L)) & (x == F.lit(R)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.lit(L + R)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(x)))
-            ),
+        accepted = _bpe_accept_batch(
+            census, min(k - len(merges), max_batch), truncated=len(census) == top
         )
-        vocab = vocab.select("word", "freq", merged.alias("syms")).localCheckpoint(
-            eager=False
+        for L, R, C in accepted:
+            merges.append((len(merges) + 1, L, R, C))
+            vocab = vocab.select(
+                "word", "freq", _bpe_merge_fold(L, R).alias("syms")
+            )
+        vocab = vocab.localCheckpoint(eager=False)
+    return merges, rounds
+
+
+def _bpe_merge_fold(L: str, R: str):
+    """Greedy left-to-right merge of adjacent (L, R) over the ``syms``
+    column: CaseWhen branches evaluate lazily per row, so
+    element_at(-1) never runs on the empty accumulator (the size-0
+    branch short-circuits it)."""
+
+    def step(acc, x):
+        return F.when(F.size(acc) == 0, F.array(x)).otherwise(
+            F.when(
+                (F.element_at(acc, -1) == F.lit(L)) & (x == F.lit(R)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(L + R)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
         )
-    _BPE_MERGES_MEMO[mk] = merges
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, pair_count bigint"
+
+    return F.aggregate(
+        F.col("syms"), F.array().cast("array<string>"), step
     )
 
 
