@@ -1373,18 +1373,27 @@ def weak_label_col() -> "F.Column":
     )
 
 
-def weaklabel_term_ratios(docs: DataFrame) -> DataFrame:
+def weaklabel_term_ratios(
+    docs: DataFrame,
+    lab: DataFrame | None = None,
+    tl: DataFrame | None = None,
+) -> DataFrame:
     """(term, c): the Laplace-smoothed naive-Bayes likelihood ratio
     per token, trained from the rule-gate weak labels over ``docs`` —
     the MODEL half of quality_weaklabel_classifier, shared with
     streaming_docs_quality_ingest so offline training and online
     scoring use one derivation (the band_keys_projection discipline).
+    ``lab`` (doc_id, good) and ``tl`` (doc_id, term) may be passed in
+    precomputed so a caller that also needs them (_weaklabel_build)
+    derives the label projection and the token explode ONCE.
     """
-    lab = docs.select("doc_id", weak_label_col().alias("good"))
-    tl = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .join(lab, "doc_id")
-    )
+    if lab is None:
+        lab = docs.select("doc_id", weak_label_col().alias("good"))
+    if tl is None:
+        tl = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+    tl = tl.join(lab, "doc_id")
     ts = tl.groupBy("term").agg(
         F.sum("good").alias("cg"), F.count(F.lit(1)).alias("ctot")
     )
@@ -1404,13 +1413,16 @@ def weaklabel_term_ratios(docs: DataFrame) -> DataFrame:
 
 def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-checkpointed quality_weaklabel_classifier plan (see its
-    docstring)."""
+    docstring).  The label projection and token explode are built
+    once here and passed into weaklabel_term_ratios, so the plan
+    contains ONE derivation of each (Catalyst reuses the subplans;
+    previously both were re-derived inside the ratio builder)."""
     docs = tables(spark, sf_dir)["documents"]
     lab = docs.select("doc_id", weak_label_col().alias("good"))
     tl = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     contrib = (
         # vocab-scale ratio table: AQE decides the join, never forced
-        tl.join(weaklabel_term_ratios(docs), "term")
+        tl.join(weaklabel_term_ratios(docs, lab=lab, tl=tl), "term")
         .select("doc_id", "term", "c")
     )
     w = contrib.groupBy("doc_id").agg(
@@ -1545,4 +1557,230 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("good") > 0,
             tp.cast("double") / F.sum("good"),
         ).alias("recall_good"),
+    )
+
+
+#: the classifier-score derivation with per-doc source attached, as
+#: composable oracle CTEs (the quality_weaklabel_classifier chain —
+#: lab/tl/ts/tot/contrib/w — ending in ``scored2`` with
+#: (source, doc_id, n_tokens, score, good)); shared by
+#: quality_threshold_select and pipeline_quality_filtered so the
+#: exactness-critical text moves both together.
+_WL_SCORED_CTES = """lab AS (
+        SELECT doc_id, source,
+               CASE WHEN len(string_split(text, ' ')) >= 20
+                     AND CAST(len(list_distinct(string_split(text, ' ')))
+                              AS DOUBLE)
+                         / len(string_split(text, ' ')) > 0.3
+                    THEN 1 ELSE 0 END AS good
+        FROM documents
+    ),
+    tl AS (
+        SELECT t.doc_id, t.term, l.good
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents) t
+        JOIN lab l USING (doc_id)
+    ),
+    ts AS (
+        SELECT term, sum(good) AS cg, count(*) AS ctot FROM tl GROUP BY term
+    ),
+    tot AS (
+        SELECT sum(cg) AS g, sum(ctot - cg) AS b, count(*) AS v FROM ts
+    ),
+    contrib AS (
+        SELECT tl.doc_id, tl.term,
+               (CAST(ts.cg + 1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
+             / (CAST(ts.ctot - ts.cg + 1 AS DOUBLE)
+                * CAST(tot.g + tot.v AS DOUBLE)) AS c
+        FROM tl JOIN ts USING (term) CROSS JOIN tot
+    ),
+    w AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               list_reduce(
+                 list_transform(
+                   list_sort(list(struct_pack(t := term, c := c))),
+                   x -> x.c),
+                 (a, b) -> a + b) AS s
+        FROM contrib GROUP BY doc_id
+    ),
+    scored2 AS (
+        SELECT l.source, w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+               w.s / CAST(w.n_tokens AS DOUBLE) AS score, l.good
+        FROM w JOIN lab l USING (doc_id)
+    )"""
+
+#: per-source best cut over the empirical score distribution —
+#: candidates are every observed score (cut := predict good iff
+#: score > threshold) plus the predict-all-good sentinel 0.0 (scores
+#: are means of strictly positive ratios); agreement(threshold) =
+#: #(score > t AND good) + #(score <= t AND NOT good), computed from
+#: per-(source, score) cumulative counts; tiebreak (agreement DESC,
+#: threshold ASC) — a total order since thresholds are distinct.
+_WL_BEST_CTES = """per AS (
+        SELECT source, score,
+               sum(good) AS g_at, count(*) - sum(good) AS b_at
+        FROM scored2 GROUP BY source, score
+    ),
+    cum AS (
+        SELECT source, score,
+               sum(g_at) OVER (PARTITION BY source ORDER BY score) AS cg,
+               sum(b_at) OVER (PARTITION BY source ORDER BY score) AS cb,
+               sum(g_at) OVER (PARTITION BY source) AS tg,
+               sum(b_at) OVER (PARTITION BY source) AS tb
+        FROM per
+    ),
+    cand AS (
+        SELECT source, score AS threshold, (tg - cg) + cb AS agreement,
+               tg + tb AS nd
+        FROM cum
+        UNION ALL
+        SELECT source, 0.0 AS threshold, sum(g_at) AS agreement,
+               sum(g_at) + sum(b_at) AS nd
+        FROM per GROUP BY source
+    ),
+    best AS (
+        SELECT source, threshold, agreement, nd FROM cand
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY agreement DESC, threshold) = 1
+    )"""
+
+
+def _source_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized classifier scores with each document's source
+    attached — ONE doc-keyed join off the localCheckpointed score
+    table, shared by quality_threshold_select and
+    pipeline_quality_filtered (no token shuffle re-runs)."""
+    scores = quality_weaklabel_classifier(spark, sf_dir)
+    src = tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return scores.join(src, "doc_id")
+
+
+def _threshold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, threshold, agreement, n_docs): the per-source best
+    score cut (see _WL_BEST_CTES for the selection rule)."""
+    from pyspark.sql import Window as W
+
+    s = _source_scores(spark, sf_dir).select(
+        "source", "score", F.when(F.col("weak_label"), 1).otherwise(0).alias("good")
+    )
+    per = s.groupBy("source", "score").agg(
+        F.sum("good").alias("g_at"),
+        (F.count(F.lit(1)) - F.sum("good")).alias("b_at"),
+    )
+    w_ord = W.partitionBy("source").orderBy("score")
+    w_all = W.partitionBy("source")
+    cum = per.select(
+        "source",
+        "score",
+        F.sum("g_at").over(w_ord).alias("cg"),
+        F.sum("b_at").over(w_ord).alias("cb"),
+        F.sum("g_at").over(w_all).alias("tg"),
+        F.sum("b_at").over(w_all).alias("tb"),
+    )
+    cand = cum.select(
+        "source",
+        F.col("score").alias("threshold"),
+        ((F.col("tg") - F.col("cg")) + F.col("cb")).alias("agreement"),
+        (F.col("tg") + F.col("tb")).alias("nd"),
+    ).unionByName(
+        per.groupBy("source").agg(
+            F.lit(0.0).alias("threshold"),
+            F.sum("g_at").alias("agreement"),
+            (F.sum("g_at") + F.sum("b_at")).alias("nd"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("agreement").desc(), "threshold")
+    )
+    return (
+        cand.withColumn("_rn", rn)
+        .filter(F.col("_rn") == 1)
+        .select("source", "threshold", "agreement", "nd")
+    )
+
+
+@register(
+    "quality_threshold_select",
+    oracle=f"""
+    WITH {_WL_SCORED_CTES},
+    {_WL_BEST_CTES}
+    SELECT source, threshold, CAST(agreement AS BIGINT) AS agreement,
+           CAST(nd AS BIGINT) AS n_docs
+    FROM best
+    """,
+    tags=("quality", "classifier", "calibration", "threshold"),
+)
+def quality_threshold_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source THRESHOLD SELECTION from the trained classifier's
+    score distribution — the CCNet step the calibration table
+    motivates (Wenzek 2020 §4.3 picks per-language/per-source score
+    cuts rather than one global gate): for each source, the cut
+    maximizing agreement with the weak rule label over the empirical
+    distribution (candidates = every observed score + the
+    predict-all-good sentinel 0.0; tiebreak (agreement DESC,
+    threshold ASC)).  Output: (source, threshold, agreement, n_docs)
+    — the bounded model table pipeline_quality_filtered deploys.
+
+    Cross-engine exactness: scores are the classifier's hash-proven
+    doubles (grouping on them is exact — both engines hold identical
+    bit patterns); cumulative/total counts are exact integer window
+    sums over distinct (source, score) keys (default RANGE frame, no
+    peer ambiguity); the sentinel 0.0 is strictly below every score
+    (means of strictly positive ratios), so thresholds are distinct
+    and the tiebreak total.
+
+    Scale shape: reads the MEMOIZED score table (no token shuffles),
+    one doc-keyed source join, one (source, score) partial+final
+    aggregate, then per-source cumulative windows over the DISTINCT
+    SCORE distribution.  The per-source window sort is the honest
+    cost (|sources| partitions — skew-prone at corpus scale; the
+    at-scale swap is selecting over the score-decile grid
+    quality_classifier_calibration already materializes, same shape
+    as q_event_funnel_latency's documented exact-percentile stance).
+    """
+    return _threshold_table(spark, sf_dir).select(
+        "source",
+        "threshold",
+        F.col("agreement").cast("bigint").alias("agreement"),
+        F.col("nd").cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "pipeline_quality_filtered",
+    oracle=f"""
+    WITH {_WL_SCORED_CTES},
+    {_WL_BEST_CTES}
+    SELECT s.doc_id, s.source, s.n_tokens, s.score
+    FROM scored2 s JOIN best t USING (source)
+    WHERE s.score > t.threshold
+    """,
+    tags=("quality", "classifier", "pipeline", "curation"),
+)
+def pipeline_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED quality filter: keep every document whose
+    classifier score clears ITS SOURCE'S selected threshold — the
+    train → calibrate → select → FILTER loop closed end-to-end (the
+    CCNet/RefinedWeb production step; quality_threshold_select is
+    the model, this is the corpus pass).  Output: the surviving
+    (doc_id, source, n_tokens, score).
+
+    Cross-engine exactness: one strict double comparison between two
+    hash-proven derivations (scores and thresholds), no new
+    arithmetic.
+
+    Scale shape: ONE pass over the memoized score table (the token
+    shuffles ran once at training; this re-reads the checkpoint) +
+    the doc-keyed source join; the threshold table is a FORCED
+    broadcast — |sources| is metadata-scale (a model table, like the
+    BPE merge ranks), never corpus-scale — so the filter adds no
+    shuffle of its own (plan-checked,
+    test_plans.py::test_quality_filtered_reuses_memo_broadcast_threshold).
+    """
+    th = _threshold_table(spark, sf_dir).select("source", "threshold")
+    s = _source_scores(spark, sf_dir)
+    return (
+        s.join(F.broadcast(th), "source")
+        .filter(F.col("score") > F.col("threshold"))
+        .select("doc_id", "source", "n_tokens", "score")
     )

@@ -885,7 +885,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vec_double().alias("vec")
     )
     cents = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _KM_K}
-    cents1 = _km_mean_update(spark, _km_assign(v, cents))
+    cents1 = _km_mean_update(_km_assign(v, cents))
     return _km_assign(v, cents1).select("vec_id", "cluster_id")
 
 
@@ -914,7 +914,7 @@ def _km_assign(v: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
     )
 
 
-def _km_mean_update(spark: SparkSession, assigned: DataFrame) -> dict[int, list[float]]:
+def _km_mean_update(assigned: DataFrame) -> dict[int, list[float]]:
     """One exact mean update: (cluster, dim)-keyed fixed-point means
     (floor(x·2⁴⁰) summed as DECIMAL(38,0), one double division at the
     boundary), collected as k×dim bounded driver state."""
@@ -2953,7 +2953,7 @@ def emb_kmeans_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _KM_K}
     for _round in range(2):
-        cents = _km_mean_update(spark, _km_assign(v, cents))
+        cents = _km_mean_update(_km_assign(v, cents))
     return _km_assign(v, cents).select("vec_id", "cluster_id")
 
 

@@ -1083,3 +1083,20 @@ def test_lsh_multiprobe_recall_bounded_probes(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "ann_lsh_multiprobe_recall"))
     assert plan.count("WindowGroupLimit") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_quality_filtered_reuses_memo_broadcast_threshold(spark, sf_dir):
+    """pipeline_quality_filtered: the scores come from the MEMOIZED
+    classifier checkpoint (Scan ExistingRDD; no token explode —
+    no Generate node — so the training shuffles never re-run), and
+    under 100×-scale stats the ONLY surviving hash-broadcast is the
+    forced per-source threshold model table."""
+    from adt_spark.operators.quality import _WEAKLABEL_MEMO
+
+    plan = _formatted(_q(spark, sf_dir, "pipeline_quality_filtered"))
+    assert "Generate" not in plan  # no token explode re-derivation
+    assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))) >= 1
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "pipeline_quality_filtered"))
+        assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
+        assert "CartesianProduct" not in plan
