@@ -511,10 +511,13 @@ def test_shingle_novelty_two_uniform_shuffles(spark, sf_dir):
 
 
 def test_matryoshka_two_topk_passes(spark, sf_dir):
-    """emb_matryoshka_recall: two WindowGroupLimit top-k passes
-    (full + truncated dims), no cartesian."""
+    """emb_matryoshka_recall: the truncated-dim ranking is a live
+    WindowGroupLimit top-k pass; the full-dim side reads the MEMOIZED
+    shared ground-truth stem (Scan ExistingRDD) instead of re-scanning
+    the corpus.  No cartesian."""
     plan = _formatted(_q(spark, sf_dir, "emb_matryoshka_recall"))
-    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("WindowGroupLimit") >= 1
+    assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))) >= 1
     assert "CartesianProduct" not in plan
 
 
@@ -722,11 +725,13 @@ def test_dsir_resample_bounded_broadcasts(spark, sf_dir):
 
 
 def test_lsh_recall_bucketed_topk(spark, sf_dir):
-    """ann_lsh_recall: two WindowGroupLimit top-k passes (exact +
-    LSH-bucketed), the LSH candidates bucket-keyed — no cartesian;
-    the only broadcast sides are the bounded query set."""
+    """ann_lsh_recall: the LSH-bucketed candidate ranking is a live
+    WindowGroupLimit top-k; the exact side reads the MEMOIZED shared
+    ground-truth stem (Scan ExistingRDD).  No cartesian; the only
+    broadcast sides are the bounded query set."""
     plan = _formatted(_q(spark, sf_dir, "ann_lsh_recall"))
-    assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("WindowGroupLimit") >= 1
+    assert len(set(re.findall(r"\((\d+)\) Scan ExistingRDD", plan))) >= 1
     assert "CartesianProduct" not in plan
 
 
