@@ -1657,12 +1657,23 @@ def _source_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _threshold_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, threshold, agreement, n_docs): the per-source best
-    score cut (see _WL_BEST_CTES for the selection rule)."""
-    from pyspark.sql import Window as W
-
+    score cut (see _WL_BEST_CTES for the selection rule) over the
+    batch classifier's scores."""
     s = _source_scores(spark, sf_dir).select(
         "source", "score", F.when(F.col("weak_label"), 1).otherwise(0).alias("good")
     )
+    return select_thresholds(s)
+
+
+def select_thresholds(s: DataFrame) -> DataFrame:
+    """The per-source agreement-maximizing cut selection over ANY
+    (source, score, good) frame — the ONE copy of the _WL_BEST_CTES
+    logic, shared by the batch quality_threshold_select and the
+    streaming threshold-gated ingest (whose thresholds train over the
+    STREAM's own scoring function), so offline selection and online
+    deployment cannot diverge."""
+    from pyspark.sql import Window as W
+
     per = s.groupBy("source", "score").agg(
         F.sum("good").alias("g_at"),
         (F.count(F.lit(1)) - F.sum("good")).alias("b_at"),

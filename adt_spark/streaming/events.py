@@ -584,7 +584,11 @@ def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ_FP = 1099511627776.0
 
 
-def quality_scored_ingest(docs_static: DataFrame, arriving: DataFrame) -> DataFrame:
+def quality_scored_ingest(
+    docs_static: DataFrame,
+    arriving: DataFrame,
+    ratios: DataFrame | None = None,
+) -> DataFrame:
     """Score ``arriving`` documents with term ratios TRAINED on
     ``docs_static`` (quality.weaklabel_term_ratios — the shared model
     derivation): explode to tokens, stream-static equi-join the
@@ -600,10 +604,14 @@ def quality_scored_ingest(docs_static: DataFrame, arriving: DataFrame) -> DataFr
     consumer does not retrain the model every micro-batch (Structured
     Streaming re-executes static sides per batch).  Shared by the
     streaming operator and its batch pin so derivation parity is by
-    construction."""
+    construction.  ``ratios`` may be passed precomputed so a caller
+    scoring TWO sides under one model (the threshold-gated ingest
+    trains the cut offline and deploys it online) checkpoints the
+    ratio table once."""
     from adt_spark.operators.quality import weaklabel_term_ratios
 
-    ratios = weaklabel_term_ratios(docs_static).localCheckpoint(eager=False)
+    if ratios is None:
+        ratios = weaklabel_term_ratios(docs_static).localCheckpoint(eager=False)
     toks = arriving.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
@@ -670,4 +678,126 @@ def streaming_docs_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return _drain_to_memory(
         quality_scored_ingest(corpus, stream), spark, "complete"
+    )
+
+
+def threshold_gated_ingest(
+    docs_static: DataFrame, arriving: DataFrame
+) -> DataFrame:
+    """Admit ``arriving`` documents iff their quality score clears
+    their SOURCE'S trained threshold — the per-source CCNet cut
+    (quality_threshold_select's rule) deployed at the ingest edge.
+    Training is fully offline and self-consistent: the static corpus
+    is scored under its OWN ratio model with the STREAM'S scoring
+    function (quality_scored_ingest with the shared ratio table —
+    known-token mean, fixed-point fold), scores pair with the
+    rule-gate weak labels, and quality.select_thresholds picks the
+    per-source agreement-maximizing cut (NULL-score docs — nothing
+    known to judge — are excluded from training; online they are
+    rejected as before).  Online, the bounded (source, threshold)
+    model table joins the stream ONCE at doc level BEFORE the token
+    explode and rides the group key through the fold — a join after
+    a streaming aggregation is unsupported, and this shape needs
+    none.  A document from a source unseen in training falls back to
+    the global 1.0 ratio gate.  Output: (doc_id, source, threshold,
+    n_known_tokens, score, admit)."""
+    from adt_spark.operators.quality import (
+        select_thresholds,
+        weak_label_col,
+        weaklabel_term_ratios,
+    )
+
+    ratios = weaklabel_term_ratios(docs_static).localCheckpoint(eager=False)
+    static_scores = quality_scored_ingest(
+        docs_static, docs_static, ratios=ratios
+    )
+    lab = docs_static.select(
+        "doc_id", "source", weak_label_col().alias("good")
+    )
+    s = (
+        static_scores.join(lab, "doc_id")
+        .filter(F.col("score").isNotNull())
+        .select("source", "score", "good")
+    )
+    th = (
+        select_thresholds(s)
+        .select("source", "threshold")
+        .localCheckpoint(eager=False)
+    )
+    arr = arriving.join(th, "source", "left")
+    toks = arr.select(
+        "doc_id",
+        "source",
+        "threshold",
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    scored = (
+        toks.join(ratios, "term", "left")
+        .groupBy("doc_id", "source", "threshold")
+        .agg(
+            F.count("c").alias("n_known_tokens"),
+            F.sum(F.floor(F.col("c") * _SQ_FP).cast("decimal(38,0)")).alias(
+                "s_fp"
+            ),
+        )
+    )
+    score = F.when(
+        F.col("n_known_tokens") > 0,
+        F.col("s_fp").cast("double")
+        / (F.col("n_known_tokens").cast("double") * _SQ_FP),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "threshold",
+        "n_known_tokens",
+        score.alias("score"),
+        F.coalesce(
+            score > F.coalesce(F.col("threshold"), F.lit(1.0)), F.lit(False)
+        ).alias("admit"),
+    )
+
+
+@register(
+    "streaming_docs_threshold_ingest",
+    oracle=None,
+    tags=("streaming", "quality", "classifier", "threshold"),
+)
+def streaming_docs_threshold_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source threshold gating at ingest — the deployment of the
+    round-6 quality_threshold_select loop to the streaming edge:
+    streaming_docs_quality_ingest admits on the global ratio>1 gate,
+    this op admits each arriving document against the trained cut of
+    ITS source (thresholds selected offline over the static corpus
+    scored with the stream's own scoring function, so selection and
+    deployment share one derivation by construction).
+
+    Scale posture: the ratio table is the vocab-scale stream-static
+    equi-join (never force-broadcast); the threshold table is a
+    BOUNDED |sources|-row model join paid once per micro-batch at
+    doc level; per-doc state is the same two exact integers as the
+    ungated ingest.  Fixed-point accumulation keeps admit decisions
+    shuffle-order-deterministic; tests/test_streaming.py pins
+    (doc_id, source, threshold, n, score, admit) to the identical
+    batch derivation over the same slice split (driver records
+    rows-only).
+    """
+    # the arriving slice is doc_id % 7 (NOT the % 10 the ungated
+    # ingest uses): the fixture's source is doc_id % 20, so a % 10
+    # split would put two whole sources into the stream with ZERO
+    # training docs — every threshold would be the fallback and the
+    # per-source gate untested; % 7 is coprime to 20, so every source
+    # appears on both sides
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    static_schema = spark.read.parquet(docs_path).schema
+    corpus = spark.read.parquet(docs_path).filter(F.col("doc_id") % 7 != 0)
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(_stream_glob(docs_path))
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    return _drain_to_memory(
+        threshold_gated_ingest(corpus, stream), spark, "complete"
     )

@@ -36,6 +36,7 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_docs_dedup_ingest",
         "streaming_docs_neardup_ingest",
         "streaming_docs_quality_ingest",
+        "streaming_docs_threshold_ingest",
         "streaming_m4_downsample",
         "streaming_anomaly_alerts",
         # iterative (per-round data-dependent argmax) — not

@@ -384,3 +384,35 @@ def test_streaming_quality_ingest_matches_batch(spark, sf_dir):
         .collect()
     }
     assert {d for (d, _n, _s, _a) in got_set} == arriving
+
+
+def test_streaming_threshold_ingest_matches_batch(spark, sf_dir):
+    """streaming_docs_threshold_ingest == the batch threshold-gated
+    derivation over the same slice split (shared
+    threshold_gated_ingest builder); fixed-point scoring plus the
+    shared select_thresholds cut make every column exactly equal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.streaming.events import threshold_gated_ingest
+
+    got = load_all()["streaming_docs_threshold_ingest"].spark_fn(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want_df = threshold_gated_ingest(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+    )
+    cols = ("doc_id", "source", "threshold", "n_known_tokens", "score", "admit")
+    got_set = {tuple(r[c] for c in cols) for r in got.collect()}
+    want = {tuple(r[c] for c in cols) for r in want_df.collect()}
+    assert got_set == want and len(want) > 0
+    # every arriving doc gets a verdict
+    n_arriving = docs.filter(F.col("doc_id") % 7 == 0).count()
+    assert len(want) == n_arriving
+    # the per-source gate must differ from the global 1.0 gate for at
+    # least one source on the fixture (else the op degenerates to
+    # streaming_docs_quality_ingest) and both admit outcomes occur
+    thresholds = {t for (_d, _s, t, _n, _sc, _a) in want if t is not None}
+    assert any(abs(t - 1.0) > 1e-12 for t in thresholds), thresholds
+    assert {a for (*_x, a) in want} == {True, False}
