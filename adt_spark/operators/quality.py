@@ -1795,3 +1795,171 @@ def pipeline_quality_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") > F.col("threshold"))
         .select("doc_id", "source", "n_tokens", "score")
     )
+
+
+#: fixed-point scale (2^40) for the chi-square fold: per-term
+#: contributions are doubles, and a cross-row double sum is
+#: shuffle-order-nondeterministic — floor(x·2^40) summed as
+#: DECIMAL(38,0) is exact and order-free on both engines.
+_CHI_FP = 1099511627776.0
+
+#: the shared token/count derivation for the source-drift pair:
+#: per-term corpus counts, per-(source, term) observed counts, corpus
+#: total (1 row) and per-source totals (bounded), and each observed
+#: term's chi-square contribution under the sparse identity
+#:   chi2(source) = Σ_observed obs²·N_corpus/(c_corpus·N_s) − N_s
+#: (unobserved terms contribute exactly their expectation, which the
+#: −N_s term absorbs — no |sources|×|vocab| densification).
+_DRIFT_CTES = """tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    ct AS (SELECT term, count(*) AS c_corpus FROM tok GROUP BY term),
+    tot AS (SELECT count(*) AS n_corpus FROM tok),
+    st AS (
+        SELECT source, term, count(*) AS obs
+        FROM tok GROUP BY source, term
+    ),
+    ns AS (
+        SELECT source, sum(obs) AS n_s, count(*) AS n_terms
+        FROM st GROUP BY source
+    ),
+    contrib AS (
+        SELECT st.source, st.term, st.obs, ct.c_corpus, ns.n_s,
+               (CAST(st.obs AS DOUBLE) * CAST(st.obs AS DOUBLE)
+                * CAST(tot.n_corpus AS DOUBLE))
+               / (CAST(ct.c_corpus AS DOUBLE) * CAST(ns.n_s AS DOUBLE))
+                 AS term_stat
+        FROM st JOIN ct USING (term) CROSS JOIN tot JOIN ns USING (source)
+    )"""
+
+
+@register(
+    "quality_source_drift_chi2",
+    oracle=f"""
+    WITH {_DRIFT_CTES}
+    SELECT source,
+           CAST(any_value(n_s) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(CAST(floor(term_stat * {_CHI_FP}) AS HUGEINT)) AS DOUBLE)
+             / {_CHI_FP}
+             - CAST(any_value(n_s) AS DOUBLE) AS chi2
+    FROM contrib GROUP BY source
+    """,
+    tags=("quality", "drift", "stats", "mixing"),
+)
+def quality_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution DRIFT per source: the chi-square statistic
+    of each source's token distribution against the corpus-wide one —
+    the mixing-QA number a pipeline watches when a new crawl snapshot
+    or source lands (a source whose distribution diverges hard from
+    the mix either needs its own temperature weight or is broken
+    upstream; same monitoring intent as quality_classifier_calibration
+    but model-free).  Output: (source, n_tokens, n_terms, chi2).
+
+    Sparse identity — the 100 TB shape: over ALL corpus terms,
+    Σ (obs−exp)²/exp = Σ_observed obs²·N/(c_t·N_s) − N_s, so only the
+    (source, term) pairs that EXIST are computed — no
+    |sources|×|vocab| densification; unobserved cells are absorbed
+    exactly by the −N_s term.
+
+    Cross-engine exactness: all counts exact integers; each term's
+    statistic is four exact int→double casts, two multiplies, one
+    division in fixed order; the cross-term sum is ORDER-FREE by
+    construction — floor(x·2⁴⁰) accumulated as DECIMAL(38,0)
+    (the streaming-quality fixed-point discipline), with the single
+    /2⁴⁰ and −N_s at the output boundary.
+
+    Scale shape: one token explode feeding two two-phase aggregates
+    (term-keyed corpus counts, (source, term)-keyed observed counts);
+    the observed table re-joins the vocab-scale corpus counts on the
+    uniform term key (AQE-sized, never force-broadcast); corpus total
+    is a 1-row broadcast, per-source totals a bounded join; the final
+    aggregate has |sources| groups.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_corpus"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("obs"))
+    ns = st.groupBy("source").agg(
+        F.sum("obs").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
+    )
+    term_stat = (
+        F.col("obs").cast("double")
+        * F.col("obs").cast("double")
+        * F.col("n_corpus").cast("double")
+    ) / (F.col("c_corpus").cast("double") * F.col("n_s").cast("double"))
+    contrib = (
+        st.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .join(ns, "source")
+        .select("source", "term", "obs", "c_corpus", "n_s", term_stat.alias("term_stat"))
+    )
+    return contrib.groupBy("source").agg(
+        F.any_value("n_s").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        (
+            F.sum(F.floor(F.col("term_stat") * _CHI_FP).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(_CHI_FP)
+            - F.any_value("n_s").cast("double")
+        ).alias("chi2"),
+    )
+
+
+@register(
+    "quality_source_drift_terms",
+    oracle=f"""
+    WITH {_DRIFT_CTES},
+    lifted AS (
+        SELECT source, term, CAST(obs AS BIGINT) AS obs,
+               (CAST(obs AS DOUBLE) * CAST(n_corpus AS DOUBLE))
+               / (CAST(c_corpus AS DOUBLE) * CAST(n_s AS DOUBLE)) AS lift
+        FROM contrib CROSS JOIN tot
+    )
+    SELECT source, term, obs, lift
+    FROM lifted
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY lift DESC, term) <= 5
+    """,
+    tags=("quality", "drift", "stats", "mixing", "topk"),
+)
+def quality_source_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-5 OVER-REPRESENTED terms per source by lift
+    (obs/expected = obs·N_corpus/(c_corpus·N_s)) — the drill-down for
+    quality_source_drift_chi2's one number: when a source drifts,
+    these are the tokens doing it (boilerplate, spam vocabulary, a
+    template header).  Deterministic: lift is a single fixed-order
+    double expression; top-k tiebreaks (lift DESC, term).
+
+    Scale shape: same shuffles as the chi2 audit (shared derivation)
+    plus ONE per-source WindowGroupLimit top-k — rank pushdown keeps
+    per-partition heaps of 5.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_corpus"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("obs"))
+    ns = st.groupBy("source").agg(F.sum("obs").alias("n_s"))
+    lift = (F.col("obs").cast("double") * F.col("n_corpus").cast("double")) / (
+        F.col("c_corpus").cast("double") * F.col("n_s").cast("double")
+    )
+    lifted = (
+        st.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .join(ns, "source")
+        .select(
+            "source",
+            "term",
+            F.col("obs").cast("bigint").alias("obs"),
+            lift.alias("lift"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("lift").desc(), "term")
+    )
+    return lifted.withColumn("_rn", rn).filter(F.col("_rn") <= 5).drop("_rn")
