@@ -1105,3 +1105,17 @@ def test_quality_filtered_reuses_memo_broadcast_threshold(spark, sf_dir):
         plan = _formatted(_q(spark, sf_dir, "pipeline_quality_filtered"))
         assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
         assert "CartesianProduct" not in plan
+
+
+def test_source_drift_no_forced_broadcast(spark, sf_dir):
+    """quality_source_drift_chi2: the vocab-scale corpus-count table
+    re-joins the (source, term) observed counts on the uniform term
+    key — under 100×-scale stats no hash-broadcast may survive except
+    the forced 1-row corpus total (BNLJ) and the bounded per-source
+    totals; no cartesian."""
+    plan = _formatted(_q(spark, sf_dir, "quality_source_drift_chi2"))
+    assert "CartesianProduct" not in plan
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "quality_source_drift_chi2"))
+        assert "BroadcastHashJoin" not in plan
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
