@@ -699,7 +699,11 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_N_CELLS} vectors as cells — k-means init without the iterations,
     so the oracle is SQL-expressible) partitions the corpus into
     inverted lists; queries probe their {_N_PROBE} nearest cells and
-    re-rank candidates by exact cosine.
+    re-rank candidates by exact cosine.  This is deliberately the
+    ANCHOR-quantizer teaching variant; the DEPLOYED trained-quantizer
+    search is the IVFPQ family (ann_ivf_pq_topk and friends, re-keyed
+    onto ann_ivf_train_cells' centroids in round 6 — the 'swap in
+    trained centroids at deployment' promise, taken there).
 
     The 100 TB story: assignment is one broadcast pass over the corpus
     (centroids are tiny), the inverted lists are an equi-partitioned
