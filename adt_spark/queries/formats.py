@@ -185,3 +185,96 @@ def q_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+
+@register(
+    "q_delta_cdf_incremental_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, md5(lower(trim(text))) AS digest
+      FROM documents WHERE doc_id % 10 <> 0
+    ),
+    arriving AS (
+      SELECT doc_id, md5(lower(trim(text))) AS digest
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, digest
+      FROM base WHERE doc_id % 100 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_inserted,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM base b
+                                      WHERE b.digest = a.digest)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM base b
+                                      WHERE b.digest = a.digest)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_unique
+    FROM arriving a
+    """,
+    tags=("format", "delta", "cdf", "dedup", "incremental"),
+)
+def q_delta_cdf_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus maintenance end-to-end UNDER THE DRIVER
+    GATE — the cross-layer composition a production pipeline actually
+    runs: the existing corpus is a Delta table (native protocol
+    writer), today's crawl lands as an APPEND commit, the dedup stage
+    reads ONLY the change feed of that commit (native ``table_changes``
+    — the no-_change_data derivation of the Delta spec) and
+    anti-joins the arriving digests against the base corpus.  Output:
+    one row (n_inserted, n_exact_dup, n_unique).  This is
+    dedup_incremental's exact-digest half driven by CDF instead of a
+    batch slice — proving the Delta layer and the pipeline operators
+    compose: a hash match against the parquet-side oracle certifies
+    the write → append → change-feed read → dedup chain end-to-end.
+
+    Determinism: the commit versions returned by the writer scope the
+    CDF read exactly (re-runs append new commits; the read is pinned
+    to THIS call's append), and ``_commit_version`` is excluded from
+    the output so the result is run-independent.  Digests are the
+    module-standard md5(lower(trim(text))) on both engines.
+
+    Scale shape: the CDF read scans ONLY the appended files (log scan
+    is driver-side metadata); digesting is scan-local; the membership
+    check is one digest-keyed LEFT SEMI-style join (AQE-sized — the
+    base digest set is corpus-scale, never broadcast by force)
+    feeding a single-row conditional aggregate.  At 100 TB this is
+    the whole point of CDF: per-increment cost tracks the increment,
+    not the corpus.
+    """
+    from adt_spark.sources.delta_native import table_changes
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    docs = tables(spark, sf_dir)["documents"]
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    # today's crawl = the arriving slice PLUS re-collected copies of
+    # some existing pages under fresh ids (the fixture plants only
+    # NEAR-dups, so without the re-collects the exact-dup branch
+    # would be structurally zero and untested)
+    recollected = base.filter(F.col("doc_id") % 100 == 1).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    arriving = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        recollected
+    )
+    path = _tmp(sf_dir, "delta_cdf")
+    write_delta_native(base, path, mode="overwrite")
+    v_append = write_delta_native(arriving, path, mode="append")
+    changes = table_changes(
+        spark, path, starting_version=v_append, ending_version=v_append
+    )
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    new_rows = changes.filter(F.col("_change_type") == "insert").select(
+        "doc_id", digest.alias("digest")
+    )
+    known = base.select(digest.alias("digest")).distinct()
+    flagged = new_rows.join(
+        known.withColumn("_hit", F.lit(1)), "digest", "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inserted"),
+        F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_dup"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unique"),
+    )
