@@ -347,7 +347,10 @@ def _bare_order_key(order_src: str) -> str:
                 "a single ORDER BY key"
             )
     return re.sub(
-        r"(?is)\s+(asc|desc)(\s+nulls\s+(first|last))?\s*$", "", order_src
+        r"(?is)\s+((asc|desc)(\s+nulls\s+(first|last))?|nulls\s+(first|last))"
+        r"\s*$",
+        "",
+        order_src,
     ).strip()
 
 

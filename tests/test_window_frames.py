@@ -325,7 +325,14 @@ def test_nonstraddling_range_exclude_matrix(spark, small_t):
     i = 0
     for agg, excl in cases:
         for frame in frames:
-            for d, od in (("", ""), (" DESC", " DESC NULLS FIRST")):
+            for d, od in (
+                ("", ""),
+                (" DESC", " DESC NULLS FIRST"),
+                # bare NULLS FIRST (no direction): valid in the source
+                # dialect; the key-nullness gate must strip it when
+                # extracting the bare ORDER BY key
+                (" NULLS FIRST", " NULLS FIRST"),
+            ):
                 spark_cols.append(
                     f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
                     f"EXCLUDE {excl}) AS c{i}"
