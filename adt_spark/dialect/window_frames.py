@@ -57,18 +57,28 @@ q_window_exclude):
   (positional offsets) and ``EXCLUDE CURRENT ROW / GROUP`` over
   GROUPS frames (even a NULL-keyed row's peer group sits at offset
   0, which the frame excludes).  Over RANGE frames with VALUE
-  offsets it is NOT a no-op: a NULL-keyed row's numeric-RANGE frame
-  is its null peer group in both engines — containing the current
-  row and all its peers — so the rewrite gates on key nullness:
-  excluded quantities in the subtraction algebra are multiplied into
-  a ``CASE WHEN key IS NULL`` arm (sum/count/avg/variance), and
-  min/max/first/last under ``EXCLUDE GROUP`` become ``CASE WHEN key
-  IS NULL THEN NULL ELSE base END`` (the surviving frame for a
-  NULL-keyed row is empty).  Still refused: GROUP over non-straddling
-  ROWS frames (key-sharing peers can occupy any row offset inside
-  the frame), min/max/first/last under CURRENT ROW over
-  non-straddling RANGE frames (null-peer-group-minus-self has no
-  closed form), and ``EXCLUDE TIES`` over ANY non-straddling frame —
+  offsets it is NOT a no-op: a NULL-keyed row's frame (measured on
+  both engines) is its null peer group when both bounds are numeric,
+  and extends to the partition edge when a bound is UNBOUNDED — the
+  WHOLE partition when the unbounded side points away from the null
+  placement.  Either way the frame CONTAINS the current row and all
+  its peers, so the rewrite gates on key nullness: excluded
+  quantities in the subtraction algebra are multiplied into a
+  ``CASE WHEN key IS NULL`` arm (sum/count/avg/variance — sound for
+  every bound shape, since subtraction only needs excluded ⊆ frame),
+  and min/max under ``EXCLUDE GROUP`` become ``CASE WHEN key IS NULL
+  THEN <arm> ELSE base END`` where the arm is NULL when the
+  NULL-row's frame is exactly its peer group (surviving frame empty)
+  and a NULL-skipping whole-partition aggregate of the key-nulled
+  argument when an away-pointing UNBOUNDED bound widens it to the
+  partition (surviving = the non-NULL-key rows exactly).  Still
+  refused: GROUP over non-straddling ROWS frames (key-sharing peers
+  can occupy any row offset inside the frame), first/last_value
+  under GROUP with an away-pointing UNBOUNDED bound (the surviving
+  edge row is position-, not value-, defined), min/max/first/last
+  under CURRENT ROW over non-straddling RANGE frames
+  (peer-group-minus-self has no closed form), and ``EXCLUDE TIES``
+  over ANY non-straddling frame —
   SQL:2011's "the current row together with the non-peer frame rows"
   wording ADDS the current row to a frame that never contained it
   (DuckDB implements that reading) while PostgreSQL's peers-only
@@ -594,13 +604,45 @@ def rewrite_window_frames(sql: str) -> str:
                 edits.append((fn_start, close_pos + 1, repl))
                 continue
             if ns_range:
-                # exclude == "group" here (CURRENT ROW raised above):
-                # a non-NULL key's frame excludes the whole peer group
-                # already (offset 0 is outside it) → base frame; a
-                # NULL key's frame IS the peer group, so the surviving
-                # frame is empty → NULL.
+                # exclude == "group" here (CURRENT ROW raised above).
+                # A non-NULL key's frame excludes its whole peer group
+                # already (offset 0 is outside it) → base frame.  A
+                # NULL key's frame depends on the bounds (measured on
+                # both engines): with both bounds numeric it is
+                # exactly the null peer group → surviving frame empty
+                # → NULL; with one UNBOUNDED bound the frame extends
+                # to the partition edge — the WHOLE partition when the
+                # unbounded side points AWAY from the null placement
+                # (the nulls sit contiguously at one end), else still
+                # just the null group.  Away case: the surviving rows
+                # are exactly the non-NULL-key rows — for min/max,
+                # NULL-skipping aggregation over the whole partition
+                # of a key-nulled argument is that set EXACTLY;
+                # first/last_value cannot null-skip without changing
+                # semantics, so they refuse.
+                lo_unb = frame["lo"] == "unbounded preceding"
+                hi_unb = frame["hi"] == "unbounded following"
+                nulls_first = "nulls first" in order_text.lower()
+                away = (lo_unb and not nulls_first) or (hi_unb and nulls_first)
+                if (lo_unb or hi_unb) and away:
+                    if fn in ("first_value", "last_value"):
+                        raise _Unsupported(
+                            f"EXCLUDE GROUP on {fn} over a non-straddling "
+                            "RANGE frame with an UNBOUNDED bound has no "
+                            "sound rewrite for NULL-keyed rows (their "
+                            "frame spans the partition and the surviving "
+                            "edge row is position-, not value-, defined) "
+                            "— use the DataFrame API (see q_window_exclude)"
+                        )
+                    wfull = part_clause.strip()
+                    null_arm = (
+                        f"{fn}(CASE WHEN ({korder}) IS NULL THEN NULL "
+                        f"ELSE {args} END) OVER ({wfull})"
+                    )
+                else:
+                    null_arm = "NULL"
                 repl = (
-                    f"(CASE WHEN ({korder}) IS NULL THEN NULL "
+                    f"(CASE WHEN ({korder}) IS NULL THEN {null_arm} "
                     f"ELSE {fn}({args}) OVER ({base_w}) END)"
                 )
                 edits.append((fn_start, close_pos + 1, repl))

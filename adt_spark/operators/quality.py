@@ -1249,11 +1249,15 @@ def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "quality_weaklabel_classifier",
-    oracle="""
-    WITH lab AS (
-        SELECT doc_id,
+#: the classifier-score derivation with per-doc source attached, as
+#: composable oracle CTEs (lab/tl/ts/tot/contrib/w ending in
+#: ``scored2`` with (source, doc_id, n_tokens, score, good)) — the
+#: ONE copy of the exactness-critical Laplace-ratio/ordered-fold text,
+#: shared by ALL FOUR consumers' oracles: quality_weaklabel_classifier,
+#: quality_classifier_calibration, quality_threshold_select and
+#: pipeline_quality_filtered.
+_WL_SCORED_CTES = """lab AS (
+        SELECT doc_id, source,
                CASE WHEN len(string_split(text, ' ')) >= 20
                      AND CAST(len(list_distinct(string_split(text, ' ')))
                               AS DOUBLE)
@@ -1281,19 +1285,65 @@ def quality_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tl JOIN ts USING (term) CROSS JOIN tot
     ),
     w AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        SELECT doc_id, count(*) AS n_tokens,
                list_reduce(
                  list_transform(
                    list_sort(list(struct_pack(t := term, c := c))),
                    x -> x.c),
                  (a, b) -> a + b) AS s
         FROM contrib GROUP BY doc_id
-    )
-    SELECT w.doc_id AS doc_id, w.n_tokens AS n_tokens,
-           w.s / CAST(w.n_tokens AS DOUBLE) AS score,
-           w.s / CAST(w.n_tokens AS DOUBLE) > 1.0e0 AS predicted_good,
-           l.good = 1 AS weak_label
-    FROM w JOIN lab l USING (doc_id)
+    ),
+    scored2 AS (
+        SELECT l.source, w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+               w.s / CAST(w.n_tokens AS DOUBLE) AS score, l.good
+        FROM w JOIN lab l USING (doc_id)
+    )"""
+
+#: per-source best cut over the empirical score distribution —
+#: candidates are every observed score (cut := predict good iff
+#: score > threshold) plus the predict-all-good sentinel 0.0 (scores
+#: are means of strictly positive ratios); agreement(threshold) =
+#: #(score > t AND good) + #(score <= t AND NOT good), computed from
+#: per-(source, score) cumulative counts; tiebreak (agreement DESC,
+#: threshold ASC) — a total order since thresholds are distinct.
+_WL_BEST_CTES = """per AS (
+        SELECT source, score,
+               sum(good) AS g_at, count(*) - sum(good) AS b_at
+        FROM scored2 GROUP BY source, score
+    ),
+    cum AS (
+        SELECT source, score,
+               sum(g_at) OVER (PARTITION BY source ORDER BY score) AS cg,
+               sum(b_at) OVER (PARTITION BY source ORDER BY score) AS cb,
+               sum(g_at) OVER (PARTITION BY source) AS tg,
+               sum(b_at) OVER (PARTITION BY source) AS tb
+        FROM per
+    ),
+    cand AS (
+        SELECT source, score AS threshold, (tg - cg) + cb AS agreement,
+               tg + tb AS nd
+        FROM cum
+        UNION ALL
+        SELECT source, 0.0 AS threshold, sum(g_at) AS agreement,
+               sum(g_at) + sum(b_at) AS nd
+        FROM per GROUP BY source
+    ),
+    best AS (
+        SELECT source, threshold, agreement, nd FROM cand
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY agreement DESC, threshold) = 1
+    )"""
+
+
+
+@register(
+    "quality_weaklabel_classifier",
+    oracle=f"""
+    WITH {_WL_SCORED_CTES}
+    SELECT doc_id, n_tokens, score,
+           score > 1.0e0 AS predicted_good,
+           good = 1 AS weak_label
+    FROM scored2
     """,
     tags=("quality", "classifier", "training", "weak-label"),
 )
@@ -1448,50 +1498,12 @@ def _weaklabel_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_classifier_calibration",
-    oracle="""
-    WITH lab AS (
-        SELECT doc_id, source,
-               CASE WHEN len(string_split(text, ' ')) >= 20
-                     AND CAST(len(list_distinct(string_split(text, ' ')))
-                              AS DOUBLE)
-                         / len(string_split(text, ' ')) > 0.3
-                    THEN 1 ELSE 0 END AS good
-        FROM documents
-    ),
-    tl AS (
-        SELECT t.doc_id, t.term, l.good
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents) t
-        JOIN lab l USING (doc_id)
-    ),
-    ts AS (
-        SELECT term, sum(good) AS cg, count(*) AS ctot FROM tl GROUP BY term
-    ),
-    tot AS (
-        SELECT sum(cg) AS g, sum(ctot - cg) AS b, count(*) AS v FROM ts
-    ),
-    contrib AS (
-        SELECT tl.doc_id, tl.term,
-               (CAST(ts.cg + 1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
-             / (CAST(ts.ctot - ts.cg + 1 AS DOUBLE)
-                * CAST(tot.g + tot.v AS DOUBLE)) AS c
-        FROM tl JOIN ts USING (term) CROSS JOIN tot
-    ),
-    w AS (
-        SELECT doc_id, count(*) AS n_tokens,
-               list_reduce(
-                 list_transform(
-                   list_sort(list(struct_pack(t := term, c := c))),
-                   x -> x.c),
-                 (a, b) -> a + b) AS s
-        FROM contrib GROUP BY doc_id
-    ),
+    oracle=f"""
+    WITH {_WL_SCORED_CTES},
     scored AS (
-        SELECT l.source,
-               CASE WHEN w.s / CAST(w.n_tokens AS DOUBLE) > 1.0e0
-                    THEN 1 ELSE 0 END AS pred,
-               l.good
-        FROM w JOIN lab l USING (doc_id)
+        SELECT source,
+               CASE WHEN score > 1.0e0 THEN 1 ELSE 0 END AS pred, good
+        FROM scored2
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -1558,91 +1570,6 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             tp.cast("double") / F.sum("good"),
         ).alias("recall_good"),
     )
-
-
-#: the classifier-score derivation with per-doc source attached, as
-#: composable oracle CTEs (the quality_weaklabel_classifier chain —
-#: lab/tl/ts/tot/contrib/w — ending in ``scored2`` with
-#: (source, doc_id, n_tokens, score, good)); shared by
-#: quality_threshold_select and pipeline_quality_filtered so the
-#: exactness-critical text moves both together.
-_WL_SCORED_CTES = """lab AS (
-        SELECT doc_id, source,
-               CASE WHEN len(string_split(text, ' ')) >= 20
-                     AND CAST(len(list_distinct(string_split(text, ' ')))
-                              AS DOUBLE)
-                         / len(string_split(text, ' ')) > 0.3
-                    THEN 1 ELSE 0 END AS good
-        FROM documents
-    ),
-    tl AS (
-        SELECT t.doc_id, t.term, l.good
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents) t
-        JOIN lab l USING (doc_id)
-    ),
-    ts AS (
-        SELECT term, sum(good) AS cg, count(*) AS ctot FROM tl GROUP BY term
-    ),
-    tot AS (
-        SELECT sum(cg) AS g, sum(ctot - cg) AS b, count(*) AS v FROM ts
-    ),
-    contrib AS (
-        SELECT tl.doc_id, tl.term,
-               (CAST(ts.cg + 1 AS DOUBLE) * CAST(tot.b + tot.v AS DOUBLE))
-             / (CAST(ts.ctot - ts.cg + 1 AS DOUBLE)
-                * CAST(tot.g + tot.v AS DOUBLE)) AS c
-        FROM tl JOIN ts USING (term) CROSS JOIN tot
-    ),
-    w AS (
-        SELECT doc_id, count(*) AS n_tokens,
-               list_reduce(
-                 list_transform(
-                   list_sort(list(struct_pack(t := term, c := c))),
-                   x -> x.c),
-                 (a, b) -> a + b) AS s
-        FROM contrib GROUP BY doc_id
-    ),
-    scored2 AS (
-        SELECT l.source, w.doc_id, CAST(w.n_tokens AS BIGINT) AS n_tokens,
-               w.s / CAST(w.n_tokens AS DOUBLE) AS score, l.good
-        FROM w JOIN lab l USING (doc_id)
-    )"""
-
-#: per-source best cut over the empirical score distribution —
-#: candidates are every observed score (cut := predict good iff
-#: score > threshold) plus the predict-all-good sentinel 0.0 (scores
-#: are means of strictly positive ratios); agreement(threshold) =
-#: #(score > t AND good) + #(score <= t AND NOT good), computed from
-#: per-(source, score) cumulative counts; tiebreak (agreement DESC,
-#: threshold ASC) — a total order since thresholds are distinct.
-_WL_BEST_CTES = """per AS (
-        SELECT source, score,
-               sum(good) AS g_at, count(*) - sum(good) AS b_at
-        FROM scored2 GROUP BY source, score
-    ),
-    cum AS (
-        SELECT source, score,
-               sum(g_at) OVER (PARTITION BY source ORDER BY score) AS cg,
-               sum(b_at) OVER (PARTITION BY source ORDER BY score) AS cb,
-               sum(g_at) OVER (PARTITION BY source) AS tg,
-               sum(b_at) OVER (PARTITION BY source) AS tb
-        FROM per
-    ),
-    cand AS (
-        SELECT source, score AS threshold, (tg - cg) + cb AS agreement,
-               tg + tb AS nd
-        FROM cum
-        UNION ALL
-        SELECT source, 0.0 AS threshold, sum(g_at) AS agreement,
-               sum(g_at) + sum(b_at) AS nd
-        FROM per GROUP BY source
-    ),
-    best AS (
-        SELECT source, threshold, agreement, nd FROM cand
-        QUALIFY row_number() OVER (PARTITION BY source
-                                   ORDER BY agreement DESC, threshold) = 1
-    )"""
 
 
 def _source_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1810,6 +1737,8 @@ _CHI_FP = 1099511627776.0
 #:   chi2(source) = Σ_observed obs²·N_corpus/(c_corpus·N_s) − N_s
 #: (unobserved terms contribute exactly their expectation, which the
 #: −N_s term absorbs — no |sources|×|vocab| densification).
+#: ``n_corpus`` rides every contrib row so the lift drill-down needs
+#: no second cross join.
 _DRIFT_CTES = """tok AS (
         SELECT source, unnest(string_split(text, ' ')) AS term
         FROM documents
@@ -1821,17 +1750,48 @@ _DRIFT_CTES = """tok AS (
         FROM tok GROUP BY source, term
     ),
     ns AS (
-        SELECT source, sum(obs) AS n_s, count(*) AS n_terms
-        FROM st GROUP BY source
+        SELECT source, sum(obs) AS n_s FROM st GROUP BY source
     ),
     contrib AS (
         SELECT st.source, st.term, st.obs, ct.c_corpus, ns.n_s,
+               tot.n_corpus,
                (CAST(st.obs AS DOUBLE) * CAST(st.obs AS DOUBLE)
                 * CAST(tot.n_corpus AS DOUBLE))
                / (CAST(ct.c_corpus AS DOUBLE) * CAST(ns.n_s AS DOUBLE))
                  AS term_stat
         FROM st JOIN ct USING (term) CROSS JOIN tot JOIN ns USING (source)
     )"""
+
+
+def _drift_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _DRIFT_CTES' ``contrib``: one derivation
+    shared by the chi2 audit and the lift drill-down, so the oracle
+    constant and BOTH consumers move together."""
+    docs = tables(spark, sf_dir)["documents"]
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_corpus"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("obs"))
+    ns = st.groupBy("source").agg(F.sum("obs").alias("n_s"))
+    term_stat = (
+        F.col("obs").cast("double")
+        * F.col("obs").cast("double")
+        * F.col("n_corpus").cast("double")
+    ) / (F.col("c_corpus").cast("double") * F.col("n_s").cast("double"))
+    return (
+        st.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .join(ns, "source")
+        .select(
+            "source",
+            "term",
+            "obs",
+            "c_corpus",
+            "n_s",
+            "n_corpus",
+            term_stat.alias("term_stat"),
+        )
+    )
 
 
 @register(
@@ -1841,8 +1801,10 @@ _DRIFT_CTES = """tok AS (
     SELECT source,
            CAST(any_value(n_s) AS BIGINT) AS n_tokens,
            CAST(count(*) AS BIGINT) AS n_terms,
-           CAST(sum(CAST(floor(term_stat * {_CHI_FP}) AS HUGEINT)) AS DOUBLE)
-             / {_CHI_FP}
+           CAST(sum(CAST(floor(term_stat) AS HUGEINT)) AS DOUBLE)
+             + CAST(sum(CAST(floor((term_stat - floor(term_stat))
+                                   * {_CHI_FP}) AS HUGEINT)) AS DOUBLE)
+               / {_CHI_FP}
              - CAST(any_value(n_s) AS DOUBLE) AS chi2
     FROM contrib GROUP BY source
     """,
@@ -1866,9 +1828,15 @@ def quality_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine exactness: all counts exact integers; each term's
     statistic is four exact int→double casts, two multiplies, one
     division in fixed order; the cross-term sum is ORDER-FREE by
-    construction — floor(x·2⁴⁰) accumulated as DECIMAL(38,0)
-    (the streaming-quality fixed-point discipline), with the single
-    /2⁴⁰ and −N_s at the output boundary.
+    construction, in a SPLIT fixed point: integer parts floor to
+    BIGINT directly (term_stat ≤ N_corpus — obs ≤ c_t and obs ≤ N_s
+    — so no overflow at any corpus size), fractional parts floor at
+    2⁴⁰ (always < 2⁴⁰), both summed as DECIMAL(38,0).  A single-scale
+    floor(x·2⁴⁰) would overflow BIGINT once term_stat exceeds ~8.4e6
+    — reachable for a dominant term at the 100 TB scale this audit
+    targets — where the HUGEINT oracle kept computing; the split
+    keeps both engines exact and identical everywhere.  The three
+    boundary doubles combine in fixed order: i + f/2⁴⁰ − N_s.
 
     Scale shape: one token explode feeding two two-phase aggregates
     (term-keyed corpus counts, (source, term)-keyed observed counts);
@@ -1877,32 +1845,15 @@ def quality_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row broadcast, per-source totals a bounded join; the final
     aggregate has |sources| groups.
     """
-    docs = tables(spark, sf_dir)["documents"]
-    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_corpus"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("obs"))
-    ns = st.groupBy("source").agg(
-        F.sum("obs").alias("n_s"), F.count(F.lit(1)).alias("n_terms")
-    )
-    term_stat = (
-        F.col("obs").cast("double")
-        * F.col("obs").cast("double")
-        * F.col("n_corpus").cast("double")
-    ) / (F.col("c_corpus").cast("double") * F.col("n_s").cast("double"))
-    contrib = (
-        st.join(ct, "term")
-        .crossJoin(F.broadcast(tot))
-        .join(ns, "source")
-        .select("source", "term", "obs", "c_corpus", "n_s", term_stat.alias("term_stat"))
-    )
+    contrib = _drift_contrib(spark, sf_dir)
+    i_part = F.floor(F.col("term_stat"))
+    f_part = F.floor((F.col("term_stat") - F.floor(F.col("term_stat"))) * _CHI_FP)
     return contrib.groupBy("source").agg(
         F.any_value("n_s").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         (
-            F.sum(F.floor(F.col("term_stat") * _CHI_FP).cast("decimal(38,0)"))
-            .cast("double")
-            / F.lit(_CHI_FP)
+            F.sum(i_part.cast("decimal(38,0)")).cast("double")
+            + F.sum(f_part.cast("decimal(38,0)")).cast("double") / F.lit(_CHI_FP)
             - F.any_value("n_s").cast("double")
         ).alias("chi2"),
     )
@@ -1916,7 +1867,7 @@ def quality_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, term, CAST(obs AS BIGINT) AS obs,
                (CAST(obs AS DOUBLE) * CAST(n_corpus AS DOUBLE))
                / (CAST(c_corpus AS DOUBLE) * CAST(n_s AS DOUBLE)) AS lift
-        FROM contrib CROSS JOIN tot
+        FROM contrib
     )
     SELECT source, term, obs, lift
     FROM lifted
@@ -1933,32 +1884,21 @@ def quality_source_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     template header).  Deterministic: lift is a single fixed-order
     double expression; top-k tiebreaks (lift DESC, term).
 
-    Scale shape: same shuffles as the chi2 audit (shared derivation)
-    plus ONE per-source WindowGroupLimit top-k — rank pushdown keeps
-    per-partition heaps of 5.
+    Scale shape: the shared _drift_contrib derivation (same shuffles
+    as the chi2 audit) plus ONE per-source WindowGroupLimit top-k —
+    rank pushdown keeps per-partition heaps of 5.
     """
-    docs = tables(spark, sf_dir)["documents"]
-    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
-    ct = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c_corpus"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n_corpus"))
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("obs"))
-    ns = st.groupBy("source").agg(F.sum("obs").alias("n_s"))
+    from pyspark.sql import Window as W
+
     lift = (F.col("obs").cast("double") * F.col("n_corpus").cast("double")) / (
         F.col("c_corpus").cast("double") * F.col("n_s").cast("double")
     )
-    lifted = (
-        st.join(ct, "term")
-        .crossJoin(F.broadcast(tot))
-        .join(ns, "source")
-        .select(
-            "source",
-            "term",
-            F.col("obs").cast("bigint").alias("obs"),
-            lift.alias("lift"),
-        )
+    lifted = _drift_contrib(spark, sf_dir).select(
+        "source",
+        "term",
+        F.col("obs").cast("bigint").alias("obs"),
+        lift.alias("lift"),
     )
-    from pyspark.sql import Window as W
-
     rn = F.row_number().over(
         W.partitionBy("source").orderBy(F.col("lift").desc(), "term")
     )

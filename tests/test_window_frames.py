@@ -639,3 +639,84 @@ def test_interval_frame_bounds_refuse_loudly():
     for q in cases:
         with pytest.raises(NotImplementedError):
             rewrite_window_frames(q)
+
+
+def test_nonstraddling_range_unbounded_bound_matrix(spark, small_t):
+    """Non-straddling RANGE frames with ONE UNBOUNDED bound: a
+    NULL-keyed row's frame extends to the partition edge — the WHOLE
+    partition when the unbounded side points away from the null
+    placement, else just its null peer group (measured identically on
+    Spark and DuckDB).  The rewrite's key-nullness arms must follow:
+    subtraction (sum/count) stays sound (excluded ⊆ frame always);
+    min/max EXCLUDE GROUP takes the NULL-skipping whole-partition
+    aggregate in the away case and NULL in the toward case.  Oracle:
+    CONSTRUCTED from native non-EXCLUDE windows (base frame for
+    non-NULL keys; per-semantics arms for NULL keys — leaning on the
+    aggregate arg being the key, so key-nulled rows self-skip in
+    min/max/sum/count(a))."""
+    frames = [
+        ("RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING", "lo_unb"),
+        ("RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING", "hi_unb"),
+    ]
+    dirs = [("", " NULLS LAST", False), (" DESC", " DESC NULLS FIRST", True)]
+    spark_cols, duck_cols = [], []
+    i = 0
+    for agg in ("min(a)", "max(a)", "sum(a)", "count(a)", "count(*)"):
+        for excl in ("CURRENT ROW", "GROUP"):
+            if excl == "CURRENT ROW" and agg in ("min(a)", "max(a)"):
+                continue  # refused for ns-RANGE (raise-tested)
+            for frame, which in frames:
+                for d, od, nulls_first in dirs:
+                    away = (which == "lo_unb" and not nulls_first) or (
+                        which == "hi_unb" and nulls_first
+                    )
+                    spark_cols.append(
+                        f"{agg} OVER (PARTITION BY g ORDER BY a{d} {frame} "
+                        f"EXCLUDE {excl}) AS c{i}"
+                    )
+                    base = f"{agg} OVER (PARTITION BY g ORDER BY a{od} {frame})"
+                    if excl == "CURRENT ROW":
+                        # NULL row's frame contains it; subtract it out
+                        if agg == "count(*)":
+                            arm = f"({base} - 1)"
+                        else:  # sum(a)/count(a): a IS NULL contributes 0
+                            arm = base
+                    else:  # GROUP
+                        if away:
+                            # surviving = the non-NULL-key rows; arg==key
+                            # so the partition-wide agg self-skips them
+                            if agg == "count(*)":
+                                arm = "count(a) OVER (PARTITION BY g)"
+                            else:
+                                arm = f"{agg.split('(')[0]}(a) OVER (PARTITION BY g)"
+                        else:
+                            arm = "0" if agg.startswith("count") else "NULL"
+                    duck_cols.append(
+                        f"(CASE WHEN a IS NULL THEN {arm} ELSE {base} END) "
+                        f"AS c{i}"
+                    )
+                    i += 1
+    sq = f"SELECT a, g, {', '.join(spark_cols)} FROM wf_t"
+    oq = f"SELECT a, g, {', '.join(duck_cols)} FROM wf_t"
+    got = _norm(spark.sql(rewrite_window_frames(sq)).collect())
+    want = _norm(small_t.execute(oq).fetchall())
+    assert len(got) == len(want) == len(ROWS)
+    assert got == want
+
+
+def test_nonstraddling_range_unbounded_fv_lv_raise():
+    """first/last_value EXCLUDE GROUP with an away-pointing UNBOUNDED
+    bound on a non-straddling RANGE frame must refuse (the surviving
+    edge row is position-defined); the toward case stays rewritable."""
+    with pytest.raises(NotImplementedError):
+        rewrite_window_frames(
+            "SELECT first_value(a) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t"
+        )
+    # toward case (DESC pins NULLS FIRST; UNBOUNDED PRECEDING points
+    # INTO the nulls): rewritable, NULL arm
+    out = rewrite_window_frames(
+        "SELECT first_value(a) OVER (ORDER BY a DESC RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t"
+    )
+    assert "CASE WHEN (a) IS NULL THEN NULL" in out
