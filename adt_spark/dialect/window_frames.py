@@ -95,6 +95,21 @@ q_window_exclude):
   current row's key survive the exclusion but no frame bound can
   separate one row from them.
 
+A SECOND pass (`_rewrite_moving_start_ubf`, run on the first pass's
+output) rewrites ``sum / count / avg / min / max / first_value /
+last_value OVER (… ORDER BY o ROWS BETWEEN <moving start> AND
+UNBOUNDED FOLLOWING)`` into O(n) complements — whole-partition minus
+running prefix for the arithmetic family, the same aggregate over the
+REVERSED order for min/max, lead()/edge-value forms for first/last —
+because Spark executes every moving-start UNBOUNDED FOLLOWING frame
+through UnboundedFollowingWindowFunctionFrame, re-aggregating from
+scratch per row: O(n²) per partition, measured 469.7 s vs 3.1 s at
+sf0.1 (DataFusion evaluates the same frame incrementally, so ported
+scripts hit the cliff only on Spark).  Unlike the EXCLUDE pass this
+one NEVER raises: the original is slow-but-correct on Spark, so any
+unrecognized shape (RANGE mode, DISTINCT, IGNORE NULLS, named
+windows, other aggregates) passes through with its semantics intact.
+
 Anything outside the sound cases raises ``NotImplementedError`` with
 the DataFrame recipe to use instead — a loud error, never a silently
 different result.  All scanning is literal-masked so quoted strings
@@ -375,7 +390,17 @@ def _straddles(frame: dict | None) -> bool:
 
 def rewrite_window_frames(sql: str) -> str:
     """Rewrite GROUPS frames and EXCLUDE clauses into Spark-parseable
-    SQL (see module docstring for the mapping and its guards)."""
+    SQL, then rewrite moving-start ``ROWS … AND UNBOUNDED FOLLOWING``
+    aggregates into O(n) complements (see module docstring for the
+    mappings and their guards).  The second pass runs on the first
+    pass's OUTPUT, so split-frame text the EXCLUDE machinery emits
+    (``ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING`` halves) is
+    de-quadraticized too."""
+    return _rewrite_moving_start_ubf(_rewrite_groups_exclude(sql))
+
+
+def _rewrite_groups_exclude(sql: str) -> str:
+    """The GROUPS / EXCLUDE pass (module docstring bullets 1-7)."""
     if not _KEY_RE.search(sql):
         return sql
     masked = _mask_literals(sql)
@@ -943,3 +968,253 @@ def _wrap_with_dense_rank(sql: str, dr_aliases: dict[tuple[str, str], str]) -> s
         f"{prefix}SELECT {select_list.strip()} FROM "
         f"(SELECT *, {defs} {core.strip()}) {wrapper} {trailer.strip()}"
     ).strip()
+
+
+# ---------------------------------------------------------------------------
+# Moving-start UNBOUNDED FOLLOWING rewrite (round-6 verdict item 2)
+# ---------------------------------------------------------------------------
+
+#: fast gate for the second pass
+_UBF_RE = re.compile(r"\bunbounded\s+following\b", re.IGNORECASE)
+
+#: the aggregate families with an O(n) complement / reversal image
+_UBF_FNS = frozenset(
+    {"sum", "count", "avg", "min", "max", "first_value", "last_value"}
+)
+
+
+def _row_bound(k: int) -> str:
+    """A signed row offset as ROWS-frame bound text."""
+    if k > 0:
+        return f"{k} FOLLOWING"
+    if k == 0:
+        return "CURRENT ROW"
+    return f"{-k} PRECEDING"
+
+
+def _reverse_order(order_src: str) -> str:
+    """The exact inverse of Spark's row ordering for ``order_src``:
+    every key's direction AND null placement flipped, with Spark's
+    defaults (ASC → NULLS FIRST, DESC → NULLS LAST) expanded first so
+    the flip is explicit.  Used by the min/max reversal rewrite — a
+    ROWS frame's membership is pure row-sequence, so running the same
+    frame over the reversed sequence visits exactly the complementary
+    suffix."""
+    keys: list[str] = []
+    depth = 0
+    start = 0
+    s = order_src
+    for i, ch in enumerate(_mask_literals(s) + ","):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            keys.append(s[start:i])
+            start = i + 1
+    out = []
+    for k in keys:
+        k = k.strip()
+        nul = None
+        m = re.search(r"(?is)\bnulls\s+(first|last)\s*$", k)
+        if m:
+            nul = m.group(1).lower()
+            k = k[: m.start()].rstrip()
+        dirn = None
+        m = re.search(r"(?is)\b(asc|desc)\s*$", k)
+        if m:
+            dirn = m.group(1).lower()
+            k = k[: m.start()].rstrip()
+        dirn = dirn or "asc"
+        if nul is None:  # SPARK defaults — this SQL executes on Spark
+            nul = "first" if dirn == "asc" else "last"
+        rdir = "DESC" if dirn == "asc" else "ASC"
+        rnul = "LAST" if nul == "first" else "FIRST"
+        out.append(f"{k} {rdir} NULLS {rnul}")
+    return ", ".join(out)
+
+
+def _call_before_over(masked: str, sql: str, over_start: int):
+    """(fn_start, fn, args) of the simple call directly before OVER,
+    or None (named window, FILTER clause, IGNORE NULLS suffix, …) —
+    the non-raising twin of the EXCLUDE section's inline extraction,
+    because for THIS pass an unrecognized shape is a sound
+    passthrough, not an error."""
+    k = over_start - 1
+    while k >= 0 and masked[k].isspace():
+        k -= 1
+    if k < 0 or masked[k] != ")":
+        return None
+    args_close = k
+    args_open = _match_paren_back(masked, args_close)
+    j = args_open - 1
+    while j >= 0 and masked[j].isspace():
+        j -= 1
+    fn_end = j + 1
+    while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
+        j -= 1
+    fn_start = j + 1
+    fn = sql[fn_start:fn_end].lower()
+    if not fn or fn == "filter":
+        return None
+    return fn_start, fn, sql[args_open + 1 : args_close].strip()
+
+
+def _rewrite_moving_start_ubf(sql: str) -> str:
+    """Rewrite ``agg(e) OVER (… ORDER BY o ROWS BETWEEN <moving start>
+    AND UNBOUNDED FOLLOWING)`` into O(n) forms.
+
+    Why: Spark executes any frame whose upper bound is UNBOUNDED
+    FOLLOWING and whose lower bound moves through
+    ``UnboundedFollowingWindowFunctionFrame``, which re-aggregates the
+    remaining rows from scratch for EVERY row — O(n²) per partition.
+    Measured on this corpus: 469.7 s vs 3.1 s at sf0.1 for one such
+    aggregate (queries/relational.py q_window_exclude_noop history).
+    DataFusion evaluates the same frame incrementally, so ported adt
+    scripts hit the cliff only here — this pass removes it.
+
+    Mappings (δ = signed start offset in rows; suffix S = rows
+    [i+δ, partition end]; prefix P = rows [start, i+δ−1], its exact
+    complement):
+
+    - ``sum/avg``: total − prefix over two O(n) frames (whole
+      partition + running prefix), count-guarded so an empty or
+      all-NULL suffix stays NULL.  Exact for integer/decimal
+      arguments; the module docstring's float-subtraction caveat
+      applies (a direct suffix sum can differ in low-order bits).
+      DECIMAL avg returns Spark's sum/count division scale.
+    - ``count``: total − prefix, unguarded (count of empty is 0).
+    - ``min/max``: the same aggregate over the REVERSED order with
+      frame [UNBOUNDED PRECEDING, −δ], which visits exactly S —
+      Spark's moving-end frames aggregate incrementally, O(n).  No
+      arithmetic, so exact for any orderable type.
+    - ``first_value``: row i+δ = ``lead(e, δ)`` for δ>0, ``e`` for
+      δ=0, and for δ<0 (frame clipped at the partition start)
+      ``last_value`` over the reversed frame, whose clipping
+      reproduces the clamp exactly.
+    - ``last_value``: the partition's last row when S is nonempty
+      (count-guarded), NULL otherwise.
+
+    Guards (all passthrough, never a raise — the original is SLOW but
+    correct on Spark, so an unrecognized shape keeps its semantics):
+    ROWS mode only (a RANGE analog needs value-space complements —
+    integer keys only, see the EXCLUDE integer-key path), no EXCLUDE
+    clause, no DISTINCT / IGNORE NULLS, an ORDER BY present, a simple
+    ``fn(args)`` call directly before OVER.  Determinism caveat: ROWS
+    frames over tied order keys are nondeterministic on EVERY engine
+    (which peer lands in the frame depends on the sort's tie order);
+    the reversal can realize a different valid tie order than the
+    original would have — total-order keys (the corpus convention)
+    are deterministic both ways.
+    """
+    if not _UBF_RE.search(sql):
+        return sql
+    masked = _mask_literals(sql)
+    if not _UBF_RE.search(masked):
+        return sql
+
+    edits: list[tuple[int, int, str]] = []
+    for m in _OVER_RE.finditer(masked):
+        open_pos = m.end() - 1
+        close_pos = _match_paren(masked, open_pos)
+        spec_masked = masked[open_pos + 1 : close_pos]
+        if not _UBF_RE.search(spec_masked):
+            continue
+        try:
+            spec = _parse_spec(spec_masked, sql[open_pos + 1 : close_pos])
+        except _Unsupported:
+            continue
+        frame = spec["frame"]
+        if (
+            frame is None
+            or frame["mode"] != "rows"
+            or frame["hi"] != "unbounded following"
+            or frame["lo"] in ("unbounded preceding",)
+            or spec["exclude"] is not None
+            or spec["order"] is None
+        ):
+            continue
+        call = _call_before_over(masked, sql, m.start())
+        if call is None:
+            continue
+        fn_start, fn, args = call
+        if fn not in _UBF_FNS:
+            continue
+        if re.match(r"(?i)^\s*distinct\b", args) or re.search(
+            r"(?i)\bignore\s+nulls\b", args
+        ):
+            continue
+        if args == "*" and fn != "count":
+            continue
+
+        lo = frame["lo"]
+        if lo == "current row":
+            delta = 0
+        else:
+            n_txt, dirn = lo.split()
+            delta = int(n_txt) * (1 if dirn == "following" else -1)
+
+        part_clause = (
+            f"PARTITION BY {spec['partition']} " if spec["partition"] else ""
+        )
+        order_text = spec["order"]
+        w_unb = (
+            part_clause + f"ORDER BY {order_text} "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+        ).strip()
+        w_pre = (
+            part_clause + f"ORDER BY {order_text} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND {_row_bound(delta - 1)}"
+        ).strip()
+        e = args
+        if fn in ("min", "max"):
+            w_rev = (
+                part_clause + f"ORDER BY {_reverse_order(order_text)} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND {_row_bound(-delta)}"
+            ).strip()
+            repl = f"{fn}({e}) OVER ({w_rev})"
+        elif fn == "count":
+            repl = f"(count({e}) OVER ({w_unb}) - count({e}) OVER ({w_pre}))"
+        elif fn == "first_value":
+            if delta == 0:
+                repl = f"({e})"
+            elif delta > 0:
+                w_off = (part_clause + f"ORDER BY {order_text}").strip()
+                repl = f"lead({e}, {delta}) OVER ({w_off})"
+            else:
+                w_rev = (
+                    part_clause + f"ORDER BY {_reverse_order(order_text)} "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND {_row_bound(-delta)}"
+                ).strip()
+                repl = f"last_value({e}) OVER ({w_rev})"
+        elif fn == "last_value":
+            ncnt = f"(count(*) OVER ({w_unb}) - count(*) OVER ({w_pre}))"
+            repl = (
+                f"(CASE WHEN {ncnt} > 0 THEN last_value({e}) OVER ({w_unb}) "
+                "ELSE NULL END)"
+            )
+        else:  # sum / avg
+            ncnt = f"(count({e}) OVER ({w_unb}) - count({e}) OVER ({w_pre}))"
+            s_txt = (
+                f"(sum({e}) OVER ({w_unb}) "
+                f"- COALESCE(sum({e}) OVER ({w_pre}), 0))"
+            )
+            if fn == "sum":
+                repl = f"(CASE WHEN {ncnt} = 0 THEN NULL ELSE {s_txt} END)"
+            else:
+                repl = (
+                    f"(CASE WHEN {ncnt} = 0 THEN NULL "
+                    f"ELSE {s_txt} / {ncnt} END)"
+                )
+        edits.append((fn_start, close_pos + 1, repl))
+
+    if not edits:
+        return sql
+    edits.sort()
+    for (_s1, e1, _), (s2, _e2, _) in zip(edits, edits[1:]):
+        if s2 < e1:  # nested OVER — original is slow but sound
+            return sql
+    out = sql
+    for s, e, repl in reversed(edits):
+        out = out[:s] + repl + out[e:]
+    return out

@@ -1402,9 +1402,12 @@ def q_window_exclude_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
     UnboundedFollowingWindowFunctionFrame, which RECOMPUTES the
     aggregate from scratch per row — O(n²) per partition (~470 s on
     sf0.1's 3 return-flag partitions vs ~2 s for the identical query
-    over bounded frames).  The rewrite passes such frames through
-    untouched (they are the user's own cost on any engine); this
-    benched query deliberately keeps every trailing frame bounded.
+    over bounded frames).  Since round 7 the rewriter's second pass
+    (`_rewrite_moving_start_ubf`) rewrites those frames into O(n)
+    complements — exercised and oracled by
+    q_window_unbounded_following; this benched query keeps its
+    trailing frames bounded (they predate the pass and already
+    measure the bounded plan).
     """
     from adt_spark.dialect.window_frames import rewrite_window_frames
 
@@ -1416,6 +1419,111 @@ def q_window_exclude_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qty"),
     ).createOrReplaceTempView("adt_wx_noop_t")
     sql = f"{_NX_SELECT_SPARK}\nFROM adt_wx_noop_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
+_UF_ORD = "PARTITION BY rf ORDER BY qty, l_orderkey, l_linenumber "
+#: one SQL text for BOTH engines: DuckDB runs it natively (its
+#: incremental evaluator is conformant here), Spark runs it through
+#: the rewriter — so the oracle grades the rewrite against the
+#: un-rewritten semantics directly.  ``nqty`` is deterministically
+#: NULL on every third line, exercising the count guards.
+_UF_SELECT = f"""SELECT l_orderkey, l_linenumber,
+       CAST(sum(nqty) OVER ({_UF_ORD}ROWS BETWEEN 1 FOLLOWING AND
+         UNBOUNDED FOLLOWING) AS BIGINT) AS sum_after,
+       CAST(count(nqty) OVER ({_UF_ORD}ROWS BETWEEN 2 PRECEDING AND
+         UNBOUNDED FOLLOWING) AS BIGINT) AS cnt_from_prev,
+       CASE WHEN count(nqty) OVER ({_UF_ORD}ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) = 0 THEN NULL
+            ELSE CAST(sum(nqty) OVER ({_UF_ORD}ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) AS DOUBLE)
+               / count(nqty) OVER ({_UF_ORD}ROWS BETWEEN CURRENT ROW AND
+              UNBOUNDED FOLLOWING) END AS avg_from_cur,
+       min(qty) OVER ({_UF_ORD}ROWS BETWEEN 1 FOLLOWING AND
+         UNBOUNDED FOLLOWING) AS min_after,
+       max(qty) OVER ({_UF_ORD}ROWS BETWEEN 3 PRECEDING AND
+         UNBOUNDED FOLLOWING) AS max_from_prev,
+       first_value(nqty) OVER ({_UF_ORD}ROWS BETWEEN 2 FOLLOWING AND
+         UNBOUNDED FOLLOWING) AS fv_after,
+       last_value(nqty) OVER ({_UF_ORD}ROWS BETWEEN 50 FOLLOWING AND
+         UNBOUNDED FOLLOWING) AS lv_far"""
+
+
+@register(
+    "q_window_unbounded_following",
+    oracle=f"""
+    WITH t AS (
+      -- grouped to UNIQUE (l_orderkey, l_linenumber): the synthetic
+      -- lineitem has duplicate key pairs, and a tied ROWS order is
+      -- nondeterministic on every engine (and under the reversal)
+      SELECT l_orderkey, l_linenumber,
+             min(l_returnflag) AS rf,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             END AS nqty
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    {_UF_SELECT}
+    FROM t
+    """,
+    tags=("window", "frames"),
+)
+def q_window_unbounded_following(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-start ``ROWS … AND UNBOUNDED FOLLOWING`` frames on every
+    rewritable aggregate family, through the raw-SQL rewriter
+    (`window_frames._rewrite_moving_start_ubf`, round-6 verdict item
+    2): Spark executes these frames through
+    UnboundedFollowingWindowFunctionFrame — O(n²) per partition,
+    measured 469.7 s vs 3.1 s at sf0.1 — while DataFusion evaluates
+    them incrementally (a ported adt script hits the cliff only on
+    Spark; DataFusion 48 accepts the full frame grammar,
+    crates/core/src/context.rs:32-33 via crates/cli/src/main.rs:116).
+    The rewrite: sum/count/avg become whole-partition minus running
+    prefix (count-guarded for empty/all-NULL suffixes) — the average
+    is spelled as count-guarded sum/count in the SHARED text because
+    DuckDB's native windowed avg accumulates doubles (measured 1.4e-14
+    off the exact integer ratio at sf0.01; the avg() rewrite itself is
+    matrix-tested in tests/test_window_frames.py) — min/max run
+    the same aggregate over the REVERSED order with the complementary
+    moving-END frame, first_value becomes lead(), last_value the
+    count-guarded partition edge value.  The oracle is the
+    UN-rewritten SQL on DuckDB's conformant incremental evaluator —
+    grading the rewrite against the original semantics directly.
+    Start offsets cover FOLLOWING / CURRENT ROW / PRECEDING and a
+    50-row start whose frame is empty near each partition tail
+    (NULL-guard coverage); ``nqty`` is NULL on every third line
+    (all-NULL-suffix coverage).  The source is GROUPED to unique
+    (l_orderkey, l_linenumber) pairs — the synthetic lineitem has
+    duplicate key pairs, and a tied ROWS order is nondeterministic on
+    every engine (measured: the reversal realizes a different valid
+    tie order) — so the composite ORDER BY is a total order and the
+    frames are deterministic on both engines.  A plan check
+    (test_plans.py::test_unbounded_following_rewritten_out) asserts
+    no moving-start UnboundedFollowing frame survives into the
+    physical plan; integer args keep the subtraction exact
+    (queries/__init__.py rule 1).
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    li = tables(spark, sf_dir)["lineitem"]
+    g = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_returnflag").alias("rf"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    g.select(
+        "l_orderkey",
+        "l_linenumber",
+        "rf",
+        "qty",
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("qty"))
+        .alias("nqty"),
+    ).createOrReplaceTempView("adt_wx_ubf_t")
+    sql = f"{_UF_SELECT}\nFROM adt_wx_ubf_t"
     return spark.sql(rewrite_window_frames(sql))
 
 

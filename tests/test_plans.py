@@ -1119,3 +1119,25 @@ def test_source_drift_no_forced_broadcast(spark, sf_dir):
         plan = _formatted(_q(spark, sf_dir, "quality_source_drift_chi2"))
         assert "BroadcastHashJoin" not in plan
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+
+
+def test_unbounded_following_rewritten_out(spark, sf_dir):
+    """q_window_unbounded_following: the moving-start UNBOUNDED
+    FOLLOWING rewrite must leave NO frame that Spark would execute
+    through the O(n²) UnboundedFollowingWindowFunctionFrame — i.e.
+    every surviving frame whose upper bound is unboundedfollowing must
+    start at unboundedpreceding (the O(n) whole-partition frame).
+    The rewritten forms are whole-partition-minus-prefix complements,
+    a reversed-order moving-END frame for min/max (visible as the
+    second Window node sorted DESC NULLS LAST), and a lead() for
+    first_value."""
+    plan = _formatted(_q(spark, sf_dir, "q_window_unbounded_following"))
+    frames = re.findall(
+        r"specifiedwindowframe\((?:Row|Range)Frame,\s*([^,]+),"
+        r"\s*unboundedfollowing\$\(\)\)",
+        plan,
+    )
+    assert frames, "expected whole-partition frames in the rewritten plan"
+    assert all(f.strip() == "unboundedpreceding$()" for f in frames), frames
+    # the min/max reversal is present: a window sorted DESC NULLS LAST
+    assert "DESC NULLS LAST" in plan

@@ -720,3 +720,121 @@ def test_nonstraddling_range_unbounded_fv_lv_raise():
         "PRECEDING AND 1 PRECEDING EXCLUDE GROUP) FROM t"
     )
     assert "CASE WHEN (a) IS NULL THEN NULL" in out
+
+
+# ---------------------------------------------------------------------------
+# Moving-start UNBOUNDED FOLLOWING rewrite (round-6 verdict item 2)
+# ---------------------------------------------------------------------------
+
+#: unique per-group order key o (ROWS frames need a total order to be
+#: deterministic — and for the reversal to be its exact inverse);
+#: NULL a-values exercise the count guards.
+UBF_ROWS = [
+    (1, 1, 1), (2, 2, 1), (3, 3, 1), (None, 4, 1), (5, 5, 1), (8, 6, 1),
+    (None, 7, 1), (13, 8, 1),
+    (2, 1, 2), (None, 2, 2), (None, 3, 2), (7, 4, 2), (8, 5, 2),
+    (None, 6, 2),
+    (None, 1, 3),  # single-row group with a NULL value
+]
+
+
+@pytest.fixture(scope="module")
+def ubf_t(spark):
+    spark.createDataFrame(
+        UBF_ROWS, "a int, o int, g int"
+    ).createOrReplaceTempView("ubf_t")
+    con = duckdb.connect()
+    con.execute("create table ubf_t(a int, o int, g int)")
+    con.executemany("insert into ubf_t values (?,?,?)", UBF_ROWS)
+    return con
+
+
+def _round9f(rows):
+    return sorted(
+        [
+            tuple(
+                None if x is None else round(float(x), 9) for x in r
+            )
+            for r in rows
+        ],
+        key=str,
+    )
+
+
+#: the full function × start-offset matrix: every rewritable family
+#: against every start shape (FOLLOWING / CURRENT ROW / PRECEDING,
+#: plus a 100-row start that empties the frame for every row).
+@pytest.mark.parametrize("fn", [
+    "sum(a)", "count(a)", "count(*)", "avg(a)", "min(a)", "max(a)",
+    "first_value(a)", "last_value(a)",
+])
+@pytest.mark.parametrize("lo", [
+    "CURRENT ROW", "1 FOLLOWING", "3 FOLLOWING", "100 FOLLOWING",
+    "2 PRECEDING", "100 PRECEDING",
+])
+def test_moving_start_ubf_matches_duckdb_native(spark, ubf_t, fn, lo):
+    """Every moving-start UNBOUNDED FOLLOWING aggregate equals
+    DuckDB's native incremental evaluation of the UN-rewritten SQL —
+    NULL values, empty frames and a single-row partition included.
+    floats rounded at 1e-9 (the avg complement divides exact integer
+    sums, but DuckDB's native windowed avg accumulates doubles)."""
+    q = (
+        f"SELECT a, o, g, {fn} OVER (PARTITION BY g ORDER BY o "
+        f"ROWS BETWEEN {lo} AND UNBOUNDED FOLLOWING) AS v FROM ubf_t"
+    )
+    rq = rewrite_window_frames(q)
+    assert rq != q, "rewrite must fire on this shape"
+    assert "UNBOUNDED FOLLOWING" not in rq or (
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING" in rq
+    ), rq
+    got = _round9f(spark.sql(rq).collect())
+    want = _round9f(ubf_t.execute(q).fetchall())
+    assert got == want
+
+
+def test_moving_start_ubf_desc_and_multikey(spark, ubf_t):
+    """Reversal correctness under DESC order and a multi-key ORDER BY
+    (direction and null placement of every key must flip exactly)."""
+    for q in (
+        "SELECT a, o, g, min(a) OVER (PARTITION BY g ORDER BY o DESC "
+        "ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS v FROM ubf_t",
+        "SELECT a, o, g, max(a) OVER (PARTITION BY g ORDER BY g ASC, o DESC "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS v FROM ubf_t",
+    ):
+        got = _round9f(spark.sql(rewrite_window_frames(q)).collect())
+        want = _round9f(ubf_t.execute(q).fetchall())
+        assert got == want
+
+
+def test_moving_start_ubf_passthrough_shapes():
+    """Shapes outside the sound space pass through BYTE-IDENTICAL
+    (the original is slow but correct on Spark — this pass never
+    raises)."""
+    from adt_spark.dialect.window_frames import _rewrite_moving_start_ubf
+
+    for q in (
+        # whole-partition frame: already O(n) on Spark
+        "SELECT sum(a) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING) FROM t",
+        # bounded frame
+        "SELECT sum(a) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW) FROM t",
+        # unsupported aggregate
+        "SELECT string_agg(a, ',') OVER (ORDER BY o ROWS BETWEEN CURRENT "
+        "ROW AND UNBOUNDED FOLLOWING) FROM t",
+        # DISTINCT
+        "SELECT sum(DISTINCT a) OVER (ORDER BY o ROWS BETWEEN CURRENT ROW "
+        "AND UNBOUNDED FOLLOWING) FROM t",
+        # IGNORE NULLS
+        "SELECT first_value(a IGNORE NULLS) OVER (ORDER BY o ROWS BETWEEN "
+        "1 FOLLOWING AND UNBOUNDED FOLLOWING) FROM t",
+        # RANGE mode (value-space complement needs integer keys)
+        "SELECT sum(a) OVER (ORDER BY o RANGE BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) FROM t",
+        # no ORDER BY
+        "SELECT sum(a) OVER (PARTITION BY g ROWS BETWEEN 1 FOLLOWING AND "
+        "UNBOUNDED FOLLOWING) FROM t",
+        # keyword only inside a literal
+        "SELECT 'UNBOUNDED FOLLOWING' AS lit FROM t",
+    ):
+        assert _rewrite_moving_start_ubf(q) == q
