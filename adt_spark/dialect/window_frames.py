@@ -45,9 +45,21 @@ q_window_exclude):
   any orderable type — no arithmetic); first/last_value take the
   half nearer the partition edge, count-guarded so an empty frame is
   not conflated with a NULL value, falling back to the far half
-  (GROUP) or the current row (TIES).  Frame endpoints must be
-  UNBOUNDED / CURRENT ROW (or GROUPS-numeric, already in peer space)
-  — a numeric VALUE offset has no peer-space image and raises.
+  (GROUP) or the current row (TIES).  Frame endpoints are UNBOUNDED /
+  CURRENT ROW (or GROUPS-numeric, already in peer space) — and, since
+  round 7, numeric VALUE offsets too: for an INTEGRAL order key the
+  non-peer rows of a straddling value-offset RANGE frame are exactly
+  the VALUE half-frames ``[lo, 1 PRECEDING]`` / ``[1 FOLLOWING, hi]``
+  (key < k ⇔ key ≤ k−1), so the same least/greatest and count-guarded
+  combines apply in value space with no dense_rank.  Integrality is a
+  runtime property a textual rewrite cannot see, so the emitted SQL
+  carries a whole-partition guard that ``raise_error()``s loudly on
+  fractional, huge-double (k±1 == k), NaN or infinite keys instead of
+  silently mis-framing; NULL-keyed rows take the measured-behavior
+  arms (frame = null peer group under two numeric bounds; partition-
+  spanning when an UNBOUNDED bound points away from the null
+  placement — first/last_value refuse that case, as in the
+  non-straddling path).
 - ``EXCLUDE`` over a frame that CANNOT contain the current row
   (non-straddling: both bounds strictly preceding, or both strictly
   following, in the frame's own offset space — e.g. ``ROWS BETWEEN 3
@@ -95,8 +107,9 @@ q_window_exclude):
   current row's key survive the exclusion but no frame bound can
   separate one row from them.
 
-A SECOND pass (`_rewrite_moving_start_ubf`, run on the first pass's
-output) rewrites ``sum / count / avg / min / max / first_value /
+A SECOND pass (`_rewrite_moving_start_ubf`, run FIRST on the raw
+text — see `rewrite_window_frames` for why the order matters) rewrites
+``sum / count / avg / min / max / first_value /
 last_value OVER (… ORDER BY o ROWS BETWEEN <moving start> AND
 UNBOUNDED FOLLOWING)`` into O(n) complements — whole-partition minus
 running prefix for the arithmetic family, the same aggregate over the
@@ -389,14 +402,28 @@ def _straddles(frame: dict | None) -> bool:
 
 
 def rewrite_window_frames(sql: str) -> str:
-    """Rewrite GROUPS frames and EXCLUDE clauses into Spark-parseable
-    SQL, then rewrite moving-start ``ROWS … AND UNBOUNDED FOLLOWING``
-    aggregates into O(n) complements (see module docstring for the
-    mappings and their guards).  The second pass runs on the first
-    pass's OUTPUT, so split-frame text the EXCLUDE machinery emits
-    (``ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING`` halves) is
-    de-quadraticized too."""
-    return _rewrite_moving_start_ubf(_rewrite_groups_exclude(sql))
+    """Rewrite moving-start ``ROWS … AND UNBOUNDED FOLLOWING``
+    aggregates into O(n) complements, then GROUPS frames and EXCLUDE
+    clauses into Spark-parseable SQL (see module docstring for the
+    mappings and their guards).
+
+    Pass order matters: the UBF pass runs FIRST, on the user's text
+    only — specs carrying an EXCLUDE clause are skipped, and the
+    split halves the EXCLUDE machinery itself emits (``ROWS BETWEEN 1
+    FOLLOWING AND UNBOUNDED FOLLOWING``) are deliberately NOT fed back
+    through it.  Reason: the min/max reversal realizes its own sort,
+    and over TIED order keys that sort's tie order is independent of
+    the ASC sort the statement's other window columns share — each
+    column alone would still be "a valid execution" of a
+    nondeterministic ROWS frame, but the COMBINATION across columns of
+    one row could correspond to no single execution (measured: the
+    ROWS EXCLUDE matrices catch exactly this).  EXCLUDE split queries
+    always share one sort among all their emitted columns, so their
+    rare UNBOUNDED FOLLOWING halves keep Spark's slow-but-consistent
+    evaluation; plain user UBF frames (where every rewritten column's
+    consistency caveat is the pre-existing tied-ROWS nondeterminism,
+    documented on `_rewrite_moving_start_ubf`) get the O(n) forms."""
+    return _rewrite_groups_exclude(_rewrite_moving_start_ubf(sql))
 
 
 def _rewrite_groups_exclude(sql: str) -> str:
@@ -676,26 +703,44 @@ def _rewrite_groups_exclude(sql: str) -> str:
             # rewritten-GROUPS) frame and an ORDER BY
             lo = frame["lo"] if frame is not None else "unbounded preceding"
             hi = frame["hi"] if frame is not None else "current row"
+            vs_range = False  # value-space split (integer-key RANGE)
             if dr_order is None:
                 if any(b[0].isdigit() for b in (lo, hi)):
-                    raise _Unsupported(
-                        f"EXCLUDE {exclude.upper()} on {fn} over a RANGE "
-                        "frame with a numeric VALUE offset cannot be mapped "
-                        "to peer-group space — use a GROUPS frame or the "
-                        "DataFrame API (see q_window_exclude)"
+                    # Straddling RANGE frame with numeric VALUE offsets:
+                    # in VALUE space, for an INTEGRAL order key, the
+                    # non-peer frame rows are exactly the two value
+                    # half-frames [lo, 1 PRECEDING] and [1 FOLLOWING,
+                    # hi] — key < k ⇔ key ≤ k−1 holds only for integral
+                    # keys, so the emitted SQL carries a runtime guard
+                    # (whole-partition max over a per-row integrality
+                    # check: fractional key, or a key where k±1 == k —
+                    # huge/NaN/infinite doubles — raise_error()s loudly
+                    # instead of silently excluding the wrong rows).
+                    # NULL-keyed rows take the same measured-behavior
+                    # arms as the non-straddling path: both bounds
+                    # numeric → the frame IS the null peer group
+                    # (surviving empty under GROUP, just the current
+                    # row under TIES); one UNBOUNDED bound pointing
+                    # away from the null placement → the frame spans
+                    # the partition (surviving = the non-NULL-key rows,
+                    # plus the current row under TIES).
+                    vs_range = True
+                else:
+                    key = (spec["partition"] or "", spec["order"])
+                    dr_order = dr_aliases.setdefault(
+                        key, f"{_DR}{len(dr_aliases)}"
                     )
-                key = (spec["partition"] or "", spec["order"])
-                dr_order = dr_aliases.setdefault(key, f"{_DR}{len(dr_aliases)}")
             # a lo of CURRENT ROW / 0 PRECEDING starts AT the peer
             # group: the lower half-frame is empty (likewise above)
             has_lower = lo not in ("current row", "0 preceding")
             has_upper = hi not in ("current row", "0 following")
+            half_ord = order_text if vs_range else dr_order
             wl = (
-                part_clause + f"ORDER BY {dr_order} "
+                part_clause + f"ORDER BY {half_ord} "
                 + f"RANGE BETWEEN {lo.upper()} AND 1 PRECEDING"
             ).strip()
             wu = (
-                part_clause + f"ORDER BY {dr_order} "
+                part_clause + f"ORDER BY {half_ord} "
                 + f"RANGE BETWEEN 1 FOLLOWING AND {hi.upper()}"
             ).strip()
             e = args
@@ -729,6 +774,58 @@ def _rewrite_groups_exclude(sql: str) -> str:
                 repl = (
                     f"(CASE WHEN {cnt_near} > 0 THEN {v_near} "
                     f"ELSE {fallback} END)"
+                )
+            if vs_range:
+                korder = _bare_order_key(spec["order"])
+                lo_unb = lo == "unbounded preceding"
+                hi_unb = hi == "unbounded following"
+                nulls_first = "nulls first" in order_text.lower()
+                away = (lo_unb and not nulls_first) or (hi_unb and nulls_first)
+                wfull = part_clause.strip()
+                if (lo_unb or hi_unb) and away:
+                    if fn in ("first_value", "last_value"):
+                        raise _Unsupported(
+                            f"EXCLUDE {exclude.upper()} on {fn} over a "
+                            "value-offset RANGE frame with an UNBOUNDED "
+                            "bound has no sound rewrite for NULL-keyed rows "
+                            "(their frame spans the partition and the "
+                            "surviving edge row is position-, not value-, "
+                            "defined) — use a GROUPS frame or the DataFrame "
+                            "API (see q_window_exclude)"
+                        )
+                    nn_agg = (
+                        f"{fn}(CASE WHEN ({korder}) IS NULL THEN NULL "
+                        f"ELSE {e} END) OVER ({wfull})"
+                    )
+                    if exclude == "ties":
+                        pick = "least" if fn == "min" else "greatest"
+                        null_arm = f"{pick}({nn_agg}, ({e}))"
+                    else:
+                        null_arm = nn_agg
+                else:
+                    null_arm = f"({e})" if exclude == "ties" else "NULL"
+                repl = (
+                    f"(CASE WHEN ({korder}) IS NULL THEN {null_arm} "
+                    f"ELSE {repl} END)"
+                )
+                # integrality guard: fractional, huge-double (k±1 == k,
+                # which also catches NaN under Spark's NaN = NaN), or
+                # infinite keys make `key < k ⇔ key ≤ k−1` false — the
+                # split would silently mis-frame, so it errors loudly.
+                guard = (
+                    f"max(CASE WHEN ({korder}) IS NOT NULL AND "
+                    f"(floor({korder}) <> ({korder}) "
+                    f"OR ({korder}) - 1 = ({korder}) "
+                    f"OR ({korder}) + 1 = ({korder})) THEN 1 ELSE 0 END) "
+                    f"OVER ({wfull})"
+                )
+                repl = (
+                    f"(CASE WHEN {guard} = 1 THEN raise_error("
+                    f"'EXCLUDE {exclude.upper()} over a value-offset RANGE "
+                    f"frame is exact only for integral order-key values; "
+                    f"found a fractional/degenerate key — use a GROUPS "
+                    f"frame or the DataFrame API') "
+                    f"ELSE {repl} END)"
                 )
             edits.append((fn_start, close_pos + 1, repl))
             continue

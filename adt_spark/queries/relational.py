@@ -1422,6 +1422,78 @@ def q_window_exclude_noop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_window_frames(sql))
 
 
+_VR_ORD = "PARTITION BY l_returnflag ORDER BY qty "
+#: one SQL text for BOTH engines (DuckDB native EXCLUDE is
+#: conformant on straddling frames — the nonconformance the noop
+#: oracle routes around is specific to non-straddling ones).  Every
+#: argument is value-determined (l_orderkey min/max over a
+#: value-defined row set; first/last over expressions functionally
+#: dependent on the order key), so tied qty values cannot make the
+#: comparison nondeterministic.
+_VR_SELECT = f"""SELECT l_orderkey, l_linenumber,
+       min(l_orderkey) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING AND
+         2 FOLLOWING EXCLUDE GROUP) AS min_ok_xg,
+       max(l_orderkey) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING AND
+         2 FOLLOWING EXCLUDE TIES) AS max_ok_xt,
+       first_value(qty * 3 - 1) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING
+         AND 2 FOLLOWING EXCLUDE GROUP) AS fv_xg,
+       last_value(qty * 3 - 1) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING
+         AND 2 FOLLOWING EXCLUDE TIES) AS lv_xt,
+       min(l_orderkey) OVER ({_VR_ORD}RANGE BETWEEN UNBOUNDED PRECEDING
+         AND 2 FOLLOWING EXCLUDE GROUP) AS min_ok_unb,
+       CAST(sum(qty) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING AND
+         2 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS sum_xg,
+       CAST(count(qty) OVER ({_VR_ORD}RANGE BETWEEN 2 PRECEDING AND
+         2 FOLLOWING EXCLUDE TIES) AS BIGINT) AS cnt_xt"""
+
+
+@register(
+    "q_window_exclude_range_value",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    )
+    {_VR_SELECT}
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP/TIES on the order-statistic family over
+    value-offset RANGE frames with an INTEGER order key — the round-6
+    verdict's last sound-but-refused EXCLUDE residue (item 6), now the
+    VALUE-SPACE split rewrite: for integral keys the non-peer frame
+    rows are exactly ``RANGE [lo, 1 PRECEDING]`` ∪ ``RANGE
+    [1 FOLLOWING, hi]`` (key < k ⇔ key ≤ k−1), combined with the same
+    least/greatest and count-guarded forms the peer-space split uses —
+    no injected dense_rank, no statement wrap.  The emitted SQL
+    carries a whole-partition runtime integrality guard
+    (raise_error() on fractional/degenerate keys: a textual rewrite
+    cannot see column types) and NULL-key CASE arms encoding the
+    measured null-frame behavior; qty is NOT NULL here, so those arms
+    are dead-but-present (the NULL behavior itself is pinned against
+    DuckDB native EXCLUDE in tests/test_window_frames.py's value-range
+    matrix).  DataFusion 48 accepts the full frame grammar
+    (crates/core/src/context.rs:32-33 via crates/cli/src/main.rs:116).
+    sum/count ride along proving the subtraction family composes in
+    the same statement.  The oracle is the IDENTICAL text on DuckDB's
+    native EXCLUDE, conformant on straddling frames.
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    li = tables(spark, sf_dir)["lineitem"]
+    li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).createOrReplaceTempView("adt_wx_vrng_t")
+    sql = f"{_VR_SELECT}\nFROM adt_wx_vrng_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
 _UF_ORD = "PARTITION BY rf ORDER BY qty, l_orderkey, l_linenumber "
 #: one SQL text for BOTH engines: DuckDB runs it natively (its
 #: incremental evaluator is conformant here), Spark runs it through

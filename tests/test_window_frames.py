@@ -481,9 +481,11 @@ def test_unsupported_cases_raise_loudly():
         # the frame — no split-frame image
         "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING EXCLUDE CURRENT ROW) FROM t",
-        # numeric VALUE offsets have no peer-space image for min/max
-        "SELECT min(a) OVER (ORDER BY a RANGE BETWEEN 1 PRECEDING AND 1 "
-        "FOLLOWING EXCLUDE GROUP) FROM t",
+        # value-offset RANGE with an away-pointing UNBOUNDED bound on
+        # first/last_value: the NULL-keyed rows' surviving edge row is
+        # position-defined — refused even in the integer-key path
+        "SELECT first_value(a) OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) FROM t",
         # aggregates outside the moment/order families still refuse
         # (stddev itself became rewritable via second-moment algebra)
         "SELECT string_agg(a, ',') OVER (ORDER BY a RANGE BETWEEN UNBOUNDED "
@@ -838,3 +840,89 @@ def test_moving_start_ubf_passthrough_shapes():
         "SELECT 'UNBOUNDED FOLLOWING' AS lit FROM t",
     ):
         assert _rewrite_moving_start_ubf(q) == q
+
+
+# ---------------------------------------------------------------------------
+# Integer-key value-offset RANGE EXCLUDE split (round-6 verdict item 6)
+# ---------------------------------------------------------------------------
+
+_VSF = "PARTITION BY g ORDER BY a RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING"
+_VSF_LUNB = (
+    "PARTITION BY g ORDER BY a RANGE BETWEEN UNBOUNDED PRECEDING "
+    "AND 2 FOLLOWING"
+)
+_VSF_HUNB = (
+    "PARTITION BY g ORDER BY a RANGE BETWEEN 1 PRECEDING "
+    "AND UNBOUNDED FOLLOWING"
+)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # the full order-statistic family over straddling value-offset
+        # frames — the round-6 residue: these previously raised
+        f"SELECT a, g, min(a) OVER ({_VSF} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, max(a) OVER ({_VSF} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, min(a) OVER ({_VSF} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, max(a) OVER ({_VSF} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, first_value(a) OVER ({_VSF} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, last_value(a) OVER ({_VSF} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, first_value(a) OVER ({_VSF} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, last_value(a) OVER ({_VSF} EXCLUDE TIES) AS v FROM wf_t",
+        # one UNBOUNDED bound: min/max stay sound (the NULL-key arm
+        # becomes the whole-partition key-nulled aggregate when the
+        # bound points away from the pinned NULLS LAST placement)
+        f"SELECT a, g, min(a) OVER ({_VSF_LUNB} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, max(a) OVER ({_VSF_LUNB} EXCLUDE TIES) AS v FROM wf_t",
+        f"SELECT a, g, min(a) OVER ({_VSF_HUNB} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, first_value(a) OVER ({_VSF_HUNB} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, last_value(a) OVER ({_VSF_HUNB} EXCLUDE TIES) AS v FROM wf_t",
+        # and the subtraction family keeps working alongside
+        f"SELECT a, g, sum(a) OVER ({_VSF} EXCLUDE GROUP) AS v FROM wf_t",
+        f"SELECT a, g, count(a) OVER ({_VSF} EXCLUDE TIES) AS v FROM wf_t",
+    ],
+)
+def test_value_range_exclude_matches_duckdb_native(spark, small_t, q):
+    """Integer-key value-offset RANGE EXCLUDE GROUP/TIES on the
+    order-statistic family equals DuckDB's NATIVE EXCLUDE — NULL keys
+    and tied peer groups present (wf_t's `a` has both)."""
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(small_t.execute(q).fetchall())
+    assert got == want
+
+
+def test_value_range_exclude_fractional_key_raises_at_runtime(spark):
+    """The integrality guard: a fractional order key makes the
+    value-space split unsound (key < k ⇎ key ≤ k−1), so the emitted
+    SQL must raise_error() loudly at RUNTIME — a textual rewrite
+    cannot see column types."""
+    spark.createDataFrame(
+        [(1.5, 1), (2.0, 1), (3.0, 1)], "a double, g int"
+    ).createOrReplaceTempView("wf_frac")
+    q = (
+        "SELECT min(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS v FROM wf_frac"
+    )
+    rq = rewrite_window_frames(q)
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|integral"):
+        spark.sql(rq).collect()
+
+
+def test_value_range_exclude_integral_double_key_ok(spark, small_t):
+    """Integral values in a DOUBLE column pass the guard — soundness
+    depends on the VALUES, not the declared type."""
+    rows = [(1.0, 1), (2.0, 1), (2.0, 1), (4.0, 1), (None, 1)]
+    spark.createDataFrame(rows, "a double, g int").createOrReplaceTempView(
+        "wf_intd"
+    )
+    con = small_t
+    con.execute("create table wf_intd(a double, g int)")
+    con.executemany("insert into wf_intd values (?,?)", rows)
+    q = (
+        "SELECT a, g, max(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS v FROM wf_intd"
+    )
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(con.execute(q).fetchall())
+    assert got == want
