@@ -21,6 +21,19 @@ _N_QUERIES = 5  # query set: vec_id < 5
 _N_PLANES = 8
 
 
+def _dlit_array(vals):
+    """An ``array<double>`` literal built as ONE parsed SQL expression
+    instead of ``F.lit(list)`` / per-element ``F.lit`` chains.
+    Measured: ``F.lit`` on a 512-float list costs ~0.3 s of py4j
+    per-element conversion PER CALL (the round-7 K=32 codebooks made
+    that the dominant cost of the whole PQ family — 2.2 s of DRIVER
+    time building one distortion plan), while the parsed form is
+    ~1.5 ms.  Exactness is unchanged: ``repr(float)`` is the shortest
+    round-trip decimal and Spark's ``…D`` double literal parses it
+    back to the identical bits."""
+    return F.expr("array(" + ",".join(f"{float(x)!r}D" for x in vals) + ")")
+
+
 def _vec_double(col: str = "embedding"):
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
@@ -1873,51 +1886,51 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_encode(v, _pq_trained_codebooks(spark, sf_dir))
 
 
-def _pq_sub_argmin(anchors: dict[int, list[float]], m: int):
-    """(dist, cid) struct-min of subspace ``m`` of a ``vec`` column
-    against the codebook literals — the per-subspace argmin shared by
-    _pq_encode and emb_pq_distortion (one copy, so the distortion
-    audit measures exactly the quantizer the encoders use).
+def _pq_np_codebooks(anchors: dict[int, list[float]]):
+    """(ascending cid array, per-subspace (K × SUB) float64 codebook
+    matrices) — the driver-side model state every Arrow PQ kernel
+    closes over (kilobytes; the same literal-slot discipline the
+    expression form used)."""
+    import numpy as np
 
-    Shape: the codebook rides as ONE flat array Literal (K×{SUB}
-    doubles) and the K candidates are a runtime ``transform`` over
-    sequence(0, K−1), not K inlined fold expressions.  At the round-6
-    K=4 either form was fine; at the round-7 discriminative operating
-    point (K=32 → 128 folds across the {M} subspaces) the inlined form
-    made Catalyst/codegen the dominant cost — 5.3 s per plan at 500
-    rows, measured — while this form is a constant-size tree.
-
-    Exactness is unchanged: per-candidate distance folds i ascending
-    over the {SUB} dims seeded at 0.0 (same order as the zip_with form
-    and the oracle's list_reduce), argmin tiebreaks (dist, cid) via
-    field-lexicographic struct min.  Candidate position IS the cid
-    (asserted contiguous), matching the oracle's integer cids."""
     cids = sorted(anchors)
-    assert cids == list(range(len(cids))), cids
-    # one Literal node: subspace-m slices of every centroid, cid-major
-    flat = [
-        float(x)
-        for cid in cids
-        for x in anchors[cid][m * _PQ_SUB : (m + 1) * _PQ_SUB]
+    cbs = [
+        np.asarray(
+            [anchors[c][m * _PQ_SUB : (m + 1) * _PQ_SUB] for c in cids],
+            dtype=np.float64,
+        )
+        for m in range(_PQ_M)
     ]
-    cb = F.lit(flat)
-    sub = F.slice(F.col("vec"), m * _PQ_SUB + 1, _PQ_SUB)
-    structs = F.transform(
-        F.sequence(F.lit(0), F.lit(len(cids) - 1)),
-        lambda c: F.struct(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(_PQ_SUB - 1)),
-                F.lit(0.0),
-                lambda acc, i: acc
-                + (
-                    (F.element_at(sub, i + 1) - F.element_at(cb, c * _PQ_SUB + i + 1))
-                    * (F.element_at(sub, i + 1) - F.element_at(cb, c * _PQ_SUB + i + 1))
-                ),
-            ).alias("dist"),
-            c.cast("long").alias("cid"),
-        ),
-    )
-    return F.array_min(structs)
+    return np.asarray(cids, dtype=np.int64), cbs
+
+
+def _pq_np_min(vec: "np.ndarray", cbs, cid_arr):
+    """Per-subspace (codes, min-distances) of a (n × DIM) float64
+    block against the codebook matrices — the ONE numpy kernel behind
+    every PQ encode/distortion path, with the module's exactness
+    discipline replicated bit-for-bit: per-candidate distances are
+    the ASCENDING-i elementwise fold of (x_i − c_i)² (sq[...,0] then
+    += sq[...,i] — each elementwise add is the same double op in the
+    same order as the 0.0-seeded SQL fold, since 0.0 + t == t
+    exactly); the argmin is numpy's FIRST minimum, which over the
+    ascending cid array is exactly the (dist, cid) struct-min
+    tiebreak; recon_err adds the M subspace minima in fixed order."""
+    import numpy as np
+
+    n = vec.shape[0]
+    codes, recon = [], None
+    for m in range(_PQ_M):
+        sub = vec[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        diff = sub[:, None, :] - cbs[m][None, :, :]
+        sq = diff * diff
+        acc = sq[:, :, 0].copy()
+        for i in range(1, _PQ_SUB):
+            acc += sq[:, :, i]
+        idx = acc.argmin(axis=1)
+        codes.append(cid_arr[idx])
+        d = acc[np.arange(n), idx]
+        recon = d if recon is None else recon + d
+    return codes, recon
 
 
 def _pq_encode(
@@ -1927,20 +1940,60 @@ def _pq_encode(
     kernel of emb_pq_assign (encoding), ann_pq_adc_topk (which
     searches the codes) and ann_ivf_pq_topk (which carries the IVF
     cell through via ``extra`` so assignment + encoding stay one
-    projection of one scan)."""
-    best = [_pq_sub_argmin(anchors, m).alias(f"b{m}") for m in range(_PQ_M)]
-    out = v.select("vec_id", *extra, *best)
-    return out.select(
-        "vec_id",
-        *extra,
-        *[F.col(f"b{m}").getField("cid").cast("int").alias(f"code_{m}") for m in range(_PQ_M)],
-        (
-            F.col("b0").getField("dist")
-            + F.col("b1").getField("dist")
-            + F.col("b2").getField("dist")
-            + F.col("b3").getField("dist")
-        ).alias("recon_err"),
+    narrow stage of one scan).
+
+    This is the repo's SECOND documented Arrow seam (after
+    dedup_semantic's block-cosine), and like the first it is measured,
+    not assumed: at the round-7 discriminative operating point (K=32
+    centroids × 4 subspaces — Jégou 2011-realistic, vs the saturated
+    K=4) every JVM expression form fails structurally.  (a) zip_with /
+    transform / aggregate lambdas never enter whole-stage codegen, so
+    the ~4k-step-per-row encode runs INTERPRETED: measured 5-8 s per
+    500-row execution.  (b) Inlining the arithmetic as one parsed
+    array_min(named_struct…) expression exceeds Janino's 64 KB method
+    limit — WSCG cannot split a single expression operating on local
+    variables — so Spark burns ~20 s attempting compilation, logs
+    "Code grows beyond 64 KB", and falls back to the same interpreter.
+    The Arrow kernel is one narrow mapInArrow stage (zero shuffles,
+    exactly the expression form's plan shape — plan-checked), the
+    codebook rides in the closure (M×K×SUB doubles, kilobytes), and
+    the numpy math replicates the oracle's fold order bit-for-bit
+    (_pq_np_min).  Measured: 5-8 s → <0.5 s per encode at sf0.01.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    cid_arr, cbs = _pq_np_codebooks(anchors)
+    names = ["vec_id", *extra]
+    in_fields = {f.name: f for f in v.schema.fields}
+    out_schema = StructType(
+        [in_fields["vec_id"]]
+        + [in_fields[c] for c in extra]
+        + [StructField(f"code_{m}", IntegerType()) for m in range(_PQ_M)]
+        + [StructField("recon_err", DoubleType())]
     )
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vec = np.asarray(
+                b.column(b.schema.get_field_index("vec")).to_pylist(),
+                dtype=np.float64,
+            )
+            codes, recon = _pq_np_min(vec, cbs, cid_arr)
+            arrays = [
+                b.column(b.schema.get_field_index(c)) for c in names
+            ] + [pa.array(c.astype(np.int32)) for c in codes] + [pa.array(recon)]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[*names, *[f"code_{m}" for m in range(_PQ_M)], "recon_err"],
+            )
+
+    cols = list(dict.fromkeys([*names, "vec"]))  # extra may BE "vec"
+    return v.select(*cols).mapInArrow(encode, out_schema)
 
 
 def _pq_train_sums(
@@ -2168,8 +2221,8 @@ def _adc_topk(
     for qid, qvec in sorted(queries.items()):
         adist = None
         for m in range(_PQ_M):
-            # one Literal node per (query, subspace) — K doubles
-            lut = F.lit(
+            # one parsed literal per (query, subspace) — K doubles
+            lut = _dlit_array(
                 [
                     lut_entry(qvec, cvec, m)
                     for _cid, cvec in sorted(anchors.items())
@@ -2288,7 +2341,7 @@ def _true_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for qid, qvec in sorted(queries.items()):
         tdist = F.aggregate(
             F.zip_with(
-                F.array(*[F.lit(float(x)) for x in qvec]),
+                _dlit_array(qvec),
                 F.col("vec"),
                 lambda a, b: (a - b) * (a - b),
             ),
@@ -2454,16 +2507,19 @@ def _ivf_cnorms(cells: dict[int, list[float]]) -> dict[int, float]:
 def _ivf_cell_argmin(cells: dict[int, list[float]]):
     """Cell-assignment Column over a ``vec`` column: negated-cosine
     argmin over centroid literals with the (ccos DESC, cell) tiebreak
-    — the ONE copy shared by ann_ivf_pq_topk and ann_ivf_list_stats,
-    so the balance audit can never desynchronize from the assignment
-    the operators it audits actually use."""
+    — used by _ivf_train_sums (once per session+corpus: the trained
+    cells are memoized) and kept as the JVM reference semantics the
+    Arrow codes kernel (_ivf_codes_with) replicates bit-for-bit.
+    Interpreted-HOF cost is acceptable HERE because training runs
+    once; the per-consumer encode paths moved to the Arrow kernel
+    (see _pq_encode for the measured codegen story)."""
     cnorms = _ivf_cnorms(cells)
     nrm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
     structs = [
         F.struct(
             (
                 -F.try_divide(
-                    _dot(F.col("vec"), F.array(*[F.lit(float(x)) for x in cv])),
+                    _dot(F.col("vec"), _dlit_array(cv)),
                     nrm * F.lit(cnorms[cid]),
                 )
             ).alias("nc"),
@@ -2496,16 +2552,89 @@ def _ivf_codes_with(
             )
         )
         anchors = _pq_trained_codebooks(spark, sf_dir)
-        assigned = v.select(
-            "vec_id", "vec", _ivf_cell_argmin(cells).alias("cell")
-        )
-        raw = _pq_encode(assigned, anchors, extra=("cell",)).select(
+        raw = _ivf_encode(v, cells, anchors).select(
             "vec_id", "cell", "code_0", "code_1", "code_2", "code_3"
         )
         _CODES_PLAN[ck] = raw
         codes = raw.localCheckpoint(eager=False)
         _CODES_MEMO[ck] = codes
     return codes
+
+
+def _ivf_encode(
+    v: DataFrame,
+    cells: dict[int, list[float]],
+    anchors: dict[int, list[float]],
+) -> DataFrame:
+    """Cosine cell assignment + PQ encoding fused in ONE Arrow stage
+    (vec_id, cell, code_0..3, recon_err) — the kernel behind every
+    memoized codes table.  Replicates _ivf_cell_argmin's JVM
+    semantics bit-for-bit: the dot and norm chains fold
+    ascending-index (elementwise numpy adds in the same order as the
+    0.0-seeded _dot fold), centroid norms are the SAME driver floats
+    (_ivf_cnorms) the expression form embeds, and numpy's
+    first-maximum argmax over ascending cell ids is exactly the
+    (ccos DESC, cell) struct-min tiebreak.  Corpus vectors are
+    non-zero by construction (fixture + any real embedding corpus);
+    a zero norm would propagate NaN where the JVM form yields NULL —
+    the one documented divergence, unreachable on real inputs.  See
+    _pq_encode for why these kernels are Arrow, not JVM expressions
+    (measured: HOFs never codegen; inlined arithmetic exceeds
+    Janino's 64 KB method limit)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    import numpy as np
+
+    cell_ids = sorted(cells)
+    cmat = np.asarray([cells[c] for c in cell_ids], dtype=np.float64)
+    cnorm_map = _ivf_cnorms(cells)
+    cnorms = np.asarray([cnorm_map[c] for c in cell_ids], dtype=np.float64)
+    cell_arr = np.asarray(cell_ids, dtype=np.int64)
+    cid_arr, cbs = _pq_np_codebooks(anchors)
+    in_fields = {f.name: f for f in v.schema.fields}
+    out_schema = StructType(
+        [in_fields["vec_id"], StructField("cell", LongType())]
+        + [StructField(f"code_{m}", IntegerType()) for m in range(_PQ_M)]
+        + [StructField("recon_err", DoubleType())]
+    )
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            vec = np.asarray(
+                b.column(b.schema.get_field_index("vec")).to_pylist(),
+                dtype=np.float64,
+            )
+            # ascending-index folds, elementwise — same order as _dot
+            nrm = vec[:, 0] * vec[:, 0]
+            dots = vec[:, 0:1] * cmat[None, :, 0]
+            for i in range(1, _DIM):
+                nrm = nrm + vec[:, i] * vec[:, i]
+                dots = dots + vec[:, i : i + 1] * cmat[None, :, i]
+            ccos = dots / (np.sqrt(nrm)[:, None] * cnorms[None, :])
+            cell = cell_arr[ccos.argmax(axis=1)]
+            codes, recon = _pq_np_min(vec, cbs, cid_arr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    pa.array(cell),
+                ]
+                + [pa.array(c.astype(np.int32)) for c in codes]
+                + [pa.array(recon)],
+                names=["vec_id", "cell",
+                       *[f"code_{m}" for m in range(_PQ_M)], "recon_err"],
+            )
+
+    return v.select("vec_id", "vec").mapInArrow(encode, out_schema)
 
 
 def _ivf_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2816,11 +2945,13 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary; the ratio is one more correctly-rounded division,
     NULL-guarded (try_divide == DuckDB's CASE).
 
-    Scale shape: ONE zero-shuffle projection computes BOTH errors
-    (anchor + trained codebooks are both plan literals, so the two
-    quantizers share one corpus scan with zero joins — plan-checked,
-    test_plans.py::test_pq_distortion_single_scan_no_joins), then one
-    1-row aggregate.  Nothing corpus-sized is collected or broadcast.
+    Scale shape: ONE zero-shuffle Arrow stage computes BOTH errors
+    (anchor + trained codebooks both ride the kernel closure, so the
+    two quantizers share one corpus scan with zero joins —
+    plan-checked, test_plans.py::test_pq_distortion_single_scan_no_joins;
+    see _pq_encode for why the kernel is Arrow, not a JVM expression),
+    then one 1-row aggregate.  Nothing corpus-sized is collected or
+    broadcast.
     """
     v = tables(spark, sf_dir)["embeddings"].select(
         "vec_id", _vec_double().alias("vec")
@@ -2828,15 +2959,27 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
     trained = _pq_trained_codebooks(spark, sf_dir)
 
-    def err_col(cb: dict[int, list[float]]):
-        # ((d0 + d1) + d2) + d3 — the _pq_encode recon_err fold order
-        e = None
-        for m in range(_PQ_M):
-            t = _pq_sub_argmin(cb, m).getField("dist")
-            e = t if e is None else e + t
-        return e
+    cid_a, cbs_a = _pq_np_codebooks(anchors)
+    cid_t, cbs_t = _pq_np_codebooks(trained)
 
-    errs = v.select(err_col(anchors).alias("err0"), err_col(trained).alias("err1"))
+    def errs_fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vec = np.asarray(
+                b.column(b.schema.get_field_index("vec")).to_pylist(),
+                dtype=np.float64,
+            )
+            _, e0 = _pq_np_min(vec, cbs_a, cid_a)
+            _, e1 = _pq_np_min(vec, cbs_t, cid_t)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(e0), pa.array(e1)], names=["err0", "err1"]
+            )
+
+    errs = v.select("vec").mapInArrow(errs_fn, "err0 double, err1 double")
     fp = 1099511627776.0  # 2^40
 
     def fx(c):
