@@ -569,54 +569,69 @@ def _collect_staged_files_url(
 
 
 def _physical_projection(snap):
-    """Column-mapping helpers for FLAT schemas (nested mapped tables
-    are refused — their renames need recursive struct casts, which is
-    delta-spark territory):
+    """Column-mapping helpers — NESTED schemas included (round-6
+    verdict item 3 closed the last delta-spark-only refusal): nested
+    physical↔logical renames are positional struct casts in both
+    directions, the same recipe the reader's ``to_logical`` has always
+    used (``delta_native.read_delta_native``), built from the
+    reader's own recursive ``_physical_field`` so writer and reader
+    can never disagree on a physical schema.
 
-    - ``phys_of``: logical name → physical name (all columns)
-    - ``data_read_schema``: the DATA columns under physical names
-      (+ ``parquet.field.id`` metadata in id mode)
+    - ``phys_of``: top-level logical name → physical name (partition
+      values and stats keys — Delta partition columns are never
+      nested)
+    - ``data_read_schema``: the DATA columns under physical names,
+      recursively renamed (+ ``parquet.field.id`` metadata at every
+      nesting level in id mode — Spark's parquet writer emits ids
+      from schema metadata when fieldId.write is on, its default)
     - ``to_logical(df)``: physical-name scan → logical names
+      (positional cast renames nested fields; alias the top level)
     - ``to_physical(df)``: logical DataFrame → physical names + field
-      id metadata, ready for staging
+      id metadata, ready for staging (the exact inverse cast)
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from adt_spark.sources.delta_native import _physical_field
+
     with_ids = snap.column_mapping_mode == "id"
     part_cols = snap.partition_columns
     phys_of: dict[str, str] = {}
-    meta_of: dict[str, dict] = {}
+    phys_field_of: dict[str, T.StructField] = {}
+    logical_field_of: dict[str, T.StructField] = {}
     data_fields_phys: list[T.StructField] = []
     for f in snap.schema.fields:
-        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-            raise DeltaWriteError(
-                f"column-mapped table: nested column {f.name!r} needs nested "
-                "physical renames — use delta-spark"
-            )
-        md = f.metadata or {}
-        phys = md.get("delta.columnMapping.physicalName", f.name)
-        fid = md.get("delta.columnMapping.id")
-        phys_of[f.name] = phys
-        meta_of[f.name] = (
-            {"parquet.field.id": int(fid)} if with_ids and fid is not None else {}
-        )
+        pf = _physical_field(f, with_ids=with_ids)
+        phys_of[f.name] = pf.name
+        phys_field_of[f.name] = pf
+        logical_field_of[f.name] = f
         if f.name not in part_cols:
-            data_fields_phys.append(
-                T.StructField(phys, f.dataType, f.nullable, meta_of[f.name])
-            )
+            data_fields_phys.append(pf)
     logical_data = [f.name for f in snap.schema.fields if f.name not in part_cols]
 
     def to_logical(df: DataFrame, extra: tuple = ()) -> DataFrame:
         return df.select(
-            *[F.col(phys_of[name]).alias(name) for name in logical_data],
+            *[
+                F.col(phys_of[name])
+                .cast(logical_field_of[name].dataType)
+                .alias(name)
+                for name in logical_data
+            ],
             *[F.col(c) for c in extra],
         )
 
     def to_physical(df: DataFrame) -> DataFrame:
+        # identity casts (flat leaves) are optimized away; nested
+        # fields pick up their physical names (and id-mode
+        # parquet.field.id metadata) from the cast's target type
         return df.select(
             *[
-                F.col(name).alias(phys_of[name], metadata=meta_of[name])
+                F.col(name)
+                .cast(phys_field_of[name].dataType)
+                .alias(
+                    phys_field_of[name].name,
+                    metadata=phys_field_of[name].metadata or {},
+                )
                 for name in df.columns
             ]
         )
@@ -917,7 +932,14 @@ def write_delta_native(
         _table_fields = {f.name: f for f in snap.schema.fields}
         for f in df.schema.fields:
             existing = _table_fields.get(f.name)
-            if existing is not None and existing.dataType != f.dataType:
+            # simpleString compare: the table's nested fields carry
+            # column-mapping METADATA in their StructFields, and
+            # PySpark's DataType equality is metadata-sensitive — a
+            # structurally identical incoming struct must not read as
+            # a type change (nullability is likewise not a divergence)
+            if existing is not None and (
+                existing.dataType.simpleString() != f.dataType.simpleString()
+            ):
                 hint = (
                     "merge_schema cannot change" if merge_schema else "type mismatch on"
                 )

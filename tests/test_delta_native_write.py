@@ -1503,3 +1503,186 @@ def test_file_stats_decimal_bounds_typed(spark, tmp_path):
     stats = json.loads(_file_stats(pq.ParquetFile(path).metadata))
     assert stats["minValues"]["d"] == "9.5"
     assert stats["maxValues"]["d"] == "10.2"
+
+
+# ---------------------------------------------------------------------------
+# Nested column-mapped DML (round-6 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _nested_mapped_table(tmp_path, spark, mode):
+    """A column-mapped table whose schema nests a struct, an array and
+    an array<struct> — every level physically renamed.  Built from raw
+    protocol pieces like _mapped_table; the reader has handled these
+    since round 5 (positional struct cast), and round 7 extends the
+    native WRITER's DML to them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pyspark.sql.types as T
+
+    t = str(tmp_path / f"cmn_{mode}")
+    os.makedirs(os.path.join(t, "_delta_log"))
+
+    def m(fid, phys):
+        return {"delta.columnMapping.id": fid,
+                "delta.columnMapping.physicalName": phys}
+
+    logical = T.StructType([
+        T.StructField("id", T.LongType(), True, m(1, "col-1")),
+        T.StructField("meta", T.StructType([
+            T.StructField("author", T.StringType(), True, m(4, "col-4")),
+            T.StructField("score", T.LongType(), True, m(5, "col-5")),
+        ]), True, m(2, "col-2")),
+        T.StructField("tags", T.ArrayType(T.StringType()), True, m(3, "col-3")),
+        T.StructField("arr", T.ArrayType(T.StructType([
+            T.StructField("a", T.LongType(), True, m(7, "col-7")),
+        ])), True, m(6, "col-6")),
+    ])
+    md = (lambda i: {b"PARQUET:field_id": str(i).encode()}) if mode == "id" else (lambda i: None)
+    pa_schema = pa.schema([
+        pa.field("col-1", pa.int64(), metadata=md(1)),
+        pa.field("col-2", pa.struct([
+            pa.field("col-4", pa.string(), metadata=md(4)),
+            pa.field("col-5", pa.int64(), metadata=md(5)),
+        ]), metadata=md(2)),
+        pa.field("col-3", pa.list_(pa.string()), metadata=md(3)),
+        pa.field("col-6", pa.list_(pa.field("element", pa.struct([
+            pa.field("col-7", pa.int64(), metadata=md(7)),
+        ]))), metadata=md(6)),
+    ])
+    tbl = pa.table({
+        "col-1": pa.array([1, 2, 3], pa.int64()),
+        "col-2": pa.array(
+            [{"col-4": "ann", "col-5": 10},
+             {"col-4": "bob", "col-5": 20},
+             {"col-4": "cat", "col-5": 30}],
+            pa_schema.field("col-2").type,
+        ),
+        "col-3": pa.array([["t1"], ["t2", "t3"], []], pa_schema.field("col-3").type),
+        "col-6": pa.array([[{"col-7": 100}], [], [{"col-7": 300}]],
+                          pa_schema.field("col-6").type),
+    })
+    pq_.write_table(tbl.cast(pa_schema), os.path.join(t, "a.parquet"))
+    reader_v = 2 if mode == "name" else 3
+    proto = {"minReaderVersion": reader_v, "minWriterVersion": 5}
+    if reader_v == 3:
+        proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["columnMapping"],
+                 "writerFeatures": ["columnMapping"]}
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": proto}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cmn", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(logical.jsonValue()),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": mode},
+        }}) + "\n")
+        f.write(json.dumps({"add": {"path": "a.parquet", "partitionValues": {},
+                                     "size": 1, "modificationTime": 0,
+                                     "dataChange": True}}) + "\n")
+    return t
+
+
+def _nested_rows(df):
+    return sorted(
+        (r.id, (r.meta.author, r.meta.score), tuple(r.tags),
+         tuple(x.a for x in r.arr))
+        for r in df.collect()
+    )
+
+
+def test_nested_mapped_delete_nested_predicate(spark, tmp_path):
+    """DELETE whose predicate reaches INTO the renamed struct: the
+    scan projects physical→logical recursively, the predicate runs on
+    logical names, and the kept rows stage back under physical nested
+    names (round-trip through the reader proves it)."""
+    from adt_spark.sources.delta_native_write import delete_where
+
+    t = _nested_mapped_table(tmp_path, spark, "name")
+    _v, n = delete_where(spark, t, "meta.score >= 30")
+    assert n == 1
+    got = read_delta_native(spark, t)
+    assert _nested_rows(got) == [
+        (1, ("ann", 10), ("t1",), (100,)),
+        (2, ("bob", 20), ("t2", "t3"), ()),
+    ]
+    # the rewrite staged PHYSICAL nested names into the new file
+    import pyarrow.parquet as pq_
+    snap = replay_snapshot(spark, t)
+    new = [p for p in snap.files if p != "a.parquet"]
+    assert len(new) == 1
+    sch = pq_.read_schema(os.path.join(t, new[0]))
+    assert sch.names == ["col-1", "col-2", "col-3", "col-6"]
+    st = sch.field("col-2").type
+    assert [st.field(i).name for i in range(st.num_fields)] == ["col-4", "col-5"]
+    inner = sch.field("col-6").type.value_type
+    assert [inner.field(i).name for i in range(inner.num_fields)] == ["col-7"]
+
+
+def test_nested_mapped_update_struct_and_array(spark, tmp_path):
+    """UPDATE rewriting the renamed struct (named_struct over logical
+    names) and the renamed array in one pass."""
+    from adt_spark.sources.delta_native_write import update_where
+
+    t = _nested_mapped_table(tmp_path, spark, "name")
+    update_where(
+        spark, t, "id = 2",
+        {"meta": "named_struct('author', upper(meta.author), "
+                 "'score', meta.score + 1)",
+         "tags": "array_append(tags, 'new')"},
+    )
+    got = read_delta_native(spark, t)
+    assert _nested_rows(got) == [
+        (1, ("ann", 10), ("t1",), (100,)),
+        (2, ("BOB", 21), ("t2", "t3", "new"), ()),
+        (3, ("cat", 30), (), (300,)),
+    ]
+
+
+def test_nested_mapped_merge_upsert_id_mode(spark, tmp_path):
+    """MERGE into an id-mode nested-mapped table: upserted rows stage
+    with nested physical names AND nested parquet field ids, so both
+    name- and id-matching readers resolve them."""
+    import pyarrow.parquet as pq_
+
+    from adt_spark.sources.delta_native_write import merge_upsert
+
+    t = _nested_mapped_table(tmp_path, spark, "id")
+    src = spark.createDataFrame(
+        [(2, ("BOB2", 22), ["z"], [(200,)]), (9, ("new", 90), [], [])],
+        "id long, meta struct<author string, score long>, "
+        "tags array<string>, arr array<struct<a long>>",
+    )
+    _v, n_replaced, n_inserted = merge_upsert(spark, t, src, ["id"])
+    assert (n_replaced, n_inserted) == (1, 1)
+    got = read_delta_native(spark, t)
+    assert _nested_rows(got) == [
+        (1, ("ann", 10), ("t1",), (100,)),
+        (2, ("BOB2", 22), ("z",), (200,)),
+        (3, ("cat", 30), (), (300,)),
+        (9, ("new", 90), (), ()),
+    ]
+    snap = replay_snapshot(spark, t)
+    new = [p for p in snap.files if p != "a.parquet"]
+    assert new
+    sch = pq_.read_schema(os.path.join(t, sorted(new)[0]))
+    f2 = sch.field("col-2")
+    assert f2.metadata and f2.metadata.get(b"PARQUET:field_id") == b"2"
+    inner_names = {f2.type.field(i).name: f2.type.field(i)
+                   for i in range(f2.type.num_fields)}
+    assert set(inner_names) == {"col-4", "col-5"}
+    assert inner_names["col-4"].metadata.get(b"PARQUET:field_id") == b"4"
+
+
+def test_nested_mapped_write_roundtrip_name_mode(spark, tmp_path):
+    """Plain append to a nested name-mapped table round-trips through
+    the reader (the pre-round-7 gate refused this loudly)."""
+    t = _nested_mapped_table(tmp_path, spark, "name")
+    src = spark.createDataFrame(
+        [(4, ("dee", 40), ["t9"], [(400,)])],
+        "id long, meta struct<author string, score long>, "
+        "tags array<string>, arr array<struct<a long>>",
+    )
+    write_delta_native(src, t, mode="append")
+    got = read_delta_native(spark, t)
+    assert (4, ("dee", 40), ("t9",), (400,)) in _nested_rows(got)
