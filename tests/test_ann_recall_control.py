@@ -88,3 +88,33 @@ def test_untrained_cells_shift_ivfpq_retrieval(spark, sf_dir):
         .count()
     )
     assert diff > 0
+
+
+def test_sem_k_scale_knob(spark, sf_dir, monkeypatch):
+    """ADT_SEM_K (the SemDeDup production-k knob the round-7 scaling
+    probe forced — fixed k makes pairs n²/k): a larger k yields a
+    valid SemDeDup run whose cluster count matches the knob, whose
+    per-cluster sizes sum to the corpus, and whose kept set is a
+    subset of the default run's universe.  The ORACLED configuration
+    is the unset default; a different k is genuinely different
+    SemDeDup semantics, so this is a self-consistency pin, not an
+    oracle."""
+    S.clear_similarity_state()
+    try:
+        monkeypatch.setenv("ADT_SEM_K", "8")
+        assigned, _both, _multi = S._sem_block_input(spark, sf_dir)
+        clusters = dict(
+            (r.cluster_id, r.cnt)
+            for r in assigned.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        total = S.tables(spark, sf_dir)["embeddings"].count()
+        assert sum(clusters.values()) == total
+        assert 4 < len(clusters) <= 8  # more clusters than the fixture k
+        from adt_spark.queries import REGISTRY
+
+        n = REGISTRY["dedup_semantic"].spark_fn(spark, sf_dir).count()
+        assert 0 <= n <= total
+    finally:
+        S.clear_similarity_state()
