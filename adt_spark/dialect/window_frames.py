@@ -177,7 +177,7 @@ def _warn_subtraction_once(fn: str) -> None:
         return
     _subtraction_warned = True
     warnings.warn(
-        "EXCLUDE window rewrite: using frame-aggregate subtraction for "
+        "window-frame rewrite: using frame-aggregate subtraction for "
         f"{fn}(); results are exact for integer/decimal arguments but may "
         "differ in low-order bits for floating-point ones (see "
         "adt_spark/dialect/window_frames.py docstring)",
@@ -212,6 +212,38 @@ _NULLS_RE = re.compile(r"\bnulls\s+(first|last)\b", re.IGNORECASE)
 _DESC_RE = re.compile(r"\bdesc\s*$", re.IGNORECASE)
 
 
+def _with_depth(masked: str):
+    """(char, paren-depth) pairs over a literal-MASKED string — the
+    one copy of the depth scan that _split_top_level and the
+    multi-argument-call checks share."""
+    depth = 0
+    for ch in masked:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        yield ch, depth
+
+
+def _split_top_level(src: str) -> list[str]:
+    """Split ``src`` on top-level commas, scanning a literal-masked
+    copy so quoted text can never open/close a fake paren or inject a
+    separator (e.g. ``concat(a, ',')`` is ONE key) — the single
+    splitter behind _pin_null_order / _bare_order_key /
+    _reverse_order (previously three hand-rolled copies that had
+    already diverged on literal masking)."""
+    keys: list[str] = []
+    start = 0
+    i = 0
+    for ch, depth in _with_depth(_mask_literals(src)):
+        if ch == "," and depth == 0:
+            keys.append(src[start:i])
+            start = i + 1
+        i += 1
+    keys.append(src[start:])
+    return keys
+
+
 def _pin_null_order(order_src: str) -> str:
     """Append the SOURCE dialect's default null placement to every
     order key lacking an explicit NULLS modifier.  DataFusion (and
@@ -219,20 +251,8 @@ def _pin_null_order(order_src: str) -> str:
     for DESC; Spark defaults the opposite way — without pinning, a
     rewritten frame would put NULL keys at the other end of the
     partition and every frame near them would differ."""
-    keys: list[str] = []
-    depth = 0
-    start = 0
-    s = order_src
-    for i, ch in enumerate(s + ","):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            keys.append(s[start:i])
-            start = i + 1
     out = []
-    for k in keys:
+    for k in _split_top_level(order_src):
         if _NULLS_RE.search(k):
             out.append(k.strip())
         elif _DESC_RE.search(k.strip()):
@@ -372,18 +392,11 @@ def _bare_order_key(order_src: str) -> str:
     modifiers — used by the non-straddling-RANGE rewrites to test key
     nullness.  Numeric RANGE offsets require a single sort key in
     every dialect; a top-level comma (multi-key) refuses loudly."""
-    masked = _mask_literals(order_src)
-    depth = 0
-    for ch in masked:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            raise _Unsupported(
-                "EXCLUDE over a RANGE frame with numeric offsets requires "
-                "a single ORDER BY key"
-            )
+    if len(_split_top_level(order_src)) > 1:
+        raise _Unsupported(
+            "EXCLUDE over a RANGE frame with numeric offsets requires "
+            "a single ORDER BY key"
+        )
     return re.sub(
         r"(?is)\s+((asc|desc)(\s+nulls\s+(first|last))?|nulls\s+(first|last))"
         r"\s*$",
@@ -545,31 +558,17 @@ def _rewrite_groups_exclude(sql: str) -> str:
                 "peers) is not supported — use the DataFrame API"
             )
 
-        # the aggregate call directly before OVER
-        k = m.start() - 1
-        while k >= 0 and masked[k].isspace():
-            k -= 1
-        if k < 0 or masked[k] != ")":
+        # the aggregate call directly before OVER (shared extractor;
+        # None covers named windows, FILTER clauses and IGNORE NULLS
+        # suffixes alike — all unsupported here)
+        call = _call_before_over(masked, sql, m.start())
+        if call is None:
             raise _Unsupported(
-                f"EXCLUDE {exclude.upper()} requires the aggregate call "
+                f"EXCLUDE {exclude.upper()} requires a plain aggregate call "
                 "directly before OVER (named windows / FILTER clauses are "
                 "not supported)"
             )
-        args_close = k
-        args_open = _match_paren_back(masked, args_close)
-        j = args_open - 1
-        while j >= 0 and masked[j].isspace():
-            j -= 1
-        fn_end = j + 1
-        while j >= 0 and (masked[j].isalnum() or masked[j] == "_"):
-            j -= 1
-        fn_start = j + 1
-        fn = sql[fn_start:fn_end].lower()
-        args = sql[args_open + 1: args_close].strip()
-        if fn == "filter" or not fn:
-            raise _Unsupported(
-                "EXCLUDE with a FILTER clause or named window is not supported"
-            )
+        fn_start, fn, args = call
         if re.match(r"(?i)^\s*distinct\b", args):
             raise _Unsupported("EXCLUDE with DISTINCT aggregates is not supported")
 
@@ -1097,20 +1096,8 @@ def _reverse_order(order_src: str) -> str:
     ROWS frame's membership is pure row-sequence, so running the same
     frame over the reversed sequence visits exactly the complementary
     suffix."""
-    keys: list[str] = []
-    depth = 0
-    start = 0
-    s = order_src
-    for i, ch in enumerate(_mask_literals(s) + ","):
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            keys.append(s[start:i])
-            start = i + 1
     out = []
-    for k in keys:
+    for k in _split_top_level(order_src):
         k = k.strip()
         nul = None
         m = re.search(r"(?is)\bnulls\s+(first|last)\s*$", k)
@@ -1226,8 +1213,15 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
             frame is None
             or frame["mode"] != "rows"
             or frame["hi"] != "unbounded following"
-            or frame["lo"] in ("unbounded preceding",)
-            or spec["exclude"] is not None
+            # 'unbounded following' as a LOWER bound is invalid SQL in
+            # every dialect but still matches _FRAME_RE — pass it
+            # through so the engine's own parse error surfaces (this
+            # pass never raises)
+            or frame["lo"] in ("unbounded preceding", "unbounded following")
+            # EXCLUDE NO OTHERS is the explicit spelling of the
+            # default — a ported script using it must still get the
+            # O(n) rewrite (the replacement drops the no-op clause)
+            or spec["exclude"] not in (None, "no others")
             or spec["order"] is None
         ):
             continue
@@ -1239,6 +1233,16 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
             continue
         if re.match(r"(?i)^\s*distinct\b", args) or re.search(
             r"(?i)\bignore\s+nulls\b", args
+        ):
+            continue
+        # a top-level comma means a multi-argument call — Spark's
+        # two-argument ignore-nulls spelling first_value(x, true) /
+        # last_value(x, true) most importantly: its NULL semantics
+        # have no complement/reversal image here, so pass through
+        # (every rewritable aggregate in _UBF_FNS is single-argument)
+        if any(
+            ch == "," and d == 0
+            for ch, d in _with_depth(_mask_literals(args))
         ):
             continue
         if args == "*" and fn != "count":
@@ -1291,6 +1295,11 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
                 "ELSE NULL END)"
             )
         else:  # sum / avg
+            # same float-subtraction disclosure as the EXCLUDE pass —
+            # and MORE important here: this pass rewrites queries that
+            # already ran (slowly but exactly) on Spark, so a low-order
+            # float divergence would otherwise be untraceable
+            _warn_subtraction_once(fn)
             ncnt = f"(count({e}) OVER ({w_unb}) - count({e}) OVER ({w_pre}))"
             s_txt = (
                 f"(sum({e}) OVER ({w_unb}) "

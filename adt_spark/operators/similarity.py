@@ -2088,7 +2088,7 @@ def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> dict[int, list[fl
     anchors = {k: cv for k, cv in _small_vecs(spark, sf_dir).items() if k < _PQ_K}
     cb = {cid: list(cv) for cid, cv in anchors.items()}  # empty-cell fill
     sums = _pq_train_sums(spark, sf_dir, anchors)
-    for r in sums.collect():  # bounded: ≤ M×K×SUB rows (256 doubles)
+    for r in sums.collect():  # bounded: ≤ M×K×SUB rows (2048 doubles at K=32)
         cb[int(r.cid)][int(r.m) * _PQ_SUB + int(r.pos)] = float(r.val)
     _PQ_CB_MEMO[key] = cb
     return cb

@@ -568,6 +568,31 @@ def _collect_staged_files_url(
     return out
 
 
+def _type_no_meta(dt):
+    """``dt`` with every nested StructField's metadata dropped —
+    metadata-insensitive but NULLABILITY-SENSITIVE type equality for
+    the same-name write guard (column-mapped tables carry mapping
+    metadata on nested fields; nullability is a real contract)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _type_no_meta(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_type_no_meta(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _type_no_meta(dt.keyType),
+            _type_no_meta(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
 def _physical_projection(snap):
     """Column-mapping helpers — NESTED schemas included (round-6
     verdict item 3 closed the last delta-spark-only refusal): nested
@@ -932,13 +957,16 @@ def write_delta_native(
         _table_fields = {f.name: f for f in snap.schema.fields}
         for f in df.schema.fields:
             existing = _table_fields.get(f.name)
-            # simpleString compare: the table's nested fields carry
-            # column-mapping METADATA in their StructFields, and
-            # PySpark's DataType equality is metadata-sensitive — a
-            # structurally identical incoming struct must not read as
-            # a type change (nullability is likewise not a divergence)
+            # metadata-STRIPPED strict equality: the table's nested
+            # fields carry column-mapping METADATA in their
+            # StructFields, and PySpark's DataType equality is
+            # metadata-sensitive — a structurally identical incoming
+            # struct must not read as a type change.  Nullability
+            # stays part of the comparison (simpleString would drop
+            # it and let NULLs stage into declared non-nullable
+            # nested fields — nothing downstream re-validates that).
             if existing is not None and (
-                existing.dataType.simpleString() != f.dataType.simpleString()
+                _type_no_meta(existing.dataType) != _type_no_meta(f.dataType)
             ):
                 hint = (
                     "merge_schema cannot change" if merge_schema else "type mismatch on"

@@ -275,7 +275,11 @@ def main() -> None:
     for name, t in timings.items():
         h = sf_hist.get(name)
         typ = round(min(h), 4) if h else None
-        if typ is not None and t > 2 * typ:
+        # same 2.0 s floor as the re-measure trigger, so every band
+        # entry HAS a re-measure observation (sub-second queries
+        # doubling inside the noise floor are jitter, not signal) —
+        # except the >20-outliers overflow, which stays null-marked
+        if typ is not None and t > max(2.0, 2 * typ):
             band[name] = {
                 "sec": t,
                 "typical": typ,

@@ -1686,3 +1686,47 @@ def test_nested_mapped_write_roundtrip_name_mode(spark, tmp_path):
     write_delta_native(src, t, mode="append")
     got = read_delta_native(spark, t)
     assert (4, ("dee", 40), ("t9",), (400,)) in _nested_rows(got)
+
+
+def test_append_rejects_nullable_into_nonnullable_nested(spark, tmp_path):
+    """The metadata-insensitive type check must stay
+    NULLABILITY-sensitive: appending a nullable nested field into a
+    table whose schemaString declares it non-nullable is refused
+    loudly (nothing downstream re-validates nullability, so accepting
+    it would stage NULLs under a non-null contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import pyspark.sql.types as T
+
+    t = str(tmp_path / "nn")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    logical = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("author", T.StringType(), False),  # NOT NULL
+        ]), True),
+    ])
+    sch = pa.schema([
+        pa.field("id", pa.int64()),
+        pa.field("meta", pa.struct([pa.field("author", pa.string(), nullable=False)])),
+    ])
+    pq_.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "meta": pa.array([{"author": "a"}], sch.field("meta").type)},
+                 schema=sch),
+        os.path.join(t, "a.parquet"))
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1,
+                                          "minWriterVersion": 2}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "nn", "format": {"provider": "parquet"},
+            "schemaString": json.dumps(logical.jsonValue()),
+            "partitionColumns": [], "configuration": {}}}) + "\n")
+        f.write(json.dumps({"add": {"path": "a.parquet", "partitionValues": {},
+                                     "size": 1, "modificationTime": 0,
+                                     "dataChange": True}}) + "\n")
+    src = spark.createDataFrame(
+        [(2, ("b",))], "id long, meta struct<author string>"
+    )  # author nullable=true here
+    with pytest.raises(DeltaWriteError, match="type mismatch|cannot change"):
+        write_delta_native(src, t, mode="append")

@@ -926,3 +926,34 @@ def test_value_range_exclude_integral_double_key_ok(spark, small_t):
     got = _norm(spark.sql(rewrite_window_frames(q)).collect())
     want = _norm(con.execute(q).fetchall())
     assert got == want
+
+
+def test_moving_start_ubf_review_fixes():
+    """Round-7 review regressions pinned: (a) Spark's two-argument
+    ignore-nulls spelling first_value(x, true)/last_value(x, true)
+    passes through (its NULL semantics have no complement/reversal
+    image — the rewrite previously emitted silent wrong results or
+    unparseable text); (b) an invalid 'UNBOUNDED FOLLOWING' LOWER
+    bound passes through for the engine's own parse error instead of
+    a rewrite-time ValueError; (c) the explicit EXCLUDE NO OTHERS
+    spelling of the default no longer blocks the O(n) rewrite."""
+    from adt_spark.dialect.window_frames import _rewrite_moving_start_ubf
+
+    ubf = "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    for q in (
+        f"SELECT last_value(a, true) OVER (ORDER BY o {ubf}) FROM t",
+        f"SELECT first_value(a, true) OVER (ORDER BY o {ubf}) FROM t",
+        "SELECT sum(a) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED FOLLOWING "
+        "AND UNBOUNDED FOLLOWING) FROM t",
+    ):
+        assert _rewrite_moving_start_ubf(q) == q
+    # a literal comma inside a quoted string is NOT a second argument
+    q = (f"SELECT min(concat(a, ',')) OVER (ORDER BY o {ubf}) FROM t")
+    assert _rewrite_moving_start_ubf(q) != q
+    # EXCLUDE NO OTHERS: the full rewriter must de-quadraticize it
+    q = f"SELECT sum(a) OVER (ORDER BY o {ubf} EXCLUDE NO OTHERS) FROM t"
+    out = rewrite_window_frames(q)
+    assert "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING" in out
+    assert "1 FOLLOWING AND UNBOUNDED FOLLOWING" not in out
+    assert "EXCLUDE" not in out.upper().replace("EXCLUDE NO OTHERS", "") or \
+        "EXCLUDE" not in out.upper()
