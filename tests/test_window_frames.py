@@ -957,3 +957,25 @@ def test_moving_start_ubf_review_fixes():
     assert "1 FOLLOWING AND UNBOUNDED FOLLOWING" not in out
     assert "EXCLUDE" not in out.upper().replace("EXCLUDE NO OTHERS", "") or \
         "EXCLUDE" not in out.upper()
+
+
+@pytest.mark.parametrize("fn", [
+    "var_samp(a)", "var_pop(a)", "variance(a)",
+    "stddev(a)", "stddev_samp(a)", "stddev_pop(a)",
+])
+@pytest.mark.parametrize("lo", ["CURRENT ROW", "2 FOLLOWING", "3 PRECEDING"])
+def test_moving_start_ubf_variance_matches_duckdb(spark, ubf_t, fn, lo):
+    """The variance family over moving-start UNBOUNDED FOLLOWING
+    frames: the moment-algebra complement equals DuckDB's native
+    incremental evaluation (floats rounded at 1e-9 — both sides
+    divide exact small-int moments, differing only in low-order
+    division bits)."""
+    q = (
+        f"SELECT a, o, g, {fn} OVER (PARTITION BY g ORDER BY o "
+        f"ROWS BETWEEN {lo} AND UNBOUNDED FOLLOWING) AS v FROM ubf_t"
+    )
+    rq = rewrite_window_frames(q)
+    assert rq != q
+    got = _round9f(spark.sql(rq).collect())
+    want = _round9f(ubf_t.execute(q).fetchall())
+    assert got == want
