@@ -479,3 +479,202 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u * F.col("max_w") < F.col("weight")).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023) — one exact DRO step
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the per-source probability sums and the
+#: weight normalization (2^40 — the corpus-wide tie-free recipe).
+_DRM_FP = 1099511627776.0
+#: multiplicative step size for the excess-loss update.
+_DRM_ETA = 10
+
+
+@register(
+    "q_mixture_doremi_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
+    ),
+    tok AS (SELECT source, unnest(ts) AS token FROM t),
+    uni AS (SELECT token, count(*) AS cu FROM tok GROUP BY token),
+    ntot AS (SELECT count(*) AS n FROM tok),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    uscored AS (
+      SELECT tok.source,
+             CAST(uni.cu AS DOUBLE) / (SELECT n FROM ntot) AS p
+      FROM tok JOIN uni USING (token)
+    ),
+    usrc AS (
+      SELECT source, count(*) AS n_tok,
+             CAST(sum(CAST(floor(p * {_DRM_FP}) AS HUGEINT)) AS DOUBLE)
+               / (count(*) * {_DRM_FP}) AS mean_ref
+      FROM uscored GROUP BY source
+    ),
+    big AS (
+      SELECT source, ts[u.i] AS w1, ts[u.i + 1] AS w2
+      FROM t, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ),
+    bcnt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    bscored AS (
+      SELECT b.source,
+             CAST(bcnt.cb + 1 AS DOUBLE) / (uni.cu + (SELECT v FROM vocab))
+               AS p
+      FROM big b
+      JOIN bcnt ON bcnt.w1 = b.w1 AND bcnt.w2 = b.w2
+      JOIN uni ON uni.token = b.w1
+    ),
+    bsrc AS (
+      SELECT source,
+             CAST(sum(CAST(floor(p * {_DRM_FP}) AS HUGEINT)) AS DOUBLE)
+               / (count(*) * {_DRM_FP}) AS mean_proxy
+      FROM bscored GROUP BY source
+    ),
+    ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    joined AS (
+      SELECT u.source, ndocs.n_docs, u.n_tok, u.mean_ref, b.mean_proxy,
+             greatest(u.mean_ref - b.mean_proxy, 0) AS excess,
+             (CAST(u.n_tok AS DOUBLE) / (SELECT n FROM ntot))
+               * (1 + {_DRM_ETA} * greatest(u.mean_ref - b.mean_proxy, 0))
+               AS raw
+      FROM usrc u JOIN bsrc b USING (source) JOIN ndocs USING (source)
+    ),
+    fx AS (
+      SELECT *, CAST(floor(raw * {_DRM_FP}) AS HUGEINT) AS raw_fp FROM joined
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           mean_ref, mean_proxy, excess,
+           CAST(raw_fp AS DOUBLE)
+             / CAST((SELECT sum(raw_fp) FROM fx) AS DOUBLE) AS weight
+    FROM fx
+    """,
+    tags=("sampling", "mixing", "doremi", "lm"),
+)
+def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023): up-weight
+    the sources where a context-aware proxy model still underperforms
+    a context-free reference — one exact multiplicative DRO step over
+    the corpus's own language models, the per-source analog of the
+    repo's one-exact-Lloyd-iteration convention.
+
+    Models (zero training, fully deterministic — the repo's corpus-as-
+    model idiom): reference = unigram probabilities under the corpus
+    distribution (text_unigram_prob's model), proxy = Laplace-smoothed
+    bigram conditionals (text_bigram_lm_score's).  Per source:
+    mean_ref − mean_proxy clipped at 0 is the EXCESS-loss stand-in
+    (probabilities instead of log-losses — the documented
+    no-transcendentals deviation, monotone-equivalent for ranking
+    sources), the baseline weight is the source's exact token share,
+    and the update is baseline × (1 + η·excess) — exp(η·x)'s one-step
+    linearization, again transcendental-free — normalized to sum 1.
+
+    Cross-engine exactness: every probability is one exact-int-ratio
+    double division; per-source means accumulate in the tie-free
+    fixed point floor(p·2⁴⁰) summed as DECIMAL(38,0)/HUGEINT (one
+    double division at the boundary), so no cross-row float
+    accumulation order exists; the weight normalization divides
+    fixed-point integers (Σ over |sources| rows would otherwise be an
+    order-sensitive double sum).
+
+    Scale shape: two uniform token-keyed count shuffles (unigram +
+    bigram tables, heavy-hitter tolerant via map-side partials), the
+    probability re-joins key on token text (broadcast or shuffle-hash
+    — Catalyst picks), and everything after the per-source aggregate
+    is |sources|-row metadata.  Nothing corpus-sized is collected or
+    broadcast; the output IS the mixture table a sampler
+    (q_mixture_temperature / q_stratified_sample) consumes.
+    """
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    toked = (
+        spread(docs)
+        .select("doc_id", "source", F.split("text", " ").alias("_ts"))
+        .localCheckpoint(eager=False)
+    )
+    ts = F.col("_ts")
+    tok = toked.select("source", F.explode(ts).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    ntot = uni.agg(F.sum("cu").alias("n"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    fp = F.lit(_DRM_FP)
+
+    def fx_mean(p_col):
+        return (
+            F.sum(F.floor(p_col * fp).cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * fp)
+        )
+
+    usrc = (
+        tok.join(uni, "token")
+        .crossJoin(F.broadcast(ntot))
+        .select("source", (F.col("cu").cast("double") / F.col("n")).alias("p"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tok"), fx_mean(F.col("p")).alias("mean_ref"))
+    )
+
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toked.select("source", F.inline(pairs))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bsrc = (
+        big.join(bcnt, ["w1", "w2"])
+        .join(uni, big["w1"] == uni["token"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            ((F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))).alias("p"),
+        )
+        .groupBy("source")
+        .agg(fx_mean(F.col("p")).alias("mean_proxy"))
+    )
+
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (
+        usrc.join(bsrc, "source")
+        .join(ndocs, "source")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tok",
+            "mean_ref",
+            "mean_proxy",
+            F.greatest(F.col("mean_ref") - F.col("mean_proxy"), F.lit(0.0)).alias("excess"),
+            (
+                (F.col("n_tok").cast("double") / F.col("n"))
+                * (
+                    F.lit(1.0)
+                    + F.lit(float(_DRM_ETA))
+                    * F.greatest(F.col("mean_ref") - F.col("mean_proxy"), F.lit(0.0))
+                )
+            ).alias("raw"),
+        )
+        .withColumn("raw_fp", F.floor(F.col("raw") * fp).cast("decimal(38,0)"))
+    )
+    denom = joined.agg(F.sum("raw_fp").alias("den"))
+    return (
+        joined.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            "mean_ref",
+            "mean_proxy",
+            "excess",
+            (F.col("raw_fp").cast("double") / F.col("den").cast("double")).alias("weight"),
+        )
+    )

@@ -57,6 +57,7 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_events_anomaly",
     "q_mixture_temperature",
+    "q_mixture_doremi_weights",
     "q_dsir_resample",
     "q_events_m4_downsample",
     "q_events_value_histogram",

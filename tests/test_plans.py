@@ -1141,3 +1141,15 @@ def test_unbounded_following_rewritten_out(spark, sf_dir):
     assert all(f.strip() == "unboundedpreceding$()" for f in frames), frames
     # the min/max reversal is present: a window sorted DESC NULLS LAST
     assert "DESC NULLS LAST" in plan
+
+
+def test_doremi_weights_no_forced_broadcast(spark, sf_dir):
+    """q_mixture_doremi_weights: the unigram/bigram count tables grow
+    with the corpus vocabulary, so under threshold=-1 (100x-scale
+    stats stand-in) their re-joins must plan as shuffle joins; the
+    only surviving broadcasts are the 1-row totals (ntot/vocab/denom)
+    — metadata-sized at any corpus scale.  Never a cartesian."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "q_mixture_doremi_weights"))
+        assert "BroadcastHashJoin" not in plan
+        assert "CartesianProduct" not in plan
