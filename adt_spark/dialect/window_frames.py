@@ -112,10 +112,12 @@ text — see `rewrite_window_frames` for why the order matters) rewrites
 ``sum / count / avg / min / max / first_value / last_value`` and the
 variance family ``OVER (… ORDER BY o ROWS BETWEEN <moving start> AND
 UNBOUNDED FOLLOWING)`` into O(n) complements — whole-partition minus
-running prefix for the arithmetic family (the variance forms via the
-same n/Σx/Σx² moment algebra the EXCLUDE pass uses), the same
-aggregate over the REVERSED order for min/max, lead()/edge-value
-forms for first/last —
+running prefix for sum/count/avg, the same aggregate over the
+REVERSED order for min/max AND the variance family (set-determined
+aggregates keep Spark's numerically stable native evaluation over the
+complementary running frame; a moment-algebra complement was measured
+catastrophically cancelling on large-magnitude integers),
+lead()/edge-value forms for first/last —
 because Spark executes every moving-start UNBOUNDED FOLLOWING frame
 through UnboundedFollowingWindowFunctionFrame, re-aggregating from
 scratch per row: O(n²) per partition, measured 469.7 s vs 3.1 s at
@@ -180,8 +182,10 @@ def _warn_subtraction_once(fn: str) -> None:
     _subtraction_warned = True
     warnings.warn(
         "window-frame rewrite: using frame-aggregate subtraction for "
-        f"{fn}(); results are exact for integer/decimal arguments but may "
-        "differ in low-order bits for floating-point ones (see "
+        f"{fn}(); sum/count/avg results are exact for integer/decimal "
+        "arguments but may differ in low-order bits for floating-point "
+        "ones; the variance forms square values in DOUBLE and can lose "
+        "precision when |mean| is large relative to the spread (see "
         "adt_spark/dialect/window_frames.py docstring)",
         RuntimeWarning,
         stacklevel=4,
@@ -1297,35 +1301,27 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
                 "ELSE NULL END)"
             )
         elif fn in _VAR_FNS:
-            # the EXCLUDE pass's moment algebra over the suffix
-            # complement: n, Σx, Σx² each as total − prefix (all O(n)
-            # frames), then (Σx² − (Σx)²/n) / (n | n−1) clamped at 0,
-            # sqrt for the stddev forms, NULL below the minimum count.
-            # Same float caveat (and the same one-time warning) as the
-            # subtraction rewrites; ``var`` is DataFusion's spelling —
-            # only sum/count arithmetic survives into the output.
-            sample, is_std = _VAR_FNS[fn]
-            _warn_subtraction_once(fn)
-            ed = f"CAST(({e}) AS DOUBLE)"
-            ncnt = f"(count({e}) OVER ({w_unb}) - count({e}) OVER ({w_pre}))"
-            s1 = (
-                f"(COALESCE(sum({ed}) OVER ({w_unb}), 0) "
-                f"- COALESCE(sum({ed}) OVER ({w_pre}), 0))"
-            )
-            s2 = (
-                f"(COALESCE(sum({ed} * {ed}) OVER ({w_unb}), 0) "
-                f"- COALESCE(sum({ed} * {ed}) OVER ({w_pre}), 0))"
-            )
-            ssq = f"greatest({s2} - ({s1} * {s1}) / {ncnt}, 0)"
-            denom = f"({ncnt} - 1)" if sample else f"{ncnt}"
-            min_n = 2 if sample else 1
-            var_txt = f"({ssq}) / {denom}"
-            if is_std:
-                var_txt = f"sqrt({var_txt})"
-            repl = (
-                f"(CASE WHEN {ncnt} < {min_n} THEN NULL "
-                f"ELSE {var_txt} END)"
-            )
+            # Variance is SET-determined, so it rides the same
+            # reversed-order running frame as min/max — Spark's own
+            # numerically stable CentralMomentAgg (Welford) over
+            # exactly the suffix set, evaluated incrementally (moving
+            # END, O(n)).  The moment-algebra complement (n/Σx/Σx²
+            # as total − prefix, the EXCLUDE pass's recipe) was tried
+            # first and MEASURED catastrophically wrong here: on
+            # BIGINT values ~1e8 with true variance ~0.7 it returned
+            # exactly 0.0 for every row (Σx² − (Σx)²/n cancels in
+            # doubles and the 0-clamp launders the garbage), where
+            # this pass REPLACES a working native evaluation — unlike
+            # EXCLUDE, which is a new capability with no baseline, a
+            # silent 100%-wrong answer is never an acceptable trade
+            # for O(n).  ``var`` is DataFusion's sample-variance
+            # spelling; Spark lacks the name, so it maps to var_samp.
+            spark_fn = "var_samp" if fn == "var" else fn
+            w_rev = (
+                part_clause + f"ORDER BY {_reverse_order(order_text)} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND {_row_bound(-delta)}"
+            ).strip()
+            repl = f"{spark_fn}({e}) OVER ({w_rev})"
         else:  # sum / avg
             # same float-subtraction disclosure as the EXCLUDE pass —
             # and MORE important here: this pass rewrites queries that

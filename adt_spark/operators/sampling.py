@@ -534,12 +534,19 @@ _DRM_ETA = 10
     ),
     ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     joined AS (
-      SELECT u.source, ndocs.n_docs, u.n_tok, u.mean_ref, b.mean_proxy,
-             greatest(u.mean_ref - b.mean_proxy, 0) AS excess,
+      -- LEFT join: a source whose docs are all single-token has no
+      -- bigrams and no bsrc row; it must keep its baseline token
+      -- share (excess 0), not silently vanish from the mixture
+      SELECT u.source, ndocs.n_docs, u.n_tok, u.mean_ref,
+             coalesce(b.mean_proxy, u.mean_ref) AS mean_proxy,
+             greatest(u.mean_ref - coalesce(b.mean_proxy, u.mean_ref), 0)
+               AS excess,
              (CAST(u.n_tok AS DOUBLE) / (SELECT n FROM ntot))
-               * (1 + {_DRM_ETA} * greatest(u.mean_ref - b.mean_proxy, 0))
+               * (1 + {_DRM_ETA}
+                  * greatest(u.mean_ref - coalesce(b.mean_proxy,
+                                                   u.mean_ref), 0))
                AS raw
-      FROM usrc u JOIN bsrc b USING (source) JOIN ndocs USING (source)
+      FROM usrc u LEFT JOIN bsrc b USING (source) JOIN ndocs USING (source)
     ),
     fx AS (
       SELECT *, CAST(floor(raw * {_DRM_FP}) AS HUGEINT) AS raw_fp FROM joined
@@ -580,6 +587,13 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point integers (Σ over |sources| rows would otherwise be an
     order-sensitive double sum).
 
+    Machinery note: the tokenize/bigram/Laplace construction
+    deliberately mirrors quality.text_bigram_lm_score (its docstring
+    is the canonical description) and the fixed-point mean is corpus
+    rule 6's recipe — the per-module copies exist because each
+    operator's DuckDB oracle must carry the full derivation in its own
+    SQL text; a semantic fix must move all copies together.
+
     Scale shape: two uniform token-keyed count shuffles (unigram +
     bigram tables, heavy-hitter tolerant via map-side partials), the
     probability re-joins key on token text (broadcast or shuffle-hash
@@ -593,9 +607,9 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables(spark, sf_dir)["documents"]
     toked = (
         spread(docs)
-        .select("doc_id", "source", F.split("text", " ").alias("_ts"))
+        .select("source", F.split("text", " ").alias("_ts"))
         .localCheckpoint(eager=False)
-    )
+    )  # one row per doc; doc_id is unused downstream (ndocs counts rows)
     ts = F.col("_ts")
     tok = toked.select("source", F.explode(ts).alias("token"))
     uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
@@ -642,9 +656,12 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(fx_mean(F.col("p")).alias("mean_proxy"))
     )
 
-    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    ndocs = toked.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    # LEFT join bsrc (all-single-token sources have no bigrams) —
+    # COALESCE to mean_ref so excess is 0 and the baseline share holds
+    proxy = F.coalesce(F.col("mean_proxy"), F.col("mean_ref"))
     joined = (
-        usrc.join(bsrc, "source")
+        usrc.join(bsrc, "source", "left")
         .join(ndocs, "source")
         .crossJoin(F.broadcast(ntot))
         .select(
@@ -652,14 +669,14 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tok",
             "mean_ref",
-            "mean_proxy",
-            F.greatest(F.col("mean_ref") - F.col("mean_proxy"), F.lit(0.0)).alias("excess"),
+            proxy.alias("mean_proxy"),
+            F.greatest(F.col("mean_ref") - proxy, F.lit(0.0)).alias("excess"),
             (
                 (F.col("n_tok").cast("double") / F.col("n"))
                 * (
                     F.lit(1.0)
                     + F.lit(float(_DRM_ETA))
-                    * F.greatest(F.col("mean_ref") - F.col("mean_proxy"), F.lit(0.0))
+                    * F.greatest(F.col("mean_ref") - proxy, F.lit(0.0))
                 )
             ).alias("raw"),
         )

@@ -737,6 +737,12 @@ UBF_ROWS = [
     (2, 1, 2), (None, 2, 2), (None, 3, 2), (7, 4, 2), (8, 5, 2),
     (None, 6, 2),
     (None, 1, 3),  # single-row group with a NULL value
+    # large-magnitude group: |mean| ~1e8 with spread ~2 — the variance
+    # rewrite's cancellation trap (a moment-algebra complement read
+    # exactly 0.0 here while the true variance is ~0.7; the reversed
+    # running frame keeps Spark's stable native evaluation)
+    (100000001, 1, 4), (100000002, 2, 4), (100000003, 3, 4),
+    (100000001, 4, 4), (100000004, 5, 4),
 ]
 
 
@@ -970,12 +976,31 @@ def test_moving_start_ubf_variance_matches_duckdb(spark, ubf_t, fn, lo):
     incremental evaluation (floats rounded at 1e-9 — both sides
     divide exact small-int moments, differing only in low-order
     division bits)."""
+    import math
+
     q = (
         f"SELECT a, o, g, {fn} OVER (PARTITION BY g ORDER BY o "
         f"ROWS BETWEEN {lo} AND UNBOUNDED FOLLOWING) AS v FROM ubf_t"
     )
     rq = rewrite_window_frames(q)
     assert rq != q
-    got = _round9f(spark.sql(rq).collect())
-    want = _round9f(ubf_t.execute(q).fetchall())
-    assert got == want
+    # RELATIVE tolerance: at the large-magnitude group (~1e8) both
+    # engines' stable native evaluations agree to ~1e-9 relative
+    # (Welford accumulation-order noise on squared 1e8-scale
+    # deviations) — an absolute round-9 compare would fail on
+    # correct answers (and would have PASSED the cancellation bug's
+    # exact 0.0s at small magnitudes, which is why the group exists)
+    def key(r):
+        return tuple(-1e18 if x is None else float(x) for x in r[:3])
+
+    got = sorted([tuple(r) for r in spark.sql(rq).collect()], key=key)
+    want = sorted([tuple(r) for r in ubf_t.execute(q).fetchall()], key=key)
+    assert len(got) == len(want)
+    for g_, w_ in zip(got, want):
+        assert g_[:3] == w_[:3]
+        gv, wv = g_[3], w_[3]
+        if gv is None or wv is None:
+            assert gv is None and wv is None, (g_, w_)
+        else:
+            assert math.isclose(float(gv), float(wv),
+                                rel_tol=1e-6, abs_tol=1e-9), (g_, w_)
