@@ -695,3 +695,171 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("raw_fp").cast("double") / F.col("den").cast("double")).alias("weight"),
         )
     )
+
+
+#: top-k for the learnability selection.
+_RHO_K = 100
+
+
+@register(
+    "q_select_learnable_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos, ts[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+           unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    vocab AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+    ntot AS (SELECT count(*) AS n FROM tok),
+    uscored AS (
+      SELECT tok.doc_id, tok.pos,
+             CAST(vocab.freq AS DOUBLE) / (SELECT n FROM ntot) AS p
+      FROM tok JOIN vocab USING (token)
+    ),
+    uref AS (
+      SELECT doc_id,
+             list_sum(list_transform(
+                 list_sort(list({{'pos': pos, 'p': p}})), s -> s.p)) / count(*)
+               AS mean_ref
+      FROM uscored GROUP BY doc_id
+    ),
+    t2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, u.i AS pos, ts[u.i] AS w1, ts[u.i + 1] AS w2
+      FROM t2, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+    ),
+    nvocab AS (SELECT count(*) AS v FROM vocab),
+    bcnt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    bscored AS (
+      SELECT b.doc_id, b.pos,
+             CAST(bcnt.cb + 1 AS DOUBLE) / (vocab.freq + (SELECT v FROM nvocab))
+               AS p
+      FROM big b
+      JOIN bcnt ON bcnt.w1 = b.w1 AND bcnt.w2 = b.w2
+      JOIN vocab ON vocab.token = b.w1
+    ),
+    bprox AS (
+      SELECT doc_id,
+             list_sum(list_transform(
+                 list_sort(list({{'pos': pos, 'p': p}})), s -> s.p)) / count(*)
+               AS mean_proxy
+      FROM bscored GROUP BY doc_id
+    ),
+    ranked AS (
+      SELECT u.doc_id, u.mean_ref,
+             coalesce(b.mean_proxy, u.mean_ref) AS mean_proxy,
+             greatest(u.mean_ref - coalesce(b.mean_proxy, u.mean_ref), 0)
+               AS excess,
+             row_number() OVER (
+               ORDER BY greatest(u.mean_ref
+                                 - coalesce(b.mean_proxy, u.mean_ref), 0)
+                        DESC, u.doc_id) AS rn
+      FROM uref u LEFT JOIN bprox b USING (doc_id)
+    )
+    SELECT doc_id, mean_ref, mean_proxy, excess, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_RHO_K}
+    """,
+    tags=("sampling", "selection", "lm", "rho"),
+)
+def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style data selection (Mindermann et al. 2022:
+    prioritize points that are learnable, worth learning, and not yet
+    learnt): rank documents by REDUCIBLE loss — how much worse the
+    context-aware proxy model scores a doc than the context-free
+    reference — and keep the top {_RHO_K}.  Docs of normal words in
+    surprising SEQUENCES rank high (learnable signal); word soup ranks
+    low on both models (noise, excess ≈ 0); boilerplate ranks low
+    (already "learnt" by even the weak model).  The per-document
+    companion of q_mixture_doremi_weights' per-source step — same
+    corpus-as-model idiom, same no-transcendentals deviation (clipped
+    probability differences stand in for log-loss gaps,
+    monotone-equivalent for ranking).
+
+    Cross-engine exactness: both per-doc means fold in POSITION order
+    (the text_unigram_prob / text_bigram_lm_score recipe — no
+    cross-row float accumulation); the ranking tiebreaks (excess DESC,
+    doc_id) into a total order; single-token docs (no bigrams)
+    LEFT-join in with excess 0 rather than vanishing.
+
+    Scale shape: the two LM scorings are uniform token-keyed count
+    shuffles + equi-joins (heavy-hitter tolerant; Catalyst picks
+    broadcast vs shuffle-hash); the doc-level join is doc_id-keyed;
+    the global top-k is one WindowGroupLimit pass over doc-level rows
+    (k constant).  Nothing corpus-sized touches the driver.
+    """
+    from pyspark.sql import Window as W
+
+    from adt_spark.context import spread
+
+    docs = tables(spark, sf_dir)["documents"]
+    toked = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("_ts"))
+        .localCheckpoint(eager=False)
+    )
+    ts = F.col("_ts")
+    tok = toked.select("doc_id", F.posexplode(ts).alias("pos", "token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ntot = uni.agg(F.sum("freq").alias("n"))
+    nvocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    def pos_mean(df):
+        fold = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "p"))),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return df.groupBy("doc_id").agg(
+            (fold / F.count(F.lit(1))).alias("m")
+        )
+
+    uref = pos_mean(
+        tok.join(uni, "token")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", "pos", (F.col("freq").cast("double") / F.col("n")).alias("p"))
+    ).withColumnRenamed("m", "mean_ref")
+
+    pairs = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+    big = toked.select("doc_id", F.inline(pairs))
+    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bprox = pos_mean(
+        big.join(bcnt, ["w1", "w2"])
+        .join(uni, big["w1"] == uni["token"])
+        .crossJoin(F.broadcast(nvocab))
+        .select(
+            "doc_id",
+            "pos",
+            ((F.col("cb") + F.lit(1)).cast("double") / (F.col("freq") + F.col("v"))).alias("p"),
+        )
+    ).withColumnRenamed("m", "mean_proxy")
+
+    proxy = F.coalesce(F.col("mean_proxy"), F.col("mean_ref"))
+    ranked = (
+        uref.join(bprox, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mean_ref",
+            proxy.alias("mean_proxy"),
+            F.greatest(F.col("mean_ref") - proxy, F.lit(0.0)).alias("excess"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("excess").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= _RHO_K)

@@ -58,6 +58,7 @@ HEADLINE = [
     "q_events_anomaly",
     "q_mixture_temperature",
     "q_mixture_doremi_weights",
+    "q_select_learnable_docs",
     "q_dsir_resample",
     "q_events_m4_downsample",
     "q_events_value_histogram",

@@ -1153,3 +1153,20 @@ def test_doremi_weights_no_forced_broadcast(spark, sf_dir):
         plan = _formatted(_q(spark, sf_dir, "q_mixture_doremi_weights"))
         assert "BroadcastHashJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_learnable_docs_topk_and_no_forced_broadcast(spark, sf_dir):
+    """q_select_learnable_docs: the global top-k must plan as a
+    WindowGroupLimit (per-partition heaps before the single-partition
+    final), and under threshold=-1 the vocab/bigram-count re-joins may
+    not force-broadcast (they grow with the corpus); the only
+    surviving broadcasts are 1-row totals."""
+    plan = _formatted(_q(spark, sf_dir, "q_select_learnable_docs"))
+    # Spark pushes the rank<=k filter as either a WindowGroupLimit or
+    # (observed) a TakeOrderedAndProject feeding the Window — both are
+    # per-partition top-k heaps, never a full global sort
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "q_select_learnable_docs"))
+        assert "BroadcastHashJoin" not in plan
