@@ -431,6 +431,68 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus-LM quality scoring: per-doc mean unigram probability
 # ---------------------------------------------------------------------------
 
+#: (applicationId, sf_dir) → (toked, uni, bcnt) — the shared corpus-LM
+#: stems (tokenized docs; unigram counts; bigram counts), each
+#: localCheckpointed.  Release with clear_quality_state().
+_LM_MEMO: dict = {}
+
+
+def _lm_pairs_expr():
+    """Adjacent (pos, w1, w2) structs over a ``_ts`` token-array column
+    — the ONE copy of the bigram construction (sequence(1,0) DESCENDS,
+    so single-token docs are guarded to an empty array)."""
+    ts = F.col("_ts")
+    return F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(ts, i).alias("w1"),
+                F.element_at(ts, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+
+
+def _lm_stems(spark: SparkSession, sf_dir: str):
+    """(toked, uni, bcnt): tokenized documents (doc_id, source, _ts),
+    unigram counts (token, cu) and bigram counts (w1, w2, cb) —
+    memoized per session+corpus (the dedup._SHINGLE_MEMO discipline)
+    and shared by text_unigram_prob / text_bigram_lm_score (here) and
+    q_mixture_doremi_weights / q_select_learnable_docs (sampling.py),
+    which previously each re-tokenized and re-counted the corpus per
+    call.  The count tables are the two heavy uniform shuffles of the
+    whole LM family; computing them once per session is the same
+    measured win as the PQ codes memo."""
+    from adt_spark.context import spread
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _LM_MEMO.get(key)
+    if memo is not None:
+        return memo
+    docs = tables(spark, sf_dir)["documents"]
+    toked = (
+        spread(docs)
+        .select("doc_id", "source", F.split("text", " ").alias("_ts"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        toked.select(F.explode(F.col("_ts")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=False)
+    )
+    bcnt = (
+        toked.select(F.inline(_lm_pairs_expr()))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    memo = (toked, uni, bcnt)
+    _LM_MEMO[key] = memo
+    return memo
+
 
 @register(
     "text_unigram_prob",
@@ -478,24 +540,21 @@ def text_unigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp divergence; a monotone transform adds no information to a
     threshold filter anyway).
     """
-    from adt_spark.context import spread
-
-    docs = tables(spark, sf_dir)["documents"]
-    tok = spread(docs).select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    toked, uni, _bcnt = _lm_stems(spark, sf_dir)
+    tok = toked.select(
+        "doc_id", F.posexplode(F.col("_ts")).alias("pos", "token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
     # 1-row exact token total, broadcast-cross-joined so the whole
     # operator stays ONE lazy DAG (no driver-side count job at plan
     # construction; the row is exact int either way)
-    total = vocab.agg(F.sum("freq").alias("tot"))
+    total = uni.agg(F.sum("cu").alias("tot"))
     scored = (
-        tok.join(vocab, "token")
+        tok.join(uni, "token")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "pos",
-            (F.col("freq").cast("double") / F.col("tot")).alias("p"),
+            (F.col("cu").cast("double") / F.col("tot")).alias("p"),
         )
     )
     fold = F.aggregate(
@@ -574,37 +633,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver.  Survives 100 TB because every stage keys on
     uniformly-distributed token text, never on doc_id skew.
     """
-    from adt_spark.context import spread
-
-    docs = tables(spark, sf_dir)["documents"]
-    # tokenize ONCE and materialize: `big` feeds both the bigram count
-    # and the scored re-join, and `tok` is a third consumer — without
-    # the barrier the scan+split would run ~3× per execution (the same
-    # shared-stem discipline as dedup._shingle_arrays / _CODES_MEMO)
-    toked = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("_ts"))
-        .localCheckpoint(eager=False)
-    )
-    ts = F.col("_ts")
-    # adjacent pairs in array-land; sequence(1, 0) DESCENDS, so guard
-    # single-token docs (same discipline as the shingle builders)
-    pairs = F.when(
-        F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.element_at(ts, i).alias("w1"),
-                F.element_at(ts, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
-    big = toked.select("doc_id", F.inline(pairs))
-    tok = toked.select("doc_id", F.explode(ts).alias("token"))
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    # the tokenized docs and the two LM count tables come from the
+    # shared session memo (_lm_stems) — four operators consume them
+    toked, uni, bcnt = _lm_stems(spark, sf_dir)
+    big = toked.select("doc_id", F.inline(_lm_pairs_expr()))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
         big.join(bcnt, ["w1", "w2"])
         .join(uni, big["w1"] == uni["token"])
@@ -1406,6 +1439,7 @@ def clear_quality_state() -> None:
     """Release memoized quality intermediates (checkpoint blocks are
     reclaimed by the ContextCleaner once unreferenced)."""
     _WEAKLABEL_MEMO.clear()
+    _LM_MEMO.clear()
 
 
 def weak_label_col() -> "F.Column":

@@ -602,17 +602,12 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the output IS the mixture table a sampler
     (q_mixture_temperature / q_stratified_sample) consumes.
     """
-    from adt_spark.context import spread
+    from adt_spark.operators.quality import _lm_stems, _lm_pairs_expr
 
-    docs = tables(spark, sf_dir)["documents"]
-    toked = (
-        spread(docs)
-        .select("source", F.split("text", " ").alias("_ts"))
-        .localCheckpoint(eager=False)
-    )  # one row per doc; doc_id is unused downstream (ndocs counts rows)
-    ts = F.col("_ts")
-    tok = toked.select("source", F.explode(ts).alias("token"))
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cu"))
+    # shared session LM stems (quality._lm_stems): tokenized docs +
+    # the two count tables, each computed once per session+corpus
+    toked, uni, bcnt = _lm_stems(spark, sf_dir)
+    tok = toked.select("source", F.explode(F.col("_ts")).alias("token"))
     ntot = uni.agg(F.sum("cu").alias("n"))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
@@ -632,18 +627,7 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tok"), fx_mean(F.col("p")).alias("mean_ref"))
     )
 
-    pairs = F.when(
-        F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.struct(
-                F.element_at(ts, i).alias("w1"),
-                F.element_at(ts, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big = toked.select("source", F.inline(pairs))
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    big = toked.select("source", F.inline(_lm_pairs_expr())).drop("pos")
     bsrc = (
         big.join(bcnt, ["w1", "w2"])
         .join(uni, big["w1"] == uni["token"])
@@ -789,18 +773,11 @@ def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from adt_spark.context import spread
+    from adt_spark.operators.quality import _lm_stems, _lm_pairs_expr
 
-    docs = tables(spark, sf_dir)["documents"]
-    toked = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("_ts"))
-        .localCheckpoint(eager=False)
-    )
-    ts = F.col("_ts")
-    tok = toked.select("doc_id", F.posexplode(ts).alias("pos", "token"))
-    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    ntot = uni.agg(F.sum("freq").alias("n"))
+    toked, uni, bcnt = _lm_stems(spark, sf_dir)
+    tok = toked.select("doc_id", F.posexplode(F.col("_ts")).alias("pos", "token"))
+    ntot = uni.agg(F.sum("cu").alias("n"))
     nvocab = uni.agg(F.count(F.lit(1)).alias("v"))
 
     def pos_mean(df):
@@ -819,22 +796,10 @@ def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     uref = pos_mean(
         tok.join(uni, "token")
         .crossJoin(F.broadcast(ntot))
-        .select("doc_id", "pos", (F.col("freq").cast("double") / F.col("n")).alias("p"))
+        .select("doc_id", "pos", (F.col("cu").cast("double") / F.col("n")).alias("p"))
     ).withColumnRenamed("m", "mean_ref")
 
-    pairs = F.when(
-        F.size(ts) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ts) - 1),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.element_at(ts, i).alias("w1"),
-                F.element_at(ts, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
-    big = toked.select("doc_id", F.inline(pairs))
-    bcnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    big = toked.select("doc_id", F.inline(_lm_pairs_expr()))
     bprox = pos_mean(
         big.join(bcnt, ["w1", "w2"])
         .join(uni, big["w1"] == uni["token"])
@@ -842,7 +807,7 @@ def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "pos",
-            ((F.col("cb") + F.lit(1)).cast("double") / (F.col("freq") + F.col("v"))).alias("p"),
+            ((F.col("cb") + F.lit(1)).cast("double") / (F.col("cu") + F.col("v"))).alias("p"),
         )
     ).withColumnRenamed("m", "mean_proxy")
 
