@@ -250,14 +250,18 @@ def main() -> None:
             # poisoned by two consecutive elevated-band runs and
             # shield the very tail the history exists to expose;
             # the cost of an unlucky-fast min is one extra
-            # re-measure per run, capped at 20.
+            # re-measure per run, capped at 40.
             return min(h)
         return med
 
+    # cap 40: an elevated window can push dozens of small queries
+    # past 2x their typicals; a tighter cap left band entries with
+    # remeasured=null (observed run: 20+ outliers, four disclosures
+    # missing their second observation)
     outliers = sorted(
         (n for n, t in timings.items() if t > max(2.0, 2 * _typical(n))),
         key=lambda n: -timings[n],
-    )[:20]
+    )[:40]
     remeasured: dict[str, float] = {}
     for name in outliers:
         remeasured[name] = round(run_once(name), 4)
