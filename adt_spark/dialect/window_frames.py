@@ -173,19 +173,30 @@ def _warn_subtraction_once(fn: str) -> None:
     textual rewrite cannot see column types): exact for integer /
     bigint / decimal-sum arguments, but FLOATING-POINT arguments can
     differ from a native EXCLUDE in low-order bits (frame_sum −
-    excluded is not the inverse of summing the survivors), and
-    DECIMAL avg gets sum/count scale.  Emitted so a hash-gate
-    divergence is traceable to the rewrite rather than the engine."""
+    excluded is not the inverse of summing the survivors), DECIMAL
+    sum widens the declared precision by the subtraction (values
+    exact), and DECIMAL avg is re-derived as sum/count at Spark's
+    DIVISION scale and rounding — not native avg's (p+4, s+4)
+    HALF_UP — so both its declared type and low-order digits can
+    differ.  Emitted so a hash-gate divergence is traceable to the
+    rewrite rather than the engine.  (Callers: the EXCLUDE pass only
+    — the moving-start UNBOUNDED FOLLOWING pass switched sum/avg to
+    the type-faithful reversed complementary frame, round-7 ADVICE
+    item 1; EXCLUDE has no working-native baseline to silently
+    change, it is a new capability, so the disclosure suffices.)"""
     global _subtraction_warned
     if _subtraction_warned or fn == "count":
         return
     _subtraction_warned = True
     warnings.warn(
         "window-frame rewrite: using frame-aggregate subtraction for "
-        f"{fn}(); sum/count/avg results are exact for integer/decimal "
+        f"{fn}(); sum/count results are exact for integer/decimal "
         "arguments but may differ in low-order bits for floating-point "
-        "ones; the variance forms square values in DOUBLE and can lose "
-        "precision when |mean| is large relative to the spread (see "
+        "ones; DECIMAL sum widens its declared precision, and DECIMAL "
+        "avg takes Spark's sum/count DIVISION scale and rounding "
+        "instead of native avg's (p+4, s+4) HALF_UP; the variance "
+        "forms square values in DOUBLE and can lose precision when "
+        "|mean| is large relative to the spread (see "
         "adt_spark/dialect/window_frames.py docstring)",
         RuntimeWarning,
         stacklevel=4,
@@ -1167,13 +1178,24 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
     [i+δ, partition end]; prefix P = rows [start, i+δ−1], its exact
     complement):
 
-    - ``sum/avg``: total − prefix over two O(n) frames (whole
-      partition + running prefix), count-guarded so an empty or
-      all-NULL suffix stays NULL.  Exact for integer/decimal
-      arguments; the module docstring's float-subtraction caveat
-      applies (a direct suffix sum can differ in low-order bits).
-      DECIMAL avg returns Spark's sum/count division scale.
-    - ``count``: total − prefix, unguarded (count of empty is 0).
+    - ``sum/avg``: the NATIVE aggregate over the REVERSED order with
+      frame [UNBOUNDED PRECEDING, −δ], which visits exactly S — the
+      same complementary-frame trick as min/max and the variance
+      family below.  Keeping Spark's own evaluation preserves the
+      argument's result type and rounding exactly: DECIMAL sum keeps
+      its declared precision and DECIMAL avg keeps native avg's
+      (p+4, s+4) scale with HALF_UP rounding, where the earlier
+      whole-partition-minus-prefix complement silently widened the
+      sum type and re-derived avg at Spark's division scale
+      (round-7 ADVICE item 1).  Empty and all-NULL suffixes stay
+      NULL natively, no count guard needed.  FLOAT arguments can
+      differ from the un-rewritten form in low-order bits only
+      because the reversed frame folds the suffix in the opposite
+      order — the same set-determined-but-fold-order-sensitive
+      caveat as the variance family.
+    - ``count``: total − prefix, unguarded (count of empty is 0) —
+      integer subtraction, exact, and it shares the forward-order
+      sort with any sibling running aggregates.
     - ``min/max``: the same aggregate over the REVERSED order with
       frame [UNBOUNDED PRECEDING, −δ], which visits exactly S —
       Spark's moving-end frames aggregate incrementally, O(n).  No
@@ -1323,23 +1345,20 @@ def _rewrite_moving_start_ubf(sql: str) -> str:
             ).strip()
             repl = f"{spark_fn}({e}) OVER ({w_rev})"
         else:  # sum / avg
-            # same float-subtraction disclosure as the EXCLUDE pass —
-            # and MORE important here: this pass rewrites queries that
-            # already ran (slowly but exactly) on Spark, so a low-order
-            # float divergence would otherwise be untraceable
-            _warn_subtraction_once(fn)
-            ncnt = f"(count({e}) OVER ({w_unb}) - count({e}) OVER ({w_pre}))"
-            s_txt = (
-                f"(sum({e}) OVER ({w_unb}) "
-                f"- COALESCE(sum({e}) OVER ({w_pre}), 0))"
-            )
-            if fn == "sum":
-                repl = f"(CASE WHEN {ncnt} = 0 THEN NULL ELSE {s_txt} END)"
-            else:
-                repl = (
-                    f"(CASE WHEN {ncnt} = 0 THEN NULL "
-                    f"ELSE {s_txt} / {ncnt} END)"
-                )
+            # native aggregate over the reversed complementary frame
+            # (see the mapping docstring): unlike the subtraction
+            # complement this keeps Spark's own result type and
+            # rounding — a textual rewrite cannot see column types,
+            # and this pass REPLACES a working native evaluation, so
+            # a silent DECIMAL scale/precision change (sum widens,
+            # avg re-derives at division scale) is never an
+            # acceptable trade for O(n); the reversed frame is O(n)
+            # AND type-faithful for every argument type
+            w_rev = (
+                part_clause + f"ORDER BY {_reverse_order(order_text)} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND {_row_bound(-delta)}"
+            ).strip()
+            repl = f"{fn}({e}) OVER ({w_rev})"
         edits.append((fn_start, close_pos + 1, repl))
 
     if not edits:

@@ -1471,7 +1471,12 @@ def _sem_block_input(spark: SparkSession, sf_dir: str):
         emb = tables(spark, sf_dir)["embeddings"].select(
             "vec_id", _vec_double().alias("vec")
         )
-        if sem_k > _KM_K:
+        if sem_k > 0:
+            # ANY positive k takes the seeds path (round-7 ADVICE
+            # item 3: values in 1.._KM_K were silently ignored); at
+            # sem_k == _KM_K it degenerates to the fixture recipe
+            # bit-for-bit (_small_vecs filtered at < _KM_K IS this
+            # collect, and the two-assign pipeline is the same code)
             seeds = {
                 int(r.vec_id): list(r.vec)
                 for r in emb.filter(F.col("vec_id") < sem_k).collect()
@@ -1913,6 +1918,34 @@ def emb_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_encode(v, _pq_trained_codebooks(spark, sf_dir))
 
 
+def _vec_np_batch(col, n: int) -> "np.ndarray":
+    """Zero-copy an Arrow ``array<double>`` vector column into an
+    (n × _DIM) float64 ndarray — the ingest step shared by the three
+    Arrow kernels (_pq_encode, _ivf_encode, the PQ distortion eval).
+    ``ListArray.flatten().to_numpy()`` reads the child value buffer
+    in place (round-7 ADVICE item 4: the previous ``to_pylist()``
+    round-tripped every element through Python objects, O(rows·dim)
+    allocation on the kernels' only hot ingest path), and a NULL /
+    ragged embedding raises with a named error instead of numpy's
+    opaque object-dtype failure."""
+    import numpy as np
+
+    if col.null_count:
+        raise ValueError(
+            f"NULL embedding vector in Arrow batch ({col.null_count} of "
+            f"{n} rows): the PQ/IVF kernels require a non-null vec — "
+            "filter or impute upstream"
+        )
+    flat = col.flatten()
+    if flat.null_count or len(flat) != n * _DIM:
+        raise ValueError(
+            f"ragged or NULL-element embedding in Arrow batch: expected "
+            f"{n}×{_DIM} doubles, got {len(flat)} values with "
+            f"{flat.null_count} nulls"
+        )
+    return flat.to_numpy(zero_copy_only=True).reshape(n, _DIM)
+
+
 def _pq_np_codebooks(anchors: dict[int, list[float]]):
     """(ascending cid array, per-subspace (K × SUB) float64 codebook
     matrices) — the driver-side model state every Arrow PQ kernel
@@ -1965,9 +1998,12 @@ def _pq_encode(
 ) -> DataFrame:
     """Encode (vec_id, vec) rows against a PQ codebook — the shared
     kernel of emb_pq_assign (encoding), ann_pq_adc_topk (which
-    searches the codes) and ann_ivf_pq_topk (which carries the IVF
-    cell through via ``extra`` so assignment + encoding stay one
-    narrow stage of one scan).
+    searches the codes) and PQ codebook training (which carries the
+    raw vector through via ``extra=("vec",)`` so assignment + the
+    posexploded residual means stay one narrow stage of one scan).
+    ann_ivf_pq_topk uses the sibling _ivf_encode, which fuses the
+    coarse-cell argmax INTO this kernel's math so cell assignment +
+    encoding are likewise one scan.
 
     This is the repo's SECOND documented Arrow seam (after
     dedup_semantic's block-cosine), and like the first it is measured,
@@ -2006,9 +2042,8 @@ def _pq_encode(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            vec = np.asarray(
-                b.column(b.schema.get_field_index("vec")).to_pylist(),
-                dtype=np.float64,
+            vec = _vec_np_batch(
+                b.column(b.schema.get_field_index("vec")), b.num_rows
             )
             codes, recon = _pq_np_min(vec, cbs, cid_arr)
             arrays = [
@@ -2637,10 +2672,7 @@ def _ivf_encode(
             n = b.num_rows
             if n == 0:
                 continue
-            vec = np.asarray(
-                b.column(b.schema.get_field_index("vec")).to_pylist(),
-                dtype=np.float64,
-            )
+            vec = _vec_np_batch(b.column(b.schema.get_field_index("vec")), n)
             # ascending-index folds, elementwise — same order as _dot
             nrm = vec[:, 0] * vec[:, 0]
             dots = vec[:, 0:1] * cmat[None, :, 0]
@@ -2996,9 +3028,8 @@ def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             if b.num_rows == 0:
                 continue
-            vec = np.asarray(
-                b.column(b.schema.get_field_index("vec")).to_pylist(),
-                dtype=np.float64,
+            vec = _vec_np_batch(
+                b.column(b.schema.get_field_index("vec")), b.num_rows
             )
             _, e0 = _pq_np_min(vec, cbs_a, cid_a)
             _, e1 = _pq_np_min(vec, cbs_t, cid_t)

@@ -1551,15 +1551,17 @@ def q_window_unbounded_following(spark: SparkSession, sf_dir: str) -> DataFrame:
     them incrementally (a ported adt script hits the cliff only on
     Spark; DataFusion 48 accepts the full frame grammar,
     crates/core/src/context.rs:32-33 via crates/cli/src/main.rs:116).
-    The rewrite: sum/count/avg become whole-partition minus running
-    prefix (count-guarded for empty/all-NULL suffixes) — the average
-    is spelled as count-guarded sum/count in the SHARED text because
-    DuckDB's native windowed avg accumulates doubles (measured 1.4e-14
-    off the exact integer ratio at sf0.01; the avg() rewrite itself is
-    matrix-tested in tests/test_window_frames.py) — min/max run
-    the same aggregate over the REVERSED order with the complementary
-    moving-END frame, first_value becomes lead(), last_value the
-    count-guarded partition edge value.  The oracle is the
+    The rewrite: count becomes whole-partition minus running prefix
+    (integer subtraction, exact); sum/avg/min/max run the same NATIVE
+    aggregate over the REVERSED order with the complementary
+    moving-END frame (type-faithful for DECIMAL — round-7 ADVICE
+    item 1 — and O(n), Spark evaluates moving-END incrementally);
+    first_value becomes lead(), last_value the count-guarded
+    partition edge value.  The average is spelled as count-guarded
+    sum/count in the SHARED text because DuckDB's native windowed avg
+    accumulates doubles (measured 1.4e-14 off the exact integer ratio
+    at sf0.01; the avg() rewrite itself is matrix-tested in
+    tests/test_window_frames.py).  The oracle is the
     UN-rewritten SQL on DuckDB's conformant incremental evaluator —
     grading the rewrite against the original semantics directly.
     Start offsets cover FOLLOWING / CURRENT ROW / PRECEDING and a

@@ -814,6 +814,36 @@ def test_moving_start_ubf_desc_and_multikey(spark, ubf_t):
         assert got == want
 
 
+def test_moving_start_ubf_decimal_type_faithful(spark):
+    """sum/avg over DECIMAL through the moving-start rewrite keep the
+    NATIVE result schema and values bit-for-bit (round-7 ADVICE item
+    1: the earlier subtraction complement silently widened decimal
+    sum's precision and re-derived avg at Spark's division scale —
+    this pins the reversed-complementary-frame form against Spark's
+    own un-rewritten O(n²) evaluation, the ground truth this pass
+    replaces)."""
+    spark.createDataFrame(
+        [(1, "1.23"), (2, "4.56"), (3, "7.89"), (4, None), (5, "0.01")],
+        "o int, a string",
+    ).selectExpr(
+        "o", "CAST(a AS DECIMAL(7,2)) AS a"
+    ).createOrReplaceTempView("ubf_dec_t")
+    q = (
+        "SELECT o, sum(a) OVER (ORDER BY o ROWS BETWEEN 1 FOLLOWING "
+        "AND UNBOUNDED FOLLOWING) AS s, "
+        "avg(a) OVER (ORDER BY o ROWS BETWEEN CURRENT ROW "
+        "AND UNBOUNDED FOLLOWING) AS m FROM ubf_dec_t"
+    )
+    rq = rewrite_window_frames(q)
+    assert rq != q, "rewrite must fire on this shape"
+    native, rewritten = spark.sql(q), spark.sql(rq)
+    assert rewritten.schema == native.schema, (
+        rewritten.schema.simpleString(), native.schema.simpleString()
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(rewritten.collect()) == key(native.collect())
+
+
 def test_moving_start_ubf_passthrough_shapes():
     """Shapes outside the sound space pass through BYTE-IDENTICAL
     (the original is slow but correct on Spark — this pass never
@@ -957,9 +987,10 @@ def test_moving_start_ubf_review_fixes():
     q = (f"SELECT min(concat(a, ',')) OVER (ORDER BY o {ubf}) FROM t")
     assert _rewrite_moving_start_ubf(q) != q
     # EXCLUDE NO OTHERS: the full rewriter must de-quadraticize it
+    # (sum now takes the reversed complementary moving-END frame)
     q = f"SELECT sum(a) OVER (ORDER BY o {ubf} EXCLUDE NO OTHERS) FROM t"
     out = rewrite_window_frames(q)
-    assert "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING" in out
+    assert "UNBOUNDED PRECEDING AND 1 PRECEDING" in out
     assert "1 FOLLOWING AND UNBOUNDED FOLLOWING" not in out
     assert "EXCLUDE" not in out.upper().replace("EXCLUDE NO OTHERS", "") or \
         "EXCLUDE" not in out.upper()

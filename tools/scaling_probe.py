@@ -194,10 +194,17 @@ def main() -> None:
         # driver-side state on a real cluster
         point["_heap_with_memos_mb"] = round(driver_heap_mb(spark), 1)
         from adt_spark.operators.dedup import clear_dedup_state
+        from adt_spark.operators.quality import clear_quality_state
         from adt_spark.operators.similarity import clear_similarity_state
         from adt_spark.operators.text import clear_text_state
 
+        # quality's _LM_MEMO holds three localCheckpointed stems per
+        # (session, corpus) — text_bigram_lm_score (a FAMILIES member)
+        # populates it, and leaving it live would both bias
+        # _heap_after_clear_mb and accumulate across the 1x/3x/10x
+        # points (round-7 ADVICE item 2)
         clear_dedup_state(), clear_similarity_state(), clear_text_state()
+        clear_quality_state()
         time.sleep(3)  # let the ContextCleaner reclaim checkpoint blocks
         point["_heap_after_clear_mb"] = round(driver_heap_mb(spark), 1)
         results[f"{mult}x"] = point
