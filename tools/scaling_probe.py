@@ -44,6 +44,30 @@ FAMILIES = [
     "text_bigram_lm_score",
 ]
 
+#: --vocab zipf measures the TEXT families only (round-7 verdict item
+#: 1): SCALING.md note 2 attributed containment's 20× shuffle growth
+#: to the 32-word fixture vocabulary (PPJoin prefix postings collide
+#: when the shingle space is tiny), and the token-keyed LM joins'
+#: heavy-hitter tolerance under real Zipf skew was an argument, not a
+#: measurement — this mode settles both.  The embedding families are
+#: vocabulary-independent and keep their fixture-vocab numbers.
+ZIPF_FAMILIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "text_bigram_lm_score",
+    "q_mixture_doremi_weights",
+    "q_select_learnable_docs",
+]
+
+#: Zipf vocabulary shape: ~50k types, exponent 1.1 — the standard
+#: natural-text fit (Zipf 1949; α for web corpora measured 1.0–1.2),
+#: so the head tokens are genuine heavy hitters (rank-1 token covers
+#: ~7% of all positions) while the tail stays mostly-unique, exactly
+#: the posting-list/skew regime a real crawl presents.
+ZIPF_TYPES = 50_000
+ZIPF_ALPHA = 1.1
+
 VOCAB = (
     "batch part spark line column order small sort fast value scan query "
     "agg table hash key group stream filter customer vector slow join "
@@ -53,21 +77,44 @@ VOCAB = (
 LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy like the fixture
 
 
-def gen_corpus(mult: int, root: str) -> str:
+def gen_corpus(mult: int, root: str, vocab: str = "fixture") -> str:
     """documents.parquet + embeddings.parquet at ``mult``x the sf0.1
-    shape, fully determined by (SEED, mult).  2% exact duplicates and
-    8% near-duplicates (one-word perturbations of a recent doc) keep
-    the dedup candidate population proportional to corpus size."""
+    shape, fully determined by (SEED, mult, vocab).  2% exact
+    duplicates and 8% near-duplicates (one-word perturbations of a
+    recent doc) keep the dedup candidate population proportional to
+    corpus size.  vocab="zipf" draws tokens rank-wise from a ~50k-type
+    Zipf(α=1.1) distribution instead of the 32-word fixture list —
+    realistic head skew AND a mostly-unique tail in one corpus."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(root, f"scale_{mult}x")
+    suffix = "" if vocab == "fixture" else f"_{vocab}"
+    out = os.path.join(root, f"scale_{mult}x{suffix}")
     if os.path.exists(os.path.join(out, "embeddings.parquet")):
         return out
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(SEED + mult)
     n_docs = BASE_DOCS * mult
+
+    if vocab == "zipf":
+        # rank r drawn with p(r) ∝ r^-α, truncated at ZIPF_TYPES —
+        # numpy's rng.zipf is the unbounded variant, so draw from the
+        # exact truncated pmf instead (deterministic given SEED+mult)
+        ranks = np.arange(1, ZIPF_TYPES + 1, dtype=np.float64)
+        pmf = ranks ** -ZIPF_ALPHA
+        cdf = np.cumsum(pmf / pmf.sum())
+
+        def draw_words(n: int) -> list[str]:
+            # inverse-CDF sampling: O(n log types) per call vs
+            # rng.choice(p=...) rebuilding the 50k-entry CDF each doc
+            return [f"w{r + 1}" for r in np.searchsorted(cdf, rng.random(n))]
+
+    else:
+
+        def draw_words(n: int) -> list[str]:
+            return [VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), n)]
+
     texts, langs, sources = [], [], []
     for i in range(n_docs):
         if i > 50 and i % 50 == 1:
@@ -75,13 +122,11 @@ def gen_corpus(mult: int, root: str) -> str:
         elif i > 50 and i % 12 == 3:
             words = texts[i - 3].split()
             j = int(rng.integers(0, len(words)))
-            words[j] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+            words[j] = draw_words(1)[0]
             texts.append(" ".join(words))  # near duplicate
         else:
             n = int(rng.integers(8, 100))
-            texts.append(
-                " ".join(VOCAB[int(k)] for k in rng.integers(0, len(VOCAB), n))
-            )
+            texts.append(" ".join(draw_words(n)))
         langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
         sources.append(f"src{i % 20}")
     docs = pa.table(
@@ -138,8 +183,14 @@ def main() -> None:
     ap.add_argument("--mults", default="1,3,10")
     ap.add_argument("--root", default="/tmp/adt_scaling")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--vocab", default="fixture", choices=["fixture", "zipf"],
+        help="zipf: ~50k-type Zipf(1.1) text, measures the text/LM "
+             "families only (round-7 verdict item 1)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    families = ZIPF_FAMILIES if args.vocab == "zipf" else FAMILIES
 
     from adt_spark.context import build_session
     from adt_spark.queries import load_all
@@ -157,7 +208,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     for mult in mults:
-        sf_dir = gen_corpus(mult, args.root)
+        sf_dir = gen_corpus(mult, args.root, args.vocab)
         point = {}
 
         def run_one(name: str, label: str | None = None) -> None:
@@ -176,17 +227,18 @@ def main() -> None:
             print(f"[{mult}x] {label or name}: {point[label or name]}",
                   file=sys.stderr)
 
-        for name in FAMILIES:
+        for name in families:
             run_one(name)
-        # SemDeDup with its production k (∝ corpus / target cluster
-        # size) — the ADT_SEM_K scale knob the fixed-k measurement
-        # forces (clusters otherwise grow with the corpus and pairs go
-        # n²/k); expected to restore ~linear growth
-        os.environ["ADT_SEM_K"] = str(max(4, (BASE_VECS * mult) // 2000))
-        try:
-            run_one("dedup_semantic", "dedup_semantic_scaled_k")
-        finally:
-            os.environ.pop("ADT_SEM_K", None)
+        if args.vocab == "fixture":
+            # SemDeDup with its production k (∝ corpus / target cluster
+            # size) — the ADT_SEM_K scale knob the fixed-k measurement
+            # forces (clusters otherwise grow with the corpus and pairs
+            # go n²/k); expected to restore ~linear growth
+            os.environ["ADT_SEM_K"] = str(max(4, (BASE_VECS * mult) // 2000))
+            try:
+                run_one("dedup_semantic", "dedup_semantic_scaled_k")
+            finally:
+                os.environ.pop("ADT_SEM_K", None)
         # local-mode caveat: executor block-manager state (the
         # memoized localCheckpoints) lives in the SAME JVM as the
         # driver, so heap is reported both with the memos live and
@@ -217,7 +269,10 @@ def main() -> None:
     print("| family | " + " | ".join(
         f"{m}x wall s / shuf W MB" for m in mults) + " |")
     print("|" + "---|" * (len(mults) + 1))
-    for name in FAMILIES + ["dedup_semantic_scaled_k"]:
+    table_rows = families + (
+        ["dedup_semantic_scaled_k"] if args.vocab == "fixture" else []
+    )
+    for name in table_rows:
         cells = [
             f"{results[f'{m}x'][name]['wall_sec']} / "
             f"{results[f'{m}x'][name]['shuffle_write_mb']}"
