@@ -913,16 +913,15 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km_assign(v, cents1).select("vec_id", "cluster_id")
 
 
-def _km_assign(v: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-    """Lloyd assignment column over (vec_id, vec) rows: struct-min
-    argmin over centroid literals, (dist, cid) tiebreak — shared by
-    emb_kmeans_assign and emb_kmeans_iter2 (one copy of the
-    exactness-critical fold)."""
+def _argmin_cid_expr(vec_col, cents: dict[int, list[float]]):
+    """struct-min argmin over centroid literals, (dist, cid) tiebreak
+    — the exactness-critical Lloyd fold as a reusable Column (shared
+    by _km_assign and the distributed-SemDeDup coarse-cell router)."""
     structs = [
         F.struct(
             F.aggregate(
                 F.zip_with(
-                    "vec",
+                    vec_col,
                     F.array(*[F.lit(float(x)) for x in cvec]),
                     lambda a, b: (a - b) * (a - b),
                 ),
@@ -933,8 +932,16 @@ def _km_assign(v: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
         )
         for cid, cvec in sorted(cents.items())
     ]
+    return F.array_min(F.array(*structs)).getField("cid")
+
+
+def _km_assign(v: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Lloyd assignment column over (vec_id, vec) rows: struct-min
+    argmin over centroid literals, (dist, cid) tiebreak — shared by
+    emb_kmeans_assign and emb_kmeans_iter2 (one copy of the
+    exactness-critical fold)."""
     return v.withColumn(
-        "cluster_id", F.array_min(F.array(*structs)).getField("cid")
+        "cluster_id", _argmin_cid_expr(F.col("vec"), cents)
     )
 
 
