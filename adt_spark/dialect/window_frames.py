@@ -51,10 +51,17 @@ q_window_exclude):
   non-peer rows of a straddling value-offset RANGE frame are exactly
   the VALUE half-frames ``[lo, 1 PRECEDING]`` / ``[1 FOLLOWING, hi]``
   (key < k ⇔ key ≤ k−1), so the same least/greatest and count-guarded
-  combines apply in value space with no dense_rank.  Integrality is a
-  runtime property a textual rewrite cannot see, so the emitted SQL
-  carries a whole-partition guard that ``raise_error()``s loudly on
-  fractional, huge-double (k±1 == k), NaN or infinite keys instead of
+  combines apply in value space with no dense_rank.  Since round 8 the
+  split also covers ``INTERVAL '<n>' DAY`` offsets: 1 DAY is the unit
+  step of DATE-key space (key < k ⇔ key ≤ k − 1 DAY for DATE keys and
+  midnight-aligned TIMESTAMP keys), so the same half-frames apply with
+  ``INTERVAL '1' DAY`` steps; non-DAY interval units have no discrete
+  key-space step and stay at the loud parse gate.  Integrality (or
+  day-alignment) is a runtime property a textual rewrite cannot see,
+  so the emitted SQL carries a whole-partition guard that
+  ``raise_error()``s loudly on
+  fractional, huge-double (k±1 == k), NaN or infinite keys — or, for
+  the day split, on sub-day TIMESTAMP keys — instead of
   silently mis-framing; NULL-keyed rows take the measured-behavior
   arms (frame = null peer group under two numeric bounds; partition-
   spanning when an UNBOUNDED bound points away from the null
@@ -207,7 +214,30 @@ _KEY_RE = re.compile(r"\b(groups|exclude)\b", re.IGNORECASE)
 
 _OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
 
-_BOUND = r"(?:unbounded\s+preceding|unbounded\s+following|current\s+row|\d+\s+(?:preceding|following))"
+_BOUND = (
+    r"(?:unbounded\s+preceding|unbounded\s+following|current\s+row"
+    r"|\d+\s+(?:preceding|following)"
+    # DAY-unit intervals only: 1 day is the discrete unit step that
+    # makes the value-space split sound for DATE keys (key < k ⇔
+    # key ≤ k − 1 DAY); other units stay at the loud parse gate.
+    # The quoted alternative admits blanks because the frame regex
+    # runs on the literal-MASKED spec (quote bodies are spaces there);
+    # _parse_spec recovers the real digits from the source by span.
+    r"|interval\s+(?:'[\d\s]*'|\d+)\s+days?\s+(?:preceding|following))"
+)
+
+#: a normalized (lowercased, whitespace-collapsed) INTERVAL DAY bound
+_DAY_BOUND_RE = re.compile(r"^interval\s+(?:'\d+'|\d+)\s+days?\s+(?:preceding|following)$")
+
+
+def _bound_kind(b: str) -> str | None:
+    """'num' / 'day' / None for a normalized frame bound — routes the
+    value-space split between integer-key and date-key variants."""
+    if _DAY_BOUND_RE.match(b):
+        return "day"
+    if b[0].isdigit():
+        return "num"
+    return None
 _FRAME_RE = re.compile(
     rf"\b(?P<mode>rows|range|groups)\s+"
     rf"(?:between\s+(?P<lo>{_BOUND})\s+and\s+(?P<hi>{_BOUND})|(?P<single>{_BOUND}))",
@@ -350,8 +380,16 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
     frame = None
     pre_end = frame_zone_end
     if fm:
-        lo = fm.group("lo") or fm.group("single")
-        hi = fm.group("hi") or "current row"
+        # bound TEXT comes from the SOURCE by span: the regex matched
+        # the literal-masked spec, where a quoted interval magnitude
+        # (INTERVAL '2' DAY) is blanked out
+        lo_g = "lo" if fm.group("lo") else "single"
+        lo = spec_src[fm.start(lo_g): fm.end(lo_g)]
+        hi = (
+            spec_src[fm.start("hi"): fm.end("hi")]
+            if fm.group("hi")
+            else "current row"
+        )
         # normalized LOWERCASE (like mode/exclude): downstream
         # comparisons — _straddles, the split-frame empty-half checks
         # — match literally.  '0 PRECEDING' / '0 FOLLOWING' ARE the
@@ -361,9 +399,10 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
         # to the non-straddling no-op path — unsound).
         lo = " ".join(lo.lower().split())
         hi = " ".join(hi.lower().split())
-        if lo in ("0 preceding", "0 following"):
+        zero_day = re.compile(r"^interval\s+'?0'?\s+days?\s+(preceding|following)$")
+        if lo in ("0 preceding", "0 following") or zero_day.match(lo):
             lo = "current row"
-        if hi in ("0 preceding", "0 following"):
+        if hi in ("0 preceding", "0 following") or zero_day.match(hi):
             hi = "current row"
         frame = {
             "mode": fm.group("mode").lower(),
@@ -380,8 +419,9 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
     if re.search(r"(?i)\b(rows|range|groups)\s+(between|unbounded|current|\d)",
                  pre_masked):
         raise _Unsupported(
-            f"unsupported window-frame bounds (INTERVAL / fractional "
-            f"offsets are not rewritable): {spec_src!r}"
+            f"unsupported window-frame bounds (non-DAY INTERVAL units / "
+            f"fractional offsets are not rewritable — only DAY has a "
+            f"discrete unit step in key space): {spec_src!r}"
         )
     pm = _PRE_RE.match(pre_masked)
     if pm is None:
@@ -720,8 +760,16 @@ def _rewrite_groups_exclude(sql: str) -> str:
             lo = frame["lo"] if frame is not None else "unbounded preceding"
             hi = frame["hi"] if frame is not None else "current row"
             vs_range = False  # value-space split (integer-key RANGE)
+            vs_day = False    # … in DATE space (INTERVAL DAY offsets)
             if dr_order is None:
-                if any(b[0].isdigit() for b in (lo, hi)):
+                kinds = {k for k in (_bound_kind(lo), _bound_kind(hi)) if k}
+                if kinds == {"num", "day"}:
+                    raise _Unsupported(
+                        "RANGE frame mixing a numeric and an INTERVAL DAY "
+                        f"offset is not valid SQL: {spec['src']!r}"
+                    )
+                vs_day = kinds == {"day"}
+                if kinds:
                     # Straddling RANGE frame with numeric VALUE offsets:
                     # in VALUE space, for an INTEGRAL order key, the
                     # non-peer frame rows are exactly the two value
@@ -740,6 +788,13 @@ def _rewrite_groups_exclude(sql: str) -> str:
                     # away from the null placement → the frame spans
                     # the partition (surviving = the non-NULL-key rows,
                     # plus the current row under TIES).
+                    #
+                    # INTERVAL DAY offsets (vs_day) are the same split
+                    # in DATE space: 1 DAY is the unit step, so
+                    # key < k ⇔ key ≤ k − 1 DAY for DATE keys (and for
+                    # TIMESTAMP keys whose values are all midnight-
+                    # aligned — the runtime guard below enforces
+                    # exactly that, the date analog of integrality).
                     vs_range = True
                 else:
                     key = (spec["partition"] or "", spec["order"])
@@ -751,13 +806,15 @@ def _rewrite_groups_exclude(sql: str) -> str:
             has_lower = lo not in ("current row", "0 preceding")
             has_upper = hi not in ("current row", "0 following")
             half_ord = order_text if vs_range else dr_order
+            step_pre = "INTERVAL '1' DAY PRECEDING" if vs_day else "1 PRECEDING"
+            step_fol = "INTERVAL '1' DAY FOLLOWING" if vs_day else "1 FOLLOWING"
             wl = (
                 part_clause + f"ORDER BY {half_ord} "
-                + f"RANGE BETWEEN {lo.upper()} AND 1 PRECEDING"
+                + f"RANGE BETWEEN {lo.upper()} AND {step_pre}"
             ).strip()
             wu = (
                 part_clause + f"ORDER BY {half_ord} "
-                + f"RANGE BETWEEN 1 FOLLOWING AND {hi.upper()}"
+                + f"RANGE BETWEEN {step_fol} AND {hi.upper()}"
             ).strip()
             e = args
             if fn in ("min", "max"):
@@ -824,23 +881,48 @@ def _rewrite_groups_exclude(sql: str) -> str:
                     f"(CASE WHEN ({korder}) IS NULL THEN {null_arm} "
                     f"ELSE {repl} END)"
                 )
-                # integrality guard: fractional, huge-double (k±1 == k,
-                # which also catches NaN under Spark's NaN = NaN), or
-                # infinite keys make `key < k ⇔ key ≤ k−1` false — the
-                # split would silently mis-frame, so it errors loudly.
-                guard = (
-                    f"max(CASE WHEN ({korder}) IS NOT NULL AND "
-                    f"(floor({korder}) <> ({korder}) "
-                    f"OR ({korder}) - 1 = ({korder}) "
-                    f"OR ({korder}) + 1 = ({korder})) THEN 1 ELSE 0 END) "
-                    f"OVER ({wfull})"
-                )
+                if vs_day:
+                    # day-step guard: `key < k ⇔ key ≤ k − 1 DAY` holds
+                    # when every key value is a whole day — trivially
+                    # true for DATE keys, and checked at runtime for
+                    # TIMESTAMP keys (a sub-day component would make
+                    # the split silently mis-frame, so it errors
+                    # loudly — the date analog of the integrality
+                    # guard below).
+                    guard = (
+                        f"max(CASE WHEN ({korder}) IS NOT NULL AND "
+                        f"CAST(CAST(({korder}) AS DATE) AS TIMESTAMP) "
+                        f"<> CAST(({korder}) AS TIMESTAMP) "
+                        f"THEN 1 ELSE 0 END) OVER ({wfull})"
+                    )
+                    guard_msg = (
+                        f"EXCLUDE {exclude.upper()} over an INTERVAL-DAY "
+                        f"RANGE frame is exact only for DATE or midnight-"
+                        f"aligned TIMESTAMP order keys; found a sub-day "
+                        f"key — use a GROUPS frame or the DataFrame API"
+                    )
+                else:
+                    # integrality guard: fractional, huge-double
+                    # (k±1 == k, which also catches NaN under Spark's
+                    # NaN = NaN), or infinite keys make
+                    # `key < k ⇔ key ≤ k−1` false — the split would
+                    # silently mis-frame, so it errors loudly.
+                    guard = (
+                        f"max(CASE WHEN ({korder}) IS NOT NULL AND "
+                        f"(floor({korder}) <> ({korder}) "
+                        f"OR ({korder}) - 1 = ({korder}) "
+                        f"OR ({korder}) + 1 = ({korder})) THEN 1 ELSE 0 END) "
+                        f"OVER ({wfull})"
+                    )
+                    guard_msg = (
+                        f"EXCLUDE {exclude.upper()} over a value-offset "
+                        f"RANGE frame is exact only for integral order-key "
+                        f"values; found a fractional/degenerate key — use "
+                        f"a GROUPS frame or the DataFrame API"
+                    )
                 repl = (
                     f"(CASE WHEN {guard} = 1 THEN raise_error("
-                    f"'EXCLUDE {exclude.upper()} over a value-offset RANGE "
-                    f"frame is exact only for integral order-key values; "
-                    f"found a fractional/degenerate key — use a GROUPS "
-                    f"frame or the DataFrame API') "
+                    f"'{guard_msg}') "
                     f"ELSE {repl} END)"
                 )
             edits.append((fn_start, close_pos + 1, repl))

@@ -491,11 +491,13 @@ _DRM_FP = 1099511627776.0
 #: multiplicative step size for the excess-loss update.
 _DRM_ETA = 10
 
-
-@register(
-    "q_mixture_doremi_weights",
-    oracle=f"""
-    WITH t AS (
+#: the DoReMi per-source derivation as composable oracle CTEs (`fx`
+#: ends with one row per source carrying n_docs / n_tok / mean_ref /
+#: mean_proxy / excess / raw / raw_fp) — shared by
+#: q_mixture_doremi_weights (the weights table) and
+#: pipeline_doremi_resample (the sampler that consumes it), the same
+#: sharing discipline as _DSIR_CTES.
+_DRM_CTES = f"""t AS (
       SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents
     ),
     tok AS (SELECT source, unnest(ts) AS token FROM t),
@@ -550,7 +552,13 @@ _DRM_ETA = 10
     ),
     fx AS (
       SELECT *, CAST(floor(raw * {_DRM_FP}) AS HUGEINT) AS raw_fp FROM joined
-    )
+    )"""
+
+
+@register(
+    "q_mixture_doremi_weights",
+    oracle=f"""
+    WITH {_DRM_CTES}
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(n_tok AS BIGINT) AS n_tokens,
@@ -602,6 +610,30 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the output IS the mixture table a sampler
     (q_mixture_temperature / q_stratified_sample) consumes.
     """
+    joined = _doremi_sources(spark, sf_dir)
+    denom = joined.agg(F.sum("raw_fp").alias("den"))
+    return (
+        joined.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tok").cast("long").alias("n_tokens"),
+            "mean_ref",
+            "mean_proxy",
+            "excess",
+            (F.col("raw_fp").cast("double") / F.col("den").cast("double")).alias("weight"),
+        )
+    )
+
+
+def _doremi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DoReMi per-source table (one row per source: n_docs, n_tok,
+    mean_ref, mean_proxy, excess, raw, raw_fp) — the Spark twin of the
+    ``_DRM_CTES`` oracle chain, shared by q_mixture_doremi_weights
+    (which normalizes raw_fp into the weights) and
+    pipeline_doremi_resample (which turns excess into per-source
+    acceptance rates).  See q_mixture_doremi_weights' docstring for
+    the model/exactness rationale."""
     from adt_spark.operators.quality import _lm_stems, _lm_pairs_expr
 
     # shared session LM stems (quality._lm_stems): tokenized docs +
@@ -666,18 +698,92 @@ def q_mixture_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("raw_fp", F.floor(F.col("raw") * fp).cast("decimal(38,0)"))
     )
-    denom = joined.agg(F.sum("raw_fp").alias("den"))
-    return (
-        joined.crossJoin(F.broadcast(denom))
-        .select(
-            "source",
-            F.col("n_docs").cast("long").alias("n_docs"),
-            F.col("n_tok").cast("long").alias("n_tokens"),
-            "mean_ref",
-            "mean_proxy",
-            "excess",
-            (F.col("raw_fp").cast("double") / F.col("den").cast("double")).alias("weight"),
+    return joined
+
+
+@register(
+    "pipeline_doremi_resample",
+    oracle=f"""
+    WITH {_DRM_CTES},
+    acc AS (
+      SELECT source,
+             CAST(floor((1 + {_DRM_ETA} * excess) * {_MIX_FP}) AS BIGINT)
+               AS acc_fp
+      FROM fx
+    ),
+    mx AS (SELECT max(acc_fp) AS max_fp FROM acc),
+    keyed AS (
+      SELECT d.doc_id, d.source, a.acc_fp,
+             list_aggregate(list_transform(generate_series(1, 8), i ->
+                 CAST(instr('0123456789abcdef',
+                            substr(md5('drm-' || CAST(d.doc_id AS VARCHAR)),
+                                   CAST(i AS INT), 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 8 - i) AS BIGINT)), 'sum') AS frac32
+      FROM documents d JOIN acc a USING (source)
+    )
+    SELECT doc_id, source
+    FROM keyed, mx
+    WHERE CAST(frac32 AS HUGEINT) * CAST(max_fp AS HUGEINT)
+          < CAST(4294967296 AS HUGEINT) * CAST(acc_fp AS HUGEINT)
+    """,
+    tags=("sampling", "mixing", "doremi", "pipeline"),
+)
+def pipeline_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DoReMi pipeline: derive the domain weights
+    (q_mixture_doremi_weights' per-source step) and immediately
+    CONSUME them as a deterministic resampler over the corpus — the
+    composition the weights table exists for.
+
+    Sampler algebra: the DoReMi weight is raw_s / Σraw with raw_s =
+    token_share_s × (1 + η·excess_s).  Accepting each document of
+    source s with probability p_s ∝ (1 + η·excess_s) — normalized so
+    the largest factor accepts everything — makes the EXPECTED token
+    share of the accepted corpus ∝ share_s × p_s ∝ raw_s, i.e. the
+    resampled mix converges to the DoReMi weights without any
+    per-document weight column (the q_mixture_temperature trick with
+    the DRO factor in place of count^α).
+
+    Cross-engine exactness: acceptance factors become tie-free
+    fixed-point BIGINTs (floor((1+η·excess)·2^20) — excess is already
+    a bit-identical double on both engines, see
+    q_mixture_doremi_weights); membership is the pure-integer
+    ``md5_frac32 × max_fp < 2^32 × acc_fp`` test (widened to
+    DECIMAL(38)/HUGEINT), salt ``drm-`` so the draw is independent of
+    q_mixture_temperature's.
+
+    Scale shape: everything corpus-sized upstream is the shared
+    memoized LM stems (two uniform token-keyed count shuffles); the
+    per-source table and its max are |sources|-row metadata BROADCAST
+    back onto one corpus scan — the acceptance pass itself is
+    zero-shuffle and row-local, so composing "reweight" with
+    "resample" costs one extra corpus scan and no new shuffle
+    (machine-checked in test_plans.py).
+    """
+    src = _doremi_sources(spark, sf_dir)
+    acc = src.select(
+        "source",
+        F.floor(
+            (F.lit(1.0) + F.lit(float(_DRM_ETA)) * F.col("excess")) * F.lit(float(_MIX_FP))
         )
+        .cast("bigint")
+        .alias("acc_fp"),
+    )
+    mx = acc.agg(F.max("acc_fp").alias("max_fp"))
+    docs = tables(spark, sf_dir)["documents"]
+    frac32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("drm-"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (
+        docs.join(F.broadcast(acc), "source")
+        .crossJoin(F.broadcast(mx))
+        .filter(
+            dec(frac32) * dec(F.col("max_fp"))
+            < dec(F.lit(4294967296)) * dec(F.col("acc_fp"))
+        )
+        .select("doc_id", "source")
     )
 
 

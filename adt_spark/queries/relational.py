@@ -1494,6 +1494,78 @@ def q_window_exclude_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_window_frames(sql))
 
 
+_DVR_ORD = "PARTITION BY o_orderstatus ORDER BY od "
+_DVR_F = "INTERVAL '3' DAY PRECEDING AND INTERVAL '3' DAY FOLLOWING"
+#: one SQL text for BOTH engines (DuckDB native EXCLUDE, conformant on
+#: straddling frames, vs Spark through the rewriter).  Arguments are
+#: value-determined: min/max over o_orderkey (set-determined on a
+#: value-defined row set), first/last over the order key itself, and
+#: the subtraction family over an exact-integer derivation — tied
+#: order dates cannot make the comparison nondeterministic.
+_DVR_SELECT = f"""SELECT o_orderkey,
+       min(o_orderkey) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE GROUP) AS min_ok_xg,
+       max(o_orderkey) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE TIES) AS max_ok_xt,
+       first_value(od) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE GROUP) AS fv_xg,
+       last_value(od) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE TIES) AS lv_xt,
+       min(o_orderkey) OVER ({_DVR_ORD}RANGE BETWEEN UNBOUNDED PRECEDING
+         AND INTERVAL '3' DAY FOLLOWING EXCLUDE GROUP) AS min_ok_unb,
+       CAST(sum(okm) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE GROUP) AS BIGINT) AS sum_xg,
+       CAST(count(okm) OVER ({_DVR_ORD}RANGE BETWEEN {_DVR_F}
+         EXCLUDE TIES) AS BIGINT) AS cnt_xt"""
+
+
+@register(
+    "q_window_exclude_range_date",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS od,
+             o_orderkey % 97 AS okm
+      FROM orders
+    )
+    {_DVR_SELECT}
+    FROM t
+    """,
+    tags=("window", "exclude"),
+)
+def q_window_exclude_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP/TIES on the order-statistic family over RANGE
+    frames with ``INTERVAL DAY`` offsets and a DATE order key — the
+    round-7 verdict's item 4 (the next soundly rewritable subset after
+    integers): 1 DAY is the unit step of DATE-key space, so the
+    non-peer frame rows are exactly ``RANGE [lo, INTERVAL '1' DAY
+    PRECEDING]`` ∪ ``RANGE [INTERVAL '1' DAY FOLLOWING, hi]``
+    (key < k ⇔ key ≤ k − 1 DAY), combined with the same least/greatest
+    and count-guarded forms as the integer split.  The emitted SQL
+    carries a whole-partition runtime day-alignment guard
+    (raise_error() on sub-day TIMESTAMP keys — a textual rewrite
+    cannot see column types); od is NOT NULL here, so the NULL-key
+    CASE arms are dead-but-present (the NULL behavior is pinned
+    against DuckDB native EXCLUDE in tests/test_window_frames.py's
+    date matrix).  DataFusion 48 accepts the full frame grammar
+    (crates/core/src/context.rs:32-33 via crates/cli/src/main.rs:116).
+    sum/count ride along proving the subtraction family composes over
+    the same newly-parsed interval frames.  The oracle is the
+    IDENTICAL text on DuckDB's native EXCLUDE.
+    """
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    o = tables(spark, sf_dir)["orders"]
+    o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("od"),
+        (F.col("o_orderkey") % 97).alias("okm"),
+    ).createOrReplaceTempView("adt_wx_drng_t")
+    sql = f"{_DVR_SELECT}\nFROM adt_wx_drng_t"
+    return spark.sql(rewrite_window_frames(sql))
+
+
 _UF_ORD = "PARTITION BY rf ORDER BY qty, l_orderkey, l_linenumber "
 #: one SQL text for BOTH engines: DuckDB runs it natively (its
 #: incremental evaluator is conformant here), Spark runs it through

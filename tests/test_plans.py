@@ -1155,6 +1155,27 @@ def test_doremi_weights_no_forced_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_doremi_resample_weights_broadcast_no_new_shuffle(spark, sf_dir):
+    """pipeline_doremi_resample: the per-source acceptance table is
+    |sources|-row metadata and must reach the corpus scan as a FORCED
+    broadcast (it survives threshold=-1 — safe at any corpus scale,
+    unlike a corpus-sized forced hint), and composing the sampler onto
+    the weights derivation must add ZERO data shuffles: the resample
+    plan's Exchange count equals the weights plan's (the acceptance
+    pass is one broadcast-joined row-local corpus scan)."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "pipeline_doremi_resample"))
+        assert "BroadcastHashJoin" in plan  # the forced acc-table join
+        assert "CartesianProduct" not in plan
+        wplan = _formatted(_q(spark, sf_dir, "q_mixture_doremi_weights"))
+        # SHUFFLE exchanges only — formatted node headers distinguish
+        # "(n) Exchange" (shuffle) from "(n) BroadcastExchange"; the
+        # sampler legitimately adds two metadata-sized broadcasts
+        # (acceptance table + its 1-row max)
+        shuffles = lambda p: len(re.findall(r"\(\d+\) Exchange\b", p))  # noqa: E731
+        assert shuffles(plan) == shuffles(wplan)
+
+
 def test_learnable_docs_topk_and_no_forced_broadcast(spark, sf_dir):
     """q_select_learnable_docs: the global top-k must plan as a
     WindowGroupLimit (per-partition heaps before the single-partition

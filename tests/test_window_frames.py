@@ -628,12 +628,13 @@ def test_exclude_variance_large_ints_no_overflow(spark, small_t):
 
 
 def test_interval_frame_bounds_refuse_loudly():
-    """INTERVAL / fractional RANGE offsets are outside _FRAME_RE; with
-    an EXCLUDE clause present they must raise NotImplementedError (the
-    module contract), never leak frame text into the ORDER BY and emit
-    corrupted SQL."""
+    """Non-DAY INTERVAL / fractional RANGE offsets are outside
+    _FRAME_RE; with an EXCLUDE clause present they must raise
+    NotImplementedError (the module contract), never leak frame text
+    into the ORDER BY and emit corrupted SQL.  (DAY intervals moved to
+    the value-space split in round 8 — see the date matrix below.)"""
     cases = [
-        "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' DAY "
+        "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' HOUR "
         "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
         "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 1.5 PRECEDING AND "
         "CURRENT ROW EXCLUDE TIES) FROM t",
@@ -962,6 +963,178 @@ def test_value_range_exclude_integral_double_key_ok(spark, small_t):
     got = _norm(spark.sql(rewrite_window_frames(q)).collect())
     want = _norm(con.execute(q).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Date-key INTERVAL-DAY RANGE EXCLUDE split (round-7 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_DROWS = [  # (d, x, g): tied peer groups and NULL keys in both partitions
+    ("2020-01-01", 10, 1), ("2020-01-02", 20, 1), ("2020-01-02", 30, 1),
+    ("2020-01-04", 40, 1), ("2020-01-06", 50, 1), (None, 60, 1),
+    ("2020-03-01", 1, 2), ("2020-03-01", 2, 2), ("2020-03-05", 3, 2),
+    (None, 4, 2), (None, 5, 2),
+]
+
+_DVF = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN INTERVAL '2' DAY PRECEDING "
+    "AND INTERVAL '2' DAY FOLLOWING"
+)
+_DVF_LUNB = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN UNBOUNDED PRECEDING "
+    "AND INTERVAL 2 DAY FOLLOWING"
+)
+_DVF_HUNB = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN INTERVAL 1 DAY PRECEDING "
+    "AND UNBOUNDED FOLLOWING"
+)
+
+
+@pytest.fixture(scope="module")
+def date_t(spark):
+    import datetime
+
+    rows = [
+        (datetime.date.fromisoformat(d) if d else None, x, g)
+        for d, x, g in _DROWS
+    ]
+    spark.createDataFrame(rows, "d date, x int, g int").createOrReplaceTempView(
+        "wf_d"
+    )
+    con = duckdb.connect()
+    con.execute("create table wf_d(d date, x int, g int)")
+    con.executemany("insert into wf_d values (?,?,?)", _DROWS)
+    return con
+
+
+def _dnorm(rows):
+    return sorted([tuple(str(x) for x in r) for r in rows], key=str)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # order-statistic family over straddling INTERVAL-DAY frames —
+        # the round-7 verdict item-4 residue: these previously raised
+        # at the parse gate
+        f"SELECT x, g, min(x) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, max(x) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, min(x) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        f"SELECT x, g, max(x) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        f"SELECT x, g, first_value(x) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, last_value(x) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, first_value(x) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        f"SELECT x, g, last_value(x) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        # the DATE column itself as the aggregated argument
+        f"SELECT g, min(d) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT g, max(d) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        # one UNBOUNDED bound (away-pointing NULL-key arms)
+        f"SELECT x, g, min(x) OVER ({_DVF_LUNB} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, max(x) OVER ({_DVF_LUNB} EXCLUDE TIES) AS v FROM wf_d",
+        f"SELECT x, g, min(x) OVER ({_DVF_HUNB} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, first_value(x) OVER ({_DVF_HUNB} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, last_value(x) OVER ({_DVF_HUNB} EXCLUDE TIES) AS v FROM wf_d",
+        # single-bound shorthand straddles ([lo, CURRENT ROW])
+        "SELECT x, g, min(x) OVER (PARTITION BY g ORDER BY d RANGE "
+        "INTERVAL 2 DAY PRECEDING EXCLUDE GROUP) AS v FROM wf_d",
+        # zero-day bound normalizes to CURRENT ROW (empty upper half)
+        "SELECT x, g, max(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+        "INTERVAL '2' DAY PRECEDING AND INTERVAL '0' DAY FOLLOWING "
+        "EXCLUDE GROUP) AS v FROM wf_d",
+        # DESC (oracle pins NULLS FIRST, the source dialect's default)
+        "SELECT x, g, min(x) OVER (PARTITION BY g ORDER BY d DESC NULLS FIRST "
+        "RANGE BETWEEN INTERVAL '2' DAY PRECEDING AND INTERVAL '2' DAY "
+        "FOLLOWING EXCLUDE GROUP) AS v FROM wf_d",
+        # the subtraction family rides the same newly-parsed frames
+        f"SELECT x, g, sum(x) OVER ({_DVF} EXCLUDE GROUP) AS v FROM wf_d",
+        f"SELECT x, g, count(x) OVER ({_DVF} EXCLUDE TIES) AS v FROM wf_d",
+        f"SELECT x, g, avg(x) OVER ({_DVF} EXCLUDE CURRENT ROW) AS v FROM wf_d",
+        f"SELECT x, g, sum(x) OVER ({_DVF_HUNB} EXCLUDE GROUP) AS v FROM wf_d",
+    ],
+)
+def test_date_range_exclude_matches_duckdb_native(spark, date_t, q):
+    """DATE-key INTERVAL-DAY RANGE EXCLUDE GROUP/TIES (split-frame
+    family) and the subtraction family over the same frames equal
+    DuckDB's NATIVE EXCLUDE — NULL keys and tied peer groups present
+    in both partitions."""
+    got = _dnorm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _dnorm(date_t.execute(q).fetchall())
+    assert got == want
+
+
+def test_date_range_exclude_subday_timestamp_raises_at_runtime(spark):
+    """The day-alignment guard: a TIMESTAMP key with a sub-day
+    component makes the day split unsound (key < k ⇎ key ≤ k − 1 DAY),
+    so the emitted SQL must raise_error() loudly at RUNTIME."""
+    import datetime
+
+    spark.createDataFrame(
+        [
+            (datetime.datetime(2020, 1, 1, 12, 30), 1, 1),
+            (datetime.datetime(2020, 1, 2, 0, 0), 2, 1),
+        ],
+        "d timestamp, x int, g int",
+    ).createOrReplaceTempView("wf_subday")
+    q = (
+        "SELECT min(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+        "INTERVAL '2' DAY PRECEDING AND INTERVAL '2' DAY FOLLOWING "
+        "EXCLUDE GROUP) AS v FROM wf_subday"
+    )
+    rq = rewrite_window_frames(q)
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|midnight"):
+        spark.sql(rq).collect()
+
+
+def test_date_range_exclude_midnight_timestamp_ok(spark, date_t):
+    """Midnight-aligned TIMESTAMP keys pass the guard — soundness
+    depends on the VALUES, not the declared type (the date analog of
+    the integral-double case)."""
+    import datetime
+
+    rows = [
+        (datetime.datetime(2020, 1, 1), 10, 1),
+        (datetime.datetime(2020, 1, 2), 20, 1),
+        (datetime.datetime(2020, 1, 2), 30, 1),
+        (datetime.datetime(2020, 1, 5), 40, 1),
+        (None, 50, 1),
+    ]
+    spark.createDataFrame(rows, "d timestamp, x int, g int").createOrReplaceTempView(
+        "wf_midnight"
+    )
+    con = date_t
+    con.execute("create table wf_midnight(d timestamp, x int, g int)")
+    con.executemany(
+        "insert into wf_midnight values (?,?,?)",
+        [(d.isoformat(sep=" ") if d else None, x, g) for d, x, g in rows],
+    )
+    q = (
+        "SELECT x, g, max(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+        "INTERVAL '2' DAY PRECEDING AND INTERVAL '2' DAY FOLLOWING "
+        "EXCLUDE GROUP) AS v FROM wf_midnight"
+    )
+    got = _dnorm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _dnorm(con.execute(q).fetchall())
+    assert got == want
+
+
+def test_non_day_interval_units_still_refuse():
+    """HOUR/MONTH interval offsets have no discrete key-space unit
+    step — they must keep raising at the parse gate, not silently
+    mis-split."""
+    for unit in ("HOUR", "MONTH", "MINUTE"):
+        q = (
+            f"SELECT min(x) OVER (ORDER BY d RANGE BETWEEN INTERVAL '2' "
+            f"{unit} PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS v FROM t"
+        )
+        with pytest.raises(NotImplementedError, match="INTERVAL|bounds"):
+            rewrite_window_frames(q)
+    # mixed numeric + day offsets are invalid SQL — loud, not silent
+    q = (
+        "SELECT min(x) OVER (ORDER BY d RANGE BETWEEN 2 PRECEDING AND "
+        "INTERVAL '2' DAY FOLLOWING EXCLUDE GROUP) AS v FROM t"
+    )
+    with pytest.raises(NotImplementedError):
+        rewrite_window_frames(q)
 
 
 def test_moving_start_ubf_review_fixes():
