@@ -1730,3 +1730,159 @@ def test_append_rejects_nullable_into_nonnullable_nested(spark, tmp_path):
     )  # author nullable=true here
     with pytest.raises(DeltaWriteError, match="type mismatch|cannot change"):
         write_delta_native(src, t, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Golden foreign-written nested column-mapped fixture (round-7 verdict item 5)
+# ---------------------------------------------------------------------------
+
+#: checked-in _delta_log transcribed in delta-spark 3.2's emission
+#: style (delta-io/delta PROTOCOL.md "Column Mapping" + the writer's
+#: public output conventions): commitInfo-FIRST action order with
+#: metaData BEFORE protocol, col-<uuid> physical names,
+#: delta.columnMapping.maxColumnId, per-file stats JSON keyed by
+#: NESTED PHYSICAL names, and an UPDATE commit (remove+add with
+#: extendedFileMetadata).  The environment has no delta-spark to
+#: capture live output from (BASELINE.md round-7 note), so the bytes
+#: are spec-transcribed, NOT generated by this repo's writer — the
+#: reader/DML are checked against a foreign layout, not themselves.
+_GOLDEN_LOG = os.path.join(
+    os.path.dirname(__file__), "fixtures", "golden_cm_nested", "_delta_log"
+)
+
+_GP = {
+    "id":     "col-7f3e8a21-9c4b-4d6e-8f2a-1b5c9d0e3a47",
+    "meta":   "col-2a6f4c88-1d3e-4b7a-9c5f-6e8d0a2b4c19",
+    "author": "col-9b1d3f57-4a2c-4e8b-b6d9-0f3a5c7e1d82",
+    "score":  "col-4e7a9c13-8b5d-4f2e-a1c6-3d9f0b5e7a24",
+    "tags":   "col-6c2e8a40-3f7b-4d1c-9e5a-8b0d2f4a6c91",
+    "arr":    "col-1f5b7d93-6a4e-4c8f-b2d7-9e0a3c5f8b16",
+    "a":      "col-8d4f2b60-7c1e-4a9d-8e3b-5f7a0c2d4e68",
+}
+_G_FILE_A = "part-00000-3f7a2b91-5c8e-4d2a-9b6f-0e4c7a1d5b83-c000.snappy.parquet"
+_G_FILE_B = "part-00000-8e1c4f72-2a9d-4b5e-8c3f-7d0b9a4e2c56-c000.snappy.parquet"
+
+
+def _golden_table(tmp_path) -> str:
+    """Copy the checked-in golden log and synthesize the two data
+    files its add actions reference — physical col-<uuid> names WITH
+    parquet field ids attached (delta-spark writes both once column
+    mapping is enabled)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    t = str(tmp_path / "golden_cm")
+    shutil.copytree(_GOLDEN_LOG, os.path.join(t, "_delta_log"))
+
+    def fid(i):
+        return {b"PARQUET:field_id": str(i).encode()}
+
+    sch = pa.schema([
+        pa.field(_GP["id"], pa.int64(), metadata=fid(1)),
+        pa.field(_GP["meta"], pa.struct([
+            pa.field(_GP["author"], pa.string(), metadata=fid(3)),
+            pa.field(_GP["score"], pa.int64(), metadata=fid(4)),
+        ]), metadata=fid(2)),
+        pa.field(_GP["tags"], pa.list_(pa.string()), metadata=fid(5)),
+        pa.field(_GP["arr"], pa.list_(pa.field("element", pa.struct([
+            pa.field(_GP["a"], pa.int64(), metadata=fid(7)),
+        ]))), metadata=fid(6)),
+    ])
+
+    def rows(score2):
+        return {
+            _GP["id"]: pa.array([1, 2, 3], pa.int64()),
+            _GP["meta"]: pa.array(
+                [{_GP["author"]: "ann", _GP["score"]: 10},
+                 {_GP["author"]: "bob", _GP["score"]: score2},
+                 {_GP["author"]: "cat", _GP["score"]: 30}],
+                sch.field(_GP["meta"]).type,
+            ),
+            _GP["tags"]: pa.array([["t1"], ["t2", "t3"], []],
+                                  sch.field(_GP["tags"]).type),
+            _GP["arr"]: pa.array([[{_GP["a"]: 100}], [], [{_GP["a"]: 300}]],
+                                 sch.field(_GP["arr"]).type),
+        }
+
+    pq_.write_table(pa.table(rows(20)).cast(sch), os.path.join(t, _G_FILE_A))
+    pq_.write_table(pa.table(rows(21)).cast(sch), os.path.join(t, _G_FILE_B))
+    return t
+
+
+def test_golden_snapshot_and_time_travel(spark, tmp_path):
+    """Replaying the foreign log: the UPDATE commit's remove must
+    drop file A from the live snapshot (rows show score 21), while
+    version=0 time travel still reads file A (score 20) — and the
+    logical schema surfaces the LOGICAL names, not the col-<uuid>
+    physical ones."""
+    t = _golden_table(tmp_path)
+    got = read_delta_native(spark, t)
+    assert got.columns == ["id", "meta", "tags", "arr"]
+    assert _nested_rows(got) == [
+        (1, ("ann", 10), ("t1",), (100,)),
+        (2, ("bob", 21), ("t2", "t3"), ()),
+        (3, ("cat", 30), (), (300,)),
+    ]
+    v0 = read_delta_native(spark, t, version=0)
+    assert (2, ("bob", 20), ("t2", "t3"), ()) in _nested_rows(v0)
+    snap = replay_snapshot(spark, t)
+    assert snap.column_mapping_mode == "name"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "7"
+
+
+def test_golden_stats_skipping_physical_keys(spark, tmp_path):
+    """The golden stats JSON keys min/max by PHYSICAL (col-<uuid>)
+    names — a skip_where constraint on the LOGICAL name must
+    translate and prune (id > 10 proves the file can't match), and a
+    satisfiable constraint must keep the rows."""
+    t = _golden_table(tmp_path)
+    assert read_delta_native(spark, t, skip_where=[("id", ">", 10)]).count() == 0
+    assert read_delta_native(spark, t, skip_where=[("id", "<=", 3)]).count() == 3
+
+
+def test_golden_nested_dml_roundtrip(spark, tmp_path):
+    """DELETE / UPDATE / MERGE over the foreign-written layout: the
+    predicates and assignments run on LOGICAL nested names, the
+    rewritten files stage under the foreign col-<uuid> physical names
+    with field ids, and the foreign configuration (mapping mode,
+    maxColumnId) survives every commit."""
+    import pyarrow.parquet as pq_
+
+    from adt_spark.sources.delta_native_write import (
+        delete_where,
+        merge_upsert,
+        update_where,
+    )
+
+    t = _golden_table(tmp_path)
+    delete_where(spark, t, "meta.score = 21")
+    assert [r.id for r in read_delta_native(spark, t).orderBy("id").collect()] == [1, 3]
+
+    update_where(
+        spark, t, "id = 1",
+        {"meta": "named_struct('author', upper(meta.author), 'score', meta.score + 1)"},
+    )
+    src = spark.createDataFrame(
+        [(9, ("new", 90), ["z"], [(900,)])],
+        "id long, meta struct<author string, score long>, "
+        "tags array<string>, arr array<struct<a long>>",
+    )
+    merge_upsert(spark, t, src, ["id"])
+    assert _nested_rows(read_delta_native(spark, t)) == [
+        (1, ("ANN", 11), ("t1",), (100,)),
+        (3, ("cat", 30), (), (300,)),
+        (9, ("new", 90), ("z",), (900,)),
+    ]
+    snap = replay_snapshot(spark, t)
+    assert snap.column_mapping_mode == "name"
+    assert snap.configuration["delta.columnMapping.maxColumnId"] == "7"
+    new = [p for p in snap.files if p not in (_G_FILE_A, _G_FILE_B)]
+    assert new
+    sch = pq_.read_schema(os.path.join(t, sorted(new)[0]))
+    assert _GP["meta"] in sch.names
+    inner = sch.field(_GP["meta"]).type
+    assert {inner.field(i).name for i in range(inner.num_fields)} == {
+        _GP["author"], _GP["score"]
+    }
