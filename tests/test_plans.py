@@ -1155,6 +1155,26 @@ def test_doremi_weights_no_forced_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_sem_distributed_assign_plan_flat_in_k(spark, sf_dir):
+    """The distributed SemDeDup assignment (ADT_SEM_K beyond the
+    literal ceiling): centroids must reach the corpus through a
+    cell-keyed equi-JOIN — never through k literal struct-argmin
+    expressions — so the optimized plan neither grows with k (flat
+    plan text = no per-centroid literals = bounded driver/codegen
+    state regardless of k) nor degenerates to a cartesian."""
+    from adt_spark.operators import similarity as S
+
+    emb = S.tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", S._vec_double().alias("vec")
+    )
+    p80 = _formatted(S._sem_assign_distributed(spark, sf_dir, emb, 80))
+    p320 = _formatted(S._sem_assign_distributed(spark, sf_dir, emb, 320))
+    assert "Join" in p80
+    assert "CartesianProduct" not in p80 and "CartesianProduct" not in p320
+    # 4x the k, ~same plan: allow only trivial drift (id widths etc.)
+    assert abs(len(p320) - len(p80)) < 0.02 * len(p80)
+
+
 def test_doremi_resample_weights_broadcast_no_new_shuffle(spark, sf_dir):
     """pipeline_doremi_resample: the per-source acceptance table is
     |sources|-row metadata and must reach the corpus scan as a FORCED
