@@ -239,25 +239,6 @@ def main() -> None:
                 run_one("dedup_semantic", "dedup_semantic_scaled_k")
             finally:
                 os.environ.pop("ADT_SEM_K", None)
-            # round-8 (verdict item 3): the DISTRIBUTED assignment
-            # path — k = n/500 (SemDeDup's cluster-size recipe at a
-            # tighter target), forced past the literal ceiling so
-            # centroids stay a DataFrame; the per-point driver heap
-            # recorded RIGHT AFTER the run must stay flat across
-            # 1x/3x/10x (k grows 10x but driver state is the
-            # constant-size cell router only)
-            from adt_spark.operators.similarity import _SEM_K_LITERAL_MAX
-
-            dist_k = max(_SEM_K_LITERAL_MAX + 16, (BASE_VECS * mult) // 500)
-            os.environ["ADT_SEM_K"] = str(dist_k)
-            try:
-                run_one("dedup_semantic", "dedup_semantic_distributed_k")
-                point["dedup_semantic_distributed_k"]["k"] = dist_k
-                point["dedup_semantic_distributed_k"]["driver_heap_mb"] = round(
-                    driver_heap_mb(spark), 1
-                )
-            finally:
-                os.environ.pop("ADT_SEM_K", None)
         # local-mode caveat: executor block-manager state (the
         # memoized localCheckpoints) lives in the SAME JVM as the
         # driver, so heap is reported both with the memos live and
@@ -278,6 +259,45 @@ def main() -> None:
         clear_quality_state()
         time.sleep(3)  # let the ContextCleaner reclaim checkpoint blocks
         point["_heap_after_clear_mb"] = round(driver_heap_mb(spark), 1)
+
+        if args.vocab == "fixture":
+            # round-8 (verdict item 3): the DISTRIBUTED SemDeDup
+            # assignment — k ∝ n forced past the literal ceiling so
+            # centroids stay a DataFrame.  Runs AFTER the heap-clear
+            # metrics (each point clears state first) so the per-run
+            # heap numbers share one baseline.  Across 1x/3x/10x the
+            # corpus (and its block-manager residue, a local-mode
+            # artifact) grows, so the k-ISOLATING evidence is the
+            # k-SWEEP at the LARGEST corpus: 10x the k at a fixed
+            # corpus must leave driver heap flat — the literal path
+            # would grow both the seed collect and the plan with k.
+            from adt_spark.operators.similarity import (
+                _SEM_K_LITERAL_MAX,
+                clear_similarity_state,
+            )
+
+            base_k = max(_SEM_K_LITERAL_MAX + 16, (BASE_VECS * mult) // 25)
+            ks = [base_k]
+            if mult == mults[-1]:
+                ks = sorted({_SEM_K_LITERAL_MAX + 16, base_k // 3, base_k})
+            for dk in ks:
+                clear_similarity_state()
+                os.environ["ADT_SEM_K"] = str(dk)
+                label = (
+                    "dedup_semantic_distributed_k"
+                    if dk == base_k
+                    else f"dedup_semantic_distributed_k{dk}"
+                )
+                try:
+                    run_one("dedup_semantic", label)
+                    point[label]["k"] = dk
+                    point[label]["driver_heap_mb"] = round(
+                        driver_heap_mb(spark), 1
+                    )
+                finally:
+                    os.environ.pop("ADT_SEM_K", None)
+            clear_similarity_state()
+
         results[f"{mult}x"] = point
 
     if args.json:
