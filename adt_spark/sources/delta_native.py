@@ -113,13 +113,19 @@ def _hadoop_fs(spark: SparkSession, url: str):
 
 def _read_file(spark: SparkSession | None, path: str, binary: bool = False):
     """Read one (small, driver-side) log or DV file: local ``open``
-    for bare paths, Hadoop FS for URLs."""
+    for bare paths, the jar-free boto3 gateway for ``s3://``
+    (s3_store — needs no session), Hadoop FS for other URLs."""
     if not _is_url(path):
         if binary:
             with open(path, "rb") as fh:
                 return fh.read()
         with open(path, encoding="utf-8") as fh:
             return fh.read()
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(path):
+        data = s3_store.get_bytes(path)
+        return data if binary else data.decode("utf-8")
     if spark is None:
         raise ValueError(f"reading {path!r} requires an active SparkSession")
     jvm, p, fs = _hadoop_fs(spark, path)
@@ -129,6 +135,21 @@ def _read_file(spark: SparkSession | None, path: str, binary: bool = False):
     finally:
         stream.close()
     return data if binary else data.decode("utf-8")
+
+
+def _local_parquet_paths(location: str, paths: list[str]) -> list[str]:
+    """``s3://`` parquet (data files, checkpoints, sidecars) →
+    local ETag-keyed cache paths via the boto3 gateway, scanned with
+    Spark's local reader (no executor-side S3 connector needed);
+    every other scheme passes through to Spark's Hadoop IO.  One
+    shared byte budget per logical read — exceeding
+    ADT_S3_MATERIALIZE_LIMIT raises (s3_store module docstring)."""
+    from adt_spark.sources import s3_store
+
+    if not s3_store.is_native_s3(location):
+        return list(paths)
+    budget = [0]
+    return [s3_store.materialize(p, budget) for p in paths]
 
 
 def _log_dir(location: str) -> str:
@@ -147,13 +168,28 @@ def _list_log(
     ``file://`` URLs when no session is supplied (the local-only
     writer) — use ``os.listdir``.
     """
-    if _is_url(location) and spark is None:
+    from adt_spark.sources import s3_store
+
+    if (
+        _is_url(location)
+        and spark is None
+        and not s3_store.is_native_s3(location)
+    ):
         location = _strip_file_scheme(location)
         if _is_url(location):
             raise ValueError(f"listing {location!r} requires an active SparkSession")
     d = _log_dir(location)
     commits, checkpoints = [], []
-    if _is_url(location):
+    if s3_store.is_native_s3(location):
+        # direct children only — a prefix listing is recursive, and
+        # _sidecars/* keys must not be taken for commit files
+        base = d.rstrip("/") + "/"
+        entries = [
+            (url[len(base):], url)
+            for url, _size in s3_store.list_prefix(d)
+            if "/" not in url[len(base):]
+        ]
+    elif _is_url(location):
         _jvm, p, fs = _hadoop_fs(spark, d)
         if not fs.exists(p):
             return commits, checkpoints
@@ -265,7 +301,7 @@ def replay_snapshot(spark: SparkSession, location: str, version: int | None = No
                 else:
                     _apply_action(snap, action)
         else:  # classic (single- or multi-part) and v2-parquet
-            cp = spark.read.parquet(*cp_paths)
+            cp = spark.read.parquet(*_local_parquet_paths(location, list(cp_paths)))
             _apply_checkpoint_df(spark, snap, cp, location)
         snap.version = cp_version
 
@@ -347,7 +383,12 @@ def _apply_sidecar(spark, snap: _Snapshot, location: str, rel: str) -> None:
         if not rel.startswith(("/", "file://"))
         else rel
     )
-    _apply_checkpoint_df(spark, snap, spark.read.parquet(side_path), location)
+    _apply_checkpoint_df(
+        spark,
+        snap,
+        spark.read.parquet(*_local_parquet_paths(location, [side_path])),
+        location,
+    )
 
 
 def _physical_type(dt: T.DataType, with_ids: bool) -> T.DataType:
@@ -660,12 +701,20 @@ def read_delta_native(
 
     parts: list[DataFrame] = []
     for key, paths in groups.items():
-        df = to_logical(spark.read.schema(read_schema).parquet(*paths))
+        df = to_logical(
+            spark.read.schema(read_schema).parquet(
+                *_local_parquet_paths(location, paths)
+            )
+        )
         parts.append(_with_partition_cols(df, dict(key), part_fields, out_cols))
     for path, pvals, dv in dv_files:
         df = to_logical(
             _apply_deletion_vector(
-                spark, _data_path(location, path), read_schema, dv, location
+                spark,
+                _local_parquet_paths(location, [_data_path(location, path)])[0],
+                read_schema,
+                dv,
+                location,
             )
         )
         parts.append(_with_partition_cols(df, pvals, part_fields, out_cols))
@@ -929,7 +978,9 @@ def table_changes(
                 raise FileNotFoundError(
                     f"CDC source file missing (vacuumed?): {rel} at version {v}"
                 )
-            df = spark.read.schema(read_schema).parquet(abs_path)
+            df = spark.read.schema(read_schema).parquet(
+                *_local_parquet_paths(location, [abs_path])
+            )
             df = df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(v).cast("long")
             )

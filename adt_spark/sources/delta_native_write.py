@@ -82,6 +82,10 @@ def _url_join(base: str, *parts: str) -> str:
 
 
 def _fs_mkdirs(spark, url: str) -> None:
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(url):
+        return  # object stores have no directories
     _jvm, p, fs = _hadoop_fs(spark, url)
     fs.mkdirs(p)
 
@@ -432,6 +436,21 @@ def _enforce_constraints(df: DataFrame, snap, operation: str) -> None:
             )
 
 
+def _scan_abs(location: str, rels: list[str]) -> list[str]:
+    """Log-relative paths → scannable absolute paths for a DML read:
+    ``s3://`` tables materialize through the boto3 gateway cache
+    (layout preserves the key tail, so ``_rel_from_uri``'s suffix
+    match keeps working); every other scheme joins in place."""
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(location):
+        budget = [0]
+        return [
+            s3_store.materialize(_url_join(location, r), budget) for r in rels
+        ]
+    return [os.path.join(location, r) for r in rels]
+
+
 def _rel_from_uri(uri: str, snap_files) -> str:
     """Map an ``input_file_name()`` URI back to the log's relative
     path.  Spark URL-encodes the file URI (space, '%', '#', non-ASCII
@@ -463,13 +482,27 @@ def _atomic_write(path: str, lines: list[dict], spark=None) -> None:
     local-FS analog of the object-store conditional put; URL locations
     take the Hadoop-FS create-exclusive path (_fs_write_new)."""
     if _is_url(path):
+        payload = "".join(
+            json.dumps(a, separators=(",", ":")) + "\n" for a in lines
+        ).encode()
+        from adt_spark.sources import s3_store
+
+        if s3_store.is_native_s3(path):
+            # a REAL S3 conditional put (If-None-Match: *): the losing
+            # racer's 412 IS the concurrent-commit detection — no lock
+            # table needed (cf. delta-rs, which requires a DynamoDB
+            # lock client for the same guarantee on S3)
+            try:
+                s3_store.put_bytes_if_absent(path, payload)
+            except FileExistsError:
+                raise DeltaWriteError(
+                    f"concurrent commit: {path} already exists"
+                ) from None
+            return
         if spark is None:
             raise DeltaWriteError(
                 f"committing to {path!r} requires an active SparkSession"
             )
-        payload = "".join(
-            json.dumps(a, separators=(",", ":")) + "\n" for a in lines
-        ).encode()
         _fs_write_new(spark, path, payload)
         return
     tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -674,6 +707,71 @@ def _dml_projection(snap, data_schema):
     return read_schema, to_logical, to_physical
 
 
+def _stage_local_upload_s3(
+    df: DataFrame,
+    location: str,
+    partition_by: list[str],
+    *,
+    ts: int | None = None,
+    fixed_pvals: dict | None = None,
+    data_change: bool = True,
+) -> list[dict]:
+    """``s3://`` staging for the jar-free boto3 gateway: executors
+    write parquet to a LOCAL temp dir (they have no S3 connector),
+    the driver reads footers locally and uploads each kept part
+    directly to its FINAL object name — S3 has no rename, so the
+    Hadoop path's staged-rename shape would cost a server-side copy
+    per file.  Upload-then-commit keeps Delta's guarantee: objects
+    without a committed add action are invisible garbage, exactly as
+    on every other store.  (Cluster note: staging lands on the
+    driver's local disk — the gateway is a metadata/DML path, not a
+    bulk-load path; see s3_store's module docstring.)"""
+    import tempfile
+
+    from adt_spark.sources import s3_store
+
+    staging = tempfile.mkdtemp(prefix="adt-s3-stage-")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    ts = int(time.time() * 1000) if ts is None else ts
+    adds: list[dict] = []
+    try:
+        for staged, staged_pvals in _collect_staged_files(staging, partition_by):
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                os.remove(staged)
+                continue
+            pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
+            rel_dir = _rel_dirname(pvals, partition_by or None)
+            final_rel = (
+                (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
+            )
+            s3_store.upload_file(staged, _url_join(location, final_rel))
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(staged),
+                        "modificationTime": ts,
+                        "dataChange": data_change,
+                        "stats": _file_stats(meta),
+                    }
+                }
+            )
+    finally:
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        if os.path.isdir(staging):
+            os.rmdir(staging)
+    return adds
+
+
 def _stage_and_collect(
     df: DataFrame,
     location: str,
@@ -688,6 +786,12 @@ def _stage_and_collect(
     parquet remotely, the driver renames within the same store and
     reads only footers."""
     if _is_url(location):
+        from adt_spark.sources import s3_store
+
+        if s3_store.is_native_s3(location):
+            return _stage_local_upload_s3(
+                df, location, partition_by, data_change=data_change
+            )
         return _stage_and_collect_url(df, location, partition_by, data_change)
     staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
@@ -825,6 +929,17 @@ def _stage_into_table(
         return (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
 
     if _is_url(location):
+        from adt_spark.sources import s3_store
+
+        if s3_store.is_native_s3(location):
+            return _stage_local_upload_s3(
+                df,
+                location,
+                partition_by,
+                ts=ts,
+                fixed_pvals=fixed_pvals,
+                data_change=data_change,
+            )
         spark = df.sparkSession
         staging = _url_join(location, f"_staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
@@ -1267,6 +1382,26 @@ def write_checkpoint(spark, location: str) -> int:
 
     table = pa.Table.from_pylist(rows, schema=schema)
     last_cp = json.dumps({"version": n, "size": len(rows)})
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(location):
+        # S3 object PUT is atomic replace — no temp+rename dance; a
+        # reader never observes a torn object.  The versioned
+        # checkpoint keeps an existing object (same keep-existing
+        # rationale as the Hadoop branch); the _last_checkpoint HINT
+        # is replaced outright.
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        cp_url = _url_join(location, "_delta_log", f"{n:020d}.checkpoint.parquet")
+        if not s3_store.exists(cp_url):
+            s3_store.put_bytes(cp_url, buf.getvalue())
+        s3_store.put_bytes(
+            _url_join(location, "_delta_log", "_last_checkpoint"),
+            last_cp.encode(),
+        )
+        return n
     if _is_url(location):
         # serialize driver-side, stream through the Hadoop FS.
         # Write temp + rename, same as the local branch below: rename
@@ -1366,7 +1501,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
                 "vector (use the delta-spark path for DV tables)"
             )
 
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     if not all_paths:
         return snap.version, 0
 
@@ -1406,7 +1541,7 @@ def delete_where(spark, location: str, predicate: str) -> tuple[int, int]:
         kept = to_physical(
             to_logical(
                 spark.read.schema(read_schema)
-                .parquet(*[os.path.join(location, r) for r in rels])
+                .parquet(*_scan_abs(location, rels))
             ).filter(keep)
         )
         adds.extend(_stage_into_table(kept, location, ts, fixed_pvals=pvals))
@@ -1566,7 +1701,7 @@ def update_where(
             raise DeltaWriteError(
                 f"update_where cannot rewrite {path}: it carries a deletion vector"
             )
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     if not all_paths:
         return snap.version, 0
 
@@ -1643,7 +1778,7 @@ def update_where(
         pieces = []
         for rel in touched_rel:
             scan = to_logical(
-                spark.read.schema(read_schema).parquet(os.path.join(location, rel))
+                spark.read.schema(read_schema).parquet(*_scan_abs(location, [rel]))
             )
             pieces.append(
                 _transform_group(scan, snap.files[rel][0], keep_hit=True)
@@ -1665,7 +1800,7 @@ def update_where(
             _transform_group(
                 to_logical(
                     spark.read.schema(read_schema)
-                    .parquet(*[os.path.join(location, r) for r in rels])
+                    .parquet(*_scan_abs(location, rels))
                 ),
                 pvals,
             ).select(*data_col_names)
@@ -1782,7 +1917,7 @@ def merge_upsert(
     # broadcasts only when the runtime size allows, instead of a
     # forced hint that would OOM the driver on a large source
     keys = source.select(*key_cols).distinct()
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     ts = int(time.time() * 1000)
     version = snap.version + 1
     n_source = source.count()
@@ -1836,7 +1971,7 @@ def merge_upsert(
         kept = to_physical(
             to_logical(
                 spark.read.schema(read_schema)
-                .parquet(*[os.path.join(location, r) for r in rels])
+                .parquet(*_scan_abs(location, rels))
             ).join(keys, key_cols, "left_anti")
         )
         _stage_group(kept, pvals, [])
@@ -2074,7 +2209,14 @@ def restore_table(spark, location: str, to_version: int) -> tuple[int, int, int]
     target = replay_snapshot(spark, location, version=to_version)
     if target.column_mapping_mode != cur.column_mapping_mode:
         raise DeltaWriteError("restore across column-mapping changes is not supported")
-    if _is_url(location):
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(location):
+
+        def _missing(rel: str) -> bool:
+            return not s3_store.exists(_url_join(location, rel))
+
+    elif _is_url(location):
         _jvm, _p, fs = _hadoop_fs(spark, location)
         Path = _jvm.org.apache.hadoop.fs.Path
 
@@ -2346,8 +2488,27 @@ def convert_to_delta(spark, location: str) -> int:
             raise DeltaWriteError(f"{location} is already a Delta table")
 
     # discover data files + hive partition values from the layout
+    from adt_spark.sources import s3_store as _s3
+
     rels: list[tuple[str, dict]] = []
-    if is_url:
+    if is_url and _s3.is_native_s3(location):
+        base = location.rstrip("/") + "/"
+        for url, _size in _s3.list_prefix(location):
+            rel = url[len(base):]
+            segs = rel.split("/")
+            if any(s.startswith(("_", ".")) for s in segs):
+                continue
+            if not segs[-1].endswith(".parquet"):
+                continue
+            pvals = {}
+            for part in segs[:-1]:
+                if "=" in part:
+                    k, _, v = part.partition("=")
+                    pvals[k] = (
+                        None if v == "__HIVE_DEFAULT_PARTITION__" else _hive_unescape(v)
+                    )
+            rels.append((rel, pvals))
+    elif is_url:
         _jvm, root_p, fs = _hadoop_fs(spark, location)
         prefix = fs.makeQualified(root_p).toString().rstrip("/")
         it = fs.listFiles(root_p, True)
@@ -2425,8 +2586,14 @@ def convert_to_delta(spark, location: str) -> int:
             }
         },
     ]
+    from adt_spark.sources import s3_store
+
     for rel, pvals in rels:
-        if is_url:
+        if is_url and s3_store.is_native_s3(location):
+            local = s3_store.materialize(_url_join(location, rel))
+            meta = pq.ParquetFile(local).metadata
+            size = os.path.getsize(local)
+        elif is_url:
             url = _url_join(location, rel)
             meta = _fs_parquet_meta(spark, url)
             size = fs.getFileStatus(_jvm.org.apache.hadoop.fs.Path(url)).getLen()
@@ -2701,7 +2868,7 @@ def _delete_with_dvs(
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     data_schema = T.StructType(data_fields)
     read_schema, to_logical, _to_physical = _dml_projection(snap, data_schema)
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     if not all_paths:
         return snap.version, 0
 
@@ -2779,7 +2946,7 @@ def _update_with_dvs(
     # pre-update positions per file (raw scan; minus already-deleted)
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     read_schema = T.StructType(data_fields)
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     if not all_paths:
         return snap.version, 0
     hits = (
@@ -2834,7 +3001,7 @@ def _merge_with_dvs(
     data_fields = [f for f in snap.schema.fields if f.name not in part_cols]
     read_schema = T.StructType(data_fields)
     keys = source.select(*key_cols).distinct()
-    all_paths = {os.path.join(location, p): p for p in snap.files}
+    all_paths = _scan_abs(location, list(snap.files))
     n_source = source.count()
 
     by_file: dict[str, list[int]] = {}

@@ -1,0 +1,244 @@
+"""Jar-free ``s3://`` object-store gateway for the native Delta
+reader/writer.
+
+The reference wires S3 from environment variables and reads Delta
+tables through its object store (``crates/core/src/context.rs:62-79``
+builds the store from env; ``deltatable.rs:113-117`` opens the log
+through it) using ``s3://`` URLs.  Spark's own S3 path (``s3a://``)
+needs the hadoop-aws + AWS SDK jars, which a jar-free deployment may
+not have — this module talks the S3 HTTP API directly via boto3 and
+feeds the native Delta code paths:
+
+- **log IO** (list/read/conditional-put of ``_delta_log`` JSON) runs
+  directly against the store — small driver-side objects;
+- **parquet IO** (data files, checkpoints, deletion vectors) is
+  GET-materialized into a local ETag-keyed cache and scanned with
+  Spark's local reader — the executors never need an S3 connector.
+  Writes stage locally and upload to their FINAL object names
+  (S3 has no rename; the Hadoop path's staged-rename shape would be
+  a server-side copy per file);
+- **commit atomicity** is a real S3 conditional PUT
+  (``If-None-Match: *`` — S3 supports this natively since 2024-11;
+  the losing racer gets 412 PreconditionFailed), strictly stronger
+  than what delta-rs ships for S3 without a DynamoDB lock client.
+
+Scheme split: ``s3://`` is handled HERE (the reference's own URL
+scheme); ``s3a://`` stays on the Hadoop FileSystem path (env-wired
+confs in ``context.py``) for deployments that do carry the jars.
+
+Scale note: the materialization cache makes the DRIVER a byte
+gateway for data files — correct at any scale but sized for
+metadata-heavy workloads (log replay, DML on a bounded file subset,
+small-table reads).  A 100 TB full-table scan belongs on ``s3a://``
+executor-side IO; ``read_delta_native`` raises past
+``ADT_S3_MATERIALIZE_LIMIT`` bytes (default 4 GiB) instead of
+silently pulling a corpus through one node.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import threading
+from urllib.parse import urlparse
+
+__all__ = [
+    "S3StoreError",
+    "is_native_s3",
+    "list_prefix",
+    "get_bytes",
+    "put_bytes",
+    "put_bytes_if_absent",
+    "exists",
+    "delete",
+    "materialize",
+    "upload_file",
+    "clear_client_cache",
+]
+
+
+class S3StoreError(RuntimeError):
+    pass
+
+
+#: total bytes one read may materialize through the driver cache
+#: before refusing (see module docstring).
+_MATERIALIZE_LIMIT = int(
+    os.environ.get("ADT_S3_MATERIALIZE_LIMIT", str(4 << 30))
+)
+
+_CLIENT_LOCK = threading.Lock()
+_CLIENT = None
+_CLIENT_KEY: tuple | None = None
+
+
+def is_native_s3(url: str) -> bool:
+    return isinstance(url, str) and url.startswith("s3://")
+
+
+def _split(url: str) -> tuple[str, str]:
+    p = urlparse(url)
+    if p.scheme != "s3" or not p.netloc:
+        raise S3StoreError(f"not an s3:// URL: {url!r}")
+    return p.netloc, p.path.lstrip("/")
+
+
+def _env_key() -> tuple:
+    e = os.environ.get
+    return (
+        e("AWS_ENDPOINT_URL_S3") or e("AWS_ENDPOINT_URL"),
+        e("AWS_ACCESS_KEY_ID"),
+        e("AWS_SECRET_ACCESS_KEY"),
+        e("AWS_SESSION_TOKEN"),
+        e("AWS_REGION") or e("AWS_DEFAULT_REGION"),
+    )
+
+
+def _client():
+    """boto3 S3 client from the SAME env contract the reference's
+    object store reads (context.rs:62-79: key/secret/token, region,
+    endpoint override, http allowed for custom endpoints).  Memoized
+    per env-tuple; thread-safe (boto3 clients are)."""
+    global _CLIENT, _CLIENT_KEY
+    key = _env_key()
+    with _CLIENT_LOCK:
+        if _CLIENT is not None and _CLIENT_KEY == key:
+            return _CLIENT
+        try:
+            import boto3
+        except ImportError as exc:  # pragma: no cover - boto3 is baked in
+            raise S3StoreError(
+                "s3:// table locations need boto3 (pip install boto3), "
+                "or use s3a:// with the hadoop-aws jars"
+            ) from exc
+        endpoint, akid, secret, token, region = key
+        _CLIENT = boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id=akid,
+            aws_secret_access_key=secret,
+            aws_session_token=token,
+            region_name=region or "us-east-1",
+        )
+        _CLIENT_KEY = key
+        return _CLIENT
+
+
+def clear_client_cache() -> None:
+    """Drop the memoized client (tests repoint AWS_ENDPOINT_URL)."""
+    global _CLIENT, _CLIENT_KEY
+    with _CLIENT_LOCK:
+        _CLIENT = None
+        _CLIENT_KEY = None
+
+
+def _is_missing(exc) -> bool:
+    code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+    return code in ("404", "NoSuchKey", "NotFound")
+
+
+def list_prefix(url: str) -> list[tuple[str, int]]:
+    """Keys under the prefix as (full s3:// URL, size), paginated —
+    the log-listing primitive."""
+    bucket, prefix = _split(url)
+    if prefix and not prefix.endswith("/"):
+        prefix += "/"
+    out: list[tuple[str, int]] = []
+    paginator = _client().get_paginator("list_objects_v2")
+    for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+        for obj in page.get("Contents", []):
+            out.append((f"s3://{bucket}/{obj['Key']}", int(obj["Size"])))
+    return out
+
+
+def get_bytes(url: str) -> bytes:
+    bucket, key = _split(url)
+    try:
+        return _client().get_object(Bucket=bucket, Key=key)["Body"].read()
+    except Exception as exc:
+        if _is_missing(exc):
+            raise FileNotFoundError(url) from exc
+        raise
+
+
+def exists(url: str) -> bool:
+    bucket, key = _split(url)
+    try:
+        _client().head_object(Bucket=bucket, Key=key)
+        return True
+    except Exception as exc:
+        if _is_missing(exc):
+            return False
+        raise
+
+
+def put_bytes(url: str, data: bytes) -> None:
+    bucket, key = _split(url)
+    _client().put_object(Bucket=bucket, Key=key, Body=data)
+
+
+def put_bytes_if_absent(url: str, data: bytes) -> None:
+    """Conditional create — the Delta commit primitive.  Raises
+    ``FileExistsError`` when the object already exists (the losing
+    racer's 412 PreconditionFailed)."""
+    bucket, key = _split(url)
+    try:
+        _client().put_object(Bucket=bucket, Key=key, Body=data, IfNoneMatch="*")
+    except Exception as exc:
+        code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+        if code in ("PreconditionFailed", "412"):
+            raise FileExistsError(url) from exc
+        raise
+
+
+def delete(url: str) -> None:
+    bucket, key = _split(url)
+    _client().delete_object(Bucket=bucket, Key=key)
+
+
+def upload_file(local_path: str, url: str) -> None:
+    bucket, key = _split(url)
+    _client().upload_file(local_path, bucket, key)
+
+
+def _cache_root() -> str:
+    d = os.environ.get("ADT_S3_CACHE_DIR") or os.path.join(
+        tempfile.gettempdir(), "adt_s3_cache"
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def materialize(url: str, budget: list | None = None) -> str:
+    """GET the object into the local ETag-keyed cache and return the
+    local path.  Re-reads of an unchanged object are cache hits; a
+    rewritten object (new ETag) re-downloads.  ``budget`` is an
+    optional single-cell byte accumulator shared across one logical
+    read — exceeding ``ADT_S3_MATERIALIZE_LIMIT`` raises instead of
+    silently streaming a corpus through the driver."""
+    bucket, key = _split(url)
+    head = _client().head_object(Bucket=bucket, Key=key)
+    etag = head["ETag"].strip('"').replace("/", "_")
+    size = int(head["ContentLength"])
+    # layout <cache>/<bucket>/<etag>/<key path>: the FULL key path is
+    # preserved under the etag so suffix-matching logic downstream
+    # (input_file_name → log-relative path, partition dirs included)
+    # sees the same tail it would on any other store
+    local = os.path.join(_cache_root(), bucket, etag, *key.split("/"))
+    if os.path.exists(local) and os.path.getsize(local) == size:
+        return local
+    if budget is not None:
+        budget[0] += size
+        if budget[0] > _MATERIALIZE_LIMIT:
+            raise S3StoreError(
+                f"s3:// driver materialization exceeded "
+                f"ADT_S3_MATERIALIZE_LIMIT ({_MATERIALIZE_LIMIT} bytes) — "
+                f"full-corpus scans belong on s3a:// executor-side IO "
+                f"(hadoop-aws jars); raise the limit only for bounded "
+                f"metadata-heavy reads"
+            )
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    tmp = local + ".part"
+    _client().download_file(bucket, key, tmp)
+    os.replace(tmp, local)
+    return local

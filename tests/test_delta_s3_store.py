@@ -1,0 +1,220 @@
+"""Native Delta read + write against a LIVE S3-compatible store.
+
+Rounds 4-7 carried "live object-store verification" as an
+environmental gap (BASELINE.md notes; reference wires S3 from env,
+``context.rs:62-79``).  This round the container carries boto3 and
+moto, so these tests run the jar-free ``s3://`` gateway
+(``adt_spark/sources/s3_store.py``) against moto's ThreadedMotoServer
+— a real S3 HTTP API on localhost (real ListObjectsV2 pagination,
+real ETags, real ``If-None-Match`` 412 semantics), not a monkeypatched
+client.  Spark's own ``s3a://`` path still needs the hadoop-aws jars
+(absent here); the scheme split is documented in s3_store.
+
+Covered end-to-end over real S3 HTTP: table create, append
+(conditional-put commit), a LOST COMMIT RACE (the 412 path),
+partitioned write, snapshot replay, data scan, time travel,
+checkpoint write + checkpoint-based replay, copy-on-write DELETE,
+and the driver-materialization byte-budget guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from adt_spark.sources import s3_store
+from adt_spark.sources.delta_native import read_delta_native, replay_snapshot
+from adt_spark.sources.delta_native_write import (
+    DeltaWriteError,
+    delete_where,
+    write_delta_native,
+    write_checkpoint,
+)
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+
+@pytest.fixture(scope="module")
+def moto_server():
+    from moto.server import ThreadedMotoServer
+
+    srv = ThreadedMotoServer(port=0)
+    srv.start()
+    port = srv._server.socket.getsockname()[1]
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+@pytest.fixture()
+def s3(moto_server, monkeypatch, tmp_path, request):
+    """Point the gateway's env contract at the live server, isolate
+    the materialization cache per test, and hand back a boto3 client
+    plus a fresh bucket."""
+    monkeypatch.setenv("AWS_ENDPOINT_URL", moto_server)
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "adt-test-key")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "adt-test-secret")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("ADT_S3_CACHE_DIR", str(tmp_path / "s3cache"))
+    s3_store.clear_client_cache()
+    bucket = f"adt-{abs(hash(request.node.name)) % 10**8}"
+    client = boto3.client(
+        "s3",
+        endpoint_url=moto_server,
+        aws_access_key_id="adt-test-key",
+        aws_secret_access_key="adt-test-secret",
+        region_name="us-east-1",
+    )
+    client.create_bucket(Bucket=bucket)
+    yield client, bucket
+    s3_store.clear_client_cache()
+
+
+def test_s3_roundtrip_create_append_timetravel(spark, s3):
+    _client, bucket = s3
+    loc = f"s3://{bucket}/t1"
+    v0 = write_delta_native(spark.range(0, 5).selectExpr("id", "id * 2 AS x"), loc)
+    assert v0 == 0
+    v1 = write_delta_native(spark.range(5, 8).selectExpr("id", "id * 2 AS x"), loc)
+    assert v1 == 1
+
+    df = read_delta_native(spark, loc)
+    assert sorted(r.id for r in df.collect()) == list(range(8))
+    snap = replay_snapshot(spark, loc)
+    assert snap.version == 1 and len(snap.files) >= 2
+    assert snap.file_stats, "s3 write must record footer statistics"
+
+    t0 = read_delta_native(spark, loc, version=0)
+    assert sorted(r.id for r in t0.collect()) == list(range(5))
+
+
+def test_s3_commit_race_loses_with_412(spark, s3):
+    """The atomicity claim, against REAL conditional-put semantics.
+    Two layers: (a) a writer whose replay already SEES a rival commit
+    serializes AFTER it (optimistic concurrency — lands version 2,
+    rival's bytes untouched); (b) a commit racing INTO an
+    already-taken version (the window between replay and put) gets
+    the server's 412 and surfaces it as a concurrent-commit
+    DeltaWriteError — no lock table involved."""
+    from adt_spark.sources.delta_native_write import _atomic_write, _log_path
+
+    client, bucket = s3
+    loc = f"s3://{bucket}/race"
+    write_delta_native(spark.range(0, 3).selectExpr("id"), loc)
+    # a rival writer publishes version 1 directly over the S3 API
+    rival = json.dumps({"commitInfo": {"operation": "RIVAL"}}) + "\n"
+    client.put_object(
+        Bucket=bucket,
+        Key="race/_delta_log/" + f"{1:020d}.json",
+        Body=rival.encode(),
+        IfNoneMatch="*",
+    )
+    # (a) replay sees the rival -> serialize after it as version 2
+    v = write_delta_native(spark.range(3, 6).selectExpr("id"), loc)
+    assert v == 2
+    # (b) the true race window: a put at an already-taken version
+    with pytest.raises(DeltaWriteError, match="concurrent commit"):
+        _atomic_write(
+            _log_path(loc, 2), [{"commitInfo": {"operation": "LOSER"}}]
+        )
+    got = (
+        client.get_object(Bucket=bucket, Key="race/_delta_log/" + f"{1:020d}.json")[
+            "Body"
+        ]
+        .read()
+        .decode()
+    )
+    assert got == rival  # the winner's bytes survived both writes
+
+
+def test_s3_partitioned_write_and_pruning(spark, s3):
+    _client, bucket = s3
+    loc = f"s3://{bucket}/part"
+    df = spark.range(0, 20).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    write_delta_native(df, loc, partition_by=["p"])
+    got = read_delta_native(spark, loc)
+    assert got.count() == 20
+    assert sorted(got.select("p").distinct().toPandas()["p"]) == ["0", "1"]
+    snap = replay_snapshot(spark, loc)
+    assert all("p=" in path for path in snap.files)
+
+
+def test_s3_checkpoint_write_and_replay(spark, s3):
+    client, bucket = s3
+    loc = f"s3://{bucket}/cp"
+    for lo in (0, 4, 8):
+        write_delta_native(
+            spark.range(lo, lo + 4).selectExpr("id"), loc, mode="append"
+        )
+    v = write_checkpoint(spark, loc)
+    assert v == 2
+    keys = [
+        o["Key"]
+        for o in client.list_objects_v2(Bucket=bucket, Prefix="cp/_delta_log/")[
+            "Contents"
+        ]
+    ]
+    assert f"cp/_delta_log/{2:020d}.checkpoint.parquet" in keys
+    assert "cp/_delta_log/_last_checkpoint" in keys
+    # replay THROUGH the checkpoint: drop the pre-checkpoint commits
+    # (log cleanup) — the snapshot must rebuild from the parquet alone
+    for n in (0, 1):
+        client.delete_object(Bucket=bucket, Key=f"cp/_delta_log/{n:020d}.json")
+    df = read_delta_native(spark, loc)
+    assert sorted(r.id for r in df.collect()) == list(range(12))
+
+
+def test_s3_copy_on_write_delete(spark, s3):
+    _client, bucket = s3
+    loc = f"s3://{bucket}/dml"
+    write_delta_native(spark.range(0, 10).selectExpr("id", "id * 3 AS x"), loc)
+    version, n = delete_where(spark, loc, "id >= 7")
+    assert (version, n) == (1, 3)
+    df = read_delta_native(spark, loc)
+    assert sorted(r.id for r in df.collect()) == list(range(7))
+
+
+def test_s3_materialization_budget_guard(spark, s3, monkeypatch):
+    """The driver-gateway scale guard: a read whose data files exceed
+    ADT_S3_MATERIALIZE_LIMIT must refuse loudly (full-corpus scans
+    belong on s3a:// executor IO), not silently stream the table
+    through one node."""
+    _client, bucket = s3
+    loc = f"s3://{bucket}/big"
+    write_delta_native(spark.range(0, 1000).selectExpr("id"), loc)
+    monkeypatch.setattr(s3_store, "_MATERIALIZE_LIMIT", 10)
+    # ETag cache would satisfy the read without a download; force a
+    # fresh cache dir so the budget is actually consulted
+    monkeypatch.setenv("ADT_S3_CACHE_DIR", str(_fresh_dir()))
+    with pytest.raises(s3_store.S3StoreError, match="MATERIALIZE_LIMIT"):
+        read_delta_native(spark, loc).collect()
+
+
+def _fresh_dir():
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="adt-s3-budget-")
+
+
+def test_s3_etag_cache_hits(spark, s3, tmp_path):
+    """Unchanged objects are served from the ETag-keyed cache: a
+    second read adds no new cache entries; an appended table adds
+    only the NEW file."""
+    _client, bucket = s3
+    loc = f"s3://{bucket}/cache"
+    write_delta_native(spark.range(0, 5).selectExpr("id"), loc)
+    cache = tmp_path / "s3cache"
+
+    def n_cached():
+        return sum(len(files) for _r, _d, files in os.walk(cache))
+
+    read_delta_native(spark, loc).collect()
+    first = n_cached()
+    assert first >= 1
+    read_delta_native(spark, loc).collect()
+    assert n_cached() == first  # pure cache hit
+    write_delta_native(spark.range(5, 7).selectExpr("id"), loc, mode="append")
+    read_delta_native(spark, loc).collect()
+    assert n_cached() > first  # only the appended file downloads
