@@ -791,10 +791,12 @@ def pipeline_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RHO_K = 100
 
 
-@register(
-    "q_select_learnable_docs",
-    oracle=f"""
-    WITH tok AS (
+#: the per-document LM scoring as composable oracle CTEs (`uref` /
+#: `bprox` end with one row per doc_id carrying mean_ref /
+#: mean_proxy) — shared by q_select_learnable_docs (ranks the excess)
+#: and pipeline_curriculum_stages (buckets the proxy difficulty), the
+#: _DRM_CTES discipline at document grain.
+_DOCLM_CTES = f"""tok AS (
       SELECT doc_id, u.i AS pos, ts[i] AS token
       FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
            unnest(generate_series(1, len(ts))) AS u(i)
@@ -834,7 +836,13 @@ _RHO_K = 100
                  list_sort(list({{'pos': pos, 'p': p}})), s -> s.p)) / count(*)
                AS mean_proxy
       FROM bscored GROUP BY doc_id
-    ),
+    )"""
+
+
+@register(
+    "q_select_learnable_docs",
+    oracle=f"""
+    WITH {_DOCLM_CTES},
     ranked AS (
       SELECT u.doc_id, u.mean_ref,
              coalesce(b.mean_proxy, u.mean_ref) AS mean_proxy,
@@ -879,6 +887,33 @@ def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    uref, bprox = _doc_lm_means(spark, sf_dir)
+    proxy = F.coalesce(F.col("mean_proxy"), F.col("mean_ref"))
+    ranked = (
+        uref.join(bprox, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mean_ref",
+            proxy.alias("mean_proxy"),
+            F.greatest(F.col("mean_ref") - proxy, F.lit(0.0)).alias("excess"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.col("excess").desc(), F.col("doc_id"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rank") <= _RHO_K)
+
+
+def _doc_lm_means(spark: SparkSession, sf_dir: str):
+    """(uref, bprox): the per-document reference/proxy LM means — the
+    Spark twin of the ``_DOCLM_CTES`` oracle chain, shared by
+    q_select_learnable_docs (ranks the excess) and
+    pipeline_curriculum_stages (buckets the proxy difficulty).
+    ``bprox`` has no rows for all-single-token docs; callers LEFT-join
+    and coalesce to mean_ref."""
     from adt_spark.operators.quality import _lm_stems, _lm_pairs_expr
 
     toked, uni, bcnt = _lm_stems(spark, sf_dir)
@@ -917,20 +952,287 @@ def q_select_learnable_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumnRenamed("m", "mean_proxy")
 
-    proxy = F.coalesce(F.col("mean_proxy"), F.col("mean_ref"))
-    ranked = (
+    return uref, bprox
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch allocation, curriculum staging, and holdout splits
+# ---------------------------------------------------------------------------
+
+#: training token budget as a multiple of the corpus token count.
+_EPOCH_BUDGET_X = 2
+#: repeat-count beyond which a source is flagged (Muennighoff et al.
+#: 2023, "Scaling Data-Constrained Language Models": value decays
+#: rapidly past ~4 epochs of repeated data).
+_EPOCH_CAP = 4.0
+
+
+@register(
+    "pipeline_token_budget_epochs",
+    oracle=f"""
+    WITH {_DRM_CTES},
+    den AS (SELECT sum(raw_fp) AS den FROM fx),
+    w AS (
+      SELECT f.source, f.n_tok,
+             CAST(f.raw_fp AS DOUBLE) / CAST(d.den AS DOUBLE) AS weight
+      FROM fx f, den d
+    ),
+    e AS (
+      SELECT source, n_tok, weight,
+             CAST(floor({_EPOCH_BUDGET_X}.0 * (SELECT n FROM ntot) * weight)
+                  AS BIGINT) AS target_tokens
+      FROM w
+    )
+    SELECT source,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           weight,
+           target_tokens,
+           CAST(target_tokens AS DOUBLE) / n_tok AS epochs,
+           target_tokens // n_tok AS full_repeats,
+           target_tokens - (target_tokens // n_tok) * n_tok AS rem_tokens,
+           (CAST(target_tokens AS DOUBLE) / n_tok) > {_EPOCH_CAP} AS capped
+    FROM e
+    """,
+    tags=("sampling", "mixing", "budget", "pipeline"),
+)
+def pipeline_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch allocation — the table a training run's data
+    loader is actually configured from: given the DoReMi mixture
+    weights and a total token budget ({_EPOCH_BUDGET_X}× the corpus),
+    each source's token target splits into FULL passes over the
+    source (``full_repeats``) plus a remainder partial pass
+    (``rem_tokens`` — drawn via a q_mixture_temperature-style
+    deterministic membership test in practice), with sources pushed
+    past {_EPOCH_CAP} epochs flagged ``capped`` (Muennighoff et al.
+    2023: repeated-data value decays rapidly past ~4 epochs, so a
+    capped source signals the mixture wants more data than the source
+    has).
+
+    Cross-engine exactness: weight is one fixed-point-integer ratio
+    division (q_mixture_doremi_weights' recipe); the budget×weight
+    product is a double of exact-int factors floored to BIGINT;
+    epochs is one exact-int double division; full_repeats/rem_tokens
+    are pure BIGINT floor-division arithmetic.  No cross-row float
+    accumulation anywhere.
+
+    Scale shape: everything corpus-sized is the shared memoized LM
+    stems (q_mixture_doremi_weights' two token-keyed count shuffles);
+    this operator adds only |sources|-row arithmetic against two
+    broadcast 1-row totals — free at any corpus size.
+    """
+    src = _doremi_sources(spark, sf_dir)
+    # ONE auxiliary aggregate for both totals (Σ n_tok == ntot: every
+    # token has a source): a separate den/tot pair would re-derive the
+    # whole per-source pipeline a third time — the plan-shape test
+    # pins this at the weights plan's shuffle count
+    tots = src.agg(F.sum("raw_fp").alias("den"), F.sum("n_tok").alias("n"))
+    w = (
+        src.crossJoin(F.broadcast(tots))
+        .select(
+            "source",
+            "n_tok",
+            (F.col("raw_fp").cast("double") / F.col("den").cast("double")).alias("weight"),
+            F.floor(
+                F.lit(float(_EPOCH_BUDGET_X))
+                * F.col("n").cast("double")
+                * (F.col("raw_fp").cast("double") / F.col("den").cast("double"))
+            )
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+    )
+    return w.select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        "weight",
+        "target_tokens",
+        (F.col("target_tokens").cast("double") / F.col("n_tok")).alias("epochs"),
+        F.expr("target_tokens div n_tok").alias("full_repeats"),
+        (F.col("target_tokens") - F.expr("target_tokens div n_tok") * F.col("n_tok")).alias(
+            "rem_tokens"
+        ),
+        (
+            (F.col("target_tokens").cast("double") / F.col("n_tok"))
+            > F.lit(_EPOCH_CAP)
+        ).alias("capped"),
+    )
+
+
+#: fixed histogram width for the curriculum difficulty buckets.
+_CURR_BUCKETS = 1024
+#: number of curriculum stages.
+_CURR_STAGES = 10
+
+
+@register(
+    "pipeline_curriculum_stages",
+    oracle=f"""
+    WITH {_DOCLM_CTES},
+    d AS (
+      SELECT u.doc_id, coalesce(b.mean_proxy, u.mean_ref) AS difficulty
+      FROM uref u LEFT JOIN bprox b USING (doc_id)
+    ),
+    db AS (
+      SELECT doc_id, difficulty,
+             CAST(least(floor(difficulty * {_CURR_BUCKETS}),
+                        {_CURR_BUCKETS - 1}) AS INT) AS bucket
+      FROM d
+    ),
+    hist AS (SELECT bucket, count(*) AS cnt FROM db GROUP BY bucket),
+    nd AS (SELECT count(*) AS n FROM db),
+    st AS (
+      SELECT bucket,
+             coalesce(sum(cnt) OVER (ORDER BY bucket DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_prev
+      FROM hist
+    )
+    SELECT db.doc_id, db.difficulty, db.bucket,
+           CAST(least(({_CURR_STAGES} * st.cum_prev) // (SELECT n FROM nd),
+                      {_CURR_STAGES - 1}) AS INT) AS stage,
+           md5('curr-' || CAST(db.doc_id AS VARCHAR)) AS shuffle_key
+    FROM db JOIN st USING (bucket)
+    """,
+    tags=("sampling", "curriculum", "lm", "pipeline"),
+)
+def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging — assign every document an easy→hard
+    training stage from its language-model difficulty (the
+    Bengio et al. 2009 curriculum recipe at corpus scale): difficulty
+    = the proxy bigram-LM mean probability (q_select_learnable_docs'
+    mean_proxy; HIGH probability = easy, so stage 0 holds the
+    easiest decile), and the training order is (stage, shuffle_key) —
+    a deterministic intra-stage shuffle the trainer range-sorts on.
+
+    The decile boundaries are deliberately HISTOGRAM-GRAIN, not exact
+    order statistics: docs bucket into {_CURR_BUCKETS} fixed
+    difficulty bins, the bin histogram's descending cumulative counts
+    yield the stage of every bin, and all docs in a bin share a
+    stage.  An exact global decile needs a corpus-wide rank — a
+    single-partition window at any scale — while the histogram is one
+    tiny aggregate plus a broadcast map-back; production curricula
+    use exactly this approximation (quantiles from histograms).
+
+    Cross-engine exactness: difficulty is the position-ordered LM
+    fold (bit-identical both engines); bucketing is one
+    floor(x·2¹⁰) on that double; the cumulative window runs over
+    ≤{_CURR_BUCKETS} integer rows ordered by the integer bucket (no
+    ties possible); the stage division is pure integer floor
+    division.
+
+    Scale shape: the LM scorings are the shared memoized stems; new
+    cost is one ≤{_CURR_BUCKETS}-row aggregate, a window over those
+    rows only, and a broadcast join of the bucket→stage map back onto
+    doc-level rows.  Nothing corpus-sized is sorted, windowed, or
+    collected.
+    """
+    from pyspark.sql import Window as W
+
+    uref, bprox = _doc_lm_means(spark, sf_dir)
+    db = (
         uref.join(bprox, "doc_id", "left")
         .select(
             "doc_id",
-            "mean_ref",
-            proxy.alias("mean_proxy"),
-            F.greatest(F.col("mean_ref") - proxy, F.lit(0.0)).alias("excess"),
+            F.coalesce(F.col("mean_proxy"), F.col("mean_ref")).alias("difficulty"),
         )
         .withColumn(
-            "rank",
-            F.row_number().over(
-                W.orderBy(F.col("excess").desc(), F.col("doc_id"))
+            "bucket",
+            F.least(
+                F.floor(F.col("difficulty") * _CURR_BUCKETS),
+                F.lit(_CURR_BUCKETS - 1),
+            ).cast("int"),
+        )
+    )
+    hist = db.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    nd = db.agg(F.count(F.lit(1)).alias("n"))
+    st = hist.select(
+        "bucket",
+        F.coalesce(
+            F.sum("cnt").over(
+                W.orderBy(F.col("bucket").desc()).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("cum_prev"),
+    )
+    return (
+        db.join(F.broadcast(st), "bucket")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "difficulty",
+            "bucket",
+            F.least(
+                F.expr(f"({_CURR_STAGES} * cum_prev) div n"),
+                F.lit(_CURR_STAGES - 1),
+            )
+            .cast("int")
+            .alias("stage"),
+            F.md5(F.concat(F.lit("curr-"), F.col("doc_id").cast("string"))).alias(
+                "shuffle_key"
             ),
         )
     )
-    return ranked.filter(F.col("rank") <= _RHO_K)
+
+
+#: split thresholds on the 32-bit md5 fraction: floor(0.90·2^32) and
+#: floor(0.95·2^32) — a 90/5/5 train/val/test split.
+_SPLIT_TRAIN = 3865470566
+_SPLIT_VAL = 4080218931
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+    SELECT doc_id, source, lang,
+           CASE WHEN frac32 < {_SPLIT_TRAIN} THEN 'train'
+                WHEN frac32 < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, source, lang,
+             list_aggregate(list_transform(generate_series(1, 8), i ->
+                 CAST(instr('0123456789abcdef',
+                            substr(md5('split-' || CAST(doc_id AS VARCHAR)),
+                                   CAST(i AS INT), 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 8 - i) AS BIGINT)), 'sum') AS frac32
+      FROM documents
+    )
+    """,
+    tags=("sampling", "split"),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5): membership
+    is a pure function of the document id's salted md5, so the same
+    document lands in the same split on any engine, any cluster size,
+    any run — the property that makes holdout decontamination
+    (dedup_decontaminate) and eval-set stability possible at all.
+    Being a per-doc hash, the split is AUTOMATICALLY stratified in
+    expectation across any grouping (source, lang) without
+    co-ordination; the salt ``split-`` keeps it independent of every
+    other sampling draw in this module.
+
+    Cross-engine exactness: the md5-prefix fraction is the module's
+    integer frac32 recipe compared against fixed integer thresholds
+    (floor(0.90·2³²), floor(0.95·2³²)) — no floats anywhere.
+
+    Scale shape: zero shuffles, zero joins — one row-local projection
+    at corpus scan speed.
+    """
+    docs = tables(spark, sf_dir)["documents"]
+    frac32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(frac32 < _SPLIT_TRAIN, "train")
+        .when(frac32 < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

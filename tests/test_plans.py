@@ -1196,6 +1196,45 @@ def test_doremi_resample_weights_broadcast_no_new_shuffle(spark, sf_dir):
         assert shuffles(plan) == shuffles(wplan)
 
 
+def test_token_budget_epochs_no_new_shuffle(spark, sf_dir):
+    """pipeline_token_budget_epochs: the epoch table is |sources|-row
+    arithmetic over the DoReMi derivation — its plan may not add any
+    data shuffle beyond the weights plan (two broadcast 1-row totals
+    are the only additions)."""
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "pipeline_token_budget_epochs"))
+        assert "CartesianProduct" not in plan
+        wplan = _formatted(_q(spark, sf_dir, "q_mixture_doremi_weights"))
+        shuffles = lambda p: len(re.findall(r"\(\d+\) Exchange\b", p))  # noqa: E731
+        assert shuffles(plan) == shuffles(wplan)
+
+
+def test_curriculum_stages_histogram_not_global_sort(spark, sf_dir):
+    """pipeline_curriculum_stages: the decile machinery must be
+    histogram-grain — the only Window runs over the ≤1024-row bucket
+    histogram (downstream of an Aggregate), the bucket→stage map
+    reaches doc rows as a FORCED broadcast that survives
+    threshold=-1, and nothing corpus-sized is globally sorted."""
+    plan = _formatted(_q(spark, sf_dir, "pipeline_curriculum_stages"))
+    assert "Sort [shuffle_key" not in plan and "TakeOrderedAndProject" not in plan
+    with _no_auto_broadcast(spark):
+        plan = _formatted(_q(spark, sf_dir, "pipeline_curriculum_stages"))
+        assert "BroadcastHashJoin" in plan  # the forced stage-map join
+        assert "CartesianProduct" not in plan
+        # exactly one Window pass — the histogram cumulative — never a
+        # second (corpus-ranking) window
+        assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
+
+
+def test_split_assign_scan_only(spark, sf_dir):
+    """q_split_assign: a pure row-local projection — no joins, no
+    exchanges, no windows; the split must cost exactly one corpus
+    scan."""
+    plan = _formatted(_q(spark, sf_dir, "q_split_assign"))
+    for node in ("Join", "Exchange", "Window", "Sort"):
+        assert not re.search(rf"\(\d+\) \w*{node}", plan), node
+
+
 def test_learnable_docs_topk_and_no_forced_broadcast(spark, sf_dir):
     """q_select_learnable_docs: the global top-k must plan as a
     WindowGroupLimit (per-partition heaps before the single-partition
