@@ -1609,7 +1609,18 @@ def vacuum(spark, location: str, retain_hours: float = 168.0) -> list[str]:
                 # re-added later → not dead
                 tombstones.pop(add["path"], None)
 
-    if is_url:
+    from adt_spark.sources import s3_store
+
+    if s3_store.is_native_s3(location):
+
+        def _unlink(rel: str) -> bool:
+            url = _url_join(location, rel)
+            if not s3_store.exists(url):
+                return False
+            s3_store.delete(url)
+            return True
+
+    elif is_url:
         _jvm, _p, fs = _hadoop_fs(spark, location)
         Path = _jvm.org.apache.hadoop.fs.Path
 

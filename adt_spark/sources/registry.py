@@ -85,6 +85,17 @@ def register_table(
             f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}"
         )
     conf = _FORMATS[key]
+    if location.startswith("s3://") and conf["format"] != "delta":
+        # jar-free object-store listing (reference: the factory reads
+        # any format off its object store, context.rs:62-79 +
+        # listing.rs): mirror the prefix into the local ETag cache as
+        # one coherent tree — hive layout, globs and extension
+        # detection behave exactly as against the store.  Delta keeps
+        # its own gateway (log replay + per-file materialization in
+        # delta_native); s3a:// URLs pass through to Hadoop IO.
+        from adt_spark.sources import s3_store
+
+        location = s3_store.materialize_tree(location)
     if key == "arrow":
         from adt_spark.sources.arrow_ipc import read_arrow_ipc
 

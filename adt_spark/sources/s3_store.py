@@ -52,6 +52,7 @@ __all__ = [
     "exists",
     "delete",
     "materialize",
+    "materialize_tree",
     "upload_file",
     "clear_client_cache",
 ]
@@ -242,3 +243,50 @@ def materialize(url: str, budget: list | None = None) -> str:
     _client().download_file(bucket, key, tmp)
     os.replace(tmp, local)
     return local
+
+
+def materialize_tree(url: str) -> str:
+    """Mirror everything under an ``s3://`` prefix into one coherent
+    local DIRECTORY (symlinks into the ETag cache) and return it —
+    the listing-factory primitive: Spark's local reader then sees the
+    original layout, so hive ``col=value/`` partition discovery,
+    multi-file globs and extension-based codec detection all behave
+    exactly as against the store.  The tree is keyed by the snapshot
+    of (key, etag) pairs: unchanged prefixes re-resolve to the same
+    tree (pure cache hit); any changed object yields a fresh tree.
+    One shared byte budget across the mirror (ADT_S3_MATERIALIZE_LIMIT
+    — the listing gateway is for metadata-scale reads; bulk scans
+    belong on s3a:// executor IO)."""
+    import hashlib
+
+    objects = list_prefix(url)
+    if not objects:
+        raise FileNotFoundError(f"no objects under {url!r}")
+    budget = [0]
+    entries: list[tuple[str, str]] = []  # (rel key tail, local file)
+    base_bucket, base_key = _split(url)
+    prefix = base_key.rstrip("/") + "/" if base_key else ""
+    sig = hashlib.sha256()
+    for obj_url, _size in sorted(objects):
+        _b, key = _split(obj_url)
+        rel = key[len(prefix):] if prefix and key.startswith(prefix) else key
+        local = materialize(obj_url, budget)
+        # the etag is baked into the cached path — hashing it keys the
+        # tree on content, not just names
+        sig.update(rel.encode())
+        sig.update(local.encode())
+        entries.append((rel, local))
+    tree = os.path.join(
+        _cache_root(), "_trees", base_bucket, sig.hexdigest()[:24]
+    )
+    done = os.path.join(tree, ".complete")
+    if os.path.exists(done):
+        return tree
+    for rel, local in entries:
+        dst = os.path.join(tree, *rel.split("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if not os.path.lexists(dst):
+            os.symlink(local, dst)
+    with open(done, "w") as fh:
+        fh.write(url)
+    return tree

@@ -218,3 +218,62 @@ def test_s3_etag_cache_hits(spark, s3, tmp_path):
     write_delta_native(spark.range(5, 7).selectExpr("id"), loc, mode="append")
     read_delta_native(spark, loc).collect()
     assert n_cached() > first  # only the appended file downloads
+
+
+def test_s3_listing_factory_parquet_hive(spark, s3, tmp_path):
+    """The listing factory over the object store (A1-A3 at s3://):
+    a hive-partitioned parquet prefix registers jar-free — the mirror
+    tree preserves the layout, so Spark discovers the partition
+    column and its values exactly as against the store."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from adt_spark.sources.registry import register_table
+
+    client, bucket = s3
+    for p in (0, 1):
+        local = tmp_path / f"part{p}.parquet"
+        pq_.write_table(
+            pa.table({"id": pa.array(range(p * 5, p * 5 + 5), pa.int64())}),
+            str(local),
+        )
+        client.upload_file(str(local), bucket, f"tbl/p={p}/data.parquet")
+    df = register_table(spark, "s3_hive_t", f"s3://{bucket}/tbl", "parquet")
+    assert sorted(r.id for r in df.collect()) == list(range(10))
+    assert sorted(df.select("p").distinct().toPandas()["p"]) == [0, 1]
+    # unchanged prefix: second registration resolves to the same tree
+    df2 = register_table(spark, "s3_hive_t2", f"s3://{bucket}/tbl", "parquet")
+    assert df2.count() == 10
+
+
+def test_s3_listing_factory_csv(spark, s3):
+    from adt_spark.sources.registry import register_table
+
+    client, bucket = s3
+    client.put_object(
+        Bucket=bucket, Key="c/data.csv", Body=b"a,b\n1,x\n2,y\n"
+    )
+    df = register_table(
+        spark, "s3_csv_t", f"s3://{bucket}/c", "csv", options={"header": "true"}
+    )
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_s3_vacuum_deletes_objects(spark, s3):
+    """VACUUM over s3://: tombstoned files past the horizon are
+    deleted from the BUCKET (real DeleteObject calls), live files and
+    the log survive."""
+    client, bucket = s3
+    loc = f"s3://{bucket}/vac"
+    write_delta_native(spark.range(0, 6).selectExpr("id"), loc)
+    delete_where(spark, loc, "id < 3")
+    from adt_spark.sources.delta_native_write import vacuum
+
+    gone = vacuum(spark, loc, retain_hours=0.0)
+    assert gone  # every tombstoned (rewritten) part file reclaimed
+    keys = [
+        o["Key"]
+        for o in client.list_objects_v2(Bucket=bucket, Prefix="vac/")["Contents"]
+    ]
+    assert not any(k.endswith(g) for g in gone for k in keys)
+    assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == [3, 4, 5]
