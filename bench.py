@@ -42,6 +42,7 @@ HEADLINE = [
     "q_window_exclude_rows",
     "q_window_exclude_noop",
     "q_window_exclude_range_value",
+    "q_window_exclude_range_date",
     "q_window_unbounded_following",
     "q_events_hourly_rollup",
     "q_events_sessionize",
@@ -60,6 +61,10 @@ HEADLINE = [
     "q_mixture_doremi_weights",
     "q_select_learnable_docs",
     "q_dsir_resample",
+    "pipeline_doremi_resample",
+    "pipeline_token_budget_epochs",
+    "pipeline_curriculum_stages",
+    "q_split_assign",
     "q_events_m4_downsample",
     "q_events_value_histogram",
     "q_events_rolling_actives",
