@@ -888,18 +888,46 @@ def _rewrite_groups_exclude(sql: str) -> str:
                     # TIMESTAMP keys (a sub-day component would make
                     # the split silently mis-frame, so it errors
                     # loudly — the date analog of the integrality
-                    # guard below).
+                    # guard below).  Under a DST-observing session
+                    # timezone, Spark's INTERVAL DAY on timestamps is
+                    # a fixed 24 h while local midnights sit 23/25 h
+                    # apart near transitions — midnight alignment
+                    # alone would pass while the split mis-frames
+                    # (round-8 review finding 3).  So the guard also
+                    # requires every ±j-day 24 h step (j = 1 and each
+                    # frame-bound magnitude) to LAND midnight-aligned:
+                    # that makes every comparison boundary a midnight,
+                    # and any key inside a short-day gap fails its own
+                    # ±1-day landing.  UTC / fixed-offset sessions
+                    # never fire these; near DST transitions the
+                    # refusal is conservative (loud, never silent).
+                    t = f"CAST(({korder}) AS TIMESTAMP)"
+                    mags = {1}
+                    for b in (lo, hi):
+                        if b.startswith("interval"):
+                            mm = re.search(r"(\d+)", b)
+                            if mm:
+                                mags.add(int(mm.group(1)))
+                    mis = [f"CAST(CAST(({korder}) AS DATE) AS TIMESTAMP) <> {t}"]
+                    for j in sorted(mags):
+                        for sgn in ("-", "+"):
+                            stepped = f"({t} {sgn} INTERVAL '{j}' DAY)"
+                            mis.append(
+                                f"CAST(CAST({stepped} AS DATE) AS TIMESTAMP) "
+                                f"<> {stepped}"
+                            )
                     guard = (
                         f"max(CASE WHEN ({korder}) IS NOT NULL AND "
-                        f"CAST(CAST(({korder}) AS DATE) AS TIMESTAMP) "
-                        f"<> CAST(({korder}) AS TIMESTAMP) "
+                        f"({' OR '.join(mis)}) "
                         f"THEN 1 ELSE 0 END) OVER ({wfull})"
                     )
                     guard_msg = (
                         f"EXCLUDE {exclude.upper()} over an INTERVAL-DAY "
                         f"RANGE frame is exact only for DATE or midnight-"
-                        f"aligned TIMESTAMP order keys; found a sub-day "
-                        f"key — use a GROUPS frame or the DataFrame API"
+                        f"aligned TIMESTAMP order keys under a DST-free "
+                        f"session timezone; found a sub-day key or a "
+                        f"DST-length day — use a GROUPS frame, a UTC "
+                        f"session, or the DataFrame API"
                     )
                 else:
                     # integrality guard: fractional, huge-double

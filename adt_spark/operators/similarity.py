@@ -1440,7 +1440,11 @@ _SEM_K_LITERAL_MAX = 64
 
 
 def _sem_assign_distributed(
-    spark: SparkSession, sf_dir: str, emb: DataFrame, sem_k: int
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    sem_k: int,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Distributed one-Lloyd SemDeDup assignment for production k
     (round-7 verdict item 3 / SCALING.md note 1): the k seed
@@ -1475,7 +1479,8 @@ def _sem_assign_distributed(
     """
     import os
 
-    n_cells = int(os.environ.get("ADT_SEM_CELLS", str(_N_CELLS)))
+    if n_cells is None:
+        n_cells = int(os.environ.get("ADT_SEM_CELLS", str(_N_CELLS)))
     if n_cells == _N_CELLS:
         cells = _ivf_trained_cells(spark, sf_dir)
     else:
@@ -1579,12 +1584,16 @@ def _sem_block_input(spark: SparkSession, sf_dir: str):
     # different SemDeDup semantics (pairs confine to different
     # clusters), not a different answer to the same question.
     sem_k = int(os.environ.get("ADT_SEM_K", "0"))
+    # router width participates in the memo key: the distributed path
+    # reads it, and a key without it would silently serve a stale
+    # assignment after ADT_SEM_CELLS changes (round-8 review finding 4)
+    sem_cells = int(os.environ.get("ADT_SEM_CELLS", str(_N_CELLS)))
 
     # Session memo (same lifecycle discipline as dedup._SHINGLE_MEMO):
     # the Lloyd pass + vector join is the dominant cost and is
     # identical across calls, so the materialized checkpoint and the
     # k-row size map are computed once per (session, corpus, k).
-    memo_key = (spark.sparkContext.applicationId, sf_dir, sem_k)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, sem_k, sem_cells)
     memo = _SEM_ASSIGNED_MEMO.get(memo_key)
     if memo is not None:
         assigned, csz = memo
@@ -1599,7 +1608,9 @@ def _sem_block_input(spark: SparkSession, sf_dir: str):
             # heap AND Janino codegen) — centroids stay a DataFrame
             # and assignment becomes a coarse-cell equi-join; driver
             # state is the constant-size cell router only.
-            assign_df = _sem_assign_distributed(spark, sf_dir, emb, sem_k)
+            assign_df = _sem_assign_distributed(
+                spark, sf_dir, emb, sem_k, n_cells=sem_cells
+            )
         elif sem_k > 0:
             # ANY positive k takes the seeds path (round-7 ADVICE
             # item 3: values in 1.._KM_K were silently ignored); at
@@ -2071,6 +2082,17 @@ def _vec_np_batch(col, n: int) -> "np.ndarray":
             f"ragged or NULL-element embedding in Arrow batch: expected "
             f"{n}×{_DIM} doubles, got {len(flat)} values with "
             f"{flat.null_count} nulls"
+        )
+    # PER-ROW lengths, not just the total: compensating ragged rows
+    # (one short, one long) keep len(flat) == n·_DIM while shifting
+    # every vector between them — the reshape would silently misalign
+    # (round-8 review finding 2)
+    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    if (lengths != _DIM).any():
+        bad = int((lengths != _DIM).argmax())
+        raise ValueError(
+            f"ragged embedding in Arrow batch: row {bad} has "
+            f"{int(lengths[bad])} elements, expected {_DIM}"
         )
     return flat.to_numpy(zero_copy_only=True).reshape(n, _DIM)
 

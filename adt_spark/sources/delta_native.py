@@ -137,18 +137,24 @@ def _read_file(spark: SparkSession | None, path: str, binary: bool = False):
     return data if binary else data.decode("utf-8")
 
 
-def _local_parquet_paths(location: str, paths: list[str]) -> list[str]:
+def _local_parquet_paths(
+    location: str, paths: list[str], budget: list | None = None
+) -> list[str]:
     """``s3://`` parquet (data files, checkpoints, sidecars) →
     local ETag-keyed cache paths via the boto3 gateway, scanned with
     Spark's local reader (no executor-side S3 connector needed);
-    every other scheme passes through to Spark's Hadoop IO.  One
-    shared byte budget per logical read — exceeding
-    ADT_S3_MATERIALIZE_LIMIT raises (s3_store module docstring)."""
+    every other scheme passes through to Spark's Hadoop IO.
+    ``budget`` is the single-cell byte accumulator SHARED ACROSS ONE
+    LOGICAL READ — callers that materialize in a loop (per partition
+    group, per DV file) must pass one accumulator for the whole read
+    or the ADT_S3_MATERIALIZE_LIMIT guard silently resets per call
+    (round-8 review finding 1)."""
     from adt_spark.sources import s3_store
 
     if not s3_store.is_native_s3(location):
         return list(paths)
-    budget = [0]
+    if budget is None:
+        budget = [0]
     return [s3_store.materialize(p, budget) for p in paths]
 
 
@@ -182,8 +188,13 @@ def _list_log(
     commits, checkpoints = [], []
     if s3_store.is_native_s3(location):
         # direct children only — a prefix listing is recursive, and
-        # _sidecars/* keys must not be taken for commit files
-        base = d.rstrip("/") + "/"
+        # _sidecars/* keys must not be taken for commit files.  The
+        # base is rebuilt from the CANONICAL (bucket, key) split, not
+        # the verbatim user URL: a non-canonical location (extra
+        # slash) would misalign the suffix slice and silently read as
+        # "no log" (round-8 review finding 5)
+        bkt, key = s3_store._split(d)
+        base = f"s3://{bkt}/{key}".rstrip("/") + "/"
         entries = [
             (url[len(base):], url)
             for url, _size in s3_store.list_prefix(d)
@@ -700,10 +711,11 @@ def read_delta_native(
         groups.setdefault(key, []).append(_data_path(location, path))
 
     parts: list[DataFrame] = []
+    read_budget = [0]  # ONE materialization budget for the whole read
     for key, paths in groups.items():
         df = to_logical(
             spark.read.schema(read_schema).parquet(
-                *_local_parquet_paths(location, paths)
+                *_local_parquet_paths(location, paths, read_budget)
             )
         )
         parts.append(_with_partition_cols(df, dict(key), part_fields, out_cols))
@@ -711,7 +723,9 @@ def read_delta_native(
         df = to_logical(
             _apply_deletion_vector(
                 spark,
-                _local_parquet_paths(location, [_data_path(location, path)])[0],
+                _local_parquet_paths(
+                    location, [_data_path(location, path)], read_budget
+                )[0],
                 read_schema,
                 dv,
                 location,
@@ -928,6 +942,7 @@ def table_changes(
     )
 
     end_schema_json = snap.schema.json()
+    cdf_budget = [0]  # ONE materialization budget for the whole CDF read
     for v, path in commits:
         if v < starting_version or v > end:
             continue
@@ -979,7 +994,7 @@ def table_changes(
                     f"CDC source file missing (vacuumed?): {rel} at version {v}"
                 )
             df = spark.read.schema(read_schema).parquet(
-                *_local_parquet_paths(location, [abs_path])
+                *_local_parquet_paths(location, [abs_path], cdf_budget)
             )
             df = df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(v).cast("long")

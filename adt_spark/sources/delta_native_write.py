@@ -707,6 +707,69 @@ def _dml_projection(snap, data_schema):
     return read_schema, to_logical, to_physical
 
 
+def _stage_local_adds(
+    df: DataFrame,
+    staging: str,
+    partition_by: list[str],
+    finalize,
+    *,
+    ts: int | None = None,
+    fixed_pvals: dict | None = None,
+    data_change: bool = True,
+) -> list[dict]:
+    """THE local staging loop (round-8 review finding 6: previously
+    three diverging copies): distributed parquet write into
+    ``staging``, then for every kept part file — empty parts dropped,
+    footer statistics read locally — publish it via
+    ``finalize(staged_abs, final_rel) -> None`` (os.rename for local
+    tables, a direct boto3 upload for s3://) and emit the add action.
+    ``partition_by`` derives partitionValues from the staged dir
+    names; ``fixed_pvals`` pins them.  Always removes the staging
+    tree."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    ts = int(time.time() * 1000) if ts is None else ts
+    adds: list[dict] = []
+    try:
+        for staged, staged_pvals in _collect_staged_files(staging, partition_by):
+            meta = pq.ParquetFile(staged).metadata
+            if meta.num_rows == 0:
+                os.remove(staged)
+                continue
+            pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
+            rel_dir = _rel_dirname(pvals, partition_by or None)
+            final_rel = (
+                (rel_dir + "/" if rel_dir else "")
+                + f"part-{uuid.uuid4().hex}.parquet"
+            )
+            size = os.path.getsize(staged)
+            stats = _file_stats(meta)
+            finalize(staged, final_rel)
+            adds.append(
+                {
+                    "add": {
+                        "path": final_rel,
+                        "partitionValues": pvals,
+                        "size": size,
+                        "modificationTime": ts,
+                        "dataChange": data_change,
+                        "stats": stats,
+                    }
+                }
+            )
+    finally:
+        for root, dirs, files in os.walk(staging, topdown=False):
+            for name in files:
+                os.remove(os.path.join(root, name))
+            for name in dirs:
+                os.rmdir(os.path.join(root, name))
+        if os.path.isdir(staging):
+            os.rmdir(staging)
+    return adds
+
+
 def _stage_local_upload_s3(
     df: DataFrame,
     location: str,
@@ -730,49 +793,31 @@ def _stage_local_upload_s3(
 
     from adt_spark.sources import s3_store
 
-    staging = tempfile.mkdtemp(prefix="adt-s3-stage-")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    ts = int(time.time() * 1000) if ts is None else ts
-    adds: list[dict] = []
-    try:
-        for staged, staged_pvals in _collect_staged_files(staging, partition_by):
-            meta = pq.ParquetFile(staged).metadata
-            if meta.num_rows == 0:
-                os.remove(staged)
-                continue
-            pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
-            rel_dir = _rel_dirname(pvals, partition_by or None)
-            final_rel = (
-                (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-            )
-            s3_store.upload_file(staged, _url_join(location, final_rel))
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(staged),
-                        "modificationTime": ts,
-                        "dataChange": data_change,
-                        "stats": _file_stats(meta),
-                    }
-                }
-            )
-    finally:
-        for root, dirs, files in os.walk(staging, topdown=False):
-            for name in files:
-                os.remove(os.path.join(root, name))
-            for name in dirs:
-                os.rmdir(os.path.join(root, name))
-        if os.path.isdir(staging):
-            os.rmdir(staging)
-    return adds
+    return _stage_local_adds(
+        df,
+        tempfile.mkdtemp(prefix="adt-s3-stage-"),
+        partition_by,
+        lambda staged, final_rel: s3_store.upload_file(
+            staged, _url_join(location, final_rel)
+        ),
+        ts=ts,
+        fixed_pvals=fixed_pvals,
+        data_change=data_change,
+    )
+
+
+def _rename_into_table(location: str):
+    """finalize callback for same-filesystem staging: hard move the
+    staged part to its final in-table name."""
+    def _fin(staged: str, final_rel: str) -> None:
+        final_abs = os.path.join(location, *final_rel.split("/"))
+        os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+        os.rename(staged, final_abs)
+    return _fin
 
 
 def _stage_and_collect(
+
     df: DataFrame,
     location: str,
     partition_by: list[str],
@@ -793,48 +838,13 @@ def _stage_and_collect(
                 df, location, partition_by, data_change=data_change
             )
         return _stage_and_collect_url(df, location, partition_by, data_change)
-    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-
-    adds: list[dict] = []
-    try:
-        for staged, pvals in _collect_staged_files(staging, partition_by):
-            meta = pq.ParquetFile(staged).metadata
-            if meta.num_rows == 0:
-                # empty task output — committing it would only bloat
-                # the log and every future scan's file list
-                os.remove(staged)
-                continue
-            rel_dir = _rel_dirname(pvals, partition_by) if partition_by else ""
-            final_rel = (rel_dir + "/" if rel_dir else "") + f"part-{uuid.uuid4().hex}.parquet"
-            final_abs = os.path.join(location, *final_rel.split("/"))
-            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-            os.rename(staged, final_abs)
-            adds.append(
-                {
-                    "add": {
-                        "path": final_rel,
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(final_abs),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": data_change,
-                        "stats": _file_stats(meta),
-                    }
-                }
-            )
-    finally:
-        # staging now holds only _SUCCESS/CRC leftovers
-        for root, dirs, files in os.walk(staging, topdown=False):
-            for name in files:
-                os.remove(os.path.join(root, name))
-            for name in dirs:
-                os.rmdir(os.path.join(root, name))
-        if os.path.isdir(staging):
-            os.rmdir(staging)
-    return adds
+    return _stage_local_adds(
+        df,
+        os.path.join(location, f"_staging-{uuid.uuid4().hex}"),
+        partition_by,
+        _rename_into_table(location),
+        data_change=data_change,
+    )
 
 
 def _stage_and_collect_url(
@@ -969,32 +979,15 @@ def _stage_into_table(
             fs.delete(staging_p, True)
         return adds
 
-    staging = os.path.join(location, f"_staging-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
-    try:
-        for staged, staged_pvals in _collect_staged_files(staging, partition_by):
-            meta = pq.ParquetFile(staged).metadata
-            if meta.num_rows == 0:
-                os.remove(staged)
-                continue
-            pvals = staged_pvals if partition_by else dict(fixed_pvals or {})
-            final_rel = _final_rel(pvals)
-            final_abs = os.path.join(location, *final_rel.split("/"))
-            os.makedirs(os.path.dirname(final_abs), exist_ok=True)
-            os.rename(staged, final_abs)
-            _add(final_rel, pvals, os.path.getsize(final_abs), meta)
-    finally:
-        for root, dirs, files in os.walk(staging, topdown=False):
-            for name in files:
-                os.remove(os.path.join(root, name))
-            for name in dirs:
-                os.rmdir(os.path.join(root, name))
-        if os.path.isdir(staging):
-            os.rmdir(staging)
-    return adds
+    return _stage_local_adds(
+        df,
+        os.path.join(location, f"_staging-{uuid.uuid4().hex}"),
+        partition_by,
+        _rename_into_table(location),
+        ts=ts,
+        fixed_pvals=fixed_pvals,
+        data_change=data_change,
+    )
 
 
 def write_delta_native(
@@ -2503,7 +2496,8 @@ def convert_to_delta(spark, location: str) -> int:
 
     rels: list[tuple[str, dict]] = []
     if is_url and _s3.is_native_s3(location):
-        base = location.rstrip("/") + "/"
+        bkt, key = _s3._split(location)
+        base = f"s3://{bkt}/{key}".rstrip("/") + "/"
         for url, _size in _s3.list_prefix(location):
             rel = url[len(base):]
             segs = rel.split("/")
@@ -2599,9 +2593,10 @@ def convert_to_delta(spark, location: str) -> int:
     ]
     from adt_spark.sources import s3_store
 
+    convert_budget = [0]  # ONE materialization budget across all footers
     for rel, pvals in rels:
         if is_url and s3_store.is_native_s3(location):
-            local = s3_store.materialize(_url_join(location, rel))
+            local = s3_store.materialize(_url_join(location, rel), convert_budget)
             meta = pq.ParquetFile(local).metadata
             size = os.path.getsize(local)
         elif is_url:

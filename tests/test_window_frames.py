@@ -1117,6 +1117,38 @@ def test_date_range_exclude_midnight_timestamp_ok(spark, date_t):
     assert got == want
 
 
+def test_date_range_exclude_dst_timezone_raises_at_runtime(spark):
+    """The DST hardening (round-8 review finding 3): under a
+    DST-observing session timezone, INTERVAL '1' DAY is a fixed 24 h
+    while local midnights near a transition are 23/25 h apart — the
+    guard must refuse LOUDLY (a ±1-day 24 h step that does not land
+    midnight-aligned) instead of letting the split silently
+    mis-frame.  Keys straddle the US 2026-03-08 spring-forward."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = [
+            (datetime.datetime(2026, 3, 7), 1, 1),
+            (datetime.datetime(2026, 3, 8), 2, 1),
+            (datetime.datetime(2026, 3, 9), 3, 1),
+        ]
+        spark.createDataFrame(
+            rows, "d timestamp, x int, g int"
+        ).createOrReplaceTempView("wf_dst")
+        q = (
+            "SELECT min(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+            "INTERVAL '2' DAY PRECEDING AND INTERVAL '2' DAY FOLLOWING "
+            "EXCLUDE GROUP) AS v FROM wf_dst"
+        )
+        rq = rewrite_window_frames(q)
+        with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|DST"):
+            spark.sql(rq).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_non_day_interval_units_still_refuse():
     """HOUR/MONTH interval offsets have no discrete key-space unit
     step — they must keep raising at the parse gate, not silently

@@ -63,7 +63,8 @@ ZIPF_FAMILIES = [
 #: Zipf vocabulary shape: ~50k types, exponent 1.1 — the standard
 #: natural-text fit (Zipf 1949; α for web corpora measured 1.0–1.2),
 #: so the head tokens are genuine heavy hitters (rank-1 token covers
-#: ~7% of all positions) while the tail stays mostly-unique, exactly
+#: 1/H(50000, 1.1) ≈ 13.9% of all positions — the ≈14% head mass
+#: SCALING.md v2 reports) while the tail stays mostly-unique, exactly
 #: the posting-list/skew regime a real crawl presents.
 ZIPF_TYPES = 50_000
 ZIPF_ALPHA = 1.1
