@@ -151,11 +151,15 @@ def _local_parquet_paths(
     (round-8 review finding 1)."""
     from adt_spark.sources import s3_store
 
-    if not s3_store.is_native_s3(location):
-        return list(paths)
+    # decide PER PATH, not per table location: a shallow clone at a
+    # local (or s3://) location can carry ABSOLUTE add.path URIs into
+    # another store, and vice versa
     if budget is None:
         budget = [0]
-    return [s3_store.materialize(p, budget) for p in paths]
+    return [
+        s3_store.materialize(p, budget) if s3_store.is_native_s3(p) else p
+        for p in paths
+    ]
 
 
 def _log_dir(location: str) -> str:

@@ -443,12 +443,26 @@ def _scan_abs(location: str, rels: list[str]) -> list[str]:
     match keeps working); every other scheme joins in place."""
     from adt_spark.sources import s3_store
 
-    if s3_store.is_native_s3(location):
-        budget = [0]
-        return [
-            s3_store.materialize(_url_join(location, r), budget) for r in rels
-        ]
-    return [os.path.join(location, r) for r in rels]
+    budget = [0]
+    out = []
+    for r in rels:
+        # absolute URIs (shallow-clone references) keep their own
+        # scheme; relative paths join the table location
+        abs_p = (
+            r
+            if "://" in r or r.startswith("/")
+            else (
+                _url_join(location, r)
+                if _is_url(location)
+                else os.path.join(location, r)
+            )
+        )
+        out.append(
+            s3_store.materialize(abs_p, budget)
+            if s3_store.is_native_s3(abs_p)
+            else abs_p
+        )
+    return out
 
 
 def _rel_from_uri(uri: str, snap_files) -> str:

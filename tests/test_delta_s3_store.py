@@ -277,3 +277,20 @@ def test_s3_vacuum_deletes_objects(spark, s3):
     ]
     assert not any(k.endswith(g) for g in gone for k in keys)
     assert sorted(r.id for r in read_delta_native(spark, loc).collect()) == [3, 4, 5]
+
+
+def test_s3_shallow_clone_to_local_reads_through_gateway(spark, s3, tmp_path):
+    """Cross-store shallow clone: a LOCAL clone whose add actions
+    reference ABSOLUTE s3:// data files must read through the
+    per-path gateway materialization (the clone's own location is
+    local, so a location-keyed switch would pass the s3 URIs to
+    Spark's Hadoop reader and die on 'No FileSystem for scheme s3')."""
+    from adt_spark.sources.delta_native_write import shallow_clone
+
+    _client, bucket = s3
+    src_loc = f"s3://{bucket}/src"
+    write_delta_native(spark.range(0, 6).selectExpr("id", "id * 7 AS x"), src_loc)
+    clone_loc = str(tmp_path / "clone")
+    shallow_clone(spark, src_loc, clone_loc)
+    got = read_delta_native(spark, clone_loc)
+    assert sorted(r.id for r in got.collect()) == list(range(6))
