@@ -1236,3 +1236,83 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: range partitions for the two-phase global rank.
+_RANK_PARTS = 32
+
+
+@register(
+    "q_global_rank_chars",
+    oracle="""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS rnk
+    FROM documents
+    """,
+    tags=("sampling", "rank", "scale"),
+)
+def q_global_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GLOBAL ranking — ``row_number() OVER (ORDER BY …)``
+    without the single-partition cliff.  Spark executes an
+    unpartitioned window on ONE task (every ranking/top-k pipeline's
+    scale wall; the repo's other global orderings either avoid ranks
+    — q_deterministic_shuffle — or stay histogram-grain —
+    pipeline_curriculum_stages).  This operator is the classic
+    two-phase construction that scales:
+
+    1. range-repartition on the total-order key (n_chars, doc_id) —
+       Spark samples key ranges, so partitions are balanced and
+       partition i's keys all precede partition i+1's;
+    2. rank LOCALLY within each range partition (a PARTITIONED
+       window — parallel);
+    3. collect the per-partition COUNTS ({_RANK_PARTS} rows — bounded
+       driver state, the Lloyd-collect discipline), prefix-sum them,
+       and add each partition's offset as a broadcast literal map.
+
+    global_rank = partition_offset + local_rank is exact because the
+    range partitioner puts every key of partition i strictly before
+    partition i+1 under the SAME total order the local rank uses
+    (the tiebreak doc_id makes the key unique, so no key straddles a
+    boundary).  Partition BOUNDARIES are sampled (nondeterministic),
+    but the output ranks are boundary-invariant — the cross-engine
+    hash compare proves exactly that.
+
+    Scale shape: one range shuffle + one pid-keyed shuffle for the
+    local window (rows stay co-located; Catalyst cannot see that and
+    re-hashes — the cost of staying JVM-side) + a {_RANK_PARTS}-row
+    collect.  No single-partition exchange anywhere (plan-checked:
+    the only Window is partitioned).
+    """
+    from pyspark.sql import Window as W
+
+    docs = tables(spark, sf_dir)["documents"]
+    ranged = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .repartitionByRange(_RANK_PARTS, F.col("n_chars"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin sampled boundaries: the
+        # count collect and the ranked output must see the SAME
+        # partitioning (a re-planned range sample could move keys)
+    )
+    counts = {
+        int(r._pid): r.cnt
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }  # bounded: one row per range partition
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
+    )
+    lr = F.row_number().over(
+        W.partitionBy("_pid").orderBy("n_chars", "doc_id")
+    )
+    return ranged.select(
+        "doc_id",
+        "n_chars",
+        (F.coalesce(F.element_at(off_map, F.col("_pid")), F.lit(0)) + lr)
+        .cast("long")
+        .alias("rnk"),
+    )

@@ -54,6 +54,7 @@ HEADLINE = [
     "q_range_join_purchase_error",
     "q_stratified_sample",
     "q_deterministic_shuffle",
+    "q_global_rank_chars",
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",

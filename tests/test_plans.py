@@ -1226,6 +1226,17 @@ def test_curriculum_stages_histogram_not_global_sort(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1
 
 
+def test_global_rank_no_single_partition_window(spark, sf_dir):
+    """q_global_rank_chars: the whole point is ranking WITHOUT
+    Spark's unpartitioned-window cliff — the returned plan must
+    contain a PARTITIONED Window (local ranks) and no SinglePartition
+    exchange anywhere (the global offsets come from a bounded
+    32-row collect, not a one-task window)."""
+    plan = _formatted(_q(spark, sf_dir, "q_global_rank_chars"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+
+
 def test_split_assign_scan_only(spark, sf_dir):
     """q_split_assign: a pure row-local projection — no joins, no
     exchanges, no windows; the split must cost exactly one corpus
