@@ -54,6 +54,8 @@ __all__ = [
     "materialize",
     "materialize_tree",
     "upload_file",
+    "upload_tree",
+    "delete_prefix",
     "clear_client_cache",
 ]
 
@@ -200,6 +202,33 @@ def delete(url: str) -> None:
 def upload_file(local_path: str, url: str) -> None:
     bucket, key = _split(url)
     _client().upload_file(local_path, bucket, key)
+
+
+def upload_tree(local_dir: str, url: str) -> int:
+    """Upload a local directory tree under the ``s3://`` prefix,
+    preserving relative layout (hive partition dirs included) and
+    skipping hidden/driver-marker files (_SUCCESS, .crc) — the sink
+    half of ``materialize_tree``.  Returns the object count."""
+    n = 0
+    for root, dirs, files in os.walk(local_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(".")]
+        for name in files:
+            if name.startswith(("_", ".")):
+                continue
+            local = os.path.join(root, name)
+            rel = os.path.relpath(local, local_dir).replace(os.sep, "/")
+            upload_file(local, url.rstrip("/") + "/" + rel)
+            n += 1
+    return n
+
+
+def delete_prefix(url: str) -> int:
+    """Delete every object under the prefix (the OVERWRITE sink
+    semantic on an object store).  Returns the count deleted."""
+    objs = list_prefix(url)
+    for obj_url, _size in objs:
+        delete(obj_url)
+    return len(objs)
 
 
 def _cache_root() -> str:

@@ -154,8 +154,43 @@ def write_dataframe(
 
     Parallel, partition-per-task writes; ``partitionBy`` emits a hive
     layout readable by the listing side (sources/registry.py).
+
+    ``s3://`` targets (non-Delta) write jar-free through the boto3
+    gateway: stage locally with the SAME writer logic, then upload
+    the tree to its final prefix — mode semantics map to object-store
+    operations (overwrite = delete-prefix + upload; append = upload
+    fresh part names; error/ignore probe the prefix).  Delta targets
+    route to the native writer, which speaks s3 itself.
     """
     spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
+    if path.startswith("s3://") and spark_fmt != "delta":
+        import shutil
+        import tempfile
+
+        from adt_spark.sources import s3_store
+
+        existing = s3_store.list_prefix(path)
+        if existing:
+            if mode in ("error", "errorifexists"):
+                raise ValueError(f"target already exists at {path}")
+            if mode == "ignore":
+                return
+        staging = tempfile.mkdtemp(prefix="adt-s3-sink-")
+        try:
+            write_dataframe(
+                df,
+                staging,
+                fmt=fmt,
+                mode="overwrite",
+                partition_by=partition_by,
+                options=options,
+            )
+            if mode == "overwrite" and existing:
+                s3_store.delete_prefix(path)
+            s3_store.upload_tree(staging, path)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return
     if spark_fmt == "arrow":
         from adt_spark.sources.arrow_ipc import write_arrow_ipc
 
@@ -188,7 +223,14 @@ def write_dataframe(
 
             from adt_spark.sources.delta_native_write import write_delta_native
 
-            exists = _os.path.isdir(_os.path.join(path, "_delta_log"))
+            if path.startswith("s3://"):
+                from adt_spark.sources import s3_store
+
+                exists = bool(
+                    s3_store.list_prefix(path.rstrip("/") + "/_delta_log")
+                )
+            else:
+                exists = _os.path.isdir(_os.path.join(path, "_delta_log"))
             if mode in ("error", "errorifexists") and exists:
                 raise ValueError(f"delta table already exists at {path}")
             if mode == "ignore" and exists:

@@ -294,3 +294,66 @@ def test_s3_shallow_clone_to_local_reads_through_gateway(spark, s3, tmp_path):
     shallow_clone(spark, src_loc, clone_loc)
     got = read_delta_native(spark, clone_loc)
     assert sorted(r.id for r in got.collect()) == list(range(6))
+
+
+def test_s3_copy_to_sink_roundtrip(spark, s3):
+    """COPY-style sinks at s3:// (the reference writes any format to
+    its object store): parquet and csv write jar-free through the
+    gateway (local stage + tree upload), register back through the
+    listing factory, and the mode semantics map to object-store
+    operations — error probes the prefix, overwrite deletes it,
+    append adds fresh part names."""
+    from adt_spark.sources.registry import register_table
+    from adt_spark.sources.sinks import write_dataframe
+
+    _client, bucket = s3
+    target = f"s3://{bucket}/out"
+    df = spark.range(0, 10).selectExpr("id", "CAST(id % 2 AS STRING) AS p")
+    write_dataframe(df, target, fmt="parquet", partition_by=["p"])
+    back = register_table(spark, "s3_sink_t", target, "parquet")
+    assert back.count() == 10
+    # hive partition inference types p as int
+    assert sorted(back.select("p").distinct().toPandas()["p"]) == [0, 1]
+
+    with pytest.raises(ValueError, match="already exists"):
+        write_dataframe(df, target, fmt="parquet", mode="error")
+    # append doubles the rows; overwrite restores
+    write_dataframe(df, target, fmt="parquet", mode="append", partition_by=["p"])
+    assert register_table(spark, "s3_sink_t2", target, "parquet").count() == 20
+    write_dataframe(
+        spark.range(0, 3).selectExpr("id", "'0' AS p"),
+        target,
+        fmt="parquet",
+        mode="overwrite",
+    )
+    assert register_table(spark, "s3_sink_t3", target, "parquet").count() == 3
+
+    csv_t = f"s3://{bucket}/outcsv"
+    write_dataframe(
+        spark.range(0, 4).selectExpr("id"), csv_t, fmt="csv",
+        options={"header": "true"},
+    )
+    got = register_table(
+        spark, "s3_sink_csv", csv_t, "csv", options={"header": "true"}
+    )
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3]
+
+
+def test_s3_delta_sink_routes_native(spark, s3):
+    """A delta-format sink at s3:// routes to the native writer (its
+    own gateway) with object-store existence semantics for
+    error/ignore modes."""
+    from adt_spark.sources.sinks import write_dataframe
+
+    _client, bucket = s3
+    loc = f"s3://{bucket}/dsink"
+    write_dataframe(spark.range(0, 5).selectExpr("id"), loc, fmt="delta")
+    assert read_delta_native(spark, loc).count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        write_dataframe(
+            spark.range(5, 9).selectExpr("id"), loc, fmt="delta", mode="error"
+        )
+    write_dataframe(
+        spark.range(5, 9).selectExpr("id"), loc, fmt="delta", mode="append"
+    )
+    assert read_delta_native(spark, loc).count() == 9
