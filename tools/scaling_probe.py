@@ -58,6 +58,10 @@ ZIPF_FAMILIES = [
     "text_bigram_lm_score",
     "q_mixture_doremi_weights",
     "q_select_learnable_docs",
+    # round-8 consumers of the same LM stems — their marginal cost
+    # under Zipf skew rides the memoized tables like doremi's does
+    "pipeline_doremi_resample",
+    "pipeline_curriculum_stages",
 ]
 
 #: Zipf vocabulary shape: ~50k types, exponent 1.1 — the standard
