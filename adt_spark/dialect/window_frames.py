@@ -527,6 +527,17 @@ def _rewrite_groups_exclude(sql: str) -> str:
         if frame is not None and frame["mode"] == "groups":
             if order_text is None:
                 raise _Unsupported("GROUPS frame requires ORDER BY")
+            # GROUPS offsets must be non-negative INTEGERS (SQL:2016
+            # 7.15 <window frame units>); the extended _BOUND grammar
+            # that admits INTERVAL bounds exists for RANGE frames only
+            # — refuse interval-bounded GROUPS loudly rather than
+            # silently converting invalid SQL into a RANGE frame.
+            for b in (frame["lo"], frame["hi"]):
+                if _bound_kind(b) not in (None, "num"):
+                    raise _Unsupported(
+                        f"GROUPS frame offsets must be integers, got "
+                        f"{b!r} (INTERVAL bounds are RANGE-frame syntax)"
+                    )
             numeric = any(b[0].isdigit() for b in (frame["lo"], frame["hi"]))
             if numeric:
                 key = (spec["partition"] or "", order_text)

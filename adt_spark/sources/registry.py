@@ -25,8 +25,16 @@ infer on registration; parquet/delta schemas are self-describing).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: per-session registration args (original location, pre-mirror) so
+#: ``refresh_table`` can re-resolve object-store tables — see the
+#: snapshot note in ``register_table``.
+_REGISTRATIONS: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 #: format name (reference cli.rs:6-12 + context.rs:37-42) → reader conf
 _FORMATS = {
@@ -78,6 +86,15 @@ def register_table(
     deltatable.rs:136-152).  Declaring ``partition_cols`` validates
     they were actually discovered, mirroring the factory's
     ``validate_partitions`` (listing.rs:118-120).
+
+    Snapshot semantics for non-Delta ``s3://`` locations: the prefix
+    is mirrored through the jar-free gateway ONCE, at registration —
+    the view reads that point-in-time snapshot, and later object-store
+    changes are invisible to it (the reference's listing factory reads
+    the store live on every scan).  Call :func:`refresh_table` to
+    re-resolve against current store state — the mirror is ETag-keyed,
+    so an unchanged prefix re-resolves as a pure cache hit.  Delta
+    locations already re-replay the log per read and need no refresh.
     """
     key = fmt.lower()
     if key not in _FORMATS:
@@ -85,6 +102,13 @@ def register_table(
             f"unknown format {fmt!r}; expected one of {sorted(_FORMATS)}"
         )
     conf = _FORMATS[key]
+    _REGISTRATIONS.setdefault(spark, {})[name] = {
+        "location": location,
+        "fmt": fmt,
+        "partition_cols": partition_cols,
+        "schema": schema,
+        "options": options,
+    }
     if location.startswith("s3://") and conf["format"] != "delta":
         # jar-free object-store listing (reference: the factory reads
         # any format off its object store, context.rs:62-79 +
@@ -134,6 +158,22 @@ def register_table(
             )
     df.createOrReplaceTempView(name)
     return df
+
+
+def refresh_table(spark: SparkSession, name: str) -> DataFrame:
+    """Re-resolve a registered table against the CURRENT store state
+    (the counterpart of ``register_table``'s snapshot note): re-runs
+    registration from the ORIGINAL location, so an ``s3://`` mirror is
+    re-keyed on the store's current (key, ETag) set — unchanged
+    prefixes are a pure cache hit, changed objects yield a fresh tree
+    and the temp view is re-pointed at it."""
+    regs = _REGISTRATIONS.get(spark) or {}
+    if name not in regs:
+        raise KeyError(
+            f"table {name!r} was not registered via register_table in "
+            f"this session"
+        )
+    return register_table(spark, name, **regs[name])
 
 
 def path_sql_name(location: str, fmt: str = "parquet") -> str:

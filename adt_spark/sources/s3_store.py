@@ -27,10 +27,17 @@ scheme); ``s3a://`` stays on the Hadoop FileSystem path (env-wired
 confs in ``context.py``) for deployments that do carry the jars.
 
 Scale note: the materialization cache makes the DRIVER a byte
-gateway for data files — correct at any scale but sized for
-metadata-heavy workloads (log replay, DML on a bounded file subset,
-small-table reads).  A 100 TB full-table scan belongs on ``s3a://``
-executor-side IO; ``read_delta_native`` raises past
+gateway for data files, and the cached paths it returns are paths on
+the DRIVER's filesystem — so the gateway is **local-mode /
+shared-filesystem only**.  On a multi-node cluster whose executors
+cannot see ``ADT_S3_CACHE_DIR``, tasks would fail at read time;
+``materialize`` therefore fails fast when the active session's
+master is non-local (override with ``ADT_S3_ALLOW_NONLOCAL=1`` only
+when the cache dir IS a shared filesystem, e.g. NFS/EFS mounted on
+every node).  Multi-node bulk IO belongs on ``s3a://`` executor-side
+connectors (hadoop-aws jars).  Within its domain the gateway is
+sized for metadata-heavy workloads (log replay, DML on a bounded
+file subset, small-table reads): ``read_delta_native`` raises past
 ``ADT_S3_MATERIALIZE_LIMIT`` bytes (default 4 GiB) instead of
 silently pulling a corpus through one node.
 """
@@ -40,6 +47,7 @@ from __future__ import annotations
 import os
 import tempfile
 import threading
+import uuid
 from urllib.parse import urlparse
 
 __all__ = [
@@ -231,6 +239,33 @@ def delete_prefix(url: str) -> int:
     return len(objs)
 
 
+def _require_local_visibility() -> None:
+    """Fail fast when materialized driver-local paths would be handed
+    to executors that cannot see them: any non-``local[...]`` master
+    means the driver's ADT_S3_CACHE_DIR is (in general) not on the
+    executors' filesystems.  ADT_S3_ALLOW_NONLOCAL=1 opts back in for
+    deployments where the cache dir IS a shared filesystem."""
+    if os.environ.get("ADT_S3_ALLOW_NONLOCAL") == "1":
+        return
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:  # pragma: no cover - pyspark always present here
+        return
+    if spark is None:
+        return
+    master = spark.conf.get("spark.master", "")
+    if master and not master.startswith("local"):
+        raise S3StoreError(
+            f"the jar-free s3:// gateway materializes objects to the "
+            f"DRIVER's filesystem, which executors on master={master!r} "
+            f"cannot read — use s3a:// with the hadoop-aws jars for "
+            f"multi-node clusters, or set ADT_S3_ALLOW_NONLOCAL=1 if "
+            f"ADT_S3_CACHE_DIR is a filesystem shared by every node"
+        )
+
+
 def _cache_root() -> str:
     d = os.environ.get("ADT_S3_CACHE_DIR") or os.path.join(
         tempfile.gettempdir(), "adt_s3_cache"
@@ -245,7 +280,12 @@ def materialize(url: str, budget: list | None = None) -> str:
     rewritten object (new ETag) re-downloads.  ``budget`` is an
     optional single-cell byte accumulator shared across one logical
     read — exceeding ``ADT_S3_MATERIALIZE_LIMIT`` raises instead of
-    silently streaming a corpus through the driver."""
+    silently streaming a corpus through the driver.
+
+    Local-mode / shared-FS only (module docstring): the returned path
+    lives on the driver, so this refuses under a non-local master
+    unless ADT_S3_ALLOW_NONLOCAL=1."""
+    _require_local_visibility()
     bucket, key = _split(url)
     head = _client().head_object(Bucket=bucket, Key=key)
     etag = head["ETag"].strip('"').replace("/", "_")
@@ -268,9 +308,16 @@ def materialize(url: str, budget: list | None = None) -> str:
                 f"metadata-heavy reads"
             )
     os.makedirs(os.path.dirname(local), exist_ok=True)
-    tmp = local + ".part"
-    _client().download_file(bucket, key, tmp)
-    os.replace(tmp, local)
+    # unique tmp per download: ADT_S3_CACHE_DIR is documented as a
+    # cross-session cache, so two drivers fetching the same object
+    # must not interleave writes into one shared '.part' file
+    tmp = f"{local}.part-{uuid.uuid4().hex}"
+    try:
+        _client().download_file(bucket, key, tmp)
+        os.replace(tmp, local)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return local
 
 

@@ -357,3 +357,57 @@ def test_s3_delta_sink_routes_native(spark, s3):
         spark.range(5, 9).selectExpr("id"), loc, fmt="delta", mode="append"
     )
     assert read_delta_native(spark, loc).count() == 9
+
+
+def test_s3_refresh_table_sees_store_changes(spark, s3):
+    """Non-Delta s3:// registrations are point-in-time mirrors (the
+    reference's listing factory reads the store live on every scan —
+    listing.rs); ``refresh_table`` re-resolves against current store
+    state, re-keying the ETag-snapshot tree."""
+    from adt_spark.sources.registry import refresh_table, register_table
+
+    client, bucket = s3
+    client.put_object(Bucket=bucket, Key="r/a.csv", Body=b"a\n1\n2\n")
+    df = register_table(
+        spark, "s3_refresh_t", f"s3://{bucket}/r", "csv",
+        options={"header": "true"},
+    )
+    assert df.count() == 2
+    # a later store write is invisible to the registered snapshot...
+    client.put_object(Bucket=bucket, Key="r/b.csv", Body=b"a\n3\n")
+    assert spark.table("s3_refresh_t").count() == 2
+    # ...until refresh re-resolves the mirror
+    df2 = refresh_table(spark, "s3_refresh_t")
+    assert df2.count() == 3
+    assert spark.table("s3_refresh_t").count() == 3
+    with pytest.raises(KeyError):
+        refresh_table(spark, "never_registered_t")
+
+
+def test_s3_gateway_refuses_nonlocal_master(spark, s3, monkeypatch):
+    """Materialized paths live on the DRIVER's filesystem — under a
+    non-local master the gateway must fail fast (executors cannot see
+    ADT_S3_CACHE_DIR) unless ADT_S3_ALLOW_NONLOCAL declares the cache
+    dir shared."""
+    import pyspark.sql as pysql
+
+    client, bucket = s3
+    client.put_object(Bucket=bucket, Key="g/o.bin", Body=b"xyz")
+    url = f"s3://{bucket}/g/o.bin"
+
+    class _FakeConf:
+        def get(self, k, default=None):
+            return "spark://cluster:7077" if k == "spark.master" else default
+
+    class _FakeSession:
+        conf = _FakeConf()
+
+    monkeypatch.setattr(
+        pysql.SparkSession, "getActiveSession", classmethod(lambda cls: _FakeSession())
+    )
+    with pytest.raises(s3_store.S3StoreError, match="s3a://"):
+        s3_store.materialize(url)
+    # shared-FS escape hatch
+    monkeypatch.setenv("ADT_S3_ALLOW_NONLOCAL", "1")
+    local = s3_store.materialize(url)
+    assert open(local, "rb").read() == b"xyz"

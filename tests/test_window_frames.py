@@ -516,6 +516,13 @@ def test_unsupported_cases_raise_loudly():
         # numeric GROUPS alongside GROUP BY in the same SELECT
         "SELECT g, sum(sum(a)) OVER (ORDER BY g GROUPS BETWEEN 1 PRECEDING "
         "AND 1 FOLLOWING) FROM t GROUP BY g",
+        # GROUPS with INTERVAL bounds is invalid SQL (GROUPS offsets
+        # must be integers) — must refuse, not silently convert to a
+        # RANGE interval frame (round-8 review regression guard)
+        "SELECT sum(a) OVER (ORDER BY d GROUPS BETWEEN INTERVAL '1' DAY "
+        "PRECEDING AND CURRENT ROW) FROM t",
+        "SELECT sum(a) OVER (ORDER BY d GROUPS BETWEEN INTERVAL 2 DAYS "
+        "PRECEDING AND INTERVAL 1 DAY FOLLOWING EXCLUDE CURRENT ROW) FROM t",
     ]
     for q in cases:
         with pytest.raises(NotImplementedError):
