@@ -214,6 +214,16 @@ class ADTContext:
         translated = translate_sql(query)
         if args is not None:
             return self.spark.sql(translated, args=args)
+        # unpartitioned row_number()/rank()/dense_rank(): execute via
+        # the two-phase range-partitioned construction instead of
+        # Spark's single-partition WindowExec (dialect/global_rank.py;
+        # pass-through when the shape doesn't match — the plain form
+        # is correct, merely single-task)
+        from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+        ranked = maybe_rewrite_global_rank(self.spark, translated)
+        if ranked is not None:
+            return ranked
         return self.spark.sql(translated)
 
     def _explain_analyze(self, inner: str, args=None) -> DataFrame:

@@ -1,0 +1,234 @@
+"""Global-ranking rewrite for raw SQL — dodging the single-partition
+WindowExec cliff.
+
+An unpartitioned ``row_number()/rank()/dense_rank() OVER (ORDER BY …)``
+executes on ONE task in Spark (the whole input is exchanged to a
+SinglePartition before WindowExec) — the classic scale wall a ported
+adt script hits, because DataFusion executes the same SQL with a
+parallel sort + streaming rank (reference SQL pass-through:
+``crates/cli/src/main.rs:116`` — any SQL the user types goes straight
+to the engine, so global ranks are common in adt scripts).
+
+This pass detects the sound shape and executes it through the
+generalized two-phase construction
+(``adt_spark.operators.sampling.attach_global_ranks``: range
+repartition on the rank keys → per-partition local rank → bounded
+per-partition count collect → offset add; boundary-invariant output,
+oracled by q_global_rank_chars and q_sql_global_rank):
+
+1. the inner relation (FROM + WHERE) runs as its own statement;
+2. each unpartitioned ranking call becomes a pre-computed column;
+3. the remaining projection / ORDER BY / LIMIT runs over the ranked
+   temp view with the calls substituted.
+
+Scope (conservative — anything else passes through UNTOUCHED, which
+stays correct, merely on the cliff): one top-level SELECT over a
+single relation (optional alias, optional WHERE / trailing ORDER BY /
+LIMIT), no GROUP BY / HAVING / DISTINCT / set ops / joins /
+subqueries / CTEs / ``SELECT *``; every unpartitioned ranking call
+shares one ORDER BY over plain (possibly qualified) column references
+with optional ASC/DESC + NULLS placement.  Unlike the GROUPS/EXCLUDE
+rewrites (which refuse loudly because Spark cannot run the original
+at all), the unrewritten global rank is semantically fine — so the
+fallback here is pass-through, never an error.
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adt_spark.dialect.window_frames import _mask_literals, _match_paren
+
+__all__ = ["maybe_rewrite_global_rank"]
+
+_RANK_CALL_RE = re.compile(
+    r"\b(?P<fn>row_number|rank|dense_rank)\s*\(\s*\)\s+over\s*\(",
+    re.IGNORECASE,
+)
+
+#: one ORDER BY key: [qualifier.]column [ASC|DESC] [NULLS FIRST|LAST]
+_KEY_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
+    r"(?:\s+(?P<dir>asc|desc))?"
+    r"(?:\s+nulls\s+(?P<nulls>first|last))?\s*$",
+    re.IGNORECASE,
+)
+
+#: single relation: name / qualified name / fmt.`path`, optional alias
+_REL_RE = re.compile(
+    r"^(?P<rel>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\.`[^`]*`)?)"
+    r"(?:\s+(?:as\s+)?"
+    r"(?!(?:where|order|limit|group|having|union|intersect|except|join)\b)"
+    r"(?P<alias>[A-Za-z_]\w*))?",
+    re.IGNORECASE,
+)
+
+_BLOCKERS = re.compile(
+    r"\b(group\s+by|having|union|intersect|except|join|with|distinct)\b",
+    re.IGNORECASE,
+)
+
+_view_counter = itertools.count()
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
+
+
+def _parse_order_keys(order_text: str) -> list[tuple[str, str]] | None:
+    """ORDER BY body → [(column, sort-method-name)] or None when any
+    key is not a plain column reference."""
+    keys = []
+    for part in _split_top_commas(order_text):
+        m = _KEY_RE.match(part)
+        if not m:
+            return None
+        direction = (m.group("dir") or "asc").lower()
+        nulls = (m.group("nulls") or "").lower()
+        method = direction + (f"_nulls_{nulls}" if nulls else "")
+        # strip the qualifier: the inner statement's output columns
+        # are unqualified, and the single-relation scope guarantees
+        # the bare name is unambiguous
+        col = m.group("col").split(".")[-1]
+        keys.append((col, method))
+    return keys
+
+
+def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute ``sql`` through the two-phase global-rank construction
+    when it matches the sound shape (module docstring); None when it
+    does not (caller falls back to plain ``spark.sql``)."""
+    masked = _mask_literals(sql)
+    if not _RANK_CALL_RE.search(masked):
+        return None
+
+    # --- collect unpartitioned ranking calls ------------------------
+    calls = []  # (start, end, fn) spans over the WHOLE call incl. OVER(...)
+    order_texts = set()
+    for m in _RANK_CALL_RE.finditer(masked):
+        open_pos = m.end() - 1
+        try:
+            close_pos = _match_paren(masked, open_pos)
+        except Exception:
+            return None
+        spec = " ".join(sql[open_pos + 1 : close_pos].split())
+        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
+        if sm is None:
+            # partitioned (or framed) ranking — fine natively; but a
+            # frame/partition mix in the same statement is out of
+            # scope only if it is ALSO unpartitioned elsewhere; just
+            # skip this call
+            continue
+        if re.search(r"\b(rows|range|groups)\b", sm.group("keys"), re.IGNORECASE):
+            return None  # frames on ranking functions — out of scope
+        parsed = _parse_order_keys(sm.group("keys").lower())
+        if parsed is None:
+            return None  # non-column order key — out of scope
+        calls.append((m.start(), close_pos + 1, m.group("fn").lower()))
+        # qualifier-stripped normalized keys: `d.n_chars DESC` and
+        # `n_chars DESC` are the same order under single-relation scope
+        order_texts.add(tuple(parsed))
+    if not calls:
+        return None
+    if len(order_texts) != 1:
+        return None  # two different global orders: would need two
+        # range partitionings — pass through
+    keys = list(order_texts.pop())
+
+    # --- parse the statement shape ----------------------------------
+    if _BLOCKERS.search(masked):
+        return None
+    if len(re.findall(r"\bselect\b", masked, re.IGNORECASE)) != 1:
+        return None  # subqueries / CTE bodies
+    stmt = re.match(
+        r"^\s*select\s+(?P<sel>.+?)\s+from\s+(?P<from>.+?)\s*;?\s*$",
+        masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if stmt is None:
+        return None
+    sel_span = (stmt.start("sel"), stmt.end("sel"))
+    if re.match(r"\s*\*", sql[sel_span[0] : sel_span[1]]):
+        return None  # SELECT * would leak the injected rank columns
+    from_start = stmt.start("from")
+    from_masked = masked[from_start : stmt.end("from")]
+    relm = _REL_RE.match(from_masked)
+    if relm is None:
+        return None
+    rel_src = sql[from_start + relm.start() : from_start + relm.end()]
+    rest_masked = from_masked[relm.end() :]
+    rest_src = sql[from_start + relm.end() : stmt.end("from")]
+    # rest may only be [WHERE …] [ORDER BY …] [LIMIT n]
+    where_src = order_src = limit_src = None
+    r = re.match(
+        r"^\s*(?:where\s+(?P<w>.*?))?"
+        r"\s*(?:order\s+by\s+(?P<o>.*?))?"
+        r"\s*(?:limit\s+(?P<l>\d+))?\s*$",
+        rest_masked,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if r is None or (rest_masked.strip() and not any(r.groupdict().values())):
+        return None
+    for g, var in (("w", "where"), ("o", "order"), ("l", "limit")):
+        if r.group(g) is not None:
+            span = (r.start(g), r.end(g))
+            text = rest_src[span[0] : span[1]]
+            if var == "where":
+                where_src = text
+            elif var == "order":
+                order_src = text
+            else:
+                limit_src = text
+    # the trailing ORDER BY must not itself contain window syntax
+    if order_src and _RANK_CALL_RE.search(_mask_literals(order_src)):
+        return None
+
+    # --- execute the two-phase construction -------------------------
+    from adt_spark.operators.sampling import attach_global_ranks
+
+    inner = f"SELECT * FROM {rel_src}"
+    if where_src:
+        inner += f" WHERE {where_src}"
+    base = spark.sql(inner)
+    rank_specs = [(fn, f"_adt_grnk{i}") for i, (_s, _e, fn) in enumerate(calls)]
+    ranked = attach_global_ranks(
+        base,
+        [(F.col(c), method) for c, method in keys],
+        rank_specs,
+    )
+    view = f"_adt_global_rank_{next(_view_counter)}"
+    ranked.createOrReplaceTempView(view)
+
+    out_sel, cursor = [], sel_span[0]
+    for (start, end, _fn), (_f2, name) in zip(calls, rank_specs):
+        if start < sel_span[0] or end > sel_span[1]:
+            return None  # ranking call outside the projection
+        out_sel.append(sql[cursor:start])
+        out_sel.append(name)
+        cursor = end
+    out_sel.append(sql[cursor : sel_span[1]])
+    alias = relm.group("alias")
+    outer = f"SELECT {''.join(out_sel)} FROM {view}"
+    if alias:
+        outer += f" AS {alias}"
+    if order_src:
+        outer += f" ORDER BY {order_src}"
+    if limit_src:
+        outer += f" LIMIT {limit_src}"
+    return spark.sql(outer)

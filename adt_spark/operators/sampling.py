@@ -1242,6 +1242,110 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_PARTS = 32
 
 
+def attach_global_ranks(
+    df: DataFrame,
+    order_cols: list,
+    ranks: list[tuple[str, str]],
+    n_parts: int = _RANK_PARTS,
+) -> DataFrame:
+    """The GENERALIZED two-phase global-rank construction (round-9:
+    the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
+    BY …)`` rewrite routes here, and ``q_global_rank_chars`` is its
+    oracled instance): append one column per requested ranking
+    function, global over ``order_cols``, WITHOUT Spark's
+    single-partition WindowExec cliff.
+
+    ``order_cols``: (Column, direction) pairs, direction one of
+    ``asc | desc | asc_nulls_last | desc_nulls_first | …`` (any
+    Column sort-method name) — the SAME key expressions drive the
+    range partitioner and the local window, which is what makes
+    offset+local exact.  ``ranks``: list of (fn, out_name) with
+    fn ∈ {row_number, rank, dense_rank}.
+
+    Exactness: the range partitioner places equal keys in ONE
+    partition, so peer groups never straddle a boundary —
+    - row_number / rank: global = (#rows in earlier partitions)
+      + local;
+    - dense_rank: global = (#distinct keys in earlier partitions)
+      + local.
+    Both offset kinds come from ONE bounded collect (≤ ``n_parts``
+    rows of (cnt, distinct-cnt), computed via a keys-grouped
+    aggregate so NULL keys count as a group — count_distinct would
+    drop them).  Partition boundaries are sampled (nondeterministic)
+    and pinned with a lazy localCheckpoint; the OUTPUT is
+    boundary-invariant (q_global_rank_chars's cross-engine hash is
+    the proof).
+
+    Scale shape: one range shuffle + one pid-keyed local window + a
+    ≤n_parts-row collect; no single-partition exchange (plan-checked
+    in tests/test_plans.py).
+    """
+    from pyspark.sql import Window as W
+
+    sort_cols = [getattr(c, d)() for c, d in order_cols]
+    bare_cols = [c for c, _d in order_cols]
+    ranged = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("_adt_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin sampled boundaries: the
+        # count collect and the ranked output must see the SAME
+        # partitioning (a re-planned range sample could move keys)
+    )
+    need_dense = any(fn == "dense_rank" for fn, _ in ranks)
+    key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
+    per_key = (
+        ranged.select(
+            F.col("_adt_pid"),
+            *[c.alias(n) for c, n in zip(bare_cols, key_names)],
+        )
+        .groupBy("_adt_pid", *key_names)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("_adt_pid")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.count(F.lit(1)).alias("dcnt"),
+        )
+        .collect()
+        if need_dense
+        else ranged.groupBy("_adt_pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    )
+    counts = {int(r._adt_pid): int(r.cnt) for r in per_key}
+    dcounts = (
+        {int(r._adt_pid): int(r.dcnt) for r in per_key} if need_dense else {}
+    )
+    row_off, dense_off, acc, dacc = {}, {}, 0, 0
+    for pid in sorted(counts):
+        row_off[pid] = acc
+        acc += counts[pid]
+        if need_dense:
+            dense_off[pid] = dacc
+            dacc += dcounts[pid]
+
+    def _off_map(offs: dict[int, int]):
+        return F.create_map(
+            *[x for pid, off in sorted(offs.items())
+              for x in (F.lit(pid), F.lit(off))]
+        )
+
+    w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
+    out = ranged
+    for fn, name in ranks:
+        local = {
+            "row_number": F.row_number,
+            "rank": F.rank,
+            "dense_rank": F.dense_rank,
+        }[fn]().over(w)
+        offs = dense_off if fn == "dense_rank" else row_off
+        out = out.withColumn(
+            name,
+            (F.coalesce(F.element_at(_off_map(offs), F.col("_adt_pid")),
+                        F.lit(0)) + local).cast("long"),
+        )
+    return out.drop("_adt_pid")
+
+
 @register(
     "q_global_rank_chars",
     oracle="""
@@ -1284,35 +1388,47 @@ def q_global_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect.  No single-partition exchange anywhere (plan-checked:
     the only Window is partitioned).
     """
-    from pyspark.sql import Window as W
-
     docs = tables(spark, sf_dir)["documents"]
-    ranged = (
-        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
-        .repartitionByRange(_RANK_PARTS, F.col("n_chars"), F.col("doc_id"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled boundaries: the
-        # count collect and the ranked output must see the SAME
-        # partitioning (a re-planned range sample could move keys)
-    )
-    counts = {
-        int(r._pid): r.cnt
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }  # bounded: one row per range partition
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[x for pid, off in sorted(offsets.items()) for x in (F.lit(pid), F.lit(off))]
-    )
-    lr = F.row_number().over(
-        W.partitionBy("_pid").orderBy("n_chars", "doc_id")
-    )
-    return ranged.select(
-        "doc_id",
-        "n_chars",
-        (F.coalesce(F.element_at(off_map, F.col("_pid")), F.lit(0)) + lr)
-        .cast("long")
-        .alias("rnk"),
-    )
+    return attach_global_ranks(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        [(F.col("n_chars"), "asc"), (F.col("doc_id"), "asc")],
+        [("row_number", "rnk")],
+    ).select("doc_id", "n_chars", "rnk")
+
+
+_SQL_RANK_STMT = """
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS rn,
+           CAST(rank() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+           CAST(dense_rank() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS dr
+    FROM documents
+    WHERE n_chars > 200
+"""
+
+
+@register(
+    "q_sql_global_rank",
+    oracle=_SQL_RANK_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-SURFACE global rank (round-9: a ported adt script's
+    ``row_number()/rank()/dense_rank() OVER (ORDER BY …)`` — the
+    reference passes such SQL straight to DataFusion, main.rs:116,
+    which ranks in parallel; Spark's native plan is a
+    single-partition WindowExec).  The statement here is EXACTLY what
+    the oracle runs, but executed through the dialect rewrite
+    (``dialect/global_rank.py`` → ``attach_global_ranks``): the same
+    text a user would feed ``ADTContext.sql``.  The oracle proves the
+    rewrite end-to-end — all three ranking functions, a DESC key, a
+    tiebreak column, and a pushed-down WHERE — and the plan check in
+    tests/test_plans.py proves no SinglePartition Window survives."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    ranked = maybe_rewrite_global_rank(spark, _SQL_RANK_STMT)
+    if ranked is None:  # the rewrite MUST engage for this shape
+        raise RuntimeError("global-rank rewrite did not match its own query")
+    return ranked

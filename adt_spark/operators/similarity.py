@@ -1438,6 +1438,180 @@ def clear_similarity_state() -> None:
 #: distributed coarse-cell path.
 _SEM_K_LITERAL_MAX = 64
 
+#: largest ADT_SEM_CELLS router served by C literal cell anchors:
+#: past this the router itself would re-grow the plan with C×dim
+#: literals (the same literal/Janino ceiling that capped k), so
+#: routing switches to the TWO-LEVEL form — ≤64 literal SUPER-cells,
+#: cells as a DataFrame, candidate arrays through equi-joins.  The
+#: production contract C ≈ √(n·k) (SCALING.md v3 finding 6) makes
+#: this the path that actually runs at corpus scale.
+_SEM_CELLS_LITERAL_MAX = 64
+
+
+def _l2_sq(a, b):
+    """Squared-L2 fold between two array columns — zip_with product
+    + left-fold sum, the exactness-critical order every argmin in
+    this module shares (literal and data-array forms alike)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_over_array(vec_col, arr_col, id_field: str, vec_field: str):
+    """(dist, cid) struct-min argmin over a DATA array of candidate
+    (id, vec) structs — the distributed-router twin of
+    ``_argmin_cid_expr``: identical fold order and tiebreak, but the
+    candidates arrive as column DATA through a join instead of plan
+    literals, so plan size and codegen are independent of the
+    candidate count."""
+    return F.array_min(
+        F.transform(
+            arr_col,
+            lambda c: F.struct(
+                _l2_sq(vec_col, c[vec_field]).alias("dist"),
+                c[id_field].cast("long").alias("cid"),
+            ),
+        )
+    ).getField("cid")
+
+
+def _sem_assign_two_level(
+    spark: SparkSession,
+    emb: DataFrame,
+    sem_k: int,
+    n_cells: int,
+) -> DataFrame:
+    """Distributed SemDeDup assignment with a DISTRIBUTED router
+    (round-8 verdict item 1): at production C ≈ √(n·k) the round-8
+    router's C×dim cell-anchor literals hit the same plan/codegen
+    wall the PQ kernel measured, so the router becomes two-level —
+    the classic IVF-HNSW-free hierarchy (S ≈ √C literal SUPER-cells,
+    cells as a DataFrame):
+
+    1. the C cell anchors stay a DATAFRAME; each cell routes to its
+       nearest super-cell via an S-literal argmin (S ≤ 64, constant);
+    2. centroids route super-cell → cell through a scell equi-join
+       carrying the cell-candidate ARRAY (one row per scell), then a
+       data-array argmin — never a C-literal expression;
+    3. vectors route the same way over the CENTROID-OCCUPIED cells
+       only (the ≥1-candidate guarantee, now via a semi-join instead
+       of a collected cell list), then meet their cell's centroid
+       array in one final equi-join + data-array argmin.
+
+    Distance evals per vector: S + |cells in scell| + |cents in
+    cell| ≈ 2√C + k/C — the textbook two-level IVF cost, reached
+    with ZERO corpus shuffles (the vector side only broadcast/hash
+    JOINS against metadata-sized tables and computes argmins in
+    projections; no groupBy on vec_id).  Driver state: S×dim super
+    anchors + two ≤S used-scell int lists — bounded regardless of
+    BOTH k and C (machine-checked flat-in-C, tests/test_plans.py).
+    Tiebreaks and fold order are identical to the literal path, so
+    a run whose candidate geometry happens to coincide is
+    bit-identical.
+    """
+    # S is PINNED at the literal cap (not √C): two-level mode only
+    # runs past C = 64, where √C optimality and the cap coincide
+    # within a small factor, and a constant S makes the plan EXACTLY
+    # flat in C (the machine-checked contract) instead of √C-creeping
+    # toward the cap
+    n_super = _SEM_CELLS_LITERAL_MAX
+    supers = {
+        int(r.vec_id): list(r.vec)
+        for r in emb.filter(F.col("vec_id") < n_super).collect()
+    }
+    cells = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("vec").alias("cellvec")
+    )
+    cells_routed = cells.withColumn(
+        "scell", _argmin_cid_expr(F.col("cellvec"), supers)
+    ).localCheckpoint(eager=False)
+    used_s = sorted(
+        r.scell for r in cells_routed.select("scell").distinct().collect()
+    )
+    scell_cells = cells_routed.groupBy("scell").agg(
+        F.collect_list(F.struct("cell_id", "cellvec")).alias("cand_cells")
+    )
+
+    seeds = emb.filter(F.col("vec_id") < sem_k).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        routed = (
+            cents.withColumn(
+                "scell",
+                _argmin_cid_expr(F.col("cvec"), {s: supers[s] for s in used_s}),
+            )
+            .join(scell_cells, "scell")
+            .select(
+                "cid",
+                "cvec",
+                _argmin_over_array(
+                    F.col("cvec"), F.col("cand_cells"), "cell_id", "cellvec"
+                ).alias("cell"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cands = routed.groupBy("cell").agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("cands")
+        )
+        used_cells = cells_routed.join(
+            routed.select(F.col("cell").alias("cell_id")).distinct(),
+            "cell_id",
+            "semi",
+        )
+        used_s2 = sorted(
+            r.scell for r in used_cells.select("scell").distinct().collect()
+        )
+        used_scell_cells = used_cells.groupBy("scell").agg(
+            F.collect_list(F.struct("cell_id", "cellvec")).alias("cand_cells")
+        )
+        v = (
+            emb.withColumn(
+                "scell",
+                _argmin_cid_expr(F.col("vec"), {s: supers[s] for s in used_s2}),
+            )
+            .join(used_scell_cells, "scell")
+            .select(
+                "vec_id",
+                "vec",
+                _argmin_over_array(
+                    F.col("vec"), F.col("cand_cells"), "cell_id", "cellvec"
+                ).alias("cell"),
+            )
+        )
+        return v.join(cands, "cell").select(
+            "vec_id",
+            _argmin_over_array(
+                F.col("vec"), F.col("cands"), "cid", "cvec"
+            ).alias("cluster_id"),
+        )
+
+    a1 = assign(seeds)
+    c1 = (
+        a1.join(emb, "vec_id")
+        .select("cluster_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * 1099511627776.0).cast("decimal(38,0)"))
+                .cast("double")
+                / (F.count("*").cast("double") * 1099511627776.0)
+            ).alias("m")
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+        .select(F.col("cluster_id").alias("cid"), "cvec")
+    )
+    return assign(c1)
+
 
 def _sem_assign_distributed(
     spark: SparkSession,
@@ -1476,11 +1650,22 @@ def _sem_assign_distributed(
     bounded.  Driver state: C×dim router literals + a ≤C-int
     non-empty-cell list + nothing else — BOUNDED REGARDLESS OF k
     (machine-checked: plan size flat in k, tests/test_plans.py).
+
+    Router width: literal cell anchors serve C ≤
+    ``_SEM_CELLS_LITERAL_MAX``; past that the router itself is
+    distributed (``_sem_assign_two_level`` — ≤64 literal super-cells,
+    cells as a DataFrame), so plan/driver state is bounded regardless
+    of C as well (machine-checked flat-in-C).
     """
     import os
 
     if n_cells is None:
         n_cells = int(os.environ.get("ADT_SEM_CELLS", str(_N_CELLS)))
+    if n_cells > _SEM_CELLS_LITERAL_MAX:
+        # production router width: the C cell anchors themselves are
+        # too many for plan literals — route through the two-level
+        # distributed router (plan size flat in C)
+        return _sem_assign_two_level(spark, emb, sem_k, n_cells)
     if n_cells == _N_CELLS:
         cells = _ivf_trained_cells(spark, sf_dir)
     else:

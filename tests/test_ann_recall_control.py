@@ -154,3 +154,34 @@ def test_sem_k_scale_knob(spark, sf_dir, monkeypatch):
         assert 0 <= n <= total
     finally:
         S.clear_similarity_state()
+
+
+def test_sem_cells_two_level_router(spark, sf_dir, monkeypatch):
+    """ADT_SEM_CELLS beyond _SEM_CELLS_LITERAL_MAX takes the round-9
+    TWO-LEVEL router (super-cells as literals, cells as a DataFrame):
+    assignment must remain a total partition with cluster ids in the
+    seed range, and dedup_semantic must run green on top — the forced
+    large-C configuration the verdict asked to be exercised.  Like
+    the distributed-k pin, cell-confined routing is deliberately
+    approximate, so this is self-consistency, not an oracle."""
+    S.clear_similarity_state()
+    try:
+        monkeypatch.setenv("ADT_SEM_K", "80")
+        monkeypatch.setenv("ADT_SEM_CELLS", "128")
+        assert 128 > S._SEM_CELLS_LITERAL_MAX
+        assigned, _both, _multi = S._sem_block_input(spark, sf_dir)
+        emb = S.tables(spark, sf_dir)["embeddings"]
+        total = emb.count()
+        assert assigned.count() == total
+        assert assigned.select("vec_id").distinct().count() == total
+        bad = assigned.filter(
+            (F.col("cluster_id") < 0) | (F.col("cluster_id") >= 80)
+        ).count()
+        assert bad == 0
+        assert assigned.select("cluster_id").distinct().count() > 4
+        from adt_spark.queries import REGISTRY
+
+        n = REGISTRY["dedup_semantic"].spark_fn(spark, sf_dir).count()
+        assert 0 <= n <= total
+    finally:
+        S.clear_similarity_state()

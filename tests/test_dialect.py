@@ -155,3 +155,76 @@ def test_explain_surface(spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("region")
     out = ctx.sql("EXPLAIN SELECT r_name FROM region WHERE r_regionkey = 1").collect()
     assert len(out) == 1 and "Physical Plan" in out[0][0]
+
+
+def test_global_rank_rewrite_engages_and_matches(spark, sf_dir):
+    """ADTContext.sql on an unpartitioned ranking statement executes
+    through the two-phase construction (dialect/global_rank.py) and
+    matches Spark's own single-partition answer — incl. relation
+    alias, qualified keys, NULLS placement, trailing ORDER BY and
+    LIMIT."""
+    from adt_spark.context import ADTContext
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    ctx = ADTContext.__new__(ADTContext)
+    ctx.spark = spark
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    q = (
+        "SELECT d.doc_id, row_number() OVER (ORDER BY d.n_chars DESC "
+        "NULLS LAST, d.doc_id) AS rn, "
+        "dense_rank() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id) AS dr "
+        "FROM documents d WHERE d.lang = 'en' ORDER BY rn LIMIT 7"
+    )
+    # the pass engages for this shape...
+    assert maybe_rewrite_global_rank(spark, q) is not None
+    got = [tuple(r) for r in ctx.sql(q).collect()]
+    want = [tuple(r) for r in spark.sql(q).collect()]
+    assert got == want and len(got) == 7
+    # ...and the rewritten plan has no single-partition exchange
+    df = maybe_rewrite_global_rank(spark, q)
+    qe = df._jdf.queryExecution()
+    jvm = spark._jvm
+    plan = qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_global_rank_rewrite_passthrough_shapes(spark, sf_dir):
+    """Out-of-scope shapes must pass through UNTOUCHED (return None)
+    — the plain form is correct, merely on the cliff — never be
+    rewritten wrongly."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    for q in (
+        # partitioned ranking: native plan is already parallel
+        "SELECT doc_id, rank() OVER (PARTITION BY lang ORDER BY n_chars) r "
+        "FROM documents",
+        # no ranking call at all
+        "SELECT doc_id FROM documents",
+        # aggregate query
+        "SELECT lang, count(*) c, row_number() OVER (ORDER BY lang) r "
+        "FROM documents GROUP BY lang",
+        # two DIFFERENT global orders (would need two partitionings)
+        "SELECT row_number() OVER (ORDER BY n_chars) a, "
+        "row_number() OVER (ORDER BY doc_id) b FROM documents",
+        # SELECT * would leak injected columns
+        "SELECT *, row_number() OVER (ORDER BY doc_id) r FROM documents",
+        # subquery
+        "SELECT row_number() OVER (ORDER BY doc_id) r FROM "
+        "(SELECT * FROM documents) t",
+        # join
+        "SELECT row_number() OVER (ORDER BY a.doc_id) r FROM documents a "
+        "JOIN documents b ON a.doc_id = b.doc_id",
+        # non-column order key
+        "SELECT row_number() OVER (ORDER BY n_chars + 1) r FROM documents",
+        # rank call inside a string literal only
+        "SELECT 'row_number() OVER (ORDER BY x)' AS lit FROM documents",
+    ):
+        assert maybe_rewrite_global_rank(spark, q) is None, q

@@ -1237,6 +1237,18 @@ def test_global_rank_no_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_sql_global_rank_no_single_partition_window(spark, sf_dir):
+    """q_sql_global_rank (round-9): the SAME contract for the raw-SQL
+    surface — a ported script's row_number()/rank()/dense_rank()
+    OVER (ORDER BY …) statement, routed through the dialect rewrite,
+    must plan with partitioned Windows only and no SinglePartition
+    exchange (Spark's native plan for the identical statement has
+    one)."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_global_rank"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+
+
 def test_split_assign_scan_only(spark, sf_dir):
     """q_split_assign: a pure row-local projection — no joins, no
     exchanges, no windows; the split must cost exactly one corpus
@@ -1261,3 +1273,26 @@ def test_learnable_docs_topk_and_no_forced_broadcast(spark, sf_dir):
     with _no_auto_broadcast(spark):
         plan = _formatted(_q(spark, sf_dir, "q_select_learnable_docs"))
         assert "BroadcastHashJoin" not in plan
+
+
+def test_sem_two_level_router_plan_flat_in_cells(spark, sf_dir):
+    """The round-9 DISTRIBUTED router (ADT_SEM_CELLS beyond the
+    64-literal ceiling): cell anchors must reach both centroids and
+    vectors through scell/cell equi-JOINS carrying candidate ARRAYS
+    — never through C literal struct-argmin expressions — so the
+    optimized plan is EXACTLY flat in C (S is pinned at the literal
+    cap, so no √C literal creep either) and never a cartesian.
+    Companion of the flat-in-k check above: together they bound plan
+    and driver state regardless of BOTH SemDeDup scale knobs."""
+    from adt_spark.operators import similarity as S
+
+    emb = S.tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", S._vec_double().alias("vec")
+    )
+    p128 = _formatted(S._sem_assign_two_level(spark, emb, 80, 128))
+    p448 = _formatted(S._sem_assign_two_level(spark, emb, 80, 448))
+    assert "Join" in p128
+    assert "CartesianProduct" not in p128 and "CartesianProduct" not in p448
+    # 3.5x the router width, same plan text length: the cell anchors
+    # are column data, not literals
+    assert abs(len(p448) - len(p128)) <= 0.02 * len(p128)

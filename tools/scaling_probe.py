@@ -193,9 +193,17 @@ def main() -> None:
         help="zipf: ~50k-type Zipf(1.1) text, measures the text/LM "
              "families only (round-7 verdict item 1)",
     )
+    ap.add_argument(
+        "--families", default=None,
+        help="comma-separated subset of the family list (sweep-only "
+             "re-measures: e.g. --families dedup_semantic)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     families = ZIPF_FAMILIES if args.vocab == "zipf" else FAMILIES
+    if args.families:
+        keep = set(args.families.split(","))
+        families = [f for f in families if f in keep]
 
     from adt_spark.context import build_session
     from adt_spark.queries import load_all
@@ -302,6 +310,38 @@ def main() -> None:
                 finally:
                     os.environ.pop("ADT_SEM_K", None)
             clear_similarity_state()
+
+            # round-9 (verdict item 1): the TWO-LEVEL router — C
+            # forced past the literal ceiling so cell anchors stay a
+            # DataFrame (plan flat in C is machine-checked in
+            # tests/test_plans.py; this sweep is the RUNTIME
+            # evidence: at the largest corpus, 8x the router width
+            # at fixed k must leave driver heap flat — the literal
+            # router would grow the plan and the anchor collect with
+            # C).  C spans the production contract C ≈ √(n·k) around
+            # this corpus size.
+            if mult == mults[-1]:
+                from adt_spark.operators.similarity import (
+                    _SEM_CELLS_LITERAL_MAX,
+                )
+
+                cs = [_SEM_CELLS_LITERAL_MAX * 2, _SEM_CELLS_LITERAL_MAX * 16]
+                for dc in cs:
+                    clear_similarity_state()
+                    os.environ["ADT_SEM_K"] = str(base_k)
+                    os.environ["ADT_SEM_CELLS"] = str(dc)
+                    label = f"dedup_semantic_two_level_c{dc}"
+                    try:
+                        run_one("dedup_semantic", label)
+                        point[label]["k"] = base_k
+                        point[label]["cells"] = dc
+                        point[label]["driver_heap_mb"] = round(
+                            driver_heap_mb(spark), 1
+                        )
+                    finally:
+                        os.environ.pop("ADT_SEM_K", None)
+                        os.environ.pop("ADT_SEM_CELLS", None)
+                clear_similarity_state()
 
         results[f"{mult}x"] = point
 
