@@ -254,9 +254,29 @@ def main() -> None:
             )
             return
 
+    # Round-9 (verdict item 6): dedup_semantic's timed cost swings
+    # 0.4–2.9 s with the WARMTH of the session memos its plan rides
+    # (k-means assignment / small-vec collects, warmed when a sibling
+    # similarity query ran first) while its warm-rebuild plan
+    # fingerprint is identical either way — so memo warmth AT TIMED-
+    # RUN START is folded into the anchor key, and cold-start runs
+    # anchor separately from memo-warm ones instead of reading as
+    # host band.
+    def _memo_token(name: str) -> str:
+        if name != "dedup_semantic":
+            return ""
+        try:
+            from adt_spark.operators import similarity as S
+
+            return "+memoW" if S._SEM_ASSIGNED_MEMO else "+memoC"
+        except Exception:
+            return ""
+
+    memo_tokens: dict[str, str] = {}
     for name in names:
         if name in timings:
             continue
+        memo_tokens[name] = _memo_token(name)
         timings[name] = run_once(name)
 
     # re-probe at the END: a window that degraded mid-run is just as
@@ -278,7 +298,9 @@ def main() -> None:
     fps: dict[str, str] = {}
     for name in names:
         try:
-            fps[name] = _plan_fp(registry[name].spark_fn(spark, sf_dir))
+            fps[name] = _plan_fp(
+                registry[name].spark_fn(spark, sf_dir)
+            ) + memo_tokens.get(name, "")
         except Exception:
             fps[name] = "unavailable"
 
