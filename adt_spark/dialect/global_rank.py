@@ -1,11 +1,12 @@
 """Global-ranking rewrite for raw SQL — dodging the single-partition
 WindowExec cliff.
 
-An unpartitioned ``row_number()/rank()/dense_rank() OVER (ORDER BY …)``
-executes on ONE task in Spark (the whole input is exchanged to a
-SinglePartition before WindowExec) — the classic scale wall a ported
-adt script hits, because DataFusion executes the same SQL with a
-parallel sort + streaming rank (reference SQL pass-through:
+An unpartitioned ``row_number()/rank()/dense_rank()/percent_rank()/
+cume_dist()/ntile(k) OVER (ORDER BY …)`` executes on ONE task in
+Spark (the whole input is exchanged to a SinglePartition before
+WindowExec) — the classic scale wall a ported adt script hits,
+because DataFusion executes the same SQL with a parallel sort +
+streaming rank (reference SQL pass-through:
 ``crates/cli/src/main.rs:116`` — any SQL the user types goes straight
 to the engine, so global ranks are common in adt scripts).
 
@@ -46,7 +47,9 @@ from adt_spark.dialect.window_frames import _mask_literals, _match_paren
 __all__ = ["maybe_rewrite_global_rank"]
 
 _RANK_CALL_RE = re.compile(
-    r"\b(?P<fn>row_number|rank|dense_rank)\s*\(\s*\)\s+over\s*\(",
+    r"\b(?P<fn>row_number|rank|dense_rank|percent_rank|cume_dist)"
+    r"\s*\(\s*\)\s+over\s*\("
+    r"|\b(?P<ntile>ntile)\s*\(\s*(?P<k>\d+)\s*\)\s+over\s*\(",
     re.IGNORECASE,
 )
 
@@ -140,7 +143,10 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         parsed = _parse_order_keys(sm.group("keys").lower())
         if parsed is None:
             return None  # non-column order key — out of scope
-        calls.append((m.start(), close_pos + 1, m.group("fn").lower()))
+        fn = (m.group("fn") or m.group("ntile")).lower()
+        if fn == "ntile":
+            fn = f"ntile({int(m.group('k'))})"
+        calls.append((m.start(), close_pos + 1, fn))
         # qualifier-stripped normalized keys: `d.n_chars DESC` and
         # `n_chars DESC` are the same order under single-relation scope
         order_texts.add(tuple(parsed))

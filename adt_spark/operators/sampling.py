@@ -1260,7 +1260,12 @@ def attach_global_ranks(
     Column sort-method name) — the SAME key expressions drive the
     range partitioner and the local window, which is what makes
     offset+local exact.  ``ranks``: list of (fn, out_name) with
-    fn ∈ {row_number, rank, dense_rank}.
+    fn ∈ {row_number, rank, dense_rank, percent_rank, cume_dist,
+    ntile(K)} — the distribution family derives from the same
+    offsets plus the driver-known total: percent_rank =
+    (rank−1)/(n−1), cume_dist = global ≤-count / n (the local
+    ≤-count is a RANGE UNBOUNDED..CURRENT window), ntile from the
+    global row_number with SQL:2016 bucket sizing.
 
     Exactness: the range partitioner places equal keys in ONE
     partition, so peer groups never straddle a boundary —
@@ -1330,19 +1335,69 @@ def attach_global_ranks(
         )
 
     w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
+    n_total = acc
+
+    def _global(local_fn, offs):
+        return F.coalesce(
+            F.element_at(_off_map(offs), F.col("_adt_pid")), F.lit(0)
+        ) + local_fn().over(w)
+
     out = ranged
     for fn, name in ranks:
-        local = {
-            "row_number": F.row_number,
-            "rank": F.rank,
-            "dense_rank": F.dense_rank,
-        }[fn]().over(w)
-        offs = dense_off if fn == "dense_rank" else row_off
-        out = out.withColumn(
-            name,
-            (F.coalesce(F.element_at(_off_map(offs), F.col("_adt_pid")),
-                        F.lit(0)) + local).cast("long"),
-        )
+        if fn in ("row_number", "rank", "dense_rank"):
+            offs = dense_off if fn == "dense_rank" else row_off
+            col = _global(getattr(F, fn), offs).cast("long")
+        elif fn == "percent_rank":
+            # (global_rank − 1) / (n − 1); 0.0 for a single row — both
+            # engines' definition.  Integer-derived double division:
+            # bit-identical across engines.
+            if n_total <= 1:
+                col = F.lit(0.0)
+            else:
+                col = (
+                    (_global(F.rank, row_off) - F.lit(1)).cast("double")
+                    / F.lit(float(n_total - 1))
+                )
+        elif fn == "cume_dist":
+            # (#rows with key ≤ current key) / n: the local ≤-count is
+            # a RANGE UNBOUNDED..CURRENT count (peers included), made
+            # global with the same row offsets
+            local_le = F.count(F.lit(1)).over(
+                w.rangeBetween(W.unboundedPreceding, W.currentRow)
+            )
+            col = (
+                F.coalesce(
+                    F.element_at(_off_map(row_off), F.col("_adt_pid")),
+                    F.lit(0),
+                )
+                + local_le
+            ).cast("double") / F.lit(float(n_total))
+        elif fn.startswith("ntile"):
+            # ntile(k) from the global row_number and the driver-known
+            # total: the first (n mod k) buckets hold ceil(n/k) rows
+            # (SQL:2016 semantics, both engines)
+            k = int(fn[len("ntile("):-1])
+            rn = _global(F.row_number, row_off)
+            q, r = divmod(n_total, k)
+            if q == 0:
+                col = rn.cast("long")  # fewer rows than buckets
+            else:
+                boundary = r * (q + 1)
+                col = (
+                    F.when(
+                        rn <= F.lit(boundary),
+                        F.ceil(rn.cast("double") / F.lit(float(q + 1))),
+                    ).otherwise(
+                        F.lit(r)
+                        + F.ceil(
+                            (rn - F.lit(boundary)).cast("double")
+                            / F.lit(float(q))
+                        )
+                    )
+                ).cast("long")
+        else:
+            raise ValueError(f"unsupported global ranking function {fn!r}")
+        out = out.withColumn(name, col)
     return out.drop("_adt_pid")
 
 
@@ -1430,5 +1485,41 @@ def q_sql_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables(spark, sf_dir)
     ranked = maybe_rewrite_global_rank(spark, _SQL_RANK_STMT)
     if ranked is None:  # the rewrite MUST engage for this shape
+        raise RuntimeError("global-rank rewrite did not match its own query")
+    return ranked
+
+
+_SQL_DIST_STMT = """
+    SELECT doc_id,
+           CAST(percent_rank() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+             AS pr,
+           CAST(cume_dist() OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+             AS cd,
+           CAST(ntile(7) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS nt
+    FROM documents
+"""
+
+
+@register(
+    "q_sql_global_dist",
+    oracle=_SQL_DIST_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_global_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTION half of the global-window family (round-9
+    extension of q_sql_global_rank): unpartitioned percent_rank /
+    cume_dist / ntile(k) hit the same single-partition WindowExec
+    cliff, and all three derive from the two-phase construction's own
+    offsets — percent_rank from the global rank, cume_dist from a
+    globalized RANGE ≤-count, ntile from the global row_number and
+    the driver-known total with SQL:2016 bucket sizing (first n mod k
+    buckets hold ceil(n/k) rows — both engines).  Executed through
+    the SAME dialect rewrite a ported script would take; plan check
+    pins no SinglePartition Window."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    ranked = maybe_rewrite_global_rank(spark, _SQL_DIST_STMT)
+    if ranked is None:
         raise RuntimeError("global-rank rewrite did not match its own query")
     return ranked

@@ -228,3 +228,36 @@ def test_global_rank_rewrite_passthrough_shapes(spark, sf_dir):
         "SELECT 'row_number() OVER (ORDER BY x)' AS lit FROM documents",
     ):
         assert maybe_rewrite_global_rank(spark, q) is None, q
+
+
+def test_global_rank_rewrite_distribution_family(spark, sf_dir):
+    """percent_rank / cume_dist / ntile(k) ride the same two-phase
+    rewrite (round-9 extension) and match Spark's single-partition
+    answer exactly — doubles included (integer-derived divisions are
+    bit-identical)."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    q = (
+        "SELECT doc_id, percent_rank() OVER (ORDER BY n_chars, doc_id) pr, "
+        "cume_dist() OVER (ORDER BY n_chars, doc_id) cd, "
+        "ntile(4) OVER (ORDER BY n_chars, doc_id) nt "
+        "FROM documents WHERE lang <> 'zh'"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want
+    # ntile with more buckets than rows still matches
+    q2 = (
+        "SELECT doc_id, ntile(1000000) OVER (ORDER BY doc_id) nt "
+        "FROM documents WHERE doc_id < 5"
+    )
+    df2 = maybe_rewrite_global_rank(spark, q2)
+    assert df2 is not None
+    assert sorted(tuple(r) for r in df2.collect()) == sorted(
+        tuple(r) for r in spark.sql(q2).collect()
+    )

@@ -1296,3 +1296,13 @@ def test_sem_two_level_router_plan_flat_in_cells(spark, sf_dir):
     # 3.5x the router width, same plan text length: the cell anchors
     # are column data, not literals
     assert abs(len(p448) - len(p128)) <= 0.02 * len(p128)
+
+
+def test_sql_global_dist_no_single_partition_window(spark, sf_dir):
+    """q_sql_global_dist: the distribution family (percent_rank /
+    cume_dist / ntile) through the dialect rewrite keeps the same
+    contract — partitioned Windows only, no SinglePartition
+    exchange."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_global_dist"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
