@@ -258,9 +258,11 @@ def upload_tree(local_dir: str, url: str) -> int:
     return n
 
 
-def upload_dataframe_parquet(df, url: str) -> int:
+def upload_dataframe_parquet(
+    df, url: str, partition_by: list[str] | None = None
+) -> int:
     """EXECUTOR-SIDE jar-free parquet sink: every task serializes its
-    partition to one parquet object and PUTs it straight from the
+    partition to parquet object(s) and PUTs them straight from the
     executor via boto3 — the write path that is genuinely distributed
     without hadoop-aws jars (no driver staging, no byte budget to
     hit; the driver only collects a one-row-per-task manifest).
@@ -270,10 +272,27 @@ def upload_dataframe_parquet(df, url: str) -> int:
     time and shipped in the task closure, so executors need no AWS
     environment of their own.  Arrow-batched end to end: Spark →
     Arrow via mapInArrow, Arrow → parquet via pyarrow — column types
-    round-trip by Arrow schema, not by Spark's writer.  Returns the
-    object count (empty partitions write nothing)."""
+    round-trip by Arrow schema, not by Spark's writer.
+
+    ``partition_by`` writes the hive layout (``col=value/`` dirs,
+    partition columns dropped from the data files, NULL as hive's
+    default-partition token): each task emits one object per distinct
+    partition-value combination it holds — the same object count
+    contract as Spark's own partitionBy.  Values render via str(),
+    matching Spark's partition-path format for the string/int/date
+    types hive layouts use; read-back type inference is Spark's own
+    partition discovery.  Returns the object count (empty partitions
+    write nothing)."""
     bucket, prefix = _split(url)
     creds = _env_key()
+    parts = list(partition_by or [])
+    if parts:
+        missing = [c for c in parts if c not in df.columns]
+        if missing:
+            raise S3StoreError(
+                f"partition columns {missing} not in DataFrame "
+                f"columns {df.columns}"
+            )
 
     def _upload(batches):
         import io
@@ -286,8 +305,6 @@ def upload_dataframe_parquet(df, url: str) -> int:
         if not any(b.num_rows for b in batches):
             return
         table = _pa.Table.from_batches([b for b in batches if b.num_rows])
-        buf = io.BytesIO()
-        _pq.write_table(table, buf)
         import boto3
 
         endpoint, akid, secret, token, region = creds
@@ -299,12 +316,52 @@ def upload_dataframe_parquet(df, url: str) -> int:
             aws_session_token=token,
             region_name=region or "us-east-1",
         )
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        key = (prefix.rstrip("/") + "/" + name) if prefix else name
-        client.put_object(Bucket=bucket, Key=key, Body=buf.getvalue())
-        yield _pa.RecordBatch.from_pydict({"objects": [1]})
 
-    return df.mapInArrow(_upload, "objects long").count()
+        def _put(tbl, rel_dir: str):
+            buf = io.BytesIO()
+            _pq.write_table(tbl, buf)
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            rel = (rel_dir + "/" if rel_dir else "") + name
+            key = (prefix.rstrip("/") + "/" + rel) if prefix else rel
+            client.put_object(Bucket=bucket, Key=key, Body=buf.getvalue())
+
+        if not parts:
+            _put(table, "")
+            yield _pa.RecordBatch.from_pydict({"objects": [1]})
+            return
+        import pyarrow.compute as _pc
+
+        n = 0
+        for group in _split_by_partition_values(table, parts, _pa, _pc):
+            vals, sub = group
+            rel_dir = "/".join(
+                f"{c}=" + (
+                    "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+                )
+                for c, v in zip(parts, vals)
+            )
+            _put(sub.drop_columns(parts), rel_dir)
+            n += 1
+        if n:
+            yield _pa.RecordBatch.from_pydict({"objects": [n]})
+
+    manifest = df.mapInArrow(_upload, "objects long")
+    rows = manifest.collect()
+    return sum(int(r.objects) for r in rows)
+
+
+def _split_by_partition_values(table, parts, _pa, _pc):
+    """Yield ((value, …), sub_table) per distinct partition-value
+    combination in an Arrow table — executor-side hive splitting for
+    ``upload_dataframe_parquet`` (module-level so Spark serializes a
+    reference, not a nested closure)."""
+    keys = table.select(parts).to_pylist()
+    seen: dict[tuple, list[int]] = {}
+    for i, row in enumerate(keys):
+        seen.setdefault(tuple(row[c] for c in parts), []).append(i)
+    for vals in sorted(seen, key=str):
+        idx = _pa.array(seen[vals], type=_pa.int64())
+        yield vals, table.take(idx)
 
 
 def delete_prefix(url: str) -> int:

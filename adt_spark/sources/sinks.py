@@ -158,10 +158,11 @@ def write_dataframe(
     ``s3://`` targets (non-Delta) write jar-free through the boto3
     gateway — mode semantics map to object-store operations
     (overwrite = delete-prefix + upload; append = upload fresh part
-    names; error/ignore probe the prefix).  Plain unpartitioned
-    parquet uploads from the EXECUTORS (``upload_dataframe_parquet``
-    — genuinely distributed, no driver staging; opt out with
-    ``ADT_S3_EXECUTOR_UPLOAD=0``); every other format/layout stages
+    names; error/ignore probe the prefix).  Parquet — flat or hive
+    ``partitionBy`` layout — uploads from the EXECUTORS
+    (``upload_dataframe_parquet`` — genuinely distributed, no driver
+    staging; opt out with ``ADT_S3_EXECUTOR_UPLOAD=0``); every other
+    format (or parquet with writer options) stages
     locally with the same writer logic and uploads the tree under
     the ``ADT_S3_UPLOAD_LIMIT`` driver byte budget — that staged
     path is local-mode/shared-FS metadata-scale only; multi-node
@@ -185,13 +186,14 @@ def write_dataframe(
                 return
         if (
             spark_fmt == "parquet"
-            and not partition_by
             and not options
             and _os.environ.get("ADT_S3_EXECUTOR_UPLOAD", "1") != "0"
         ):
             if mode == "overwrite" and existing:
                 s3_store.delete_prefix(path)
-            s3_store.upload_dataframe_parquet(df, path)
+            s3_store.upload_dataframe_parquet(
+                df, path, partition_by=partition_by
+            )
             return
         staging = tempfile.mkdtemp(prefix="adt-s3-sink-")
         try:

@@ -466,3 +466,37 @@ def test_s3_upload_budget_guard(spark, s3, monkeypatch):
         fmt="parquet",
     )
     assert len(s3_store.list_prefix(f"s3://{bucket}/ok_parquet")) >= 1
+
+
+def test_s3_executor_upload_partitioned_hive(spark, s3):
+    """Hive-partitioned parquet sinks also upload executor-side
+    (round-9): one object per (task, partition-value) group under
+    col=value/ dirs, partition columns dropped from the data files,
+    NULL as the hive default-partition token — read-back through the
+    listing factory discovers and types the partition column exactly
+    as for a Spark-written layout."""
+    from adt_spark.sources.registry import register_table
+    from adt_spark.sources.sinks import write_dataframe
+
+    _client, bucket = s3
+    target = f"s3://{bucket}/exec_hive"
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS p"
+    ).repartition(2)
+    write_dataframe(df, target, fmt="parquet", partition_by=["p"])
+    objs = s3_store.list_prefix(target)
+    assert all("/p=" in u for u, _s in objs)
+    back = register_table(spark, "s3_exec_hive_t", target, "parquet")
+    assert back.count() == 100
+    assert sorted(back.select("p").distinct().toPandas()["p"]) == [0, 1, 2]
+    assert back.filter("p = 1").selectExpr("sum(id) AS s").collect()[0].s == sum(
+        i for i in range(100) if i % 3 == 1
+    )
+    # NULL partition value lands in the hive default partition
+    ndf = spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, CAST(NULL AS STRING)) AS t(id, p)"
+    )
+    write_dataframe(ndf, f"s3://{bucket}/exec_hive_null", fmt="parquet",
+                    partition_by=["p"])
+    urls = [u for u, _ in s3_store.list_prefix(f"s3://{bucket}/exec_hive_null")]
+    assert any("__HIVE_DEFAULT_PARTITION__" in u for u in urls)
