@@ -55,6 +55,8 @@ HEADLINE = [
     "q_stratified_sample",
     "q_deterministic_shuffle",
     "q_global_rank_chars",
+    "q_sql_global_rank",
+    "q_sql_global_dist",
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",
