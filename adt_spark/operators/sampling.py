@@ -1523,3 +1523,240 @@ def q_sql_global_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ranked is None:
         raise RuntimeError("global-rank rewrite did not match its own query")
     return ranked
+
+
+#: UniMax epoch cap: no language may be repeated more than this many
+#: times regardless of how much budget is left (Chung et al. 2023 §3).
+#: 1 at the fixture so the en-heavy language skew exercises BOTH
+#: waterfilling branches (small languages saturate at one epoch, the
+#: dominant one takes the equalized remainder).
+_UNIMAX_EPOCHS = 1
+#: token budget as a fraction of the corpus: B = (4/5)·Σ tokens —
+#: kept RATIONAL so every saturation test below stays pure integer
+#: arithmetic (multiply through by the denominator, never divide).
+#: 4/5 sits between the fixture's small-language caps (~13-15% each
+#: at one epoch) and the en-dominant remainder, so the fixture
+#: exercises BOTH waterfilling branches.
+_UNIMAX_B_NUM, _UNIMAX_B_DEN = 4, 5
+
+
+@register(
+    "q_mixture_unimax",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS c_tokens
+      FROM t GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(c_tokens) AS HUGEINT) AS tot FROM c),
+    w AS (
+      SELECT lang, c_tokens,
+             CAST({_UNIMAX_EPOCHS} AS BIGINT) * c_tokens AS cap,
+             row_number() OVER (ORDER BY {_UNIMAX_EPOCHS} * c_tokens, lang)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             COALESCE(CAST(sum({_UNIMAX_EPOCHS} * c_tokens) OVER (
+                 ORDER BY {_UNIMAX_EPOCHS} * c_tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS p_prev
+      FROM c
+    ),
+    s AS (
+      SELECT w.*,
+             (CAST({_UNIMAX_B_DEN} AS HUGEINT)
+              * (CAST(cap AS HUGEINT) * (n - rn + 1)
+                 + CAST(p_prev AS HUGEINT))
+              <= CAST({_UNIMAX_B_NUM} AS HUGEINT) * tot.tot) AS saturated
+      FROM w, tot
+    ),
+    agg AS (
+      SELECT s.*,
+             CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) OVER ()
+                  AS BIGINT) AS k,
+             COALESCE(CAST(sum(CASE WHEN saturated THEN cap END) OVER ()
+                  AS BIGINT), 0) AS p_sat,
+             CAST(tot AS BIGINT) AS tot_b
+      FROM s, tot
+    )
+    SELECT lang, CAST(c_tokens AS BIGINT) AS c_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens, saturated,
+           CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                ELSE CAST({_UNIMAX_B_NUM} * tot_b
+                          - {_UNIMAX_B_DEN} * p_sat AS DOUBLE)
+                     / CAST({_UNIMAX_B_DEN} * (n - k) AS DOUBLE)
+           END AS alloc_tokens,
+           CASE WHEN saturated THEN CAST(cap AS DOUBLE)
+                ELSE CAST({_UNIMAX_B_NUM} * tot_b
+                          - {_UNIMAX_B_DEN} * p_sat AS DOUBLE)
+                     / CAST({_UNIMAX_B_DEN} * (n - k) AS DOUBLE)
+           END / CAST(c_tokens AS DOUBLE) AS epochs
+    FROM agg
+    """,
+    tags=("sampling", "mixing", "unimax"),
+)
+def q_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language/source budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): distribute
+    a token budget B over sources by WATERFILLING under a per-source
+    epoch cap — every source gets min(cap_i, L) tokens where the
+    water level L equalizes the unsaturated sources and Σ alloc = B.
+    This is the budget-allocation step between q_source_token_share
+    (the audit) and pipeline_token_budget_epochs (the consumption):
+    the closed form is sort-by-cap + prefix arithmetic, NOT an
+    iterative loop.
+
+    Cross-engine exactness: caps are integers (epoch cap × token
+    count); B = (3/5)·Σ tokens stays RATIONAL and every saturation
+    test multiplies through by the denominator — pure widened-integer
+    comparisons (DECIMAL(38,0) / HUGEINT), no rounding anywhere until
+    the final water-level division of two exact integers (one IEEE
+    division, bit-identical on both engines).
+
+    Scale shape: one corpus token-count aggregation, then every
+    window runs over the |sources|-row table (rows = source count,
+    never the corpus) — at 100 TB this is one agg plus metadata-grain
+    arithmetic.
+    """
+    from pyspark.sql import Window as W
+
+    docs = tables(spark, sf_dir)["documents"]
+    E, BN, BD = _UNIMAX_EPOCHS, _UNIMAX_B_NUM, _UNIMAX_B_DEN
+    c = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("bigint").alias("c_tokens"))
+        .withColumn("cap", (F.lit(E).cast("bigint") * F.col("c_tokens")))
+    )
+    w_ord = W.orderBy("cap", "lang")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    w = (
+        c.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()).cast("bigint"))
+        # tot as a window over the |lang|-row aggregate, NOT a second
+        # aggregation lineage — keeps the plan at ONE corpus scan
+        # (machine-checked in tests/test_plans.py)
+        .withColumn(
+            "tot", F.sum("c_tokens").over(W.partitionBy()).cast("bigint")
+        )
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_ord.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "saturated",
+            dec(F.lit(BD))
+            * (dec(F.col("cap")) * (F.col("n") - F.col("rn") + 1)
+               + dec(F.col("p_prev")))
+            <= dec(F.lit(BN)) * dec(F.col("tot")),
+        )
+    )
+    w_all = W.partitionBy()
+    agg = (
+        w.withColumn(
+            "k",
+            F.sum(F.when(F.col("saturated"), 1).otherwise(0))
+            .over(w_all)
+            .cast("bigint"),
+        )
+        .withColumn(
+            "p_sat",
+            F.coalesce(
+                F.sum(F.when(F.col("saturated"), F.col("cap"))).over(w_all),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    level = (
+        (F.lit(BN) * F.col("tot") - F.lit(BD) * F.col("p_sat")).cast("double")
+        / (F.lit(BD) * (F.col("n") - F.col("k"))).cast("double")
+    )
+    alloc = F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
+        level
+    )
+    return agg.select(
+        "lang",
+        "c_tokens",
+        F.col("cap").alias("cap_tokens"),
+        "saturated",
+        alloc.alias("alloc_tokens"),
+        (alloc / F.col("c_tokens").cast("double")).alias("epochs"),
+    )
+
+
+#: priority-sample size per source
+_PRIO_K = 5
+
+
+@register(
+    "q_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(list_aggregate(list_transform(generate_series(1, 8), i ->
+                 CAST(instr('0123456789abcdef',
+                            substr(md5('prio-' || CAST(doc_id AS VARCHAR)),
+                                   CAST(i AS INT), 1)) - 1 AS BIGINT)
+                 * CAST(power(16, 8 - i) AS BIGINT)), 'sum') AS DOUBLE)
+               / CAST(n_chars AS DOUBLE) AS prio_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           prio_key, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY prio_key, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= {_PRIO_K}
+    """,
+    tags=("sampling", "weighted"),
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup 2007): each row draws a deterministic
+    uniform u (md5-frac32, salt ``prio-``) and gets priority key
+    u / w; the k smallest keys per source are the sample — inclusion
+    probability rises with the weight w (here n_chars: length-biased
+    selection, the subsample shape curriculum/inspection tooling
+    wants), and the estimator properties are the published ones.
+
+    Chosen over Efraimidis–Spirakis (u^(1/w)) deliberately: ES needs
+    pow/log — transcendentals whose low bits may differ across
+    engines — while the priority key is ONE IEEE division of two
+    exact small integers, bit-identical everywhere (the corpus
+    convention: q_mixture_temperature's sqrt carve-out, DoReMi's
+    clipped-difference deviation).
+
+    Scale shape: a row-local md5 projection, then per-source top-k
+    through WindowGroupLimit (per-partition k-row heaps, one
+    shuffle on source) — no global sort, no corpus-wide window.
+    """
+    from pyspark.sql import Window as W
+
+    docs = tables(spark, sf_dir)["documents"]
+    frac32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("prio-"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (frac32.cast("double") / F.col("n_chars").cast("double")).alias(
+            "prio_key"
+        ),
+    )
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy("prio_key", "doc_id")
+    )
+    return keyed.withColumn("rn", rn).filter(F.col("rn") <= _PRIO_K)

