@@ -61,6 +61,8 @@ HEADLINE = [
     "q_skew_salted_join",
     "q_events_anomaly",
     "q_mixture_temperature",
+    "q_mixture_unimax",
+    "q_priority_sample",
     "q_mixture_doremi_weights",
     "q_select_learnable_docs",
     "q_dsir_resample",

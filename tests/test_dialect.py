@@ -261,3 +261,69 @@ def test_global_rank_rewrite_distribution_family(spark, sf_dir):
     assert sorted(tuple(r) for r in df2.collect()) == sorted(
         tuple(r) for r in spark.sql(q2).collect()
     )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_attach_global_ranks_matches_native_on_ties_and_nulls(spark, seed):
+    """attach_global_ranks vs Spark's own single-partition windows on
+    seeded random data with heavy TIES and NULL keys — all six
+    functions, ASC and DESC: the two-phase construction must be
+    value-identical to the native plan it replaces (range
+    partitioning co-locates peers, NULLs included — Spark places the
+    null group at one edge and the partitioner uses the same sort)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adt_spark.operators.sampling import attach_global_ranks
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.choice([None, 0, 1, 2, 3, 3, 3, 7]), rng.randint(0, 4))
+        for i in range(rng.randint(30, 120))
+    ]
+    df = spark.createDataFrame(rows, "id int, k int, w int")
+    df.createOrReplaceTempView("grk_t")
+    for direction, sql_dir in (("asc", ""), ("desc", " DESC")):
+        got = attach_global_ranks(
+            df,
+            [(F.col("k"), direction), (F.col("id"), "asc")],
+            [
+                ("row_number", "rn"),
+                ("rank", "rk"),
+                ("dense_rank", "dr"),
+                ("percent_rank", "pr"),
+                ("cume_dist", "cd"),
+                ("ntile(3)", "nt"),
+            ],
+        ).select("id", "rn", "rk", "dr", "pr", "cd", "nt")
+        want = spark.sql(
+            f"SELECT id, "
+            f"CAST(row_number() OVER (ORDER BY k{sql_dir}, id) AS BIGINT) rn, "
+            f"CAST(rank() OVER (ORDER BY k{sql_dir}, id) AS BIGINT) rk, "
+            f"CAST(dense_rank() OVER (ORDER BY k{sql_dir}, id) AS BIGINT) dr, "
+            f"CAST(percent_rank() OVER (ORDER BY k{sql_dir}, id) AS DOUBLE) pr, "
+            f"CAST(cume_dist() OVER (ORDER BY k{sql_dir}, id) AS DOUBLE) cd, "
+            f"CAST(ntile(3) OVER (ORDER BY k{sql_dir}, id) AS BIGINT) nt "
+            f"FROM grk_t"
+        )
+        g = sorted(tuple(r) for r in got.collect())
+        w = sorted(tuple(r) for r in want.collect())
+        assert g == w, f"seed={seed} dir={direction}"
+
+
+def test_global_rank_rewrite_url_table(spark):
+    """URL tables (`fmt.`/path`` — the reference's enable_url_table
+    surface) work as the single relation of a global-rank rewrite,
+    LIMIT included."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    q = (
+        "SELECT doc_id, row_number() OVER (ORDER BY doc_id) rn FROM "
+        "parquet.`/root/testdata/sf0.001/documents.parquet` LIMIT 4"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        tuple(r) for r in spark.sql(q).collect()
+    )
