@@ -801,3 +801,88 @@ def streaming_docs_threshold_ingest(
     return _drain_to_memory(
         threshold_gated_ingest(corpus, stream), spark, "complete"
     )
+
+
+@register("streaming_priority_sample", oracle=None, tags=("streaming", "sampling"))
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WEIGHTED SAMPLING at the ingest edge: maintain each
+    source's k-smallest priority keys (Duffield–Lund–Thorup
+    ``u / w`` — the deterministic md5 draw q_priority_sample uses)
+    as arriving documents stream in.  Priority sampling is the
+    textbook ONE-PASS weighted-sample-without-replacement, so its
+    streaming deployment is the natural one: the running sample is
+    always exactly the sample the batch operator would select over
+    everything seen so far — tests/test_streaming.py pins the final
+    per-source state to q_priority_sample's batch answer.
+
+    Scale posture: the key is a row-local JVM projection (md5 +
+    one division) BEFORE the stateful operator; state is a bounded
+    k-tuple of (key, doc_id, n_chars) per source, hash-distributed
+    by group — never a corpus-sized buffer; each micro-batch merges
+    its rows into the heap in one Arrow pass.
+    """
+    import os
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from adt_spark.operators.sampling import _PRIO_K
+
+    tables(spark, sf_dir)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    frac32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("prio-"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_glob(docs_path))
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (frac32.cast("double") / F.col("n_chars").cast("double")).alias(
+                "prio_key"
+            ),
+        )
+    )
+    out_schema = (
+        "source string, doc_id long, n_chars long, prio_key double, rn int"
+    )
+    state_schema = "ks array<double>, ids array<long>, ws array<long>"
+    k = _PRIO_K
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = list(zip(*state.get)) if state.exists else []
+        for pdf in pdfs:
+            rows += list(
+                zip(pdf["prio_key"], pdf["doc_id"], pdf["n_chars"])
+            )
+        rows = sorted(rows, key=lambda t: (t[0], t[1]))[:k]
+        state.update((
+            [float(r[0]) for r in rows],
+            [int(r[1]) for r in rows],
+            [int(r[2]) for r in rows],
+        ))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(rows),
+                "doc_id": [int(r[1]) for r in rows],
+                "n_chars": [int(r[2]) for r in rows],
+                "prio_key": [float(r[0]) for r in rows],
+                "rn": list(range(1, len(rows) + 1)),
+            }
+        )
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )
+    return _drain_to_memory(out, spark, "update")

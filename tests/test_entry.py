@@ -39,6 +39,7 @@ def test_queries_and_oracles_aligned(spark):
         "streaming_docs_threshold_ingest",
         "streaming_m4_downsample",
         "streaming_anomaly_alerts",
+        "streaming_priority_sample",
         # iterative (per-round data-dependent argmax) — not
         # SQL-expressible; pinned exactly to an independent Python
         # reference in tests/test_bpe_train.py

@@ -416,3 +416,28 @@ def test_streaming_threshold_ingest_matches_batch(spark, sf_dir):
     thresholds = {t for (_d, _s, t, _n, _sc, _a) in want if t is not None}
     assert any(abs(t - 1.0) > 1e-12 for t in thresholds), thresholds
     assert {a for (*_x, a) in want} == {True, False}
+
+
+def test_streaming_priority_sample_matches_batch(spark, sf_dir):
+    """The streaming weighted sample's FINAL per-source state equals
+    q_priority_sample's batch answer.  Update mode emits every
+    intermediate heap; emissions are nested prefix-min sets, so the
+    k smallest (prio_key, doc_id) per source across ALL emitted rows
+    ARE the final state — compare that reconstruction exactly."""
+    from adt_spark.operators.sampling import _PRIO_K
+
+    stream_df = load_all()["streaming_priority_sample"].spark_fn(spark, sf_dir)
+    emitted = {}
+    for r in stream_df.collect():
+        emitted.setdefault(r.source, set()).add(
+            (r.prio_key, r.doc_id, r.n_chars)
+        )
+    got = {
+        src: sorted(rows)[:_PRIO_K] for src, rows in emitted.items()
+    }
+    batch = load_all()["q_priority_sample"].spark_fn(spark, sf_dir)
+    want = {}
+    for r in batch.collect():
+        want.setdefault(r.source, []).append((r.prio_key, r.doc_id, r.n_chars))
+    want = {src: sorted(rows) for src, rows in want.items()}
+    assert got == want
