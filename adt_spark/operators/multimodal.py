@@ -913,3 +913,91 @@ def pipeline_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_kept"),
         )
     )
+
+
+#: scene-cut threshold on mean-abs pixel delta between consecutive
+#: frames (within-scene drift synthesizes to exactly 1.0, the cut to
+#: exactly 101.0 — the gate sits far from both)
+_CUT_THRESHOLD = 50.0
+
+
+@register(
+    "mm_scene_cuts",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, 4 + doc_id % 4 AS n_frames,
+               1 + doc_id % (3 + doc_id % 4) AS cut_at
+        FROM documents
+    )
+    SELECT doc_id, CAST(f.i AS INT) AS frame_idx,
+           CAST(CASE WHEN f.i = cut_at THEN 101.0 ELSE 1.0 END AS DOUBLE)
+             AS mad,
+           f.i = cut_at AS is_cut
+    FROM p, unnest(generate_series(1, n_frames - 1)) AS f(i)
+    """,
+    tags=("multimodal", "udf", "video"),
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video SCENE-CUT detection through the REAL P6 codec: each doc
+    synthesizes a short frame sequence (4 + doc_id % 4 frames of
+    4×3 RGB) with a brightness drift of +1/frame and one genuine
+    scene change (pattern jump of +100) at a doc-derived frame; every
+    frame round-trips through a real binary PPM encode → decode, and
+    consecutive frames are compared by mean absolute pixel delta —
+    the shot-boundary detector every video curation pipeline runs
+    before per-scene sampling/dedup.
+
+    The synthesis pins the arithmetic so the SQL oracle states the
+    detector's output in closed form (within-scene MAD is EXACTLY
+    1.0 — uniform +1 drift with no uint8 wraparound by construction;
+    the cut is EXACTLY 101.0), so the full decode → frame-diff →
+    threshold kernel is value-hash-verified end-to-end like the WAV
+    and channel-stats kernels.  Real video blobs change only the
+    frame source; the diff kernel is the production one.
+
+    Scale: mapInPandas over Arrow batches, frames expanded and
+    compared INSIDE the batch iterator (bounded by batch × frames),
+    no shuffle.
+    """
+    import numpy as np
+
+    from adt_spark.context import spread
+
+    docs = spread(tables(spark, sf_dir)["documents"]).select("doc_id")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, mads, cuts = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_frames = 4 + d % 4
+                cut_at = 1 + d % (n_frames - 1)
+                x = np.arange(4, dtype=np.int64)[None, :]
+                y = np.arange(3, dtype=np.int64)[:, None]
+                base = (d + x * 3 + y * 5) % 140  # +7 drift +100 jump < 256
+                prev = None
+                for f in range(n_frames):
+                    px = base + f + (100 if f >= cut_at else 0)
+                    frame = np.repeat(
+                        px[:, :, None], 3, axis=2
+                    ).astype(np.uint8)
+                    back = _decode_ppm_pixels(_encode_ppm(frame))
+                    if prev is not None:
+                        mad = float(
+                            np.abs(
+                                back.astype(np.int64) - prev.astype(np.int64)
+                            ).mean()
+                        )
+                        ids.append(d)
+                        idxs.append(f)
+                        mads.append(mad)
+                        cuts.append(mad > _CUT_THRESHOLD)
+                    prev = back
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "mad": mads, "is_cut": cuts}
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, mad double, is_cut boolean",
+    )
