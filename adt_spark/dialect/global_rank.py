@@ -18,7 +18,12 @@ per-partition count collect → offset add; boundary-invariant output,
 oracled by q_global_rank_chars and q_sql_global_rank):
 
 1. the inner relation (FROM + WHERE) runs as its own statement;
-2. each unpartitioned ranking call becomes a pre-computed column;
+2. each unpartitioned ranking call becomes a pre-computed column,
+   and (round-9 second wave) so does each default-frame RUNNING
+   AGGREGATE — ``sum/count/min/max/avg(expr) OVER (ORDER BY …)`` via
+   ``attach_global_running_aggs``; window calls that stay native
+   (partitioned, OVER(), exotic frames) are LEFT IN PLACE and
+   evaluate over the view's rows — the base rows — unchanged;
 3. the remaining projection / ORDER BY / LIMIT runs over the ranked
    temp view with the calls substituted.
 
@@ -50,6 +55,14 @@ _RANK_CALL_RE = re.compile(
     r"\b(?P<fn>row_number|rank|dense_rank|percent_rank|cume_dist)"
     r"\s*\(\s*\)\s+over\s*\("
     r"|\b(?P<ntile>ntile)\s*\(\s*(?P<k>\d+)\s*\)\s+over\s*\(",
+    re.IGNORECASE,
+)
+
+#: running-aggregate window calls (the default-frame family the
+#: two-phase running-agg construction covers); the lookbehind keeps
+#: `checksum(`-style identifiers from matching `sum(`
+_AGG_CALL_RE = re.compile(
+    r"(?<![\w.$])(?P<afn>sum|count|min|max|avg)\s*\(",
     re.IGNORECASE,
 )
 
@@ -118,7 +131,12 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
     when it matches the sound shape (module docstring); None when it
     does not (caller falls back to plain ``spark.sql``)."""
     masked = _mask_literals(sql)
-    if not _RANK_CALL_RE.search(masked):
+    has_rank = bool(_RANK_CALL_RE.search(masked))
+    has_agg = bool(
+        _AGG_CALL_RE.search(masked)
+        and re.search(r"\bover\b", masked, re.IGNORECASE)
+    )
+    if not has_rank and not has_agg:
         return None
 
     # --- collect unpartitioned ranking calls ------------------------
@@ -150,12 +168,68 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         # qualifier-stripped normalized keys: `d.n_chars DESC` and
         # `n_chars DESC` are the same order under single-relation scope
         order_texts.add(tuple(parsed))
-    if not calls:
-        return None
-    if len(order_texts) != 1:
+    if calls and len(order_texts) != 1:
         return None  # two different global orders: would need two
         # range partitionings — pass through
-    keys = list(order_texts.pop())
+    keys = list(order_texts.pop()) if calls else None
+
+    # --- collect unpartitioned RUNNING-AGGREGATE calls ---------------
+    # (round-9: sum/count/min/max/avg OVER (ORDER BY …) with the
+    # default peer-inclusive frame hit the same single-partition
+    # cliff; they rewrite through attach_global_running_aggs.  Calls
+    # that stay native — partitioned, OVER(), exotic frames — are
+    # simply LEFT IN PLACE: they evaluate over the view's rows, which
+    # are the base rows, so semantics are unchanged.)
+    agg_calls = []  # (start, end, fn, arg_src)
+    agg_orders = set()
+    for m in _AGG_CALL_RE.finditer(masked):
+        open_pos = m.end() - 1
+        try:
+            arg_close = _match_paren(masked, open_pos)
+        except Exception:
+            return None
+        om = re.match(r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE)
+        if om is None:
+            continue  # plain aggregate, not a window call
+        over_open = arg_close + 1 + om.end() - 1
+        try:
+            spec_close = _match_paren(masked, over_open)
+        except Exception:
+            return None
+        spec = " ".join(sql[over_open + 1 : spec_close].split())
+        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
+        if sm is None:
+            continue  # partitioned / OVER() — native path, stays put
+        keys_text = sm.group("keys")
+        fm = re.search(r"\s+(range|rows|groups)\s+", keys_text, re.IGNORECASE)
+        if fm:
+            frame = " ".join(keys_text[fm.start() :].split()).lower()
+            if frame != "range between unbounded preceding and current row":
+                continue  # non-default frame — native path, stays put
+            keys_text = keys_text[: fm.start()]
+        parsed = _parse_order_keys(keys_text.lower())
+        if parsed is None:
+            continue  # non-column order key — native path, stays put
+        arg_masked = masked[open_pos + 1 : arg_close]
+        if re.search(r"\b(over|select)\b", arg_masked, re.IGNORECASE):
+            return None  # nested window/subquery in the argument
+        arg_src = sql[open_pos + 1 : arg_close].strip()
+        agg_calls.append(
+            (m.start(), spec_close + 1, m.group("afn").lower(), arg_src,
+             tuple(parsed))
+        )
+        agg_orders.add(tuple(parsed))
+    if not calls and not agg_calls:
+        return None
+    # replacement spans must not overlap (a rank call inside an agg
+    # argument would double-substitute)
+    spans = sorted(
+        [(s, e) for s, e, _f in calls]
+        + [(s, e) for s, e, _f, _a, _o in agg_calls]
+    )
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        if s2 < e1:
+            return None
 
     # --- parse the statement shape ----------------------------------
     if _BLOCKERS.search(masked):
@@ -202,29 +276,67 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
             else:
                 limit_src = text
     # the trailing ORDER BY must not itself contain window syntax
-    if order_src and _RANK_CALL_RE.search(_mask_literals(order_src)):
+    if order_src and re.search(
+        r"\bover\b", _mask_literals(order_src), re.IGNORECASE
+    ):
         return None
 
     # --- execute the two-phase construction -------------------------
-    from adt_spark.operators.sampling import attach_global_ranks
+    from adt_spark.operators.sampling import (
+        attach_global_ranks,
+        attach_global_running_aggs,
+    )
 
     inner = f"SELECT * FROM {rel_src}"
     if where_src:
         inner += f" WHERE {where_src}"
-    base = spark.sql(inner)
     rank_specs = [(fn, f"_adt_grnk{i}") for i, (_s, _e, fn) in enumerate(calls)]
-    ranked = attach_global_ranks(
-        base,
-        [(F.col(c), method) for c, method in keys],
-        rank_specs,
-    )
+    agg_specs = [
+        (fn, None if arg == "*" else arg, f"_adt_gagg{i}", order)
+        for i, (_s, _e, fn, arg, order) in enumerate(agg_calls)
+    ]
+    try:
+        ranked = spark.sql(inner)
+        if rank_specs:
+            ranked = attach_global_ranks(
+                ranked,
+                [(F.col(c), method) for c, method in keys],
+                rank_specs,
+            )
+        # each DISTINCT agg order gets its own construction, chained:
+        # every attachment range-partitions independently and earlier
+        # columns ride through (rank columns included)
+        for order in sorted(set(o for _f, _a, _n, o in agg_specs)):
+            ranked = attach_global_running_aggs(
+                ranked,
+                [(F.col(c), method) for c, method in order],
+                [
+                    (fn, None if arg is None else F.expr(arg), name)
+                    for fn, arg, name, o in agg_specs
+                    if o == order
+                ],
+            )
+    except Exception:
+        # an argument/key the textual scope check admitted but Spark
+        # cannot evaluate in this position — fall back to the native
+        # path, whose own analysis raises the real error
+        return None
     view = f"_adt_global_rank_{next(_view_counter)}"
     ranked.createOrReplaceTempView(view)
 
+    repl = sorted(
+        [(s, e, name) for (s, e, _f), (_f2, name) in zip(calls, rank_specs)]
+        + [
+            (s, e, name)
+            for (s, e, _f, _a, _o), (_f3, _a2, name, _o2) in zip(
+                agg_calls, agg_specs
+            )
+        ]
+    )
     out_sel, cursor = [], sel_span[0]
-    for (start, end, _fn), (_f2, name) in zip(calls, rank_specs):
+    for start, end, name in repl:
         if start < sel_span[0] or end > sel_span[1]:
-            return None  # ranking call outside the projection
+            return None  # window call outside the projection
         out_sel.append(sql[cursor:start])
         out_sel.append(name)
         cursor = end

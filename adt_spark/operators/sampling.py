@@ -1401,6 +1401,155 @@ def attach_global_ranks(
     return out.drop("_adt_pid")
 
 
+def attach_global_running_aggs(
+    df: DataFrame,
+    order_cols: list,
+    aggs: list[tuple],
+    n_parts: int = _RANK_PARTS,
+) -> DataFrame:
+    """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
+    (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW) frame, without the single-partition
+    WindowExec cliff (the running-total sibling of
+    ``attach_global_ranks``; the SQL surface routes here too).
+
+    ``aggs``: list of (fn, expr_col_or_None, out_name) — ``None``
+    means ``count(*)``.  Construction: range-repartition on the order
+    keys, aggregate each partition's TOTALS (one bounded ≤n_parts-row
+    collect), prefix-combine them per function (sum/count add, min/
+    max fold, avg decomposes into sum+count), then combine each
+    partition's offset with a LOCAL running aggregate over the RANGE
+    frame (peers share a partition under the range partitioner, so
+    the peer-inclusive default-frame semantics survive the split
+    exactly — including single-key ORDER BYs with ties).
+
+    NULL discipline matches the engines': a running sum/min/max is
+    NULL until the first non-null argument, so the combine is
+    ``CASE WHEN local IS NULL THEN offset ELSE coalesce(offset, 0) +
+    local`` for sums and null-skipping least/greatest for min/max.
+
+    Exactness caveat (the EXCLUDE-subtraction rule): per-partition
+    totals re-associate the fold, so floating-point arguments can
+    differ in low-order bits from a strictly sequential oracle —
+    exact for integer/decimal arguments (the corpus convention).
+
+    Scale shape: one range shuffle + one ≤n_parts-row collect + a
+    partitioned local window; no single-partition exchange
+    (plan-checked).
+    """
+    from pyspark.sql import Window as W
+
+    sort_cols = [getattr(c, d)() for c, d in order_cols]
+    ranged = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .withColumn("_adt_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin sampled boundaries (same
+        # reason as attach_global_ranks: totals and the local window
+        # must see ONE partitioning)
+    )
+    # per-partition totals for every needed primitive (avg = sum+cnt)
+    prims: list[tuple] = []  # (fn, col)
+    for fn, col, _name in aggs:
+        if fn == "avg":
+            prims += [("sum", col), ("count", col)]
+        else:
+            prims.append((fn, col))
+    agg_exprs = []
+    for i, (fn, col) in enumerate(prims):
+        if fn == "count":
+            e = F.count(F.lit(1)) if col is None else F.count(col)
+        else:
+            e = getattr(F, fn)(col)
+        agg_exprs.append(e.alias(f"_adt_t{i}"))
+    totals = {
+        int(r._adt_pid): r
+        for r in ranged.groupBy("_adt_pid").agg(*agg_exprs).collect()
+    }
+    pids = sorted(totals)
+
+    def _prefix_offsets(i: int, fn: str) -> dict:
+        """pid → exclusive-prefix combination of partition totals."""
+        offs, acc = {}, None
+        for pid in pids:
+            offs[pid] = acc
+            v = totals[pid][f"_adt_t{i}"]
+            if v is None:
+                continue
+            if acc is None:
+                acc = v
+            elif fn in ("sum", "count"):
+                acc = acc + v
+            elif fn == "min":
+                acc = v if v < acc else acc
+            else:  # max
+                acc = v if v > acc else acc
+        return offs
+
+    def _off_col(offs: dict):
+        # pin ONE literal type across the map entries: python ints of
+        # different magnitudes would otherwise infer int vs bigint per
+        # entry and fail create_map's type check
+        vals = [v for v in offs.values() if v is not None]
+        t = None
+        if vals and all(isinstance(v, int) for v in vals):
+            t = "bigint"
+        elif vals and all(isinstance(v, (int, float)) for v in vals):
+            t = "double"
+        entries = []
+        for pid in pids:
+            lit = F.lit(offs[pid])
+            if t is not None:
+                lit = lit.cast(t)
+            entries += [F.lit(pid), lit]
+        return F.element_at(F.create_map(*entries), F.col("_adt_pid"))
+
+    w = (
+        W.partitionBy("_adt_pid")
+        .orderBy(*sort_cols)
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = ranged
+    pi = 0
+    for fn, col, name in aggs:
+        if fn == "avg":
+            s_off = _off_col(_prefix_offsets(pi, "sum"))
+            c_off = _off_col(_prefix_offsets(pi + 1, "count"))
+            pi += 2
+            local_s = F.sum(col).over(w)
+            local_c = F.count(col).over(w)
+            num = F.when(local_s.isNull(), s_off).otherwise(
+                F.coalesce(s_off, F.lit(0)) + local_s
+            )
+            den = F.coalesce(c_off, F.lit(0)) + local_c
+            combined = F.when(den > 0, num.cast("double") / den).otherwise(
+                F.lit(None).cast("double")
+            )
+        else:
+            offs = _prefix_offsets(pi, fn)
+            pi += 1
+            off = _off_col(offs)
+            if fn == "count":
+                local = (
+                    F.count(F.lit(1)) if col is None else F.count(col)
+                ).over(w)
+                combined = F.coalesce(off, F.lit(0)) + local
+            elif fn == "sum":
+                local = F.sum(col).over(w)
+                combined = F.when(local.isNull(), off).otherwise(
+                    F.coalesce(off, F.lit(0)) + local
+                )
+            else:
+                local = getattr(F, fn)(col).over(w)
+                if all(offs[pid] is None for pid in pids):
+                    combined = local
+                else:
+                    combined = (F.least if fn == "min" else F.greatest)(
+                        off, local
+                    )
+        out = out.withColumn(name, combined)
+    return out.drop("_adt_pid")
+
+
 @register(
     "q_global_rank_chars",
     oracle="""
@@ -1760,3 +1909,43 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("source").orderBy("prio_key", "doc_id")
     )
     return keyed.withColumn("rn", rn).filter(F.col("rn") <= _PRIO_K)
+
+
+_SQL_RUNNING_STMT = """
+    SELECT doc_id,
+           CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS cum_chars,
+           CAST(count(*) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS cum_docs,
+           CAST(avg(n_chars) OVER (ORDER BY n_chars, doc_id) AS DOUBLE)
+             AS run_avg,
+           CAST(max(n_chars) OVER (ORDER BY n_chars) AS BIGINT) AS run_max
+    FROM documents
+"""
+
+
+@register(
+    "q_sql_running_totals",
+    oracle=_SQL_RUNNING_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL RUNNING TOTALS on the SQL surface (round-9: the
+    cumulative-distribution curve — "how many docs / chars sit below
+    each length" — that corpus analysis scripts write as
+    ``sum(x) OVER (ORDER BY …)``, which Spark executes on ONE task).
+    The statement here is EXACTLY what the oracle runs, executed
+    through the dialect rewrite (``dialect/global_rank.py`` →
+    ``attach_global_running_aggs``): sum / count(*) / avg on the
+    two-key total order, plus a single-key max whose TIES exercise
+    the peer-inclusive default RANGE frame across the split (the
+    max's order differs from the others', proving the per-family
+    independent-order path).  Integer arguments keep the combine
+    exact (the helper's documented float caveat does not apply)."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_RUNNING_STMT)
+    if out is None:
+        raise RuntimeError("running-totals rewrite did not match its own query")
+    return out

@@ -327,3 +327,64 @@ def test_global_rank_rewrite_url_table(spark):
     assert sorted(tuple(r) for r in df.collect()) == sorted(
         tuple(r) for r in spark.sql(q).collect()
     )
+
+
+@pytest.mark.parametrize("seed", [5, 41])
+def test_global_running_aggs_match_native(spark, seed):
+    """The running-aggregate rewrite vs Spark's native single-
+    partition windows on seeded random data — NULL arguments, ties,
+    expression args, count(*), and a second distinct order in one
+    statement (chained constructions)."""
+    import random
+
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 4), rng.choice([None, rng.randint(-30, 90)]))
+        for i in range(rng.randint(40, 140))
+    ]
+    spark.createDataFrame(rows, "id int, k int, v int").createOrReplaceTempView(
+        "gra_t"
+    )
+    q = (
+        "SELECT id, sum(v) OVER (ORDER BY k, id) s, "
+        "count(v) OVER (ORDER BY k, id) c, "
+        "count(*) OVER (ORDER BY k, id) cs, "
+        "min(v) OVER (ORDER BY k, id) mn, "
+        "avg(v + 1) OVER (ORDER BY k, id) av, "
+        "max(v) OVER (ORDER BY id DESC) mx "
+        "FROM gra_t WHERE id >= 3"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want, f"seed={seed}"
+
+
+def test_global_running_aggs_passthrough_and_leftovers(spark, sf_dir):
+    """Unsupported running-agg shapes either pass through entirely or
+    stay NATIVE inside an otherwise-rewritten statement (they
+    evaluate over the view's rows — the base rows — so semantics are
+    unchanged)."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    # no window call at all → None
+    assert maybe_rewrite_global_rank(
+        spark, "SELECT sum(n_chars) AS s FROM documents"
+    ) is None
+    # a ROWS-framed agg stays native while the rank call rewrites
+    q = (
+        "SELECT doc_id, sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) s, "
+        "row_number() OVER (ORDER BY doc_id) rn FROM documents"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, spark.sql(q).collect())
+    )

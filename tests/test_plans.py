@@ -1346,3 +1346,13 @@ def test_hard_negatives_broadcast_and_topk(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_running_totals_no_single_partition_window(spark, sf_dir):
+    """q_sql_running_totals: global cumulative sums/counts/avg/max
+    through the dialect rewrite — partitioned Windows only, no
+    SinglePartition exchange (native Spark puts the whole corpus on
+    one task for this statement)."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_running_totals"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
