@@ -66,6 +66,12 @@ _AGG_CALL_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: offset window calls (lag/lead — round-9 third wave)
+_OFF_CALL_RE = re.compile(
+    r"(?<![\w.$])(?P<ofn>lag|lead)\s*\(",
+    re.IGNORECASE,
+)
+
 #: one ORDER BY key: [qualifier.]column [ASC|DESC] [NULLS FIRST|LAST]
 _KEY_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
@@ -132,11 +138,10 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
     does not (caller falls back to plain ``spark.sql``)."""
     masked = _mask_literals(sql)
     has_rank = bool(_RANK_CALL_RE.search(masked))
-    has_agg = bool(
-        _AGG_CALL_RE.search(masked)
-        and re.search(r"\bover\b", masked, re.IGNORECASE)
-    )
-    if not has_rank and not has_agg:
+    has_over = bool(re.search(r"\bover\b", masked, re.IGNORECASE))
+    has_agg = bool(_AGG_CALL_RE.search(masked)) and has_over
+    has_off = bool(_OFF_CALL_RE.search(masked)) and has_over
+    if not has_rank and not has_agg and not has_off:
         return None
 
     # --- collect unpartitioned ranking calls ------------------------
@@ -219,13 +224,59 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
              tuple(parsed))
         )
         agg_orders.add(tuple(parsed))
-    if not calls and not agg_calls:
+    # --- collect unpartitioned OFFSET calls (lag/lead) ----------------
+    # (round-9 third wave; same leave-native rule for unsupported
+    # shapes: 3-arg default-value forms, partitioned specs)
+    off_calls = []  # (start, end, fn, arg_src, j, order)
+    for m in _OFF_CALL_RE.finditer(masked):
+        open_pos = m.end() - 1
+        try:
+            arg_close = _match_paren(masked, open_pos)
+        except Exception:
+            return None
+        om = re.match(r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE)
+        if om is None:
+            continue
+        over_open = arg_close + 1 + om.end() - 1
+        try:
+            spec_close = _match_paren(masked, over_open)
+        except Exception:
+            return None
+        spec = " ".join(sql[over_open + 1 : spec_close].split())
+        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
+        if sm is None:
+            continue  # partitioned — native path, stays put
+        if re.search(r"\b(rows|range|groups)\b", sm.group("keys"), re.IGNORECASE):
+            return None  # frames on offset functions are invalid SQL
+        parsed = _parse_order_keys(sm.group("keys").lower())
+        if parsed is None:
+            continue
+        arg_masked = masked[open_pos + 1 : arg_close]
+        if re.search(r"\b(over|select)\b", arg_masked, re.IGNORECASE):
+            return None
+        parts = _split_top_commas(sql[open_pos + 1 : arg_close])
+        j = 1
+        if len(parts) == 2:
+            jm = re.match(r"^\s*(\d+)\s*$", parts[1])
+            if jm is None:
+                continue  # non-literal offset — native path
+            j = int(jm.group(1))
+            if j < 1:
+                continue  # lag(x, 0) is the identity — native path
+        elif len(parts) != 1:
+            continue  # 3-arg default-value form — native path
+        off_calls.append(
+            (m.start(), spec_close + 1, m.group("ofn").lower(),
+             parts[0].strip(), j, tuple(parsed))
+        )
+    if not calls and not agg_calls and not off_calls:
         return None
     # replacement spans must not overlap (a rank call inside an agg
     # argument would double-substitute)
     spans = sorted(
         [(s, e) for s, e, _f in calls]
         + [(s, e) for s, e, _f, _a, _o in agg_calls]
+        + [(s, e) for s, e, _f, _a, _j, _o in off_calls]
     )
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         if s2 < e1:
@@ -283,6 +334,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
 
     # --- execute the two-phase construction -------------------------
     from adt_spark.operators.sampling import (
+        attach_global_offsets,
         attach_global_ranks,
         attach_global_running_aggs,
     )
@@ -294,6 +346,10 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
     agg_specs = [
         (fn, None if arg == "*" else arg, f"_adt_gagg{i}", order)
         for i, (_s, _e, fn, arg, order) in enumerate(agg_calls)
+    ]
+    off_specs = [
+        (fn, arg, j, f"_adt_goff{i}", order)
+        for i, (_s, _e, fn, arg, j, order) in enumerate(off_calls)
     ]
     try:
         ranked = spark.sql(inner)
@@ -316,6 +372,16 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                     if o == order
                 ],
             )
+        for order in sorted(set(o for _f, _a, _j, _n, o in off_specs)):
+            ranked = attach_global_offsets(
+                ranked,
+                [(F.col(c), method) for c, method in order],
+                [
+                    (fn, F.expr(arg), j, name)
+                    for fn, arg, j, name, o in off_specs
+                    if o == order
+                ],
+            )
     except Exception:
         # an argument/key the textual scope check admitted but Spark
         # cannot evaluate in this position — fall back to the native
@@ -330,6 +396,12 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
             (s, e, name)
             for (s, e, _f, _a, _o), (_f3, _a2, name, _o2) in zip(
                 agg_calls, agg_specs
+            )
+        ]
+        + [
+            (s, e, name)
+            for (s, e, _f, _a, _j, _o), (_f3, _a2, _j2, name, _o2) in zip(
+                off_calls, off_specs
             )
         ]
     )

@@ -1550,6 +1550,143 @@ def attach_global_running_aggs(
     return out.drop("_adt_pid")
 
 
+def attach_global_offsets(
+    df: DataFrame,
+    order_cols: list,
+    offsets: list[tuple],
+    n_parts: int = _RANK_PARTS,
+) -> DataFrame:
+    """Two-phase GLOBAL OFFSET functions — ``lag/lead(expr[, j]) OVER
+    (ORDER BY …)`` without the single-partition WindowExec cliff (the
+    third member of the family: ranks, running aggregates, offsets —
+    together the whole unpartitioned-window surface a ported script
+    uses; ``lag(price) OVER (ORDER BY ts)`` is the canonical
+    time-series delta).
+
+    ``offsets``: list of (fn, expr_col, j, out_name), fn ∈ {lag,
+    lead}, j ≥ 1 a literal.  Construction: range-repartition on the
+    order keys; each partition computes its LOCAL lag/lead (parallel);
+    only the first/last j rows of each partition miss their value, and
+    those come from the neighbor partitions' TAILS/HEADS — collected
+    once, ≤ n_parts × max(j) rows of driver state, stitched into a
+    per-partition literal array and patched in with a row_number
+    guard.  Values are carried verbatim (no arithmetic), so the
+    rewrite is exact for every data type; like both engines' native
+    lag/lead, the output is deterministic when the ORDER BY is a
+    total order (the corpus convention's tiebreak rule).
+
+    Scale shape: one range shuffle + two partitioned windows (local
+    offset + the boundary row_number) + a bounded boundary collect;
+    no single-partition exchange (plan-checked).
+    """
+    from pyspark.sql import Window as W
+
+    sort_cols = [getattr(c, d)() for c, d in order_cols]
+    big_j = max(j for _f, _c, j, _n in offsets)
+    # evaluate every offset expression as a concrete column FIRST so
+    # the boundary collect and the local window read identical values
+    ranged = df.repartitionByRange(n_parts, *sort_cols)
+    expr_names = []
+    for i, (_fn, col, _j, _name) in enumerate(offsets):
+        ranged = ranged.withColumn(f"_adt_e{i}", col)
+        expr_names.append(f"_adt_e{i}")
+    ranged = (
+        ranged.withColumn("_adt_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin sampled boundaries (the
+        # boundary collect and the patched output must see ONE
+        # partitioning)
+    )
+    _INVERT = {
+        "asc": "desc", "desc": "asc",
+        "asc_nulls_first": "desc_nulls_last",
+        "asc_nulls_last": "desc_nulls_first",
+        "desc_nulls_first": "asc_nulls_last",
+        "desc_nulls_last": "asc_nulls_first",
+    }
+    w_pid = W.partitionBy("_adt_pid").orderBy(*sort_cols)
+    w_pid_desc = W.partitionBy("_adt_pid").orderBy(
+        *[getattr(c, _INVERT[d])() for c, d in order_cols]
+    )
+    rn = F.row_number().over(w_pid)
+    rnd = F.row_number().over(w_pid_desc)
+    marked = ranged.withColumn("_adt_rn", rn).withColumn("_adt_rnd", rnd)
+    boundary = (
+        marked.filter(
+            (F.col("_adt_rn") <= big_j) | (F.col("_adt_rnd") <= big_j)
+        )
+        .select("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
+        .collect()
+    )
+    pids = sorted({int(r._adt_pid) for r in boundary})
+    # per-pid ordered head (first big_j rows) and tail (last big_j)
+    heads: dict[int, list] = {p: [] for p in pids}
+    tails: dict[int, list] = {p: [] for p in pids}
+    for r in sorted(boundary, key=lambda r: (r._adt_pid, r._adt_rn)):
+        p = int(r._adt_pid)
+        if int(r._adt_rn) <= big_j:
+            heads[p].append(r)
+        if int(r._adt_rnd) <= big_j:
+            tails[p].append(r)  # ascending position within the tail
+    # prefix tails: the last big_j GLOBAL values before each
+    # partition's start; suffix heads: the first big_j after its end
+    prefix: dict[int, list] = {}
+    acc: list = []
+    for p in pids:
+        prefix[p] = acc[-big_j:]
+        acc = (acc + tails[p])[-big_j:]
+    suffix: dict[int, list] = {}
+    acc = []
+    for p in reversed(pids):
+        suffix[p] = acc[:big_j]
+        acc = (heads[p] + acc)[:big_j]
+
+    def _arr_map(rows_by_pid: dict[int, list], ename: str):
+        """pid → typed literal array of that expr's boundary values."""
+        vals = [
+            getattr(r, ename)
+            for rows in rows_by_pid.values()
+            for r in rows
+        ]
+        t = None
+        nn = [v for v in vals if v is not None]
+        if nn and all(isinstance(v, int) for v in nn):
+            t = "bigint"
+        elif nn and all(isinstance(v, (int, float)) for v in nn):
+            t = "double"
+        def lit(v):
+            c = F.lit(v)
+            return c.cast(t) if t is not None else c
+        entries = []
+        for p in pids:
+            entries += [
+                F.lit(p),
+                F.array(*[lit(getattr(r, ename)) for r in rows_by_pid[p]]),
+            ]
+        return F.element_at(F.create_map(*entries), F.col("_adt_pid"))
+
+    out = marked
+    for i, (fn, _col, j, name) in enumerate(offsets):
+        e = F.col(f"_adt_e{i}")
+        if fn == "lag":
+            local = F.lag(e, j).over(w_pid)
+            arr = _arr_map(prefix, f"_adt_e{i}")
+            idx = F.size(arr) - F.lit(j) + F.col("_adt_rn")
+            patched = F.when(
+                (F.col("_adt_rn") <= j) & (idx >= 1),
+                F.element_at(arr, idx),
+            ).otherwise(local)
+        else:
+            local = F.lead(e, j).over(w_pid)
+            arr = _arr_map(suffix, f"_adt_e{i}")
+            idx = F.lit(j) - F.col("_adt_rnd") + F.lit(1)
+            patched = F.when(
+                (F.col("_adt_rnd") <= j) & (idx <= F.size(arr)),
+                F.element_at(arr, idx),
+            ).otherwise(local)
+        out = out.withColumn(name, patched)
+    return out.drop("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
+
+
 @register(
     "q_global_rank_chars",
     oracle="""
@@ -1948,4 +2085,44 @@ def q_sql_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maybe_rewrite_global_rank(spark, _SQL_RUNNING_STMT)
     if out is None:
         raise RuntimeError("running-totals rewrite did not match its own query")
+    return out
+
+
+_SQL_OFFSETS_STMT = """
+    SELECT doc_id,
+           CAST(lag(n_chars) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS prev_chars,
+           CAST(n_chars - lag(n_chars) OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS gap,
+           CAST(lead(doc_id, 3) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+             AS next3_doc
+    FROM documents
+    WHERE lang <> 'zh'
+"""
+
+
+@register(
+    "q_sql_global_offsets",
+    oracle=_SQL_OFFSETS_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL OFFSET functions on the SQL surface (round-9 third
+    wave): ``lag/lead(expr[, j]) OVER (ORDER BY …)`` — the length-gap
+    statistics a curriculum/packing analysis writes as deltas in a
+    global order, single-partition in native Spark.  The statement is
+    EXACTLY what the oracle runs, executed through the dialect
+    rewrite (``dialect/global_rank.py`` → ``attach_global_offsets``):
+    a bare lag, the same lag inside an arithmetic expression (span
+    substitution under composition), and a lead with an explicit
+    offset of 3 (boundary rows patch from neighbor-partition heads
+    three deep).  Values are carried verbatim, so the rewrite is
+    exact for every type; the WHERE proves offsets see the filtered
+    row sequence."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_OFFSETS_STMT)
+    if out is None:
+        raise RuntimeError("offset rewrite did not match its own query")
     return out

@@ -57,6 +57,8 @@ HEADLINE = [
     "q_global_rank_chars",
     "q_sql_global_rank",
     "q_sql_global_dist",
+    "q_sql_running_totals",
+    "q_sql_global_offsets",
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",
@@ -178,6 +180,7 @@ def main() -> None:
         "mm_resize_nearest",
         "mm_audio_features",
         "mm_ppm_channel_stats",
+        "mm_scene_cuts",
         "mm_phash",
         "dedup_phash_hamming",
         "pipeline_media_dedup",

@@ -388,3 +388,36 @@ def test_global_running_aggs_passthrough_and_leftovers(spark, sf_dir):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, spark.sql(q).collect())
     )
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_global_offsets_match_native(spark, seed):
+    """The lag/lead rewrite vs Spark's native single-partition windows
+    on seeded random data — NULL values, string args, expression
+    args, offsets up to 4, DESC keys, and a second distinct order in
+    one statement."""
+    import random
+
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 999), rng.choice([None, rng.randint(-50, 50)]),
+         rng.choice(["x", "y", None]))
+        for i in range(rng.randint(40, 160))
+    ]
+    spark.createDataFrame(rows, "id int, k int, v int, s string").createOrReplaceTempView(
+        "gof_t"
+    )
+    q = (
+        "SELECT id, lag(v) OVER (ORDER BY k, id) l1, "
+        "lag(s, 4) OVER (ORDER BY k, id) ls, "
+        "lead(v + 10, 2) OVER (ORDER BY k, id) dv, "
+        "lag(v, 2) OVER (ORDER BY id DESC) lr "
+        "FROM gof_t WHERE id >= 2"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want, f"seed={seed}"

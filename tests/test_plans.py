@@ -1356,3 +1356,13 @@ def test_sql_running_totals_no_single_partition_window(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_sql_running_totals"))
     assert re.search(r"\(\d+\) Window\b", plan)
     assert "SinglePartition" not in plan
+
+
+def test_sql_global_offsets_no_single_partition_window(spark, sf_dir):
+    """q_sql_global_offsets: global lag/lead through the dialect
+    rewrite — partitioned Windows only, no SinglePartition exchange
+    (boundary rows patch from a bounded neighbor-tail collect, never
+    a one-task window)."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_global_offsets"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
