@@ -100,6 +100,15 @@ CANARY = "q01_pricing_summary"
 CANARY_TYPICAL_SEC = {"0.1": 1.6}
 CANARY_MAX_ATTEMPTS = 5
 
+#: Python-seam canary (round-9): the host's stall band can hit the
+#: Python-worker/Arrow path while pure JVM scans stay fast — runs 5-6
+#: of round 9 measured text_bpe_encode at 7-48 s against a sub-second
+#: typical while q01 qualified every probe.  A tiny identity
+#: mapInPandas round-trip (~0.5 s healthy at local[32]) gates that
+#: path the same way; both canaries must qualify before anything is
+#: recorded.
+PY_CANARY_TYPICAL_SEC = {"0.1": 1.0}
+
 #: qualified runs of per-query history kept for trailing-typical
 #: outlier detection (BENCH_HISTORY.json, keyed by sf)
 HISTORY_KEEP = 8
@@ -221,18 +230,34 @@ def main() -> None:
         history = {}
     sf_hist: dict[str, list[float]] = history.get(sf, {})
 
+    def py_probe_once() -> float:
+        start = time.perf_counter()
+        spark.range(spark.sparkContext.defaultParallelism * 4).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - start
+
     timings: dict[str, float] = {}
     canary_attempts: list[float] = []
+    py_canary_attempts: list[float] = []
+    py_typical = PY_CANARY_TYPICAL_SEC.get(sf)
     stalled = False
     if typical is not None and CANARY in names:
         # qualify the window BEFORE measuring anything else; pass/fail
         # tracks the UNROUNDED time the loop compared (a 3.20004 s
-        # probe must not round down to a "healthy" 3.2)
+        # probe must not round down to a "healthy" 3.2).  BOTH paths
+        # must qualify: the JVM scan canary AND the Python-seam probe
+        # (their stall bands are independent — see PY_CANARY note).
         stalled = True
         for attempt in range(CANARY_MAX_ATTEMPTS):
             t = run_once(CANARY)
             canary_attempts.append(round(t, 4))
-            if t <= 2 * typical:
+            t_py = py_probe_once() if py_typical is not None else 0.0
+            if py_typical is not None:
+                py_canary_attempts.append(round(t_py, 4))
+            if t <= 2 * typical and (
+                py_typical is None or t_py <= 2 * py_typical
+            ):
                 stalled = False
                 break
             if attempt < CANARY_MAX_ATTEMPTS - 1:
@@ -254,6 +279,7 @@ def main() -> None:
                         "sf": sf,
                         "stalled_window": True,
                         "canary_attempts": canary_attempts,
+                        "py_canary_attempts": py_canary_attempts,
                         "note": "canary never qualified; suite skipped",
                     }
                 ),
@@ -293,6 +319,11 @@ def main() -> None:
         canary_attempts.append(round(t_end, 4))
         if t_end > 2 * typical:
             stalled = True
+        if py_typical is not None:
+            t_py_end = py_probe_once()
+            py_canary_attempts.append(round(t_py_end, 4))
+            if t_py_end > 2 * py_typical:
+                stalled = True
         # every probe measured the same unchanged plan: record its
         # best observation, not the first qualifying one
         timings[CANARY] = min(canary_attempts)
@@ -418,7 +449,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "canary": {"attempts": canary_attempts, "stalled": stalled},
+        "canary": {"attempts": canary_attempts, "stalled": stalled,
+                   "py_attempts": py_canary_attempts},
         # every query still >2x its trailing-typical after re-measure:
         # {sec, typical (min of rolling history), remeasured (the
         # second observation)} — band-vs-plan, readable from the JSON.
