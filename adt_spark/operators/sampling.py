@@ -1238,15 +1238,249 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: range partitions for the two-phase global rank.
+#: floor for the two-phase global-window family's range-partition
+#: count (the effective default is tied to the session's shuffle
+#: parallelism — see _resolve_rank_parts).
 _RANK_PARTS = 32
+
+#: sampled keys per split bound (RangePartitioner uses 20/partition;
+#: a little more buys better balance at a still-bounded collect).
+_BOUND_SAMPLE_PER_PART = 32
+
+
+def _resolve_rank_parts(spark: SparkSession, n_parts: int | None) -> int:
+    """Default partition count for the global-window family: 2× the
+    session's shuffle parallelism (finer-grained pids smooth the
+    hash-collision imbalance of partitionBy(_adt_pid) onto reduce
+    tasks), floored at _RANK_PARTS.  Callers override per query.
+
+    Scale note: pid assignment tests each row against the interval
+    table with a broadcast join — O(n_parts) comparisons per row — so
+    n_parts in the 10²–10³ band is the sweet spot; past ~10⁴ the
+    assignment itself wants the two-level routing the SemDeDup router
+    uses (operators/similarity.py::_sem_assign_two_level — super-
+    interval equi-join, then an in-array scan), which this family
+    does not need at its design point."""
+    if n_parts is not None:
+        return max(1, int(n_parts))
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf always present
+        base = _RANK_PARTS
+    return max(_RANK_PARTS, 2 * base)
+
+
+def _norm_order_method(method: str) -> tuple[str, bool]:
+    """Column sort-method name → (direction, nulls_first) with Spark's
+    defaults (asc → NULLS FIRST, desc → NULLS LAST)."""
+    m = method.lower()
+    direction = "desc" if m.startswith("desc") else "asc"
+    if "nulls_first" in m:
+        nulls_first = True
+    elif "nulls_last" in m:
+        nulls_first = False
+    else:
+        nulls_first = direction == "asc"
+    return direction, nulls_first
+
+
+def _key_cmp(a, b, direction: str, nulls_first: bool) -> int:
+    """Driver-side comparison of two key VALUES under one sort spec —
+    the same total preorder Spark's ordering uses: NULL at the spec'd
+    edge, NaN greater than every non-null value (and equal to
+    itself)."""
+    if a is None or b is None:
+        if a is None and b is None:
+            return 0
+        first = -1 if nulls_first else 1
+        return first if a is None else -first
+
+    def _nan(v) -> bool:
+        return isinstance(v, float) and v != v
+
+    if _nan(a) or _nan(b):
+        base = 0 if (_nan(a) and _nan(b)) else (1 if _nan(a) else -1)
+    else:
+        base = 0 if a == b else (-1 if a < b else 1)
+    return base if direction == "asc" else -base
+
+
+def _tuple_key_cmp(specs: list[tuple[str, bool]]):
+    """Lexicographic comparator over key tuples for the sort specs."""
+
+    def cmp(x, y) -> int:
+        for (va, vb), (d, nf) in zip(zip(x, y), specs):
+            c = _key_cmp(va, vb, d, nf)
+            if c:
+                return c
+        return 0
+
+    return cmp
+
+
+def _sample_split_bounds(
+    df: DataFrame, order_cols: list, n_parts: int
+) -> list[tuple]:
+    """SAMPLE ONCE → literal split bounds: one seeded sample of the
+    order keys, driver-sorted under the exact engine ordering, evenly
+    spaced split tuples (≤ n_parts−1, consecutive duplicates dropped —
+    equal keys must share a partition anyway).  The bounds are plain
+    Python values from here on, so pid assignment is a PURE FUNCTION
+    of the key: every downstream action sees the same partitioning
+    with nothing materialized (this replaces the round-9
+    localCheckpoint boundary pin, which wrote the whole corpus to
+    executor disk per query).
+
+    Cost: one key-pruned count + one key-pruned sampled collect of
+    ≤ ~1.3 × n_parts × _BOUND_SAMPLE_PER_PART rows."""
+    from functools import cmp_to_key
+
+    keys_df = df.select(
+        *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
+    )
+    n = keys_df.count()
+    if n == 0:
+        return []
+    target = max(n_parts * _BOUND_SAMPLE_PER_PART, 256)
+    if n <= target:
+        rows = keys_df.collect()
+    else:
+        rows = keys_df.sample(fraction=min(1.0, 1.3 * target / n), seed=1729).collect()
+        if not rows:  # pragma: no cover - fraction floor at tiny n
+            rows = keys_df.limit(target).collect()
+    vals = [tuple(r) for r in rows]
+    specs = [_norm_order_method(d) for _c, d in order_cols]
+    cmp = _tuple_key_cmp(specs)
+    vals.sort(key=cmp_to_key(cmp))
+    m = len(vals)
+    splits: list[tuple] = []
+    for i in range(1, n_parts):
+        cand = vals[min(m - 1, (i * m) // n_parts)]
+        if not splits or cmp(splits[-1], cand) < 0:
+            splits.append(cand)
+    return splits
+
+
+def _order_after_cond(key_col, bound_col, direction: str, nulls_first: bool):
+    """Column predicate: key strictly AFTER bound under one sort spec.
+    Never NULL (coalesced), so negation is sound; NaN semantics ride
+    Spark's own comparators (NaN greater than all, equal to itself) —
+    the same preorder _key_cmp applies on the driver."""
+    base = key_col > bound_col if direction == "asc" else key_col < bound_col
+    if nulls_first:
+        extra = bound_col.isNull() & key_col.isNotNull()
+    else:
+        extra = key_col.isNull() & bound_col.isNotNull()
+    return F.coalesce(extra | base, F.lit(False))
+
+
+def _lex_after_cond(key_cols: list, bound_cols: list, specs: list):
+    """Lexicographic key-after-bound over parallel column lists."""
+    out = None
+    eq_prefix = None
+    for (k, b), (d, nf) in zip(zip(key_cols, bound_cols), specs):
+        after_i = _order_after_cond(k, b, d, nf)
+        term = after_i if eq_prefix is None else (eq_prefix & after_i)
+        out = term if out is None else (out | term)
+        eq_i = k.eqNullSafe(b)
+        eq_prefix = eq_i if eq_prefix is None else (eq_prefix & eq_i)
+    return out
+
+
+def _assign_range_pids(
+    df: DataFrame, order_cols: list, n_parts: int | None = None
+) -> DataFrame:
+    """The DETERMINISTIC RANGE PARTITIONER under the whole two-phase
+    global-window family: append ``_adt_pid`` such that (a) pid order
+    agrees with the key order — every key of pid p strictly precedes
+    every key of pid p+1, (b) equal keys (peers) always share a pid,
+    and (c) pid is a pure function of the key VALUE — no sampling
+    inside the plan, so separate actions (the bounded offset collects
+    and the final output) see the SAME partitioning without
+    materializing anything (round-10: replaces repartitionByRange +
+    localCheckpoint, which pinned Spark's nondeterministic sampled
+    boundaries by writing the whole corpus to executor disk).
+
+    Mechanics: split bounds from one seeded sample
+    (_sample_split_bounds) become a ≤ n_parts-row BOUNDS TABLE —
+    (pid, lo…, hi…, unbounded flags) — broadcast and interval-joined:
+    row → the unique pid with lo < key ≤ hi under the engine's exact
+    ordering (NULL placement and NaN included).  The bounds live in
+    broadcast DATA, never in the plan, so the plan is byte-stable in
+    n_parts (machine-checked in tests/test_plans.py); the join is a
+    BroadcastNestedLoopJoin costing O(n_parts) comparisons per row
+    (see _resolve_rank_parts for the scale ceiling and escape).
+
+    The local window downstream (partitionBy ``_adt_pid``) is the ONE
+    data shuffle any construction in this family pays."""
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = _resolve_rank_parts(spark, n_parts)
+    splits = _sample_split_bounds(df, order_cols, n_parts)
+    m = len(order_cols)
+    key_fields = df.select(
+        *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
+    ).schema.fields
+    fields = [
+        T.StructField("_adt_bpid", T.IntegerType(), False),
+        T.StructField("_adt_lo_unb", T.BooleanType(), False),
+        T.StructField("_adt_hi_unb", T.BooleanType(), False),
+    ]
+    for i, f in enumerate(key_fields):
+        fields.append(T.StructField(f"_adt_lo{i}", f.dataType, True))
+        fields.append(T.StructField(f"_adt_hi{i}", f.dataType, True))
+    nb = len(splits)
+    rows = []
+    for p in range(nb + 1):
+        lo = splits[p - 1] if p > 0 else (None,) * m
+        hi = splits[p] if p < nb else (None,) * m
+        row: list = [p, p == 0, p == nb]
+        for i in range(m):
+            row += [lo[i], hi[i]]
+        rows.append(tuple(row))
+    bounds = spark.createDataFrame(rows, T.StructType(fields))
+    specs = [_norm_order_method(d) for _c, d in order_cols]
+    key_cols = [c for c, _d in order_cols]
+    after_lo = _lex_after_cond(
+        key_cols, [F.col(f"_adt_lo{i}") for i in range(m)], specs
+    )
+    after_hi = _lex_after_cond(
+        key_cols, [F.col(f"_adt_hi{i}") for i in range(m)], specs
+    )
+    cond = (F.col("_adt_lo_unb") | after_lo) & (F.col("_adt_hi_unb") | ~after_hi)
+    drop = (
+        ["_adt_lo_unb", "_adt_hi_unb"]
+        + [f"_adt_lo{i}" for i in range(m)]
+        + [f"_adt_hi{i}" for i in range(m)]
+    )
+    return (
+        df.join(F.broadcast(bounds), cond, "inner")
+        .withColumnRenamed("_adt_bpid", "_adt_pid")
+        .drop(*drop)
+    )
+
+
+def _broadcast_pid_join(ranged: DataFrame, rows: list, schema) -> DataFrame:
+    """Attach per-pid driver state (offsets / boundary arrays) as a
+    ≤ n_parts-row BROADCAST JOIN on ``_adt_pid`` — the round-10
+    replacement for the create_map literal patch maps, so boundary
+    state is DATA and the plan stays byte-stable in n_parts.  The
+    first schema column must be ``_adt_jpid int``; the join is inner
+    and provably row-preserving (the rows cover every pid the data
+    produced — they were derived from it)."""
+    spark = ranged.sparkSession
+    state = spark.createDataFrame(rows, schema)
+    return ranged.join(
+        F.broadcast(state), F.col("_adt_pid") == F.col("_adt_jpid"), "inner"
+    ).drop("_adt_jpid")
 
 
 def attach_global_ranks(
     df: DataFrame,
     order_cols: list,
     ranks: list[tuple[str, str]],
-    n_parts: int = _RANK_PARTS,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """The GENERALIZED two-phase global-rank construction (round-9:
     the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
@@ -1276,26 +1510,29 @@ def attach_global_ranks(
     Both offset kinds come from ONE bounded collect (≤ ``n_parts``
     rows of (cnt, distinct-cnt), computed via a keys-grouped
     aggregate so NULL keys count as a group — count_distinct would
-    drop them).  Partition boundaries are sampled (nondeterministic)
-    and pinned with a lazy localCheckpoint; the OUTPUT is
-    boundary-invariant (q_global_rank_chars's cross-engine hash is
-    the proof).
+    drop them).  Partition boundaries are computed ONCE from a seeded
+    sample and pid is a pure function of the key (_assign_range_pids)
+    — nothing O(data) materializes, and the offsets re-enter as a
+    ≤ n_parts-row broadcast join, never as plan literals (round-10;
+    both properties machine-checked in tests/test_plans.py).  The
+    OUTPUT is boundary-invariant (q_global_rank_chars's cross-engine
+    hash is the proof).
 
-    Scale shape: one range shuffle + one pid-keyed local window + a
-    ≤n_parts-row collect; no single-partition exchange (plan-checked
-    in tests/test_plans.py).
+    Typing contract: the rank family returns BIGINT deliberately —
+    native Spark's IntegerType overflows past 2³¹ rows, exactly the
+    regime this construction exists for (DataFusion's row_number is
+    UInt64, datafusion-functions-window); the oracled q_sql_* queries
+    pin the same CASTs on both engines.
+
+    Scale shape: ONE pid-keyed shuffle for the local window + two
+    key-pruned sampling scans + a ≤n_parts-row collect; no
+    single-partition exchange, no checkpoint (plan-checked).
     """
     from pyspark.sql import Window as W
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
     bare_cols = [c for c, _d in order_cols]
-    ranged = (
-        df.repartitionByRange(n_parts, *sort_cols)
-        .withColumn("_adt_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled boundaries: the
-        # count collect and the ranked output must see the SAME
-        # partitioning (a re-planned range sample could move keys)
-    )
+    ranged = _assign_range_pids(df, order_cols, n_parts)
     need_dense = any(fn == "dense_rank" for fn, _ in ranks)
     key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
     per_key = (
@@ -1328,25 +1565,27 @@ def attach_global_ranks(
             dense_off[pid] = dacc
             dacc += dcounts[pid]
 
-    def _off_map(offs: dict[int, int]):
-        return F.create_map(
-            *[x for pid, off in sorted(offs.items())
-              for x in (F.lit(pid), F.lit(off))]
-        )
+    # offsets as a ≤n_parts-row broadcast table, NOT plan literals
+    ranged = _broadcast_pid_join(
+        ranged,
+        [
+            (pid, row_off[pid], dense_off.get(pid, 0))
+            for pid in sorted(counts)
+        ],
+        "_adt_jpid int, _adt_roff long, _adt_doff long",
+    )
 
     w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
     n_total = acc
 
-    def _global(local_fn, offs):
-        return F.coalesce(
-            F.element_at(_off_map(offs), F.col("_adt_pid")), F.lit(0)
-        ) + local_fn().over(w)
+    def _global(local_fn, off_name: str):
+        return F.col(off_name) + local_fn().over(w)
 
     out = ranged
     for fn, name in ranks:
         if fn in ("row_number", "rank", "dense_rank"):
-            offs = dense_off if fn == "dense_rank" else row_off
-            col = _global(getattr(F, fn), offs).cast("long")
+            off = "_adt_doff" if fn == "dense_rank" else "_adt_roff"
+            col = _global(getattr(F, fn), off).cast("long")
         elif fn == "percent_rank":
             # (global_rank − 1) / (n − 1); 0.0 for a single row — both
             # engines' definition.  Integer-derived double division:
@@ -1355,7 +1594,7 @@ def attach_global_ranks(
                 col = F.lit(0.0)
             else:
                 col = (
-                    (_global(F.rank, row_off) - F.lit(1)).cast("double")
+                    (_global(F.rank, "_adt_roff") - F.lit(1)).cast("double")
                     / F.lit(float(n_total - 1))
                 )
         elif fn == "cume_dist":
@@ -1365,19 +1604,15 @@ def attach_global_ranks(
             local_le = F.count(F.lit(1)).over(
                 w.rangeBetween(W.unboundedPreceding, W.currentRow)
             )
-            col = (
-                F.coalesce(
-                    F.element_at(_off_map(row_off), F.col("_adt_pid")),
-                    F.lit(0),
-                )
-                + local_le
-            ).cast("double") / F.lit(float(n_total))
+            col = (F.col("_adt_roff") + local_le).cast("double") / F.lit(
+                float(n_total)
+            )
         elif fn.startswith("ntile"):
             # ntile(k) from the global row_number and the driver-known
             # total: the first (n mod k) buckets hold ceil(n/k) rows
             # (SQL:2016 semantics, both engines)
             k = int(fn[len("ntile("):-1])
-            rn = _global(F.row_number, row_off)
+            rn = _global(F.row_number, "_adt_roff")
             q, r = divmod(n_total, k)
             if q == 0:
                 col = rn.cast("long")  # fewer rows than buckets
@@ -1398,14 +1633,14 @@ def attach_global_ranks(
         else:
             raise ValueError(f"unsupported global ranking function {fn!r}")
         out = out.withColumn(name, col)
-    return out.drop("_adt_pid")
+    return out.drop("_adt_pid", "_adt_roff", "_adt_doff")
 
 
 def attach_global_running_aggs(
     df: DataFrame,
     order_cols: list,
     aggs: list[tuple],
-    n_parts: int = _RANK_PARTS,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
     (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
@@ -1433,20 +1668,24 @@ def attach_global_running_aggs(
     differ in low-order bits from a strictly sequential oracle —
     exact for integer/decimal arguments (the corpus convention).
 
-    Scale shape: one range shuffle + one ≤n_parts-row collect + a
-    partitioned local window; no single-partition exchange
+    Typing (round-10): every offset column carries the SPARK SCHEMA
+    type of its partition total (sum → Spark's sum result type, min/
+    max → the input column's own type), and avg casts to the native
+    window avg's result type — so the rewrite's output dtypes equal
+    native execution's, decimals included (the round-9 Python-value
+    type inspection widened int32 to bigint; ADVICE r9).
+
+    Scale shape: ONE pid-keyed shuffle for the local window + two
+    key-pruned sampling scans + a ≤n_parts-row totals collect whose
+    prefix combine re-enters as a broadcast join (never plan
+    literals); no single-partition exchange, no checkpoint
     (plan-checked).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
-    ranged = (
-        df.repartitionByRange(n_parts, *sort_cols)
-        .withColumn("_adt_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled boundaries (same
-        # reason as attach_global_ranks: totals and the local window
-        # must see ONE partitioning)
-    )
+    ranged = _assign_range_pids(df, order_cols, n_parts)
     # per-partition totals for every needed primitive (avg = sum+cnt)
     prims: list[tuple] = []  # (fn, col)
     for fn, col, _name in aggs:
@@ -1461,10 +1700,9 @@ def attach_global_running_aggs(
         else:
             e = getattr(F, fn)(col)
         agg_exprs.append(e.alias(f"_adt_t{i}"))
-    totals = {
-        int(r._adt_pid): r
-        for r in ranged.groupBy("_adt_pid").agg(*agg_exprs).collect()
-    }
+    totals_df = ranged.groupBy("_adt_pid").agg(*agg_exprs)
+    tot_types = {f.name: f.dataType for f in totals_df.schema.fields}
+    totals = {int(r._adt_pid): r for r in totals_df.collect()}
     pids = sorted(totals)
 
     def _prefix_offsets(i: int, fn: str) -> dict:
@@ -1485,23 +1723,20 @@ def attach_global_running_aggs(
                 acc = v if v > acc else acc
         return offs
 
-    def _off_col(offs: dict):
-        # pin ONE literal type across the map entries: python ints of
-        # different magnitudes would otherwise infer int vs bigint per
-        # entry and fail create_map's type check
-        vals = [v for v in offs.values() if v is not None]
-        t = None
-        if vals and all(isinstance(v, int) for v in vals):
-            t = "bigint"
-        elif vals and all(isinstance(v, (int, float)) for v in vals):
-            t = "double"
-        entries = []
+    # ONE broadcast state table for every primitive's prefix offsets,
+    # typed from the totals' own Spark schema (exact dtype round-trip)
+    fields = [T.StructField("_adt_jpid", T.IntegerType(), False)]
+    per_pid: dict[int, list] = {pid: [pid] for pid in pids}
+    for i, (fn, _col) in enumerate(prims):
+        offs = _prefix_offsets(i, fn)
+        fields.append(
+            T.StructField(f"_adt_o{i}", tot_types[f"_adt_t{i}"], True)
+        )
         for pid in pids:
-            lit = F.lit(offs[pid])
-            if t is not None:
-                lit = lit.cast(t)
-            entries += [F.lit(pid), lit]
-        return F.element_at(F.create_map(*entries), F.col("_adt_pid"))
+            per_pid[pid].append(offs[pid])
+    ranged = _broadcast_pid_join(
+        ranged, [tuple(per_pid[p]) for p in pids], T.StructType(fields)
+    )
 
     w = (
         W.partitionBy("_adt_pid")
@@ -1512,49 +1747,58 @@ def attach_global_running_aggs(
     pi = 0
     for fn, col, name in aggs:
         if fn == "avg":
-            s_off = _off_col(_prefix_offsets(pi, "sum"))
-            c_off = _off_col(_prefix_offsets(pi + 1, "count"))
+            s_off = F.col(f"_adt_o{pi}")
+            s_zero = F.lit(0).cast(tot_types[f"_adt_t{pi}"])
+            c_off = F.col(f"_adt_o{pi + 1}")
             pi += 2
             local_s = F.sum(col).over(w)
             local_c = F.count(col).over(w)
             num = F.when(local_s.isNull(), s_off).otherwise(
-                F.coalesce(s_off, F.lit(0)) + local_s
+                F.coalesce(s_off, s_zero) + local_s
             )
             den = F.coalesce(c_off, F.lit(0)) + local_c
-            combined = F.when(den > 0, num.cast("double") / den).otherwise(
-                F.lit(None).cast("double")
+            # native window avg result type (double for integrals,
+            # decimal(p+4, s+4) for decimals) — schema-only probe
+            avg_t = df.select(F.avg(col).alias("_adt_x")).schema[
+                "_adt_x"
+            ].dataType
+            combined = F.when(den > 0, (num / den).cast(avg_t)).otherwise(
+                F.lit(None).cast(avg_t)
             )
         else:
-            offs = _prefix_offsets(pi, fn)
+            off = F.col(f"_adt_o{pi}")
+            zero = F.lit(0).cast(tot_types[f"_adt_t{pi}"])
             pi += 1
-            off = _off_col(offs)
             if fn == "count":
                 local = (
                     F.count(F.lit(1)) if col is None else F.count(col)
                 ).over(w)
-                combined = F.coalesce(off, F.lit(0)) + local
+                combined = F.coalesce(off, zero) + local
             elif fn == "sum":
                 local = F.sum(col).over(w)
+                # offset+local widens decimal(p,s) to (p+1,s); cast
+                # back to the native sum type (same overflow contract)
                 combined = F.when(local.isNull(), off).otherwise(
-                    F.coalesce(off, F.lit(0)) + local
-                )
+                    F.coalesce(off, zero) + local
+                ).cast(tot_types[f"_adt_t{pi - 1}"])
             else:
+                # least/greatest skip NULLs: off-only, local-only, and
+                # both-NULL cases all reduce to the running min/max
                 local = getattr(F, fn)(col).over(w)
-                if all(offs[pid] is None for pid in pids):
-                    combined = local
-                else:
-                    combined = (F.least if fn == "min" else F.greatest)(
-                        off, local
-                    )
+                combined = (F.least if fn == "min" else F.greatest)(
+                    off, local
+                )
         out = out.withColumn(name, combined)
-    return out.drop("_adt_pid")
+    return out.drop(
+        "_adt_pid", *[f"_adt_o{i}" for i in range(len(prims))]
+    )
 
 
 def attach_global_offsets(
     df: DataFrame,
     order_cols: list,
     offsets: list[tuple],
-    n_parts: int = _RANK_PARTS,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL OFFSET functions — ``lag/lead(expr[, j]) OVER
     (ORDER BY …)`` without the single-partition WindowExec cliff (the
@@ -1568,34 +1812,35 @@ def attach_global_offsets(
     order keys; each partition computes its LOCAL lag/lead (parallel);
     only the first/last j rows of each partition miss their value, and
     those come from the neighbor partitions' TAILS/HEADS — collected
-    once, ≤ n_parts × max(j) rows of driver state, stitched into a
-    per-partition literal array and patched in with a row_number
-    guard.  Values are carried verbatim (no arithmetic), so the
-    rewrite is exact for every data type; like both engines' native
-    lag/lead, the output is deterministic when the ORDER BY is a
-    total order (the corpus convention's tiebreak rule).
+    once, ≤ n_parts × max(j) rows of driver state, re-entered as
+    per-pid ARRAY columns through a ≤ n_parts-row broadcast join
+    (round-10: boundary values are DATA, never plan literals, and the
+    array element type is the offset expression's own Spark type — an
+    int32 argument patches back as int32).  Values are carried
+    verbatim (no arithmetic), so the rewrite is exact for every data
+    type; like both engines' native lag/lead, the output is
+    deterministic when the ORDER BY is a total order (the corpus
+    convention's tiebreak rule).
 
-    Scale shape: one range shuffle + two partitioned windows (local
-    offset + the boundary row_number) + a bounded boundary collect;
-    no single-partition exchange (plan-checked).
+    Scale shape: ONE pid-keyed shuffle feeding two partitioned
+    windows (local offset + the boundary row_number) + two key-pruned
+    sampling scans + a bounded boundary collect; no single-partition
+    exchange, no checkpoint (plan-checked).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
     big_j = max(j for _f, _c, j, _n in offsets)
     # evaluate every offset expression as a concrete column FIRST so
     # the boundary collect and the local window read identical values
-    ranged = df.repartitionByRange(n_parts, *sort_cols)
+    with_exprs = df
     expr_names = []
     for i, (_fn, col, _j, _name) in enumerate(offsets):
-        ranged = ranged.withColumn(f"_adt_e{i}", col)
+        with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
         expr_names.append(f"_adt_e{i}")
-    ranged = (
-        ranged.withColumn("_adt_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # pin sampled boundaries (the
-        # boundary collect and the patched output must see ONE
-        # partitioning)
-    )
+    ranged = _assign_range_pids(with_exprs, order_cols, n_parts)
+    e_types = {n: ranged.schema[n].dataType for n in expr_names}
     _INVERT = {
         "asc": "desc", "desc": "asc",
         "asc_nulls_first": "desc_nulls_last",
@@ -1640,36 +1885,35 @@ def attach_global_offsets(
         suffix[p] = acc[:big_j]
         acc = (heads[p] + acc)[:big_j]
 
-    def _arr_map(rows_by_pid: dict[int, list], ename: str):
-        """pid → typed literal array of that expr's boundary values."""
-        vals = [
-            getattr(r, ename)
-            for rows in rows_by_pid.values()
-            for r in rows
-        ]
-        t = None
-        nn = [v for v in vals if v is not None]
-        if nn and all(isinstance(v, int) for v in nn):
-            t = "bigint"
-        elif nn and all(isinstance(v, (int, float)) for v in nn):
-            t = "double"
-        def lit(v):
-            c = F.lit(v)
-            return c.cast(t) if t is not None else c
-        entries = []
-        for p in pids:
-            entries += [
-                F.lit(p),
-                F.array(*[lit(getattr(r, ename)) for r in rows_by_pid[p]]),
-            ]
-        return F.element_at(F.create_map(*entries), F.col("_adt_pid"))
+    # boundary values re-enter as per-pid TYPED ARRAY columns through
+    # one broadcast join — element type = the expression's own Spark
+    # type, so values round-trip exactly (no Python-value inspection)
+    fields = [T.StructField("_adt_jpid", T.IntegerType(), False)]
+    arr_names = []
+    for i, (fn, _col, _j, _name) in enumerate(offsets):
+        fields.append(
+            T.StructField(
+                f"_adt_arr{i}",
+                T.ArrayType(e_types[f"_adt_e{i}"], True),
+                False,
+            )
+        )
+        arr_names.append(f"_adt_arr{i}")
+    rows = []
+    for p in pids:
+        row: list = [p]
+        for i, (fn, _col, _j, _name) in enumerate(offsets):
+            src = prefix if fn == "lag" else suffix
+            row.append([getattr(r, f"_adt_e{i}") for r in src[p]])
+        rows.append(tuple(row))
+    marked = _broadcast_pid_join(marked, rows, T.StructType(fields))
 
     out = marked
     for i, (fn, _col, j, name) in enumerate(offsets):
         e = F.col(f"_adt_e{i}")
+        arr = F.col(f"_adt_arr{i}")
         if fn == "lag":
             local = F.lag(e, j).over(w_pid)
-            arr = _arr_map(prefix, f"_adt_e{i}")
             idx = F.size(arr) - F.lit(j) + F.col("_adt_rn")
             patched = F.when(
                 (F.col("_adt_rn") <= j) & (idx >= 1),
@@ -1677,14 +1921,143 @@ def attach_global_offsets(
             ).otherwise(local)
         else:
             local = F.lead(e, j).over(w_pid)
-            arr = _arr_map(suffix, f"_adt_e{i}")
             idx = F.lit(j) - F.col("_adt_rnd") + F.lit(1)
             patched = F.when(
                 (F.col("_adt_rnd") <= j) & (idx <= F.size(arr)),
                 F.element_at(arr, idx),
             ).otherwise(local)
         out = out.withColumn(name, patched)
-    return out.drop("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
+    return out.drop(
+        "_adt_pid", "_adt_rn", "_adt_rnd", *expr_names, *arr_names
+    )
+
+
+def attach_global_first_last(
+    df: DataFrame,
+    order_cols: list,
+    calls: list[tuple],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Two-phase GLOBAL FRAME-VALUE functions — ``first_value /
+    last_value / nth_value(expr[, n]) OVER (ORDER BY …)`` with the
+    default peer-inclusive frame (RANGE UNBOUNDED PRECEDING ..
+    CURRENT ROW, RESPECT NULLS) without the single-partition
+    WindowExec cliff (round-10, closing the family: ranks, running
+    aggregates, offsets, frame values — the full unpartitioned-window
+    surface DataFusion runs parallel, datafusion-functions-window /
+    Cargo.lock:1818; SQL pass-through main.rs:116).
+
+    ``calls``: list of (fn, expr_col, n_or_None, out_name); n is the
+    literal 1-based position for nth_value, None otherwise.  Under
+    the default frame the three reduce to:
+
+    - first_value — the frame always starts at row 1, so the result
+      is ONE value: the globally first row's expr (a single typed
+      literal from a ≤ n_parts-row rn=1 collect);
+    - last_value — the frame ends at the current row's LAST PEER, and
+      the range partitioner keeps peers in one pid, so the LOCAL
+      peer-inclusive ``last`` over the pid window is already exact —
+      no patching at all;
+    - nth_value(e, n) — the frame holds the first ``global ≤-count``
+      rows, so the result is the global n-th row's expr where that
+      count ≥ n, else NULL; the value comes from one bounded lookup
+      (prefix counts locate the owning pid and local position), the
+      guard from the same broadcast row-offset join the rank family
+      uses.
+
+    Values are carried verbatim and literals cast to the expression's
+    own Spark type — dtypes equal native execution's.  Ties: like
+    native Spark/DataFusion, the picked peer is deterministic only
+    under a total order (the corpus convention's tiebreak rule).
+
+    Scale shape: ONE pid-keyed shuffle for the local window + two
+    key-pruned sampling scans + bounded collects (≤ n_parts rows,
+    plus one 1-row lookup per nth_value); no single-partition
+    exchange, no checkpoint (plan-checked in tests/test_plans.py).
+    """
+    from pyspark.sql import Window as W
+
+    sort_cols = [getattr(c, d)() for c, d in order_cols]
+    with_exprs = df
+    expr_names = []
+    for i, (_fn, col, _n, _name) in enumerate(calls):
+        with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
+        expr_names.append(f"_adt_e{i}")
+    ranged = _assign_range_pids(with_exprs, order_cols, n_parts)
+    e_types = {n: ranged.schema[n].dataType for n in expr_names}
+    w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
+    wr = w.rangeBetween(W.unboundedPreceding, W.currentRow)
+    need_first = any(fn == "first_value" for fn, _c, _n, _nm in calls)
+    need_nth = any(fn == "nth_value" for fn, _c, _n, _nm in calls)
+
+    work = ranged
+    helper_cols = ["_adt_pid"]
+    if need_first or need_nth:
+        work = work.withColumn("_adt_rn", F.row_number().over(w))
+        helper_cols.append("_adt_rn")
+
+    firsts: dict[int, object] = {}
+    if need_first:
+        # per-pid first rows (≤ n_parts); the global first is the one
+        # in the smallest non-empty pid
+        head = {
+            int(r._adt_pid): r
+            for r in work.filter(F.col("_adt_rn") == 1)
+            .select("_adt_pid", *expr_names)
+            .collect()
+        }
+        if head:
+            hp = min(head)
+            firsts = {i: head[hp][f"_adt_e{i}"] for i in range(len(calls))}
+
+    row_off: dict[int, int] = {}
+    n_total = 0
+    if need_nth:
+        counts = {
+            int(r._adt_pid): int(r.cnt)
+            for r in ranged.groupBy("_adt_pid")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        for pid in sorted(counts):
+            row_off[pid] = n_total
+            n_total += counts[pid]
+        work = _broadcast_pid_join(
+            work,
+            [(p, row_off[p]) for p in sorted(counts)],
+            "_adt_jpid int, _adt_roff long",
+        )
+        helper_cols.append("_adt_roff")
+
+    out = work
+    for i, (fn, _col, n, name) in enumerate(calls):
+        e = F.col(f"_adt_e{i}")
+        t = e_types[f"_adt_e{i}"]
+        if fn == "last_value":
+            col_out = F.last(e, ignorenulls=False).over(wr)
+        elif fn == "first_value":
+            col_out = F.lit(firsts.get(i)).cast(t)
+        elif fn == "nth_value":
+            val = None
+            if n_total >= n:
+                pid_star = max(p for p in row_off if row_off[p] < n)
+                hit = (
+                    work.filter(
+                        (F.col("_adt_pid") == pid_star)
+                        & (F.col("_adt_rn") == n - row_off[pid_star])
+                    )
+                    .select(f"_adt_e{i}")
+                    .collect()
+                )
+                val = hit[0][0] if hit else None
+            global_le = F.col("_adt_roff") + F.count(F.lit(1)).over(wr)
+            col_out = F.when(
+                global_le >= F.lit(n), F.lit(val).cast(t)
+            ).otherwise(F.lit(None).cast(t))
+        else:
+            raise ValueError(f"unsupported frame-value function {fn!r}")
+        out = out.withColumn(name, col_out)
+    return out.drop(*helper_cols, *expr_names)
 
 
 @register(
@@ -1706,28 +2079,31 @@ def q_global_rank_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_curriculum_stages).  This operator is the classic
     two-phase construction that scales:
 
-    1. range-repartition on the total-order key (n_chars, doc_id) —
-       Spark samples key ranges, so partitions are balanced and
-       partition i's keys all precede partition i+1's;
+    1. range-partition on the total-order key (n_chars, doc_id) via
+       the DETERMINISTIC bounds partitioner (_assign_range_pids:
+       sample once → literal split bounds → broadcast interval join),
+       so partitions are balanced and partition i's keys all precede
+       partition i+1's;
     2. rank LOCALLY within each range partition (a PARTITIONED
        window — parallel);
-    3. collect the per-partition COUNTS ({_RANK_PARTS} rows — bounded
+    3. collect the per-partition COUNTS (≤ n_parts rows — bounded
        driver state, the Lloyd-collect discipline), prefix-sum them,
-       and add each partition's offset as a broadcast literal map.
+       and join each partition's offset back as a ≤ n_parts-row
+       BROADCAST table (round-10: data, not plan literals — the plan
+       is byte-stable in n_parts, and nothing O(data) materializes).
 
     global_rank = partition_offset + local_rank is exact because the
-    range partitioner puts every key of partition i strictly before
+    bounds partitioner puts every key of partition i strictly before
     partition i+1 under the SAME total order the local rank uses
     (the tiebreak doc_id makes the key unique, so no key straddles a
-    boundary).  Partition BOUNDARIES are sampled (nondeterministic),
-    but the output ranks are boundary-invariant — the cross-engine
-    hash compare proves exactly that.
+    boundary).  The sampled split bounds only steer BALANCE; the
+    output ranks are boundary-invariant — the cross-engine hash
+    compare proves exactly that.
 
-    Scale shape: one range shuffle + one pid-keyed shuffle for the
-    local window (rows stay co-located; Catalyst cannot see that and
-    re-hashes — the cost of staying JVM-side) + a {_RANK_PARTS}-row
-    collect.  No single-partition exchange anywhere (plan-checked:
-    the only Window is partitioned).
+    Scale shape: ONE pid-keyed shuffle for the local window + two
+    key-pruned sampling scans + a ≤ n_parts-row collect.  No
+    single-partition exchange anywhere (plan-checked: the only
+    Window is partitioned).
     """
     docs = tables(spark, sf_dir)["documents"]
     return attach_global_ranks(
@@ -1894,7 +2270,8 @@ def q_mixture_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative loop.
 
     Cross-engine exactness: caps are integers (epoch cap × token
-    count); B = (3/5)·Σ tokens stays RATIONAL and every saturation
+    count); B = (_UNIMAX_B_NUM/_UNIMAX_B_DEN)·Σ tokens stays
+    RATIONAL and every saturation
     test multiplies through by the denominator — pure widened-integer
     comparisons (DECIMAL(38,0) / HUGEINT), no rounding anywhere until
     the final water-level division of two exact integers (one IEEE

@@ -421,3 +421,55 @@ def test_global_offsets_match_native(spark, seed):
     got = sorted(tuple(r) for r in df.collect())
     want = sorted(tuple(r) for r in spark.sql(q).collect())
     assert got == want, f"seed={seed}"
+
+
+def test_global_rewrite_preserves_native_dtypes(spark):
+    """Round-10 (r9 verdict #6 / ADVICE): the rewrite's output SCHEMA
+    must equal native execution's — min/max/lag/lead return the input
+    column's own type (the round-9 Python-value inspection widened
+    int32→bigint), sum returns Spark's sum result type, avg the
+    native avg type (decimal included).  The rank family stays BIGINT
+    by documented contract (attach_global_ranks docstring) and is
+    pinned by CASTs in the oracled queries, so it is absent here.
+    Values must match too."""
+    import datetime
+    from decimal import Decimal
+
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    rows = [
+        (
+            i,
+            i % 4,
+            float(i) / 8 if i % 5 else None,
+            Decimal(i * 7).scaleb(-2),
+            None if i % 7 == 0 else f"s{i}",
+            datetime.date(2024, 1, 1) + datetime.timedelta(days=i),
+        )
+        for i in range(37)
+    ]
+    spark.createDataFrame(
+        rows, "id int, k int, f double, d decimal(10,2), s string, dt date"
+    ).createOrReplaceTempView("dtyp_t")
+    q = (
+        "SELECT id, "
+        "min(id) OVER (ORDER BY k, id) mi, "
+        "max(f) OVER (ORDER BY k, id) mf, "
+        "sum(d) OVER (ORDER BY k, id) sd, "
+        "avg(f) OVER (ORDER BY k, id) af, "
+        "min(dt) OVER (ORDER BY k, id) md, "
+        "lag(id) OVER (ORDER BY k, id) li, "
+        "lag(s, 2) OVER (ORDER BY k, id) ls, "
+        "lead(dt) OVER (ORDER BY k, id) ld, "
+        "lead(d, 3) OVER (ORDER BY k, id) lld "
+        "FROM dtyp_t"
+    )
+    got = maybe_rewrite_global_rank(spark, q)
+    assert got is not None
+    want = spark.sql(q)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -1366,3 +1366,69 @@ def test_sql_global_offsets_no_single_partition_window(spark, sf_dir):
     plan = _formatted(_q(spark, sf_dir, "q_sql_global_offsets"))
     assert re.search(r"\(\d+\) Window\b", plan)
     assert "SinglePartition" not in plan
+
+
+def test_global_window_family_plan_flat_in_n_parts(spark, sf_dir):
+    """Round-10: the two-phase global-window family's partition
+    bounds, prefix offsets, and boundary arrays are broadcast DATA
+    (createDataFrame + pid join), never plan literals — 8× the
+    partition count must leave the optimized plan byte-comparable
+    (the round-9 construction embedded O(n_parts·j) create_map
+    literals).  And nothing O(data) may materialize: no Scan
+    ExistingRDD anywhere (the round-9 construction localCheckpointed
+    the whole range-partitioned corpus per query)."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.operators.sampling import (
+        attach_global_first_last,
+        attach_global_offsets,
+        attach_global_ranks,
+        attach_global_running_aggs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    keys = [(F.col("n_chars"), "asc"), (F.col("doc_id"), "asc")]
+    builders = {
+        "ranks": lambda np: attach_global_ranks(
+            docs, keys, [("row_number", "rn"), ("dense_rank", "dr")],
+            n_parts=np,
+        ),
+        "aggs": lambda np: attach_global_running_aggs(
+            docs, keys,
+            [("sum", F.col("n_chars"), "s"), ("avg", F.col("n_chars"), "a")],
+            n_parts=np,
+        ),
+        "offsets": lambda np: attach_global_offsets(
+            docs, keys, [("lag", F.col("n_chars"), 2, "l")], n_parts=np
+        ),
+        "firstlast": lambda np: attach_global_first_last(
+            docs, keys,
+            [
+                ("first_value", F.col("n_chars"), None, "fv"),
+                ("last_value", F.col("n_chars"), None, "lv"),
+                ("nth_value", F.col("n_chars"), 5, "nv"),
+            ],
+            n_parts=np,
+        ),
+    }
+    for name, build in builders.items():
+        p8 = _formatted(build(8))
+        p64 = _formatted(build(64))
+        # the corpus reaches the window straight from the parquet scan
+        # (the round-9 localCheckpoint replaced it with a materialized
+        # RDD scan); the only ExistingRDD scans allowed are the tiny
+        # _adt_* broadcast state tables (createDataFrame plans as one)
+        assert "Scan parquet" in p8, name
+        for m in re.finditer(
+            r"\(\d+\) Scan ExistingRDD(?:\s*\[codegen[^\]]*\])?\s*\n"
+            r"Output \[\d+\]: \[([^\]]*)\]",
+            p8,
+        ):
+            assert "_adt_" in m.group(1), (name, m.group(1))
+        assert "SinglePartition" not in p8, name
+        assert re.search(r"\(\d+\) Window\b", p8), name
+        assert abs(len(p64) - len(p8)) <= 0.02 * len(p8), (
+            name, len(p8), len(p64)
+        )
