@@ -1,42 +1,69 @@
-"""Global-ranking rewrite for raw SQL — dodging the single-partition
+"""Global-window rewrite for raw SQL — dodging the single-partition
 WindowExec cliff.
 
-An unpartitioned ``row_number()/rank()/dense_rank()/percent_rank()/
-cume_dist()/ntile(k) OVER (ORDER BY …)`` executes on ONE task in
+An unpartitioned ``… OVER (ORDER BY …)`` executes on ONE task in
 Spark (the whole input is exchanged to a SinglePartition before
 WindowExec) — the classic scale wall a ported adt script hits,
 because DataFusion executes the same SQL with a parallel sort +
-streaming rank (reference SQL pass-through:
+streaming evaluation (reference SQL pass-through:
 ``crates/cli/src/main.rs:116`` — any SQL the user types goes straight
-to the engine, so global ranks are common in adt scripts).
+to the engine, so global windows are common in adt scripts;
+``datafusion-functions-window``, Cargo.lock:1818, is the inherited
+function set).
 
 This pass detects the sound shape and executes it through the
-generalized two-phase construction
-(``adt_spark.operators.sampling.attach_global_ranks``: range
-repartition on the rank keys → per-partition local rank → bounded
-per-partition count collect → offset add; boundary-invariant output,
-oracled by q_global_rank_chars and q_sql_global_rank):
+generalized two-phase constructions in
+``adt_spark.operators.sampling`` (deterministic range pids → local
+windows → bounded offset collects re-entered as ≤n_parts-row
+broadcast joins; boundary-invariant output, oracled by the q_sql_*
+family):
 
-1. the inner relation (FROM + WHERE) runs as its own statement;
-2. each unpartitioned ranking call becomes a pre-computed column,
-   and (round-9 second wave) so does each default-frame RUNNING
-   AGGREGATE — ``sum/count/min/max/avg(expr) OVER (ORDER BY …)`` via
-   ``attach_global_running_aggs``; window calls that stay native
-   (partitioned, OVER(), exotic frames) are LEFT IN PLACE and
-   evaluate over the view's rows — the base rows — unchanged;
-3. the remaining projection / ORDER BY / LIMIT runs over the ranked
-   temp view with the calls substituted.
+- ranks: row_number / rank / dense_rank / percent_rank / cume_dist /
+  ntile(k) → ``attach_global_ranks``;
+- running aggregates with the default peer-inclusive frame:
+  sum / count / min / max / avg → ``attach_global_running_aggs``;
+- offsets: lag / lead (literal j, no default-value arg) →
+  ``attach_global_offsets``;
+- frame values with the default frame (round-10): first_value /
+  last_value / nth_value(expr, literal n) →
+  ``attach_global_first_last``.
 
-Scope (conservative — anything else passes through UNTOUCHED, which
-stays correct, merely on the cliff): one top-level SELECT over a
-single relation (optional alias, optional WHERE / trailing ORDER BY /
-LIMIT), no GROUP BY / HAVING / DISTINCT / set ops / joins /
-subqueries / CTEs / ``SELECT *``; every unpartitioned ranking call
-shares one ORDER BY over plain (possibly qualified) column references
-with optional ASC/DESC + NULLS placement.  Unlike the GROUPS/EXCLUDE
+Execution: the INNER BLOCK (everything below the projection —
+FROM body, WHERE, GROUP BY, HAVING, plus any CTE prefix) runs as its
+own statement; each supported unpartitioned window call becomes a
+pre-computed column over that result; the remaining projection /
+ORDER BY / LIMIT runs over the ranked temp view with the calls
+substituted.  Window calls that stay native (partitioned, OVER(),
+exotic frames, IGNORE NULLS, non-literal offsets) are LEFT IN PLACE
+and evaluate over the view's rows — the inner block's rows —
+unchanged.
+
+Scope (round-10, widened past the round-9 single-relation rule):
+
+- one top-level SELECT; the FROM body may be a relation, a
+  ``fmt.`path``` URL table, a parenthesized derived table (GROUP
+  BY / join / anything inside), or a top-level JOIN chain; a WITH
+  prefix is carried verbatim onto the inner statement;
+- a top-level GROUP BY [HAVING] is supported when every projection
+  item is a bare column, an explicit ``expr AS alias``, or exactly
+  one rewritable window call with an alias (window keys/args may
+  then be aggregate expressions — they are computed inside the
+  aggregated inner block);
+- window ORDER BY keys are arbitrary expressions (plain columns
+  stay qualifier-stripped); every RANKING call must share one
+  order, aggregate/offset/frame-value calls may each use their own;
+- no top-level DISTINCT / set ops / ``*`` or ``alias.*`` projection
+  items (a star would leak the injected ``_adt_g*`` columns —
+  ADVICE r9 hardened this from "leading ``*``" to ANY top-level
+  star item).
+
+Anything else passes through UNTOUCHED, which stays correct, merely
+on the cliff; resolution errors inside the rewrite (ambiguous
+columns from a self-join FROM body, aliases as window keys, …) fall
+back to the native path the same way.  Unlike the GROUPS/EXCLUDE
 rewrites (which refuse loudly because Spark cannot run the original
-at all), the unrewritten global rank is semantically fine — so the
-fallback here is pass-through, never an error.
+at all), the unrewritten global window is semantically fine — so
+the fallback here is pass-through, never an error.
 """
 
 from __future__ import annotations
@@ -66,13 +93,19 @@ _AGG_CALL_RE = re.compile(
     re.IGNORECASE,
 )
 
-#: offset window calls (lag/lead — round-9 third wave)
+#: offset window calls (lag/lead)
 _OFF_CALL_RE = re.compile(
     r"(?<![\w.$])(?P<ofn>lag|lead)\s*\(",
     re.IGNORECASE,
 )
 
-#: one ORDER BY key: [qualifier.]column [ASC|DESC] [NULLS FIRST|LAST]
+#: frame-value window calls (round-10: first/last/nth)
+_FLN_CALL_RE = re.compile(
+    r"(?<![\w.$])(?P<ffn>first_value|last_value|nth_value)\s*\(",
+    re.IGNORECASE,
+)
+
+#: one plain ORDER BY key: [qualifier.]column [ASC|DESC] [NULLS …]
 _KEY_RE = re.compile(
     r"^\s*(?P<col>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"
     r"(?:\s+(?P<dir>asc|desc))?"
@@ -80,345 +113,544 @@ _KEY_RE = re.compile(
     re.IGNORECASE,
 )
 
-#: single relation: name / qualified name / fmt.`path`, optional alias
-_REL_RE = re.compile(
-    r"^(?P<rel>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\.`[^`]*`)?)"
-    r"(?:\s+(?:as\s+)?"
-    r"(?!(?:where|order|limit|group|having|union|intersect|except|join)\b)"
-    r"(?P<alias>[A-Za-z_]\w*))?",
+#: trailing direction tokens of an EXPRESSION key
+_KEY_TAIL_RE = re.compile(
+    r"(?:\s+(?P<dir>asc|desc))?"
+    r"(?:\s+nulls\s+(?P<nulls>first|last))?\s*$",
     re.IGNORECASE,
 )
 
-_BLOCKERS = re.compile(
-    r"\b(group\s+by|having|union|intersect|except|join|with|distinct)\b",
+#: single relation: name / qualified name / fmt.`path`, optional alias
+_REL_RE = re.compile(
+    r"^\s*(?P<rel>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*(?:\.`[^`]*`)?)"
+    r"(?:\s+(?:as\s+)?(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE,
 )
+
+#: parenthesized derived table with alias
+_DERIVED_RE = re.compile(
+    r"^\s*\(.*\)\s*(?:as\s+)?(?P<alias>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: top-level (depth-0) blockers inside the MAIN statement body
+_BLOCKERS_TOP = re.compile(
+    r"\b(union|intersect|except|distinct|recursive)\b", re.IGNORECASE
+)
+
+#: a projection item that is `*` or `alias.*` (ADVICE r9: reject ANY
+#: top-level star, not just a leading one)
+_STAR_ITEM_RE = re.compile(r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?\*\s*$")
+
+#: explicit `expr AS alias` tail (GROUP-mode non-window items)
+_AS_ALIAS_RE = re.compile(r"\s+as\s+(?P<alias>[A-Za-z_]\w*)\s*$", re.IGNORECASE)
 
 _view_counter = itertools.count()
 
 
-def _split_top_commas(s: str) -> list[str]:
-    parts, depth, buf = [], 0, []
-    for ch in s:
+def _split_top_comma_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) spans of depth-0 comma-separated parts."""
+    spans, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
+        elif ch == "," and depth == 0:
+            spans.append((start, i))
+            start = i + 1
+    spans.append((start, len(s)))
+    return spans
+
+
+def _split_top_commas(s: str) -> list[str]:
+    return [s[a:b] for a, b in _split_top_comma_spans(s)]
+
+
+def _blank_parens(s: str) -> str:
+    """Blank everything inside parentheses (positions preserved) so
+    depth-0 keyword scans cannot see subquery / CTE-body innards."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+            out.append("(")
+        elif ch == ")":
+            depth -= 1
+            out.append(")")
         else:
-            buf.append(ch)
-    parts.append("".join(buf))
-    return parts
+            out.append(ch if depth == 0 else " ")
+    return "".join(out)
 
 
-def _parse_order_keys(order_text: str) -> list[tuple[str, str]] | None:
-    """ORDER BY body → [(column, sort-method-name)] or None when any
-    key is not a plain column reference."""
+def _parse_order_keys(masked_body: str, src_body: str):
+    """ORDER BY body → list of key dicts or None when malformed.
+
+    Each key: {"kind": "col"|"expr", "ident": dedup identity,
+    "src": source expression text, "method": Column sort-method
+    name}.  Plain (possibly qualified) column refs stay columns with
+    the qualifier stripped; anything else is an expression key
+    carried textually (masked twin checked for window/subquery
+    tokens)."""
     keys = []
-    for part in _split_top_commas(order_text):
-        m = _KEY_RE.match(part)
-        if not m:
+    for a, b in _split_top_comma_spans(masked_body):
+        mpart, spart = masked_body[a:b], src_body[a:b]
+        m = _KEY_RE.match(mpart)
+        if m:
+            direction = (m.group("dir") or "asc").lower()
+            nulls = (m.group("nulls") or "").lower()
+            method = direction + (f"_nulls_{nulls}" if nulls else "")
+            col = m.group("col").split(".")[-1].lower()
+            keys.append(
+                {"kind": "col", "ident": col, "src": col, "method": method}
+            )
+            continue
+        tm = _KEY_TAIL_RE.search(mpart)
+        expr_m = mpart[: tm.start()]
+        expr_s = spart[: tm.start()].strip()
+        if not expr_s or re.search(r"\b(over|select)\b", expr_m, re.IGNORECASE):
             return None
-        direction = (m.group("dir") or "asc").lower()
-        nulls = (m.group("nulls") or "").lower()
+        direction = (tm.group("dir") or "asc").lower()
+        nulls = (tm.group("nulls") or "").lower()
         method = direction + (f"_nulls_{nulls}" if nulls else "")
-        # strip the qualifier: the inner statement's output columns
-        # are unqualified, and the single-relation scope guarantees
-        # the bare name is unambiguous
-        col = m.group("col").split(".")[-1]
-        keys.append((col, method))
+        keys.append(
+            {
+                "kind": "expr",
+                "ident": " ".join(expr_s.split()),
+                "src": expr_s,
+                "method": method,
+            }
+        )
     return keys
 
 
+def _order_ident(keys) -> tuple:
+    return tuple((k["ident"], k["method"]) for k in keys)
+
+
+_DEFAULT_FRAME = "range between unbounded preceding and current row"
+
+
+def _parse_over_order(masked: str, sql: str, over_open: int):
+    """OVER(...) body at ``over_open`` → (keys, spec_close) when it is
+    an unpartitioned ORDER BY with the default frame; (None, close)
+    when the call should stay native; raises ValueError on unbalanced
+    parens (whole statement passes through)."""
+    spec_close = _match_paren(masked, over_open)
+    spec_m = masked[over_open + 1 : spec_close]
+    spec_s = sql[over_open + 1 : spec_close]
+    sm = re.match(r"^\s*order\s+by\s+", spec_m, re.IGNORECASE)
+    if sm is None:
+        return None, spec_close  # partitioned / OVER() — native path
+    body_m, body_s = spec_m[sm.end():], spec_s[sm.end():]
+    fm = re.search(r"\b(range|rows|groups)\b", body_m, re.IGNORECASE)
+    if fm:
+        frame = " ".join(body_m[fm.start():].split()).lower()
+        if frame != _DEFAULT_FRAME:
+            return None, spec_close  # non-default frame — native path
+        body_m, body_s = body_m[: fm.start()], body_s[: fm.start()]
+    keys = _parse_order_keys(body_m, body_s)
+    if keys is None:
+        return None, spec_close  # unparseable keys — native path
+    return keys, spec_close
+
+
+def _arg_guard(masked: str, open_pos: int, close_pos: int) -> bool:
+    """True when a call's argument text is safe to re-evaluate (no
+    nested window / subquery)."""
+    return not re.search(
+        r"\b(over|select)\b", masked[open_pos + 1 : close_pos], re.IGNORECASE
+    )
+
+
 def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None:
-    """Execute ``sql`` through the two-phase global-rank construction
-    when it matches the sound shape (module docstring); None when it
-    does not (caller falls back to plain ``spark.sql``)."""
+    """Execute ``sql`` through the two-phase global-window
+    constructions when it matches the sound shape (module docstring);
+    None when it does not (caller falls back to plain ``spark.sql``)."""
+    stripped = sql.rstrip()
+    if stripped.endswith(";"):
+        stripped = stripped[:-1]
+    sql = stripped
     masked = _mask_literals(sql)
-    has_rank = bool(_RANK_CALL_RE.search(masked))
-    has_over = bool(re.search(r"\bover\b", masked, re.IGNORECASE))
-    has_agg = bool(_AGG_CALL_RE.search(masked)) and has_over
-    has_off = bool(_OFF_CALL_RE.search(masked)) and has_over
-    if not has_rank and not has_agg and not has_off:
+    if not re.search(r"\bover\b", masked, re.IGNORECASE):
+        return None
+    has_any = (
+        _RANK_CALL_RE.search(masked)
+        or _AGG_CALL_RE.search(masked)
+        or _OFF_CALL_RE.search(masked)
+        or _FLN_CALL_RE.search(masked)
+    )
+    if not has_any:
         return None
 
-    # --- collect unpartitioned ranking calls ------------------------
-    calls = []  # (start, end, fn) spans over the WHOLE call incl. OVER(...)
-    order_texts = set()
-    for m in _RANK_CALL_RE.finditer(masked):
-        open_pos = m.end() - 1
-        try:
-            close_pos = _match_paren(masked, open_pos)
-        except Exception:
+    # --- statement shape ---------------------------------------------
+    blanked = _blank_parens(masked)
+    cte_src = ""
+    main_start = 0
+    if re.match(r"\s*with\b", blanked, re.IGNORECASE):
+        ms = re.search(r"\bselect\b", blanked, re.IGNORECASE)
+        if ms is None:
             return None
-        spec = " ".join(sql[open_pos + 1 : close_pos].split())
-        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
-        if sm is None:
-            # partitioned (or framed) ranking — fine natively; but a
-            # frame/partition mix in the same statement is out of
-            # scope only if it is ALSO unpartitioned elsewhere; just
-            # skip this call
-            continue
-        if re.search(r"\b(rows|range|groups)\b", sm.group("keys"), re.IGNORECASE):
-            return None  # frames on ranking functions — out of scope
-        parsed = _parse_order_keys(sm.group("keys").lower())
-        if parsed is None:
-            return None  # non-column order key — out of scope
-        fn = (m.group("fn") or m.group("ntile")).lower()
-        if fn == "ntile":
-            fn = f"ntile({int(m.group('k'))})"
-        calls.append((m.start(), close_pos + 1, fn))
-        # qualifier-stripped normalized keys: `d.n_chars DESC` and
-        # `n_chars DESC` are the same order under single-relation scope
-        order_texts.add(tuple(parsed))
-    if calls and len(order_texts) != 1:
-        return None  # two different global orders: would need two
-        # range partitionings — pass through
-    keys = list(order_texts.pop()) if calls else None
+        cte_src = sql[: ms.start()]
+        main_start = ms.start()
+    body_blanked = blanked[main_start:]
+    if _BLOCKERS_TOP.search(body_blanked):
+        return None
+    if len(re.findall(r"\bselect\b", body_blanked, re.IGNORECASE)) != 1:
+        return None
+    sm = re.match(r"\s*select\s", body_blanked, re.IGNORECASE)
+    if sm is None:
+        return None
+    fm = re.search(r"\bfrom\b", body_blanked, re.IGNORECASE)
+    if fm is None or fm.start() < sm.end():
+        return None
+    sel_span = (main_start + sm.end(), main_start + fm.start())
+    tail_start = main_start + fm.end()
 
-    # --- collect unpartitioned RUNNING-AGGREGATE calls ---------------
-    # (round-9: sum/count/min/max/avg OVER (ORDER BY …) with the
-    # default peer-inclusive frame hit the same single-partition
-    # cliff; they rewrite through attach_global_running_aggs.  Calls
-    # that stay native — partitioned, OVER(), exotic frames — are
-    # simply LEFT IN PLACE: they evaluate over the view's rows, which
-    # are the base rows, so semantics are unchanged.)
-    agg_calls = []  # (start, end, fn, arg_src)
-    agg_orders = set()
-    for m in _AGG_CALL_RE.finditer(masked):
-        open_pos = m.end() - 1
-        try:
-            arg_close = _match_paren(masked, open_pos)
-        except Exception:
-            return None
-        om = re.match(r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE)
-        if om is None:
-            continue  # plain aggregate, not a window call
-        over_open = arg_close + 1 + om.end() - 1
-        try:
-            spec_close = _match_paren(masked, over_open)
-        except Exception:
-            return None
-        spec = " ".join(sql[over_open + 1 : spec_close].split())
-        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
-        if sm is None:
-            continue  # partitioned / OVER() — native path, stays put
-        keys_text = sm.group("keys")
-        fm = re.search(r"\s+(range|rows|groups)\s+", keys_text, re.IGNORECASE)
-        if fm:
-            frame = " ".join(keys_text[fm.start() :].split()).lower()
-            if frame != "range between unbounded preceding and current row":
-                continue  # non-default frame — native path, stays put
-            keys_text = keys_text[: fm.start()]
-        parsed = _parse_order_keys(keys_text.lower())
-        if parsed is None:
-            continue  # non-column order key — native path, stays put
-        arg_masked = masked[open_pos + 1 : arg_close]
-        if re.search(r"\b(over|select)\b", arg_masked, re.IGNORECASE):
-            return None  # nested window/subquery in the argument
-        arg_src = sql[open_pos + 1 : arg_close].strip()
-        agg_calls.append(
-            (m.start(), spec_close + 1, m.group("afn").lower(), arg_src,
-             tuple(parsed))
-        )
-        agg_orders.add(tuple(parsed))
-    # --- collect unpartitioned OFFSET calls (lag/lead) ----------------
-    # (round-9 third wave; same leave-native rule for unsupported
-    # shapes: 3-arg default-value forms, partitioned specs)
-    off_calls = []  # (start, end, fn, arg_src, j, order)
-    for m in _OFF_CALL_RE.finditer(masked):
-        open_pos = m.end() - 1
-        try:
-            arg_close = _match_paren(masked, open_pos)
-        except Exception:
-            return None
-        om = re.match(r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE)
-        if om is None:
-            continue
-        over_open = arg_close + 1 + om.end() - 1
-        try:
-            spec_close = _match_paren(masked, over_open)
-        except Exception:
-            return None
-        spec = " ".join(sql[over_open + 1 : spec_close].split())
-        sm = re.match(r"^order\s+by\s+(?P<keys>.+)$", spec, re.IGNORECASE)
-        if sm is None:
-            continue  # partitioned — native path, stays put
-        if re.search(r"\b(rows|range|groups)\b", sm.group("keys"), re.IGNORECASE):
-            return None  # frames on offset functions are invalid SQL
-        parsed = _parse_order_keys(sm.group("keys").lower())
-        if parsed is None:
-            continue
-        arg_masked = masked[open_pos + 1 : arg_close]
-        if re.search(r"\b(over|select)\b", arg_masked, re.IGNORECASE):
-            return None
-        parts = _split_top_commas(sql[open_pos + 1 : arg_close])
-        j = 1
-        if len(parts) == 2:
-            jm = re.match(r"^\s*(\d+)\s*$", parts[1])
-            if jm is None:
-                continue  # non-literal offset — native path
-            j = int(jm.group(1))
-            if j < 1:
-                continue  # lag(x, 0) is the identity — native path
-        elif len(parts) != 1:
-            continue  # 3-arg default-value form — native path
-        off_calls.append(
-            (m.start(), spec_close + 1, m.group("ofn").lower(),
-             parts[0].strip(), j, tuple(parsed))
-        )
-    if not calls and not agg_calls and not off_calls:
+    clause_pos = {}
+    for kw, pat in (
+        ("where", r"\bwhere\b"),
+        ("group", r"\bgroup\s+by\b"),
+        ("having", r"\bhaving\b"),
+        ("order", r"\border\s+by\b"),
+        ("limit", r"\blimit\b"),
+    ):
+        m = re.search(pat, blanked[tail_start:], re.IGNORECASE)
+        if m:
+            clause_pos[kw] = (tail_start + m.start(), tail_start + m.end())
+    order_kws = [k for k in ("where", "group", "having", "order", "limit")
+                 if k in clause_pos]
+    starts = [clause_pos[k][0] for k in order_kws]
+    if starts != sorted(starts):
+        return None  # clauses out of canonical order — malformed
+    if "having" in clause_pos and "group" not in clause_pos:
         return None
-    # replacement spans must not overlap (a rank call inside an agg
-    # argument would double-substitute)
-    spans = sorted(
-        [(s, e) for s, e, _f in calls]
-        + [(s, e) for s, e, _f, _a, _o in agg_calls]
-        + [(s, e) for s, e, _f, _a, _j, _o in off_calls]
-    )
-    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
-        if s2 < e1:
-            return None
-
-    # --- parse the statement shape ----------------------------------
-    if _BLOCKERS.search(masked):
+    bounds = starts + [len(sql)]
+    from_body = sql[tail_start : bounds[0] if starts else len(sql)].strip()
+    if not from_body:
         return None
-    if len(re.findall(r"\bselect\b", masked, re.IGNORECASE)) != 1:
-        return None  # subqueries / CTE bodies
-    stmt = re.match(
-        r"^\s*select\s+(?P<sel>.+?)\s+from\s+(?P<from>.+?)\s*;?\s*$",
-        masked,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if stmt is None:
-        return None
-    sel_span = (stmt.start("sel"), stmt.end("sel"))
-    if re.match(r"\s*\*", sql[sel_span[0] : sel_span[1]]):
-        return None  # SELECT * would leak the injected rank columns
-    from_start = stmt.start("from")
-    from_masked = masked[from_start : stmt.end("from")]
-    relm = _REL_RE.match(from_masked)
-    if relm is None:
-        return None
-    rel_src = sql[from_start + relm.start() : from_start + relm.end()]
-    rest_masked = from_masked[relm.end() :]
-    rest_src = sql[from_start + relm.end() : stmt.end("from")]
-    # rest may only be [WHERE …] [ORDER BY …] [LIMIT n]
-    where_src = order_src = limit_src = None
-    r = re.match(
-        r"^\s*(?:where\s+(?P<w>.*?))?"
-        r"\s*(?:order\s+by\s+(?P<o>.*?))?"
-        r"\s*(?:limit\s+(?P<l>\d+))?\s*$",
-        rest_masked,
-        re.IGNORECASE | re.DOTALL,
-    )
-    if r is None or (rest_masked.strip() and not any(r.groupdict().values())):
-        return None
-    for g, var in (("w", "where"), ("o", "order"), ("l", "limit")):
-        if r.group(g) is not None:
-            span = (r.start(g), r.end(g))
-            text = rest_src[span[0] : span[1]]
-            if var == "where":
-                where_src = text
-            elif var == "order":
-                order_src = text
-            else:
-                limit_src = text
-    # the trailing ORDER BY must not itself contain window syntax
+    clause_src = {}
+    for i, k in enumerate(order_kws):
+        clause_src[k] = sql[clause_pos[k][1] : bounds[i + 1]].strip()
+    where_src = clause_src.get("where")
+    group_src = clause_src.get("group")
+    having_src = clause_src.get("having")
+    order_src = clause_src.get("order")
+    limit_src = clause_src.get("limit")
+    if limit_src is not None and not re.fullmatch(r"\d+", limit_src):
+        return None  # LIMIT ALL / OFFSET forms — out of scope
     if order_src and re.search(
         r"\bover\b", _mask_literals(order_src), re.IGNORECASE
     ):
         return None
 
-    # --- execute the two-phase construction -------------------------
+    # --- projection items (ANY top-level star is rejected) -----------
+    sel_masked = masked[sel_span[0] : sel_span[1]]
+    item_spans = [
+        (sel_span[0] + a, sel_span[0] + b)
+        for a, b in _split_top_comma_spans(sel_masked)
+    ]
+    for a, b in item_spans:
+        if _STAR_ITEM_RE.match(masked[a:b]):
+            return None  # would leak the injected _adt_g* columns
+
+    # --- collect rewritable window calls ------------------------------
+    # every entry: dict(start, end, family, fn, keys, arg_src, j, n)
+    calls = []
+    try:
+        for m in _RANK_CALL_RE.finditer(masked):
+            over_open = m.end() - 1
+            keys, _close = _parse_over_order(masked, sql, over_open)
+            if keys is None:
+                spec = " ".join(
+                    sql[over_open + 1 : _match_paren(masked, over_open)].split()
+                )
+                if re.match(r"^order\s+by\s+", spec, re.IGNORECASE):
+                    return None  # framed/odd-keyed ranking — whole stmt native
+                continue  # partitioned ranking — native, stays put
+            close = _match_paren(masked, over_open)
+            fn = (m.group("fn") or m.group("ntile")).lower()
+            if fn == "ntile":
+                fn = f"ntile({int(m.group('k'))})"
+            calls.append(
+                dict(start=m.start(), end=close + 1, family="rank", fn=fn,
+                     keys=keys, arg_src=None, j=None, n=None)
+            )
+        for fam, call_re, group in (
+            ("agg", _AGG_CALL_RE, "afn"),
+            ("off", _OFF_CALL_RE, "ofn"),
+            ("fln", _FLN_CALL_RE, "ffn"),
+        ):
+            for m in call_re.finditer(masked):
+                open_pos = m.end() - 1
+                arg_close = _match_paren(masked, open_pos)
+                om = re.match(
+                    r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE
+                )
+                if om is None:
+                    continue  # plain call / IGNORE NULLS form — native
+                over_open = arg_close + 1 + om.end() - 1
+                keys, spec_close = _parse_over_order(masked, sql, over_open)
+                if keys is None:
+                    continue  # partitioned / exotic frame — native
+                if not _arg_guard(masked, open_pos, arg_close):
+                    return None  # nested window/subquery in the argument
+                fn = m.group(group).lower()
+                parts = _split_top_commas(sql[open_pos + 1 : arg_close])
+                j = n = None
+                if fam == "agg":
+                    if len(parts) != 1:
+                        continue  # DISTINCT / multi-arg forms — native
+                    arg_src = parts[0].strip()
+                elif fam == "off":
+                    arg_src = parts[0].strip()
+                    j = 1
+                    if len(parts) == 2:
+                        jm = re.match(r"^\s*(\d+)\s*$", parts[1])
+                        if jm is None:
+                            continue  # non-literal offset — native
+                        j = int(jm.group(1))
+                        if j < 1:
+                            continue  # lag(x, 0) is the identity — native
+                    elif len(parts) != 1:
+                        continue  # 3-arg default-value form — native
+                else:  # fln
+                    arg_src = parts[0].strip()
+                    if fn == "nth_value":
+                        if len(parts) != 2:
+                            continue
+                        nm = re.match(r"^\s*(\d+)\s*$", parts[1])
+                        if nm is None or int(nm.group(1)) < 1:
+                            continue  # non-literal / non-positive n — native
+                        n = int(nm.group(1))
+                    elif len(parts) != 1:
+                        continue  # explicit ignoreNulls argument — native
+                calls.append(
+                    dict(start=m.start(), end=spec_close + 1, family=fam,
+                         fn=fn, keys=keys, arg_src=arg_src, j=j, n=n)
+                )
+    except ValueError:
+        return None  # unbalanced parens somewhere — let Spark report it
+    if not calls:
+        return None
+    # every RANKING call must share one global order (one partitioning)
+    rank_orders = {_order_ident(c["keys"]) for c in calls
+                   if c["family"] == "rank"}
+    if len(rank_orders) > 1:
+        return None
+    # spans must not overlap (a rank call inside an agg argument would
+    # double-substitute) and must sit inside the projection
+    spans = sorted((c["start"], c["end"]) for c in calls)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        if s2 < e1:
+            return None
+    for c in calls:
+        if c["start"] < sel_span[0] or c["end"] > sel_span[1]:
+            return None  # window call outside the projection
+
+    group_mode = group_src is not None
+
+    # --- GROUP mode: validate items, plan the aggregated inner -------
+    # (window keys/args may be aggregate expressions — they must be
+    # computed INSIDE the aggregated block, aliased _adt_wk*/_adt_wa*)
+    inner_extra: list[str] = []
+    key_alias: dict[str, str] = {}
+    arg_alias: dict[str, str] = {}
+    if group_mode:
+        covered = set()
+        for a, b in item_spans:
+            inside = [c for c in calls if a <= c["start"] and c["end"] <= b]
+            item_m = masked[a:b]
+            if inside:
+                # a window item may be any expression around the
+                # call(s) — CAST(rank() OVER … AS BIGINT), arithmetic —
+                # but must carry an explicit AS alias (the substituted
+                # text becomes the outer item; without a name the
+                # injected _adt_gw* column name would leak).  Leftover
+                # aggregate references in the remainder fail outer
+                # analysis ("not in GROUP BY") and fall back native.
+                if not _AS_ALIAS_RE.search(item_m):
+                    return None
+                covered.add((a, b))
+            else:
+                src_item = sql[a:b].strip()
+                if not src_item:
+                    return None
+                if _KEY_RE.match(item_m) or _AS_ALIAS_RE.search(item_m):
+                    continue  # bare column / explicit AS alias — fine
+                return None  # implicit alias or bare expression
+        for c in calls:
+            for k in c["keys"]:
+                if k["ident"] not in key_alias:
+                    key_alias[k["ident"]] = f"_adt_wk{len(key_alias)}"
+            if c["arg_src"] is not None and c["arg_src"] != "*":
+                aid = " ".join(c["arg_src"].split())
+                if aid not in arg_alias:
+                    arg_alias[aid] = f"_adt_wa{len(arg_alias)}"
+        for k_ident, k_name in key_alias.items():
+            src = next(
+                k["src"] for c in calls for k in c["keys"]
+                if k["ident"] == k_ident
+            )
+            inner_extra.append(f"{src} AS {k_name}")
+        for a_ident, a_name in arg_alias.items():
+            src = next(
+                c["arg_src"] for c in calls
+                if c["arg_src"] is not None and c["arg_src"] != "*"
+                and " ".join(c["arg_src"].split()) == a_ident
+            )
+            inner_extra.append(f"{src} AS {a_name}")
+
+    # --- build the inner statement ------------------------------------
+    if group_mode:
+        keep_items = [
+            sql[a:b].strip() for a, b in item_spans if (a, b) not in covered
+        ]
+        inner_sel = ", ".join(keep_items + inner_extra)
+        if not inner_sel:
+            return None
+        inner = f"{cte_src}SELECT {inner_sel} FROM {from_body}"
+        if where_src:
+            inner += f" WHERE {where_src}"
+        inner += f" GROUP BY {group_src}"
+        if having_src:
+            inner += f" HAVING {having_src}"
+    else:
+        inner = f"{cte_src}SELECT * FROM {from_body}"
+        if where_src:
+            inner += f" WHERE {where_src}"
+
+    def _key_cols(keys) -> list:
+        out = []
+        for k in keys:
+            if group_mode:
+                out.append((F.col(key_alias[k["ident"]]), k["method"]))
+            elif k["kind"] == "col":
+                out.append((F.col(k["ident"]), k["method"]))
+            else:
+                out.append((F.expr(k["src"]), k["method"]))
+        return out
+
+    def _arg_col(arg_src: str):
+        if group_mode:
+            return F.col(arg_alias[" ".join(arg_src.split())])
+        return F.expr(arg_src)
+
+    # --- execute the two-phase constructions --------------------------
     from adt_spark.operators.sampling import (
+        attach_global_first_last,
         attach_global_offsets,
         attach_global_ranks,
         attach_global_running_aggs,
     )
 
-    inner = f"SELECT * FROM {rel_src}"
-    if where_src:
-        inner += f" WHERE {where_src}"
-    rank_specs = [(fn, f"_adt_grnk{i}") for i, (_s, _e, fn) in enumerate(calls)]
-    agg_specs = [
-        (fn, None if arg == "*" else arg, f"_adt_gagg{i}", order)
-        for i, (_s, _e, fn, arg, order) in enumerate(agg_calls)
-    ]
-    off_specs = [
-        (fn, arg, j, f"_adt_goff{i}", order)
-        for i, (_s, _e, fn, arg, j, order) in enumerate(off_calls)
-    ]
+    names = {}
+    for i, c in enumerate(sorted(calls, key=lambda c: c["start"])):
+        names[c["start"]] = f"_adt_gw{i}"
     try:
         ranked = spark.sql(inner)
-        if rank_specs:
+        rank_calls = [c for c in calls if c["family"] == "rank"]
+        if rank_calls:
             ranked = attach_global_ranks(
                 ranked,
-                [(F.col(c), method) for c, method in keys],
-                rank_specs,
+                _key_cols(rank_calls[0]["keys"]),
+                [(c["fn"], names[c["start"]]) for c in rank_calls],
             )
-        # each DISTINCT agg order gets its own construction, chained:
-        # every attachment range-partitions independently and earlier
-        # columns ride through (rank columns included)
-        for order in sorted(set(o for _f, _a, _n, o in agg_specs)):
-            ranked = attach_global_running_aggs(
-                ranked,
-                [(F.col(c), method) for c, method in order],
-                [
-                    (fn, None if arg is None else F.expr(arg), name)
-                    for fn, arg, name, o in agg_specs
-                    if o == order
-                ],
-            )
-        for order in sorted(set(o for _f, _a, _j, _n, o in off_specs)):
-            ranked = attach_global_offsets(
-                ranked,
-                [(F.col(c), method) for c, method in order],
-                [
-                    (fn, F.expr(arg), j, name)
-                    for fn, arg, j, name, o in off_specs
-                    if o == order
-                ],
-            )
+        # each DISTINCT order within a family gets its own construction,
+        # chained: every attachment partitions independently and earlier
+        # columns ride through
+        for fam, attach in (
+            ("agg", attach_global_running_aggs),
+            ("off", attach_global_offsets),
+            ("fln", attach_global_first_last),
+        ):
+            fam_calls = [c for c in calls if c["family"] == fam]
+            for order in sorted({_order_ident(c["keys"]) for c in fam_calls}):
+                group = [
+                    c for c in fam_calls if _order_ident(c["keys"]) == order
+                ]
+                keys = _key_cols(group[0]["keys"])
+                if fam == "agg":
+                    specs = [
+                        (
+                            c["fn"],
+                            None if c["arg_src"] == "*" else _arg_col(c["arg_src"]),
+                            names[c["start"]],
+                        )
+                        for c in group
+                    ]
+                elif fam == "off":
+                    specs = [
+                        (c["fn"], _arg_col(c["arg_src"]), c["j"],
+                         names[c["start"]])
+                        for c in group
+                    ]
+                else:
+                    specs = [
+                        (c["fn"], _arg_col(c["arg_src"]), c["n"],
+                         names[c["start"]])
+                        for c in group
+                    ]
+                ranked = attach(ranked, keys, specs)
     except Exception:
-        # an argument/key the textual scope check admitted but Spark
-        # cannot evaluate in this position — fall back to the native
-        # path, whose own analysis raises the real error
+        # a shape the textual scope check admitted but Spark cannot
+        # evaluate in this position (ambiguous columns from a join FROM
+        # body, aliases as keys, …) — fall back to the native path,
+        # whose own analysis raises the real error
         return None
     view = f"_adt_global_rank_{next(_view_counter)}"
     ranked.createOrReplaceTempView(view)
 
-    repl = sorted(
-        [(s, e, name) for (s, e, _f), (_f2, name) in zip(calls, rank_specs)]
-        + [
-            (s, e, name)
-            for (s, e, _f, _a, _o), (_f3, _a2, name, _o2) in zip(
-                agg_calls, agg_specs
-            )
-        ]
-        + [
-            (s, e, name)
-            for (s, e, _f, _a, _j, _o), (_f3, _a2, _j2, name, _o2) in zip(
-                off_calls, off_specs
-            )
-        ]
-    )
-    out_sel, cursor = [], sel_span[0]
-    for start, end, name in repl:
-        if start < sel_span[0] or end > sel_span[1]:
-            return None  # window call outside the projection
-        out_sel.append(sql[cursor:start])
-        out_sel.append(name)
-        cursor = end
-    out_sel.append(sql[cursor : sel_span[1]])
-    alias = relm.group("alias")
-    outer = f"SELECT {''.join(out_sel)} FROM {view}"
-    if alias:
-        outer += f" AS {alias}"
+    # --- outer statement: substitute calls, keep the rest --------------
+    def _subst_span(a: int, b: int) -> str:
+        repl = sorted(
+            (c["start"], c["end"], names[c["start"]])
+            for c in calls
+            if a <= c["start"] and c["end"] <= b
+        )
+        parts, cur = [], a
+        for s, e, nm in repl:
+            parts.append(sql[cur:s])
+            parts.append(nm)
+            cur = e
+        parts.append(sql[cur:b])
+        return "".join(parts)
+
+    if group_mode:
+        out_items = []
+        for a, b in item_spans:
+            if (a, b) in covered:
+                out_items.append(_subst_span(a, b))
+            else:
+                item_m = masked[a:b]
+                km = _KEY_RE.match(item_m)
+                if km:
+                    out_items.append(km.group("col").split(".")[-1])
+                else:
+                    out_items.append(
+                        _AS_ALIAS_RE.search(item_m).group("alias")
+                    )
+        outer = f"SELECT {', '.join(out_items)} FROM {view}"
+    else:
+        outer = (
+            f"SELECT {_subst_span(sel_span[0], sel_span[1])} FROM {view}"
+        )
+        relm = _REL_RE.match(from_body)
+        derm = _DERIVED_RE.match(from_body) if relm is None else None
+        alias = (relm and relm.group("alias")) or (
+            derm and derm.group("alias")
+        )
+        if alias and alias.lower() not in (
+            "where", "order", "limit", "group", "having",
+        ):
+            outer += f" AS {alias}"
     if order_src:
         outer += f" ORDER BY {order_src}"
     if limit_src:
         outer += f" LIMIT {limit_src}"
-    return spark.sql(outer)
+    try:
+        return spark.sql(outer)
+    except Exception:
+        # outer-side resolution failure (qualified refs over a joined
+        # FROM body, aggregate exprs in ORDER BY, …) — native path
+        return None

@@ -2503,3 +2503,89 @@ def q_sql_global_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         raise RuntimeError("offset rewrite did not match its own query")
     return out
+
+
+_SQL_FIRSTLAST_STMT = """
+    SELECT doc_id,
+           CAST(first_value(n_chars) OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS first_chars,
+           last_value(lang) OVER (ORDER BY n_chars, doc_id) AS last_lang,
+           CAST(nth_value(doc_id, 10) OVER (ORDER BY n_chars, doc_id)
+                AS BIGINT) AS tenth_doc
+    FROM documents
+    WHERE lang <> 'de'
+"""
+
+
+@register(
+    "q_sql_global_firstlast",
+    oracle=_SQL_FIRSTLAST_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_global_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL FRAME-VALUE functions on the SQL surface (round-10,
+    closing the unpartitioned-window family): ``first_value /
+    last_value / nth_value(expr, n) OVER (ORDER BY …)`` — the
+    "compare every row to the head / the running peer-group tail /
+    the n-th smallest" statements corpus analysis writes, which
+    DataFusion executes parallel (datafusion-functions-window,
+    Cargo.lock:1818) and native Spark puts on ONE task.  The
+    statement is EXACTLY what the oracle runs, executed through the
+    dialect rewrite (``dialect/global_rank.py`` →
+    ``attach_global_first_last``): under the default peer-inclusive
+    frame first_value is the global head (one typed literal),
+    last_value is the purely LOCAL peer-group tail (range partitioner
+    co-locates peers — no patching at all), and nth_value guards the
+    global n-th row's value behind the broadcast ≤-count.  The WHERE
+    proves frame values see the filtered sequence; the plan check
+    pins no SinglePartition Window."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_FIRSTLAST_STMT)
+    if out is None:
+        raise RuntimeError("first/last rewrite did not match its own query")
+    return out
+
+
+_SQL_GROUPBY_RANK_STMT = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(rank() OVER (ORDER BY count(*) DESC, lang) AS BIGINT)
+             AS lang_rank,
+           CAST(sum(count(*)) OVER (ORDER BY count(*) DESC, lang) AS BIGINT)
+             AS cum_docs
+    FROM documents
+    GROUP BY lang
+"""
+
+
+@register(
+    "q_sql_rank_over_groupby",
+    oracle=_SQL_GROUPBY_RANK_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_rank_over_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL WINDOWS OVER A GROUP BY on the SQL surface (round-10
+    scope widening, r9 verdict #4: "ported analytics scripts often
+    rank an aggregated result" — the league-table statement).  The
+    rewrite evaluates the AGGREGATED block as the inner statement
+    (window keys and arguments are aggregate expressions, computed
+    inside it as ``_adt_wk*/_adt_wa*`` columns), then applies the
+    same two-phase constructions over the group rows: rank over
+    (count(*) DESC, lang) plus the running share ``sum(count(*))
+    OVER``.  Projection items stay bare columns / explicit AS
+    aliases; the CAST-wrapped window items prove call substitution
+    under composition in GROUP mode.  The statement is EXACTLY what
+    the oracle runs; the plan check pins no SinglePartition exchange
+    even though the window input here is metadata-grain (the
+    |lang|-row aggregate) — at 100 TB the same statement over a
+    high-cardinality GROUP BY keeps the corpus-sized aggregate AND
+    the window parallel."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_GROUPBY_RANK_STMT)
+    if out is None:
+        raise RuntimeError("group-mode rewrite did not match its own query")
+    return out

@@ -208,26 +208,93 @@ def test_global_rank_rewrite_passthrough_shapes(spark, sf_dir):
         "FROM documents",
         # no ranking call at all
         "SELECT doc_id FROM documents",
-        # aggregate query
-        "SELECT lang, count(*) c, row_number() OVER (ORDER BY lang) r "
-        "FROM documents GROUP BY lang",
-        # two DIFFERENT global orders (would need two partitionings)
+        # two DIFFERENT global RANK orders (would need two partitionings)
         "SELECT row_number() OVER (ORDER BY n_chars) a, "
         "row_number() OVER (ORDER BY doc_id) b FROM documents",
         # SELECT * would leak injected columns
         "SELECT *, row_number() OVER (ORDER BY doc_id) r FROM documents",
-        # subquery
-        "SELECT row_number() OVER (ORDER BY doc_id) r FROM "
-        "(SELECT * FROM documents) t",
-        # join
+        # qualified star leaks them just the same (ADVICE r9)
+        "SELECT d.*, row_number() OVER (ORDER BY d.doc_id) r "
+        "FROM documents d",
+        # self-join FROM body: `doc_id` is ambiguous over the inner
+        # view, so the rewrite must fall back (resolution guard)
         "SELECT row_number() OVER (ORDER BY a.doc_id) r FROM documents a "
         "JOIN documents b ON a.doc_id = b.doc_id",
-        # non-column order key
-        "SELECT row_number() OVER (ORDER BY n_chars + 1) r FROM documents",
+        # top-level DISTINCT
+        "SELECT DISTINCT lang, row_number() OVER (ORDER BY lang) r "
+        "FROM documents",
+        # GROUP BY with an implicit (AS-less) alias item — out of the
+        # conservative GROUP-mode scope
+        "SELECT lang, count(*) c, row_number() OVER (ORDER BY lang) r "
+        "FROM documents GROUP BY lang",
         # rank call inside a string literal only
         "SELECT 'row_number() OVER (ORDER BY x)' AS lit FROM documents",
     ):
         assert maybe_rewrite_global_rank(spark, q) is None, q
+
+
+def test_global_rank_rewrite_widened_scope(spark, sf_dir):
+    """Round-10 scope widening (r9 verdict #4): derived-table FROM
+    bodies, CTE prefixes, unambiguous JOIN FROM bodies, expression
+    ORDER-BY keys, and top-level GROUP BY — each must rewrite (engage)
+    AND match Spark's native single-partition answer."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    for q in (
+        # derived table wrapping a GROUP BY — "rank over an aggregate"
+        "SELECT source, n_docs, rank() OVER (ORDER BY n_docs DESC, source) r "
+        "FROM (SELECT source, count(*) AS n_docs FROM documents "
+        "GROUP BY source) t",
+        # plain subquery FROM body with WHERE on the outside
+        "SELECT doc_id, row_number() OVER (ORDER BY doc_id) rn FROM "
+        "(SELECT * FROM documents) t WHERE lang = 'en'",
+        # CTE prefix
+        "WITH big AS (SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars > 300) "
+        "SELECT doc_id, sum(n_chars) OVER (ORDER BY n_chars, doc_id) s "
+        "FROM big",
+        # unambiguous join FROM body
+        "SELECT n_name, row_number() OVER (ORDER BY n_name) rn "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA'",
+        # expression ORDER-BY key
+        "SELECT doc_id, row_number() OVER (ORDER BY n_chars % 7, doc_id) rn "
+        "FROM documents",
+        # top-level GROUP BY: every item bare / AS-aliased / one call
+        "SELECT lang, count(*) AS n_docs, "
+        "rank() OVER (ORDER BY count(*) DESC, lang) AS r, "
+        "sum(count(*)) OVER (ORDER BY count(*) DESC, lang) AS cum "
+        "FROM documents GROUP BY lang",
+        # GROUP BY + HAVING + outer ORDER BY/LIMIT
+        "SELECT source, sum(n_chars) AS chars, "
+        "row_number() OVER (ORDER BY sum(n_chars) DESC) AS rn "
+        "FROM documents GROUP BY source HAVING count(*) > 3 "
+        "ORDER BY rn LIMIT 4",
+    ):
+        df = maybe_rewrite_global_rank(spark, q)
+        assert df is not None, q
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(tuple(r) for r in spark.sql(q).collect())
+        assert got == want, q
+        plan = _formatted_plan(df)
+        assert "SinglePartition" not in plan, q
+
+
+def _formatted_plan(df):
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
 
 
 def test_global_rank_rewrite_distribution_family(spark, sf_dir):
@@ -473,3 +540,48 @@ def test_global_rewrite_preserves_native_dtypes(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+@pytest.mark.parametrize("seed", [11, 53])
+def test_global_first_last_nth_match_native(spark, seed):
+    """The frame-value rewrite (round-10: first_value / last_value /
+    nth_value, default frame) vs Spark's native single-partition
+    windows on seeded random data — NULL values, ties on a secondary
+    check, string args, n beyond the row count, DESC keys, a second
+    distinct order in one statement.  Keys are a total order where
+    ties would make the native answer nondeterministic."""
+    import random
+
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 999), rng.choice([None, rng.randint(-50, 50)]),
+         rng.choice(["x", "y", None]))
+        for i in range(rng.randint(40, 160))
+    ]
+    spark.createDataFrame(
+        rows, "id int, k int, v int, s string"
+    ).createOrReplaceTempView("fln_t")
+    q = (
+        "SELECT id, first_value(v) OVER (ORDER BY k, id) fv, "
+        "last_value(s) OVER (ORDER BY k, id) lv, "
+        "nth_value(v, 7) OVER (ORDER BY k, id) n7, "
+        "nth_value(s, 100000) OVER (ORDER BY k, id) nbig, "
+        "first_value(v + 1) OVER (ORDER BY id DESC) fr "
+        "FROM fln_t WHERE id >= 2"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in spark.sql(q).collect())
+    assert got == want, f"seed={seed}"
+    # dtypes equal native's too
+    assert df.schema == spark.sql(q).schema
+    # IGNORE NULLS and explicit-ignoreNulls-arg forms stay native
+    for qn in (
+        "SELECT first_value(v) IGNORE NULLS OVER (ORDER BY k, id) f "
+        "FROM fln_t",
+        "SELECT first_value(v, true) OVER (ORDER BY k, id) f FROM fln_t",
+    ):
+        assert maybe_rewrite_global_rank(spark, qn) is None, qn

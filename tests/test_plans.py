@@ -1432,3 +1432,29 @@ def test_global_window_family_plan_flat_in_n_parts(spark, sf_dir):
         assert abs(len(p64) - len(p8)) <= 0.02 * len(p8), (
             name, len(p8), len(p64)
         )
+
+
+def test_sql_global_firstlast_no_single_partition_window(spark, sf_dir):
+    """q_sql_global_firstlast (round-10): first_value / last_value /
+    nth_value through the dialect rewrite — partitioned Windows only,
+    no SinglePartition exchange, and the corpus reaches the window
+    straight from the parquet scan (no checkpoint)."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_global_firstlast"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_sql_rank_over_groupby_no_single_partition(spark, sf_dir):
+    """q_sql_rank_over_groupby (round-10 scope widening): the window
+    must consume the AGGREGATE's output (rank over a GROUP BY result)
+    with no SinglePartition exchange anywhere — the corpus-sized
+    aggregation stays partial+final parallel, and the group-grain
+    window runs through the two-phase construction."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_rank_over_groupby"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    # the corpus-sized aggregation survives as partial+final pairs
+    # (the window input is its output — the construction guarantees
+    # the dependency; here we pin that grouping stayed parallel)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
