@@ -282,7 +282,20 @@ def upload_dataframe_parquet(
     matching Spark's partition-path format for the string/int/date
     types hive layouts use; read-back type inference is Spark's own
     partition discovery.  Returns the object count (empty partitions
-    write nothing)."""
+    write nothing).
+
+    Commit protocol (round-10; ADVICE r9): tasks stage under a
+    per-job ``_adt_staging-<job>/`` prefix with names DERIVED FROM
+    THE TASK PARTITION ID (``part-<pid>.parquet``), so a retried or
+    speculative task OVERWRITES its own object instead of adding a
+    duplicate; after the job succeeds the DRIVER promotes every
+    staged object to its final ``part-<pid>-<job>.parquet`` name
+    (server-side copy, then staging delete).  A mid-job failure
+    leaves data only under the ``_``-prefixed staging dir, which
+    Spark's file listing (and the gateway's mirrored trees) ignore —
+    append mode never exposes partial output."""
+    import uuid as _uuid
+
     bucket, prefix = _split(url)
     creds = _env_key()
     parts = list(partition_by or [])
@@ -293,10 +306,11 @@ def upload_dataframe_parquet(
                 f"partition columns {missing} not in DataFrame "
                 f"columns {df.columns}"
             )
+    job = _uuid.uuid4().hex[:12]
+    stage_rel = f"_adt_staging-{job}"
 
     def _upload(batches):
         import io
-        import uuid as _uuid
 
         import pyarrow as _pa
         import pyarrow.parquet as _pq
@@ -306,6 +320,7 @@ def upload_dataframe_parquet(
             return
         table = _pa.Table.from_batches([b for b in batches if b.num_rows])
         import boto3
+        from pyspark import TaskContext
 
         endpoint, akid, secret, token, region = creds
         client = boto3.client(
@@ -316,12 +331,14 @@ def upload_dataframe_parquet(
             aws_session_token=token,
             region_name=region or "us-east-1",
         )
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
 
         def _put(tbl, rel_dir: str):
             buf = io.BytesIO()
             _pq.write_table(tbl, buf)
-            name = f"part-{_uuid.uuid4().hex}.parquet"
-            rel = (rel_dir + "/" if rel_dir else "") + name
+            name = f"part-{pid:05d}.parquet"
+            rel = stage_rel + "/" + (rel_dir + "/" if rel_dir else "") + name
             key = (prefix.rstrip("/") + "/" + rel) if prefix else rel
             client.put_object(Bucket=bucket, Key=key, Body=buf.getvalue())
 
@@ -346,8 +363,27 @@ def upload_dataframe_parquet(
             yield _pa.RecordBatch.from_pydict({"objects": [n]})
 
     manifest = df.mapInArrow(_upload, "objects long")
-    rows = manifest.collect()
-    return sum(int(r.objects) for r in rows)
+    manifest.collect()
+    # job succeeded — promote staged objects to their final names
+    # (driver-side server-side copies, one per object; object count is
+    # one per task / per task×partition-value group, metadata-scale)
+    client = _client()
+    stage_url = url.rstrip("/") + "/" + stage_rel
+    base_key = prefix.rstrip("/") + "/" if prefix else ""
+    n_objects = 0
+    for obj_url, _size in list_prefix(stage_url):
+        _b, key = _split(obj_url)
+        rel = key[len(base_key) + len(stage_rel) + 1:]
+        final_rel = rel.replace(".parquet", f"-{job}.parquet")
+        final_key = base_key + final_rel
+        client.copy_object(
+            Bucket=bucket,
+            Key=final_key,
+            CopySource={"Bucket": bucket, "Key": key},
+        )
+        client.delete_object(Bucket=bucket, Key=key)
+        n_objects += 1
+    return n_objects
 
 
 def _split_by_partition_values(table, parts, _pa, _pc):

@@ -500,3 +500,58 @@ def test_s3_executor_upload_partitioned_hive(spark, s3):
                     partition_by=["p"])
     urls = [u for u, _ in s3_store.list_prefix(f"s3://{bucket}/exec_hive_null")]
     assert any("__HIVE_DEFAULT_PARTITION__" in u for u in urls)
+
+
+def test_s3_executor_upload_commit_protocol(spark, s3):
+    """Round-10 (ADVICE r9): executor uploads stage under a per-job
+    _adt_staging-<job>/ prefix with TASK-PARTITION-ID-derived names
+    (a retried/speculative task overwrites its own object instead of
+    duplicating rows) and the driver PROMOTES to final
+    part-<pid>-<job>.parquet names after the job succeeds — so final
+    names are deterministic per task, no staging objects survive a
+    successful write, and two appends coexist under distinct job
+    ids."""
+    import re as _re
+
+    from adt_spark.sources.registry import register_table
+    from adt_spark.sources.sinks import write_dataframe
+
+    _client, bucket = s3
+    target = f"s3://{bucket}/exec_commit"
+    df = spark.range(0, 400).repartition(4).selectExpr("id")
+    n = s3_store.upload_dataframe_parquet(df, target)
+    objs = s3_store.list_prefix(target)
+    assert len(objs) == n
+    # promoted names: part-<pid 5 digits>-<job 12 hex>.parquet, and
+    # nothing left under the staging prefix
+    name_re = _re.compile(r"/part-(\d{5})-([0-9a-f]{12})\.parquet$")
+    pids, jobs = set(), set()
+    for u, _sz in objs:
+        m = name_re.search(u)
+        assert m, u
+        assert "_adt_staging" not in u
+        pids.add(m.group(1))
+        jobs.add(m.group(2))
+    assert len(pids) == n  # one object per task, pid-derived
+    assert len(jobs) == 1  # one job id per write
+    # a second write (append semantics at the store level) gets a NEW
+    # job id and never clobbers the first write's objects
+    s3_store.upload_dataframe_parquet(
+        spark.range(400, 500).repartition(2).selectExpr("id"), target
+    )
+    objs2 = s3_store.list_prefix(target)
+    assert len(objs2) > len(objs)
+    jobs2 = {name_re.search(u).group(2) for u, _sz in objs2}
+    assert len(jobs2) == 2
+    back = register_table(spark, "s3_exec_commit_t", target, "parquet")
+    assert back.count() == 500
+    assert back.selectExpr("sum(id) AS s").collect()[0].s == sum(range(500))
+    # hive layout promotes within col=value/ dirs the same way
+    hive_target = f"s3://{bucket}/exec_commit_hive"
+    write_dataframe(
+        spark.range(0, 60).selectExpr("id", "CAST(id % 2 AS INT) AS p"),
+        hive_target, fmt="parquet", partition_by=["p"],
+    )
+    hobjs = s3_store.list_prefix(hive_target)
+    assert all("/p=" in u and name_re.search(u) for u, _sz in hobjs)
+    assert not any("_adt_staging" in u for u, _sz in hobjs)
