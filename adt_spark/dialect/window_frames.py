@@ -47,11 +47,18 @@ q_window_exclude):
   not conflated with a NULL value, falling back to the far half
   (GROUP) or the current row (TIES).  Frame endpoints are UNBOUNDED /
   CURRENT ROW (or GROUPS-numeric, already in peer space) — and, since
-  round 7, numeric VALUE offsets too: for an INTEGRAL order key the
-  non-peer rows of a straddling value-offset RANGE frame are exactly
-  the VALUE half-frames ``[lo, 1 PRECEDING]`` / ``[1 FOLLOWING, hi]``
-  (key < k ⇔ key ≤ k−1), so the same least/greatest and count-guarded
-  combines apply in value space with no dense_rank.  Since round 8 the
+  round 7, numeric VALUE offsets too: the non-peer rows of a
+  straddling value-offset RANGE frame are exactly the VALUE
+  half-frames ``[lo, ε PRECEDING]`` / ``[ε FOLLOWING, hi]`` whenever
+  ε is at most the key's unit step (key < k ⇔ key ≤ k−ε); round 10
+  runs the half-frames in DECIMAL(38,18) key space with ε = 10⁻¹⁸ —
+  exact for integer keys (step 1), DECIMAL(p,s≤18) keys (step 10⁻ˢ —
+  the r9-verdict DECIMAL residue, closed), and integral-valued
+  doubles; fractional doubles stay loudly gated (distinct doubles can
+  sit closer than any fixed decimal step).  Spark casts RANGE bounds
+  to the order-key type, so key and bounds are BOTH cast to
+  DECIMAL(38,18) — a bare 1E-18 bound against a DECIMAL(10,2) key
+  would round to 0.00 and silently un-exclude.  Since round 8 the
   split also covers ``INTERVAL '<n>' DAY`` offsets: 1 DAY is the unit
   step of DATE-key space (key < k ⇔ key ≤ k − 1 DAY for DATE keys and
   midnight-aligned TIMESTAMP keys), so the same half-frames apply with
@@ -223,7 +230,9 @@ _OVER_RE = re.compile(r"\bover\s*\(", re.IGNORECASE)
 
 _BOUND = (
     r"(?:unbounded\s+preceding|unbounded\s+following|current\s+row"
-    r"|\d+\s+(?:preceding|following)"
+    # numeric offsets may be fractional (round-10: the DECIMAL(38,18)
+    # split admits DECIMAL keys, whose natural offsets are decimals)
+    r"|\d+(?:\.\d+)?\s+(?:preceding|following)"
     # interval units with a discrete key-space step: DAY for DATE
     # keys (key < k ⇔ key ≤ k − 1 DAY), and HOUR/MINUTE/SECOND —
     # valid only on TIMESTAMP keys, whose unit step is 1 µs (round-9:
@@ -403,6 +412,27 @@ def _to_day_to_second(b: str) -> str:
         f"INTERVAL '{d} {h:02d}:{mi:02d}:{s:02d}' DAY TO SECOND "
         f"{m.group(4).upper()}"
     )
+
+
+#: the numeric value-split's step and key space (round-10): half-frames
+#: run over the order key CAST to DECIMAL(38,18), where 10^-18 is the
+#: exact unit step — ≤ the true unit step of every admitted key type
+#: (integers: 1; DECIMAL(p,s≤18): 10^-s; integral doubles: 1), so
+#: `key < k ⇔ key ≤ k − ε` holds and nothing rounds (Spark casts RANGE
+#: bounds to the order-key type, which is why the bounds are cast to
+#: the same DECIMAL(38,18) — a bare 1E-18 literal against a
+#: DECIMAL(10,2) key would round to 0.00 and silently un-exclude).
+_DEC_STEP = "CAST(0.000000000000000001 AS DECIMAL(38,18))"
+
+
+def _to_dec38(b: str) -> str:
+    """Numeric frame bound → the same DECIMAL(38,18) space as the cast
+    order key (exact, no rounding; a bound too large for the type dies
+    loudly in Spark's own cast).  Non-numeric bounds pass through."""
+    m = re.match(r"^([\d.eE+]+)\s+(preceding|following)$", b)
+    if not m:
+        return b.upper()
+    return f"CAST({m.group(1)} AS DECIMAL(38,18)) {m.group(2).upper()}"
 
 
 def _bound_sign(b: str) -> int:
@@ -589,6 +619,14 @@ def _rewrite_groups_exclude(sql: str) -> str:
                     raise _Unsupported(
                         f"GROUPS frame offsets must be integers, got "
                         f"{b!r} (INTERVAL bounds are RANGE-frame syntax)"
+                    )
+                if b[0].isdigit() and "." in b:
+                    # the round-10 _BOUND grammar admits fractional
+                    # NUMERIC offsets for RANGE frames (DECIMAL keys);
+                    # GROUPS offsets stay non-negative integers
+                    # (SQL:2016 7.15) — refuse, never silently round
+                    raise _Unsupported(
+                        f"GROUPS frame offsets must be integers, got {b!r}"
                     )
             numeric = any(b[0].isdigit() for b in (frame["lo"], frame["hi"]))
             if numeric:
@@ -895,7 +933,28 @@ def _rewrite_groups_exclude(sql: str) -> str:
             has_upper = hi not in ("current row", "0 following")
             half_ord = order_text if vs_range else dr_order
             lo_emit, hi_emit = lo.upper(), hi.upper()
-            if vs_ts:
+            if vs_range and not vs_day and not vs_ts:
+                # numeric value split (round-10): run the half-frames
+                # in DECIMAL(38,18) key space — the cast preserves
+                # order and peers for every admitted key type, and the
+                # 10^-18 step is ≤ the unit step of integers AND of
+                # DECIMAL(p,s≤18) keys, which closes the DECIMAL-key
+                # residue (r9 verdict #5; DOUBLE keys stay gated to
+                # integral values by the runtime guard below — distinct
+                # doubles can sit closer than any fixed decimal step)
+                bare = _bare_order_key(spec["order"])
+                mod = re.search(
+                    r"(?is)\s+((asc|desc)(\s+nulls\s+(first|last))?"
+                    r"|nulls\s+(first|last))\s*$",
+                    order_text,
+                )
+                suffix = mod.group(0) if mod else ""
+                half_ord = f"CAST(({bare}) AS DECIMAL(38,18)){suffix}"
+                lo_emit = _to_dec38(lo)
+                hi_emit = _to_dec38(hi)
+                step_pre = f"{_DEC_STEP} PRECEDING"
+                step_fol = f"{_DEC_STEP} FOLLOWING"
+            elif vs_ts:
                 # Spark requires BOTH frame bounds to share one
                 # interval type, so the user's HOUR/MINUTE/SECOND/DAY
                 # offsets are normalized to DAY TO SECOND alongside
@@ -1046,23 +1105,49 @@ def _rewrite_groups_exclude(sql: str) -> str:
                         f"DataFrame API"
                     )
                 else:
-                    # integrality guard: fractional, huge-double
-                    # (k±1 == k, which also catches NaN under Spark's
-                    # NaN = NaN), or infinite keys make
-                    # `key < k ⇔ key ≤ k−1` false — the split would
-                    # silently mis-frame, so it errors loudly.
-                    guard = (
-                        f"max(CASE WHEN ({korder}) IS NOT NULL AND "
+                    # key-space guard for the DECIMAL(38,18) split
+                    # (round-10, replacing the pure integrality guard):
+                    # the split is exact for integer-family keys, for
+                    # DECIMAL keys of scale ≤ 18 (unit step 10^-s ≥ ε),
+                    # and for INTEGRAL-valued double/float keys (the
+                    # round-9 contract, preserved).  It errors loudly
+                    # for: fractional/degenerate doubles (distinct
+                    # doubles can differ by less than any fixed decimal
+                    # step; k±1 = k also catches NaN under Spark's
+                    # NaN = NaN), DECIMAL scale > 18 (unit step below
+                    # ε), non-numeric keys (numeric-looking strings
+                    # would reorder under the cast — native Spark
+                    # rejects the frame, so must we), and keys whose
+                    # DECIMAL(38,18) cast overflows (|k| ≥ 1e20 → NULL
+                    # cast would silently join the null peer group).
+                    tko = f"typeof({korder})"
+                    cst = f"CAST(({korder}) AS DECIMAL(38,18))"
+                    bad = (
+                        f"({tko} NOT IN ('tinyint','smallint','int',"
+                        f"'bigint','double','float') "
+                        f"AND {tko} NOT LIKE 'decimal%') "
+                        f"OR ({tko} IN ('double','float') AND "
                         f"(floor({korder}) <> ({korder}) "
                         f"OR ({korder}) - 1 = ({korder}) "
-                        f"OR ({korder}) + 1 = ({korder})) THEN 1 ELSE 0 END) "
+                        f"OR ({korder}) + 1 = ({korder}))) "
+                        f"OR TRY_CAST(regexp_extract({tko}, "
+                        + r"',(\\d+)\\)$'"
+                        + f", 1) AS INT) > 18 "
+                        f"OR {cst} IS NULL"
+                    )
+                    guard = (
+                        f"max(CASE WHEN ({korder}) IS NOT NULL AND "
+                        f"({bad}) THEN 1 ELSE 0 END) "
                         f"OVER ({wfull})"
                     )
                     guard_msg = (
                         f"EXCLUDE {exclude.upper()} over a value-offset "
-                        f"RANGE frame is exact only for integral order-key "
-                        f"values; found a fractional/degenerate key — use "
-                        f"a GROUPS frame or the DataFrame API"
+                        f"RANGE frame is exact for integer keys, DECIMAL "
+                        f"keys of scale <= 18, and integral double keys; "
+                        f"found a fractional/degenerate double, a DECIMAL "
+                        f"beyond scale 18, a non-numeric key, or a key "
+                        f"past 1e20 — use a GROUPS frame or the DataFrame "
+                        f"API"
                     )
                 if guard is not None:
                     repl = (

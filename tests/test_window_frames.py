@@ -635,16 +635,20 @@ def test_exclude_variance_large_ints_no_overflow(spark, small_t):
 
 
 def test_interval_frame_bounds_refuse_loudly():
-    """Variable-length INTERVAL / fractional RANGE offsets are outside
-    _FRAME_RE; with an EXCLUDE clause present they must raise
-    NotImplementedError (the module contract), never leak frame text
-    into the ORDER BY and emit corrupted SQL.  (DAY intervals moved to
-    the value-space split in round 8, HOUR/MINUTE/SECOND to the µs
-    split in round 9 — see the date and timestamp matrices below.)"""
+    """Variable-length INTERVAL RANGE offsets are outside _FRAME_RE;
+    with an EXCLUDE clause present they must raise NotImplementedError
+    (the module contract), never leak frame text into the ORDER BY and
+    emit corrupted SQL.  (DAY intervals moved to the value-space split
+    in round 8, HOUR/MINUTE/SECOND to the µs split in round 9, and
+    FRACTIONAL numeric offsets into the grammar in round 10 — the
+    subtraction family needs no step at all and the split family runs
+    in DECIMAL(38,18) key space; see the decimal matrix below.
+    Fractional GROUPS offsets stay refused: invalid SQL, never
+    silently rounded.)"""
     cases = [
         "SELECT min(a) OVER (ORDER BY ts RANGE BETWEEN INTERVAL '1' MONTH "
         "PRECEDING AND CURRENT ROW EXCLUDE GROUP) FROM t",
-        "SELECT sum(a) OVER (ORDER BY a RANGE BETWEEN 1.5 PRECEDING AND "
+        "SELECT sum(a) OVER (ORDER BY a GROUPS BETWEEN 1.5 PRECEDING AND "
         "CURRENT ROW EXCLUDE TIES) FROM t",
     ]
     for q in cases:
@@ -1400,3 +1404,95 @@ def test_subday_range_exclude_across_dst_transition(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ---------------------------------------------------------------------------
+# DECIMAL-key value-offset RANGE EXCLUDE split (round-10, r9 verdict #5)
+# ---------------------------------------------------------------------------
+
+_DECROWS = [  # (a decimal(10,2), g): fractional values, ties, NULL keys
+    ("1.00", 1), ("1.05", 1), ("1.05", 1), ("1.10", 1), ("1.30", 1),
+    (None, 1), ("0.99", 2), ("1.00", 2), ("1.00", 2), (None, 2), (None, 2),
+]
+
+_DECF = (
+    "PARTITION BY g ORDER BY a RANGE BETWEEN 0.10 PRECEDING "
+    "AND 0.10 FOLLOWING"
+)
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        f"SELECT a, g, min(a) OVER ({_DECF} EXCLUDE GROUP) AS v FROM wf_dec",
+        f"SELECT a, g, max(a) OVER ({_DECF} EXCLUDE TIES) AS v FROM wf_dec",
+        f"SELECT a, g, first_value(a) OVER ({_DECF} EXCLUDE GROUP) AS v "
+        "FROM wf_dec",
+        f"SELECT a, g, last_value(a) OVER ({_DECF} EXCLUDE TIES) AS v "
+        "FROM wf_dec",
+        "SELECT a, g, min(a) OVER (PARTITION BY g ORDER BY a DESC RANGE "
+        "BETWEEN 0.05 PRECEDING AND 0.10 FOLLOWING EXCLUDE GROUP) AS v "
+        "FROM wf_dec",
+        "SELECT a, g, max(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "0.10 PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS v "
+        "FROM wf_dec",
+        # subtraction family with fractional offsets (round-10 grammar:
+        # needs no step at all — base and peer frames are native)
+        f"SELECT a, g, count(a) OVER ({_DECF} EXCLUDE GROUP) AS v "
+        "FROM wf_dec",
+    ],
+)
+def test_decimal_value_range_exclude_matches_duckdb_native(spark, small_t, q):
+    """DECIMAL(10,2)-key value-offset RANGE EXCLUDE GROUP/TIES equals
+    DuckDB's NATIVE EXCLUDE — the round-10 closure of the r9-verdict
+    DECIMAL residue: the half-frames run in DECIMAL(38,18) key space
+    where the 1e-18 step is at most the key's 0.01 unit step (a bare
+    sub-scale step would be cast to the key's type and round to zero —
+    measured; the emitted bounds carry the same DECIMAL(38,18) cast).
+    Fractional values, tied peer groups, NULL keys and a DESC key all
+    present."""
+    from decimal import Decimal
+
+    rows = [
+        (None if a is None else Decimal(a), g) for a, g in _DECROWS
+    ]
+    spark.createDataFrame(
+        rows, "a decimal(10,2), g int"
+    ).createOrReplaceTempView("wf_dec")
+    con = small_t
+    con.execute("create table if not exists wf_dec(a decimal(10,2), g int)")
+    con.execute("delete from wf_dec")
+    con.executemany("insert into wf_dec values (?,?)", rows)
+    got = _norm(spark.sql(rewrite_window_frames(q)).collect())
+    want = _norm(con.execute(q).fetchall())
+    assert got == want
+
+
+def test_decimal_value_range_exclude_guards(spark):
+    """The round-10 key-space guard's refusal arms: DECIMAL scale > 18
+    (unit step below the split's 1e-18) and a non-numeric key (the
+    cast would reorder numeric-looking strings; native Spark rejects
+    the frame) both raise loudly at runtime; fractional doubles keep
+    the round-7 refusal."""
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(Decimal("1.0000000000000000000005"), 1),
+         (Decimal("2.0000000000000000000000"), 1)],
+        "a decimal(38,22), g int",
+    ).createOrReplaceTempView("wf_dec22")
+    q = (
+        "SELECT min(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS v FROM wf_dec22"
+    )
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|scale"):
+        spark.sql(rewrite_window_frames(q)).collect()
+    spark.createDataFrame(
+        [("1.5", 1), ("2.0", 1)], "a string, g int"
+    ).createOrReplaceTempView("wf_strk")
+    qs = (
+        "SELECT min(a) OVER (PARTITION BY g ORDER BY a RANGE BETWEEN "
+        "1 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS v FROM wf_strk"
+    )
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|numeric"):
+        spark.sql(rewrite_window_frames(qs)).collect()
