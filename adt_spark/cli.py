@@ -4,15 +4,20 @@
 - ``view <uri> [-f fmt] [-q sql] [-l limit] [-p cols]``
   (main.rs:46-75): register the location as table ``tbl``, run the
   query with an appended LIMIT, pretty-print.  Defaults mirror the
-  reference: query ``select * from tbl`` (cli.rs:61), limit 50
-  (cli.rs:63); default format is parquet here (the reference defaults
-  to delta, cli.rs:59 — parquet is the format this container can
-  actually read, and ``-f delta`` behaves identically on a cluster
-  with delta-spark).
-- ``schema <uri> [-f fmt] [-p cols]`` (main.rs:76-102): register,
-  then DESCRIBE (reference uses SHOW COLUMNS via information_schema).
+  reference exactly: query ``select * from tbl`` (cli.rs:61), limit
+  50 (cli.rs:63), format DELTA (cli.rs:59 — round 10: the earlier
+  parquet deviation's rationale went stale once the jar-free native
+  Delta reader landed; ``sources/delta_native.py`` reads delta in
+  this container with no delta-spark present).
+- ``schema <uri> [-f fmt] [-p cols]`` (main.rs:76-102; format
+  default delta, cli.rs:75): register, then DESCRIBE (reference uses
+  SHOW COLUMNS via information_schema).
 - ``execute <file.sql>`` (main.rs:103-137): run a SQL script with the
   reference's comment/terminator semantics (adt_spark.script).
+- top-level ``-l/--log-level {off,info,debug}`` (cli.rs:47-52):
+  off (default) quiets the JVM logger to ERROR (the reference's Off
+  disables its env_logger; engine errors still surface), info/debug
+  map to Spark's INFO/DEBUG.
 
 Usage: ``python -m adt_spark.cli view /path/data.parquet -f parquet``
 """
@@ -25,11 +30,16 @@ import sys
 
 def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="adt-spark", description=__doc__)
+    # reference: top-level -l/--log-level, default Off (cli.rs:47-52);
+    # the subcommand -l (limit) lives in its own scope, like clap's
+    parser.add_argument(
+        "-l", "--log-level", choices=["off", "info", "debug"], default="off"
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     view = sub.add_parser("view", help="preview a table (reference: adt view)")
     view.add_argument("uri")
-    view.add_argument("-f", "--format", default="parquet")
+    view.add_argument("-f", "--format", default="delta")
     view.add_argument("-q", "--query", default="select * from tbl")
     view.add_argument("-l", "--limit", type=int, default=50)
     view.add_argument("-p", "--partition-cols", default=None,
@@ -43,7 +53,7 @@ def _build_parser() -> argparse.ArgumentParser:
 
     schema = sub.add_parser("schema", help="show a table's schema")
     schema.add_argument("uri")
-    schema.add_argument("-f", "--format", default="parquet")
+    schema.add_argument("-f", "--format", default="delta")
     schema.add_argument("-p", "--partition-cols", default=None)
 
     execute = sub.add_parser("execute", help="run a .sql script")
@@ -84,6 +94,13 @@ def main(argv: list[str] | None = None, ctx=None) -> int:
         from adt_spark import ADTContext
 
         ctx = ADTContext(app_name=f"adt-spark-{args.command}")
+    if owns_ctx or args.log_level != "off":
+        # skip the default-off set on a borrowed session (tests share
+        # one session; don't mutate its logger behind its back)
+        level = {"off": "ERROR", "info": "INFO", "debug": "DEBUG"}[
+            args.log_level
+        ]
+        ctx.spark.sparkContext.setLogLevel(level)
     try:
         if args.command == "view":
             _register(ctx, args)

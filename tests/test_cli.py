@@ -50,7 +50,10 @@ def test_view_custom_query(spark, sf_dir, capsys):
 
 
 def test_schema_describe(spark, sf_dir, capsys):
-    rc = main(["schema", os.path.join(sf_dir, "region.parquet")], ctx=_Ctx(spark))
+    rc = main(
+        ["schema", os.path.join(sf_dir, "region.parquet"), "-f", "parquet"],
+        ctx=_Ctx(spark),
+    )
     assert rc == 0
     out = capsys.readouterr().out
     assert "r_regionkey" in out and "r_name" in out
@@ -162,3 +165,37 @@ def test_cli_queries_lists_registry(capsys):
     out = capsys.readouterr().out
     assert "q_events_value_concentration" in out
     assert "q01_pricing_summary" not in out
+
+
+def test_cli_defaults_delta_and_log_level(spark, tmp_path, capsys):
+    """Round-10 parity nits (r9 verdict #7): the view/schema default
+    format is DELTA like the reference's (cli.rs:59,75 — the old
+    parquet deviation's rationale went stale once the jar-free native
+    Delta reader landed), and the reference's top-level -l/--log-level
+    flag (cli.rs:47-52) exists with its Off default (the subcommand -l
+    stays the view limit, like clap's scoping)."""
+    from adt_spark.sources.delta_native_write import write_delta_native
+
+    path = str(tmp_path / "dtbl")
+    write_delta_native(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), path
+    )
+    # no -f: delta by default, through the native jar-free reader
+    rc = main(["view", path, "-l", "5"], ctx=_Ctx(spark))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "id" in out and "a" in out and "b" in out
+    rc = main(["schema", path], ctx=_Ctx(spark))
+    assert rc == 0
+    assert "id" in capsys.readouterr().out
+    # top-level log-level parses in front of the subcommand; the
+    # borrowed-session guard means only a non-off level touches the
+    # shared logger — set it back around the call
+    rc = main(
+        ["--log-level", "info", "view", path, "-l", "2"], ctx=_Ctx(spark)
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    assert rc == 0
+    from adt_spark.cli import _build_parser
+
+    assert _build_parser().parse_args(["view", "x"]).log_level == "off"
