@@ -89,7 +89,8 @@ _RANK_CALL_RE = re.compile(
 #: two-phase running-agg construction covers); the lookbehind keeps
 #: `checksum(`-style identifiers from matching `sum(`
 _AGG_CALL_RE = re.compile(
-    r"(?<![\w.$])(?P<afn>sum|count|min|max|avg)\s*\(",
+    r"(?<![\w.$])(?P<afn>sum|count|min|max|avg"
+    r"|var_pop|var_samp|variance|stddev|stddev_pop|stddev_samp)\s*\(",
     re.IGNORECASE,
 )
 
@@ -549,12 +550,17 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         names[c["start"]] = f"_adt_gw{i}"
     try:
         ranked = spark.sql(inner)
+        # ONE inner count, shared by every chained construction (all
+        # attachments are row-preserving) — each would otherwise pay
+        # its own key-pruned count pass to size the bounds sample
+        n_rows = ranked.count()
         rank_calls = [c for c in calls if c["family"] == "rank"]
         if rank_calls:
             ranked = attach_global_ranks(
                 ranked,
                 _key_cols(rank_calls[0]["keys"]),
                 [(c["fn"], names[c["start"]]) for c in rank_calls],
+                n_rows=n_rows,
             )
         # each DISTINCT order within a family gets its own construction,
         # chained: every attachment partitions independently and earlier
@@ -591,7 +597,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                          names[c["start"]])
                         for c in group
                     ]
-                ranked = attach(ranked, keys, specs)
+                ranked = attach(ranked, keys, specs, n_rows=n_rows)
     except Exception:
         # a shape the textual scope check admitted but Spark cannot
         # evaluate in this position (ambiguous columns from a join FROM

@@ -1319,7 +1319,8 @@ def _tuple_key_cmp(specs: list[tuple[str, bool]]):
 
 
 def _sample_split_bounds(
-    df: DataFrame, order_cols: list, n_parts: int
+    df: DataFrame, order_cols: list, n_parts: int,
+    n_rows: int | None = None,
 ) -> list[tuple]:
     """SAMPLE ONCE → literal split bounds: one seeded sample of the
     order keys, driver-sorted under the exact engine ordering, evenly
@@ -1331,14 +1332,16 @@ def _sample_split_bounds(
     localCheckpoint boundary pin, which wrote the whole corpus to
     executor disk per query).
 
-    Cost: one key-pruned count + one key-pruned sampled collect of
-    ≤ ~1.3 × n_parts × _BOUND_SAMPLE_PER_PART rows."""
+    Cost: one key-pruned count (skipped when the caller already knows
+    ``n_rows`` — the SQL rewrite counts its inner statement once and
+    shares it across chained constructions) + one key-pruned sampled
+    collect of ≤ ~1.3 × n_parts × _BOUND_SAMPLE_PER_PART rows."""
     from functools import cmp_to_key
 
     keys_df = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
     )
-    n = keys_df.count()
+    n = keys_df.count() if n_rows is None else int(n_rows)
     if n == 0:
         return []
     target = max(n_parts * _BOUND_SAMPLE_PER_PART, 256)
@@ -1388,7 +1391,8 @@ def _lex_after_cond(key_cols: list, bound_cols: list, specs: list):
 
 
 def _assign_range_pids(
-    df: DataFrame, order_cols: list, n_parts: int | None = None
+    df: DataFrame, order_cols: list, n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The DETERMINISTIC RANGE PARTITIONER under the whole two-phase
     global-window family: append ``_adt_pid`` such that (a) pid order
@@ -1417,7 +1421,7 @@ def _assign_range_pids(
 
     spark = df.sparkSession
     n_parts = _resolve_rank_parts(spark, n_parts)
-    splits = _sample_split_bounds(df, order_cols, n_parts)
+    splits = _sample_split_bounds(df, order_cols, n_parts, n_rows)
     m = len(order_cols)
     key_fields = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
@@ -1481,6 +1485,7 @@ def attach_global_ranks(
     order_cols: list,
     ranks: list[tuple[str, str]],
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The GENERALIZED two-phase global-rank construction (round-9:
     the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
@@ -1532,7 +1537,7 @@ def attach_global_ranks(
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
     bare_cols = [c for c, _d in order_cols]
-    ranged = _assign_range_pids(df, order_cols, n_parts)
+    ranged = _assign_range_pids(df, order_cols, n_parts, n_rows)
     need_dense = any(fn == "dense_rank" for fn, _ in ranks)
     key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
     per_key = (
@@ -1641,6 +1646,7 @@ def attach_global_running_aggs(
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
     (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
@@ -1649,7 +1655,7 @@ def attach_global_running_aggs(
     ``attach_global_ranks``; the SQL surface routes here too).
 
     ``aggs``: list of (fn, expr_col_or_None, out_name) — ``None``
-    means ``count(*)``.  Construction: range-repartition on the order
+    means ``count(*)``.  Construction: range-partition on the order
     keys, aggregate each partition's TOTALS (one bounded ≤n_parts-row
     collect), prefix-combine them per function (sum/count add, min/
     max fold, avg decomposes into sum+count), then combine each
@@ -1657,6 +1663,19 @@ def attach_global_running_aggs(
     frame (peers share a partition under the range partitioner, so
     the peer-inclusive default-frame semantics survive the split
     exactly — including single-key ORDER BYs with ties).
+
+    Round-10 moment family: ``var_pop / var_samp / variance /
+    stddev / stddev_pop / stddev_samp`` decompose into (sum, sum of
+    squares, count) prefix-combined moments and the closed form
+    ``(S2 − S1²/n) / (n | n−1)`` clamped at 0 (both engines' natives
+    cannot go negative), sqrt for the stddev forms.  Integer
+    arguments square in BIGINT, so S1/S2/n are EXACT and the one
+    float expression is bit-identical to any engine evaluating the
+    same closed form (the q_sql oracle spells it verbatim); float
+    arguments carry the module's re-association caveat AND the
+    moment-vs-Welford algorithm difference vs native Spark — same
+    contract as the EXCLUDE variance rewrite
+    (dialect/window_frames.py).
 
     NULL discipline matches the engines': a running sum/min/max is
     NULL until the first non-null argument, so the combine is
@@ -1685,12 +1704,34 @@ def attach_global_running_aggs(
     from pyspark.sql import types as T
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
-    ranged = _assign_range_pids(df, order_cols, n_parts)
-    # per-partition totals for every needed primitive (avg = sum+cnt)
+    ranged = _assign_range_pids(df, order_cols, n_parts, n_rows)
+
+    _VARIANCE_FNS = {
+        "var_pop", "var_samp", "variance",
+        "stddev", "stddev_pop", "stddev_samp",
+    }
+
+    def _moment_base(col):
+        """The squared-moment working type: BIGINT for integral
+        arguments (exact S1/S2 — the cross-engine-exact case), DOUBLE
+        otherwise (documented caveat)."""
+        t = df.select(col.alias("_adt_x")).schema["_adt_x"].dataType
+        name = t.simpleString()
+        return col.cast(
+            "bigint"
+            if name in ("tinyint", "smallint", "int", "bigint", "boolean")
+            else "double"
+        )
+
+    # per-partition totals for every needed primitive (avg = sum+cnt,
+    # variance family = sum + sum-of-squares + count)
     prims: list[tuple] = []  # (fn, col)
     for fn, col, _name in aggs:
         if fn == "avg":
             prims += [("sum", col), ("count", col)]
+        elif fn in _VARIANCE_FNS:
+            base = _moment_base(col)
+            prims += [("sum", base), ("sum", base * base), ("count", col)]
         else:
             prims.append((fn, col))
     agg_exprs = []
@@ -1765,6 +1806,33 @@ def attach_global_running_aggs(
             combined = F.when(den > 0, (num / den).cast(avg_t)).otherwise(
                 F.lit(None).cast(avg_t)
             )
+        elif fn in _VARIANCE_FNS:
+            base = _moment_base(col)
+            offs3 = [F.col(f"_adt_o{pi + k}") for k in range(3)]
+            zeros = [
+                F.lit(0).cast(tot_types[f"_adt_t{pi + k}"]) for k in range(2)
+            ]
+            pi += 3
+            locs = [F.sum(base).over(w), F.sum(base * base).over(w)]
+            s1, s2 = [
+                F.when(loc.isNull(), off).otherwise(
+                    F.coalesce(off, z) + loc
+                )
+                for loc, off, z in zip(locs, offs3, zeros)
+            ]
+            n = F.coalesce(offs3[2], F.lit(0)) + F.count(col).over(w)
+            # the ONE float expression — spelled identically in the
+            # DuckDB oracle, so integer-argument results hash-match
+            nd = n.cast("double")
+            s1d, s2d = s1.cast("double"), s2.cast("double")
+            m = s2d - (s1d * s1d) / nd
+            if fn in ("var_pop", "stddev_pop"):
+                v = F.when(n >= 1, F.greatest(F.lit(0.0), m / nd))
+            else:
+                v = F.when(
+                    n >= 2, F.greatest(F.lit(0.0), m / (nd - F.lit(1.0)))
+                )
+            combined = F.sqrt(v) if fn.startswith("stddev") else v
         else:
             off = F.col(f"_adt_o{pi}")
             zero = F.lit(0).cast(tot_types[f"_adt_t{pi}"])
@@ -1799,6 +1867,7 @@ def attach_global_offsets(
     order_cols: list,
     offsets: list[tuple],
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL OFFSET functions — ``lag/lead(expr[, j]) OVER
     (ORDER BY …)`` without the single-partition WindowExec cliff (the
@@ -1839,7 +1908,7 @@ def attach_global_offsets(
     for i, (_fn, col, _j, _name) in enumerate(offsets):
         with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
         expr_names.append(f"_adt_e{i}")
-    ranged = _assign_range_pids(with_exprs, order_cols, n_parts)
+    ranged = _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
     e_types = {n: ranged.schema[n].dataType for n in expr_names}
     _INVERT = {
         "asc": "desc", "desc": "asc",
@@ -1937,6 +2006,7 @@ def attach_global_first_last(
     order_cols: list,
     calls: list[tuple],
     n_parts: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL FRAME-VALUE functions — ``first_value /
     last_value / nth_value(expr[, n]) OVER (ORDER BY …)`` with the
@@ -1983,7 +2053,7 @@ def attach_global_first_last(
     for i, (_fn, col, _n, _name) in enumerate(calls):
         with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
         expr_names.append(f"_adt_e{i}")
-    ranged = _assign_range_pids(with_exprs, order_cols, n_parts)
+    ranged = _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
     e_types = {n: ranged.schema[n].dataType for n in expr_names}
     w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
     wr = w.rangeBetween(W.unboundedPreceding, W.currentRow)
@@ -2588,4 +2658,73 @@ def q_sql_rank_over_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maybe_rewrite_global_rank(spark, _SQL_GROUPBY_RANK_STMT)
     if out is None:
         raise RuntimeError("group-mode rewrite did not match its own query")
+    return out
+
+
+_SQL_VARIANCE_STMT = """
+    SELECT doc_id,
+           stddev_samp(n_chars) OVER (ORDER BY n_chars, doc_id) AS run_std,
+           var_pop(n_chars) OVER (ORDER BY n_chars, doc_id) AS run_varp
+    FROM documents
+    WHERE lang <> 'fr'
+"""
+
+#: the oracle spells the EXACT closed form the rewrite computes —
+#: integer moments (BIGINT sums of x and x², a count) and ONE float
+#: expression per function — so binary64 results hash-match
+#: bit-for-bit (sqrt is correctly rounded; greatest/clamp identical).
+_SQL_VARIANCE_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN n >= 2 THEN
+             sqrt(greatest(0.0, (s2 - (s1 * s1) / n) / (n - 1.0)))
+           END AS run_std,
+           CASE WHEN n >= 1 THEN
+             greatest(0.0, (s2 - (s1 * s1) / n) / n)
+           END AS run_varp
+    FROM (
+      SELECT doc_id,
+             CAST(sum(CAST(n_chars AS BIGINT))
+                  OVER (ORDER BY n_chars, doc_id) AS DOUBLE) AS s1,
+             CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                  OVER (ORDER BY n_chars, doc_id) AS DOUBLE) AS s2,
+             CAST(count(n_chars)
+                  OVER (ORDER BY n_chars, doc_id) AS DOUBLE) AS n
+      FROM documents
+      WHERE lang <> 'fr'
+    )
+"""
+
+
+@register(
+    "q_sql_running_variance",
+    oracle=_SQL_VARIANCE_ORACLE,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_running_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING VARIANCE/STDDEV on the SQL surface (round-10, the last
+    member of the r9-verdict missing list: DataFusion runs
+    unpartitioned stddev/variance windows parallel,
+    datafusion-functions-window / Cargo.lock:1818; native Spark puts
+    them on ONE task).  The rewrite decomposes into prefix-combined
+    integer MOMENTS — S1 = Σx, S2 = Σx² (BIGINT, exact), n — plus one
+    closed-form float expression per function, ``(S2 − S1²/n) /
+    (n | n−1)`` clamped at 0, sqrt for stddev.
+
+    Cross-engine exactness, deliberately NOT via native stddev on the
+    oracle side: engines disagree in low bits because their natives
+    use different algorithms (Welford / incremental vs moments), so
+    the ORACLE spells the same closed form over the same exact
+    integer moments — both engines then evaluate an identical binary64
+    expression tree and the hash compare is exact (the corpus
+    convention's derived-double rule; sqrt is correctly rounded by
+    IEEE 754, and the EXCLUDE variance family set the moment-algebra
+    precedent, dialect/window_frames.py).  Float ARGUMENTS would
+    reintroduce both caveats and are documented as approximate.
+    """
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_VARIANCE_STMT)
+    if out is None:
+        raise RuntimeError("variance rewrite did not match its own query")
     return out

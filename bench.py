@@ -61,6 +61,7 @@ HEADLINE = [
     "q_sql_global_offsets",
     "q_sql_global_firstlast",
     "q_sql_rank_over_groupby",
+    "q_sql_running_variance",
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",

@@ -585,3 +585,46 @@ def test_global_first_last_nth_match_native(spark, seed):
         "SELECT first_value(v, true) OVER (ORDER BY k, id) f FROM fln_t",
     ):
         assert maybe_rewrite_global_rank(spark, qn) is None, qn
+
+
+def test_global_running_variance_matches_native_approx(spark):
+    """The round-10 moment-family rewrite vs native Spark windows:
+    native stddev/variance use a different algorithm (incremental),
+    so equality is to 1e-9 relative tolerance — the EXACT contract is
+    against the closed-form oracle (q_sql_running_variance, hash-
+    exact for integer arguments).  NULL patterns (n=0 → NULL, n=1 →
+    var_samp NULL / var_pop 0.0) must match exactly."""
+    import math
+    import random
+
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    rng = random.Random(19)
+    rows = [
+        (i, rng.randint(0, 5), rng.choice([None, rng.randint(-40, 80)]))
+        for i in range(90)
+    ]
+    spark.createDataFrame(rows, "id int, k int, v int").createOrReplaceTempView(
+        "grv_t"
+    )
+    q = (
+        "SELECT id, stddev_samp(v) OVER (ORDER BY k, id) ss, "
+        "var_pop(v) OVER (ORDER BY k, id) vp, "
+        "variance(v) OVER (ORDER BY k, id) vr, "
+        "stddev_pop(v) OVER (ORDER BY k, id) sp "
+        "FROM grv_t"
+    )
+    df = maybe_rewrite_global_rank(spark, q)
+    assert df is not None
+    got = {r.id: r for r in df.collect()}
+    want = {r.id: r for r in spark.sql(q).collect()}
+    assert set(got) == set(want)
+    for i in got:
+        for f in ("ss", "vp", "vr", "sp"):
+            g, w = getattr(got[i], f), getattr(want[i], f)
+            if w is None or g is None:
+                assert g == w, (i, f, g, w)
+            else:
+                assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9), (
+                    i, f, g, w
+                )

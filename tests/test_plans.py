@@ -1458,3 +1458,13 @@ def test_sql_rank_over_groupby_no_single_partition(spark, sf_dir):
     # (the window input is its output — the construction guarantees
     # the dependency; here we pin that grouping stayed parallel)
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_sql_running_variance_no_single_partition(spark, sf_dir):
+    """q_sql_running_variance (round-10): the moment-family rewrite —
+    partitioned Windows only, no SinglePartition exchange, corpus
+    reaches the window from the parquet scan."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_running_variance"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" in plan
