@@ -148,6 +148,11 @@ _AS_ALIAS_RE = re.compile(r"\s+as\s+(?P<alias>[A-Za-z_]\w*)\s*$", re.IGNORECASE)
 
 _view_counter = itertools.count()
 
+#: the one live GROUP-mode cached inner (see maybe_rewrite_global_rank:
+#: released when the next rewrite caches its own; a previous query's
+#: result DataFrame consumed after that recomputes — correct, uncached)
+_cached_inner = None
+
 
 def _split_top_comma_spans(s: str) -> list[tuple[int, int]]:
     """(start, end) spans of depth-0 comma-separated parts."""
@@ -550,6 +555,25 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         names[c["start"]] = f"_adt_gw{i}"
     try:
         ranked = spark.sql(inner)
+        if group_mode:
+            # GROUP mode: the inner block is a corpus-wide AGGREGATE
+            # whose output is group-grain; the constructions hit it
+            # with several actions (count, bounds sample, offset
+            # collects, the final output), and recomputing the
+            # aggregation per action costs one corpus scan each.
+            # Cache the aggregate OUTPUT (never the raw corpus —
+            # row-mode inners stay uncached): MEMORY_AND_DISK spills,
+            # and even a corpus-grain GROUP BY's output is no larger
+            # than one of the scans it saves.  At most ONE cached
+            # inner is alive — the previous query's is released here.
+            global _cached_inner
+            if _cached_inner is not None:
+                try:
+                    _cached_inner.unpersist()
+                except Exception:
+                    pass
+            ranked = ranked.persist()
+            _cached_inner = ranked
         # ONE inner count, shared by every chained construction (all
         # attachments are row-preserving) — each would otherwise pay
         # its own key-pruned count pass to size the bounds sample
