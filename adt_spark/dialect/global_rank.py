@@ -544,6 +544,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
 
     # --- execute the two-phase constructions --------------------------
     from adt_spark.operators.sampling import (
+        _assign_range_pids,
         attach_global_first_last,
         attach_global_offsets,
         attach_global_ranks,
@@ -578,28 +579,36 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         # attachments are row-preserving) — each would otherwise pay
         # its own key-pruned count pass to size the bounds sample
         n_rows = ranked.count()
-        rank_calls = [c for c in calls if c["family"] == "rank"]
-        if rank_calls:
-            ranked = attach_global_ranks(
-                ranked,
-                _key_cols(rank_calls[0]["keys"]),
-                [(c["fn"], names[c["start"]]) for c in rank_calls],
-                n_rows=n_rows,
+        # ONE deterministic pid assignment per DISTINCT order, shared
+        # by every family's construction over that order (round-10:
+        # the assignment costs a key-pruned sampling scan — one per
+        # order, not one per family); families chain on the
+        # pid-carrying frame and earlier columns ride through
+        by_order: dict[tuple, list] = {}
+        for c in calls:
+            by_order.setdefault(_order_ident(c["keys"]), []).append(c)
+        for order in sorted(by_order):
+            group_all = by_order[order]
+            keys = _key_cols(group_all[0]["keys"])
+            ranked = _assign_range_pids(
+                ranked.drop("_adt_pid"), keys, n_rows=n_rows
             )
-        # each DISTINCT order within a family gets its own construction,
-        # chained: every attachment partitions independently and earlier
-        # columns ride through
-        for fam, attach in (
-            ("agg", attach_global_running_aggs),
-            ("off", attach_global_offsets),
-            ("fln", attach_global_first_last),
-        ):
-            fam_calls = [c for c in calls if c["family"] == fam]
-            for order in sorted({_order_ident(c["keys"]) for c in fam_calls}):
-                group = [
-                    c for c in fam_calls if _order_ident(c["keys"]) == order
-                ]
-                keys = _key_cols(group[0]["keys"])
+            rank_group = [c for c in group_all if c["family"] == "rank"]
+            if rank_group:
+                ranked = attach_global_ranks(
+                    ranked,
+                    keys,
+                    [(c["fn"], names[c["start"]]) for c in rank_group],
+                    n_rows=n_rows,
+                )
+            for fam, attach in (
+                ("agg", attach_global_running_aggs),
+                ("off", attach_global_offsets),
+                ("fln", attach_global_first_last),
+            ):
+                group = [c for c in group_all if c["family"] == fam]
+                if not group:
+                    continue
                 if fam == "agg":
                     specs = [
                         (
@@ -622,6 +631,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                         for c in group
                     ]
                 ranked = attach(ranked, keys, specs, n_rows=n_rows)
+        ranked = ranked.drop("_adt_pid")
     except Exception:
         # a shape the textual scope check admitted but Spark cannot
         # evaluate in this position (ambiguous columns from a join FROM

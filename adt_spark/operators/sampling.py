@@ -1416,7 +1416,13 @@ def _assign_range_pids(
     (see _resolve_rank_parts for the scale ceiling and escape).
 
     The local window downstream (partitionBy ``_adt_pid``) is the ONE
-    data shuffle any construction in this family pays."""
+    data shuffle any construction in this family pays.
+
+    Reuse contract: every attach_* helper SKIPS assignment when the
+    input already carries ``_adt_pid`` (and then leaves the column in
+    place) — sound only when that pid was assigned over the SAME
+    order keys, which is what the SQL rewrite guarantees when it
+    shares one assignment across families per distinct order."""
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -1537,7 +1543,12 @@ def attach_global_ranks(
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
     bare_cols = [c for c, _d in order_cols]
-    ranged = _assign_range_pids(df, order_cols, n_parts, n_rows)
+    made_pid = "_adt_pid" not in df.columns
+    ranged = (
+        _assign_range_pids(df, order_cols, n_parts, n_rows)
+        if made_pid
+        else df
+    )
     need_dense = any(fn == "dense_rank" for fn, _ in ranks)
     key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
     per_key = (
@@ -1638,7 +1649,7 @@ def attach_global_ranks(
         else:
             raise ValueError(f"unsupported global ranking function {fn!r}")
         out = out.withColumn(name, col)
-    return out.drop("_adt_pid", "_adt_roff", "_adt_doff")
+    return out.drop("_adt_roff", "_adt_doff", *(["_adt_pid"] if made_pid else []))
 
 
 def attach_global_running_aggs(
@@ -1704,7 +1715,12 @@ def attach_global_running_aggs(
     from pyspark.sql import types as T
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
-    ranged = _assign_range_pids(df, order_cols, n_parts, n_rows)
+    made_pid = "_adt_pid" not in df.columns
+    ranged = (
+        _assign_range_pids(df, order_cols, n_parts, n_rows)
+        if made_pid
+        else df
+    )
 
     _VARIANCE_FNS = {
         "var_pop", "var_samp", "variance",
@@ -1858,7 +1874,8 @@ def attach_global_running_aggs(
                 )
         out = out.withColumn(name, combined)
     return out.drop(
-        "_adt_pid", *[f"_adt_o{i}" for i in range(len(prims))]
+        *[f"_adt_o{i}" for i in range(len(prims))],
+        *(["_adt_pid"] if made_pid else []),
     )
 
 
@@ -1908,7 +1925,12 @@ def attach_global_offsets(
     for i, (_fn, col, _j, _name) in enumerate(offsets):
         with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
         expr_names.append(f"_adt_e{i}")
-    ranged = _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+    made_pid = "_adt_pid" not in df.columns
+    ranged = (
+        _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+        if made_pid
+        else with_exprs
+    )
     e_types = {n: ranged.schema[n].dataType for n in expr_names}
     _INVERT = {
         "asc": "desc", "desc": "asc",
@@ -1997,7 +2019,8 @@ def attach_global_offsets(
             ).otherwise(local)
         out = out.withColumn(name, patched)
     return out.drop(
-        "_adt_pid", "_adt_rn", "_adt_rnd", *expr_names, *arr_names
+        "_adt_rn", "_adt_rnd", *expr_names, *arr_names,
+        *(["_adt_pid"] if made_pid else []),
     )
 
 
@@ -2053,7 +2076,12 @@ def attach_global_first_last(
     for i, (_fn, col, _n, _name) in enumerate(calls):
         with_exprs = with_exprs.withColumn(f"_adt_e{i}", col)
         expr_names.append(f"_adt_e{i}")
-    ranged = _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+    made_pid = "_adt_pid" not in df.columns
+    ranged = (
+        _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+        if made_pid
+        else with_exprs
+    )
     e_types = {n: ranged.schema[n].dataType for n in expr_names}
     w = W.partitionBy("_adt_pid").orderBy(*sort_cols)
     wr = w.rangeBetween(W.unboundedPreceding, W.currentRow)
@@ -2061,7 +2089,7 @@ def attach_global_first_last(
     need_nth = any(fn == "nth_value" for fn, _c, _n, _nm in calls)
 
     work = ranged
-    helper_cols = ["_adt_pid"]
+    helper_cols = [] if not made_pid else ["_adt_pid"]
     if need_first or need_nth:
         work = work.withColumn("_adt_rn", F.row_number().over(w))
         helper_cols.append("_adt_rn")
