@@ -556,6 +556,13 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         names[c["start"]] = f"_adt_gw{i}"
     try:
         ranked = spark.sql(inner)
+        injected = set(key_alias.values()) | set(arg_alias.values())
+        if any(
+            c.startswith("_adt_") and c not in injected
+            for c in ranked.columns
+        ):
+            return None  # reserved-prefix collision with the injected
+            # helper columns (_adt_pid/_adt_wk*/…) — native path
         if group_mode:
             # GROUP mode: the inner block is a corpus-wide AGGREGATE
             # whose output is group-grain; the constructions hit it

@@ -628,3 +628,20 @@ def test_global_running_variance_matches_native_approx(spark):
                 assert math.isclose(g, w, rel_tol=1e-9, abs_tol=1e-9), (
                     i, f, g, w
                 )
+
+
+def test_global_rewrite_reserved_prefix_falls_back(spark):
+    """An inner relation that already carries an `_adt_`-prefixed
+    column would collide with the rewrite's injected helper columns
+    (_adt_pid / _adt_wk* / _adt_gw*) — such statements must pass
+    through to the native path, never silently mix user data with
+    helper state."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id int, _adt_pid int"
+    ).createOrReplaceTempView("resv_t")
+    q = "SELECT id, row_number() OVER (ORDER BY id) rn FROM resv_t"
+    assert maybe_rewrite_global_rank(spark, q) is None
+    got = sorted(map(tuple, spark.sql(q).collect()))
+    assert got == [(1, 1), (2, 2)]
