@@ -1256,11 +1256,11 @@ def _resolve_rank_parts(spark: SparkSession, n_parts: int | None) -> int:
 
     Scale note: pid assignment tests each row against the interval
     table with a broadcast join — O(n_parts) comparisons per row — so
-    n_parts in the 10²–10³ band is the sweet spot; past ~10⁴ the
-    assignment itself wants the two-level routing the SemDeDup router
-    uses (operators/similarity.py::_sem_assign_two_level — super-
-    interval equi-join, then an in-array scan), which this family
-    does not need at its design point."""
+    n_parts in the 10²–10³ band is the sweet spot for the flat join;
+    past _TWO_LEVEL_PARTS the assignment routes TWO-LEVEL (√n super-
+    intervals, then an equi-join carrying one super's sub-intervals —
+    O(√n_parts) per row), so arbitrarily large partition counts stay
+    affordable."""
     if n_parts is not None:
         return max(1, int(n_parts))
     try:
@@ -1268,6 +1268,16 @@ def _resolve_rank_parts(spark: SparkSession, n_parts: int | None) -> int:
     except Exception:  # pragma: no cover - conf always present
         base = _RANK_PARTS
     return max(_RANK_PARTS, 2 * base)
+
+
+#: past this many intervals, pid assignment routes TWO-LEVEL (the
+#: SemDeDup-router shape): a BNLJ over ~√n super-intervals, then a
+#: broadcast EQUI-join on the super id plus an exact-interval filter —
+#: per-row cost O(√n_parts) instead of O(n_parts), no higher-order
+#: functions (everything stays in codegen), plan still byte-stable in
+#: n_parts.  Below it, the flat BNLJ's comparison-only scan (no join
+#: amplification rows) is cheaper.
+_TWO_LEVEL_PARTS = 256
 
 
 def _norm_order_method(method: str) -> tuple[str, bool]:
@@ -1423,6 +1433,8 @@ def _assign_range_pids(
     place) — sound only when that pid was assigned over the SAME
     order keys, which is what the SQL rewrite guarantees when it
     shares one assignment across families per distinct order."""
+    import math
+
     from pyspark.sql import types as T
 
     spark = df.sparkSession
@@ -1432,42 +1444,111 @@ def _assign_range_pids(
     key_fields = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
     ).schema.fields
-    fields = [
-        T.StructField("_adt_bpid", T.IntegerType(), False),
-        T.StructField("_adt_lo_unb", T.BooleanType(), False),
-        T.StructField("_adt_hi_unb", T.BooleanType(), False),
-    ]
-    for i, f in enumerate(key_fields):
-        fields.append(T.StructField(f"_adt_lo{i}", f.dataType, True))
-        fields.append(T.StructField(f"_adt_hi{i}", f.dataType, True))
-    nb = len(splits)
-    rows = []
-    for p in range(nb + 1):
-        lo = splits[p - 1] if p > 0 else (None,) * m
-        hi = splits[p] if p < nb else (None,) * m
-        row: list = [p, p == 0, p == nb]
-        for i in range(m):
-            row += [lo[i], hi[i]]
-        rows.append(tuple(row))
-    bounds = spark.createDataFrame(rows, T.StructType(fields))
     specs = [_norm_order_method(d) for _c, d in order_cols]
     key_cols = [c for c, _d in order_cols]
-    after_lo = _lex_after_cond(
-        key_cols, [F.col(f"_adt_lo{i}") for i in range(m)], specs
+    nb = len(splits)
+    n_int = nb + 1
+
+    def _bounds_table(intervals: list, tag: str, id_name: str,
+                      extra_fields: list | None = None,
+                      extra_vals=None):
+        """(id, lo?, hi?) interval rows → a broadcastable DataFrame;
+        lo/hi None = unbounded.  ``tag`` keeps the two levels' column
+        names apart."""
+        fields = [
+            T.StructField(id_name, T.IntegerType(), False),
+            T.StructField(f"_adt_{tag}lo_unb", T.BooleanType(), False),
+            T.StructField(f"_adt_{tag}hi_unb", T.BooleanType(), False),
+        ]
+        for i, f in enumerate(key_fields):
+            fields.append(T.StructField(f"_adt_{tag}lo{i}", f.dataType, True))
+            fields.append(T.StructField(f"_adt_{tag}hi{i}", f.dataType, True))
+        for ef in extra_fields or []:
+            fields.append(ef)
+        rows = []
+        for idx, (ival_id, lo, hi) in enumerate(intervals):
+            row: list = [ival_id, lo is None, hi is None]
+            for i in range(m):
+                row += [
+                    None if lo is None else lo[i],
+                    None if hi is None else hi[i],
+                ]
+            if extra_vals is not None:
+                row += list(extra_vals[idx])
+            rows.append(tuple(row))
+        return spark.createDataFrame(rows, T.StructType(fields))
+
+    def _interval_cond(tag: str):
+        after_lo = _lex_after_cond(
+            key_cols, [F.col(f"_adt_{tag}lo{i}") for i in range(m)], specs
+        )
+        after_hi = _lex_after_cond(
+            key_cols, [F.col(f"_adt_{tag}hi{i}") for i in range(m)], specs
+        )
+        return (F.col(f"_adt_{tag}lo_unb") | after_lo) & (
+            F.col(f"_adt_{tag}hi_unb") | ~after_hi
+        )
+
+    def _drop_cols(tag: str) -> list[str]:
+        return (
+            [f"_adt_{tag}lo_unb", f"_adt_{tag}hi_unb"]
+            + [f"_adt_{tag}lo{i}" for i in range(m)]
+            + [f"_adt_{tag}hi{i}" for i in range(m)]
+        )
+
+    def _ival(p: int):
+        return (
+            p,
+            splits[p - 1] if p > 0 else None,
+            splits[p] if p < nb else None,
+        )
+
+    if n_int <= _TWO_LEVEL_PARTS:
+        # FLAT: one BNLJ over all intervals — O(n_int) comparisons per
+        # row, no join amplification; right up to a few hundred parts
+        bounds = _bounds_table([_ival(p) for p in range(n_int)], "", "_adt_bpid")
+        return (
+            df.join(F.broadcast(bounds), _interval_cond(""), "inner")
+            .withColumnRenamed("_adt_bpid", "_adt_pid")
+            .drop(*_drop_cols(""))
+        )
+
+    # TWO-LEVEL (the SemDeDup-router shape, similarity.py): ~√n SUPER-
+    # intervals route by BNLJ, then a broadcast EQUI-join on the super
+    # id carries only that super's ~√n sub-intervals to each row and
+    # the exact-interval residual picks the one pid — O(2√n) work per
+    # row, everything a codegen-friendly join (no HOFs), plan still
+    # byte-stable in n_parts
+    S = int(math.ceil(math.sqrt(n_int)))
+    supers = []
+    for s in range(0, n_int, S):
+        end = min(s + S, n_int)  # pids [s, end)
+        supers.append(
+            (
+                s // S,
+                splits[s - 1] if s > 0 else None,
+                splits[end - 1] if end < n_int else None,
+            )
+        )
+    sup = _bounds_table(supers, "s", "_adt_bspid")
+    routed = (
+        df.join(F.broadcast(sup), _interval_cond("s"), "inner")
+        .withColumnRenamed("_adt_bspid", "_adt_spid")
+        .drop(*_drop_cols("s"))
     )
-    after_hi = _lex_after_cond(
-        key_cols, [F.col(f"_adt_hi{i}") for i in range(m)], specs
+    subs = [_ival(p) for p in range(n_int)]
+    sub = _bounds_table(
+        subs,
+        "",
+        "_adt_bpid",
+        extra_fields=[T.StructField("_adt_bspid2", T.IntegerType(), False)],
+        extra_vals=[(p // S,) for p in range(n_int)],
     )
-    cond = (F.col("_adt_lo_unb") | after_lo) & (F.col("_adt_hi_unb") | ~after_hi)
-    drop = (
-        ["_adt_lo_unb", "_adt_hi_unb"]
-        + [f"_adt_lo{i}" for i in range(m)]
-        + [f"_adt_hi{i}" for i in range(m)]
-    )
+    cond = (F.col("_adt_spid") == F.col("_adt_bspid2")) & _interval_cond("")
     return (
-        df.join(F.broadcast(bounds), cond, "inner")
+        routed.join(F.broadcast(sub), cond, "inner")
         .withColumnRenamed("_adt_bpid", "_adt_pid")
-        .drop(*drop)
+        .drop("_adt_spid", "_adt_bspid2", *_drop_cols(""))
     )
 
 

@@ -1472,3 +1472,37 @@ def test_sql_running_variance_no_single_partition(spark, sf_dir):
     assert re.search(r"\(\d+\) Window\b", plan)
     assert "SinglePartition" not in plan
     assert "Scan parquet" in plan
+
+
+def test_range_pid_two_level_route(spark, sf_dir):
+    """Past _TWO_LEVEL_PARTS intervals, pid assignment routes
+    two-level (√n super-intervals by BNLJ, then a broadcast EQUI-join
+    on the super id): output ranks must equal the flat route's
+    exactly (boundary-invariance — same total order, different
+    partitioning), the second hop must be a HASH join (the equi key
+    keeps per-row work at O(√n), never O(n)), the plan stays
+    byte-stable in n_parts and free of SinglePartition exchanges."""
+    from pyspark.sql import functions as F
+
+    from adt_spark.operators.sampling import attach_global_ranks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    keys = [(F.col("n_chars"), "asc"), (F.col("doc_id"), "asc")]
+
+    def build(np):
+        return attach_global_ranks(
+            docs, keys, [("row_number", "rn"), ("dense_rank", "dr")],
+            n_parts=np,
+        )
+
+    flat = sorted(map(tuple, build(32).collect()))
+    two = sorted(map(tuple, build(500).collect()))
+    assert flat == two
+    p500 = _formatted(build(500))
+    p900 = _formatted(build(900))
+    assert "BroadcastHashJoin" in p500  # the equi hop
+    assert "SinglePartition" not in p500
+    assert "Scan parquet" in p500
+    assert abs(len(p900) - len(p500)) <= 0.02 * len(p500)
