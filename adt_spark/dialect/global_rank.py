@@ -435,8 +435,12 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                     dict(start=m.start(), end=spec_close + 1, family=fam,
                          fn=fn, keys=keys, arg_src=arg_src, j=j, n=n)
                 )
-    except ValueError:
-        return None  # unbalanced parens somewhere — let Spark report it
+    except (ValueError, NotImplementedError):
+        # unbalanced parens somewhere (_match_paren raises
+        # NotImplementedError; numeric parses raise ValueError) — the
+        # rewrite contract is pass-through-never-error, so fall back
+        # and let Spark's own parser report malformed SQL.
+        return None
     if not calls:
         return None
     # every RANKING call must share one global order (one partitioning)

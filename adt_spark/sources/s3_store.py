@@ -290,10 +290,13 @@ def upload_dataframe_parquet(
     speculative task OVERWRITES its own object instead of adding a
     duplicate; after the job succeeds the DRIVER promotes every
     staged object to its final ``part-<pid>-<job>.parquet`` name
-    (server-side copy, then staging delete).  A mid-job failure
-    leaves data only under the ``_``-prefixed staging dir, which
-    Spark's file listing (and the gateway's mirrored trees) ignore —
-    append mode never exposes partial output."""
+    (ALL server-side copies first, then the staging deletes).  A
+    mid-JOB failure leaves data only under the ``_``-prefixed staging
+    dir, which Spark's file listing (and the gateway's mirrored
+    trees) ignore — partial output is excluded up to the promotion
+    step; a failure inside the copy phase itself can expose a subset
+    of this job's finals (each suffixed ``-<job>``, so a retry's
+    objects are distinguishable and the stale job id is GC-able)."""
     import uuid as _uuid
 
     bucket, prefix = _split(url)
@@ -370,20 +373,32 @@ def upload_dataframe_parquet(
     client = _client()
     stage_url = url.rstrip("/") + "/" + stage_rel
     base_key = prefix.rstrip("/") + "/" if prefix else ""
-    n_objects = 0
+    # Promotion is copy-ALL-then-delete-ALL: final objects appear only
+    # while every staged sibling is already durably written, so a
+    # failure during the copy phase exposes at most a partial set for
+    # the copy window only (the staging prefix is still intact for
+    # inspection/GC by job id); the delete phase touches only staging
+    # keys.  Only the final path COMPONENT is renamed — a hive
+    # partition VALUE containing ".parquet" must pass through
+    # untouched (ADVICE r10).
+    staged: list[tuple[str, str]] = []
     for obj_url, _size in list_prefix(stage_url):
         _b, key = _split(obj_url)
         rel = key[len(base_key) + len(stage_rel) + 1:]
-        final_rel = rel.replace(".parquet", f"-{job}.parquet")
-        final_key = base_key + final_rel
+        head, _slash, base = rel.rpartition("/")
+        if base.endswith(".parquet"):
+            base = base[: -len(".parquet")] + f"-{job}.parquet"
+        final_rel = (head + "/" + base) if head else base
+        staged.append((key, base_key + final_rel))
+    for key, final_key in staged:
         client.copy_object(
             Bucket=bucket,
             Key=final_key,
             CopySource={"Bucket": bucket, "Key": key},
         )
+    for key, _final_key in staged:
         client.delete_object(Bucket=bucket, Key=key)
-        n_objects += 1
-    return n_objects
+    return len(staged)
 
 
 def _split_by_partition_values(table, parts, _pa, _pc):

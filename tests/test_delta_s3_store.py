@@ -555,3 +555,25 @@ def test_s3_executor_upload_commit_protocol(spark, s3):
     hobjs = s3_store.list_prefix(hive_target)
     assert all("/p=" in u and name_re.search(u) for u, _sz in hobjs)
     assert not any("_adt_staging" in u for u, _sz in hobjs)
+
+
+def test_s3_promotion_preserves_dotparquet_partition_value(spark, s3):
+    """ADVICE r10: promotion renames only the object BASENAME — a
+    hive partition VALUE containing '.parquet' must survive the
+    -<job> suffixing unchanged (a first-occurrence replace corrupted
+    the directory name, silently changing the value on read-back)."""
+    from adt_spark.sources.registry import register_table
+
+    _client, bucket = s3
+    target = f"s3://{bucket}/exec_dotparquet"
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'a.parquet'), (2, 'a.parquet'), (3, 'b') "
+        "AS t(id, fname)"
+    ).repartition(1)
+    s3_store.upload_dataframe_parquet(df, target, partition_by=["fname"])
+    urls = [u for u, _ in s3_store.list_prefix(target)]
+    assert any("/fname=a.parquet/part-" in u for u in urls), urls
+    assert not any("_adt_staging" in u for u in urls)
+    back = register_table(spark, "s3_dotparquet_t", target, "parquet")
+    assert back.filter("fname = 'a.parquet'").count() == 2
+    assert back.count() == 3

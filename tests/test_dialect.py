@@ -229,6 +229,12 @@ def test_global_rank_rewrite_passthrough_shapes(spark, sf_dir):
         "FROM documents GROUP BY lang",
         # rank call inside a string literal only
         "SELECT 'row_number() OVER (ORDER BY x)' AS lit FROM documents",
+        # unbalanced parens after a call-name token (ADVICE r10): the
+        # collector's _match_paren raises NotImplementedError — the
+        # rewrite must FALL BACK (Spark's parser reports the malformed
+        # SQL), never let the exception escape
+        "SELECT sum(n_chars) OVER (ORDER BY doc_id) AS s "
+        "FROM documents WHERE lang > min(",
     ):
         assert maybe_rewrite_global_rank(spark, q) is None, q
 
