@@ -21,11 +21,17 @@ family):
 - ranks: row_number / rank / dense_rank / percent_rank / cume_dist /
   ntile(k) → ``attach_global_ranks``;
 - running aggregates with the default peer-inclusive frame:
-  sum / count / min / max / avg → ``attach_global_running_aggs``;
-- offsets: lag / lead (literal j, no default-value arg) →
-  ``attach_global_offsets``;
+  sum / count / min / max / avg (+ the round-10 variance family) →
+  ``attach_global_running_aggs``;
+- bounded-frame aggregates (round-11): sum / count / min / max /
+  avg over ``ROWS BETWEEN a PRECEDING AND b FOLLOWING`` (either
+  bound may be CURRENT ROW; literal row counts) →
+  ``attach_global_bounded_aggs``;
+- offsets: lag / lead (literal j), including the round-11 3-arg
+  default-value form → ``attach_global_offsets``;
 - frame values with the default frame (round-10): first_value /
-  last_value / nth_value(expr, literal n) →
+  last_value / nth_value(expr, literal n), plus round-11
+  ``first_value/last_value(x) IGNORE NULLS`` →
   ``attach_global_first_last``.
 
 Execution: the INNER BLOCK (everything below the projection —
@@ -34,9 +40,10 @@ own statement; each supported unpartitioned window call becomes a
 pre-computed column over that result; the remaining projection /
 ORDER BY / LIMIT runs over the ranked temp view with the calls
 substituted.  Window calls that stay native (partitioned, OVER(),
-exotic frames, IGNORE NULLS, non-literal offsets) are LEFT IN PLACE
-and evaluate over the view's rows — the inner block's rows —
-unchanged.
+exotic frames — RANGE/GROUPS/non-literal ROWS bounds, bounded-frame
+variance, nth_value IGNORE NULLS, lag/lead IGNORE NULLS,
+non-literal offsets) are LEFT IN PLACE and evaluate over the view's
+rows — the inner block's rows — unchanged.
 
 Scope (round-10, widened past the round-9 single-relation rule):
 
@@ -50,8 +57,9 @@ Scope (round-10, widened past the round-9 single-relation rule):
   then be aggregate expressions — they are computed inside the
   aggregated inner block);
 - window ORDER BY keys are arbitrary expressions (plain columns
-  stay qualifier-stripped); every RANKING call must share one
-  order, aggregate/offset/frame-value calls may each use their own;
+  stay qualifier-stripped); every call — RANKING included since
+  round-11 (r10 verdict #4) — may use its own order: the executor
+  builds one pid assignment per DISTINCT order;
 - no top-level DISTINCT / set ops / ``*`` or ``alias.*`` projection
   items (a star would leak the injected ``_adt_g*`` columns —
   ADVICE r9 hardened this from "leading ``*``" to ANY top-level
@@ -236,29 +244,62 @@ def _order_ident(keys) -> tuple:
 
 _DEFAULT_FRAME = "range between unbounded preceding and current row"
 
+#: bounded ROWS frames the round-11 bounded-aggregate construction
+#: covers (normalized text → (a_preceding, b_following))
+_BOUNDED_ROWS_FRAMES = [
+    (
+        re.compile(r"^rows between (\d+) preceding and current row$"),
+        lambda m: (int(m.group(1)), 0),
+    ),
+    (
+        re.compile(r"^rows between current row and (\d+) following$"),
+        lambda m: (0, int(m.group(1))),
+    ),
+    (
+        re.compile(r"^rows between (\d+) preceding and (\d+) following$"),
+        lambda m: (int(m.group(1)), int(m.group(2))),
+    ),
+    (
+        re.compile(r"^rows between current row and current row$"),
+        lambda m: (0, 0),
+    ),
+    # the abbreviated form: ROWS j PRECEDING = BETWEEN j PRECEDING
+    # AND CURRENT ROW
+    (re.compile(r"^rows (\d+) preceding$"), lambda m: (int(m.group(1)), 0)),
+]
+
 
 def _parse_over_order(masked: str, sql: str, over_open: int):
-    """OVER(...) body at ``over_open`` → (keys, spec_close) when it is
-    an unpartitioned ORDER BY with the default frame; (None, close)
-    when the call should stay native; raises ValueError on unbalanced
-    parens (whole statement passes through)."""
+    """OVER(...) body at ``over_open`` → (keys, spec_close, frame)
+    when it is an unpartitioned ORDER BY with the default frame
+    (frame None) or a supported literal-bounded ROWS frame (frame =
+    (a, b) row counts); (None, close, None) when the call should stay
+    native; raises ValueError on unbalanced parens (whole statement
+    passes through)."""
     spec_close = _match_paren(masked, over_open)
     spec_m = masked[over_open + 1 : spec_close]
     spec_s = sql[over_open + 1 : spec_close]
     sm = re.match(r"^\s*order\s+by\s+", spec_m, re.IGNORECASE)
     if sm is None:
-        return None, spec_close  # partitioned / OVER() — native path
+        return None, spec_close, None  # partitioned / OVER() — native
     body_m, body_s = spec_m[sm.end():], spec_s[sm.end():]
     fm = re.search(r"\b(range|rows|groups)\b", body_m, re.IGNORECASE)
+    frame = None
     if fm:
-        frame = " ".join(body_m[fm.start():].split()).lower()
-        if frame != _DEFAULT_FRAME:
-            return None, spec_close  # non-default frame — native path
+        frame_s = " ".join(body_m[fm.start():].split()).lower()
+        if frame_s != _DEFAULT_FRAME:
+            for rex, mk in _BOUNDED_ROWS_FRAMES:
+                m2 = rex.match(frame_s)
+                if m2:
+                    frame = mk(m2)
+                    break
+            else:
+                return None, spec_close, None  # unsupported frame
         body_m, body_s = body_m[: fm.start()], body_s[: fm.start()]
     keys = _parse_order_keys(body_m, body_s)
     if keys is None:
-        return None, spec_close  # unparseable keys — native path
-    return keys, spec_close
+        return None, spec_close, None  # unparseable keys — native path
+    return keys, spec_close, frame
 
 
 def _arg_guard(masked: str, open_pos: int, close_pos: int) -> bool:
@@ -366,8 +407,8 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
     try:
         for m in _RANK_CALL_RE.finditer(masked):
             over_open = m.end() - 1
-            keys, _close = _parse_over_order(masked, sql, over_open)
-            if keys is None:
+            keys, _close, frame = _parse_over_order(masked, sql, over_open)
+            if keys is None or frame is not None:
                 spec = " ".join(
                     sql[over_open + 1 : _match_paren(masked, over_open)].split()
                 )
@@ -380,7 +421,8 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                 fn = f"ntile({int(m.group('k'))})"
             calls.append(
                 dict(start=m.start(), end=close + 1, family="rank", fn=fn,
-                     keys=keys, arg_src=None, j=None, n=None)
+                     keys=keys, arg_src=None, j=None, n=None, frame=None,
+                     ign=False, default_src=None)
             )
         for fam, call_re, group in (
             ("agg", _AGG_CALL_RE, "afn"),
@@ -391,12 +433,17 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                 open_pos = m.end() - 1
                 arg_close = _match_paren(masked, open_pos)
                 om = re.match(
-                    r"\s+over\s*\(", masked[arg_close + 1 :], re.IGNORECASE
+                    r"\s+(?:(?P<nulls>ignore|respect)\s+nulls\s+)?over\s*\(",
+                    masked[arg_close + 1 :],
+                    re.IGNORECASE,
                 )
                 if om is None:
-                    continue  # plain call / IGNORE NULLS form — native
+                    continue  # plain (non-window) call — native
+                nulls_tok = (om.group("nulls") or "").lower()
                 over_open = arg_close + 1 + om.end() - 1
-                keys, spec_close = _parse_over_order(masked, sql, over_open)
+                keys, spec_close, frame = _parse_over_order(
+                    masked, sql, over_open
+                )
                 if keys is None:
                     continue  # partitioned / exotic frame — native
                 if not _arg_guard(masked, open_pos, arg_close):
@@ -404,27 +451,44 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                 fn = m.group(group).lower()
                 parts = _split_top_commas(sql[open_pos + 1 : arg_close])
                 j = n = None
+                ign = nulls_tok == "ignore"
+                default_src = None
                 if fam == "agg":
-                    if len(parts) != 1:
-                        continue  # DISTINCT / multi-arg forms — native
+                    if len(parts) != 1 or ign:
+                        continue  # DISTINCT / multi-arg / bad syntax
+                    if frame is not None and fn not in (
+                        "sum", "count", "min", "max", "avg"
+                    ):
+                        continue  # bounded-frame variance — native
                     arg_src = parts[0].strip()
                 elif fam == "off":
+                    if frame is not None or ign:
+                        # explicit frames are ignored by offsets; the
+                        # IGNORE NULLS offset form stays native
+                        continue
                     arg_src = parts[0].strip()
                     j = 1
-                    if len(parts) == 2:
+                    if len(parts) >= 2:
                         jm = re.match(r"^\s*(\d+)\s*$", parts[1])
                         if jm is None:
                             continue  # non-literal offset — native
                         j = int(jm.group(1))
                         if j < 1:
                             continue  # lag(x, 0) is the identity — native
-                    elif len(parts) != 1:
-                        continue  # 3-arg default-value form — native
+                    if len(parts) == 3:
+                        # 3-arg default-value form (round-11)
+                        default_src = parts[2].strip()
+                        if not default_src:
+                            continue
+                    elif len(parts) > 3:
+                        continue
                 else:  # fln
+                    if frame is not None:
+                        continue  # framed frame-value call — native
                     arg_src = parts[0].strip()
                     if fn == "nth_value":
-                        if len(parts) != 2:
-                            continue
+                        if len(parts) != 2 or ign:
+                            continue  # nth IGNORE NULLS stays native
                         nm = re.match(r"^\s*(\d+)\s*$", parts[1])
                         if nm is None or int(nm.group(1)) < 1:
                             continue  # non-literal / non-positive n — native
@@ -433,7 +497,8 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                         continue  # explicit ignoreNulls argument — native
                 calls.append(
                     dict(start=m.start(), end=spec_close + 1, family=fam,
-                         fn=fn, keys=keys, arg_src=arg_src, j=j, n=n)
+                         fn=fn, keys=keys, arg_src=arg_src, j=j, n=n,
+                         frame=frame, ign=ign, default_src=default_src)
                 )
     except (ValueError, NotImplementedError):
         # unbalanced parens somewhere (_match_paren raises
@@ -443,11 +508,10 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         return None
     if not calls:
         return None
-    # every RANKING call must share one global order (one partitioning)
-    rank_orders = {_order_ident(c["keys"]) for c in calls
-                   if c["family"] == "rank"}
-    if len(rank_orders) > 1:
-        return None
+    # (round-11, r10 verdict #4: the one-shared-ranking-order
+    # restriction is lifted — the execution loop below already builds
+    # one pid assignment per DISTINCT order, so two rank orders in one
+    # statement each ride their own partitioning)
     # spans must not overlap (a rank call inside an agg argument would
     # double-substitute) and must sit inside the projection
     spans = sorted((c["start"], c["end"]) for c in calls)
@@ -489,12 +553,20 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                 if _KEY_RE.match(item_m) or _AS_ALIAS_RE.search(item_m):
                     continue  # bare column / explicit AS alias — fine
                 return None  # implicit alias or bare expression
+        def _call_arg_srcs(c) -> list[str]:
+            out = []
+            if c["arg_src"] is not None and c["arg_src"] != "*":
+                out.append(c["arg_src"])
+            if c["default_src"] is not None:
+                out.append(c["default_src"])
+            return out
+
         for c in calls:
             for k in c["keys"]:
                 if k["ident"] not in key_alias:
                     key_alias[k["ident"]] = f"_adt_wk{len(key_alias)}"
-            if c["arg_src"] is not None and c["arg_src"] != "*":
-                aid = " ".join(c["arg_src"].split())
+            for s in _call_arg_srcs(c):
+                aid = " ".join(s.split())
                 if aid not in arg_alias:
                     arg_alias[aid] = f"_adt_wa{len(arg_alias)}"
         for k_ident, k_name in key_alias.items():
@@ -505,9 +577,8 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
             inner_extra.append(f"{src} AS {k_name}")
         for a_ident, a_name in arg_alias.items():
             src = next(
-                c["arg_src"] for c in calls
-                if c["arg_src"] is not None and c["arg_src"] != "*"
-                and " ".join(c["arg_src"].split()) == a_ident
+                s for c in calls for s in _call_arg_srcs(c)
+                if " ".join(s.split()) == a_ident
             )
             inner_extra.append(f"{src} AS {a_name}")
 
@@ -549,6 +620,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
     # --- execute the two-phase constructions --------------------------
     from adt_spark.operators.sampling import (
         _assign_range_pids,
+        attach_global_bounded_aggs,
         attach_global_first_last,
         attach_global_offsets,
         attach_global_ranks,
@@ -612,36 +684,75 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                     [(c["fn"], names[c["start"]]) for c in rank_group],
                     n_rows=n_rows,
                 )
-            for fam, attach in (
-                ("agg", attach_global_running_aggs),
-                ("off", attach_global_offsets),
-                ("fln", attach_global_first_last),
-            ):
-                group = [c for c in group_all if c["family"] == fam]
-                if not group:
-                    continue
-                if fam == "agg":
-                    specs = [
+            agg_run = [
+                c for c in group_all
+                if c["family"] == "agg" and c["frame"] is None
+            ]
+            if agg_run:
+                ranked = attach_global_running_aggs(
+                    ranked,
+                    keys,
+                    [
                         (
                             c["fn"],
                             None if c["arg_src"] == "*" else _arg_col(c["arg_src"]),
                             names[c["start"]],
                         )
-                        for c in group
-                    ]
-                elif fam == "off":
-                    specs = [
-                        (c["fn"], _arg_col(c["arg_src"]), c["j"],
-                         names[c["start"]])
-                        for c in group
-                    ]
-                else:
-                    specs = [
+                        for c in agg_run
+                    ],
+                    n_rows=n_rows,
+                )
+            agg_bnd = [
+                c for c in group_all
+                if c["family"] == "agg" and c["frame"] is not None
+            ]
+            if agg_bnd:
+                ranked = attach_global_bounded_aggs(
+                    ranked,
+                    keys,
+                    [
+                        (
+                            c["fn"],
+                            None if c["arg_src"] == "*" else _arg_col(c["arg_src"]),
+                            c["frame"][0],
+                            c["frame"][1],
+                            names[c["start"]],
+                        )
+                        for c in agg_bnd
+                    ],
+                    n_rows=n_rows,
+                )
+            off_group = [c for c in group_all if c["family"] == "off"]
+            if off_group:
+                ranked = attach_global_offsets(
+                    ranked,
+                    keys,
+                    [
+                        (
+                            c["fn"],
+                            _arg_col(c["arg_src"]),
+                            c["j"],
+                            names[c["start"]],
+                            None
+                            if c["default_src"] is None
+                            else _arg_col(c["default_src"]),
+                        )
+                        for c in off_group
+                    ],
+                    n_rows=n_rows,
+                )
+            fln_group = [c for c in group_all if c["family"] == "fln"]
+            if fln_group:
+                ranked = attach_global_first_last(
+                    ranked,
+                    keys,
+                    [
                         (c["fn"], _arg_col(c["arg_src"]), c["n"],
-                         names[c["start"]])
-                        for c in group
-                    ]
-                ranked = attach(ranked, keys, specs, n_rows=n_rows)
+                         names[c["start"]], c["ign"])
+                        for c in fln_group
+                    ],
+                    n_rows=n_rows,
+                )
         ranked = ranked.drop("_adt_pid")
     except Exception:
         # a shape the textual scope check admitted but Spark cannot

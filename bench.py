@@ -63,6 +63,10 @@ HEADLINE = [
     "q_sql_global_firstlast",
     "q_sql_rank_over_groupby",
     "q_sql_running_variance",
+    "q_sql_moving_agg",
+    "q_sql_offsets_default",
+    "q_sql_ignore_nulls",
+    "q_sql_two_rank_orders",
     "q_token_pack_bins",
     "q_skew_salted_join",
     "q_events_anomaly",

@@ -208,9 +208,6 @@ def test_global_rank_rewrite_passthrough_shapes(spark, sf_dir):
         "FROM documents",
         # no ranking call at all
         "SELECT doc_id FROM documents",
-        # two DIFFERENT global RANK orders (would need two partitionings)
-        "SELECT row_number() OVER (ORDER BY n_chars) a, "
-        "row_number() OVER (ORDER BY doc_id) b FROM documents",
         # SELECT * would leak injected columns
         "SELECT *, row_number() OVER (ORDER BY doc_id) r FROM documents",
         # qualified star leaks them just the same (ADVICE r9)
@@ -301,6 +298,119 @@ def _formatted_plan(df):
     return qe.explainString(
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
+
+
+def _random_tied_null_view(spark, name: str, n: int = 500, seed: int = 7):
+    """Seeded random (id, k, v) view: k carries heavy ties, v carries
+    ~15% NULLs — the adversarial surface for boundary-exact window
+    rewrites (ties straddle nothing thanks to peer-co-location; NULL
+    runs must cross partition boundaries)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, 60),
+            None if rng.random() < 0.15 else rng.randint(-50, 50),
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, "id long, k int, v int").createOrReplaceTempView(
+        name
+    )
+
+
+def test_global_rewrite_round11_family_matches_native(spark, sf_dir):
+    """Round-11 additions (r10 verdict #2/#3/#4) — bounded explicit
+    ROWS frames on sum/count/min/max/avg, 3-arg lag/lead defaults,
+    IGNORE NULLS first/last, and two distinct ranking orders — each
+    must ENGAGE the rewrite, match Spark's native single-partition
+    answer exactly on a tied/NULL-ridden random input (DESC included),
+    and stay off the cliff."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    _random_tied_null_view(spark, "t_r11")
+    for q in (
+        # every supported bound shape, one statement, shared order
+        "SELECT id, sum(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ms, "
+        "avg(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ma, "
+        "min(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mn, "
+        "max(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 5 PRECEDING AND 1 FOLLOWING) AS mx, "
+        "count(v) OVER (ORDER BY k, id ROWS 4 PRECEDING) AS cv, "
+        "count(*) OVER (ORDER BY k, id "
+        "ROWS BETWEEN CURRENT ROW AND CURRENT ROW) AS c1 "
+        "FROM t_r11",
+        # DESC order + frames wider than the whole input
+        "SELECT id, sum(v) OVER (ORDER BY k DESC, id DESC "
+        "ROWS BETWEEN 700 PRECEDING AND CURRENT ROW) AS big "
+        "FROM t_r11",
+        # 3-arg lag/lead: default past the GLOBAL edge only, never at
+        # an existing-but-NULL offset row
+        "SELECT id, lag(v, 2, -999) OVER (ORDER BY k, id) AS lg, "
+        "lead(v, 3, -111) OVER (ORDER BY k, id) AS ld FROM t_r11",
+        # IGNORE NULLS first/last (postfix form — what Spark parses)
+        "SELECT id, "
+        "first_value(v) IGNORE NULLS OVER (ORDER BY k, id) AS f, "
+        "last_value(v) IGNORE NULLS OVER (ORDER BY k, id) AS l, "
+        "first_value(v) IGNORE NULLS OVER (ORDER BY k DESC, id DESC) AS fd "
+        "FROM t_r11",
+        # two DISTINCT ranking orders in one statement (restriction
+        # lifted), plus a running agg sharing the second order; ranks
+        # carry the documented BIGINT contract, pinned by the CASTs
+        "SELECT id, CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS r1, "
+        "CAST(row_number() OVER (ORDER BY id DESC) AS BIGINT) AS r2, "
+        "sum(v) OVER (ORDER BY id DESC) AS s2 FROM t_r11",
+        # RESPECT NULLS spelled explicitly = the default path
+        "SELECT id, first_value(v) RESPECT NULLS "
+        "OVER (ORDER BY k, id) AS fr FROM t_r11",
+    ):
+        df = maybe_rewrite_global_rank(spark, q)
+        assert df is not None, q
+        got = sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in df.collect()
+        )
+        want = sorted(
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in spark.sql(q).collect()
+        )
+        assert got == want, q
+        # dtype parity by name+type (nullability differs cosmetically
+        # — broadcast-join-derived columns read nullable; the oracle
+        # gate compares values)
+        assert [
+            (f.name, f.dataType.simpleString()) for f in df.schema
+        ] == [
+            (f.name, f.dataType.simpleString()) for f in spark.sql(q).schema
+        ], q
+        plan = _formatted_plan(df)
+        assert "SinglePartition" not in plan, q
+
+
+def test_global_rewrite_round11_native_passthroughs(spark, sf_dir):
+    """Shapes the round-11 wave deliberately leaves native (documented
+    pass-throughs): bounded-frame variance, nth_value IGNORE NULLS,
+    lag/lead IGNORE NULLS, non-literal frame bounds."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    _random_tied_null_view(spark, "t_r11p")
+    for q in (
+        "SELECT id, var_samp(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vs FROM t_r11p",
+        "SELECT id, nth_value(v, 3) IGNORE NULLS "
+        "OVER (ORDER BY k, id) AS nv FROM t_r11p",
+        "SELECT id, lag(v) IGNORE NULLS OVER (ORDER BY k, id) AS lg "
+        "FROM t_r11p",
+        "SELECT id, sum(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS s "
+        "FROM t_r11p",
+    ):
+        assert maybe_rewrite_global_rank(spark, q) is None, q
 
 
 def test_global_rank_rewrite_distribution_family(spark, sf_dir):
@@ -584,13 +694,24 @@ def test_global_first_last_nth_match_native(spark, seed):
     assert got == want, f"seed={seed}"
     # dtypes equal native's too
     assert df.schema == spark.sql(q).schema
-    # IGNORE NULLS and explicit-ignoreNulls-arg forms stay native
-    for qn in (
-        "SELECT first_value(v) IGNORE NULLS OVER (ORDER BY k, id) f "
-        "FROM fln_t",
-        "SELECT first_value(v, true) OVER (ORDER BY k, id) f FROM fln_t",
-    ):
-        assert maybe_rewrite_global_rank(spark, qn) is None, qn
+    # round-11: the postfix IGNORE NULLS form is now REWRITTEN (r10
+    # verdict #3) and must match native; the explicit two-arg
+    # ignoreNulls form stays a native pass-through
+    qn = (
+        "SELECT id, first_value(v) IGNORE NULLS OVER (ORDER BY k, id) f "
+        "FROM fln_t"
+    )
+    dfn = maybe_rewrite_global_rank(spark, qn)
+    assert dfn is not None, qn
+    assert sorted(tuple(r) for r in dfn.collect()) == sorted(
+        tuple(r) for r in spark.sql(qn).collect()
+    ), f"seed={seed}"
+    assert (
+        maybe_rewrite_global_rank(
+            spark, "SELECT first_value(v, true) OVER (ORDER BY k, id) f FROM fln_t"
+        )
+        is None
+    )
 
 
 def test_global_running_variance_matches_native_approx(spark):
