@@ -68,9 +68,16 @@ q_window_exclude):
   ANY timestamp value — no alignment or DST condition, and the lo/hi
   offsets keep Spark's native fixed-duration arithmetic), so those
   frames need no runtime guard at all — a non-timestamp key dies
-  loudly in Spark's own analysis of the sub-day bound.  Variable-
-  length units (MONTH/YEAR) have no discrete key-space step and stay
-  at the loud parse gate.  Integrality (or
+  loudly in Spark's own analysis of the sub-day bound.  MONTH/YEAR
+  offsets (round-11, r10 verdict #5): the SUBTRACTION and
+  non-straddling / no-op paths cover them (they emit the user's
+  frame unchanged, and Spark accepts YearMonthIntervalType RANGE
+  bounds on DATE/TIMESTAMP keys — measured); the SPLIT cannot — its
+  inner bound is the key's DayTime unit step and Spark rejects mixed
+  YearMonth/DayTime frame bounds (DATATYPE_MISMATCH.
+  SPECIFIED_WINDOW_FRAME_DIFF_TYPES), and no year-month unit step
+  exists — so min/max/first/last over straddling MONTH/YEAR frames
+  keep a loud gate citing exactly that.  Integrality (or
   day-alignment) is a runtime property a textual rewrite cannot see,
   so the emitted SQL carries a whole-partition guard that
   ``raise_error()``s loudly on
@@ -237,13 +244,19 @@ _BOUND = (
     # keys (key < k ⇔ key ≤ k − 1 DAY), and HOUR/MINUTE/SECOND —
     # valid only on TIMESTAMP keys, whose unit step is 1 µs (round-9:
     # key < k ⇔ key ≤ k − 1 MICROSECOND, exact for Spark's
-    # µs-precision timestamps).  Other units (MONTH/YEAR — variable
-    # length) stay at the loud parse gate.
+    # µs-precision timestamps).  MONTH/YEAR (round-11, r10 verdict
+    # #5) parse too — Spark accepts YearMonthIntervalType RANGE
+    # bounds on DATE/TIMESTAMP keys, so the SUBTRACTION family and
+    # the non-straddling / no-op paths (which emit the user's frame
+    # unchanged) now cover them; only the min/max/first/last VALUE
+    # SPLIT keeps a loud gate, with the precise Spark refusal (see
+    # the split branch).
     # The quoted alternative admits blanks because the frame regex
     # runs on the literal-MASKED spec (quote bodies are spaces there);
     # _parse_spec recovers the real digits from the source by span.
     r"|interval\s+(?:'[\d\s]*'|\d+)\s+"
-    r"(?:days?|hours?|minutes?|seconds?)\s+(?:preceding|following))"
+    r"(?:days?|hours?|minutes?|seconds?|months?|years?)\s+"
+    r"(?:preceding|following))"
 )
 
 #: a normalized (lowercased, whitespace-collapsed) INTERVAL DAY bound
@@ -256,15 +269,25 @@ _SUBDAY_BOUND_RE = re.compile(
     r"(?:preceding|following)$"
 )
 
+#: YearMonthIntervalType bounds — variable length, NO key-space unit
+#: step exists; admitted for the subtraction / non-straddling / no-op
+#: paths only
+_YM_BOUND_RE = re.compile(
+    r"^interval\s+(?:'\d+'|\d+)\s+(?:months?|years?)\s+"
+    r"(?:preceding|following)$"
+)
+
 
 def _bound_kind(b: str) -> str | None:
-    """'num' / 'day' / 'subday' / None for a normalized frame bound —
-    routes the value-space split between integer-key, date-key and
-    timestamp-key variants."""
+    """'num' / 'day' / 'subday' / 'ym' / None for a normalized frame
+    bound — routes the value-space split between integer-key,
+    date-key and timestamp-key variants ('ym' never splits)."""
     if _DAY_BOUND_RE.match(b):
         return "day"
     if _SUBDAY_BOUND_RE.match(b):
         return "subday"
+    if _YM_BOUND_RE.match(b):
+        return "ym"
     if b[0].isdigit():
         return "num"
     return None
@@ -478,7 +501,8 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
         lo = " ".join(lo.lower().split())
         hi = " ".join(hi.lower().split())
         zero_iv = re.compile(
-            r"^interval\s+'?0'?\s+(?:days?|hours?|minutes?|seconds?)\s+"
+            r"^interval\s+'?0'?\s+"
+            r"(?:days?|hours?|minutes?|seconds?|months?|years?)\s+"
             r"(preceding|following)$"
         )
         if lo in ("0 preceding", "0 following") or zero_iv.match(lo):
@@ -500,10 +524,10 @@ def _parse_spec(spec_masked: str, spec_src: str) -> dict:
     if re.search(r"(?i)\b(rows|range|groups)\s+(between|unbounded|current|\d)",
                  pre_masked):
         raise _Unsupported(
-            f"unsupported window-frame bounds (variable-length INTERVAL "
-            f"units / fractional offsets are not rewritable — only DAY "
-            f"(DATE keys) and HOUR/MINUTE/SECOND (TIMESTAMP keys, µs "
-            f"step) have a discrete unit step in key space): {spec_src!r}"
+            f"unsupported window-frame bounds (fractional / compound "
+            f"INTERVAL offsets are not rewritable; supported units are "
+            f"DAY / HOUR / MINUTE / SECOND / MONTH / YEAR with integer "
+            f"magnitudes): {spec_src!r}"
         )
     pm = _PRE_RE.match(pre_masked)
     if pm is None:
@@ -707,6 +731,33 @@ def _rewrite_groups_exclude(sql: str) -> str:
                 and frame["mode"] == "range"
                 and spec["order"] is not None
             ):
+                if "ym" in {
+                    _bound_kind(frame["lo"]), _bound_kind(frame["hi"])
+                }:
+                    # Measured (round-11): on a NON-straddling
+                    # MONTH/YEAR frame DuckDB's native EXCLUDE
+                    # evaluates the frame from the candidate row's
+                    # side (other + 1 MONTH <= cur), which month-end
+                    # clamping makes INEQUIVALENT to the standard
+                    # bound arithmetic (other <= cur - 1 MONTH) that
+                    # DuckDB's own no-EXCLUDE path, Spark, and
+                    # PostgreSQL use — e.g. 2020-01-31 enters
+                    # 2020-02-29's [6M PRECEDING, 1M PRECEDING] frame
+                    # under EXCLUDE but not without it.  No single
+                    # rewrite is right for both readings (the EXCLUDE
+                    # TIES precedent), so refuse loudly.
+                    raise _Unsupported(
+                        f"EXCLUDE {exclude.upper()} on a non-straddling "
+                        "MONTH/YEAR-interval RANGE frame has no "
+                        "dialect-stable rewrite: month-end clamping "
+                        "makes 'other + offset <= current' (DuckDB's "
+                        "native EXCLUDE evaluation) inequivalent to "
+                        "'other <= current - offset' (the standard "
+                        "frame arithmetic Spark and DuckDB's own "
+                        "no-EXCLUDE path use) — spell the offsets in "
+                        "DAY units or use the DataFrame API (see "
+                        "q_window_exclude)"
+                    )
                 ns_range = True
             else:
                 raise _Unsupported(
@@ -881,10 +932,41 @@ def _rewrite_groups_exclude(sql: str) -> str:
             vs_ts = False     # … in TIMESTAMP µs space (sub-day units)
             if dr_order is None:
                 kinds = {k for k in (_bound_kind(lo), _bound_kind(hi)) if k}
-                if "num" in kinds and kinds & {"day", "subday"}:
+                if "num" in kinds and kinds & {"day", "subday", "ym"}:
                     raise _Unsupported(
                         "RANGE frame mixing a numeric and an INTERVAL "
                         f"offset is not valid SQL: {spec['src']!r}"
+                    )
+                if "ym" in kinds:
+                    # Round-11 adjudication (r10 verdict #5), measured
+                    # on Spark 4: YearMonthIntervalType RANGE bounds
+                    # ARE accepted on DATE/TIMESTAMP keys, but the
+                    # split's inner bound must be the KEY's unit step
+                    # (INTERVAL '1' DAY for DATE, 1 µs for TIMESTAMP)
+                    # — a DayTimeIntervalType — and Spark rejects
+                    # mixed YearMonth/DayTime bounds in one frame:
+                    # DATATYPE_MISMATCH.SPECIFIED_WINDOW_FRAME_DIFF_
+                    # TYPES ("INTERVAL MONTH" <> "INTERVAL DAY").  No
+                    # year-month unit step exists (months vary in
+                    # length), so the half-frames are structurally
+                    # inexpressible; the subtraction family
+                    # (sum/count/avg/variance) and the non-straddling
+                    # paths DO cover MONTH/YEAR frames — they emit the
+                    # user's frame unchanged.
+                    raise _Unsupported(
+                        f"EXCLUDE {exclude.upper()} on {fn} over a "
+                        "MONTH/YEAR-interval RANGE frame has no sound "
+                        "split: the half-frames need the key's unit "
+                        "step (INTERVAL '1' DAY / 1 microsecond) as a "
+                        "DayTime bound beside the YearMonth offset, "
+                        "and Spark rejects mixed YearMonth/DayTime "
+                        "frame bounds (DATATYPE_MISMATCH."
+                        "SPECIFIED_WINDOW_FRAME_DIFF_TYPES); no "
+                        "year-month unit step exists in key space — "
+                        "use sum/count/avg/variance (subtraction "
+                        "rewrite), spell the offset in DAY units, use "
+                        "a GROUPS frame, or the DataFrame API (see "
+                        "q_window_exclude)"
                     )
                 # any sub-day bound ⇒ the key must be a TIMESTAMP
                 # (Spark's own analysis rejects sub-day intervals on

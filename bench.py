@@ -44,6 +44,7 @@ HEADLINE = [
     "q_window_exclude_noop",
     "q_window_exclude_range_value",
     "q_window_exclude_range_date",
+    "q_window_exclude_range_month",
     "q_window_unbounded_following",
     "q_events_hourly_rollup",
     "q_events_sessionize",
