@@ -266,6 +266,44 @@ _BOUNDED_ROWS_FRAMES = [
     # the abbreviated form: ROWS j PRECEDING = BETWEEN j PRECEDING
     # AND CURRENT ROW
     (re.compile(r"^rows (\d+) preceding$"), lambda m: (int(m.group(1)), 0)),
+    # round-11 second wave: UNBOUNDED sides (None) — the
+    # out-of-partition contribution becomes a prefix/suffix-folded
+    # per-pid totals scalar instead of an edge array.  Note the
+    # row-exclusive cumulative frame (UNBOUNDED PRECEDING .. CURRENT
+    # ROW) differs from the default RANGE frame under tied keys, so
+    # it must route through the ROW-space construction.
+    (
+        re.compile(r"^rows between unbounded preceding and current row$"),
+        lambda m: (None, 0),
+    ),
+    (
+        re.compile(
+            r"^rows between unbounded preceding and (\d+) following$"
+        ),
+        lambda m: (None, int(m.group(1))),
+    ),
+    (
+        re.compile(
+            r"^rows between (\d+) preceding and unbounded following$"
+        ),
+        lambda m: (int(m.group(1)), None),
+    ),
+    (
+        re.compile(
+            r"^rows between current row and unbounded following$"
+        ),
+        lambda m: (0, None),
+    ),
+    (
+        re.compile(
+            r"^rows between unbounded preceding and unbounded following$"
+        ),
+        lambda m: (None, None),
+    ),
+    (
+        re.compile(r"^rows unbounded preceding$"),
+        lambda m: (None, 0),
+    ),
 ]
 
 
@@ -441,6 +479,31 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                     continue  # plain (non-window) call — native
                 nulls_tok = (om.group("nulls") or "").lower()
                 over_open = arg_close + 1 + om.end() - 1
+                spec_close_g = _match_paren(masked, over_open)
+                if (
+                    fam == "agg"
+                    and not masked[over_open + 1 : spec_close_g].strip()
+                    and not nulls_tok
+                ):
+                    # empty OVER () — whole-input scalar aggregate
+                    # (round-11 second wave): one parallel aggregation
+                    # + typed literal, instead of Spark's
+                    # SinglePartition whole-input window
+                    fn = m.group(group).lower()
+                    if fn not in ("sum", "count", "min", "max", "avg"):
+                        continue  # variance OVER () — native
+                    if not _arg_guard(masked, open_pos, arg_close):
+                        return None
+                    parts = _split_top_commas(sql[open_pos + 1 : arg_close])
+                    if len(parts) != 1:
+                        continue
+                    calls.append(
+                        dict(start=m.start(), end=spec_close_g + 1,
+                             family="glob", fn=fn, keys=[],
+                             arg_src=parts[0].strip(), j=None, n=None,
+                             frame=None, ign=False, default_src=None)
+                    )
+                    continue
                 keys, spec_close, frame = _parse_over_order(
                     masked, sql, over_open
                 )
@@ -625,6 +688,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         attach_global_offsets,
         attach_global_ranks,
         attach_global_running_aggs,
+        attach_global_scalar_aggs,
     )
 
     names = {}
@@ -667,8 +731,24 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         # the assignment costs a key-pruned sampling scan — one per
         # order, not one per family); families chain on the
         # pid-carrying frame and earlier columns ride through
+        # scalar OVER () totals need no order/pid machinery at all
+        glob_group = [c for c in calls if c["family"] == "glob"]
+        if glob_group:
+            ranked = attach_global_scalar_aggs(
+                ranked,
+                [
+                    (
+                        c["fn"],
+                        None if c["arg_src"] == "*" else _arg_col(c["arg_src"]),
+                        names[c["start"]],
+                    )
+                    for c in glob_group
+                ],
+            )
         by_order: dict[tuple, list] = {}
         for c in calls:
+            if c["family"] == "glob":
+                continue
             by_order.setdefault(_order_ident(c["keys"]), []).append(c)
         for order in sorted(by_order):
             group_all = by_order[order]

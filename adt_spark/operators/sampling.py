@@ -2380,8 +2380,18 @@ def attach_global_bounded_aggs(
     Cargo.lock:1818; SQL pass-through main.rs:116).
 
     ``aggs``: list of (fn, expr_col_or_None, a, b, out_name) with
-    a, b ≥ 0 literal row counts (``None`` expr means ``count(*)``,
-    carried as a literal-1 column so one machinery serves all).
+    a, b ≥ 0 literal row counts or ``None`` for an UNBOUNDED side
+    (round-11 second wave: ``ROWS BETWEEN UNBOUNDED PRECEDING AND b
+    FOLLOWING``, ``a PRECEDING AND UNBOUNDED FOLLOWING``, and the
+    row-exclusive cumulative ``UNBOUNDED PRECEDING AND CURRENT ROW``
+    — which differs from the family's default RANGE frame under tied
+    keys, so it needs this ROW-space construction).  An unbounded
+    side's out-of-partition contribution is the exclusive
+    prefix/suffix FOLD of the per-pid totals (the running-aggregate
+    family's offsets, in row space), re-entered as one typed scalar
+    per pid through the same broadcast join the edge arrays use.
+    (``None`` expr means ``count(*)``, carried as a literal-1 column
+    so one machinery serves all.)
 
     Construction: a ROWS frame bounded by (a, b) covers global
     positions [pos−a, pos+b]; after the deterministic range
@@ -2426,8 +2436,11 @@ def attach_global_bounded_aggs(
     from pyspark.sql import types as T
 
     sort_cols = [getattr(c, d)() for c, d in order_cols]
-    max_a = max(a for _f, _c, a, _b, _n in aggs)
-    max_b = max(b for _f, _c, _a, b, _n in aggs)
+    max_a = max((a for _f, _c, a, _b, _n in aggs if a is not None), default=0)
+    max_b = max((b for _f, _c, _a, b, _n in aggs if b is not None), default=0)
+    need_totals = any(
+        a is None or b is None for _f, _c, a, b, _n in aggs
+    )
 
     # concrete expr columns first (boundary collect and local windows
     # must read identical values); count(*) rides a literal 1
@@ -2473,8 +2486,44 @@ def attach_global_bounded_aggs(
     def _prims(fn: str) -> list[str]:
         return ["sum", "count"] if fn == "avg" else [fn]
 
+    def _fold(prim: str, vals: list):
+        nn = [v for v in vals if v is not None]
+        if prim == "count":
+            return len(nn)
+        if not nn:
+            return None
+        if prim == "sum":
+            out = nn[0]
+            for v in nn[1:]:
+                out = out + v
+            return out
+        return min(nn) if prim == "min" else max(nn)
+
+    def _combine(prim: str, x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        if prim in ("sum", "count"):
+            return x + y
+        return min(x, y) if prim == "min" else max(x, y)
+
+    def _state_type(prim: str, n: str):
+        if prim == "count":
+            return T.LongType()
+        if prim == "sum":
+            return sum_types[n]
+        return e_types[n]
+
     need_patch = max_a > 0 or max_b > 0
-    arr_names: list[str] = []
+    patch_cols: list[str] = []
+    fields = [T.StructField("_adt_jpid", T.IntegerType(), False)]
+    specs: list[tuple] = []  # array specs: (name, side, prim, i, depth)
+    uspecs: list[tuple] = []  # scalar specs: (name, side, prim, i)
+    pids: list[int] = []
+    prefix: dict[int, list] = {}
+    suffix: dict[int, list] = {}
+
     if need_patch:
         boundary = (
             marked.filter(
@@ -2495,86 +2544,115 @@ def attach_global_bounded_aggs(
         # prefix[p]: last max_a GLOBAL rows before p (ascending);
         # suffix[p]: first max_b GLOBAL rows after p (ascending) —
         # the offset family's fold
-        prefix: dict[int, list] = {}
         acc: list = []
         for p in pids:
             prefix[p] = acc[-max_a:] if max_a else []
             acc = (acc + tails[p])[-max_a:] if max_a else []
-        suffix: dict[int, list] = {}
         acc = []
         for p in reversed(pids):
             suffix[p] = acc[:max_b]
             acc = (heads[p] + acc)[:max_b]
 
-        def _fold(prim: str, vals: list):
-            nn = [v for v in vals if v is not None]
-            if prim == "count":
-                return len(nn)
-            if not nn:
-                return None
-            if prim == "sum":
-                out = nn[0]
-                for v in nn[1:]:
-                    out = out + v
-                return out
-            return min(nn) if prim == "min" else max(nn)
-
-        def _arr_type(prim: str, n: str):
-            if prim == "count":
-                return T.LongType()
-            if prim == "sum":
-                return sum_types[n]
-            return e_types[n]
-
-        # one broadcast table: per call × primitive × side, an array
-        # whose 1-based element m+1 = agg of the m missing edge rows
-        # (element 1 = the empty-slice identity)
-        fields = [T.StructField("_adt_jpid", T.IntegerType(), False)]
-        specs: list[tuple] = []  # (arr_name, side, prim, i, depth)
+    # unbounded-side state: per-pid TOTALS per needed (call, prim),
+    # exclusive prefix/suffix-folded into one typed scalar per pid
+    # (the running-aggregate family's offsets, in row space)
+    luoff: dict[tuple, dict[int, object]] = {}
+    ruoff: dict[tuple, dict[int, object]] = {}
+    if need_totals:
+        tot_exprs, tot_keys = [], []
+        for i, (fn, _c, a, b, _name) in enumerate(aggs):
+            if a is not None and b is not None:
+                continue
+            for prim in _prims(fn):
+                key = (i, prim)
+                if key in tot_keys:
+                    continue
+                tot_keys.append(key)
+                e = F.col(f"_adt_e{i}")
+                agg_e = (
+                    F.count(e) if prim == "count" else getattr(F, prim)(e)
+                )
+                tot_exprs.append(agg_e.alias(f"_adt_t_{prim}{i}"))
+        totals = {
+            int(r._adt_pid): r
+            for r in marked.groupBy("_adt_pid").agg(*tot_exprs).collect()
+        }
+        pids = sorted(set(pids) | set(totals))
         for i, (fn, _c, a, b, _name) in enumerate(aggs):
             for prim in _prims(fn):
-                if a > 0:
-                    nm = f"_adt_l_{prim}{i}"
-                    specs.append((nm, "l", prim, i, a))
+                if a is None:
+                    offs, acc_v = {}, None
+                    for p in pids:
+                        offs[p] = acc_v
+                        acc_v = _combine(
+                            prim, acc_v, totals[p][f"_adt_t_{prim}{i}"]
+                        )
+                    luoff[(i, prim)] = offs
+                if b is None:
+                    offs, acc_v = {}, None
+                    for p in reversed(pids):
+                        offs[p] = acc_v
+                        acc_v = _combine(
+                            prim, acc_v, totals[p][f"_adt_t_{prim}{i}"]
+                        )
+                    ruoff[(i, prim)] = offs
+
+    for i, (fn, _c, a, b, _name) in enumerate(aggs):
+        for prim in _prims(fn):
+            for side, bound, store in (("l", a, luoff), ("r", b, ruoff)):
+                if bound is None:
+                    nm = f"_adt_{side}u_{prim}{i}"
+                    uspecs.append((nm, side, prim, i))
+                    fields.append(
+                        T.StructField(
+                            nm, _state_type(prim, f"_adt_e{i}"), True
+                        )
+                    )
+                    patch_cols.append(nm)
+                elif bound > 0:
+                    nm = f"_adt_{side}_{prim}{i}"
+                    specs.append((nm, side, prim, i, bound))
                     fields.append(
                         T.StructField(
                             nm,
-                            T.ArrayType(_arr_type(prim, f"_adt_e{i}"), True),
+                            T.ArrayType(
+                                _state_type(prim, f"_adt_e{i}"), True
+                            ),
                             False,
                         )
                     )
-                    arr_names.append(nm)
-                if b > 0:
-                    nm = f"_adt_r_{prim}{i}"
-                    specs.append((nm, "r", prim, i, b))
-                    fields.append(
-                        T.StructField(
-                            nm,
-                            T.ArrayType(_arr_type(prim, f"_adt_e{i}"), True),
-                            False,
-                        )
-                    )
-                    arr_names.append(nm)
+                    patch_cols.append(nm)
+
+    if len(fields) > 1:
         rows = []
         for p in pids:
             row: list = [p]
-            for _nm, side, prim, i, depth in specs:
-                if side == "l":
-                    vals = [
-                        getattr(r, f"_adt_e{i}") for r in prefix[p]
-                    ][-depth:]
-                    # element k+1 = agg of last k values
-                    arr = [
-                        _fold(prim, vals[len(vals) - k:] if k else [])
-                        for k in range(0, len(vals) + 1)
-                    ]
+            s_i, u_i = 0, 0
+            for fld in fields[1:]:
+                if isinstance(fld.dataType, T.ArrayType):
+                    _nm, side, prim, i, depth = specs[s_i]
+                    s_i += 1
+                    src = prefix[p] if side == "l" else suffix[p]
+                    vals = [getattr(r, f"_adt_e{i}") for r in src]
+                    vals = vals[-depth:] if side == "l" else vals[:depth]
+                    if side == "l":
+                        # element k+1 = agg of last k values
+                        arr = [
+                            _fold(prim, vals[len(vals) - k:] if k else [])
+                            for k in range(0, len(vals) + 1)
+                        ]
+                    else:
+                        # element k+1 = agg of first k values
+                        arr = [
+                            _fold(prim, vals[:k])
+                            for k in range(0, len(vals) + 1)
+                        ]
+                    row.append(arr)
                 else:
-                    vals = [
-                        getattr(r, f"_adt_e{i}") for r in suffix[p]
-                    ][:depth]
-                    # element k+1 = agg of first k values
-                    arr = [_fold(prim, vals[:k]) for k in range(0, len(vals) + 1)]
-                row.append(arr)
+                    _nm, side, prim, i = uspecs[u_i]
+                    u_i += 1
+                    store = luoff if side == "l" else ruoff
+                    row.append(store[(i, prim)][p])
             rows.append(tuple(row))
         marked = _broadcast_pid_join(marked, rows, T.StructType(fields))
 
@@ -2592,17 +2670,31 @@ def attach_global_bounded_aggs(
         m = F.when(cond, F.least(need, F.size(arr) - 1)).otherwise(F.lit(0))
         return F.element_at(arr, (m + 1).cast("int"))
 
+    def _patch_val(side: str, prim: str, i: int, a, b, null_t):
+        """The out-of-partition contribution column for one call
+        side: the broadcast SCALAR for an unbounded side, the edge
+        array's element for a finite side > 0, a typed NULL for a
+        zero side."""
+        bound = a if side == "l" else b
+        if bound is None:
+            return F.col(f"_adt_{side}u_{prim}{i}")
+        if bound > 0:
+            return _edge_val(side, prim, i, a, b)
+        return F.lit(None).cast(null_t)
+
     out = marked
     for i, (fn, col, a, b, name) in enumerate(aggs):
         e = F.col(f"_adt_e{i}")
         en = f"_adt_e{i}"
-        wloc = w_pid.rowsBetween(-a, b)
+        lo_loc = W.unboundedPreceding if a is None else -a
+        hi_loc = W.unboundedFollowing if b is None else b
+        wloc = w_pid.rowsBetween(lo_loc, hi_loc)
         sum_t = sum_types[en]
         zero = F.lit(0).cast(sum_t)
 
         def _sum3(local, i=i, a=a, b=b, zero=zero, sum_t=sum_t):
-            lv = _edge_val("l", "sum", i, a, b) if a > 0 else F.lit(None).cast(sum_t)
-            rv = _edge_val("r", "sum", i, a, b) if b > 0 else F.lit(None).cast(sum_t)
+            lv = _patch_val("l", "sum", i, a, b, sum_t)
+            rv = _patch_val("r", "sum", i, a, b, sum_t)
             return F.when(
                 local.isNull() & lv.isNull() & rv.isNull(),
                 F.lit(None).cast(sum_t),
@@ -2612,20 +2704,17 @@ def attach_global_bounded_aggs(
                 + F.coalesce(rv, zero)
             ).cast(sum_t)
 
-        def _cnt3(i=i, a=a, b=b, en=en):
-            local = F.count(F.col(en)).over(w_pid.rowsBetween(-a, b))
-            # count-array elements are never null (identity 0); the
+        def _cnt3(i=i, a=a, b=b, en=en, wloc=wloc):
+            local = F.count(F.col(en)).over(wloc)
+            # count state is never null-by-value (identity 0); the
             # coalesce only restores count's non-nullable dtype, which
-            # element_at's nullable signature would otherwise widen
-            lc = (
-                F.coalesce(_edge_val("l", "count", i, a, b), F.lit(0))
-                if a > 0
-                else F.lit(0)
+            # element_at's / the scalar field's nullable signature
+            # would otherwise widen
+            lc = F.coalesce(
+                _patch_val("l", "count", i, a, b, T.LongType()), F.lit(0)
             )
-            rc = (
-                F.coalesce(_edge_val("r", "count", i, a, b), F.lit(0))
-                if b > 0
-                else F.lit(0)
+            rc = F.coalesce(
+                _patch_val("r", "count", i, a, b, T.LongType()), F.lit(0)
             )
             return local + lc + rc
 
@@ -2642,23 +2731,59 @@ def attach_global_bounded_aggs(
             ).otherwise(F.lit(None).cast(avg_t))
         elif fn in ("min", "max"):
             local = getattr(F, fn)(e).over(wloc)
-            lv = (
-                _edge_val("l", fn, i, a, b)
-                if a > 0
-                else F.lit(None).cast(e_types[en])
-            )
-            rv = (
-                _edge_val("r", fn, i, a, b)
-                if b > 0
-                else F.lit(None).cast(e_types[en])
-            )
+            lv = _patch_val("l", fn, i, a, b, e_types[en])
+            rv = _patch_val("r", fn, i, a, b, e_types[en])
             combined = (F.least if fn == "min" else F.greatest)(
                 local, lv, rv
             )
         else:
             raise ValueError(f"unsupported bounded-frame aggregate {fn!r}")
         out = out.withColumn(name, combined)
-    return out.drop(*helper_cols, *expr_names, *arr_names)
+    return out.drop(*helper_cols, *expr_names, *patch_cols)
+
+
+def attach_global_scalar_aggs(df: DataFrame, aggs: list[tuple]) -> DataFrame:
+    """Whole-input SCALAR window aggregates — ``sum/count/min/max/avg
+    (expr) OVER ()`` — without the single-partition WindowExec cliff
+    (round-11 second wave: Spark plans an empty OVER() as a
+    SinglePartition window over the WHOLE input, yet the value is one
+    scalar; the ratio-to-total projection ``x / sum(x) OVER ()`` is
+    the canonical ported-analytics shape, and the complement forms
+    the moving-start UBF rewrite emits carry the same ``OVER
+    (PARTITION-only)`` totals — DataFusion evaluates both without a
+    cliff, datafusion-functions-window, Cargo.lock:1818).
+
+    ``aggs``: list of (fn, expr_col_or_None, out_name); ``None`` expr
+    = count(*).  Construction: ONE parallel partial+final aggregation
+    (Spark's own groupBy-less agg — map-side combine, no shuffle of
+    data rows), a 1-row collect, and the values re-enter as TYPED
+    LITERALS (the aggregate output's own Spark schema — sum/avg/count
+    native result types, min/max the input type).  No pid machinery,
+    no shuffle, nothing O(data) driver-side.
+
+    Exactness: whole-input aggregation is the same fold both engines
+    run for integer/decimal arguments; float sums re-associate
+    (partial aggregation) — the family's documented caveat."""
+    with_exprs = df
+    agg_exprs = []
+    for i, (fn, col, _name) in enumerate(aggs):
+        e = F.lit(1) if col is None else col
+        with_exprs = with_exprs.withColumn(f"_adt_e{i}", e)
+        c = F.col(f"_adt_e{i}")
+        agg_exprs.append(
+            (F.count(c) if fn == "count" else getattr(F, fn)(c)).alias(
+                f"_adt_g{i}"
+            )
+        )
+    row_df = with_exprs.agg(*agg_exprs)
+    g_types = {f.name: f.dataType for f in row_df.schema.fields}
+    row = row_df.collect()[0]
+    out = with_exprs
+    for i, (_fn, _col, name) in enumerate(aggs):
+        out = out.withColumn(
+            name, F.lit(row[f"_adt_g{i}"]).cast(g_types[f"_adt_g{i}"])
+        )
+    return out.drop(*[f"_adt_e{i}" for i in range(len(aggs))])
 
 
 @register(
@@ -3320,6 +3445,88 @@ def q_sql_two_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = maybe_rewrite_global_rank(spark, _SQL_TWO_ORDERS_STMT)
     if out is None:
         raise RuntimeError("two-order rewrite did not match its own query")
+    return out
+
+
+_SQL_CUMROWS_STMT = """
+    SELECT doc_id,
+           CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_chars,
+           CAST(min(doc_id) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS BIGINT)
+             AS run_min_doc,
+           CAST(max(n_chars) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+             AS tail_max,
+           CAST(count(*) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n_total
+    FROM documents
+    WHERE lang <> 'zh'
+"""
+
+
+@register(
+    "q_sql_cumulative_rows",
+    oracle=_SQL_CUMROWS_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_cumulative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-SIDE ROWS frames on the global SQL surface (round-11
+    second wave): the row-exclusive cumulative frame (UNBOUNDED
+    PRECEDING .. CURRENT ROW — which differs from the family's
+    default RANGE frame under tied keys, so it needs the ROW-space
+    construction), both mixed unbounded/finite forms, and the
+    whole-input two-sided frame.  An unbounded side's
+    out-of-partition contribution is the exclusive prefix/suffix
+    FOLD of per-pid totals (one bounded ≤ n_parts-row collect)
+    re-entered as a typed broadcast scalar — the running-aggregate
+    family's offsets in row space — while the finite side keeps the
+    edge-array patch (``attach_global_bounded_aggs``).  The statement
+    is EXACTLY what the oracle runs; the plan check pins no
+    SinglePartition Window."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_CUMROWS_STMT)
+    if out is None:
+        raise RuntimeError("cumulative-rows rewrite did not match its query")
+    return out
+
+
+_SQL_RATIO_STMT = """
+    SELECT doc_id,
+           CAST(n_chars AS DOUBLE) / sum(n_chars) OVER () AS chars_share,
+           CAST(count(*) OVER () AS BIGINT) AS n_docs,
+           CAST(max(n_chars) OVER () AS BIGINT) AS max_chars
+    FROM documents
+    WHERE lang <> 'fr'
+"""
+
+
+@register(
+    "q_sql_ratio_to_total",
+    oracle=_SQL_RATIO_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-input SCALAR window aggregates — ``x / sum(x) OVER ()``,
+    the canonical ratio-to-total projection (round-11 second wave).
+    Spark plans an empty OVER() as a SinglePartition window over the
+    whole input; the rewrite computes ONE parallel partial+final
+    aggregation (no data shuffle), collects the single row, and
+    substitutes typed literals (``attach_global_scalar_aggs``) — the
+    share division then runs at scan speed.  Integer sums are exact,
+    so the one double division is bit-identical cross-engine.  The
+    statement is EXACTLY what the oracle runs, with a call composed
+    inside arithmetic (span substitution under composition)."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_RATIO_STMT)
+    if out is None:
+        raise RuntimeError("ratio-to-total rewrite did not match its query")
     return out
 
 

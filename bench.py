@@ -65,6 +65,8 @@ HEADLINE = [
     "q_sql_rank_over_groupby",
     "q_sql_running_variance",
     "q_sql_moving_agg",
+    "q_sql_cumulative_rows",
+    "q_sql_ratio_to_total",
     "q_sql_offsets_default",
     "q_sql_ignore_nulls",
     "q_sql_two_rank_orders",

@@ -368,6 +368,26 @@ def test_global_rewrite_round11_family_matches_native(spark, sf_dir):
         # RESPECT NULLS spelled explicitly = the default path
         "SELECT id, first_value(v) RESPECT NULLS "
         "OVER (ORDER BY k, id) AS fr FROM t_r11",
+        # second wave: unbounded sides — row-exclusive cumulative
+        # (differs from the default RANGE frame under these tied
+        # keys), mixed unbounded/finite both ways, whole-input frame
+        "SELECT id, sum(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs, "
+        "min(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS m1, "
+        "max(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 3 PRECEDING AND UNBOUNDED FOLLOWING) AS m2, "
+        "count(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS c1, "
+        "avg(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS a1, "
+        "sum(v) OVER (ORDER BY k DESC, id DESC ROWS UNBOUNDED PRECEDING) "
+        "AS cd FROM t_r11",
+        # second wave: whole-input OVER () scalars, composed inside
+        # arithmetic
+        "SELECT id, CAST(v AS DOUBLE) / sum(v) OVER () AS share, "
+        "count(*) OVER () AS n, min(v) OVER () AS mn, "
+        "avg(v) OVER () AS av FROM t_r11",
     ):
         df = maybe_rewrite_global_rank(spark, q)
         assert df is not None, q

@@ -1434,6 +1434,18 @@ def test_global_window_family_plan_flat_in_n_parts(spark, sf_dir):
             [("lag", F.col("n_chars"), 2, "l2", F.lit(-1))],
             n_parts=np,
         ),
+        # round-11 second wave: unbounded sides (totals scalars mixed
+        # with edge arrays in one broadcast state table)
+        "bounded_unbounded": lambda np: attach_global_bounded_aggs(
+            docs, keys,
+            [
+                ("sum", F.col("n_chars"), None, 0, "cs"),
+                ("min", F.col("n_chars"), None, 2, "m1"),
+                ("max", F.col("n_chars"), 3, None, "m2"),
+                ("count", None, None, None, "nt"),
+            ],
+            n_parts=np,
+        ),
     }
     for name, build in builders.items():
         p8 = _formatted(build(8))
@@ -1535,6 +1547,27 @@ def test_sql_ignore_nulls_and_default_offsets_no_single_partition(
         assert re.search(r"\(\d+\) Window\b", plan), name
         assert "SinglePartition" not in plan, name
         assert "Scan parquet" in plan, name
+
+
+def test_sql_cumulative_rows_no_single_partition(spark, sf_dir):
+    """q_sql_cumulative_rows (round-11 second wave): unbounded-side
+    ROWS frames — partitioned Windows only, no SinglePartition,
+    corpus from the parquet scan, state via broadcast joins."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_cumulative_rows"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_sql_ratio_to_total_no_window_at_all(spark, sf_dir):
+    """q_sql_ratio_to_total (round-11 second wave): OVER () scalars
+    become typed literals over one parallel aggregation — the final
+    plan carries NO Window operator and NO SinglePartition exchange;
+    the share projection runs at scan speed."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_ratio_to_total"))
+    assert not re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" in plan
 
 
 def test_range_pid_two_level_route(spark, sf_dir):
