@@ -304,6 +304,33 @@ _BOUNDED_ROWS_FRAMES = [
         re.compile(r"^rows unbounded preceding$"),
         lambda m: (None, 0),
     ),
+    # round-11 third wave: NEGATIVE bounds (frames strictly before /
+    # after the current row — including the reversed complements the
+    # moving-start UBF pass emits).  Encoded as signed offsets; the
+    # executor rewrites frame [lo, hi] with hi<0 as the [lo−hi, 0]
+    # aggregate globally LAGGED by −hi (and lo>0 as a LEAD) — the
+    # value of a shifted frame is the unshifted frame's value at the
+    # shifted position.
+    (
+        re.compile(r"^rows between (\d+) preceding and (\d+) preceding$"),
+        lambda m: (int(m.group(1)), -int(m.group(2))),
+    ),
+    (
+        re.compile(
+            r"^rows between unbounded preceding and (\d+) preceding$"
+        ),
+        lambda m: (None, -int(m.group(1))),
+    ),
+    (
+        re.compile(r"^rows between (\d+) following and (\d+) following$"),
+        lambda m: (-int(m.group(1)), int(m.group(2))),
+    ),
+    (
+        re.compile(
+            r"^rows between (\d+) following and unbounded following$"
+        ),
+        lambda m: (-int(m.group(1)), None),
+    ),
 ]
 
 
@@ -523,6 +550,13 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                         "sum", "count", "min", "max", "avg"
                     ):
                         continue  # bounded-frame variance — native
+                    if (
+                        frame is not None
+                        and frame[0] is not None
+                        and frame[1] is not None
+                        and frame[0] + frame[1] < 0
+                    ):
+                        continue  # lo > hi — invalid frame, Spark reports
                     arg_src = parts[0].strip()
                 elif fam == "off":
                     if frame is not None or ign:
@@ -787,21 +821,84 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                 if c["family"] == "agg" and c["frame"] is not None
             ]
             if agg_bnd:
-                ranked = attach_global_bounded_aggs(
-                    ranked,
-                    keys,
-                    [
-                        (
-                            c["fn"],
-                            None if c["arg_src"] == "*" else _arg_col(c["arg_src"]),
-                            c["frame"][0],
-                            c["frame"][1],
-                            names[c["start"]],
-                        )
-                        for c in agg_bnd
-                    ],
-                    n_rows=n_rows,
-                )
+                # negative bounds (third wave): frame [lo, hi] with
+                # hi < 0 equals the [lo−hi, 0] aggregate at position
+                # pos+hi — compute the shifted-to-current inner frame,
+                # then globally LAG it by −hi (lo > 0 mirrors via
+                # LEAD); past the global edge the frame is empty, so
+                # the offset's NULL is exactly right (count coalesces
+                # to its empty-frame 0)
+                plain, shifted = [], []
+                for c in agg_bnd:
+                    a, b = c["frame"]
+                    if b is not None and b < 0:
+                        ia = None if a is None else a + b
+                        shifted.append((c, ia, 0, "lag", -b))
+                    elif a is not None and a < 0:
+                        ib = None if b is None else a + b
+                        shifted.append((c, 0, ib, "lead", -a))
+                    else:
+                        plain.append((c, a, b))
+                if plain:
+                    ranked = attach_global_bounded_aggs(
+                        ranked,
+                        keys,
+                        [
+                            (
+                                c["fn"],
+                                None
+                                if c["arg_src"] == "*"
+                                else _arg_col(c["arg_src"]),
+                                a,
+                                b,
+                                names[c["start"]],
+                            )
+                            for c, a, b in plain
+                        ],
+                        n_rows=n_rows,
+                    )
+                if shifted:
+                    tmp_names = {
+                        id(c): f"_adt_gws{k}"
+                        for k, (c, _ia, _ib, _d, _s) in enumerate(shifted)
+                    }
+                    ranked = attach_global_bounded_aggs(
+                        ranked,
+                        keys,
+                        [
+                            (
+                                c["fn"],
+                                None
+                                if c["arg_src"] == "*"
+                                else _arg_col(c["arg_src"]),
+                                ia,
+                                ib,
+                                tmp_names[id(c)],
+                            )
+                            for c, ia, ib, _d, _s in shifted
+                        ],
+                        n_rows=n_rows,
+                    )
+                    ranked = attach_global_offsets(
+                        ranked,
+                        keys,
+                        [
+                            (d, F.col(tmp_names[id(c)]), s,
+                             names[c["start"]], None)
+                            for c, _ia, _ib, d, s in shifted
+                        ],
+                        n_rows=n_rows,
+                    )
+                    for c, _ia, _ib, _d, _s in shifted:
+                        if c["fn"] == "count":
+                            nm = names[c["start"]]
+                            ranked = ranked.withColumn(
+                                nm,
+                                F.coalesce(
+                                    F.col(nm), F.lit(0).cast("long")
+                                ),
+                            )
+                    ranked = ranked.drop(*tmp_names.values())
             off_group = [c for c in group_all if c["family"] == "off"]
             if off_group:
                 ranked = attach_global_offsets(

@@ -3495,6 +3495,54 @@ def q_sql_cumulative_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_SHIFTED_STMT = """
+    SELECT doc_id,
+           CAST(sum(n_chars) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS BIGINT)
+             AS sum_before,
+           CAST(min(n_chars) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS BIGINT)
+             AS min_back_window,
+           CAST(max(n_chars) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN 2 FOLLOWING AND 6 FOLLOWING) AS BIGINT)
+             AS max_ahead_window,
+           CAST(count(*) OVER (ORDER BY n_chars, doc_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS BIGINT)
+             AS n_after
+    FROM documents
+    WHERE lang <> 'en'
+"""
+
+
+@register(
+    "q_sql_shifted_frames",
+    oracle=_SQL_SHIFTED_STMT,
+    tags=("sampling", "rank", "dialect", "scale"),
+)
+def q_sql_shifted_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEGATIVE-BOUND ROWS frames on the global SQL surface (round-11
+    third wave, completing the integer ROWS-frame grammar): frames
+    strictly before or after the current row — ``[UNBOUNDED/a
+    PRECEDING, j PRECEDING]`` and the FOLLOWING mirror, including the
+    reversed complements the moving-start UBF rewrite emits.
+    Construction: the value of a shifted frame is the
+    SHIFTED-TO-CURRENT frame's value at the shifted position, so the
+    executor chains two existing attachments on ONE pid assignment —
+    ``attach_global_bounded_aggs`` for the [lo−hi, 0] inner
+    aggregate, then ``attach_global_offsets`` lag/lead by |hi| — and
+    the offset's global-edge NULL is exactly the empty frame's value
+    (count coalesces to its empty-frame 0).  The statement is EXACTLY
+    what the oracle runs; plan check pins no SinglePartition
+    Window."""
+    from adt_spark.dialect.global_rank import maybe_rewrite_global_rank
+
+    tables(spark, sf_dir)
+    out = maybe_rewrite_global_rank(spark, _SQL_SHIFTED_STMT)
+    if out is None:
+        raise RuntimeError("shifted-frame rewrite did not match its query")
+    return out
+
+
 _SQL_RATIO_STMT = """
     SELECT doc_id,
            CAST(n_chars AS DOUBLE) / sum(n_chars) OVER () AS chars_share,

@@ -67,6 +67,7 @@ HEADLINE = [
     "q_sql_moving_agg",
     "q_sql_cumulative_rows",
     "q_sql_ratio_to_total",
+    "q_sql_shifted_frames",
     "q_sql_offsets_default",
     "q_sql_ignore_nulls",
     "q_sql_two_rank_orders",

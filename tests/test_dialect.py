@@ -388,6 +388,19 @@ def test_global_rewrite_round11_family_matches_native(spark, sf_dir):
         "SELECT id, CAST(v AS DOUBLE) / sum(v) OVER () AS share, "
         "count(*) OVER () AS n, min(v) OVER () AS mn, "
         "avg(v) OVER () AS av FROM t_r11",
+        # third wave: negative bounds (shift-composed frames), both
+        # directions, unbounded and finite, count's empty-frame 0
+        "SELECT id, sum(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS sb, "
+        "min(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS mb, "
+        "max(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 2 FOLLOWING AND 6 FOLLOWING) AS ma, "
+        "count(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 3 PRECEDING) AS cb, "
+        "avg(v) OVER (ORDER BY k DESC, id DESC "
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS aa "
+        "FROM t_r11",
     ):
         df = maybe_rewrite_global_rank(spark, q)
         assert df is not None, q
@@ -422,13 +435,17 @@ def test_global_rewrite_round11_native_passthroughs(spark, sf_dir):
     for q in (
         "SELECT id, var_samp(v) OVER (ORDER BY k, id "
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vs FROM t_r11p",
+        # invalid frame (lo > hi) — Spark's own analysis reports it
+        "SELECT id, sum(v) OVER (ORDER BY k, id "
+        "ROWS BETWEEN 1 PRECEDING AND 3 PRECEDING) AS s FROM t_r11p",
         "SELECT id, nth_value(v, 3) IGNORE NULLS "
         "OVER (ORDER BY k, id) AS nv FROM t_r11p",
         "SELECT id, lag(v) IGNORE NULLS OVER (ORDER BY k, id) AS lg "
         "FROM t_r11p",
-        "SELECT id, sum(v) OVER (ORDER BY k, id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING) AS s "
-        "FROM t_r11p",
+        # RANGE value-offset frames stay native (the EXCLUDE family's
+        # value-split territory; only ROWS frames ride this rewrite)
+        "SELECT id, sum(v) OVER (ORDER BY k "
+        "RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM t_r11p",
     ):
         assert maybe_rewrite_global_rank(spark, q) is None, q
 

@@ -1559,6 +1559,17 @@ def test_sql_cumulative_rows_no_single_partition(spark, sf_dir):
     assert "Scan parquet" in plan
 
 
+def test_sql_shifted_frames_no_single_partition(spark, sf_dir):
+    """q_sql_shifted_frames (round-11 third wave): negative-bound
+    ROWS frames via shift composition (inner bounded agg + global
+    lag/lead on ONE pid assignment) — partitioned Windows only, no
+    SinglePartition, corpus from the parquet scan."""
+    plan = _formatted(_q(spark, sf_dir, "q_sql_shifted_frames"))
+    assert re.search(r"\(\d+\) Window\b", plan)
+    assert "SinglePartition" not in plan
+    assert "Scan parquet" in plan
+
+
 def test_sql_ratio_to_total_no_window_at_all(spark, sf_dir):
     """q_sql_ratio_to_total (round-11 second wave): OVER () scalars
     become typed literals over one parallel aggregation — the final
