@@ -324,21 +324,56 @@ def spread(df: DataFrame) -> DataFrame:
 _SPREAD_MEMO: dict[tuple[str, int], int] = {}
 
 
+def _sf_dir_signature(sf_dir: str) -> tuple:
+    """Cheap on-disk identity of a testdata directory: (table, mtime,
+    size) per present file.  ~10 ``os.stat`` calls — microseconds."""
+    sig = []
+    for table in SF_TABLES:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        try:
+            st = os.stat(path)
+        except OSError:
+            continue
+        sig.append((table, st.st_mtime_ns, st.st_size))
+    return tuple(sig)
+
+
 def register_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every driver table under ``sf_dir`` as a temp view and
     return the DataFrames keyed by table name.
 
     Scans stay lazy: registration reads only parquet footers, so
     Catalyst later prunes columns and pushes filters per query.
+
+    Memoized PER SESSION OBJECT (round-11 optimization): resolving ten
+    parquet relations costs ~0.8 s of py4j/footer round-trips, and the
+    query registry calls this helper inside every query builder — a
+    fixed per-query tax the reference pays once at context build (its
+    listing factories register tables into the SessionContext once,
+    context.rs:37-42).  The memo caches CATALOG METADATA only — the
+    lazy DataFrames and their temp-view registration — never data or
+    results: every downstream action still scans the parquet inputs.
+    Keyed on the directory's files signature (path+mtime+size), so a
+    regenerated testdata dir re-registers; stored as an attribute on
+    the session object, so a new/stopped session never sees a stale
+    entry and temp views (session-scoped) always match the session the
+    memo lives on.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    key = (sf_dir, _sf_dir_signature(sf_dir))
+    memo = getattr(spark, "_adt_sf_tables_memo", None)
+    if memo is None:
+        memo = {}
+        spark._adt_sf_tables_memo = memo
+    hit = memo.get(key)
+    if hit is not None:
+        return dict(hit)
+
     out: dict[str, DataFrame] = {}
-    for table in SF_TABLES:
+    for table, _mt, _sz in key[1]:
         path = os.path.join(sf_dir, f"{table}.parquet")
-        if not os.path.exists(path):
-            continue
         df = spark.read.parquet(path)
         if table == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
             # TIMESTAMP(NANOS) read as epoch-nanos (nanosAsLong) →
@@ -348,4 +383,7 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
             )
         df.createOrReplaceTempView(table)
         out[table] = df
-    return out
+    memo.clear()  # one live dir per session is the real usage; a
+    # second dir (fixture sessions) evicts the first instead of growing
+    memo[key] = out
+    return dict(out)

@@ -756,10 +756,10 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                     pass
             ranked = ranked.persist()
             _cached_inner = ranked
-        # ONE inner count, shared by every chained construction (all
-        # attachments are row-preserving) — each would otherwise pay
-        # its own key-pruned count pass to size the bounds sample
-        n_rows = ranked.count()
+        # No count pass (round-11 optimization): the bounds sample is
+        # a fixed-size hash top-k (_sample_split_bounds), so nothing
+        # in the construction needs the inner row count any more —
+        # one full pass per statement removed outright (guide §1.2).
         # ONE deterministic pid assignment per DISTINCT order, shared
         # by every family's construction over that order (round-10:
         # the assignment costs a key-pruned sampling scan — one per
@@ -787,16 +787,13 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
         for order in sorted(by_order):
             group_all = by_order[order]
             keys = _key_cols(group_all[0]["keys"])
-            ranked = _assign_range_pids(
-                ranked.drop("_adt_pid"), keys, n_rows=n_rows
-            )
+            ranked = _assign_range_pids(ranked.drop("_adt_pid"), keys)
             rank_group = [c for c in group_all if c["family"] == "rank"]
             if rank_group:
                 ranked = attach_global_ranks(
                     ranked,
                     keys,
-                    [(c["fn"], names[c["start"]]) for c in rank_group],
-                    n_rows=n_rows,
+                    [(c["fn"], names[c["start"]]) for c in rank_group]
                 )
             agg_run = [
                 c for c in group_all
@@ -813,8 +810,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                             names[c["start"]],
                         )
                         for c in agg_run
-                    ],
-                    n_rows=n_rows,
+                    ]
                 )
             agg_bnd = [
                 c for c in group_all
@@ -854,8 +850,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                                 names[c["start"]],
                             )
                             for c, a, b in plain
-                        ],
-                        n_rows=n_rows,
+                        ]
                     )
                 if shifted:
                     tmp_names = {
@@ -876,8 +871,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                                 tmp_names[id(c)],
                             )
                             for c, ia, ib, _d, _s in shifted
-                        ],
-                        n_rows=n_rows,
+                        ]
                     )
                     ranked = attach_global_offsets(
                         ranked,
@@ -886,8 +880,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                             (d, F.col(tmp_names[id(c)]), s,
                              names[c["start"]], None)
                             for c, _ia, _ib, d, s in shifted
-                        ],
-                        n_rows=n_rows,
+                        ]
                     )
                     for c, _ia, _ib, _d, _s in shifted:
                         if c["fn"] == "count":
@@ -915,8 +908,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                             else _arg_col(c["default_src"]),
                         )
                         for c in off_group
-                    ],
-                    n_rows=n_rows,
+                    ]
                 )
             fln_group = [c for c in group_all if c["family"] == "fln"]
             if fln_group:
@@ -927,8 +919,7 @@ def maybe_rewrite_global_rank(spark: SparkSession, sql: str) -> DataFrame | None
                         (c["fn"], _arg_col(c["arg_src"]), c["n"],
                          names[c["start"]], c["ign"])
                         for c in fln_group
-                    ],
-                    n_rows=n_rows,
+                    ]
                 )
         ranked = ranked.drop("_adt_pid")
     except Exception:

@@ -1339,37 +1339,40 @@ def _tuple_key_cmp(specs: list[tuple[str, bool]]):
 
 def _sample_split_bounds(
     df: DataFrame, order_cols: list, n_parts: int,
-    n_rows: int | None = None,
 ) -> list[tuple]:
-    """SAMPLE ONCE → literal split bounds: one seeded sample of the
-    order keys, driver-sorted under the exact engine ordering, evenly
-    spaced split tuples (≤ n_parts−1, consecutive duplicates dropped —
-    equal keys must share a partition anyway).  The bounds are plain
-    Python values from here on, so pid assignment is a PURE FUNCTION
-    of the key: every downstream action sees the same partitioning
-    with nothing materialized (this replaces the round-9
-    localCheckpoint boundary pin, which wrote the whole corpus to
-    executor disk per query).
+    """SAMPLE ONCE → literal split bounds: one fixed-size uniform
+    sample of the order keys, driver-sorted under the exact engine
+    ordering, evenly spaced split tuples (≤ n_parts−1, consecutive
+    duplicates dropped — equal keys must share a partition anyway).
+    The bounds are plain Python values from here on, so pid assignment
+    is a PURE FUNCTION of the key: every downstream action sees the
+    same partitioning with nothing materialized (this replaces the
+    round-9 localCheckpoint boundary pin, which wrote the whole corpus
+    to executor disk per query).
 
-    Cost: one key-pruned count (skipped when the caller already knows
-    ``n_rows`` — the SQL rewrite counts its inner statement once and
-    shares it across chained constructions) + one key-pruned sampled
-    collect of ≤ ~1.3 × n_parts × _BOUND_SAMPLE_PER_PART rows."""
+    Cost: ONE key-pruned pass (round-11 optimization — previously a
+    count pass sized a Bernoulli fraction, i.e. TWO passes per order
+    per query; guide §1.2 "remove unnecessary passes").  The sample is
+    the ``target`` rows with the smallest ``xxhash64(position, salt)``
+    — a top-k per scan partition (bounded heap) plus a bounded merge,
+    planned as TakeOrderedAndProject: no full sort, no count, driver
+    state O(target).  Hashing the row POSITION (monotonically
+    increasing id), not the key, keeps the selection uniform over ROWS
+    even under heavily duplicated keys.  Which rows are picked can
+    shift if the upstream partition layout shifts; bounds only steer
+    pid PLACEMENT, never values, so outputs are invariant (the same
+    contract the previous seeded Bernoulli sample had)."""
     from functools import cmp_to_key
 
     keys_df = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
     )
-    n = keys_df.count() if n_rows is None else int(n_rows)
-    if n == 0:
-        return []
     target = max(n_parts * _BOUND_SAMPLE_PER_PART, 256)
-    if n <= target:
-        rows = keys_df.collect()
-    else:
-        rows = keys_df.sample(fraction=min(1.0, 1.3 * target / n), seed=1729).collect()
-        if not rows:  # pragma: no cover - fraction floor at tiny n
-            rows = keys_df.limit(target).collect()
+    rows = keys_df.orderBy(
+        F.xxhash64(F.monotonically_increasing_id(), F.lit(1729))
+    ).limit(target).collect()
+    if not rows:
+        return []
     vals = [tuple(r) for r in rows]
     specs = [_norm_order_method(d) for _c, d in order_cols]
     cmp = _tuple_key_cmp(specs)
@@ -1411,7 +1414,6 @@ def _lex_after_cond(key_cols: list, bound_cols: list, specs: list):
 
 def _assign_range_pids(
     df: DataFrame, order_cols: list, n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """The DETERMINISTIC RANGE PARTITIONER under the whole two-phase
     global-window family: append ``_adt_pid`` such that (a) pid order
@@ -1448,7 +1450,7 @@ def _assign_range_pids(
 
     spark = df.sparkSession
     n_parts = _resolve_rank_parts(spark, n_parts)
-    splits = _sample_split_bounds(df, order_cols, n_parts, n_rows)
+    splits = _sample_split_bounds(df, order_cols, n_parts)
     m = len(order_cols)
     key_fields = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
@@ -1581,7 +1583,6 @@ def attach_global_ranks(
     order_cols: list,
     ranks: list[tuple[str, str]],
     n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """The GENERALIZED two-phase global-rank construction (round-9:
     the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
@@ -1635,7 +1636,7 @@ def attach_global_ranks(
     bare_cols = [c for c, _d in order_cols]
     made_pid = "_adt_pid" not in df.columns
     ranged = (
-        _assign_range_pids(df, order_cols, n_parts, n_rows)
+        _assign_range_pids(df, order_cols, n_parts)
         if made_pid
         else df
     )
@@ -1747,7 +1748,6 @@ def attach_global_running_aggs(
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
     (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
@@ -1807,7 +1807,7 @@ def attach_global_running_aggs(
     sort_cols = [getattr(c, d)() for c, d in order_cols]
     made_pid = "_adt_pid" not in df.columns
     ranged = (
-        _assign_range_pids(df, order_cols, n_parts, n_rows)
+        _assign_range_pids(df, order_cols, n_parts)
         if made_pid
         else df
     )
@@ -1974,7 +1974,6 @@ def attach_global_offsets(
     order_cols: list,
     offsets: list[tuple],
     n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL OFFSET functions — ``lag/lead(expr[, j]) OVER
     (ORDER BY …)`` without the single-partition WindowExec cliff (the
@@ -2027,7 +2026,7 @@ def attach_global_offsets(
         expr_names.append(f"_adt_e{i}")
     made_pid = "_adt_pid" not in df.columns
     ranged = (
-        _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+        _assign_range_pids(with_exprs, order_cols, n_parts)
         if made_pid
         else with_exprs
     )
@@ -2130,7 +2129,6 @@ def attach_global_first_last(
     order_cols: list,
     calls: list[tuple],
     n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL FRAME-VALUE functions — ``first_value /
     last_value / nth_value(expr[, n]) OVER (ORDER BY …)`` with the
@@ -2201,7 +2199,7 @@ def attach_global_first_last(
         expr_names.append(f"_adt_e{i}")
     made_pid = "_adt_pid" not in df.columns
     ranged = (
-        _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+        _assign_range_pids(with_exprs, order_cols, n_parts)
         if made_pid
         else with_exprs
     )
@@ -2226,30 +2224,66 @@ def attach_global_first_last(
         work = work.withColumn("_adt_rn", F.row_number().over(w))
         helper_cols.append("_adt_rn")
 
-    firsts: dict[int, object] = {}
-    if need_first:
-        # per-pid first rows (≤ n_parts); the global first is the one
-        # in the smallest non-empty pid
-        head = {
+    # ONE bounded per-pid stats collect for every call kind (round-11
+    # optimization, guide §1.2 "remove unnecessary passes": previously
+    # the head row, the per-pid counts, each IGNORE NULLS first and
+    # each IGNORE NULLS last paid its OWN aggregation action — up to
+    # 3 + n_calls full passes per statement; all of them are per-pid
+    # aggregates over the same frame, so one composite groupBy serves
+    # them all).  min_by/max_by with a null-when-null-arg ordering key
+    # skip null arguments exactly like the previous isNotNull filters
+    # (measured: null ordering keys are ignored, the selected value
+    # itself may be NULL only for the RESPECT-NULLS head).
+    first_idx = [
+        i for i, (fn, _c, _n, _nm, ign) in enumerate(calls)
+        if fn == "first_value" and not ign
+    ]
+    first_in_idx = [
+        i for i, (fn, _c, _n, _nm, ign) in enumerate(calls)
+        if fn == "first_value" and ign
+    ]
+    last_in_idx = [
+        i for i, (fn, _c, _n, _nm, ign) in enumerate(calls)
+        if fn == "last_value" and ign
+    ]
+    stats: dict[int, object] = {}
+    if need_first or need_counts:
+        agg_exprs = [F.count(F.lit(1)).alias("cnt")]
+        for i in first_idx:
+            agg_exprs.append(
+                F.min_by(f"_adt_e{i}", "_adt_rn").alias(f"_adt_h{i}")
+            )
+        for i in first_in_idx:
+            nn_rn = F.when(
+                F.col(f"_adt_e{i}").isNotNull(), F.col("_adt_rn")
+            )
+            agg_exprs.append(F.min(nn_rn).alias(f"_adt_fnr{i}"))
+            agg_exprs.append(
+                F.min_by(f"_adt_e{i}", nn_rn).alias(f"_adt_fnv{i}")
+            )
+        for i in last_in_idx:
+            nn_rn = F.when(
+                F.col(f"_adt_e{i}").isNotNull(), F.col("_adt_rn")
+            )
+            agg_exprs.append(
+                F.max_by(f"_adt_e{i}", nn_rn).alias(f"_adt_lnv{i}")
+            )
+        stats = {
             int(r._adt_pid): r
-            for r in work.filter(F.col("_adt_rn") == 1)
-            .select("_adt_pid", *expr_names)
-            .collect()
+            for r in work.groupBy("_adt_pid").agg(*agg_exprs).collect()
         }
-        if head:
-            hp = min(head)
-            firsts = {i: head[hp][f"_adt_e{i}"] for i in range(len(calls))}
+
+    firsts: dict[int, object] = {}
+    if need_first and stats:
+        # the global first row lives in the smallest non-empty pid
+        hp = min(stats)
+        firsts = {i: stats[hp][f"_adt_h{i}"] for i in first_idx}
 
     row_off: dict[int, int] = {}
     n_total = 0
     counts: dict[int, int] = {}
     if need_counts:
-        counts = {
-            int(r._adt_pid): int(r.cnt)
-            for r in ranged.groupBy("_adt_pid")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
+        counts = {p: int(r.cnt) for p, r in stats.items()}
         for pid in sorted(counts):
             row_off[pid] = n_total
             n_total += counts[pid]
@@ -2262,44 +2296,28 @@ def attach_global_first_last(
             helper_cols.append("_adt_roff")
 
     # ignore-nulls firsts: (global position, value) of the globally
-    # first NON-NULL expr, one bounded per-pid collect per call
+    # first NON-NULL expr — the smallest pid with a non-null hit
     firsts_nn: dict[int, tuple[int, object]] = {}
-    if need_first_in:
-        for i, (fn, _c, _n, _nm, ign) in enumerate(calls):
-            if not (fn == "first_value" and ign):
-                continue
-            rows = (
-                work.filter(F.col(f"_adt_e{i}").isNotNull())
-                .groupBy("_adt_pid")
-                .agg(
-                    F.min("_adt_rn").alias("rn"),
-                    F.min_by(f"_adt_e{i}", "_adt_rn").alias("v"),
-                )
-                .collect()
-            )
-            if rows:
-                r0 = min(rows, key=lambda r: int(r._adt_pid))
+    for i in first_in_idx:
+        for p in sorted(stats):
+            rn0 = stats[p][f"_adt_fnr{i}"]
+            if rn0 is not None:
                 firsts_nn[i] = (
-                    row_off[int(r0._adt_pid)] + int(r0.rn),
-                    r0.v,
+                    row_off[p] + int(rn0), stats[p][f"_adt_fnv{i}"]
                 )
+                break
 
     # ignore-nulls lasts: per-pid LAST non-null value, prefix-folded
     # into "latest non-null in EARLIER pids", re-entered as one
     # ≤ n_parts-row broadcast join (typed per call)
     if need_last_in:
-        last_idx = [
-            i for i, (fn, _c, _n, _nm, ign) in enumerate(calls)
-            if fn == "last_value" and ign
-        ]
+        last_idx = last_in_idx
         lastv: dict[int, dict[int, object]] = {}
         for i in last_idx:
             lastv[i] = {
-                int(r._adt_pid): r.v
-                for r in work.filter(F.col(f"_adt_e{i}").isNotNull())
-                .groupBy("_adt_pid")
-                .agg(F.max_by(f"_adt_e{i}", "_adt_rn").alias("v"))
-                .collect()
+                p: stats[p][f"_adt_lnv{i}"]
+                for p in stats
+                if stats[p][f"_adt_lnv{i}"] is not None
             }
         fields = [T.StructField("_adt_jpid", T.IntegerType(), False)]
         for i in last_idx:
@@ -2368,7 +2386,6 @@ def attach_global_bounded_aggs(
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL BOUNDED-FRAME aggregates — ``sum/count/min/
     max/avg(expr) OVER (ORDER BY … ROWS BETWEEN a PRECEDING AND b
@@ -2452,7 +2469,7 @@ def attach_global_bounded_aggs(
         expr_names.append(f"_adt_e{i}")
     made_pid = "_adt_pid" not in df.columns
     ranged = (
-        _assign_range_pids(with_exprs, order_cols, n_parts, n_rows)
+        _assign_range_pids(with_exprs, order_cols, n_parts)
         if made_pid
         else with_exprs
     )
