@@ -1414,6 +1414,7 @@ def _lex_after_cond(key_cols: list, bound_cols: list, specs: list):
 
 def _assign_range_pids(
     df: DataFrame, order_cols: list, n_parts: int | None = None,
+    splits: list | None = None,
 ) -> DataFrame:
     """The DETERMINISTIC RANGE PARTITIONER under the whole two-phase
     global-window family: append ``_adt_pid`` such that (a) pid order
@@ -1443,14 +1444,24 @@ def _assign_range_pids(
     input already carries ``_adt_pid`` (and then leaves the column in
     place) — sound only when that pid was assigned over the SAME
     order keys, which is what the SQL rewrite guarantees when it
-    shares one assignment across families per distinct order."""
+    shares one assignment across families per distinct order.
+
+    ``splits`` (round-11 optimization): pre-computed split bounds from
+    ``_sample_split_bounds`` — pass the SAME list to assign identical
+    pids to two dataframes carrying the same keys (the SQL rewrite
+    samples bounds ONCE per distinct order from the short-lineage
+    inner statement, then applies them to both the chained output
+    frame and the state-source frame; sampling from the chained frame
+    would recompute every earlier construction's windows and joins
+    just to draw the sample)."""
     import math
 
     from pyspark.sql import types as T
 
     spark = df.sparkSession
     n_parts = _resolve_rank_parts(spark, n_parts)
-    splits = _sample_split_bounds(df, order_cols, n_parts)
+    if splits is None:
+        splits = _sample_split_bounds(df, order_cols, n_parts)
     m = len(order_cols)
     key_fields = df.select(
         *[c.alias(f"_adt_k{i}") for i, (c, _d) in enumerate(order_cols)]
@@ -1583,6 +1594,7 @@ def attach_global_ranks(
     order_cols: list,
     ranks: list[tuple[str, str]],
     n_parts: int | None = None,
+    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """The GENERALIZED two-phase global-rank construction (round-9:
     the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
@@ -1629,6 +1641,16 @@ def attach_global_ranks(
     Scale shape: ONE pid-keyed shuffle for the local window + two
     key-pruned sampling scans + a ≤n_parts-row collect; no
     single-partition exchange, no checkpoint (plan-checked).
+
+    ``state_src`` (round-11 optimization, shared by the whole attach
+    family): an alternative dataframe with the SAME ROWS as ``df``
+    and a ``_adt_pid`` assigned from the SAME split bounds, used for
+    every driver-state aggregation instead of ``df``.  The SQL
+    rewrite passes the short-lineage inner statement here when ``df``
+    is a chained frame carrying earlier constructions — the state
+    values are identical (pid is a pure function of the key and the
+    chain is row-preserving), but the state action no longer
+    recomputes every earlier order's windows and broadcast joins.
     """
     from pyspark.sql import Window as W
 
@@ -1640,10 +1662,11 @@ def attach_global_ranks(
         if made_pid
         else df
     )
+    src = state_src if state_src is not None else ranged
     need_dense = any(fn == "dense_rank" for fn, _ in ranks)
     key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
     per_key = (
-        ranged.select(
+        src.select(
             F.col("_adt_pid"),
             *[c.alias(n) for c, n in zip(bare_cols, key_names)],
         )
@@ -1656,7 +1679,7 @@ def attach_global_ranks(
         )
         .collect()
         if need_dense
-        else ranged.groupBy("_adt_pid").agg(
+        else src.groupBy("_adt_pid").agg(
             F.count(F.lit(1)).alias("cnt")
         ).collect()
     )
@@ -1748,6 +1771,7 @@ def attach_global_running_aggs(
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
+    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
     (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
@@ -1847,7 +1871,11 @@ def attach_global_running_aggs(
         else:
             e = getattr(F, fn)(col)
         agg_exprs.append(e.alias(f"_adt_t{i}"))
-    totals_df = ranged.groupBy("_adt_pid").agg(*agg_exprs)
+    # state_src: see attach_global_ranks — same rows, same pids,
+    # short lineage; the totals values are identical by construction
+    totals_df = (
+        state_src if state_src is not None else ranged
+    ).groupBy("_adt_pid").agg(*agg_exprs)
     tot_types = {f.name: f.dataType for f in totals_df.schema.fields}
     totals = {int(r._adt_pid): r for r in totals_df.collect()}
     pids = sorted(totals)
@@ -1974,6 +2002,7 @@ def attach_global_offsets(
     order_cols: list,
     offsets: list[tuple],
     n_parts: int | None = None,
+    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL OFFSET functions — ``lag/lead(expr[, j]) OVER
     (ORDER BY …)`` without the single-partition WindowExec cliff (the
@@ -2038,8 +2067,20 @@ def attach_global_offsets(
     rn = F.row_number().over(w_pid)
     rnd = F.row_number().over(w_pid_desc)
     marked = ranged.withColumn("_adt_rn", rn).withColumn("_adt_rnd", rnd)
+    # state_src: see attach_global_ranks — the boundary rows are
+    # identical on the short-lineage twin (same rows, same pids, same
+    # order), requires every offset expression to resolve on it
+    if state_src is not None:
+        marked_s = state_src
+        for i, (_fn, col, _j, _name, _d) in enumerate(offsets):
+            marked_s = marked_s.withColumn(f"_adt_e{i}", col)
+        marked_s = marked_s.withColumn("_adt_rn", rn).withColumn(
+            "_adt_rnd", rnd
+        )
+    else:
+        marked_s = marked
     boundary = (
-        marked.filter(
+        marked_s.filter(
             (F.col("_adt_rn") <= big_j) | (F.col("_adt_rnd") <= big_j)
         )
         .select("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
@@ -2129,6 +2170,7 @@ def attach_global_first_last(
     order_cols: list,
     calls: list[tuple],
     n_parts: int | None = None,
+    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL FRAME-VALUE functions — ``first_value /
     last_value / nth_value(expr[, n]) OVER (ORDER BY …)`` with the
@@ -2220,9 +2262,23 @@ def attach_global_first_last(
 
     work = ranged
     helper_cols = [] if not made_pid else ["_adt_pid"]
+    # state_src: see attach_global_ranks — same rows, same pids,
+    # short lineage; the per-pid stats and the nth-value lookup are
+    # identical on the twin (requires total-order determinism for the
+    # row_number, the family's documented ties contract)
+    if state_src is not None:
+        work_s = state_src
+        for i, (_fn, col, _n, _name, _ign) in enumerate(calls):
+            work_s = work_s.withColumn(f"_adt_e{i}", col)
+    else:
+        work_s = None
     if need_first or need_counts:
         work = work.withColumn("_adt_rn", F.row_number().over(w))
         helper_cols.append("_adt_rn")
+        if work_s is not None:
+            work_s = work_s.withColumn("_adt_rn", F.row_number().over(w))
+    if work_s is None:
+        work_s = work
 
     # ONE bounded per-pid stats collect for every call kind (round-11
     # optimization, guide §1.2 "remove unnecessary passes": previously
@@ -2270,7 +2326,7 @@ def attach_global_first_last(
             )
         stats = {
             int(r._adt_pid): r
-            for r in work.groupBy("_adt_pid").agg(*agg_exprs).collect()
+            for r in work_s.groupBy("_adt_pid").agg(*agg_exprs).collect()
         }
 
     firsts: dict[int, object] = {}
@@ -2363,7 +2419,7 @@ def attach_global_first_last(
             if n_total >= n:
                 pid_star = max(p for p in row_off if row_off[p] < n)
                 hit = (
-                    work.filter(
+                    work_s.filter(
                         (F.col("_adt_pid") == pid_star)
                         & (F.col("_adt_rn") == n - row_off[pid_star])
                     )
@@ -2386,6 +2442,7 @@ def attach_global_bounded_aggs(
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
+    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL BOUNDED-FRAME aggregates — ``sum/count/min/
     max/avg(expr) OVER (ORDER BY … ROWS BETWEEN a PRECEDING AND b
@@ -2495,6 +2552,18 @@ def attach_global_bounded_aggs(
     marked = ranged.withColumn(
         "_adt_rn", F.row_number().over(w_pid)
     ).withColumn("_adt_rnd", F.row_number().over(w_pid_desc))
+    # state_src: see attach_global_ranks — boundary rows and per-pid
+    # totals are identical on the short-lineage twin
+    if state_src is not None:
+        marked_s = state_src
+        for i, (_fn, col, _a, _b, _name) in enumerate(aggs):
+            e = F.lit(1) if col is None else col
+            marked_s = marked_s.withColumn(f"_adt_e{i}", e)
+        marked_s = marked_s.withColumn(
+            "_adt_rn", F.row_number().over(w_pid)
+        ).withColumn("_adt_rnd", F.row_number().over(w_pid_desc))
+    else:
+        marked_s = marked
     helper_cols = ["_adt_rn", "_adt_rnd"] + (
         ["_adt_pid"] if made_pid else []
     )
@@ -2543,7 +2612,7 @@ def attach_global_bounded_aggs(
 
     if need_patch:
         boundary = (
-            marked.filter(
+            marked_s.filter(
                 (F.col("_adt_rn") <= max_b) | (F.col("_adt_rnd") <= max_a)
             )
             .select("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
@@ -2592,7 +2661,7 @@ def attach_global_bounded_aggs(
                 tot_exprs.append(agg_e.alias(f"_adt_t_{prim}{i}"))
         totals = {
             int(r._adt_pid): r
-            for r in marked.groupBy("_adt_pid").agg(*tot_exprs).collect()
+            for r in marked_s.groupBy("_adt_pid").agg(*tot_exprs).collect()
         }
         pids = sorted(set(pids) | set(totals))
         for i, (fn, _c, a, b, _name) in enumerate(aggs):
@@ -2759,7 +2828,10 @@ def attach_global_bounded_aggs(
     return out.drop(*helper_cols, *expr_names, *patch_cols)
 
 
-def attach_global_scalar_aggs(df: DataFrame, aggs: list[tuple]) -> DataFrame:
+def attach_global_scalar_aggs(
+    df: DataFrame, aggs: list[tuple],
+    state_src: DataFrame | None = None,
+) -> DataFrame:
     """Whole-input SCALAR window aggregates — ``sum/count/min/max/avg
     (expr) OVER ()`` — without the single-partition WindowExec cliff
     (round-11 second wave: Spark plans an empty OVER() as a
@@ -2792,7 +2864,16 @@ def attach_global_scalar_aggs(df: DataFrame, aggs: list[tuple]) -> DataFrame:
                 f"_adt_g{i}"
             )
         )
-    row_df = with_exprs.agg(*agg_exprs)
+    # state_src: see attach_global_ranks — same rows, short lineage
+    if state_src is not None:
+        src_e = state_src
+        for i, (_fn, col, _name) in enumerate(aggs):
+            src_e = src_e.withColumn(
+                f"_adt_e{i}", F.lit(1) if col is None else col
+            )
+        row_df = src_e.agg(*agg_exprs)
+    else:
+        row_df = with_exprs.agg(*agg_exprs)
     g_types = {f.name: f.dataType for f in row_df.schema.fields}
     row = row_df.collect()[0]
     out = with_exprs
