@@ -1139,19 +1139,53 @@ def q_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst plans one shuffle and one sort, the second Window reuses
     the ordering.  (DuckDB also lacks GROUPS mode; the oracle runs the
     identical construction, pinning the recipe cross-engine.)
+
+    Round-12 (guide §2.5/§2.6): evaluated over the distinct
+    (l_returnflag, qty) grain — dense_rank over rows ordered by qty
+    equals row-rank over the DISTINCT qtys, and the RANGE ±1 frame in
+    dr-space selects whole peer groups, so sum(qty) over the frame is
+    the windowed sum of per-key sums.  One parallel groupBy replaces
+    the 3-task full-data window; the ~|flags × qtys| result broadcasts
+    back (same contract as dialect/keyed_windows.py).
     """
     li = tables(spark, sf_dir)["lineitem"]
     qty = F.col("l_quantity").cast("long")
+    base = li.select(
+        "l_orderkey", "l_linenumber", qty.alias("qty"), "l_returnflag"
+    )
     w_rank = W.partitionBy("l_returnflag").orderBy("qty")
     w_groups = W.partitionBy("l_returnflag").orderBy("dr").rangeBetween(-1, 1)
-    return (
-        li.select(
-            "l_orderkey", "l_linenumber", qty.alias("qty"), "l_returnflag"
-        )
+    keyed = (
+        base.groupBy("l_returnflag", "qty")
+        .agg(F.sum("qty").alias("__kw_ksum"))
         .withColumn("dr", F.dense_rank().over(w_rank))
-        .withColumn("grp_sum", F.sum("qty").over(w_groups))
-        .select("l_orderkey", "l_linenumber", "grp_sum")
+        .withColumn("grp_sum", F.sum("__kw_ksum").over(w_groups))
+        .select(
+            F.col("l_returnflag").alias("__kw_rf"),
+            F.col("qty").alias("__kw_qty"),
+            "grp_sum",
+        )
     )
+    return base.join(
+        keyed,
+        base["l_returnflag"].eqNullSafe(keyed["__kw_rf"])
+        & base["qty"].eqNullSafe(keyed["__kw_qty"]),
+        "left",
+    ).select("l_orderkey", "l_linenumber", "grp_sum")
+
+
+def _sql_frames(spark: SparkSession, sql: str) -> DataFrame:
+    """Run raw frame-grammar SQL through the EXCLUDE/UBF rewriter and
+    then the round-12 keyed-window compression (evaluate RANGE windows
+    over the distinct (partition, order-key) grain — guide §2.5/§2.6;
+    equivalence contract and refusal gates in
+    adt_spark/dialect/keyed_windows.py; ROWS-frame statements pass
+    through compression untouched)."""
+    from adt_spark.dialect.keyed_windows import compress_keyed_windows
+    from adt_spark.dialect.window_frames import rewrite_window_frames
+
+    rewritten = rewrite_window_frames(sql)
+    return spark.sql(compress_keyed_windows(rewritten) or rewritten)
 
 
 _EXCL_FRAME = (
@@ -1191,12 +1225,19 @@ def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROW`` (exactly the ORDER-BY peer group)
     - ``EXCLUDE TIES``        ≡ frame_sum − peer_sum + qty
 
-    Both extra windows share the frame's partitioning and sort, so
-    Catalyst plans ONE exchange + ONE sort for all three outputs.
     SQL semantics note: an empty exclusion result is NULL (sum over
     zero rows), so subtractions go through a null-safe guard only
     where the frame can empty out — with a ±5 RANGE the frame always
     contains the peer group, so frame_sum ≥ peer_sum > 0 here.
+
+    Round-12 (guide §2.5/§2.6): both windows are evaluated over the
+    distinct (l_returnflag, qty) grain — a RANGE frame's membership
+    is a pure function of the key values, so frame_sum is the
+    windowed sum of per-key sums and peer_sum IS the per-key sum (the
+    [0, 0] frame is exactly the peer group; no second window at all).
+    One parallel groupBy replaces the 3-task full-data window; the
+    ~|flags × qtys| result broadcasts back (same contract as
+    dialect/keyed_windows.py).
     """
     li = tables(spark, sf_dir)["lineitem"]
     qty = F.col("l_quantity").cast("long")
@@ -1204,11 +1245,28 @@ def q_window_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_returnflag", qty.alias("qty")
     )
     w = W.partitionBy("l_returnflag").orderBy("qty")
-    frame_sum = F.sum("qty").over(w.rangeBetween(-5, 5))
-    peer_sum = F.sum("qty").over(w.rangeBetween(0, 0))
+    keyed = (
+        base.groupBy("l_returnflag", "qty")
+        .agg(F.sum("qty").alias("peer_sum"))
+        .withColumn("frame_sum", F.sum("peer_sum").over(w.rangeBetween(-5, 5)))
+        .select(
+            F.col("l_returnflag").alias("__kw_rf"),
+            F.col("qty").alias("__kw_qty"),
+            "frame_sum",
+            "peer_sum",
+        )
+    )
+    joined = base.join(
+        keyed,
+        base["l_returnflag"].eqNullSafe(keyed["__kw_rf"])
+        & base["qty"].eqNullSafe(keyed["__kw_qty"]),
+        "left",
+    )
+    frame_sum = F.col("frame_sum")
+    peer_sum = F.col("peer_sum")
     excl_current = frame_sum - F.col("qty")
     excl_group = frame_sum - peer_sum
-    return base.select(
+    return joined.select(
         "l_orderkey",
         "l_linenumber",
         # sum over an emptied frame is NULL in SQL; mirror that
@@ -1264,8 +1322,6 @@ def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_rank sorts by (flag, qty), the half-frame windows by
     (flag, dr) — but the dr order is qty's order, so no re-shuffle.
     """
-    from adt_spark.dialect.window_frames import rewrite_window_frames
-
     li = tables(spark, sf_dir)["lineitem"]
     li.select(
         "l_orderkey",
@@ -1273,8 +1329,7 @@ def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("qty"),
     ).createOrReplaceTempView("adt_wx_minmax_t")
-    sql = f"{_MM_SELECT}\nFROM adt_wx_minmax_t"
-    return spark.sql(rewrite_window_frames(sql))
+    return _sql_frames(spark, f"{_MM_SELECT}\nFROM adt_wx_minmax_t")
 
 
 _RX_F1 = (
@@ -1481,8 +1536,6 @@ def q_window_exclude_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same statement.  The oracle is the IDENTICAL text on DuckDB's
     native EXCLUDE, conformant on straddling frames.
     """
-    from adt_spark.dialect.window_frames import rewrite_window_frames
-
     li = tables(spark, sf_dir)["lineitem"]
     li.select(
         "l_orderkey",
@@ -1490,8 +1543,7 @@ def q_window_exclude_range_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("l_quantity").cast("long").alias("qty"),
     ).createOrReplaceTempView("adt_wx_vrng_t")
-    sql = f"{_VR_SELECT}\nFROM adt_wx_vrng_t"
-    return spark.sql(rewrite_window_frames(sql))
+    return _sql_frames(spark, f"{_VR_SELECT}\nFROM adt_wx_vrng_t")
 
 
 _DVR_ORD = "PARTITION BY o_orderstatus ORDER BY od "
@@ -1553,8 +1605,6 @@ def q_window_exclude_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same newly-parsed interval frames.  The oracle is the
     IDENTICAL text on DuckDB's native EXCLUDE.
     """
-    from adt_spark.dialect.window_frames import rewrite_window_frames
-
     o = tables(spark, sf_dir)["orders"]
     o.select(
         "o_orderkey",
@@ -1562,8 +1612,7 @@ def q_window_exclude_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("od"),
         (F.col("o_orderkey") % 97).alias("okm"),
     ).createOrReplaceTempView("adt_wx_drng_t")
-    sql = f"{_DVR_SELECT}\nFROM adt_wx_drng_t"
-    return spark.sql(rewrite_window_frames(sql))
+    return _sql_frames(spark, f"{_DVR_SELECT}\nFROM adt_wx_drng_t")
 
 
 _MVR_ORD = "PARTITION BY o_orderstatus ORDER BY od "
@@ -1617,8 +1666,6 @@ def q_window_exclude_range_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the IDENTICAL text on DuckDB's native EXCLUDE,
     conformant on straddling frames (measured, month-end clamp dates
     included in the local matrix)."""
-    from adt_spark.dialect.window_frames import rewrite_window_frames
-
     o = tables(spark, sf_dir)["orders"]
     o.select(
         "o_orderkey",
@@ -1626,8 +1673,7 @@ def q_window_exclude_range_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("od"),
         (F.col("o_orderkey") % 97).alias("okm"),
     ).createOrReplaceTempView("adt_wx_mrng_t")
-    sql = f"{_MVR_SELECT}\nFROM adt_wx_mrng_t"
-    return spark.sql(rewrite_window_frames(sql))
+    return _sql_frames(spark, f"{_MVR_SELECT}\nFROM adt_wx_mrng_t")
 
 
 _UF_ORD = "PARTITION BY rf ORDER BY qty, l_orderkey, l_linenumber "

@@ -204,15 +204,54 @@ def test_repetition_stats_two_phase_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
 
 
-def test_groups_frame_single_shuffle_sort(spark, sf_dir):
-    """q_window_groups_frame: both window passes share partitioning
-    and ordering — exactly one exchange over l_returnflag must feed
-    the two Window operators."""
+def _physical_tree(plan: str) -> list[str]:
+    """The indented operator-tree lines of a formatted explain."""
+    tree, started = [], False
+    for ln in plan.splitlines():
+        if ln.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if started:
+            if not ln.strip():
+                break
+            tree.append(ln)
+    return tree
+
+
+def _assert_windows_over_aggregates(plan: str):
+    """Round-12 keyed-window compression shape: EVERY Window operator
+    must consume an Aggregate subtree (the distinct (partition, key)
+    grain), never the full base rows — the machine check behind the
+    compression's >3-way-parallelism claim."""
+    tree = _physical_tree(plan)
+
+    def depth(ln):
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1
+
+    wins = [i for i, ln in enumerate(tree) if re.search(r"\bWindow \(", ln)]
+    assert wins, "no Window operator found\n" + plan
+    for i in wins:
+        d = depth(tree[i])
+        sub = []
+        for j in range(i + 1, len(tree)):
+            if depth(tree[j]) <= d:
+                break
+            sub.append(tree[j])
+        assert any("Aggregate" in ln for ln in sub), (
+            "Window consumes un-aggregated input:\n" + "\n".join([tree[i]] + sub)
+        )
+
+
+def test_groups_frame_keyed_compression(spark, sf_dir):
+    """q_window_groups_frame (round-12): both window passes run over
+    the distinct (l_returnflag, qty) grain — every Window sits above
+    the grain aggregate, and a single row-preserving outer join fans
+    the result back onto the base rows."""
     plan = _formatted(_q(spark, sf_dir, "q_window_groups_frame"))
-    # exactly one hash exchange in the whole plan (formatted mode
-    # prints each operator's arguments once)
-    assert plan.count("hashpartitioning(") == 1
-    assert "hashpartitioning(l_returnflag" in plan
+    _assert_windows_over_aggregates(plan)
+    assert "Join LeftOuter" in plan
+    assert "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
 
 
@@ -521,13 +560,27 @@ def test_matryoshka_two_topk_passes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_exclude_minmax_single_exchange(spark, sf_dir):
-    """q_window_exclude_minmax: the injected dense_rank and every
-    half-frame window share the partition key — exactly ONE exchange;
-    Spark re-sorts for the dr-keyed windows but never re-shuffles."""
-    plan = _formatted(_q(spark, sf_dir, "q_window_exclude_minmax"))
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
-    assert "CartesianProduct" not in plan and "Join" not in plan
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_window_exclude_minmax",
+        "q_window_exclude_range_value",
+        "q_window_exclude_range_date",
+        "q_window_exclude_range_month",
+        "q_window_exclude",
+    ],
+)
+def test_exclude_family_keyed_compression(spark, sf_dir, name):
+    """The RANGE-frame EXCLUDE family (round-12): every window —
+    including q_window_exclude_minmax's formerly O(n²)
+    UnboundedFollowing half-frames (measured 226 s → 0.8 s at sf0.1)
+    — evaluates over the distinct (partition, order-key) grain and
+    fans back through one row-preserving outer join; the full-data
+    3-task Window is gone (dialect/keyed_windows.py)."""
+    plan = _formatted(_q(spark, sf_dir, name))
+    _assert_windows_over_aggregates(plan)
+    assert "Join LeftOuter" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_exclude_rows_single_exchange(spark, sf_dir):
