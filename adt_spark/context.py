@@ -369,6 +369,13 @@ def register_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
         spark._adt_sf_tables_memo = memo
     hit = memo.get(key)
     if hit is not None:
+        # re-assert the temp views on every hit (round-12, ADVICE r11):
+        # catalog writes only — no parquet footer/py4j relation
+        # resolution — so the self-healing invariant survives a
+        # same-session statement shadowing or dropping a base view
+        # (registry DDL, user CREATE VIEW reusing an SF table name)
+        for table, df in hit.items():
+            df.createOrReplaceTempView(table)
         return dict(hit)
 
     out: dict[str, DataFrame] = {}

@@ -1589,12 +1589,25 @@ def _broadcast_pid_join(ranged: DataFrame, rows: list, schema) -> DataFrame:
     ).drop("_adt_jpid")
 
 
+def _ranks_state_exprs(ranks: list[tuple[str, str]]) -> list | None:
+    """attach_global_ranks' flat per-pid driver-state aggregate
+    expressions, or None when dense_rank forces the two-level
+    key-grouped pass (round-12: exported so the SQL rewrite can FUSE
+    every family's per-pid state into one composite groupBy per order
+    — guide §1.2, r11 verdict item 2; the aliases are exactly what
+    the attach reads back from ``pre_state`` rows)."""
+    if any(fn == "dense_rank" for fn, _ in ranks):
+        return None
+    return [F.count(F.lit(1)).alias("cnt")]
+
+
 def attach_global_ranks(
     df: DataFrame,
     order_cols: list,
     ranks: list[tuple[str, str]],
     n_parts: int | None = None,
     state_src: DataFrame | None = None,
+    pre_state: list | None = None,
 ) -> DataFrame:
     """The GENERALIZED two-phase global-rank construction (round-9:
     the SQL surface's ``row_number()/rank()/dense_rank() OVER (ORDER
@@ -1665,24 +1678,31 @@ def attach_global_ranks(
     src = state_src if state_src is not None else ranged
     need_dense = any(fn == "dense_rank" for fn, _ in ranks)
     key_names = [f"_adt_k{i}" for i in range(len(order_cols))]
-    per_key = (
-        src.select(
-            F.col("_adt_pid"),
-            *[c.alias(n) for c, n in zip(bare_cols, key_names)],
+    # pre_state (round-12): the caller already ran the per-pid state
+    # aggregate (possibly fused with other families' expressions into
+    # ONE composite collect — _ranks_state_exprs supplies the exprs);
+    # only the flat (no-dense_rank) shape is fusable.
+    if pre_state is not None:
+        per_key = pre_state
+    else:
+        per_key = (
+            src.select(
+                F.col("_adt_pid"),
+                *[c.alias(n) for c, n in zip(bare_cols, key_names)],
+            )
+            .groupBy("_adt_pid", *key_names)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy("_adt_pid")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.count(F.lit(1)).alias("dcnt"),
+            )
+            .collect()
+            if need_dense
+            else src.groupBy("_adt_pid").agg(
+                *_ranks_state_exprs(ranks)
+            ).collect()
         )
-        .groupBy("_adt_pid", *key_names)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("_adt_pid")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.count(F.lit(1)).alias("dcnt"),
-        )
-        .collect()
-        if need_dense
-        else src.groupBy("_adt_pid").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-    )
     counts = {int(r._adt_pid): int(r.cnt) for r in per_key}
     dcounts = (
         {int(r._adt_pid): int(r.dcnt) for r in per_key} if need_dense else {}
@@ -1766,12 +1786,61 @@ def attach_global_ranks(
     return out.drop("_adt_roff", "_adt_doff", *(["_adt_pid"] if made_pid else []))
 
 
+_RUNNING_VARIANCE_FNS = {
+    "var_pop", "var_samp", "variance",
+    "stddev", "stddev_pop", "stddev_samp",
+}
+
+
+def _running_prims(df: DataFrame, aggs: list[tuple]) -> list[tuple]:
+    """attach_global_running_aggs' primitive (fn, Column) list — avg
+    decomposes into sum+count, the variance family into (sum, sum of
+    squares, count) over the exact/double moment base.  Shared by the
+    attach itself and the SQL rewrite's fused state collector
+    (round-12), so the two can never drift."""
+
+    def _moment_base(col):
+        t = df.select(col.alias("_adt_x")).schema["_adt_x"].dataType
+        name = t.simpleString()
+        return col.cast(
+            "bigint"
+            if name in ("tinyint", "smallint", "int", "bigint", "boolean")
+            else "double"
+        )
+
+    prims: list[tuple] = []
+    for fn, col, _name in aggs:
+        if fn == "avg":
+            prims += [("sum", col), ("count", col)]
+        elif fn in _RUNNING_VARIANCE_FNS:
+            base = _moment_base(col)
+            prims += [("sum", base), ("sum", base * base), ("count", col)]
+        else:
+            prims.append((fn, col))
+    return prims
+
+
+def _running_state_exprs(prims: list[tuple]) -> list:
+    """The per-pid totals aggregate expressions for ``prims`` —
+    aliases are exactly what attach_global_running_aggs reads back
+    from ``pre_state`` rows (fusable into a composite collect)."""
+    out = []
+    for i, (fn, col) in enumerate(prims):
+        if fn == "count":
+            e = F.count(F.lit(1)) if col is None else F.count(col)
+        else:
+            e = getattr(F, fn)(col)
+        out.append(e.alias(f"_adt_t{i}"))
+    return out
+
+
 def attach_global_running_aggs(
     df: DataFrame,
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
     state_src: DataFrame | None = None,
+    pre_state: tuple | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL RUNNING AGGREGATES — ``sum/count/min/max/avg
     (expr) OVER (ORDER BY …)`` with the default (RANGE UNBOUNDED
@@ -1836,15 +1905,13 @@ def attach_global_running_aggs(
         else df
     )
 
-    _VARIANCE_FNS = {
-        "var_pop", "var_samp", "variance",
-        "stddev", "stddev_pop", "stddev_samp",
-    }
+    _VARIANCE_FNS = _RUNNING_VARIANCE_FNS
 
     def _moment_base(col):
         """The squared-moment working type: BIGINT for integral
         arguments (exact S1/S2 — the cross-engine-exact case), DOUBLE
-        otherwise (documented caveat)."""
+        otherwise (documented caveat).  Kept in sync with
+        _running_prims (the shared primitive builder)."""
         t = df.select(col.alias("_adt_x")).schema["_adt_x"].dataType
         name = t.simpleString()
         return col.cast(
@@ -1855,29 +1922,20 @@ def attach_global_running_aggs(
 
     # per-partition totals for every needed primitive (avg = sum+cnt,
     # variance family = sum + sum-of-squares + count)
-    prims: list[tuple] = []  # (fn, col)
-    for fn, col, _name in aggs:
-        if fn == "avg":
-            prims += [("sum", col), ("count", col)]
-        elif fn in _VARIANCE_FNS:
-            base = _moment_base(col)
-            prims += [("sum", base), ("sum", base * base), ("count", col)]
-        else:
-            prims.append((fn, col))
-    agg_exprs = []
-    for i, (fn, col) in enumerate(prims):
-        if fn == "count":
-            e = F.count(F.lit(1)) if col is None else F.count(col)
-        else:
-            e = getattr(F, fn)(col)
-        agg_exprs.append(e.alias(f"_adt_t{i}"))
-    # state_src: see attach_global_ranks — same rows, same pids,
-    # short lineage; the totals values are identical by construction
-    totals_df = (
-        state_src if state_src is not None else ranged
-    ).groupBy("_adt_pid").agg(*agg_exprs)
-    tot_types = {f.name: f.dataType for f in totals_df.schema.fields}
-    totals = {int(r._adt_pid): r for r in totals_df.collect()}
+    prims = _running_prims(df, aggs)
+    # pre_state (round-12): (rows, {alias: dtype}) from the caller's
+    # fused composite collect (_running_state_exprs supplies the
+    # exprs); else state_src — see attach_global_ranks — same rows,
+    # same pids, short lineage; totals identical by construction
+    if pre_state is not None:
+        totals_rows, tot_types = pre_state
+    else:
+        totals_df = (
+            state_src if state_src is not None else ranged
+        ).groupBy("_adt_pid").agg(*_running_state_exprs(prims))
+        tot_types = {f.name: f.dataType for f in totals_df.schema.fields}
+        totals_rows = totals_df.collect()
+    totals = {int(r._adt_pid): r for r in totals_rows}
     pids = sorted(totals)
 
     def _prefix_offsets(i: int, fn: str) -> dict:
@@ -2437,12 +2495,75 @@ def attach_global_first_last(
     return out.drop(*helper_cols, *expr_names)
 
 
+def _bounded_mark(frame: DataFrame, order_cols: list, aggs: list[tuple]) -> DataFrame:
+    """``frame`` (already pid-assigned) + the concrete ``_adt_e{i}``
+    argument columns (count(*) rides a literal 1) + the ascending /
+    descending per-pid row numbers — the working shape of BOTH
+    attach_global_bounded_aggs' chain frame and its driver-state twin
+    (one builder, so the two can never drift; round-12 also hands it
+    to the SQL rewrite's parallel state precompute)."""
+    from pyspark.sql import Window as W
+
+    sort_cols = [getattr(c, d)() for c, d in order_cols]
+    out = frame
+    for i, (_fn, col, _a, _b, _name) in enumerate(aggs):
+        out = out.withColumn(f"_adt_e{i}", F.lit(1) if col is None else col)
+    w_pid = W.partitionBy("_adt_pid").orderBy(*sort_cols)
+    w_pid_desc = W.partitionBy("_adt_pid").orderBy(
+        *[getattr(c, _INVERT_ORDER[d])() for c, d in order_cols]
+    )
+    return out.withColumn(
+        "_adt_rn", F.row_number().over(w_pid)
+    ).withColumn("_adt_rnd", F.row_number().over(w_pid_desc))
+
+
+def _bounded_boundary_rows(marked_s: DataFrame, aggs: list[tuple]) -> list:
+    """The ≤ n_parts × (max_a+max_b)-row edge collect feeding
+    attach_global_bounded_aggs' patch arrays (``pre_state[0]``), or
+    [] when every frame side is unbounded/zero."""
+    max_a = max((a for _f, _c, a, _b, _n in aggs if a is not None), default=0)
+    max_b = max((b for _f, _c, _a, b, _n in aggs if b is not None), default=0)
+    if max_a == 0 and max_b == 0:
+        return []
+    expr_names = [f"_adt_e{i}" for i in range(len(aggs))]
+    return (
+        marked_s.filter(
+            (F.col("_adt_rn") <= max_b) | (F.col("_adt_rnd") <= max_a)
+        )
+        .select("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
+        .collect()
+    )
+
+
+def _bounded_tot_exprs(aggs: list[tuple]) -> list:
+    """Per-pid totals aggregate expressions for the unbounded frame
+    sides (``pre_state[1]`` rows / the fused composite collect) —
+    aliases are exactly what attach_global_bounded_aggs reads back;
+    [] when no side is unbounded.  Aggregates the RAW argument
+    expressions (count(*) rides a literal 1), so the fused composite
+    needs no _adt_e/_adt_rn preparation at all."""
+    tot_exprs, tot_keys = [], []
+    for i, (fn, c, a, b, _name) in enumerate(aggs):
+        if a is not None and b is not None:
+            continue
+        for prim in (["sum", "count"] if fn == "avg" else [fn]):
+            key = (i, prim)
+            if key in tot_keys:
+                continue
+            tot_keys.append(key)
+            e = F.lit(1) if c is None else c
+            agg_e = F.count(e) if prim == "count" else getattr(F, prim)(e)
+            tot_exprs.append(agg_e.alias(f"_adt_t_{prim}{i}"))
+    return tot_exprs
+
+
 def attach_global_bounded_aggs(
     df: DataFrame,
     order_cols: list,
     aggs: list[tuple],
     n_parts: int | None = None,
     state_src: DataFrame | None = None,
+    pre_state: tuple | None = None,
 ) -> DataFrame:
     """Two-phase GLOBAL BOUNDED-FRAME aggregates — ``sum/count/min/
     max/avg(expr) OVER (ORDER BY … ROWS BETWEEN a PRECEDING AND b
@@ -2516,52 +2637,33 @@ def attach_global_bounded_aggs(
         a is None or b is None for _f, _c, a, b, _n in aggs
     )
 
-    # concrete expr columns first (boundary collect and local windows
-    # must read identical values); count(*) rides a literal 1
-    with_exprs = df
-    expr_names = []
-    for i, (_fn, col, _a, _b, _name) in enumerate(aggs):
-        e = F.lit(1) if col is None else col
-        with_exprs = with_exprs.withColumn(f"_adt_e{i}", e)
-        expr_names.append(f"_adt_e{i}")
+    # concrete expr columns + per-pid row numbers via the shared
+    # builder (_bounded_mark — one construction for the chain frame,
+    # the state twin and the rewrite's parallel precompute)
+    expr_names = [f"_adt_e{i}" for i in range(len(aggs))]
     made_pid = "_adt_pid" not in df.columns
-    ranged = (
-        _assign_range_pids(with_exprs, order_cols, n_parts)
-        if made_pid
-        else with_exprs
-    )
-    e_types = {n: ranged.schema[n].dataType for n in expr_names}
+    ranged = _assign_range_pids(df, order_cols, n_parts) if made_pid else df
+    marked = _bounded_mark(ranged, order_cols, aggs)
+    e_types = {n: marked.schema[n].dataType for n in expr_names}
     # result types from Spark's own schema (dtype parity contract)
     sum_types = {
-        n: ranged.select(F.sum(F.col(n)).alias("_adt_x")).schema[
+        n: marked.select(F.sum(F.col(n)).alias("_adt_x")).schema[
             "_adt_x"
         ].dataType
         for n in expr_names
     }
     avg_types = {
-        n: ranged.select(F.avg(F.col(n)).alias("_adt_x")).schema[
+        n: marked.select(F.avg(F.col(n)).alias("_adt_x")).schema[
             "_adt_x"
         ].dataType
         for n in expr_names
     }
 
     w_pid = W.partitionBy("_adt_pid").orderBy(*sort_cols)
-    w_pid_desc = W.partitionBy("_adt_pid").orderBy(
-        *[getattr(c, _INVERT_ORDER[d])() for c, d in order_cols]
-    )
-    marked = ranged.withColumn(
-        "_adt_rn", F.row_number().over(w_pid)
-    ).withColumn("_adt_rnd", F.row_number().over(w_pid_desc))
     # state_src: see attach_global_ranks — boundary rows and per-pid
     # totals are identical on the short-lineage twin
     if state_src is not None:
-        marked_s = state_src
-        for i, (_fn, col, _a, _b, _name) in enumerate(aggs):
-            e = F.lit(1) if col is None else col
-            marked_s = marked_s.withColumn(f"_adt_e{i}", e)
-        marked_s = marked_s.withColumn(
-            "_adt_rn", F.row_number().over(w_pid)
-        ).withColumn("_adt_rnd", F.row_number().over(w_pid_desc))
+        marked_s = _bounded_mark(state_src, order_cols, aggs)
     else:
         marked_s = marked
     helper_cols = ["_adt_rn", "_adt_rnd"] + (
@@ -2611,12 +2713,13 @@ def attach_global_bounded_aggs(
     suffix: dict[int, list] = {}
 
     if need_patch:
+        # pre_state (round-12): (boundary_rows, totals_rows) from the
+        # caller's parallel precompute (_bounded_boundary_rows /
+        # _bounded_tot_exprs on the state twin)
         boundary = (
-            marked_s.filter(
-                (F.col("_adt_rn") <= max_b) | (F.col("_adt_rnd") <= max_a)
-            )
-            .select("_adt_pid", "_adt_rn", "_adt_rnd", *expr_names)
-            .collect()
+            pre_state[0]
+            if pre_state is not None and pre_state[0] is not None
+            else _bounded_boundary_rows(marked_s, aggs)
         )
         pids = sorted({int(r._adt_pid) for r in boundary})
         heads: dict[int, list] = {p: [] for p in pids}
@@ -2645,24 +2748,14 @@ def attach_global_bounded_aggs(
     luoff: dict[tuple, dict[int, object]] = {}
     ruoff: dict[tuple, dict[int, object]] = {}
     if need_totals:
-        tot_exprs, tot_keys = [], []
-        for i, (fn, _c, a, b, _name) in enumerate(aggs):
-            if a is not None and b is not None:
-                continue
-            for prim in _prims(fn):
-                key = (i, prim)
-                if key in tot_keys:
-                    continue
-                tot_keys.append(key)
-                e = F.col(f"_adt_e{i}")
-                agg_e = (
-                    F.count(e) if prim == "count" else getattr(F, prim)(e)
-                )
-                tot_exprs.append(agg_e.alias(f"_adt_t_{prim}{i}"))
-        totals = {
-            int(r._adt_pid): r
-            for r in marked_s.groupBy("_adt_pid").agg(*tot_exprs).collect()
-        }
+        totals_rows = (
+            pre_state[1]
+            if pre_state is not None and pre_state[1] is not None
+            else marked_s.groupBy("_adt_pid")
+            .agg(*_bounded_tot_exprs(aggs))
+            .collect()
+        )
+        totals = {int(r._adt_pid): r for r in totals_rows}
         pids = sorted(set(pids) | set(totals))
         for i, (fn, _c, a, b, _name) in enumerate(aggs):
             for prim in _prims(fn):
@@ -2830,7 +2923,6 @@ def attach_global_bounded_aggs(
 
 def attach_global_scalar_aggs(
     df: DataFrame, aggs: list[tuple],
-    state_src: DataFrame | None = None,
 ) -> DataFrame:
     """Whole-input SCALAR window aggregates — ``sum/count/min/max/avg
     (expr) OVER ()`` — without the single-partition WindowExec cliff
@@ -2864,16 +2956,10 @@ def attach_global_scalar_aggs(
                 f"_adt_g{i}"
             )
         )
-    # state_src: see attach_global_ranks — same rows, short lineage
-    if state_src is not None:
-        src_e = state_src
-        for i, (_fn, col, _name) in enumerate(aggs):
-            src_e = src_e.withColumn(
-                f"_adt_e{i}", F.lit(1) if col is None else col
-            )
-        row_df = src_e.agg(*agg_exprs)
-    else:
-        row_df = with_exprs.agg(*agg_exprs)
+    # no state_src twin (round-12, ADVICE r11): the SQL rewrite
+    # attaches scalar OVER () aggregates on the bare inner BEFORE any
+    # chaining, so ``df`` already IS the short-lineage frame
+    row_df = with_exprs.agg(*agg_exprs)
     g_types = {f.name: f.dataType for f in row_df.schema.fields}
     row = row_df.collect()[0]
     out = with_exprs
