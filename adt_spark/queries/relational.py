@@ -1316,11 +1316,14 @@ def q_window_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the driver's oracle gate covers the dialect path, not a
     hand-built DataFrame equivalent.  The aggregate arg equals the
     sort key, so first/last among peer rows is value-determined in
-    both engines.  Plan (machine-checked,
-    test_plans.py::test_exclude_minmax_single_exchange): ONE exchange
-    on the shared partition key; two sorts/window nodes — the
-    dense_rank sorts by (flag, qty), the half-frame windows by
-    (flag, dr) — but the dr order is qty's order, so no re-shuffle.
+    both engines.
+
+    Round-12 plan (machine-checked, test_plans.py::
+    test_exclude_family_keyed_compression): the keyed-window
+    compression evaluates every half-frame window — including the
+    formerly O(n²) UnboundedFollowing RANGE pair, measured 226 s at
+    sf0.1 — over the distinct (l_returnflag, qty) grain and
+    broadcast-joins back (0.8 s; dialect/keyed_windows.py).
     """
     li = tables(spark, sf_dir)["lineitem"]
     li.select(
